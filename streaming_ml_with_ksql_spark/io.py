@@ -1,0 +1,66 @@
+"""Parquet loaders for the driver testdata tables.
+
+The reference sources its streams from Kafka topics with Avro schemas from a
+schema registry (reference: README.md:27,39, docker-compose.yaml:29-37); the
+driver testdata replaces those with parquet tables. Loading stays declarative
+(`spark.read.parquet`) so Catalyst retains predicate pushdown, column pruning
+and partition pruning — at 100 TB the scan is where most time goes, and the
+plan must show `PushedFilters` / a narrow `ReadSchema` for every query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "default_sf_dir", "load_table", "load_tables", "register_views"]
+
+# Testdata parquet encodes these as INT64 TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they surface as epoch-nanos longs.
+# Normalize once at the scan edge (SURVEY.md §7 hard part 4) with exact
+# integer arithmetic (`div 1000` — no double round-trip, which would drift
+# at 1.7e18 nanos).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (schema from parquet footer),
+    normalizing nano-precision timestamp columns to TimestampType."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL entry points."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
