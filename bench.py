@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion with the noop sink — full plan runs
+(scan → shuffle → agg), nothing collected to the driver, which is the honest
+measure of engine throughput (a .collect() would add driver serialization
+that a real pipeline doesn't pay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_ml_with_ksql_spark import registry  # noqa: E402
+from streaming_ml_with_ksql_spark.session import get_spark  # noqa: E402
+
+# The headline set: the flagship + the heaviest representatives of each
+# operator family. Extend as new families land.
+HEADLINE = [
+    "hopping_window_agg",
+    "enriched_window_join",
+    "rolling_counts",
+    "latest_per_key",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_orders_per_customer",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch class loading
+    _run(qs[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _run(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
