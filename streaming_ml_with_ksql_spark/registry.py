@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from . import io as io_mod
 from .functions.scalars import as_array, timestamp_to_string
+from .ml import features as ml_features
+from .ml import predict as ml_predict
 from .operators import dedup, joins, rolling, windows
 from .plans import tpch
 
@@ -508,3 +510,75 @@ def q_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("events_only").alias("tag"), "key"
     )
     return both.unionAll(only)
+
+
+# --------------------------------------------------------------------------
+# ML scoring surface (U1-U3): registry-resolved model, whole-frame transform
+# --------------------------------------------------------------------------
+
+# The frozen bot_detector's decision function was verified to be the single
+# split `events_in_window > 4.5` (models/bot_detector/Production; see
+# tests/test_ml.py::test_tree_is_threshold_rule which guards this), so the
+# oracle can express the model exactly in SQL — a hash-checked ML scoring
+# query. Retraining the model requires re-deriving this oracle.
+_SCORE_FEATS_CTE = """
+WITH feats AS (
+  SELECT event_id, user_id,
+         CAST(count(*) OVER w AS INT) AS events_in_window
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+@register(
+    "score_events",
+    _SCORE_FEATS_CTE
+    + """
+    SELECT event_id, user_id, events_in_window,
+           CASE WHEN events_in_window >= 5 THEN 'bot' ELSE 'user' END AS prediction
+    FROM feats
+    """,
+)
+def q_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 preferred path (SURVEY.md): whole-frame PipelineModel.transform —
+    the reference's per-row `predict` UDF (PredictUdf.java:39-59) done as a
+    DataFrame operator."""
+    frame = ml_features.build_training_frame(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+    return ml_predict.score(frame, "bot_detector").select(
+        "event_id", "user_id", "events_in_window", "prediction"
+    )
+
+
+@register(
+    "predict_arrays_events",
+    _SCORE_FEATS_CTE
+    + """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                WHEN events_in_window >= 5 THEN 'bot' ELSE 'user' END AS prediction
+    FROM feats
+    """,
+)
+def q_predict_arrays_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 API-parity path: predict(model, as_array(strings), as_array(ints))
+    (reference: README.md:68) with positional signature binding
+    (PredictUdf.java:48-56) and error→NULL (PredictUdf.java:60-63) —
+    exercised by deterministically corrupting every 97th row's int array."""
+    frame = ml_features.build_training_frame(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+    with_arrays = frame.select(
+        "event_id",
+        "user_id",
+        as_array("c_mktsegment").alias("str_features"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            as_array(*ml_features.INT_FEATURES)
+        ).alias("int_features"),
+    )
+    return ml_predict.predict_arrays(
+        with_arrays, "bot_detector", "str_features", "int_features"
+    ).select("event_id", "user_id", "prediction")
