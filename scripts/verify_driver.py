@@ -1,0 +1,105 @@
+"""Driver simulation: load /root/repo/__spark_entry__.py the way the
+grading driver does (file-location import, foreign cwd), smoke-check
+entry(), and compare every queries() entry against its oracle_sql() in
+DuckDB at sf0.01 — row count, sorted column names, sorted stringified
+row values.
+
+Run from anywhere: python /root/repo/scripts/verify_driver.py [sf_dir]
+Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+REPO = "/root/repo"
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sys.path.insert(0, REPO)
+    from streaming_ml_with_ksql_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+
+    df = mod.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows, schema={df.schema.simpleString()[:120]}...")
+    assert n >= 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sorted(sdf.columns)
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(srows)} rows  [no oracle]")
+            continue
+        ddf = con.execute(oracles[name]).fetchdf()
+        dcols = sorted(ddf.columns)
+        ok = True
+        if scols != dcols:
+            failures.append(f"{name}: columns {scols} != {dcols}")
+            ok = False
+        elif len(srows) != len(ddf):
+            failures.append(f"{name}: rowcount {len(srows)} != {len(ddf)}")
+            ok = False
+        else:
+            s_sorted = sorted(
+                tuple(norm(r[c]) for c in scols) for r in srows
+            )
+            d_sorted = sorted(
+                tuple(norm(v) for v in row)
+                for row in ddf[dcols].itertuples(index=False, name=None)
+            )
+            n_bad = sum(1 for a, b in zip(s_sorted, d_sorted) if a != b)
+            if n_bad:
+                for a, b in zip(s_sorted, d_sorted):
+                    if a != b:
+                        failures.append(f"{name}: value mismatch\n  spark={a}\n  duck ={b}")
+                        break
+                ok = False
+        print(f"  {name}: {len(srows)} rows  {'OK' if ok else 'MISMATCH'}")
+    spark.stop()
+
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print(f"\nAll {len(queries)} queries verified against sf_dir={sf_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,203 @@
+"""Embedding similarity search (north-star surface, BASELINE.json).
+
+Two paths over an ``array<float>`` embedding column:
+
+- **Brute-force cosine top-k** — the exactness baseline and the oracle-able
+  form: queries × corpus join, JVM-side `zip_with`/`aggregate` dot product,
+  rank by (rounded cosine, candidate id). At 100 TB this is the *verifier*,
+  run on samples, not the serving path.
+- **Sign-LSH bucketed ANN** — the scale path: P deterministic random
+  hyperplanes (seeded md5, no RNG at plan time) give a P-bit bucket id;
+  candidates share a probed bucket (multi-probe hamming ≤ 1), then exact
+  cosine re-ranks. The corpus-side bucket id is computed once (narrow map),
+  and the join is an equi-join on bucket id — no all-pairs shuffle.
+
+Similarities are rounded to 6 dp *before* ranking with a vec_id tie-break:
+cross-engine float sums differ in the last ulp, and ranking on rounded
+values keeps top-k membership deterministic (SURVEY.md §7 scale discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_sim",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "lsh_bucket_topk",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_sim(a: Column, b: Column, *, decimals: int = 6) -> Column:
+    """Rounded cosine similarity of two array<double> columns."""
+    sim = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.round(sim, decimals)
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: the first ``n_queries`` vec_ids against the full
+    corpus (self-matches excluded). Output: (query_id, neighbor_id, cosine,
+    rank)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, *, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
+    All-pairs form is the oracle baseline; at scale, swap the crossJoin for
+    lsh_bucket candidates (same verify expression)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_sim(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (t, p, d) derives
+    from md5(f"{t}|{p}|{d}") — reproducible across sessions and engines, no
+    RNG in the plan."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:8], 16)
+            comps.append(h / 2**32 - 0.5)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN: L independent tables of P sign bits each;
+    a corpus vector is a candidate when it shares a (possibly hamming-1
+    multiprobed) bucket with the query in ANY table; candidates get exact
+    cosine, top-k per query.
+
+    Scale shape: corpus bucket ids are computed in one narrow map (L
+    expressions over one scan), candidate generation is an equi-join on
+    (table_id, bucket) — the all-pairs crossJoin never materializes. Recall
+    tunes with (n_tables, n_planes, multiprobe); the candidate count per
+    query stays ~L · probe_count · corpus/2^P.
+
+    Approximate — compare against brute_force_topk for recall
+    (tests/test_similarity.py)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+
+    def bucket_structs(col: Column) -> list[Column]:
+        out = []
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for p, comps in enumerate(_hyperplanes(t, n_planes, dim)):
+                plane = F.array(*[F.lit(c) for c in comps])
+                bucket = bucket + F.when(
+                    _dot(col, plane) > 0, F.lit(1 << p)
+                ).otherwise(F.lit(0))
+            out.append(
+                F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
+            )
+        return out
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.explode(F.array(*bucket_structs(F.col("embedding")))).alias("tb"),
+    ).select("neighbor_id", "c_emb", "tb.table_id", "tb.bucket")
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.array(*bucket_structs(F.col("embedding")))).alias("tb"),
+    ).select("query_id", "q_emb", "tb.table_id", F.col("tb.bucket").alias("q_bucket"))
+
+    probe_cols = [F.col("q_bucket")]
+    if multiprobe:
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    probed = queries.select(
+        "query_id",
+        "q_emb",
+        "table_id",
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    cands = (
+        probed.join(corpus, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )

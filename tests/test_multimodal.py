@@ -1,0 +1,41 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch path, stub
+determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import multimodal
+
+
+def test_decode_media_schema_and_coverage(spark, sf_small):
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    out = multimodal.decode_media(multimodal.attach_binary_payload(docs))
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "media_type", "n_bytes", "sha256", "width", "height",
+        "n_frames", "decoder",
+    ]
+    n_docs = docs.count()
+    assert out.count() == n_docs  # one decoded row per doc, none dropped
+    assert out.filter(F.col("decoder") != "stub").count() == 0
+    assert out.select("media_type").distinct().count() == 3
+
+
+def test_decode_stub_is_deterministic_vs_local(spark, sf_small):
+    """The stub's outputs must equal a local recomputation from the raw
+    text bytes — pins the Arrow round-trip (no mangling of binary data)."""
+    docs = io_mod.load_table(spark, sf_small, "documents").limit(20)
+    out = (
+        multimodal.decode_media(multimodal.attach_binary_payload(docs))
+        .select("doc_id", "n_bytes", "sha256", "width")
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for row in out:
+        raw = texts[row["doc_id"]].encode("utf-8")
+        assert row["n_bytes"] == len(raw)
+        assert row["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert row["width"] == raw[0] % 64 + 1

@@ -1,0 +1,49 @@
+"""ANN (sign-LSH) quality + efficiency vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import similarity
+
+
+def test_lsh_recall_and_candidate_reduction(spark, sf_medium):
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = similarity.lsh_bucket_topk(emb).select("query_id", "neighbor_id")
+
+    n_exact = exact.count()
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = hits / n_exact
+    # 8 tables × 8-bit multiprobe sign-LSH measures ~0.67 on this data;
+    # the floor asserts the machinery works, not SOTA quality
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+    # scale sanity: probing must touch far fewer pairs than brute force
+    n_corpus = emb.count()
+    bucket_sizes = (
+        similarity.lsh_bucket_topk(emb, k=10**9)  # keep all candidates
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_cands"))
+    )
+    avg_cands = bucket_sizes.agg(F.avg("n_cands")).collect()[0][0]
+    assert avg_cands < n_corpus / 2, f"avg candidates {avg_cands} ~ corpus size"
+
+
+def test_lsh_results_are_true_cosines(spark, sf_medium):
+    """Every LSH result's cosine must equal the exact cosine (LSH changes
+    *which* pairs are scored, never the score)."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    approx = similarity.lsh_bucket_topk(emb)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    joined = (
+        approx.join(e.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("emb", "qe")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("emb", "ce")
+    )
+    recomputed = joined.withColumn(
+        "cos2", similarity.cosine_sim(F.col("qe"), F.col("ce"))
+    )
+    assert recomputed.filter(F.col("cosine") != F.col("cos2")).count() == 0
