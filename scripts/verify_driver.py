@@ -17,9 +17,23 @@ REPO = "/root/repo"
 
 
 def norm(v):
+    import pandas as pd
+
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    # DuckDB fetchdf() surfaces SQL NULL as NaN/NaT; Spark collect() as None
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
+        # nullable BIGINT degrades to float64 across the pandas bridge;
+        # canonicalize integral floats so they compare equal to Spark longs
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
         return f"{v:.6g}"
     if isinstance(v, bool):
         return str(v).lower()

@@ -18,10 +18,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["enrich_left_join", "semi_join", "anti_join"]
+__all__ = ["enrich_left_join", "semi_join", "anti_join", "as_of_join"]
 
 
 def enrich_left_join(
@@ -52,3 +52,66 @@ def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
     """NOT EXISTS — keep left rows with no match."""
     return left.join(right, on, "left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: tuple[str, ...],
+    tiebreak: str,
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row picks the right row with the
+    greatest ``right_ts <= left_ts`` for its key (ties broken by greatest
+    ``tiebreak``); unmatched left rows keep NULL payload. Absent from the
+    reference surface (SURVEY.md §2.9 theta/as-of joins) but core for
+    event-attribution and point-in-time-correct feature joins.
+
+    Implementation is the scalable merge idiom, NOT a range theta-join:
+    union both sides tagged, one shuffle on the key, one ordered pass with
+    ``last(payload, ignorenulls)`` over rows-unbounded-preceding. At equal
+    timestamps right rows sort before left rows (inclusive ``<=``).
+    A range-condition join would make Catalyst fall back to
+    broadcast-nested-loop — O(n·m) per key and a non-starter at 100 TB;
+    this shape is O((n+m) log (n+m)) per key in one shuffle round.
+    """
+    lcols = left.columns
+    # The payload travels as ONE struct — per-column last(ignorenulls) could
+    # stitch fields from different right rows when a payload field is NULL.
+    payload_struct_t = (
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+        ) + ">"
+    )
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(payload_struct_t).alias("__p"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(tiebreak).alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).select(
+        "__is_left",
+        *lcols,
+        F.last("__p", ignorenulls=True).over(w).alias("__m"),
+    )
+    return merged.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__m.{c}").alias(c) for c in payload_cols]
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .windows import count_if
 
-__all__ = ["rolling_counts"]
+__all__ = ["rolling_counts", "lag_lead_features"]
 
 
 def rolling_counts(
@@ -59,4 +59,40 @@ def rolling_counts(
         event_col,
         "events_in_window",
         *[f"{et}s_in_window" for et in event_types],
+    )
+
+
+def lag_lead_features(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    tiebreak: str = "event_id",
+    value_col: str = "event_type",
+) -> DataFrame:
+    """Previous/next event context per key: lag/lead of the value column
+    plus microseconds since the previous event. Absent from the reference
+    surface (SURVEY.md §2.9 analytic window functions) but the Markov
+    transition structure of its generator (generator.py:36-102 — from_state
+    → to_state pairs) is exactly a lag over the event stream.
+
+    Same single shuffle + per-key sort as rolling_counts; lag/lead reuse
+    the one sorted pass.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    return events.select(
+        "event_id",
+        key_col,
+        ts_col,
+        F.col(value_col),
+        F.lag(value_col).over(w).alias("prev_value"),
+        F.lead(value_col).over(w).alias("next_value"),
+        # double, not long: the column is NULL for each key's first event,
+        # and nullable integers degrade to float64 across the pandas bridge
+        # on the oracle side — a double on both sides compares exactly.
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)))
+        .cast("double")
+        .alias("us_since_prev"),
     )

@@ -12,6 +12,8 @@ sorts columns by name before hashing values.
 
 from __future__ import annotations
 
+import itertools
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -25,6 +27,11 @@ from .ml import features as ml_features
 from .ml import predict as ml_predict
 from .operators import dedup, joins, multimodal, rolling, similarity, text, windows
 from .plans import tpch
+from .sources import cdc
+from .streaming import queries as stream_queries
+from .streaming import sinks as stream_sinks
+from .streaming import source as stream_source
+from .streaming import stateful as stream_stateful
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -872,3 +879,256 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub equivalence is asserted in tests/test_multimodal.py."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_media(multimodal.attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# As-of join, session windows, lag/lead analytics (beyond-reference surface,
+# SURVEY.md §2.9)
+# --------------------------------------------------------------------------
+
+@register(
+    "asof_view_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.event_id,
+             v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM purchases p
+      JOIN views v ON v.user_id = p.user_id AND v.ts <= p.ts)
+    SELECT p.event_id, p.user_id, p.ts,
+           c.view_event_id, c.view_ts, c.view_value
+    FROM purchases p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      USING (event_id)
+    """,
+)
+def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase attributed to the user's most
+    recent prior (or simultaneous) view. The oracle is the quadratic
+    row_number formulation; the engine runs the single-shuffle merge idiom
+    (operators.joins.as_of_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return joins.as_of_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload_cols=("view_event_id", "view_ts", "view_value"),
+        tiebreak="view_event_id",
+    )
+
+
+_SESSION_GAP = "6 hours"
+_SESSION_ORACLE_BODY = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS news
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         sum(news) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+sess AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid)
+"""
+
+
+@register(
+    "session_window_agg",
+    _SESSION_ORACLE_BODY + "SELECT user_id, first_ts, last_ts, n_events FROM sess",
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap-based, KSQL window family — SURVEY.md §2.9).
+    Oracle is the lag/cum-sum gaps-and-islands sessionization; a new
+    session starts when the gap is >= 6 hours (Spark session windows are
+    [start, last+gap) half-open)."""
+    return windows.session_window_agg(
+        _t(spark, sf_dir, "events"), gap=_SESSION_GAP
+    )
+
+
+@register(
+    "lag_lead_features",
+    """
+    SELECT event_id, user_id, ts, event_type,
+      lag(event_type) OVER w AS prev_value,
+      lead(event_type) OVER w AS next_value,
+      CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead per key (SURVEY.md §2.9): previous/next event type
+    and time since the previous event — the engine-side form of the
+    reference generator's Markov (from_state, to_state) transitions."""
+    return rolling.lag_lead_features(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# CDC: Debezium envelope unwrap + snapshot (SURVEY.md S3)
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_snapshot_customers",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_cdc_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CDC pipeline semantics end to end — a deterministic Debezium
+    changelog synthesized from `customer` (full snapshot reads, then
+    updates for custkey%7==0, then deletes for custkey%13==0) is unwrapped
+    (ExtractNewRecordState analog, mysql-source.json:17-19) and compacted
+    to the current table (upsert-with-delete, README.md:29). The oracle
+    states the expected final table directly."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    row_t = "struct<c_custkey:bigint,c_name:string,c_acctbal:double>"
+    body = F.struct(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_name").alias("c_name"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    updated = F.struct(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_name").alias("c_name"),
+        (F.col("c_acctbal") + 100).cast("double").alias("c_acctbal"),
+    )
+    null_row = F.lit(None).cast(row_t)
+    snapshot = cust.select(
+        null_row.alias("before"), body.alias("after"),
+        F.lit("r").alias("op"), F.lit(1000).cast("bigint").alias("ts_ms"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        body.alias("before"), updated.alias("after"),
+        F.lit("u").alias("op"), F.lit(2000).cast("bigint").alias("ts_ms"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        updated.alias("before"), null_row.alias("after"),
+        F.lit("d").alias("op"), F.lit(3000).cast("bigint").alias("ts_ms"),
+    )
+    envelope = snapshot.unionByName(updates).unionByName(deletes)
+    return cdc.cdc_snapshot(envelope, "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming parity queries (SURVEY.md §2.5 W1-W5, §7 phase 5).
+# Each replays the events table as a 4-shard file stream (deterministic
+# stand-in for the reference's Kafka topics) and returns the drained sink.
+# --------------------------------------------------------------------------
+
+_STREAM_SEQ = itertools.count()
+_STREAM_WM = "2 minutes"
+
+
+def _replay_events(spark: SparkSession, sf_dir: str):
+    d = tempfile.mkdtemp(prefix="sgraft_replay_")
+    stream_source.shard_table_to_dir(
+        _t(spark, sf_dir, "events"), d, num_shards=4, order_col="ts"
+    )
+    return stream_source.stream_parquet_dir(spark, d)
+
+
+@register(
+    "streaming_hopping_window",
+    f"""
+    SELECT * FROM ({_HOPPING_ORACLE}) r
+    WHERE r.window_end <= (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
+    """,
+)
+def q_streaming_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3/W5: the flagship hopping aggregate run THROUGH Structured
+    Streaming (file replay → watermark → append sink). Append mode emits
+    exactly the windows finalized by the final watermark (max ts − delay) —
+    the oracle states that set in SQL, making the batch/stream divergence
+    (SURVEY.md §7 hard part 1) itself oracle-checked."""
+    stream = _replay_events(spark, sf_dir)
+    return stream_sinks.run_to_memory(
+        stream_queries.hopping_window_stream(stream, watermark_delay=_STREAM_WM),
+        f"reg_stream_hopping_{next(_STREAM_SEQ)}",
+    )
+
+
+@register(
+    "streaming_latest_per_key",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W3: KSQL TABLE materialization as a continuously-updated
+    streaming aggregate (complete output mode = the full changelog table),
+    converging to the same answer as the batch latest_per_key query."""
+    stream = _replay_events(spark, sf_dir)
+    return stream_sinks.run_to_memory(
+        stream_queries.latest_per_key_stream(
+            stream, "user_id", "ts", tiebreak="event_id"
+        ),
+        f"reg_stream_latest_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "streaming_sessionize",
+    _SESSION_ORACLE_BODY
+    + """
+    , sess2 AS (
+      SELECT user_id, first_ts AS session_start, last_ts AS session_end,
+             n_events,
+             lead(first_ts) OVER (PARTITION BY user_id ORDER BY first_ts)
+               AS next_start
+      FROM sess)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess2
+    WHERE next_start IS NOT NULL
+       OR session_end + INTERVAL 6 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState sessionization):
+    emits a session when a later event of the same user closes it, or when
+    the event-time timeout (watermark past last_ts + gap) fires. The
+    oracle states exactly that emission set: sessions with a successor
+    session, plus sessions closed by the final watermark."""
+    stream = _replay_events(spark, sf_dir)
+    return stream_sinks.run_to_memory(
+        stream_stateful.sessionize_stream(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            gap=_SESSION_GAP,
+            watermark_delay=_STREAM_WM,
+        ),
+        f"reg_stream_sessionize_{next(_STREAM_SEQ)}",
+    )

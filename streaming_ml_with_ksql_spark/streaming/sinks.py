@@ -1,0 +1,100 @@
+"""Streaming sinks.
+
+The reference materializes every derived stream/table to a Kafka topic
+(reference: README.md:28,41,62 — ``CREATE ... AS SELECT``) and ships the
+final predictions topic to MongoDB through a sink connector
+(reference: infra/connect/mongo-sink.json:4-11). Spark equivalents:
+
+- `run_to_memory` — the test/inspection sink (plays the role of the
+  ``EMIT CHANGES`` push query at README.md:31,58);
+- `foreach_batch_parquet` — the external-system seam: `foreachBatch`
+  receives each micro-batch as a *batch* DataFrame, which is exactly how
+  a Mongo/JDBC/Delta sink is driven in production (idempotent by
+  `batch_id`). Parquet stands in for Mongo here; swapping the writer body
+  to `.format("mongodb")` is the real deployment, no query change.
+- `to_kafka` — topic sink seam (untestable here: no broker/connector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["run_to_memory", "foreach_batch_parquet", "run_foreach_batch", "to_kafka"]
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run the streaming query to completion over currently-available data
+    (``trigger(availableNow)``) into an in-memory table; return that table.
+
+    availableNow drains the source in bounded micro-batches (respecting
+    maxFilesPerTrigger) and then stops — the standard way to replay a
+    recorded stream deterministically, including watermark finalization
+    no-data batches.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = SparkSession.getActiveSession()
+    return spark.table(name)
+
+
+def foreach_batch_parquet(path: str):
+    """Batch-writer callback appending each micro-batch (with its batch id,
+    for idempotent replay auditing) — the Mongo-sink analog seam."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return _write
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    writer,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> None:
+    """Drive a stream through a foreachBatch writer to completion."""
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def to_kafka(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint_dir: str,
+):
+    """Kafka topic sink seam (reference: README.md:41-50 materializes to
+    EVENTS_IN_10_MINUTES_WINDOW). Expects `key`/`value` binary columns —
+    serialize with `to_avro`/`to_json` upstream. Untestable here (no
+    broker); returns the started query on a real deployment."""
+    return (
+        stream_df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,201 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+KSQL's windowed tables keep per-key state in a RocksDB store updated one
+record at a time (reference: README.md:41-50 runs on Kafka Streams window
+stores). Spark's built-in windowed aggregation covers that case
+(queries.hopping_window_stream); this module is the *extension point* the
+reference never had — arbitrary per-key state machines with event-time
+timeouts, expressed over Arrow-batched pandas groups:
+
+- ``sessionize_stream``: gap-based sessionization emitting *closed*
+  sessions (the stateful twin of operators.windows.session_window_agg);
+- ``latest_per_key_stateful``: changelog compaction as an explicit state
+  machine — emits a key's row only when it changes (delta stream), unlike
+  the agg-based latest_per_key_stream which re-emits per micro-batch.
+
+Scale notes: state lives in the executor state store partitioned by key
+(HDFS/RocksDB-backed); each micro-batch ships only the touched groups
+through Arrow. Event-time timeouts bound state: a key idle past the
+watermark is flushed and evicted — no unbounded growth on 100 TB replays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["sessionize_stream", "latest_per_key_stateful"]
+
+_US = 1_000_000
+
+
+def _parse_duration_seconds(s: str) -> int:
+    qty, unit = s.split()
+    unit = unit.rstrip("s")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    return int(qty) * mult
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with explicit state + event-time timeout.
+
+    One state cell per key: (session_start, last_ts, n_events). A batch's
+    rows are sessionized in-order inside pandas (sessions fully closed
+    within the batch emit immediately); the trailing open session persists
+    in state with timeout = last_ts + gap, and is emitted when the
+    watermark passes that point (sessions still open at end-of-stream stay
+    unflushed — the same "only closed sessions are final" contract as
+    append-mode session_window aggregation).
+
+    Output: (key, session_start, session_end, n_events) where session_end
+    is the last event's timestamp.
+    """
+    gap_sec = _parse_duration_seconds(gap)
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        ts_us = pd.concat([pdf[ts_col] for pdf in pdfs]).astype("int64") // 1000
+        ts_us = ts_us.sort_values().to_numpy()
+        cur = (state.get if state.exists else None)
+        for t in ts_us:
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_sec * _US:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                yield emit(*cur)
+                cur = (t, t, 1)
+        state.update(cur)
+        # Flush when the watermark passes last_ts + gap. Spark requires the
+        # timeout to sit strictly beyond the current watermark.
+        timeout_ms = max(
+            cur[1] // 1000 + gap_sec * 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def latest_per_key_stateful(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    payload_cols: tuple[str, ...],
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Changelog compaction as an explicit state machine: emits a key's
+    latest payload only when a micro-batch actually advances it (a delta
+    stream — the KSQL-TABLE changelog topic, reference README.md:29),
+    where the agg-based variant re-emits every touched key per batch.
+
+    State carries (ts_us, payload JSON) — JSON keeps the state schema
+    fixed regardless of payload shape; payloads are small dimension rows.
+    """
+    import json
+
+    key_field = df.schema[key_col]
+    out_fields = [StructField(key_col, key_field.dataType)] + [
+        StructField(c, df.schema[c].dataType) for c in (ts_col, *payload_cols)
+    ]
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [StructField("ts_us", LongType()), StructField("payload", StringType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        ts_us = pdf[ts_col].astype("int64") // 1000
+        best = int(ts_us.idxmax())
+        best_us = int(ts_us.loc[best])
+        prev_us = state.get[0] if state.exists else -1
+        if best_us <= prev_us:
+            return
+        row = pdf.loc[best]
+        payload = {c: (None if pd.isna(row[c]) else row[c]) for c in payload_cols}
+        state.update((best_us, json.dumps(payload, default=str)))
+        out = {key_col: [key[0]], ts_col: [pd.Timestamp(best_us, unit="us")]}
+        for c in payload_cols:
+            out[c] = [row[c]]
+        yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,162 @@
+"""Structured Streaming parity: the same queries, replayed as a
+multi-batch file stream, must converge to the batch answer (SURVEY.md
+§5.2 streaming-parity check; §2.5 W1-W5).
+
+The events table is re-sharded into 4 time-range parquet files replayed
+in order (maxFilesPerTrigger=1) — a deterministic stand-in for the
+reference's Kafka topic with bounded disorder.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import dedup, windows
+from streaming_ml_with_ksql_spark.streaming import (
+    foreach_batch_parquet,
+    hopping_window_stream,
+    latest_per_key_stream,
+    run_to_memory,
+    sessionize_stream,
+    shard_table_to_dir,
+    stream_parquet_dir,
+)
+from streaming_ml_with_ksql_spark.streaming.sinks import run_foreach_batch
+from streaming_ml_with_ksql_spark.streaming.stateful import latest_per_key_stateful
+
+WM_DELAY = "2 minutes"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_small, tmp_path_factory) -> str:
+    events = io_mod.load_table(spark, sf_small, "events")
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    return shard_table_to_dir(events, path, num_shards=4, order_col="ts")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_hopping_stream_matches_batch(spark, events_stream_dir):
+    """Append-mode hopping agg over the replay == batch agg restricted to
+    watermark-finalized windows (the documented W3/W5 divergence: Spark
+    append emits once, finalized; trailing windows stay open)."""
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    out = run_to_memory(
+        hopping_window_stream(stream, watermark_delay=WM_DELAY),
+        "hopping_stream_test",
+    )
+
+    batch_events = spark.read.parquet(events_stream_dir)
+    batch = windows.hopping_window_agg(batch_events)
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    # final watermark = max event time - delay; append emits windows with
+    # end <= watermark
+    expected = batch.filter(
+        F.col("window_end") <= F.lit(max_ts) - F.expr(f"INTERVAL {WM_DELAY}")
+    )
+
+    cols = sorted(out.columns)
+    assert sorted(out.columns) == sorted(batch.columns)
+    assert _rows(out, cols) == _rows(expected, cols)
+    assert out.count() > 0
+
+
+def test_latest_per_key_stream_matches_batch(spark, events_stream_dir):
+    """Complete-mode max_by table == batch latest_per_key (KSQL TABLE
+    semantics, reference README.md:29), with identical tiebreak."""
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    out = run_to_memory(
+        latest_per_key_stream(stream, "user_id", "ts", tiebreak="event_id"),
+        "latest_stream_test",
+        output_mode="complete",
+    )
+    batch = dedup.latest_per_key(
+        spark.read.parquet(events_stream_dir), "user_id", "ts", tiebreak="event_id"
+    )
+    cols = sorted(batch.columns)
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stateful_matches_session_window(spark, events_stream_dir):
+    """applyInPandasWithState sessionization == batch session_window for
+    every session closed by the final watermark."""
+    gap = "1 minute"
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    out = run_to_memory(
+        sessionize_stream(
+            stream, key_col="user_id", ts_col="ts", gap=gap, watermark_delay=WM_DELAY
+        ),
+        "sessionize_test",
+    )
+
+    batch_events = spark.read.parquet(events_stream_dir)
+    batch = windows.session_window_agg(
+        batch_events, key_col="user_id", gap=gap
+    ).withColumnRenamed("first_ts", "session_start").withColumnRenamed(
+        "last_ts", "session_end"
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("session_end") + F.expr(f"INTERVAL {gap}")
+        <= F.lit(max_ts) - F.expr(f"INTERVAL {WM_DELAY}")
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    out_rows = _rows(out.select(*cols), cols)
+    closed_rows = _rows(closed.select(*cols), cols)
+    assert len(out_rows) > 0
+    # every watermark-closed batch session must be emitted by the stream
+    assert set(closed_rows) <= set(out_rows)
+    # and stream emissions must be genuine batch sessions
+    all_rows = set(_rows(batch.select(*cols), cols))
+    assert set(out_rows) <= all_rows
+
+
+def test_latest_per_key_stateful_delta_stream(spark, events_stream_dir):
+    """The stateful changelog variant: last emitted delta per key == batch
+    latest row per key."""
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    out = run_to_memory(
+        latest_per_key_stateful(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            payload_cols=("event_type", "value"),
+            watermark_delay=WM_DELAY,
+        ),
+        "latest_stateful_test",
+    )
+    # deltas are monotone in ts per key → the max-ts delta is the final state
+    final = dedup.latest_per_key(out, "user_id", "ts")
+    batch = dedup.latest_per_key(
+        spark.read.parquet(events_stream_dir), "user_id", "ts"
+    ).select("user_id", "ts", "event_type", "value")
+    cols = ["user_id", "ts", "event_type", "value"]
+    assert _rows(final.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_enriched_scored_stream(spark, sf_small, events_stream_dir, tmp_path):
+    """End-to-end serving pipeline (reference README.md:62-70): windowed agg
+    stream → stream-static broadcast join with latest customers → model
+    scoring → foreachBatch sink."""
+    from streaming_ml_with_ksql_spark.streaming.queries import enrich_and_score_stream
+
+    customers = io_mod.load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_name", "c_nationkey"
+    )
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    agg = hopping_window_stream(stream, watermark_delay=WM_DELAY)
+    enriched = enrich_and_score_stream(agg, customers, dim_key="cust_id")
+
+    sink_dir = str(tmp_path / "bot_detection_results")
+    run_foreach_batch(enriched, foreach_batch_parquet(sink_dir))
+
+    written = spark.read.parquet(sink_dir)
+    assert written.count() > 0
+    assert "c_name" in written.columns and "__batch_id" in written.columns
+    # left-join semantics: every agg row survives, matched rows carry names
+    assert written.filter(F.col("c_name").isNotNull()).count() > 0
