@@ -153,27 +153,72 @@ def doc_fingerprint(documents: DataFrame, *, n: int = 3, k: int = 5) -> DataFram
 # MinHash + banded LSH near-dup detection
 # ---------------------------------------------------------------------------
 
-def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread rows across the configured shuffle parallelism before a
+    CPU-bound expansion stage. Input partitioning follows *bytes* (one
+    small parquet file → one partition), but shingling/hashing cost follows
+    *rows × tokens* — an explicit partition count keeps AQE from coalescing
+    the byte-small, CPU-heavy stage onto one core."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
+def _doc_shingles(
+    documents: DataFrame, n: int, *, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs. ``distinct=False`` skips the dedup shuffle
+    for consumers that are duplicate-insensitive (MinHash mins) — at
+    100 TB the global distinct is a full-corpus shuffle worth avoiding."""
     toks = tokens_col(F.col("text"))
-    return (
-        documents.select("doc_id", F.explode(shingles(toks, n)).alias("shingle"))
-        .distinct()
+    ds = _fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(toks, n)).alias("shingle")
     )
+    return ds.distinct() if distinct else ds
+
+
+# Universal-hash family for MinHash permutations: one md5 per shingle is
+# reduced to a 28-bit integer h, and permutation i is (a_i·h + b_i) mod P.
+# P < 2^29 and h < 2^28 keep every product below 2^57 — exact in int64 on
+# both engines (no overflow under Spark ANSI mode), which is what lets the
+# DuckDB oracle reproduce the signatures bit-for-bit. One md5 per shingle
+# instead of k: the hash cost of the signature stage drops k-fold.
+MINHASH_P = 536_870_909  # largest prime < 2^29
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i != 0 mod P."""
+    return [
+        (
+            (1_000_003 * (i + 1) + 17) % MINHASH_P or 1,
+            (777_767_777 * (i + 1) + 13) % MINHASH_P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def _shingle_h(shingle: Column) -> Column:
+    """28-bit integer digest of a shingle (first 7 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
 
 
 def minhash_signatures(
     documents: DataFrame, *, n: int = 3, num_hashes: int = 12
 ) -> DataFrame:
-    """k-permutation MinHash via seeded md5: minhash_i(doc) =
-    min over shingles of md5(i || '|' || shingle). One groupBy computes all
-    k mins (map-side combined)."""
-    ds = _doc_shingles(documents, n)
+    """k-permutation MinHash: minhash_i(doc) = min over shingles of
+    (a_i·h(shingle) + b_i) mod P. One groupBy computes all k mins
+    (map-side combined — the shuffle carries k longs per doc per
+    partition, not shingle sets)."""
+    # distinct=False: min() is duplicate-insensitive, so the dedup shuffle
+    # would be pure waste. Project h once per shingle row — 12 agg
+    # expressions re-deriving the md5 each would multiply the hash cost
+    # back by k.
+    ds = _doc_shingles(documents, n, distinct=False)
+    dsh = ds.select("doc_id", _shingle_h(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return ds.groupBy("doc_id").agg(*aggs)
+    return dsh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -185,7 +230,10 @@ def minhash_candidate_pairs(
     for b in range(bands):
         members = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *members)).alias("band_hash"))
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *members).alias("band_hash"),
+            )
         )
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
@@ -214,18 +262,42 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard ≥ threshold.
     Output: (doc_a, doc_b, jaccard). The verify join touches only candidate
-    pairs — never all pairs."""
-    ds = _doc_shingles(documents, n)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cands = minhash_candidate_pairs(
-        minhash_signatures(documents, n=n, num_hashes=num_hashes),
-        bands=bands,
-        rows=rows,
+    pairs — never all pairs.
+
+    Plan shape (the 100 TB concerns):
+    - NO global distinct over the shingle set: signatures use the raw
+      exploded pairs (min is duplicate-insensitive) and per-doc distinct
+      sizes ride along as count_distinct in the SAME groupBy — the only
+      full-corpus shuffle is that one aggregation.
+    - The (tiny) candidate-pair frame is persisted — it is read twice
+      (candidate-doc list, verification) and recomputing it would re-run
+      the banding self-join.
+    - Verification narrows the shingle table to candidate docs with a
+      broadcast semi-join before deduping, so the exact-Jaccard work
+      shuffles candidate shingles only, never the corpus."""
+    ds_raw = _doc_shingles(documents, n, distinct=False)
+    dsh = ds_raw.select("doc_id", "shingle", _shingle_h(F.col("shingle")).alias("h"))
+    sig = dsh.groupBy("doc_id").agg(
+        F.count_distinct(F.col("shingle")).alias("n_sh"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ],
+    )
+    sizes = sig.select("doc_id", "n_sh")
+    cands = minhash_candidate_pairs(sig, bands=bands, rows=rows).persist()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds_c = (
+        ds_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
     )
     inter = (
-        cands.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cands.join(ds_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            ds.alias("sb"),
+            ds_c.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
@@ -276,7 +348,7 @@ def simhash_fingerprint(documents: DataFrame, *, bits: int = 32) -> DataFrame:
     (doc,bit) then (doc); entirely JVM expressions.
     """
     toks = tokens_col(F.col("text"))
-    dt = documents.select(
+    dt = _fan_out(documents.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long")

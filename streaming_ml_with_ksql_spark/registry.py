@@ -721,17 +721,21 @@ def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SQL_BODY = _SHINGLES_CTE + """
 , ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+dsh AS (
+  SELECT doc_id,  shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 7))::UBIGINT AS BIGINT) AS h
+  FROM ds),
 sig AS (
   SELECT doc_id,
     {minhash_cols}
-  FROM ds GROUP BY doc_id),
+  FROM dsh GROUP BY doc_id),
 banded AS (
   SELECT doc_id, band_id,
     CASE band_id
-      WHEN 0 THEN md5(concat_ws('|', mh0, mh1, mh2))
-      WHEN 1 THEN md5(concat_ws('|', mh3, mh4, mh5))
-      WHEN 2 THEN md5(concat_ws('|', mh6, mh7, mh8))
-      ELSE md5(concat_ws('|', mh9, mh10, mh11)) END AS band_hash
+      WHEN 0 THEN concat_ws('|', mh0, mh1, mh2)
+      WHEN 1 THEN concat_ws('|', mh3, mh4, mh5)
+      WHEN 2 THEN concat_ws('|', mh6, mh7, mh8)
+      ELSE concat_ws('|', mh9, mh10, mh11) END AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -752,8 +756,11 @@ pairs AS (
   JOIN sizes nb ON nb.doc_id = doc_b)
 """
 
+# Same universal-hash family as text.minhash_signatures — constants are
+# generated from one source of truth so the two engines agree bit-for-bit.
 _MINHASH_COLS = ",\n    ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(12)
+    f"min(({a} * h + {b}) % {text.MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(text.minhash_coeffs(12))
 )
 
 

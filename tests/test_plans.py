@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the 100 TB discipline, SURVEY.md §6-7).
+
+Correct results are necessary, not sufficient: these tests pin the plan
+*shapes* that make the operators scale — predicate pushdown reaching the
+parquet scan, column pruning, broadcast joins for bounded dimensions,
+map-side partial aggregation before every shuffle, and the as-of join's
+single-shuffle merge (no nested-loop range join). A regression here means
+the query still passes its oracle but would fall over at 1000× the data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from streaming_ml_with_ksql_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(spark, name: str, mode: str = "formatted") -> str:
+    df = registry._REGISTRY[name].spark(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _explain(spark, "projection_filter_cast")
+    pushed = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    assert pushed and "GreaterThan(l_discount" in pushed.group(1)
+    schema = re.search(r"ReadSchema: struct<(.+?)>", plan)
+    # pruned scan: only the referenced columns, not lineitem's 16
+    assert schema and len(schema.group(1).split(",")) <= 7
+    assert "l_comment" not in schema.group(1)
+
+
+def test_enrich_join_broadcasts_dimension(spark):
+    plan = _explain(spark, "enriched_window_join", "simple")
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not be re-shuffled for the join: the only exchanges
+    # are the aggregation's hash partitioning and the broadcast itself
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l
+    ]
+    assert len(exchanges) <= 1, exchanges
+
+
+def test_hopping_agg_has_map_side_partial(spark):
+    plan = _explain(spark, "hopping_window_agg", "simple")
+    assert "partial_min" in plan and "partial_sum" in plan
+    # exactly one shuffle: the (window, user_id) hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_single_shuffle_merge(spark):
+    plan = _explain(spark, "asof_view_attribution", "simple")
+    # no quadratic fallback
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one shuffle on the key feeding one ordered window pass over the union
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" in plan and "Window" in plan
+
+
+def test_rolling_counts_single_shuffle(spark):
+    plan = _explain(spark, "rolling_counts", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_scans_prune_events_columns(spark):
+    """distinct_users must scan only user_id, not the whole events row."""
+    plan = _explain(spark, "distinct_users")
+    schema = re.search(r"ReadSchema: struct<(.+?)>", plan)
+    assert schema and schema.group(1).split(",") == ["user_id:bigint"]
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # AQE wraps the plan until execution, hiding codegen spans — probe with
+    # AQE off (plan shape, not runtime behavior, is what's under test)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _explain(spark, "hopping_window_agg", "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1
+
+
+def test_minhash_no_python_in_hot_path(spark):
+    """The MinHash pipeline must stay JVM-side: no Python eval nodes."""
+    plan = _explain(spark, "minhash_near_dup_pairs", "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
