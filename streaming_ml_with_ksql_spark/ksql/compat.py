@@ -1,0 +1,283 @@
+"""Translate the reference's KSQL dialect onto Spark plans.
+
+Scope: exactly the statement shapes the reference declares (reference:
+README.md:27-70) — this is a compatibility shim for its runbook, not a
+KSQL parser. Each construct maps Spark-first:
+
+| KSQL construct                         | Spark mapping                     |
+|----------------------------------------|-----------------------------------|
+| CREATE STREAM s WITH (KAFKA_TOPIC=t)   | bind topic's DataFrame, temp view |
+| TIMESTAMP='col' property               | event-time column designation     |
+| CREATE STREAM d AS SELECT ... PARTITION BY k | repartition(k) + record key |
+| CREATE TABLE t WITH (KAFKA_TOPIC=...)  | latest-per-key compaction (A6)    |
+| CSAS/CTAS SELECT ...                   | translated Spark SQL              |
+| WINDOW HOPPING (SIZE a, ADVANCE BY b)  | GROUP BY window(ts, 'a', 'b')     |
+| ROWTIME pseudo-column                  | unix_millis(event-time col)       |
+| t.rowkey pseudo-column                 | t's recorded key column           |
+| TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
+| as_array(...)                          | array(...)                        |
+| predict(model, strs, ints) AS alias    | whole-frame predict_arrays (U2)   |
+| SELECT ... EMIT CHANGES                | batch snapshot of current state   |
+
+predict() is deliberately NOT a row-wise Python UDF: the projection is
+lifted out of the SQL, the rest of the query runs JVM-side, and scoring is
+the broadcast PipelineModel transform (SURVEY.md U2 option 1) — the
+reference's per-row LeapFrame (PredictUdf.java:55-58) simulated exactly
+one row at a time what transform does in one vectorized pass.
+
+EMIT CHANGES returns the current batch snapshot — the engine's batch/
+stream duality means the same translated plan runs under Structured
+Streaming (streaming/queries.py) when the bound sources are streams.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import predict as ml_predict
+from ..operators.dedup import latest_per_key
+
+__all__ = ["KsqlCompat"]
+
+_UNIT = {
+    "SECOND": "second", "SECONDS": "seconds",
+    "MINUTE": "minute", "MINUTES": "minutes",
+    "HOUR": "hour", "HOURS": "hours",
+    "DAY": "day", "DAYS": "days",
+}
+
+
+@dataclass
+class _Relation:
+    name: str
+    df: DataFrame
+    ts_col: str | None = None  # designated event-time column (TIMESTAMP=...)
+    key: str | None = None  # record key column (PARTITION BY / KEY=...)
+
+
+@dataclass
+class KsqlCompat:
+    """Statement executor bound to a set of named topics.
+
+    ``topics`` maps topic name → (DataFrame, event-time column). Derived
+    streams register their output "topic" under their own (upper-cased)
+    name, so a downstream ``CREATE TABLE ... WITH (KAFKA_TOPIC =
+    'USERS_STREAM_REKEY')`` resolves the way it does on a broker.
+    """
+
+    spark: SparkSession
+    topics: dict[str, tuple[DataFrame, str | None]]
+    models_dir: str | None = None
+    relations: dict[str, _Relation] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # TIMESTAMPTOSTRING as a SQL-defined function: pure Catalyst
+        # expression (no Python), registered once per session.
+        self.spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMPTOSTRING"
+            "(ms BIGINT, fmt STRING) RETURNS STRING "
+            "RETURN date_format(timestamp_millis(ms), fmt)"
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def execute(self, statement: str) -> DataFrame | None:
+        """Execute one KSQL statement; returns a DataFrame for queries and
+        for CREATE ... AS SELECT (the created relation), None for DDL."""
+        stmt = statement.strip().rstrip(";").strip()
+        flat = re.sub(r"\s+", " ", stmt)
+
+        m = re.match(
+            r"CREATE (STREAM|TABLE) (\w+) WITH \((.*)\)$", flat, re.IGNORECASE
+        )
+        if m:
+            return self._create_bound(m.group(1).upper(), m.group(2), m.group(3))
+
+        m = re.match(
+            r"CREATE (STREAM|TABLE) (\w+) AS (SELECT .*)$",
+            flat,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._create_as_select(m.group(1).upper(), m.group(2), m.group(3))
+
+        if re.match(r"SELECT ", flat, re.IGNORECASE):
+            return self._run_select(flat)
+
+        raise ValueError(f"unsupported statement shape: {flat[:80]}...")
+
+    # ------------------------------------------------------------------
+    # DDL over topics
+    # ------------------------------------------------------------------
+
+    def _props(self, props: str) -> dict[str, str]:
+        return {
+            k.strip().upper(): v
+            for k, v in re.findall(r"(\w+)\s*=\s*'([^']*)'", props)
+        }
+
+    def _resolve_topic(self, topic: str) -> tuple[DataFrame, str | None, str | None]:
+        """A topic is either a bound input topic or the output of a derived
+        relation (CSAS materializes its result under its own name)."""
+        if topic in self.topics:
+            df, ts = self.topics[topic]
+            return df, ts, None
+        rel = self.relations.get(topic.lower())
+        if rel is not None:
+            return rel.df, rel.ts_col, rel.key
+        raise KeyError(f"unknown topic {topic!r}")
+
+    def _create_bound(self, kind: str, name: str, props_s: str) -> None:
+        props = self._props(props_s)
+        df, default_ts, derived_key = self._resolve_topic(props["KAFKA_TOPIC"])
+        ts_col = props.get("TIMESTAMP", default_ts)
+        key = props.get("KEY", derived_key)
+        if kind == "TABLE":
+            # KSQL TABLE over a changelog topic: latest value per key
+            # (reference: README.md:29). Ordering column = the designated
+            # event time (the batch analog of topic offset order).
+            if key is None or ts_col is None:
+                raise ValueError(
+                    f"TABLE {name}: need KEY/PARTITION BY and an event-time "
+                    "column to materialize latest-per-key"
+                )
+            df = latest_per_key(df, key, ts_col)
+        self._register(_Relation(name.lower(), df, ts_col, key))
+
+    def _register(self, rel: _Relation) -> None:
+        self.relations[rel.name] = rel
+        rel.df.createOrReplaceTempView(rel.name)
+
+    # ------------------------------------------------------------------
+    # CSAS / CTAS
+    # ------------------------------------------------------------------
+
+    def _create_as_select(self, kind: str, name: str, select: str) -> DataFrame:
+        key = None
+        m = re.search(r"\s+PARTITION BY (\w+)$", select, re.IGNORECASE)
+        if m:
+            # Rekey (reference: README.md:28): record-key rewrite. The
+            # physical co-partitioning KSQL needs is a no-op for Spark
+            # (shuffles happen on demand); we record the key for
+            # downstream `rowkey` references and repartition so a
+            # persisted output would be key-clustered.
+            key = m.group(1)
+            select = select[: m.start()]
+        df, src = self._translate_select(select)
+        if key is not None:
+            df = df.repartition(F.col(key))
+        ts_col = src.ts_col if src is not None else None
+        self._register(_Relation(name.lower(), df, ts_col, key or (src.key if src else None)))
+        return df
+
+    def _run_select(self, select: str) -> DataFrame:
+        df, _ = self._translate_select(select)
+        return df
+
+    # ------------------------------------------------------------------
+    # SELECT translation
+    # ------------------------------------------------------------------
+
+    def _translate_select(self, select: str) -> tuple[DataFrame, _Relation | None]:
+        sql = re.sub(r"\s+EMIT CHANGES\s*$", "", select, flags=re.IGNORECASE)
+
+        # source relation (for rowtime/window translation)
+        m = re.search(r"\bFROM (\w+)", sql, re.IGNORECASE)
+        src = self.relations.get(m.group(1).lower()) if m else None
+
+        # rowkey pseudo-columns: t.rowkey → t.<key>
+        def sub_rowkey(mm: re.Match) -> str:
+            rel = self.relations.get(mm.group(1).lower())
+            if rel is None or rel.key is None:
+                raise ValueError(f"{mm.group(0)}: relation has no key")
+            return f"{mm.group(1)}.{rel.key}"
+
+        sql = re.sub(r"(\w+)\.rowkey", sub_rowkey, sql, flags=re.IGNORECASE)
+
+        # ROWTIME pseudo-column → epoch millis of the event-time column
+        # (reference: README.md:43-44; KSQL ROWTIME is BIGINT epoch-ms)
+        def sub_rowtime(mm: re.Match) -> str:
+            qual = mm.group(1)
+            rel = self.relations.get(qual.lower()) if qual else src
+            if rel is None or rel.ts_col is None:
+                raise ValueError("ROWTIME used but no event-time column designated")
+            return f"unix_millis({rel.ts_col})"
+
+        sql = re.sub(r"(?:(\w+)\.)?rowtime\b", sub_rowtime, sql, flags=re.IGNORECASE)
+
+        # WINDOW HOPPING (SIZE n U, ADVANCE BY m U) + GROUP BY keys
+        #   → GROUP BY window(ts, 'n u', 'm u'), keys      (SURVEY.md W1)
+        m = re.search(
+            r"\s*WINDOW HOPPING \(SIZE (\d+) (\w+), ADVANCE BY (\d+) (\w+)\)\s*",
+            sql,
+            re.IGNORECASE,
+        )
+        if m:
+            if src is None or src.ts_col is None:
+                raise ValueError("WINDOW HOPPING needs a source event-time column")
+            size = f"{m.group(1)} {_UNIT[m.group(2).upper()]}"
+            slide = f"{m.group(3)} {_UNIT[m.group(4).upper()]}"
+            win = f"window({src.ts_col}, '{size}', '{slide}')"
+            sql = sql[: m.start()] + " " + sql[m.end():]
+            sql = re.sub(
+                r"GROUP BY (.+)$", rf"GROUP BY {win}, \1", sql, flags=re.IGNORECASE
+            )
+
+        # builtins
+        sql = re.sub(r"\bas_array\s*\(", "array(", sql, flags=re.IGNORECASE)
+
+        # predict(...) → placeholder columns + whole-frame scoring
+        pred = _extract_predict(sql)
+        if pred is not None:
+            sql, model_name, str_expr, int_expr, alias = pred
+            df = self.spark.sql(sql)
+            scored = ml_predict.predict_arrays(
+                df,
+                model_name,
+                "__pred_strs",
+                "__pred_ints",
+                models_dir=self.models_dir,
+                output_col=alias,
+            )
+            return scored.drop("__pred_strs", "__pred_ints"), src
+        return self.spark.sql(sql), src
+
+
+def _extract_predict(sql: str):
+    """Find ``predict('Model', <strs>, <ints>) AS alias`` in a projection
+    (balanced-paren scan — the arguments are themselves calls) and replace
+    it with the two array expressions as placeholder columns."""
+    m = re.search(r"\bpredict\s*\(", sql, re.IGNORECASE)
+    if m is None:
+        return None
+    start = m.start()
+    i, depth = m.end(), 1
+    args, arg_start = [], m.end()
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[arg_start:i].strip())
+                break
+        elif c == "," and depth == 1:
+            args.append(sql[arg_start:i].strip())
+            arg_start = i + 1
+        i += 1
+    if depth != 0 or len(args) != 3:
+        raise ValueError("predict() expects (model, array<string>, array<int>)")
+    model_name = args[0].strip().strip("'")
+    tail = sql[i + 1:]
+    am = re.match(r"\s+AS\s+(\w+)", tail, re.IGNORECASE)
+    alias = am.group(1) if am else "prediction"
+    end = i + 1 + (am.end() if am else 0)
+    replacement = f"{args[1]} AS __pred_strs, {args[2]} AS __pred_ints"
+    return sql[:start] + replacement + sql[end:], model_name, args[1], args[2], alias

@@ -59,7 +59,11 @@ def resolve_model(
     lazy fetch, cached)."""
     key = (name, stage)
     if key not in _CACHE:
-        root = os.path.join(models_dir or DEFAULT_MODELS_DIR, name, stage)
+        # Registry display names allow spaces/case ('Bot Detector',
+        # reference README.md:68); the on-disk registry uses normalized
+        # directory names.
+        dir_name = name.replace(" ", "_").lower()
+        root = os.path.join(models_dir or DEFAULT_MODELS_DIR, dir_name, stage)
         model = PipelineModel.load(os.path.join(root, "model"))
         with open(os.path.join(root, "MLmodel.json")) as f:
             signature = json.load(f)["signature"]

@@ -25,6 +25,7 @@ from . import io as io_mod
 from .functions.scalars import as_array, timestamp_to_string
 from .ml import features as ml_features
 from .ml import predict as ml_predict
+from .ksql import runbook
 from .operators import dedup, joins, multimodal, rolling, similarity, text, windows
 from .plans import tpch
 from .sources import cdc
@@ -1139,3 +1140,58 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         f"reg_stream_sessionize_{next(_STREAM_SEQ)}",
     )
+
+
+# --------------------------------------------------------------------------
+# KSQL runbook parity: the reference's literal statements executed through
+# the compat layer (reference: README.md:27-70; ksql/compat.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "ksql_runbook_hopping",
+    """
+    WITH hop AS (SELECT unnest(generate_series(0, 4)) AS i),
+    ev AS (
+      SELECT user_id, ts,
+        CASE event_type
+          WHEN 'view' THEN 'main_page'
+          WHEN 'click' THEN 'products_listing'
+          WHEN 'purchase' THEN 'product_page'
+          WHEN 'error' THEN 'product_gallery'
+          ELSE 'other' END AS event
+      FROM events),
+    exp AS (
+      SELECT e.*,
+        make_timestamp((epoch_us(e.ts) // 120000000) * 120000000
+                       - h.i * 120000000) AS ws
+      FROM ev e CROSS JOIN hop h)
+    SELECT user_id,
+      strftime(min(ts), '%H:%M:%S') AS window_start,
+      strftime(max(ts), '%H:%M:%S') AS window_end,
+      CAST(sum(CASE WHEN event = 'main_page' THEN 1 ELSE 0 END) AS BIGINT)
+        AS main_page_views,
+      CAST(sum(CASE WHEN event = 'products_listing' THEN 1 ELSE 0 END) AS BIGINT)
+        AS listing_views,
+      CAST(sum(CASE WHEN event = 'product_page' THEN 1 ELSE 0 END) AS BIGINT)
+        AS product_views,
+      CAST(sum(CASE WHEN event = 'product_gallery' THEN 1 ELSE 0 END) AS BIGINT)
+        AS gallery_views
+    FROM exp GROUP BY ws, user_id
+    """,
+)
+def q_ksql_runbook_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hopping-window CTAS (README.md:41-50), executed from
+    its LITERAL statement text via the KSQL compat layer — oracle-checked
+    against the 5-fold window expansion in DuckDB."""
+    runbook.run_runbook(spark, sf_dir)
+    return spark.table("events_in_10_minutes_window")
+
+
+@register("ksql_runbook_predictions", None)  # model scoring: rows-only check
+def q_ksql_runbook_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full serving pipeline (README.md:62-70) — rekey,
+    TABLE compaction, hopping aggregate, LEFT JOIN on rowkey, predict() —
+    from its literal statements. Scoring equivalence with the whole-frame
+    operator is asserted in tests/test_ksql_compat.py."""
+    ksql = runbook.run_runbook(spark, sf_dir)
+    return spark.table("bot_detection_results")

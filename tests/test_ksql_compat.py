@@ -1,0 +1,161 @@
+"""Runbook parity: the reference's literal KSQL statements (reference:
+README.md:27-70) must run against this engine through the compat layer
+and produce the same results as the native DataFrame operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark.ksql import KsqlCompat
+from streaming_ml_with_ksql_spark.ml import predict as ml_predict
+from streaming_ml_with_ksql_spark.operators.dedup import latest_per_key
+
+# The statements, verbatim from the reference runbook (README.md:27-70).
+STMT_USERS_STREAM = (
+    "CREATE STREAM users_stream WITH (KAFKA_TOPIC = 'mysql.demo.users', "
+    "VALUE_FORMAT = 'AVRO');"
+)
+STMT_REKEY = (
+    "CREATE STREAM users_stream_rekey AS SELECT * FROM users_stream "
+    "PARTITION BY id;"
+)
+STMT_USERS_TABLE = (
+    "CREATE TABLE users WITH (KAFKA_TOPIC = 'USERS_STREAM_REKEY', "
+    "VALUE_FORMAT = 'AVRO');"
+)
+STMT_PUSH_USERS = "select * from users emit changes;"
+STMT_EVENTS = (
+    "CREATE STREAM events WITH (KAFKA_TOPIC = 'events', "
+    "VALUE_FORMAT = 'AVRO', TIMESTAMP='ts');"
+)
+STMT_HOPPING = """
+CREATE TABLE events_in_10_minutes_window AS SELECT
+  user_id,
+  TIMESTAMPTOSTRING(min(events.rowtime), 'HH:mm:ss') as window_start,
+  TIMESTAMPTOSTRING(max(events.rowtime), 'HH:mm:ss') as window_end,
+  SUM(CASE WHEN event = 'main_page' THEN 1 ELSE 0 END) AS main_page_views,
+  SUM(CASE WHEN event = 'products_listing' THEN 1 ELSE 0 END) AS listing_views,
+  SUM(CASE WHEN event = 'product_page' THEN 1 ELSE 0 END) AS product_views,
+  SUM(CASE WHEN event = 'product_gallery' THEN 1 ELSE 0 END) AS gallery_views
+FROM events
+WINDOW HOPPING (SIZE 10 MINUTES, ADVANCE BY 2 MINUTES) GROUP BY user_id;
+"""
+STMT_AGG_STREAM = (
+    "CREATE STREAM aggregated_events_stream WITH "
+    "(KAFKA_TOPIC = 'EVENTS_IN_10_MINUTES_WINDOW', VALUE_FORMAT = 'AVRO');"
+)
+STMT_CHECK_JOIN = """
+SELECT user_id, country, platform, product_views, listing_views, gallery_views, nb_orders FROM aggregated_events_stream
+LEFT JOIN users ON aggregated_events_stream.user_id = users.rowkey
+EMIT CHANGES;
+"""
+STMT_PREDICT = """
+CREATE STREAM bot_detection_results AS
+SELECT
+    user_id,
+    ip_address,
+    window_start,
+    window_end,
+    predict('Bot Detector', as_array(country, platform), as_array(product_views, listing_views, gallery_views, nb_orders)) AS prediction
+FROM aggregated_events_stream
+LEFT JOIN users ON aggregated_events_stream.user_id = users.rowkey;
+"""
+
+
+@pytest.fixture(scope="module")
+def topics(spark, sf_small):
+    """The runbook's topic bindings (ksql/runbook.py): driver-testdata
+    frames shaped like the reference's Avro schemas."""
+    from streaming_ml_with_ksql_spark.ksql.runbook import reference_topics
+
+    return reference_topics(spark, sf_small)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, topics):
+    ksql = KsqlCompat(spark, topics)
+    for stmt in [
+        STMT_USERS_STREAM,
+        STMT_REKEY,
+        STMT_USERS_TABLE,
+        STMT_EVENTS,
+        STMT_HOPPING,
+        STMT_AGG_STREAM,
+    ]:
+        ksql.execute(stmt)
+    return ksql
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_users_table_is_latest_per_key(engine, topics):
+    got = engine.execute(STMT_PUSH_USERS)
+    expected = latest_per_key(topics["mysql.demo.users"][0], "id", "updated_at")
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # the CDC update won: keys %5==0 carry the bumped nb_orders
+    bumped = got.filter((F.col("id") % 5 == 0) & (F.col("id") % 20 == 0))
+    assert all(r.nb_orders == 1 for r in bumped.collect())
+
+
+def test_hopping_table_matches_native_operator(engine, spark, topics):
+    got = spark.table("events_in_10_minutes_window")
+    ev = topics["events"][0]
+    counts = {
+        "main_page_views": "main_page",
+        "listing_views": "products_listing",
+        "product_views": "product_page",
+        "gallery_views": "product_gallery",
+    }
+    expected = (
+        ev.groupBy(F.window("ts", "10 minutes", "2 minutes"), "user_id")
+        .agg(
+            F.date_format(F.min("ts"), "HH:mm:ss").alias("window_start"),
+            F.date_format(F.max("ts"), "HH:mm:ss").alias("window_end"),
+            *[
+                F.sum(F.when(F.col("event") == v, 1).otherwise(0)).alias(k)
+                for k, v in counts.items()
+            ],
+        )
+        .drop("window")
+    )
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+
+def test_enrichment_join_runs(engine):
+    got = engine.execute(STMT_CHECK_JOIN)
+    assert got.count() > 0
+    assert set(got.columns) == {
+        "user_id", "country", "platform",
+        "product_views", "listing_views", "gallery_views", "nb_orders",
+    }
+    # left-join: every user in events survives, users-side attrs attached
+    assert got.filter(F.col("country").isNotNull()).count() > 0
+
+
+def test_predict_statement_matches_whole_frame_scoring(engine, spark):
+    got = engine.execute(STMT_PREDICT)
+    assert set(got.columns) == {
+        "user_id", "ip_address", "window_start", "window_end", "prediction",
+    }
+    # identical inputs through the native scoring operator
+    enriched = spark.sql(
+        """
+        SELECT user_id, ip_address, window_start, window_end,
+               array(country, platform) AS strs,
+               array(product_views, listing_views, gallery_views, nb_orders) AS ints
+        FROM aggregated_events_stream
+        LEFT JOIN users ON aggregated_events_stream.user_id = users.id
+        """
+    )
+    expected = ml_predict.predict_arrays(
+        enriched, "Bot Detector", "strs", "ints"
+    ).drop("strs", "ints")
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    vals = {r.prediction for r in got.select("prediction").distinct().collect()}
+    assert vals <= {"bot", "user", None}
+    assert vals & {"bot", "user"}
