@@ -160,3 +160,35 @@ def test_enriched_scored_stream(spark, sf_small, events_stream_dir, tmp_path):
     assert "c_name" in written.columns and "__batch_id" in written.columns
     # left-join semantics: every agg row survives, matched rows carry names
     assert written.filter(F.col("c_name").isNotNull()).count() > 0
+
+
+def test_streaming_model_scoring(spark, sf_small, events_stream_dir):
+    """U2 in streaming: the fitted PipelineModel transform composes with a
+    streaming frame (pure column expressions), scoring each micro-batch —
+    the continuous form of the reference's predict() projection."""
+    from streaming_ml_with_ksql_spark.ml import predict as ml_predict
+
+    def feats(df):
+        # plain projections (analytic window functions are unsupported on
+        # streams; feature values just need to be deterministic here)
+        return df.select(
+            "event_id",
+            F.lit("BUILDING").alias("c_mktsegment"),
+            (F.col("value") * 10).cast("int").alias("views_in_window"),
+            (F.col("value") * 5).cast("int").alias("clicks_in_window"),
+            (F.col("event_id") % 3).cast("int").alias("purchases_in_window"),
+            (F.col("event_id") % 7).cast("int").alias("events_in_window"),
+        )
+
+    stream = stream_parquet_dir(spark, events_stream_dir)
+    scored = ml_predict.score(feats(stream), "bot_detector")
+    out = run_to_memory(scored, "stream_scored_test")
+
+    expected = ml_predict.score(
+        feats(spark.read.parquet(events_stream_dir)), "bot_detector"
+    )
+
+    cols = ["event_id", "prediction"]
+    assert _rows(out.select(*cols), cols) == _rows(expected.select(*cols), cols)
+    vals = {r.prediction for r in out.select("prediction").distinct().collect()}
+    assert vals <= {"bot", "user"}
