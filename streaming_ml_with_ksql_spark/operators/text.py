@@ -38,6 +38,7 @@ __all__ = [
     "dedup_near_minhash",
     "simhash_fingerprint",
     "near_dup_pairs_simhash",
+    "clean_corpus",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -420,4 +421,51 @@ def near_dup_pairs_simhash(
     return (
         cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus-cleaning pipeline
+# ---------------------------------------------------------------------------
+
+def clean_corpus(
+    documents: DataFrame,
+    *,
+    langs: tuple[str, ...] = ("en", "de"),
+    min_tokens: int = 25,
+    max_punct_ratio: float = 0.05,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The end-to-end training-data cleaning pass a 100 TB corpus gets:
+    language selection → quality gates (token count, punctuation ratio) →
+    MinHash-LSH near-dup removal (min-doc_id survivor) — composed from the
+    operators above so every stage keeps its plan shape (JVM expressions,
+    banded LSH, candidate-only verification).
+
+    Output: surviving (doc_id, lang, source, n_chars, n_tokens).
+    """
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    punct = F.round(
+        F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    kept = (
+        documents.withColumn("n_tokens", n_tok)
+        .withColumn("__punct", punct)
+        .filter(
+            F.col("lang").isin(*langs)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("__punct") <= max_punct_ratio)
+        )
+    )
+    losers = (
+        near_dup_pairs_minhash(kept, n=n, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens"
     )

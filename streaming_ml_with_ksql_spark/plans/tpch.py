@@ -29,6 +29,8 @@ __all__ = [
     "event_type_pivot",
     "customers_without_orders",
     "active_event_customers",
+    "orders_above_customer_avg",
+    "order_priority_cube",
 ]
 
 
@@ -180,3 +182,33 @@ def active_event_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
     return customer.join(
         events, customer.c_custkey == events.user_id, "left_semi"
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-scalar-subquery shape (SURVEY.md §2.9 subqueries):
+    orders priced above their own customer's average. Expressed
+    decorrelated — per-key aggregate + key join — which is the plan any
+    engine should reach; the oracle states the correlated form and DuckDB
+    decorrelates it itself."""
+    avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 4).alias("cust_avg"),
+        )
+    )
+
+
+def order_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate (SURVEY.md §2.9 grouping sets): all subtotal
+    combinations over (status, priority)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

@@ -1195,3 +1195,142 @@ def q_ksql_runbook_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is asserted in tests/test_ksql_compat.py."""
     ksql = runbook.run_runbook(spark, sf_dir)
     return spark.table("bot_detection_results")
+
+
+# --------------------------------------------------------------------------
+# Correlated subquery, CUBE, skew-salted join, composite corpus cleaning
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round((SELECT avg(o2.o_totalprice) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey), 4) AS cust_avg
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (SURVEY.md §2.9), decorrelated to
+    per-key aggregate + join; the oracle states the correlated form."""
+    return tpch.orders_above_customer_avg(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "order_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY.md §2.9)."""
+    return tpch.order_priority_cube(_t(spark, sf_dir, "orders"))
+
+
+@register("enriched_window_join_salted", _ENRICHED_JOIN_ORACLE)
+def q_enriched_window_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment join executed through the skew-salting fallback
+    (operators.joins.salted_join): fact rows spread over `salt` reducers,
+    dimension replicated — identical results to the broadcast/plain join
+    (same oracle as enriched_window_join), for the case where AQE's skew
+    splitting cannot apply."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "2 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            windows.count_if(F.col("event_type") == "purchase").alias("purchase_count"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+            "purchase_count",
+        )
+    )
+    return joins.salted_join(agg, cust, "user_id", "c_custkey", salt=8).select(
+        "window_start",
+        "window_end",
+        "user_id",
+        "n_events",
+        "purchase_count",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+
+
+_CLEAN_CORPUS_ORACLE = r"""
+WITH toks AS (
+  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+q AS (
+  SELECT doc_id, lang, source, n_chars, text, t,
+         CAST(len(t) AS INT) AS n_tokens,
+         round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\s]'))
+               / greatest(length(text), 1), 6) AS punct
+  FROM toks),
+kept AS (
+  SELECT * FROM q
+  WHERE lang IN ('en', 'de') AND n_tokens >= 25 AND punct <= 0.05),
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t)-2),
+                        i -> array_to_string(t[i:i+2], ' '))
+    ELSE [] END AS shingles
+  FROM kept),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dsh AS (
+  SELECT doc_id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 7))::UBIGINT AS BIGINT) AS h
+  FROM ds),
+sig AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_sh,
+    {minhash_cols}
+  FROM dsh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_id,
+    CASE band_id
+      WHEN 0 THEN concat_ws('|', mh0, mh1, mh2)
+      WHEN 1 THEN concat_ws('|', mh3, mh4, mh5)
+      WHEN 2 THEN concat_ws('|', mh6, mh7, mh8)
+      ELSE concat_ws('|', mh9, mh10, mh11) END AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+dsd AS (SELECT DISTINCT doc_id, shingle FROM ds),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsd sa ON sa.doc_id = c.doc_a
+  JOIN dsd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+    round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sig na ON na.doc_id = doc_a
+  JOIN sig nb ON nb.doc_id = doc_b)
+SELECT doc_id, lang, source, n_chars, n_tokens FROM kept
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= 0.8)
+"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    _CLEAN_CORPUS_ORACLE.format(minhash_cols=_MINHASH_COLS),
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pass (north-star composite):
+    language selection → quality gates → MinHash-LSH near-dup removal."""
+    return text.clean_corpus(_t(spark, sf_dir, "documents"))

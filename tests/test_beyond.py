@@ -13,6 +13,10 @@ BEYOND = [
     "session_window_agg",
     "lag_lead_features",
     "cdc_snapshot_customers",
+    "orders_above_customer_avg",
+    "order_priority_cube",
+    "enriched_window_join_salted",
+    "corpus_clean_pipeline",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
