@@ -29,6 +29,7 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_dup_pairs",
     "lsh_bucket_topk",
+    "ivf_topk",
 ]
 
 
@@ -200,4 +201,98 @@ def lsh_bucket_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the index-partitioned scale path:
+
+    1. *Index build*: seeded KMeans partitions the corpus into
+       ``n_centroids`` cells; each vector stores its cell id (one narrow
+       transform after the fit).
+    2. *Search*: each query ranks the (driver-bounded, broadcastable)
+       centroid list by L2 distance with JVM expressions, probes its
+       ``n_probe`` nearest cells, and candidates come from an equi-join on
+       cell id — the corpus is never all-pairs joined.
+    3. Exact cosine re-ranks candidates; top-k per query.
+
+    At 100 TB the cell assignment is a write-once index column (cluster
+    the table by it); probing touches n_probe/n_centroids of the data.
+    Approximate — recall vs brute_force_topk is pinned in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    with_vec = emb.withColumn("__vec", array_to_vector("embedding"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell"
+    ).fit(with_vec)
+
+    corpus = model.transform(with_vec).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("__cell").alias("cell"),
+    )
+
+    # centroids: bounded driver-side list → literal arrays (broadcast-sized)
+    centroid_structs = [
+        F.struct(
+            F.lit(cid).alias("cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in center]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+        )
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+    probed = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.slice(
+                F.array_sort(
+                    F.array(*centroid_structs),
+                    lambda a, b: F.when(a.dist2 < b.dist2, -1)
+                    .when(a.dist2 > b.dist2, 1)
+                    .otherwise(0),
+                ),
+                1,
+                n_probe,
+            ).alias("cells"),
+        )
+        .select(
+            "query_id", "q_emb", F.explode(F.col("cells.cell")).alias("cell")
+        )
+    )
+    scored = probed.join(corpus, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
+        )
     )

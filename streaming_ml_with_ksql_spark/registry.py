@@ -1334,3 +1334,11 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data cleaning pass (north-star composite):
     language selection → quality gates → MinHash-LSH near-dup removal."""
     return text.clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+@register("embedding_topk_ivf", None)  # approximate: rows-only check
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + n_probe nearest-cell search). No SQL oracle
+    — approximate by design; recall vs brute force pinned in
+    tests/test_similarity.py."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))

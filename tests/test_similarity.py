@@ -47,3 +47,20 @@ def test_lsh_results_are_true_cosines(spark, sf_medium):
         "cos2", similarity.cosine_sim(F.col("qe"), F.col("ce"))
     )
     assert recomputed.filter(F.col("cosine") != F.col("cos2")).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_medium):
+    """IVF with 4/16 cells probed must recover most exact top-5 pairs."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in similarity.ivf_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
