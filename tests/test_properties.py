@@ -1,0 +1,161 @@
+"""Property-based invariants (hypothesis over small generated frames).
+
+The DuckDB oracles check equivalence on the fixed testdata; these check
+*algebraic invariants* on adversarial inputs — empty groups, equal
+timestamps, single rows, all-duplicates — where differential tests on
+one dataset can't reach.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark.operators import joins, windows
+from streaming_ml_with_ksql_spark.operators.dedup import dedup_exact, latest_per_key
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (user_id, seconds-offset, event_type) rows
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=7200),
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _events_df(spark, rows):
+    data = [
+        (i, uid, BASE + dt.timedelta(seconds=s), et)
+        for i, (uid, s, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+@given(rows=events_strategy)
+@_SETTINGS
+def test_hopping_window_conservation(spark, rows):
+    """Every event lands in exactly size/slide = 5 windows ⇒ the sum of
+    per-window event counts is exactly 5× the input rows, and every
+    window's [start, end) actually contains its events' time range."""
+    df = _events_df(spark, rows)
+    agg = windows.hopping_window_agg(df)
+    total = agg.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 5 * len(rows)
+    bad = agg.filter(
+        (F.col("first_ts") < F.col("window_start"))
+        | (F.col("last_ts") >= F.col("window_end"))
+        | (F.col("first_ts") > F.col("last_ts"))
+    )
+    assert bad.count() == 0
+
+
+@given(rows=events_strategy)
+@_SETTINGS
+def test_latest_per_key_is_idempotent_and_complete(spark, rows):
+    """latest_per_key returns exactly one row per distinct key, that row
+    exists in the input, and applying the operator twice is a no-op."""
+    df = _events_df(spark, rows)
+    latest = latest_per_key(df, "user_id", "ts", tiebreak="event_id")
+    n_keys = df.select("user_id").distinct().count()
+    assert latest.count() == n_keys
+    # every output row is an input row
+    assert latest.exceptAll(df).count() == 0
+    again = latest_per_key(latest, "user_id", "ts", tiebreak="event_id")
+    assert again.exceptAll(latest).count() == 0 and again.count() == latest.count()
+    # the picked row's ts is the max ts of its key
+    maxes = df.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    joined = latest.join(maxes, "user_id")
+    assert joined.filter(F.col("ts") != F.col("mx")).count() == 0
+
+
+@given(rows=events_strategy)
+@_SETTINGS
+def test_dedup_exact_partitions_input(spark, rows):
+    """Survivors are 1:1 with distinct content fingerprints; each survivor
+    is the min-id row of its content group."""
+    df = _events_df(spark, rows)
+    out = dedup_exact(df, ["user_id", "event_type"], id_col="event_id")
+    n_contents = df.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_contents
+    mins = df.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("event_id")
+    )
+    assert out.select("event_id").exceptAll(mins.select("event_id")).count() == 0
+
+
+@given(rows=events_strategy)
+@_SETTINGS
+def test_as_of_join_matches_bruteforce(spark, rows):
+    """The single-shuffle merge as-of join equals the brute-force
+    definition (greatest right_ts <= left_ts, ties by greatest tiebreak)
+    on arbitrary inputs — including equal timestamps on both sides."""
+    df = _events_df(spark, rows)
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    got = joins.as_of_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload_cols=("view_event_id", "view_ts"),
+        tiebreak="view_event_id",
+    )
+    # brute force: rank all (purchase, view<=) pairs
+    from pyspark.sql import Window
+
+    cand = left.join(right, "user_id").filter(F.col("view_ts") <= F.col("ts"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("view_ts").desc(), F.col("view_event_id").desc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "view_event_id", "view_ts")
+    )
+    expected = left.join(best, "event_id", "left").select(
+        "event_id", "user_id", "ts", "view_event_id", "view_ts"
+    )
+    g = sorted(map(tuple, got.select(*expected.columns).collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert g == e
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_salted_join_equals_plain_join(spark, how):
+    """Salting changes routing, never results."""
+    facts = _events_df(
+        spark, [(i % 3, i, "view") for i in range(40)]
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (5, "z")], "k long, name string"
+    )
+    salted = joins.salted_join(facts, dim, "user_id", "k", salt=4, how=how)
+    plain = facts.join(dim, facts.user_id == dim.k, how)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
