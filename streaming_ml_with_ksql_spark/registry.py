@@ -1342,3 +1342,52 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     — approximate by design; recall vs brute force pinned in
     tests/test_similarity.py."""
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "streaming_interval_join",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view')
+    SELECT p.user_id, purchase_id, purchase_ts, view_id, view_ts, view_value
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 DAY
+     AND v.view_ts <= p.purchase_ts
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner interval join (SURVEY.md §2.9 — beyond the
+    reference's KSQL 5.4 surface): purchases matched to same-user views in
+    the trailing day, run THROUGH Structured Streaming as a self-join of
+    the replayed events stream. For the in-order bounded replay the
+    emitted matches equal the batch join — the oracle states that batch
+    join directly."""
+    stream = _replay_events(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_queries.interval_join_stream(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lookback="1 day",
+        watermark_delay=_STREAM_WM,
+    )
+    return stream_sinks.run_to_memory(
+        joined, f"reg_stream_ivj_{next(_STREAM_SEQ)}"
+    )

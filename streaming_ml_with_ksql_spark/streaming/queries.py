@@ -32,6 +32,7 @@ __all__ = [
     "hopping_window_stream",
     "latest_per_key_stream",
     "enrich_and_score_stream",
+    "interval_join_stream",
 ]
 
 
@@ -76,6 +77,40 @@ def latest_per_key_stream(
     return picked.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in payload]).select(
         *df.columns
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Stream–stream inner interval join (absent from the reference's KSQL
+    5.4 surface, SURVEY.md §2.9; native in Structured Streaming): left
+    rows match right rows of the same key with
+    ``right_ts ∈ [left_ts − lookback, left_ts]``.
+
+    Both sides are watermarked; the time-range condition bounds each
+    side's state (a right row is evicted once the watermark passes
+    ``right_ts + lookback``). For an in-order bounded replay the emitted
+    matches equal the batch join exactly — which is how the oracle checks
+    it. Columns must be disjoint apart from the key.
+    """
+    l_wm = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r_wm = right.withWatermark(right_ts, watermark_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    out_cols = [F.col(f"l.{key}").alias(key)] + [
+        F.col(f"l.{c}") for c in left.columns if c != key
+    ] + [F.col(f"r.{c}") for c in right.columns if c != key]
+    return l_wm.join(r_wm, cond, "inner").select(*out_cols)
 
 
 def enrich_and_score_stream(

@@ -25,6 +25,7 @@ STREAMING = [
     "streaming_hopping_window",
     "streaming_latest_per_key",
     "streaming_sessionize",
+    "streaming_interval_join",
 ]
 
 
