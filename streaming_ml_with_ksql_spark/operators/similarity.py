@@ -47,8 +47,30 @@ def cosine_sim(a: Column, b: Column, *, decimals: int = 6) -> Column:
     return F.round(sim, decimals)
 
 
+def _cosine_prenormed(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, *, decimals: int = 6
+) -> Column:
+    """cosine with per-vector norms precomputed ONCE per side instead of
+    per pair — 3× fewer array reductions in the pair stage, float-identical
+    to cosine_sim (same sqrt(dot(x,x)) expression, evaluated earlier)."""
+    return F.round(_dot(a, b) / (norm_a * norm_b), decimals)
+
+
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def _with_norm(df: DataFrame, emb_col: str, norm_col: str) -> DataFrame:
+    e = F.col(emb_col)
+    return df.withColumn(norm_col, F.sqrt(_dot(e, e)))
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread the streamed side of a pair stage across the configured
+    parallelism — embedding tables are byte-small (one input partition)
+    but the pair work is O(n²·dim) CPU."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
 
 
 def brute_force_topk(
@@ -61,11 +83,19 @@ def brute_force_topk(
     corpus (self-matches excluded). Output: (query_id, neighbor_id, cosine,
     rank)."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+        "q_norm",
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        ),
+        "c_emb",
+        "c_norm",
     )
     scored = (
         q.crossJoin(F.broadcast(c))
@@ -73,7 +103,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            _cosine_prenormed(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -93,15 +125,27 @@ def embedding_near_dup_pairs(
     All-pairs form is the oracle baseline; at scale, swap the crossJoin for
     lsh_bucket candidates (same verify expression)."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = _with_norm(
+        _fan_out(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        ),
+        "ea",
+        "na",
+    )
+    b = _with_norm(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
+        "eb",
+        "nb",
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            cosine_sim(F.col("ea"), F.col("eb")).alias("cosine"),
+            _cosine_prenormed(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
