@@ -1,0 +1,89 @@
+"""Scale-up smoke: fabricate N× the sf0.1 tables in /tmp (id-shifted
+unions — same distributions, bigger cardinality) and run the headline
+operator families, printing per-query wall time and rows.
+
+This is the local stand-in for the 100 TB question the bench can't ask:
+do the plans hold when the data is 10× bigger than the largest driver
+scale factor? Run: python scripts/stress_scale.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark import registry
+from streaming_ml_with_ksql_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT = "/tmp/sgraft_stress"
+
+# (table, id columns to shift per replica so keys stay consistent)
+REPLICATE = {
+    "events": {"event_id": 1_000_000, "user_id": 150},
+    "customer": {"c_custkey": 1500},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1500},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "documents": {"doc_id": 100_000},
+    "embeddings": {"vec_id": 100_000},
+}
+PASSTHROUGH = ("region", "nation", "supplier", "part")
+
+QUERIES = [
+    "hopping_window_agg",
+    "enriched_window_join",
+    "rolling_counts",
+    "asof_view_attribution",
+    "pricing_summary",
+    "minhash_near_dup_pairs",
+    "corpus_clean_pipeline",
+    "embedding_topk_bruteforce",
+]
+
+
+def build(spark, mult: int) -> None:
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    for name, shifts in REPLICATE.items():
+        base = io_mod.load_table(spark, SF_DIR, name)
+        parts = []
+        for i in range(mult):
+            df = base
+            for col, step in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    for name in PASSTHROUGH:
+        io_mod.load_table(spark, SF_DIR, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="stress_scale")
+    t0 = time.perf_counter()
+    build(spark, mult)
+    print(f"built {mult}x tables in {time.perf_counter()-t0:.1f}s -> {OUT}")
+
+    qs = registry.queries()
+    for name in QUERIES:
+        df = qs[name](spark, OUT)
+        t0 = time.perf_counter()
+        n = df.count()
+        print(f"{name}: {n} rows in {time.perf_counter()-t0:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1391,3 +1391,83 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sinks.run_to_memory(
         joined, f"reg_stream_ivj_{next(_STREAM_SEQ)}"
     )
+
+
+# --------------------------------------------------------------------------
+# Additional text / fingerprint queries (north-star breadth)
+# --------------------------------------------------------------------------
+
+@register(
+    "word_count_topk",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    w AS (SELECT unnest(t) AS word FROM toks),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+    SELECT word, n FROM c
+    QUALIFY row_number() OVER (ORDER BY n DESC, word ASC) <= 50
+    """,
+)
+def q_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus token histogram: top-50 tokens by frequency
+    (deterministic tiebreak). Map-side partial counts; only (word, n)
+    pairs shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens_col(F.col("text"))
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+_SIG_ORACLE = _SHINGLES_CTE + """
+, ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dsh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7))::UBIGINT AS BIGINT) AS h
+  FROM ds)
+SELECT doc_id,
+  {minhash_cols}
+FROM dsh GROUP BY doc_id
+"""
+
+
+@register(
+    "minhash_signatures",
+    _SIG_ORACLE.format(
+        minhash_cols=",\n  ".join(
+            f"min(({a} * h + {b}) % {text.MINHASH_P}) AS mh{i}"
+            for i, (a, b) in enumerate(text.minhash_coeffs(12))
+        )
+    ),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw k=12 MinHash signature table (bit-exact across engines via
+    the shared universal-hash constants)."""
+    return text.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_FP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM dt),
+votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+       AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_FP_ORACLE)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprints (the near-dup pairs query
+    consumes these; exposed standalone for indexing/persistence)."""
+    return text.simhash_fingerprint(_t(spark, sf_dir, "documents"))

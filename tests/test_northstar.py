@@ -17,6 +17,9 @@ NORTHSTAR_ORACLED = [
     "simhash_near_dup_pairs",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
+    "word_count_topk",
+    "minhash_signatures",
+    "simhash_fingerprints",
 ]
 
 
