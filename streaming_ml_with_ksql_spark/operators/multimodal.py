@@ -27,7 +27,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "decode_media", "DECODED_SCHEMA"]
+__all__ = [
+    "attach_binary_payload",
+    "decode_media",
+    "extract_features",
+    "sample_frames",
+    "resize_meta",
+    "DECODED_SCHEMA",
+    "FEATURES_SCHEMA",
+]
 
 DECODED_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, sha256 string, "
@@ -99,3 +107,99 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(with_payload: DataFrame) -> DataFrame:
     """documents-with-payload → decoded metadata frame (mapInPandas)."""
     return with_payload.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, media_type string, features array<double>"
+
+FEATURE_DIM = 16
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction kernel: a real pipeline would run an image/audio
+    encoder here; the stub derives a deterministic FEATURE_DIM-dim vector
+    from byte histograms so the Arrow plumbing (array<double> output
+    column, batch shape) is real and testable."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            if len(arr) == 0:
+                feats.append([0.0] * FEATURE_DIM)
+                continue
+            hist, _ = np.histogram(arr % FEATURE_DIM, bins=FEATURE_DIM, range=(0, FEATURE_DIM))
+            feats.append((hist / len(arr)).round(6).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "features": feats,
+            }
+        )
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Binary payload → fixed-dim feature vector (Arrow mapInPandas; the
+    encoder is the stub kernel above). Narrow map — no shuffle; the
+    output column is ``array<double>`` ready for the similarity operators."""
+    return with_payload.mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(
+    with_payload: DataFrame, *, stride: int = 5
+) -> DataFrame:
+    """Frame sampling for video-typed rows: emit every ``stride``-th frame
+    index with a deterministic per-frame content fingerprint
+    (md5(payload ++ frame_idx)). Pure JVM (posexplode of a sequence) — the
+    frame *decode* would slot into the mapInPandas kernel; the row
+    explosion shape is what matters for the pipeline."""
+    frames = F.sequence(
+        F.lit(0),
+        F.col("n_frames") - 1,
+        F.lit(stride),
+    )
+    decoded = with_payload.withColumn(
+        "n_frames", (F.col("doc_id") % 30 + 1).cast("int")
+    )
+    return (
+        decoded.filter(F.col("media_type") == "video/mp4")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(frames).alias("frame_idx"),
+            F.col("payload"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.md5(F.concat(F.col("payload"), F.col("frame_idx").cast("string").cast("binary"))).alias(
+                "frame_fingerprint"
+            ),
+        )
+    )
+
+
+def resize_meta(
+    decoded: DataFrame, *, max_side: int = 32
+) -> DataFrame:
+    """Resize planning for image-typed rows: compute the target (width,
+    height) preserving aspect ratio with the long side clamped to
+    ``max_side`` — the metadata half of a resize (the pixel work belongs
+    in the mapInPandas kernel). JVM expressions only."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return decoded.filter(F.col("media_type") == "image/png").select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "target_width"
+        ),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias(
+            "target_height"
+        ),
+    )

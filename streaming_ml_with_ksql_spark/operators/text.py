@@ -469,3 +469,51 @@ def clean_corpus(
     return kept.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-trigram language ID (the n-gram variant; lang_id above is the
+# stopword variant)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_PROFILES = {
+    "de": ("der", "ein", "ich", "sch", "und", "die", "en ", " de"),
+    "en": ("the", "ing", "and", "ion", " th", "he ", "ed ", " of"),
+    "es": ("que", "los", " de", "ado", "la ", "el ", "os ", " la"),
+    "fr": ("les", "ent", " le", "des", "une", "est", "eur", "qui"),
+}
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Character-trigram language ID: score(lang) = fraction of the doc's
+    char trigrams that appear in the language's profile; prediction =
+    argmax with deterministic ties. All JVM expressions (transform over a
+    position sequence — no explode, no Python)."""
+    out = documents.select(
+        "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("__t")
+    ).withColumn(
+        "__tri",
+        F.expr(
+            "transform(sequence(1, greatest(char_length(__t) - 2, 1)),"
+            " i -> substring(__t, i, 3))"
+        ),
+    )
+    n = F.greatest(F.size("__tri"), F.lit(1))
+    for code, grams in sorted(TRIGRAM_PROFILES.items()):
+        profile = F.array(*[F.lit(g) for g in grams])
+        hits = F.size(
+            F.filter(F.col("__tri"), lambda x: F.array_contains(profile, x))
+        )
+        out = out.withColumn(f"score_{code}", F.round(hits / n, 6))
+    codes = sorted(TRIGRAM_PROFILES)
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1.0)
+    for code in codes:
+        pred = F.when(F.col(f"score_{code}") > best, F.lit(code)).otherwise(pred)
+        best = F.greatest(best, F.col(f"score_{code}"))
+    return out.select(
+        "doc_id",
+        "lang",
+        *[f"score_{c}" for c in codes],
+        pred.alias("predicted_lang"),
+    )

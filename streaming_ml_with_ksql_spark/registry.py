@@ -1471,3 +1471,69 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprints (the near-dup pairs query
     consumes these; exposed standalone for indexing/persistence)."""
     return text.simhash_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames, text
+      FROM documents WHERE doc_id % 3 = 2),
+    f AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx, text
+      FROM v)
+    SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+           md5(text || CAST(frame_idx AS VARCHAR)) AS frame_fingerprint
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-typed binary rows (every 5th frame index,
+    deterministic per-frame fingerprint) — the row-explosion half of video
+    decode, pure JVM, oracle-checked byte-for-byte (payload is the utf-8
+    text, so DuckDB reproduces the fingerprints with string md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+
+
+@register("multimodal_features", None)  # Pandas-UDF path: rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction through Arrow mapInPandas
+    (encoder stubbed; vector shape + determinism pinned in
+    tests/test_multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+def _lang_ngram_oracle() -> str:
+    scores = []
+    for code, grams in sorted(text.TRIGRAM_PROFILES.items()):
+        arr = "[" + ",".join(f"'{g}'" for g in grams) + "]"
+        scores.append(
+            f"round(len(list_filter(tri, x -> list_contains({arr}, x)))"
+            f" / greatest(len(tri), 1), 6) AS score_{code}"
+        )
+    cols = ",\n      ".join(scores)
+    return f"""
+    WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                            i -> substr(t, i, 3)) AS tri
+      FROM d),
+    scored AS (SELECT doc_id, lang, {cols} FROM g)
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+      CASE
+        WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+        WHEN score_es >= score_fr THEN 'es'
+        ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """
+
+
+@register("lang_id_ngram", _lang_ngram_oracle())
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram heuristic variant of lang_id)."""
+    return text.lang_id_ngram(_t(spark, sf_dir, "documents"))

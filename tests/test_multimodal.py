@@ -39,3 +39,41 @@ def test_decode_stub_is_deterministic_vs_local(spark, sf_small):
         assert row["n_bytes"] == len(raw)
         assert row["sha256"] == hashlib.sha256(raw).hexdigest()
         assert row["width"] == raw[0] % 64 + 1
+
+
+def test_extract_features_deterministic_fixed_dim(spark, sf_small):
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    feats = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    # distributions sum to ~1 (byte histogram over non-empty payloads)
+    assert all(abs(sum(r.features) - 1.0) < 1e-4 for r in rows)
+    again = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(
+            multimodal.attach_binary_payload(docs)
+        ).collect()
+    }
+    assert all(again[r.doc_id] == r.features for r in rows)
+
+
+def test_resize_meta_preserves_aspect(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    decoded = multimodal.decode_media(multimodal.attach_binary_payload(docs))
+    resized = multimodal.resize_meta(decoded, max_side=32)
+    assert resized.count() > 0
+    bad = resized.filter(
+        (F.greatest("target_width", "target_height") > 32)
+        | (F.col("target_width") < 1)
+        | (F.col("target_height") < 1)
+    )
+    assert bad.count() == 0

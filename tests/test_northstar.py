@@ -20,6 +20,8 @@ NORTHSTAR_ORACLED = [
     "word_count_topk",
     "minhash_signatures",
     "simhash_fingerprints",
+    "multimodal_frame_sample",
+    "lang_id_ngram",
 ]
 
 
