@@ -192,3 +192,59 @@ def test_streaming_model_scoring(spark, sf_small, events_stream_dir):
     assert _rows(out.select(*cols), cols) == _rows(expected.select(*cols), cols)
     vals = {r.prediction for r in out.select("prediction").distinct().collect()}
     assert vals <= {"bot", "user"}
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
+    """Stop/resume with a checkpoint: a query drained over the first half
+    of the data, then restarted (new process-equivalent: new query object,
+    same checkpoint) over the full directory, must produce exactly the
+    batch answer with no duplicates — Spark's exactly-once contract over
+    the file source + foreachBatch sink."""
+    import os
+    import shutil
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import dedup
+
+    events = io_mod.load_table(spark, sf_small, "events")
+    full_dir = str(tmp_path / "full")
+    shard_table_to_dir(events, full_dir, num_shards=4, order_col="ts")
+    parts = sorted(
+        f for f in os.listdir(full_dir) if f.startswith("part-")
+    )
+
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    for f in parts[:2]:
+        shutil.copy2(os.path.join(full_dir, f), os.path.join(live_dir, f))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = stream_parquet_dir(spark, live_dir)
+        q = (
+            latest_per_key_stream(stream, "user_id", "ts", tiebreak="event_id")
+            .writeStream.foreachBatch(foreach_batch_parquet(sink))
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    for f in parts[2:]:
+        shutil.copy2(os.path.join(full_dir, f), os.path.join(live_dir, f))
+    run_once()
+
+    # complete-mode foreachBatch appends a full snapshot per batch; the
+    # LAST batch's snapshot must equal the batch answer over all data
+    written = spark.read.parquet(sink)
+    last_bid = written.agg(F.max("__batch_id")).collect()[0][0]
+    final = written.filter(F.col("__batch_id") == last_bid).drop("__batch_id")
+    expected = dedup.latest_per_key(
+        spark.read.parquet(full_dir), "user_id", "ts", tiebreak="event_id"
+    )
+    cols = sorted(expected.columns)
+    assert _rows(final, cols) == _rows(expected, cols)
