@@ -42,6 +42,9 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "embedding_topk_bruteforce",
     "text_stats",
+    "word_count_topk",
+    "corpus_clean_pipeline",
+    "streaming_hopping_window",
 ]
 
 
