@@ -1537,3 +1537,71 @@ def _lang_ngram_oracle() -> str:
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (the n-gram heuristic variant of lang_id)."""
     return text.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# DISTINCT aggregates + HAVING, exact percentiles, approximate sketches
+# --------------------------------------------------------------------------
+
+@register(
+    "user_event_type_diversity",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 50
+    """,
+)
+def q_user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate + HAVING (SURVEY.md §2.9): distinct event types
+    per active user. count(distinct) expands map-side; HAVING is a
+    post-aggregation filter Catalyst keeps above the agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count_distinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") > 50)
+    )
+
+
+@register(
+    "order_value_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` definitionally). At 100 TB swap for
+    percentile_approx (the rows-only sketch query below) — same API shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register("approx_sketches", None)  # sketch values are engine-specific
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms: HyperLogLog distinct counts and quantile sketches
+    (single pass, bounded memory, mergeable across partitions — what you
+    actually run on a petabyte instead of exact distinct/percentile).
+    Rows-only check here; the error bound vs exact is pinned in
+    tests/test_relational.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

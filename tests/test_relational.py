@@ -25,6 +25,8 @@ PHASE2 = [
     "customers_without_orders",
     "active_event_customers",
     "key_set_ops",
+    "user_event_type_diversity",
+    "order_value_percentiles",
 ]
 
 
@@ -36,3 +38,30 @@ def test_query_matches_oracle(spark, sf_medium, name):
 def test_all_oracle_keys_subset_of_queries():
     qs, os_ = registry.queries(), registry.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_approx_sketches_error_bounds(spark, sf_medium):
+    """HLL distinct within 3*rsd of exact; approx median within 5% of the
+    exact per-group median."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+
+    ev = io_mod.load_table(spark, sf_medium, "events")
+    approx = {
+        r.event_type: r
+        for r in registry._REGISTRY["approx_sketches"].spark(spark, sf_medium).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(3 * 0.02 * ex.users, 2)
+        assert abs(ap.approx_p50_value - ex.p50) <= 0.05 * abs(ex.p50) + 1e-6
