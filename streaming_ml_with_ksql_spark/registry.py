@@ -999,23 +999,10 @@ def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC: Debezium envelope unwrap + snapshot (SURVEY.md S3)
 # --------------------------------------------------------------------------
 
-@register(
-    "cdc_snapshot_customers",
-    """
-    SELECT c_custkey, c_name,
-           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
-             AS c_acctbal
-    FROM customer
-    WHERE c_custkey % 13 <> 0
-    """,
-)
-def q_cdc_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: CDC pipeline semantics end to end — a deterministic Debezium
-    changelog synthesized from `customer` (full snapshot reads, then
-    updates for custkey%7==0, then deletes for custkey%13==0) is unwrapped
-    (ExtractNewRecordState analog, mysql-source.json:17-19) and compacted
-    to the current table (upsert-with-delete, README.md:29). The oracle
-    states the expected final table directly."""
+def _customer_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Debezium changelog synthesized from `customer`:
+    snapshot reads at t=1000, +100 balance updates for custkey%7==0 at
+    t=2000, deletes for custkey%13==0 at t=3000."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     row_t = "struct<c_custkey:bigint,c_name:string,c_acctbal:double>"
     body = F.struct(
@@ -1041,8 +1028,59 @@ def q_cdc_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         updated.alias("before"), null_row.alias("after"),
         F.lit("d").alias("op"), F.lit(3000).cast("bigint").alias("ts_ms"),
     )
-    envelope = snapshot.unionByName(updates).unionByName(deletes)
-    return cdc.cdc_snapshot(envelope, "c_custkey")
+    return snapshot.unionByName(updates).unionByName(deletes)
+
+
+@register(
+    "cdc_snapshot_customers",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_cdc_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CDC pipeline semantics end to end — a deterministic Debezium
+    changelog synthesized from `customer` (full snapshot reads, then
+    updates for custkey%7==0, then deletes for custkey%13==0) is unwrapped
+    (ExtractNewRecordState analog, mysql-source.json:17-19) and compacted
+    to the current table (upsert-with-delete, README.md:29). The oracle
+    states the expected final table directly."""
+    return cdc.cdc_snapshot(_customer_envelope(spark, sf_dir), "c_custkey")
+
+
+@register(
+    "scd2_customer_history",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CAST(1000 AS BIGINT) AS ts, 'r' AS op
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100, 2000, 'u'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100, 3000, 'd'
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    v AS (
+      SELECT *, lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS nxt
+      FROM changes)
+    SELECT c_custkey, c_name, c_acctbal,
+           ts AS valid_from,
+           CAST(nxt AS DOUBLE) AS valid_to,
+           (nxt IS NULL) AS is_current
+    FROM v WHERE op <> 'd'
+    """,
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the same CDC changelog: every
+    upsert versioned with [valid_from, valid_to) bounded by the next
+    change (deletes close the open version). The warehouse-side complement
+    of cdc_snapshot."""
+    return cdc.scd2_history(_customer_envelope(spark, sf_dir), "c_custkey")
 
 
 # --------------------------------------------------------------------------

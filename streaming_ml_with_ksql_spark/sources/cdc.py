@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import latest_per_key
 
-__all__ = ["unwrap_debezium", "cdc_snapshot"]
+__all__ = ["unwrap_debezium", "cdc_snapshot", "scd2_history"]
 
 # Debezium op codes: c=create, u=update, r=snapshot read, d=delete.
 _UPSERT_OPS = ("c", "u", "r")
@@ -83,3 +83,35 @@ def cdc_snapshot(
     latest = latest_per_key(changes, key, ts_col)
     live = latest.filter(F.col("__op") != "d")
     return live.drop("__op", ts_col) if drop_meta else live
+
+
+def scd2_history(
+    envelope: DataFrame,
+    key: str | list[str],
+    *,
+    ts_col: str = "__ts_ms",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a CDC changelog:
+    every upsert becomes a versioned row with ``valid_from`` /
+    ``valid_to`` (the next change's timestamp — including a delete, which
+    closes the version without opening one) and ``is_current``.
+
+    One shuffle on the key + an ordered lead() pass — the warehouse-side
+    complement of cdc_snapshot (which keeps only the newest version).
+    ``valid_to`` is DOUBLE (it is NULL for current rows, and nullable
+    integers degrade across the oracle's pandas bridge).
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    changes = unwrap_debezium(envelope, keep_deletes=True)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    versioned = (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w).cast("double"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    payload = [c for c in changes.columns if c not in ("__op", ts_col)]
+    return versioned.filter(F.col("__op") != "d").select(
+        *payload, "valid_from", "valid_to", "is_current"
+    )

@@ -13,6 +13,7 @@ BEYOND = [
     "session_window_agg",
     "lag_lead_features",
     "cdc_snapshot_customers",
+    "scd2_customer_history",
     "orders_above_customer_avg",
     "order_priority_cube",
     "enriched_window_join_salted",
