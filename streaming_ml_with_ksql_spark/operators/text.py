@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -39,6 +39,7 @@ __all__ = [
     "simhash_fingerprint",
     "near_dup_pairs_simhash",
     "clean_corpus",
+    "stratified_sample",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -516,4 +517,39 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
         "lang",
         *[f"score_{c}" for c in codes],
         pred.alias("predicted_lang"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    quotas: dict[str, int],
+    *,
+    id_col: str,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training pipeline: take up to ``quotas[stratum]`` rows per stratum,
+    chosen by hash order (md5 of the id), so the sample is pseudo-random
+    but reproducible across runs and engines (no RNG in the plan).
+
+    One shuffle on the stratum; rank + quota filter. At 100 TB prefer
+    quota ≪ stratum size so the per-stratum sort stays cheap (top-k heap
+    under AQE), or pre-filter with a hash-threshold for huge strata.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    quota = None
+    for stratum, q in sorted(quotas.items()):
+        cond = F.when(F.col(strata_col) == stratum, F.lit(q))
+        quota = cond if quota is None else quota.when(
+            F.col(strata_col) == stratum, F.lit(q)
+        )
+    quota = (quota.otherwise(F.lit(default_quota)) if quota is not None
+             else F.lit(default_quota))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
     )

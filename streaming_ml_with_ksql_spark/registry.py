@@ -1643,3 +1643,28 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "corpus_sample_mix",
+    """
+    WITH ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM ranked
+    WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 25 END
+    """,
+)
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data mixing): per-lang
+    quotas drawn in md5-hash order — pseudo-random but reproducible across
+    runs and engines, no RNG in the plan."""
+    return text.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 100, "de": 50},
+        id_col="doc_id",
+        default_quota=25,
+    ).select("doc_id", "lang", "source", "n_chars")

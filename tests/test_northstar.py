@@ -22,6 +22,7 @@ NORTHSTAR_ORACLED = [
     "simhash_fingerprints",
     "multimodal_frame_sample",
     "lang_id_ngram",
+    "corpus_sample_mix",
 ]
 
 
