@@ -17,6 +17,14 @@ REPO = "/root/repo"
 
 
 def norm(v):
+    """Canonicalize a cell value at FULL precision.
+
+    Deliberately stricter than round 1: no integral-float collapsing (a
+    Spark long 123 vs a DuckDB pandas-bridge float 123.0 must MISMATCH here,
+    because the real driver's value hash sees them differently — the fix is
+    to emit DOUBLE on both sides, per CLAUDE.md), and no %.6g rounding (a
+    last-ulp double divergence must surface, not hide).
+    """
     import pandas as pd
 
     if v is None:
@@ -29,14 +37,12 @@ def norm(v):
             return "NULL"
     except (TypeError, ValueError):
         pass
-    if isinstance(v, float):
-        # nullable BIGINT degrades to float64 across the pandas bridge;
-        # canonicalize integral floats so they compare equal to Spark longs
-        if v.is_integer() and abs(v) < 2**53:
-            return str(int(v))
-        return f"{v:.6g}"
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, float):
+        return repr(v)
     return str(v)
 
 
@@ -48,10 +54,20 @@ def main() -> int:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    sys.path.insert(0, REPO)
-    from streaming_ml_with_ksql_spark.session import get_spark
 
-    spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+    # VANILLA session, exactly like the grading driver — NOT the repo's
+    # get_spark(). Round 1 proved the difference matters: get_spark() set
+    # nanosAsLong/UTC and masked a driver-only crash in 25 queries. Every
+    # load-bearing conf must be applied by the queries themselves
+    # (io._ensure_session_confs) or the gate must fail.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
     df = mod.entry(spark)
     n = df.count()

@@ -63,12 +63,10 @@ def salted_join(
     salt: int = 8,
     how: str = "left",
 ) -> DataFrame:
-    """Skew-resistant shuffled equi-join: the fact side gets a random-free
-    deterministic salt (hash of a second column would also do; here
-    ``monotonically_increasing_id`` is avoided — salt derives from the
-    row's key hash + a modular spread via `spark_partition_id`-independent
-    expression) and the dimension is replicated ``salt`` ways, so one hot
-    key spreads over ``salt`` reducers.
+    """Skew-resistant shuffled equi-join: the fact side gets a deterministic
+    per-row salt (hash of the full fact row, mod ``salt``) and the dimension
+    is replicated ``salt`` ways, so one hot key spreads over ``salt``
+    reducers.
 
     This is the manual fallback for when AQE's skew-join splitting
     (enabled in session.py) can't apply — e.g. a skewed *stream-static*
@@ -76,11 +74,13 @@ def salted_join(
     node. Results are identical to the unsalted join (oracle-checked via
     the enriched-join query variant).
     """
-    # deterministic per-row spread: hash the full fact row's key plus a
-    # uniformizer column if present; crc32 of the key alone would put the
-    # hot key in ONE bucket, so spread on pmod of a per-row expression
+    # Deterministic per-row spread: hash EVERY fact column, not
+    # monotonically_increasing_id (whose value changes across task retries
+    # and recomputation — a lost executor would re-salt rows differently
+    # mid-job). Hashing the key alone would put the hot key in ONE bucket;
+    # hashing the whole row spreads it, stably.
     fact_salt = F.pmod(
-        F.hash(F.col(fact_key), F.monotonically_increasing_id()), F.lit(salt)
+        F.hash(*[F.col(c) for c in facts.columns]), F.lit(salt)
     )
     salted_facts = facts.withColumn("__salt", fact_salt)
     exploded_dim = dim.withColumn(

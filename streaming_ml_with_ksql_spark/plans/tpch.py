@@ -190,18 +190,20 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
     decorrelated — per-key aggregate + key join — which is the plan any
     engine should reach; the oracle states the correlated form and DuckDB
     decorrelates it itself."""
+    # Cross-engine canonical average: sum exactly in DECIMAL(18,2) (TPC-H
+    # prices are exact 2-dp values), then one double division. avg(double)
+    # is NOT canonical — Spark and DuckDB sum doubles in different orders
+    # and diverge in the last ulp, which a value-hash compare catches.
     avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.avg("o_totalprice").alias("cust_avg")
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
     )
     return (
         orders.join(avgs, orders.o_custkey == avgs.ck)
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            F.round("cust_avg", 4).alias("cust_avg"),
-        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
 
 

@@ -12,7 +12,10 @@ sorts columns by name before hashing values.
 
 from __future__ import annotations
 
+import atexit
 import itertools
+import os
+import shutil
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -866,7 +869,12 @@ def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+    """Registered on the LSH-bucketed serving path (no all-pairs join in the
+    plan — asserted in tests/test_plans.py); the all-pairs form
+    (similarity.embedding_near_dup_pairs) is the oracle/recall baseline only.
+    The exact-cosine re-rank makes surviving pairs bit-identical, so the
+    all-pairs SQL oracle still verifies this query."""
+    return similarity.embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 
 @register("embedding_topk_lsh", None)  # approximate: rows-only check
@@ -909,7 +917,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM purchases p
       JOIN views v ON v.user_id = p.user_id AND v.ts <= p.ts)
     SELECT p.event_id, p.user_id, p.ts,
-           c.view_event_id, c.view_ts, c.view_value
+           CAST(c.view_event_id AS DOUBLE) AS view_event_id,
+           c.view_ts, c.view_value
     FROM purchases p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
       USING (event_id)
     """,
@@ -929,7 +938,7 @@ def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
     )
-    return joins.as_of_join(
+    out = joins.as_of_join(
         purchases,
         views,
         key="user_id",
@@ -938,6 +947,9 @@ def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=("view_event_id", "view_ts", "view_value"),
         tiebreak="view_event_id",
     )
+    # view_event_id is NULL for unmatched purchases: nullable BIGINT floats
+    # across DuckDB's pandas bridge, so emit DOUBLE on both sides.
+    return out.withColumn("view_event_id", F.col("view_event_id").cast("double"))
 
 
 _SESSION_GAP = "6 hours"
@@ -1093,11 +1105,21 @@ _STREAM_SEQ = itertools.count()
 _STREAM_WM = "2 minutes"
 
 
+_REPLAY_DIRS: dict[str, str] = {}
+
+
 def _replay_events(spark: SparkSession, sf_dir: str):
-    d = tempfile.mkdtemp(prefix="sgraft_replay_")
-    stream_source.shard_table_to_dir(
-        _t(spark, sf_dir, "events"), d, num_shards=4, order_col="ts"
-    )
+    # Memoized per sf_dir: the 4 streaming queries (x2 runs in verify/bench)
+    # share one sharded copy instead of rewriting — and leaking — a fresh
+    # tempdir per invocation. Cleaned up at interpreter exit.
+    d = _REPLAY_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="sgraft_replay_")
+        stream_source.shard_table_to_dir(
+            _t(spark, sf_dir, "events"), d, num_shards=4, order_col="ts"
+        )
+        _REPLAY_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     return stream_source.stream_parquet_dir(spark, d)
 
 
@@ -1243,11 +1265,14 @@ def q_ksql_runbook_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_above_customer_avg",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
-           round((SELECT avg(o2.o_totalprice) FROM orders o2
-                  WHERE o2.o_custkey = o.o_custkey), 4) AS cust_avg
+           (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
     FROM orders o
-    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
-                          WHERE o2.o_custkey = o.o_custkey)
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,7 +44,13 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # A partially-drained memory table would surface as a subtle
+        # row-count mismatch downstream; fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not drain within {timeout_sec}s"
+        )
     spark = SparkSession.getActiveSession()
     return spark.table(name)
 
@@ -77,7 +83,11 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"foreachBatch stream did not drain within {timeout_sec}s"
+        )
 
 
 def to_kafka(

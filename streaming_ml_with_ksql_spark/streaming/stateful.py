@@ -115,16 +115,22 @@ def sessionize_stream(
             t = int(t)
             if cur is None:
                 cur = (t, t, 1)
-            elif t - cur[1] <= gap_sec * _US:
+            elif t - cur[1] < gap_sec * _US:
+                # Strict <: session_window treats [start, last+gap) as
+                # half-open, so an event exactly `gap` after its predecessor
+                # starts a NEW session (matches the batch oracle).
                 cur = (cur[0], max(cur[1], t), cur[2] + 1)
             else:
                 yield emit(*cur)
                 cur = (t, t, 1)
         state.update(cur)
-        # Flush when the watermark passes last_ts + gap. Spark requires the
-        # timeout to sit strictly beyond the current watermark.
+        # Flush when the watermark passes last_ts + gap. Spark fires a
+        # timeout strictly AFTER its timestamp, while the batch oracle closes
+        # a session when watermark >= last+gap — the -1ms makes the stream
+        # fire on >= too. Spark also requires the timeout to sit strictly
+        # beyond the current watermark.
         timeout_ms = max(
-            cur[1] // 1000 + gap_sec * 1000, state.getCurrentWatermarkMs() + 1
+            cur[1] // 1000 + gap_sec * 1000 - 1, state.getCurrentWatermarkMs() + 1
         )
         state.setTimeoutTimestamp(timeout_ms)
 
@@ -147,6 +153,7 @@ def latest_per_key_stateful(
     key_col: str,
     ts_col: str,
     payload_cols: tuple[str, ...],
+    tiebreak_col: str | None = None,
     watermark_delay: str = "2 minutes",
 ) -> DataFrame:
     """Changelog compaction as an explicit state machine: emits a key's
@@ -173,14 +180,25 @@ def latest_per_key_stateful(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(pdfs))
+        # ignore_index: Arrow chunks re-use 0..n index labels, so label-based
+        # idxmax/.loc could hit duplicated labels and return frames, not rows.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
         ts_us = pdf[ts_col].astype("int64") // 1000
-        best = int(ts_us.idxmax())
-        best_us = int(ts_us.loc[best])
+        # Deterministic (ts, tiebreak) pick, positionally — mirrors the batch
+        # latest_per_key's max_by(struct(payload), struct(ts, tiebreak)).
+        if tiebreak_col is not None:
+            best = int(
+                pdf.assign(__ts_us=ts_us)
+                .sort_values(["__ts_us", tiebreak_col], kind="stable")
+                .index[-1]
+            )
+        else:
+            best = int(ts_us.sort_values(kind="stable").index[-1])
+        best_us = int(ts_us.iloc[best])
         prev_us = state.get[0] if state.exists else -1
         if best_us <= prev_us:
             return
-        row = pdf.loc[best]
+        row = pdf.iloc[best]
         payload = {c: (None if pd.isna(row[c]) else row[c]) for c in payload_cols}
         state.update((best_us, json.dumps(payload, default=str)))
         out = {key_col: [key[0]], ts_col: [pd.Timestamp(best_us, unit="us")]}

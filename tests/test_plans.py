@@ -85,6 +85,14 @@ def test_whole_stage_codegen_on_flagship(spark):
     assert m and int(m.group(1)) >= 1
 
 
+def test_embedding_near_dup_no_all_pairs_join(spark):
+    """The registered near-dup query must be the LSH-bucketed serving path:
+    candidates from a (table_id, bucket) equi-join, never a cross product."""
+    plan = _explain(spark, "embedding_near_dup_pairs", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_no_python_in_hot_path(spark):
     """The MinHash pipeline must stay JVM-side: no Python eval nodes."""
     plan = _explain(spark, "minhash_near_dup_pairs", "simple")

@@ -159,3 +159,22 @@ def test_salted_join_equals_plain_join(spark, how):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_salt_is_stable_under_recomputation(spark):
+    """The per-row salt must derive from row CONTENT (hash of the fact
+    columns), not from monotonically_increasing_id — a task retry that
+    re-enumerates rows must land every row in the same bucket it had
+    before, or a mid-job recomputation could duplicate/drop join rows."""
+    from pyspark.sql import functions as F
+
+    facts = _events_df(spark, [(i % 3, i, "view") for i in range(40)])
+    salt_expr = F.pmod(F.hash(*[F.col(c) for c in facts.columns]), F.lit(4))
+    # two independent evaluations (separate jobs, shuffled input order)
+    a = sorted(
+        map(tuple, facts.withColumn("s", salt_expr).repartition(7).collect())
+    )
+    b = sorted(
+        map(tuple, facts.withColumn("s", salt_expr).repartition(3).collect())
+    )
+    assert a == b

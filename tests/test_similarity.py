@@ -49,6 +49,19 @@ def test_lsh_results_are_true_cosines(spark, sf_medium):
     assert recomputed.filter(F.col("cosine") != F.col("cos2")).count() == 0
 
 
+def test_near_dup_lsh_matches_all_pairs_exactly(spark, sf_medium):
+    """The LSH-bucketed near-dup serving path must return EXACTLY the
+    all-pairs baseline's result set at the default threshold — the
+    registered query's oracle is the all-pairs SQL, so 100% recall on the
+    driver testdata is a correctness requirement, not a quality target."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {tuple(r) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    lsh = {tuple(r) for r in similarity.embedding_near_dup_pairs_lsh(emb).collect()}
+    assert lsh == exact, (
+        f"missed={len(exact - lsh)} extra={len(lsh - exact)} of {len(exact)}"
+    )
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_medium):
     """IVF with 4/16 cells probed must recover most exact top-5 pairs."""
     from streaming_ml_with_ksql_spark import io as io_mod
