@@ -70,38 +70,59 @@ def _try_real_decoder():
         return None
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batch decode kernel. Real decode would open the payload with
-    the media library; the stub derives deterministic pseudo-metadata from
-    the payload bytes so tests pin the full pipeline shape."""
+def _stub_decode(doc_id: int, media_type: str, payload: bytes) -> dict:
+    """THE STUB. Deterministic pseudo-metadata derived from the payload
+    bytes — a stand-in for a real codec, because this container has no
+    media libraries (PARTIAL component; see README 'Multimodal columns').
+    Same signature as _real_decode; everything else in the pipeline is
+    real (Arrow batching, schema, partitioning)."""
     import hashlib
 
-    decoder = _try_real_decoder()
+    first = payload[0] if payload else 0
+    second = payload[1] if len(payload) > 1 else 0
+    return {
+        "n_bytes": len(payload),
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "width": first % 64 + 1,
+        "height": second % 64 + 1,
+        "n_frames": doc_id % 30 + 1,
+        "decoder": "stub",
+    }
+
+
+def _real_decode(doc_id: int, media_type: str, payload: bytes) -> dict:
+    """The one function to swap for production: open `payload` with
+    PIL/librosa/cv2 according to `media_type` and return the same dict
+    shape as _stub_decode. Raises here because the container has no media
+    libraries and no real media testdata."""
+    raise NotImplementedError(
+        "real media decode not wired: container lacks media libraries"
+    )
+
+
+def _active_decode_kernel():
+    """Single dispatch point: the real codec when a media library is
+    importable, the deterministic stub otherwise."""
+    return _real_decode if _try_real_decoder() else _stub_decode
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch decode: per-row kernel dispatch inside Arrow-sized
+    batches. The per-row Python loop IS the codec boundary — a real decoder
+    is per-payload work regardless; Arrow keeps the transfer vectorized."""
+    kernel = _active_decode_kernel()
     for pdf in batches:
-        if decoder is not None:
-            # Real path (never taken in this container): PIL.Image.open on
-            # BytesIO(payload) etc. Kept explicit so swapping in the real
-            # codec is a one-function change.
-            raise NotImplementedError(
-                "real media decode not wired: container lacks test media"
-            )
-        payloads = pdf["payload"]
-        sha = payloads.map(lambda b: hashlib.sha256(b).hexdigest())
-        n_bytes = payloads.map(len).astype("int32")
-        first = payloads.map(lambda b: b[0] if len(b) else 0).astype("int32")
-        second = payloads.map(lambda b: b[1] if len(b) > 1 else 0).astype("int32")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n_bytes,
-                "sha256": sha,
-                "width": first % 64 + 1,
-                "height": second % 64 + 1,
-                "n_frames": (pdf["doc_id"] % 30 + 1).astype("int32"),
-                "decoder": "stub",
-            }
+        metas = [
+            kernel(int(d), m, bytes(p))
+            for d, m, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"])
+        ]
+        cols = ["n_bytes", "sha256", "width", "height", "n_frames", "decoder"]
+        out = pd.DataFrame(metas, columns=cols).astype(
+            {"n_bytes": "int32", "width": "int32", "height": "int32", "n_frames": "int32"}
         )
+        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+        out.insert(1, "media_type", pdf["media_type"].to_numpy())
+        yield out
 
 
 def decode_media(with_payload: DataFrame) -> DataFrame:

@@ -31,6 +31,8 @@ __all__ = [
     "active_event_customers",
     "orders_above_customer_avg",
     "order_priority_cube",
+    "late_shipment_priority",
+    "top_supplier_per_nation",
 ]
 
 
@@ -213,4 +215,62 @@ def order_priority_cube(orders: DataFrame) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-07-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape (SURVEY.md §2.9 subqueries — correlated EXISTS):
+    per-priority count of orders in a window having at least one lineitem
+    shipped more than ``late_days`` after the order date (the testdata has
+    no l_commitdate/l_receiptdate, so lateness is shipdate vs orderdate).
+
+    The correlated EXISTS decorrelates to a left-semi join whose condition
+    carries the correlated predicate — one shuffle on the order key, date
+    filter pushed to the orders scan. The semi join stops probing an order
+    at its first match (no count-then-filter materialization)."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    cond = (lineitem["l_orderkey"] == o["o_orderkey"]) & (
+        lineitem["l_shipdate"]
+        > o["o_orderdate"] + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        o.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def top_supplier_per_nation(
+    supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """TPC-H Q2 shape (SURVEY.md §2.9 subqueries — correlated scalar MIN/MAX
+    against a dimension-scoped subset): suppliers holding their nation's
+    maximum account balance, with region/nation names attached (no partsupp
+    table in the testdata, so the correlation scopes over nationkey).
+
+    Decorrelated to per-key max + equality join; max() SELECTS an existing
+    double (no arithmetic), so the value survives cross-engine bit-exact —
+    unlike avg, which needs the decimal-sum treatment. Dimensions broadcast."""
+    mx = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        supplier.join(
+            mx,
+            (supplier["s_nationkey"] == mx["nk"])
+            & (supplier["s_acctbal"] == mx["max_bal"]),
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("r_name", "n_name", "s_name", "s_acctbal")
     )

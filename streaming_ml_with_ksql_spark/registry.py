@@ -778,6 +778,31 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_pairs",
+    _SHINGLES_CTE
+    + """
+    , ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard dedup via inverted shingle index (the
+    deterministic twin of minhash_near_dup_pairs — no probabilistic
+    candidate stage, same coefficient)."""
+    return text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_near_minhash",
     _MINHASH_SQL_BODY.format(minhash_cols=_MINHASH_COLS)
     + """
@@ -1294,6 +1319,50 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (SURVEY.md §2.9)."""
     return tpch.order_priority_cube(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS with a non-equi correlated
+    predicate, decorrelated to a conditioned left-semi join (SURVEY.md
+    §2.9 subqueries); the oracle states the EXISTS form."""
+    return tpch.late_shipment_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "top_supplier_per_nation",
+    """
+    SELECT r_name, n_name, s_name, s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar max against a dimension-scoped
+    subset, decorrelated to per-key max + equality join; dimensions
+    broadcast (SURVEY.md §2.9 subqueries)."""
+    return tpch.top_supplier_per_nation(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
 
 
 @register("enriched_window_join_salted", _ENRICHED_JOIN_ORACLE)

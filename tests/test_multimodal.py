@@ -41,6 +41,20 @@ def test_decode_stub_is_deterministic_vs_local(spark, sf_small):
         assert row["width"] == raw[0] % 64 + 1
 
 
+def test_stub_kernel_is_active_and_named(spark):
+    """This component is PARTIAL by design: the active decode kernel in
+    this container must be `_stub_decode` (no media libraries installed),
+    and the real-codec swap point is `_real_decode` — one function, same
+    signature. If a media library ever appears here, this test fails on
+    purpose: wire `_real_decode` and flip the assertion."""
+    assert multimodal._try_real_decoder() is None
+    assert multimodal._active_decode_kernel() is multimodal._stub_decode
+    # the stub itself is pure + deterministic on raw bytes
+    one = multimodal._stub_decode(7, "image/png", b"abc")
+    two = multimodal._stub_decode(7, "image/png", b"abc")
+    assert one == two and one["decoder"] == "stub"
+
+
 def test_extract_features_deterministic_fixed_dim(spark, sf_small):
     from streaming_ml_with_ksql_spark import io as io_mod
     from streaming_ml_with_ksql_spark.operators import multimodal

@@ -13,6 +13,7 @@ NORTHSTAR_ORACLED = [
     "doc_fingerprint",
     "dedup_exact_events",
     "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
     "dedup_near_minhash",
     "simhash_near_dup_pairs",
     "embedding_topk_bruteforce",

@@ -27,6 +27,9 @@ PHASE2 = [
     "key_set_ops",
     "user_event_type_diversity",
     "order_value_percentiles",
+    "orders_above_customer_avg",
+    "late_shipment_priority",
+    "top_supplier_per_nation",
 ]
 
 
