@@ -40,7 +40,10 @@ HEADLINE = [
     "session_window_agg",
     "dedup_exact_events",
     "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
     "embedding_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "late_shipment_priority",
     "text_stats",
     "word_count_topk",
     "corpus_clean_pipeline",

@@ -20,7 +20,7 @@ import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -1365,6 +1365,102 @@ def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_rank_suite",
+    """
+    SELECT event_id, event_type, value,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_value_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite (SURVEY.md §2.9): rank / percent_rank /
+    cume_dist / ntile in one window pass — one shuffle on the partition
+    key, one sort, all four functions share the frame. The (value,
+    event_id) ordering is a total order, which is what makes ntile (a
+    row-position function) deterministic cross-engine."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "event_type_unpivot",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t(event_type) AS (VALUES ('view'), ('click'), ('purchase'),
+                             ('error'), ('signup')),
+    c AS (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2)
+    SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n_events
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (SURVEY.md §2.9 pivot family round-trip): the pivot
+    matrix stacked back to (user_id, event_type, n_events) long form via
+    `stack` — a generator projection, no extra shuffle beyond the pivot's
+    own aggregation."""
+    pv = tpch.event_type_pivot(_t(spark, sf_dir, "events"))
+    return pv.selectExpr(
+        "user_id",
+        "stack(5, 'view', view, 'click', click, 'purchase', purchase, "
+        "'error', error, 'signup', signup) AS (event_type, n_events)",
+    )
+
+
+@register(
+    "order_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(2 * grouping(o_orderstatus)
+                + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() disambiguator (SURVEY.md §2.9
+    grouping sets beyond ROLLUP/CUBE): a NULL status in a subtotal row is
+    distinguishable from a NULL data value by gid. SQL-API path on
+    purpose — the engine exposes both DataFrame (cube/rollup) and SQL
+    grouping-set surfaces."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(2 * grouping(o_orderstatus)
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
 @register("enriched_window_join_salted", _ENRICHED_JOIN_ORACLE)
 def q_enriched_window_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The enrichment join executed through the skew-salting fallback
@@ -1522,6 +1618,78 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stream_sinks.run_to_memory(
         joined, f"reg_stream_ivj_{next(_STREAM_SEQ)}"
+    )
+
+
+@register(
+    "streaming_interval_join_left",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.user_id, purchase_id, purchase_ts,
+             CAST(view_id AS DOUBLE) AS view_id, view_ts, view_value
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.view_ts >= p.purchase_ts - INTERVAL 1 DAY
+       AND v.view_ts <= p.purchase_ts)
+    SELECT * FROM m
+    UNION ALL
+    SELECT p.user_id, purchase_id, purchase_ts,
+           CAST(NULL AS DOUBLE) AS view_id,
+           CAST(NULL AS TIMESTAMP) AS view_ts,
+           CAST(NULL AS DOUBLE) AS view_value
+    FROM p
+    WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+      -- Spark's query watermark is the MIN over both watermark operators
+      -- (each side tracks its own max event time, ms-truncated), and a
+      -- left row's NULL result emits on state eviction: ts strictly below
+      -- the final watermark.
+      AND purchase_ts <
+          least(date_trunc('milliseconds',
+                           (SELECT max(purchase_ts) FROM p)),
+                date_trunc('milliseconds',
+                           (SELECT max(view_ts) FROM v)))
+          - INTERVAL 2 MINUTE
+    """,
+)
+def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER interval join: unmatched purchases emit a
+    NULL-padded row only on state eviction — strictly below the final
+    watermark, which is the MIN over both sides' watermark operators
+    (min(max purchase ts, max view ts) − delay, ms-truncated); newer
+    unmatched purchases never emit. The oracle states exactly that
+    emission set, making Spark's outer-join eviction semantics themselves
+    oracle-checked. view_id is DOUBLE on both sides (nullable-BIGINT
+    bridge rule)."""
+    stream = _replay_events(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_queries.interval_join_stream(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lookback="1 day",
+        watermark_delay=_STREAM_WM,
+        how="left_outer",
+    ).withColumn("view_id", F.col("view_id").cast("double"))
+    return stream_sinks.run_to_memory(
+        joined, f"reg_stream_ivjl_{next(_STREAM_SEQ)}"
     )
 
 

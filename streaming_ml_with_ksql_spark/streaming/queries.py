@@ -88,8 +88,9 @@ def interval_join_stream(
     right_ts: str,
     lookback: str = "10 minutes",
     watermark_delay: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream–stream inner interval join (absent from the reference's KSQL
+    """Stream–stream interval join (absent from the reference's KSQL
     5.4 surface, SURVEY.md §2.9; native in Structured Streaming): left
     rows match right rows of the same key with
     ``right_ts ∈ [left_ts − lookback, left_ts]``.
@@ -99,6 +100,13 @@ def interval_join_stream(
     ``right_ts + lookback``). For an in-order bounded replay the emitted
     matches equal the batch join exactly — which is how the oracle checks
     it. Columns must be disjoint apart from the key.
+
+    ``how='left_outer'``: unmatched left rows additionally emit with NULL
+    right columns — but only once the watermark passes the row's last
+    possible match time (state eviction), so the outer emission set is
+    itself watermark-defined; left rows newer than the final watermark
+    never emit their NULL row. The streaming_interval_join_left oracle
+    states exactly that set.
     """
     l_wm = left.withWatermark(left_ts, watermark_delay).alias("l")
     r_wm = right.withWatermark(right_ts, watermark_delay).alias("r")
@@ -110,7 +118,7 @@ def interval_join_stream(
     out_cols = [F.col(f"l.{key}").alias(key)] + [
         F.col(f"l.{c}") for c in left.columns if c != key
     ] + [F.col(f"r.{c}") for c in right.columns if c != key]
-    return l_wm.join(r_wm, cond, "inner").select(*out_cols)
+    return l_wm.join(r_wm, cond, how).select(*out_cols)
 
 
 def enrich_and_score_stream(

@@ -27,6 +27,7 @@ STREAMING = [
     "streaming_latest_per_key",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_interval_join_left",
 ]
 
 

@@ -30,6 +30,9 @@ PHASE2 = [
     "orders_above_customer_avg",
     "late_shipment_priority",
     "top_supplier_per_nation",
+    "value_rank_suite",
+    "event_type_unpivot",
+    "order_grouping_sets",
 ]
 
 
