@@ -4,7 +4,8 @@ entry(), and compare every queries() entry against its oracle_sql() in
 DuckDB at sf0.01 — row count, sorted column names, sorted stringified
 row values.
 
-Run from anywhere: python /root/repo/scripts/verify_driver.py [sf_dir]
+Run from anywhere: python /root/repo/scripts/verify_driver.py [sf_dir] [substr...]
+Extra args filter the query list by substring match (entry() still runs).
 Exit code 0 iff everything matches.
 """
 
@@ -87,6 +88,11 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    if len(sys.argv) > 2:
+        pats = sys.argv[2:]
+        queries = {
+            n: f for n, f in queries.items() if any(p in n for p in pats)
+        }
     failures = []
     for name, fn in queries.items():
         sdf = fn(spark, sf_dir)

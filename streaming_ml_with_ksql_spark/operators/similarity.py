@@ -12,6 +12,14 @@ Two paths over an ``array<float>`` embedding column:
   cosine re-ranks. The corpus-side bucket id is computed once (narrow map),
   and the join is an equi-join on bucket id — no all-pairs shuffle.
 
+Dense-vector arithmetic (bucket matmuls, candidate-pair cosine) runs in
+Arrow-batched numpy kernels (`pandas_udf`): Catalyst's higher-order
+``aggregate(zip_with(...))`` evaluates per element, interpreted — ~50×
+slower at hundreds of hyperplanes. The pair-cosine kernel folds dimensions
+sequentially so its doubles stay bit-identical to the JVM fold and the
+DuckDB oracle (see _pair_cosine_udf). Candidate generation carries only
+ids; embeddings join back onto the deduped pair list.
+
 Similarities are rounded to 6 dp *before* ranking with a vec_id tie-break:
 cross-engine float sums differ in the last ulp, and ranking on rounded
 values keeps top-k membership deterministic (SURVEY.md §7 scale discipline).
@@ -21,8 +29,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "cosine_sim",
@@ -152,6 +164,60 @@ def embedding_near_dup_pairs(
     )
 
 
+def _lsh_buckets_udf(n_tables: int, n_planes: int, dim: int):
+    """Vectorized Arrow kernel: all ``n_tables`` sign-bucket ids of a vector
+    in one numpy matmul — (batch × dim) @ (dim × tables·planes) — instead of
+    tables·planes separate Catalyst ``aggregate(zip_with(...))`` folds
+    (higher-order functions evaluate per element, interpreted: ~50× slower
+    at 144 planes). Same deterministic hyperplanes; bucket membership is
+    only a candidate-generation concern, and recall is pinned by the
+    exact-match test against the all-pairs baseline."""
+    mat = np.array(
+        [_hyperplanes(t, n_planes, dim) for t in range(n_tables)], dtype=np.float64
+    ).reshape(n_tables * n_planes, dim).T  # (dim, T·P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        e = np.vstack(emb.to_numpy())  # (n, dim) float64
+        bits = (e @ mat) > 0  # (n, T·P)
+        b = bits.reshape(len(e), -1, len(weights)) @ weights  # (n, T)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return buckets
+
+
+def _pair_cosine_udf():
+    """Candidate-pair cosine, vectorized ACROSS pairs but folded
+    sequentially ACROSS dimensions — the per-dimension left-to-right
+    accumulation is bit-identical to the JVM ``aggregate(zip_with(...))``
+    fold and DuckDB's ``list_dot_product`` loop, so rounded values agree
+    with the all-pairs oracle exactly. Rounding stays JVM-side (engines
+    disagree on round-half semantics; the raw double is what's canonical).
+    Built lazily: pandas_udf needs an active session.
+    """
+
+    @pandas_udf("double")
+    def pair_cosine(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype=float)
+        a = np.vstack(ea.to_numpy())
+        b = np.vstack(eb.to_numpy())
+        n = len(a)
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(a.shape[1]):  # sequential fold over dims, like the JVM
+            dot += a[:, d] * b[:, d]
+            na += a[:, d] * a[:, d]
+            nb += b[:, d] * b[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return pair_cosine
+
+
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame,
     *,
@@ -182,34 +248,25 @@ def embedding_near_dup_pairs_lsh(
     """
     emb = _as_double(embeddings).select("vec_id", "embedding")
 
-    def tagged(col: Column) -> Column:
-        return F.explode(
-            F.array(*_bucket_structs(col, n_tables, n_planes, dim))
-        )
+    bucket_udf = _lsh_buckets_udf(n_tables, n_planes, dim)
+    # Candidates carry ONLY ids through explode/join/dedup — the 64-double
+    # embedding arrays would otherwise ride through every shuffle (probes
+    # explode 7× per table). Embeddings join back onto the deduped pair
+    # list, which is the smallest frame in the plan.
+    base = _fan_out(emb).withColumn("buckets", bucket_udf(F.col("embedding")))
+    tagged = base.select("vec_id", F.posexplode("buckets").alias("table_id", "bucket"))
 
-    base = _with_norm(emb, "embedding", "nrm")
-    corpus = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        tagged(F.col("embedding")).alias("tb"),
-    ).select("vec_b", "eb", "nb", "tb.table_id", "tb.bucket")
-
-    probes = base.select(
+    corpus = tagged.select(
+        F.col("vec_id").alias("vec_b"), "table_id", "bucket"
+    )
+    probes = tagged.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        tagged(F.col("embedding")).alias("tb"),
-    ).select(
-        "vec_a",
-        "ea",
-        "na",
-        "tb.table_id",
+        "table_id",
         F.explode(
             F.array(
-                F.col("tb.bucket"),
+                F.col("bucket"),
                 *[
-                    F.col("tb.bucket").bitwiseXOR(F.lit(1 << p))
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
                     for p in range(n_planes)
                 ],
             )
@@ -219,15 +276,26 @@ def embedding_near_dup_pairs_lsh(
     cands = (
         probes.join(corpus, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return cands.select(
-        "vec_a",
-        "vec_b",
-        _cosine_prenormed(
-            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    pair_cos = _pair_cosine_udf()
+    scored = (
+        cands.join(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),
+            "vec_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(pair_cos(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[float]]:
@@ -244,22 +312,6 @@ def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def _bucket_structs(
-    col: Column, n_tables: int, n_planes: int, dim: int
-) -> list[Column]:
-    """One (table_id, bucket) struct per LSH table: bucket is the P-bit sign
-    pattern of the vector against that table's deterministic hyperplanes —
-    pure Catalyst expressions, computed in a single narrow map per scan."""
-    out = []
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for p, comps in enumerate(_hyperplanes(t, n_planes, dim)):
-            plane = F.array(*[F.lit(c) for c in comps])
-            bucket = bucket + F.when(
-                _dot(col, plane) > 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        out.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    return out
 
 
 def lsh_bucket_topk(
@@ -286,21 +338,20 @@ def lsh_bucket_topk(
     Approximate — compare against brute_force_topk for recall
     (tests/test_similarity.py)."""
     emb = _as_double(embeddings).select("vec_id", "embedding")
+    bucket_udf = _lsh_buckets_udf(n_tables, n_planes, dim)
+    base = _fan_out(emb).withColumn("buckets", bucket_udf(F.col("embedding")))
 
-    def bucket_structs(col: Column) -> list[Column]:
-        return _bucket_structs(col, n_tables, n_planes, dim)
-
-    corpus = emb.select(
+    corpus = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.explode(F.array(*bucket_structs(F.col("embedding")))).alias("tb"),
-    ).select("neighbor_id", "c_emb", "tb.table_id", "tb.bucket")
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
 
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(F.array(*bucket_structs(F.col("embedding")))).alias("tb"),
-    ).select("query_id", "q_emb", "tb.table_id", F.col("tb.bucket").alias("q_bucket"))
+        F.posexplode("buckets").alias("table_id", "q_bucket"),
+    )
 
     probe_cols = [F.col("q_bucket")]
     if multiprobe:
