@@ -879,8 +879,7 @@ def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "embedding_near_dup_pairs",
+_EMB_PAIRS_ORACLE = (
     _EMB_CTE
     + """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -891,14 +890,31 @@ def q_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
           6) >= 0.4
-    """,
+    """
 )
+
+
+@register("embedding_near_dup_pairs", _EMB_PAIRS_ORACLE)
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered on the LSH-bucketed serving path (no all-pairs join in the
-    plan — asserted in tests/test_plans.py); the all-pairs form
-    (similarity.embedding_near_dup_pairs) is the oracle/recall baseline only.
-    The exact-cosine re-rank makes surviving pairs bit-identical, so the
-    all-pairs SQL oracle still verifies this query."""
+    """Registered on the blocked-GEMM dense scan: at this threshold (0.4 —
+    the testdata's natural tail; no planted high-cosine dups exist) sign-LSH
+    has no amplification gap (p≈0.63 vs 0.5) and any high-recall bucketing
+    admits ~94% of all pairs as candidates. The dense scan pays the
+    unavoidable O(n²·d) FLOPs at BLAS speed with ZERO pair shuffle — no
+    join node in the plan at all (asserted in tests/test_plans.py). Exact
+    rescoring makes survivors bit-identical to the all-pairs SQL oracle."""
+    return similarity.embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+@register("embedding_near_dup_pairs_lsh", _EMB_PAIRS_ORACLE)
+def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs — the serving shape for HIGH
+    thresholds, where the bucket equi-join genuinely prunes. Exact-cosine
+    re-rank makes surviving pairs bit-identical, so the same all-pairs SQL
+    oracle verifies it (recall at these parameters is measured 100% on the
+    testdata; see tests/test_similarity.py)."""
     return similarity.embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 

@@ -86,11 +86,13 @@ def test_whole_stage_codegen_on_flagship(spark):
 
 
 def test_embedding_near_dup_no_all_pairs_join(spark):
-    """The registered near-dup query must be the LSH-bucketed serving path:
-    candidates from a (table_id, bucket) equi-join, never a cross product."""
-    plan = _explain(spark, "embedding_near_dup_pairs", "simple")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    """Neither registered near-dup form may contain an all-pairs join node:
+    the dense path is a joinless broadcast-tile GEMM scan, the LSH path a
+    (table_id, bucket) equi-join."""
+    for q in ("embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh"):
+        plan = _explain(spark, q, "simple")
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
 
 
 def test_minhash_no_python_in_hot_path(spark):

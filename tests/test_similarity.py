@@ -62,6 +62,21 @@ def test_near_dup_lsh_matches_all_pairs_exactly(spark, sf_medium):
     )
 
 
+def test_near_dup_blocked_matches_all_pairs_exactly(spark, sf_medium):
+    """The blocked-GEMM dense scan (the registered serving form) must return
+    EXACTLY the all-pairs baseline's pairs AND cosines — its sequential-fold
+    rescore is the bit-identity guarantee against the SQL oracle."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {tuple(r) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    blocked = {
+        tuple(r)
+        for r in similarity.embedding_near_dup_pairs_blocked(emb).collect()
+    }
+    assert blocked == exact, (
+        f"missed={len(exact - blocked)} extra={len(blocked - exact)} of {len(exact)}"
+    )
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_medium):
     """IVF with 4/16 cells probed must recover most exact top-5 pairs."""
     from streaming_ml_with_ksql_spark import io as io_mod
