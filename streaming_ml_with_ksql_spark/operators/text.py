@@ -30,6 +30,7 @@ __all__ = [
     "tokens_col",
     "shingles",
     "text_stats",
+    "token_counts",
     "lang_id",
     "doc_fingerprint",
     "minhash_signatures",
@@ -106,6 +107,32 @@ def text_stats(documents: DataFrame) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         avg_token_len.alias("avg_token_len"),
         quality.alias("quality_score"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Corpus token budget (north-star: token counting): per (source, lang)
+    slice, document count, whitespace-token and BPE-ish subword-token
+    totals, and mean subword tokens per doc — the planning numbers for a
+    training-data mix at 100 TB (token sums are the unit data budgets are
+    written in).
+
+    Whitespace tokens are ``\\S+`` runs (no split-on-empty edge cases);
+    subword tokens use TOKEN_PATTERN — letter/digit/underscore runs plus
+    single punctuation marks, the pre-tokenization split a byte-pair
+    encoder applies before merges. All counting is Catalyst `regexp_count`
+    (JVM, codegen); the group-by carries two longs per doc, so the shuffle
+    is bytes per document, not the text."""
+    ws = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    sub = F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN))
+    per_doc = documents.select("source", "lang", ws.alias("ws"), sub.alias("sub"))
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("sub").alias("subword_tokens"),
+        F.round(
+            F.sum("sub").cast("double") / F.count("*"), 4
+        ).alias("avg_subword_tokens"),
     )
 
 

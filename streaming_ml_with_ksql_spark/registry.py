@@ -29,7 +29,16 @@ from .functions.scalars import as_array, timestamp_to_string
 from .ml import features as ml_features
 from .ml import predict as ml_predict
 from .ksql import runbook
-from .operators import dedup, joins, multimodal, rolling, similarity, text, windows
+from .operators import (
+    dedup,
+    joins,
+    multimodal,
+    rolling,
+    similarity,
+    text,
+    timeseries,
+    windows,
+)
 from .plans import tpch
 from .sources import cdc
 from .streaming import queries as stream_queries
@@ -1946,3 +1955,212 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         default_quota=25,
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Time-series surface: multi-resolution rollup + gap-fill (beyond-reference,
+# SURVEY.md §2.9 analogs of hypertable continuous aggregates)
+# --------------------------------------------------------------------------
+
+@register(
+    "token_budget",
+    r"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             len(regexp_extract_all(text, '\S+')) AS ws,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS sub
+      FROM documents)
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(sub) AS BIGINT) AS subword_tokens,
+           round(CAST(sum(sub) AS DOUBLE) / count(*), 4) AS avg_subword_tokens
+    FROM per_doc GROUP BY source, lang
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per (source, lang): whitespace + BPE-ish subword
+    token totals (north-star: token counting). All counting is JVM
+    regexp_count; the shuffle carries two longs per doc."""
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+_ROLLUP_GRAIN_SQL = """
+      SELECT '{res}' AS resolution,
+             date_trunc('{res}', ts) AS bucket_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 2, 3
+"""
+
+
+@register(
+    "multi_resolution_rollup",
+    " UNION ALL ".join(
+        _ROLLUP_GRAIN_SQL.format(res=r) for r in ("minute", "hour", "day")
+    ),
+)
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollup where each coarser grain aggregates the finer
+    grain's PARTIALS (sum-of-sums in exact decimal) — one scan feeds all
+    three resolutions; the oracle aggregates each grain straight from the
+    raw table, so cascade ≡ direct is itself the checked property."""
+    return timeseries.multi_resolution_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "hourly_gap_fill_locf",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    last_pick AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start, value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev),
+    per_bucket AS (
+      SELECT user_id, bucket_start,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             max(CASE WHEN rn = 1 THEN value END) AS last_obs
+      FROM last_pick GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM ev GROUP BY 1),
+    scaffold AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+             AS bucket_start
+      FROM spans)
+    SELECT s.user_id, s.bucket_start,
+           coalesce(p.n_events, 0) AS n_events,
+           coalesce(p.sum_value, 0.0) AS sum_value,
+           last_value(p.last_obs IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM scaffold s LEFT JOIN per_bucket p
+      ON p.user_id = s.user_id AND p.bucket_start = s.bucket_start
+    """,
+)
+def q_hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill for a user cohort: per-key scaffold generated from
+    the key's own span (sequence+explode, no calendar table), empty buckets
+    zero-filled, last observation carried forward deterministically
+    ((ts, event_id) tie-break)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return timeseries.gap_fill_locf(ev)
+
+
+# --------------------------------------------------------------------------
+# Streaming additions (round 2): continuous exact dedup + full-outer
+# stream-stream interval join
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_dedup_exact",
+    """
+    SELECT e.* FROM events e
+    JOIN (
+      SELECT min(event_id) AS event_id FROM events
+      GROUP BY md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type, props))
+    ) w USING (event_id)
+    """,
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a continuous aggregate: the content
+    fingerprint's min-id winner is a commutative streaming groupBy (state =
+    one (digest, id) pair per distinct content, map-side-combined each
+    micro-batch), drained in complete mode, then the survivor rows are
+    recovered by a batch key join — converging to exactly the batch
+    dedup_exact answer, which is the oracle. At 100 TB with unbounded
+    streams you'd bound state with dropDuplicatesWithinWatermark (TTL'd
+    digests) instead; the complete-mode aggregate is the exact form."""
+    stream = _replay_events(spark, sf_dir)
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("props"),
+        )
+    )
+    winners = (
+        stream.select(fp.alias("__fp"), "event_id")
+        .groupBy("__fp")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    drained = stream_sinks.run_to_memory(
+        winners,
+        f"reg_stream_dedup_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).select("event_id")
+    return _t(spark, sf_dir, "events").join(drained, "event_id")
+
+
+@register(
+    "streaming_interval_join_full",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'),
+    wm AS (
+      SELECT least(date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)),
+                   date_trunc('milliseconds', (SELECT max(view_ts) FROM v)))
+             - INTERVAL 2 MINUTE AS w),
+    m AS (
+      SELECT p.user_id, CAST(purchase_id AS DOUBLE) AS purchase_id,
+             purchase_ts, CAST(view_id AS DOUBLE) AS view_id,
+             view_ts, view_value
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.view_ts >= p.purchase_ts - INTERVAL 1 DAY
+       AND v.view_ts <= p.purchase_ts)
+    SELECT * FROM m
+    UNION ALL
+    SELECT p.user_id, CAST(purchase_id AS DOUBLE), purchase_ts,
+           CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM p
+    WHERE purchase_id NOT IN (SELECT CAST(purchase_id AS BIGINT) FROM m)
+      AND purchase_ts < (SELECT w FROM wm)
+    UNION ALL
+    SELECT v.user_id, CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+           CAST(view_id AS DOUBLE), view_ts, view_value
+    FROM v
+    WHERE view_id NOT IN (SELECT CAST(view_id AS BIGINT) FROM m)
+      AND view_ts + INTERVAL 1 DAY < (SELECT w FROM wm)
+    """,
+)
+def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream FULL OUTER interval join: both sides' unmatched rows
+    NULL-pad on their own state eviction — left when the watermark passes
+    the row's ts, right when it passes ts + lookback (the last left ts it
+    could still match). The oracle states both watermark-defined emission
+    sets; nullable ids are DOUBLE on both sides (bridge rule)."""
+    stream = _replay_events(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").cast("double").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").cast("double").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_queries.interval_join_stream(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lookback="1 day",
+        watermark_delay=_STREAM_WM,
+        how="full_outer",
+    )
+    return stream_sinks.run_to_memory(
+        joined, f"reg_stream_ivjf_{next(_STREAM_SEQ)}"
+    )

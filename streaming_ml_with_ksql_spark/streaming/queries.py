@@ -115,7 +115,12 @@ def interval_join_stream(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    out_cols = [F.col(f"l.{key}").alias(key)] + [
+    key_col = (
+        F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
+        if how == "full_outer"  # right-only rows have a NULL left side
+        else F.col(f"l.{key}").alias(key)
+    )
+    out_cols = [key_col] + [
         F.col(f"l.{c}") for c in left.columns if c != key
     ] + [F.col(f"r.{c}") for c in right.columns if c != key]
     return l_wm.join(r_wm, cond, how).select(*out_cols)

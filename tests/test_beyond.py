@@ -18,6 +18,8 @@ BEYOND = [
     "order_priority_cube",
     "enriched_window_join_salted",
     "corpus_clean_pipeline",
+    "multi_resolution_rollup",
+    "hourly_gap_fill_locf",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
@@ -28,6 +30,8 @@ STREAMING = [
     "streaming_sessionize",
     "streaming_interval_join",
     "streaming_interval_join_left",
+    "streaming_interval_join_full",
+    "streaming_dedup_exact",
 ]
 
 

@@ -24,6 +24,8 @@ NORTHSTAR_ORACLED = [
     "multimodal_frame_sample",
     "lang_id_ngram",
     "corpus_sample_mix",
+    "token_budget",
+    "embedding_near_dup_pairs_lsh",
 ]
 
 
@@ -38,3 +40,27 @@ def test_minhash_finds_planted_near_dups(spark, sf_medium):
 
     pairs = registry._REGISTRY["minhash_near_dup_pairs"].spark(spark, sf_medium)
     assert pairs.count() > 0
+
+
+def test_token_counts_budget_consistency(spark, sf_medium):
+    """Token budget invariants: subword tokens >= whitespace tokens (every
+    whitespace run yields >= 1 subword token), doc totals conserve, avg is
+    exactly sum/docs."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import text
+
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    out = text.token_counts(docs).cache()
+    assert out.filter(F.col("subword_tokens") < F.col("ws_tokens")).count() == 0
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    bad_avg = out.filter(
+        F.abs(
+            F.col("avg_subword_tokens")
+            - F.round(F.col("subword_tokens") / F.col("n_docs"), 4)
+        )
+        > 1e-12
+    )
+    assert bad_avg.count() == 0
+    out.unpersist()

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import timeseries
+
+
+def test_rollup_cascade_equals_direct(spark, sf_small):
+    """The coarser grains are built from finer PARTIALS; they must equal a
+    direct aggregation from the raw table (the decimal-sum path is what
+    makes the cascade exact)."""
+    ev = io_mod.load_table(spark, sf_small, "events")
+    out = timeseries.multi_resolution_rollup(ev)
+    day = out.filter(F.col("resolution") == "day")
+    direct = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert day.count() == direct.count()
+    assert (
+        day.select("bucket_start", "event_type", "n_events", "sum_value",
+                   "min_value", "max_value")
+        .exceptAll(direct.select("bucket_start", "event_type", "n_events",
+                                 "sum_value", "min_value", "max_value"))
+        .count()
+        == 0
+    )
+
+
+def test_rollup_conserves_events(spark, sf_small):
+    ev = io_mod.load_table(spark, sf_small, "events")
+    out = timeseries.multi_resolution_rollup(ev)
+    total = ev.count()
+    per_res = {
+        r["resolution"]: r["n"]
+        for r in out.groupBy("resolution").agg(F.sum("n_events").alias("n")).collect()
+    }
+    assert per_res == {"minute": total, "hour": total, "day": total}
+
+
+def test_gap_fill_scaffold_is_dense_and_locf_non_null(spark, sf_small):
+    ev = io_mod.load_table(spark, sf_small, "events")
+    out = timeseries.gap_fill_locf(ev).cache()
+    # dense: each user's bucket count == span hours + 1, no duplicates
+    spans = out.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("bucket_start").alias("nd"),
+        ((F.unix_timestamp(F.max("bucket_start"))
+          - F.unix_timestamp(F.min("bucket_start"))) / 3600 + 1).alias("expect"),
+    )
+    assert spans.filter(
+        (F.col("n") != F.col("nd")) | (F.col("n") != F.col("expect"))
+    ).count() == 0
+    # first bucket of every key has an observation, so LOCF is never NULL
+    assert out.filter(F.col("locf_value").isNull()).count() == 0
+    # zero-filled buckets carry the previous observation forward
+    assert out.filter(F.col("n_events") == 0).count() > 0
+    out.unpersist()
+
+
+def test_gap_fill_conserves_event_count(spark, sf_small):
+    ev = io_mod.load_table(spark, sf_small, "events")
+    out = timeseries.gap_fill_locf(ev)
+    assert (
+        out.agg(F.sum("n_events")).collect()[0][0]
+        == ev.filter(F.col("user_id").isNotNull()).count()
+    )
