@@ -30,6 +30,7 @@ from .ml import features as ml_features
 from .ml import predict as ml_predict
 from .ksql import runbook
 from .operators import (
+    bucketing,
     dedup,
     joins,
     multimodal,
@@ -2163,4 +2164,64 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return stream_sinks.run_to_memory(
         joined, f"reg_stream_ivjf_{next(_STREAM_SEQ)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Physical-layout and mergeable-sketch surface (round 2)
+# --------------------------------------------------------------------------
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-⋈-dimension revenue rollup through matching bucketed layouts:
+    both sides are written bucketBy(8, join_key).sortBy once (memoized),
+    and the join itself is a SortMergeJoin with NO Exchange above either
+    scan (asserted in tests/test_plans.py) — the shuffle is paid at write
+    time, once, instead of per query. The aggregate's only exchange is on
+    the (tiny) group key."""
+    j = bucketing.colocated_join(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+        left_cache_key=f"{sf_dir}:orders",
+        right_cache_key=f"{sf_dir}:customer",
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register("hll_partition_merge", None)  # sketch estimates are engine-specific
+def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch pattern: per-day HLL sketches (DataSketches,
+    hll_sketch_agg) merged upward with hll_union_agg instead of
+    re-scanning raw data — distinct-user counts per event_type from
+    pre-aggregated daily partials. HLL registers are order-insensitive,
+    so merged ≡ direct single-pass exactly; that identity (and the error
+    bound vs exact) is pinned in tests/test_relational.py. Rows-only here:
+    sketch estimates don't exist in the DuckDB dialect."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users")
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "merged_users", "direct_users"
     )

@@ -100,3 +100,13 @@ def test_minhash_no_python_in_hot_path(spark):
     plan = _explain(spark, "minhash_near_dup_pairs", "simple")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange_on_join_key(spark):
+    """The co-located join's whole point: bucketed layouts make the
+    SortMergeJoin exchange-free — the only shuffle left in the query is
+    the final (tiny) group-by key, never the join key."""
+    plan = _explain(spark, "bucketed_colocated_join", "simple")
+    assert "SortMergeJoin" in plan
+    for key in ("o_custkey", "c_custkey"):
+        assert not re.search(rf"Exchange hashpartitioning\({key}", plan), key

@@ -71,3 +71,27 @@ def test_approx_sketches_error_bounds(spark, sf_medium):
         ap = approx[et]
         assert abs(ap.approx_users - ex.users) <= max(3 * 0.02 * ex.users, 2)
         assert abs(ap.approx_p50_value - ex.p50) <= 0.05 * abs(ex.p50) + 1e-6
+
+
+def test_hll_merge_equals_direct_and_bounds_error(spark, sf_medium):
+    """HLL registers are order-insensitive: merging daily sketches must
+    reproduce the single-pass estimate EXACTLY, and both must sit within
+    ~3% of the exact distinct count (default lgConfigK=12 accuracy)."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import registry
+    from streaming_ml_with_ksql_spark import io as io_mod
+
+    out = registry._REGISTRY["hll_partition_merge"].spark(spark, sf_medium)
+    rows = {r["event_type"]: r for r in out.collect()}
+    ev = io_mod.load_table(spark, sf_medium, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        assert r["merged_users"] == r["direct_users"], et
+        assert abs(r["direct_users"] - exact[et]) / exact[et] < 0.03, et
