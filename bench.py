@@ -45,8 +45,13 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "late_shipment_priority",
     "text_stats",
+    "token_budget",
     "word_count_topk",
     "corpus_clean_pipeline",
+    "multi_resolution_rollup",
+    "hourly_gap_fill_locf",
+    "bucketed_colocated_join",
+    "hll_partition_merge",
     "streaming_hopping_window",
 ]
 
