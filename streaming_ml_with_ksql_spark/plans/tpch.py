@@ -33,6 +33,12 @@ __all__ = [
     "order_priority_cube",
     "late_shipment_priority",
     "top_supplier_per_nation",
+    "volume_shipping",
+    "important_part_values",
+    "part_supplier_counts",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "churned_high_balance",
 ]
 
 
@@ -247,6 +253,232 @@ def late_shipment_priority(
         o.join(lineitem, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def volume_shipping(
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The nation dimension joins twice under different roles (customer
+    nation / supplier nation) — both broadcast, so the only shuffle is
+    lineitem↔orders on the order key. The two-nation disjunction is applied
+    AFTER the role joins (it references both sides), but customer/supplier
+    are pre-filtered to the two nations' keys so the fact rows that can
+    never qualify drop at the broadcast probes, not at the end."""
+    n_pair = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    cn = n_pair.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n_pair.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame, part: DataFrame, *, multiplier: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against an uncorrelated scalar subquery):
+    parts whose lineitem value exceeds ``multiplier`` × the per-part
+    average (average-relative rather than Q11's fixed fraction, so the
+    selection stays non-trivial at every scale factor — part count grows
+    with sf).
+
+    The per-part aggregate is computed once; the global average
+    re-aggregates the (already tiny) per-part frame rather than rescanning
+    lineitem, and joins back as a broadcast scalar. Sums are exact
+    DECIMAL(18,2) (prices are 2-dp) so the threshold compare is
+    bit-identical cross-engine (1.5 and the divide are the same double ops
+    in the same order on both engines)."""
+    val = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val_dec")
+    )
+    total = val.agg(
+        F.sum("val_dec").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("npart"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.lit(multiplier) * (F.col("tot") / F.col("npart"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey", "p_name", F.col("val_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN subquery + COUNT DISTINCT): supplier counts
+    per (brand, type), excluding suppliers with negative balance (the
+    testdata's stand-in for Q16's complaint filter; no partsupp table, so
+    observed lineitem (part, supp) pairs serve as the association).
+
+    The distinct over (part, supp) is the one real shuffle; the exclusion
+    list is a broadcast anti join and the part attributes a broadcast
+    equi-join. count_distinct then reuses the same hash partitioning."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(excluded),
+            pairs.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_qty: int = 250,
+) -> DataFrame:
+    """TPC-H Q18 shape (IN over a GROUP BY ... HAVING subquery): orders
+    whose total lineitem quantity exceeds ``min_qty``, with customer names.
+
+    The HAVING subquery decorrelates to an aggregate + equi-join on the
+    order key — the aggregate output (orders over the threshold) is tiny,
+    so it is the probe side; quantity sums are DECIMAL-exact and emitted
+    as DOUBLE (driver nullable/decimal bridge rule)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): per supplier,
+    the number of finalized multi-supplier orders where ONLY that supplier
+    shipped late (> ``late_days`` after the order date — the testdata has no
+    commit/receipt dates).
+
+    Shape: one lineitem↔orders shuffle builds (order, supplier) pairs and
+    the late subset; EXISTS becomes a left-semi self-join and NOT EXISTS a
+    left-anti self-join, both on the order key — three shuffles total over
+    frames that shrink at every step, never a per-order count
+    materialization. Supplier/nation attach by broadcast at the end."""
+    lo = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    all_pairs = lo.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        lo.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1, l2, l3 = late.alias("l1"), all_pairs.alias("l2"), late.alias("l3")
+    sole_late = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def churned_high_balance(
+    customer: DataFrame, orders: DataFrame, *, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (scalar AVG subquery + anti-joined NOT EXISTS):
+    customers with above-average positive balance and no order since
+    ``since``, aggregated per market segment.
+
+    The scalar average broadcasts (decimal-sum canonical, per the
+    cross-engine avg rule); NOT EXISTS decorrelates to a left-anti join
+    against date-filtered orders — the date filter is pushed to the orders
+    scan, so the anti join probes only recent orders."""
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
     )
 
 

@@ -1399,6 +1399,167 @@ def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "volume_shipping",
+    """
+    SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n_c ON c.c_nationkey = n_c.n_nationkey
+    JOIN nation n_s ON s.s_nationkey = n_s.n_nationkey
+    WHERE ((n_c.n_name = 'NATION_1' AND n_s.n_name = 'NATION_2')
+        OR (n_c.n_name = 'NATION_2' AND n_s.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the nation dimension joined twice under two roles
+    (customer vs supplier nation), bilateral-pair filter, revenue by ship
+    year (SURVEY.md §2.9 multi-way joins)."""
+    return tpch.volume_shipping(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "important_part_values",
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+      FROM lineitem GROUP BY 1)
+    SELECT v.l_partkey, p.p_name, CAST(v.val_dec AS DOUBLE) AS part_value
+    FROM val v JOIN part p ON v.l_partkey = p.p_partkey
+    WHERE CAST(v.val_dec AS DOUBLE) >
+          1.5 * ((SELECT CAST(sum(val_dec) AS DOUBLE) FROM val)
+                 / (SELECT count(*) FROM val))
+    """,
+)
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against an uncorrelated scalar subquery
+    (multiple of the per-part average), decimal-exact threshold compare
+    (SURVEY.md §2.9 subqueries)."""
+    return tpch.important_part_values(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT sp.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    JOIN part p ON sp.l_partkey = p.p_partkey
+    WHERE sp.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN exclusion subquery (broadcast anti join) +
+    COUNT DISTINCT per attribute pair (SURVEY.md §2.9 subqueries /
+    distinct aggregates)."""
+    return tpch.part_supplier_counts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(q.qty_dec AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+          FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a GROUP BY ... HAVING subquery,
+    decorrelated to aggregate + equi-join on the order key
+    (SURVEY.md §2.9 subqueries)."""
+    return tpch.large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+    alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo),
+    sole AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      WHERE EXISTS (SELECT 1 FROM alls l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey))
+    SELECT s.s_name, n.n_name, count(*) AS numwait
+    FROM sole
+    JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — correlated EXISTS (left-semi) + NOT EXISTS
+    (left-anti) self-joins on the order key (SURVEY.md §2.9 subqueries,
+    the hardest shape in the family)."""
+    return tpch.waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "churned_high_balance",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal >
+          (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*)
+           FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_churned_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar AVG subquery (decimal-sum
+    canonical) + NOT EXISTS anti join with the date filter pushed to the
+    orders scan (SURVEY.md §2.9 subqueries)."""
+    return tpch.churned_high_balance(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "value_rank_suite",
     """
     SELECT event_id, event_type, value,

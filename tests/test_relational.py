@@ -33,6 +33,12 @@ PHASE2 = [
     "value_rank_suite",
     "event_type_unpivot",
     "order_grouping_sets",
+    "volume_shipping",
+    "important_part_values",
+    "part_supplier_counts",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "churned_high_balance",
 ]
 
 
