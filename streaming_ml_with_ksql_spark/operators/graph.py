@@ -1,0 +1,111 @@
+"""Distributed connected components for dedup-group resolution.
+
+Near-duplicate detection (MinHash / SimHash / exact n-gram Jaccard — see
+operators/text.py) emits a PAIR graph; turning pairs into dedup GROUPS
+("keep one representative per component") is a connected-components
+problem. The reference corpus pipeline stops at pair emission; a
+training-data pipeline at 100 TB needs the component step too, because
+near-duplication is transitive in practice (A≈B, B≈C ⇒ A,B,C are one
+group even when A,C alone miss the threshold).
+
+Algorithm: iterative min-label propagation — every vertex starts with its
+own id as label; each round every vertex takes the min of its own and its
+neighbors' labels; converged when no label changes. Rounds needed = graph
+diameter, which for near-dup clusters is small (clusters are dense blobs,
+not paths). For adversarially long chains the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) converges in O(log d) rounds with the same
+join-groupBy primitive; the propagation loop below is the simpler shape
+and keeps per-round cost to ONE shuffle join + ONE groupBy.
+
+Scale notes:
+- State per round is (vertex, label) — two longs — never adjacency lists.
+- Each round localCheckpoints the label frame: truncates the iterative
+  lineage (plan size would otherwise grow linearly and re-run every prior
+  round), keeps the convergence `count()` cheap. On a production cluster
+  use `spark.sparkContext.setCheckpointDir` + `checkpoint()` instead —
+  localCheckpoint does not survive executor loss.
+- The convergence check is a driver-side count of CHANGED labels (labels
+  only decrease, so `new < old` counts them) — an O(1)-row action per
+  round, not a collect of the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_groups"]
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min vertex id reachable
+    via undirected ``edges``. Vertices absent from ``edges`` are singleton
+    components of themselves."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("label")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_groups(
+    documents: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Resolve a near-dup pair graph into dedup groups over the full corpus:
+    (doc_id, group_id, group_size) where group_id is the component's min
+    doc_id — the canonical keep-min-id representative. group_size rides on
+    a self-aggregation of the (tiny relative to the corpus) label frame."""
+    comp = connected_components(
+        pairs, documents.select(id_col), src=a_col, dst=b_col, id_col=id_col
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return comp.join(sizes, "component").select(
+        F.col(id_col),
+        F.col("component").alias("group_id"),
+        F.col("group_size"),
+    )

@@ -32,6 +32,7 @@ from .ksql import runbook
 from .operators import (
     bucketing,
     dedup,
+    graph,
     joins,
     multimodal,
     rolling,
@@ -810,6 +811,54 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic twin of minhash_near_dup_pairs — no probabilistic
     candidate stage, same coefficient)."""
     return text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_components",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t)-2),
+                            i -> array_to_string(t[i:i+2], ' '))
+        ELSE [] END AS shingles
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(u, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.u),
+    comp AS (SELECT u AS doc_id, min(label) AS group_id FROM reach GROUP BY u)
+    SELECT c.doc_id, c.group_id, s.group_size
+    FROM comp c
+    JOIN (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) s
+      USING (group_id)
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CONNECTED COMPONENTS: exact n-gram Jaccard pairs resolved
+    into transitive dedup groups (doc_id, group_id = component min id,
+    group_size) by iterative min-label propagation — the step between pair
+    emission and "keep one representative". The oracle recomputes the same
+    components with a recursive CTE, so the fixpoint itself is
+    hash-checked against an independent engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    return graph.dedup_groups(docs, pairs)
 
 
 @register(

@@ -26,12 +26,31 @@ NORTHSTAR_ORACLED = [
     "corpus_sample_mix",
     "token_budget",
     "embedding_near_dup_pairs_lsh",
+    "dedup_components",
 ]
 
 
 @pytest.mark.parametrize("name", NORTHSTAR_ORACLED)
 def test_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Chain graph is the propagation worst case (diameter = n-1): a 9-hop
+    chain must collapse to one component labeled by its min id; vertices
+    with no edges stay singleton components of themselves."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(2, 11)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(15)], "id long")
+    comp = {
+        r.id: r.component
+        for r in graph.connected_components(edges, vertices).collect()
+    }
+    assert all(comp[i] == 2 for i in range(2, 12))
+    assert all(comp[i] == i for i in (0, 1, 12, 13, 14))
 
 
 def test_minhash_finds_planted_near_dups(spark, sf_medium):
