@@ -30,6 +30,7 @@ from .ml import features as ml_features
 from .ml import predict as ml_predict
 from .ksql import runbook
 from .operators import (
+    bloom,
     bucketing,
     dedup,
     graph,
@@ -2417,6 +2418,36 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@register(
+    "bloom_pruned_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_orderpriority, o.o_orderdate
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: lineitem is pre-filtered through a
+    bitmap of the urgent-order keys BEFORE the shuffle-hash join, modeling
+    the dim-too-big-to-broadcast regime where pruning the exchange is the
+    whole game at 100 TB. No false negatives, so the result hashes equal
+    to the plain inner join the oracle states."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+    return bloom.bloom_pruned_join(li, urgent, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "o_orderpriority", "o_orderdate",
     )
 
 

@@ -20,6 +20,7 @@ BEYOND = [
     "corpus_clean_pipeline",
     "multi_resolution_rollup",
     "hourly_gap_fill_locf",
+    "bloom_pruned_join",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
@@ -43,3 +44,32 @@ def test_query_matches_oracle(spark, sf_medium, name):
 @pytest.mark.parametrize("name", STREAMING)
 def test_streaming_query_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)
+
+
+def test_bloom_filter_prunes_without_false_negatives(spark, sf_medium):
+    """The bloom pre-filter must (a) never drop a matching fact row — the
+    pruned set is a superset of the true semi-join — and (b) actually
+    prune (false-positive rate well under 100%), and the final join must
+    be shuffle-hash, not broadcast (the modeled regime)."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import bloom
+
+    li = io_mod.load_table(spark, sf_medium, "lineitem").select("l_orderkey")
+    urgent = (
+        io_mod.load_table(spark, sf_medium, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    words = bloom.build_bloom_words(urgent, "o_orderkey")
+    pruned = li.filter(bloom.might_contain(F.col("l_orderkey"), words))
+    n_fact, n_pruned = li.count(), pruned.count()
+    n_true = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi").count()
+    assert n_true <= n_pruned, "bloom dropped matching rows (false negative)"
+    assert n_pruned < n_fact * 0.5, f"bloom barely pruned: {n_pruned}/{n_fact}"
+    plan = (
+        bloom.bloom_pruned_join(li, urgent, "l_orderkey", "o_orderkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan
