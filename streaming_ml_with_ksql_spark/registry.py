@@ -1274,6 +1274,64 @@ def q_streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+_REPLAY_CDC_DIRS: dict[str, str] = {}
+
+
+def _replay_cdc_changelog(spark: SparkSession, sf_dir: str):
+    """Replay the synthesized customer CDC changelog as a file stream:
+    flattened change rows sharded by change timestamp (snapshot reads,
+    then updates, then deletes arrive as separate micro-batches — the
+    binlog order). Memoized per sf_dir like _replay_events."""
+    d = _REPLAY_CDC_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="sgraft_cdc_replay_")
+        changelog = cdc.unwrap_debezium(
+            _customer_envelope(spark, sf_dir), keep_deletes=True
+        ).withColumn("ts", F.timestamp_millis(F.col("__ts_ms")))
+        stream_source.shard_table_to_dir(
+            changelog, d, num_shards=3, order_col="ts"
+        )
+        _REPLAY_CDC_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return stream_source.stream_parquet_dir(spark, d)
+
+
+@register(
+    "streaming_cdc_upsert",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through Structured Streaming end to end: the Debezium changelog
+    REPLAYED as a stream (snapshot → updates → deletes micro-batches),
+    compacted per key by the explicit state machine
+    (latest_per_key_stateful, __op carried in the payload so deletes
+    survive compaction as tombstones), drained, and MERGE-applied:
+    newest change per key wins, tombstoned keys drop. Must converge to
+    the same table as the batch cdc_snapshot — which is what the oracle
+    states. This is the streaming twin of cdc_snapshot_customers."""
+    stream = _replay_cdc_changelog(spark, sf_dir)
+    deltas = stream_stateful.latest_per_key_stateful(
+        stream,
+        key_col="c_custkey",
+        ts_col="ts",
+        payload_cols=("c_name", "c_acctbal", "__op"),
+    )
+    drained = stream_sinks.run_to_memory(
+        deltas, f"reg_stream_cdc_{next(_STREAM_SEQ)}"
+    )
+    return (
+        dedup.latest_per_key(drained, "c_custkey", "ts")
+        .filter(F.col("__op") != "d")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 @register(
     "streaming_sessionize",
     _SESSION_ORACLE_BODY

@@ -33,6 +33,7 @@ STREAMING = [
     "streaming_interval_join_left",
     "streaming_interval_join_full",
     "streaming_dedup_exact",
+    "streaming_cdc_upsert",
 ]
 
 
