@@ -42,6 +42,8 @@ __all__ = [
     "near_dup_pairs_simhash",
     "clean_corpus",
     "stratified_sample",
+    "repetition_stats",
+    "decontaminate",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -633,4 +635,93 @@ def stratified_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality metrics + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 use line/ngram repetition filters; the
+    testdata's docs are single-line, so the word- and bigram-level metrics
+    are the meaningful ones):
+
+      n_words            total whitespace tokens
+      distinct_word_frac |distinct words| / n_words
+      top_word_frac      most-frequent word's share of n_words
+      dup_bigram_frac    1 - |distinct bigrams| / n_bigrams
+      top_bigram_frac    most-frequent bigram's share of n_bigrams
+
+    Shape: explode → ONE groupBy(doc, term) per granularity → per-doc agg;
+    the shuffles are keyed by (doc, term) partials, never raw text. The
+    per-doc frames join narrowly on doc_id. Ratios are exact integer
+    divisions rounded at 6 dp (cross-engine canonical)."""
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks.alias("t"))
+
+    def _gram_stats(col: Column, prefix: str) -> DataFrame:
+        exploded = base.select("doc_id", F.explode(col).alias("term"))
+        return (
+            exploded.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").alias(f"{prefix}_total"),
+                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+                F.max("n").alias(f"{prefix}_max"),
+            )
+        )
+
+    words = _gram_stats(F.col("t"), "w")
+    bigrams = _gram_stats(shingles(F.col("t"), 2), "b")
+    joined = words.join(bigrams, "doc_id", "left")
+    nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    return joined.select(
+        "doc_id",
+        F.col("w_total").alias("n_words"),
+        F.round(F.col("w_distinct") / nz(F.col("w_total")), 6).alias(
+            "distinct_word_frac"
+        ),
+        F.round(F.col("w_max") / nz(F.col("w_total")), 6).alias("top_word_frac"),
+        F.round(
+            1 - F.coalesce(F.col("b_distinct"), F.lit(0)) / nz(F.col("b_total")), 6
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("b_max"), F.lit(0)) / nz(F.col("b_total")), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing at least one word
+    ``n``-gram with any benchmark doc, with the count of distinct shared
+    shingles — the standard eval-overlap filter for LLM training corpora
+    (n-gram collision against held-out benchmarks).
+
+    Shape: both sides shingle-explode; the benchmark side is tiny (eval
+    sets are thousands of prompts, the corpus is 100 TB), so its distinct
+    shingle set BROADCASTS and contamination is a broadcast inner join on
+    the shingle — the corpus never shuffles. Output is (doc_id,
+    n_shared_shingles) for contaminated docs only."""
+    train_sh = documents.select(
+        id_col, F.explode(shingles(tokens_col(F.col("text")), n)).alias("shingle")
+    ).distinct()
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles(tokens_col(F.col("text")), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

@@ -40,6 +40,7 @@ from .operators import (
     similarity,
     text,
     timeseries,
+    topk,
     windows,
 )
 from .plans import tpch
@@ -860,6 +861,94 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = text.ngram_jaccard_pairs(docs)
     return graph.dedup_groups(docs, pairs)
+
+
+@register(
+    "heavy_hitters_users",
+    """
+    SELECT user_id, count(*) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 70
+    """,
+)
+def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency-threshold heavy hitters with per-partition Arrow
+    pre-pruning (pigeonhole candidates, broadcast-verified exact counts) —
+    the tail never shuffles. Result ≡ plain GROUP BY ... HAVING, which is
+    what the oracle states."""
+    return topk.heavy_hitters(
+        _t(spark, sf_dir, "events").select("user_id"), "user_id", min_count=70
+    )
+
+
+@register(
+    "repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    wc AS (SELECT doc_id, term, count(*) AS n FROM w GROUP BY 1, 2),
+    ws AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS w_total,
+                  count(*) AS w_distinct, max(n) AS w_max
+           FROM wc GROUP BY 1),
+    bga AS (SELECT doc_id, CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t)-1),
+                                  i -> array_to_string(t[i:i+1], ' '))
+              ELSE [] END AS bgs
+            FROM toks),
+    b AS (SELECT doc_id, unnest(bgs) AS term FROM bga),
+    bc AS (SELECT doc_id, term, count(*) AS n FROM b GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS b_total,
+                  count(*) AS b_distinct, max(n) AS b_max
+           FROM bc GROUP BY 1)
+    SELECT ws.doc_id, w_total AS n_words,
+           round(w_distinct / greatest(coalesce(w_total, 0), 1), 6)
+             AS distinct_word_frac,
+           round(w_max / greatest(coalesce(w_total, 0), 1), 6)
+             AS top_word_frac,
+           round(1 - coalesce(b_distinct, 0)
+                     / greatest(coalesce(b_total, 0), 1), 6)
+             AS dup_bigram_frac,
+           round(coalesce(b_max, 0) / greatest(coalesce(b_total, 0), 1), 6)
+             AS top_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per doc (distinct/top word
+    and bigram fractions) — the standard LLM-corpus repetition filter
+    signals, all from (doc, term) groupBy partials."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "benchmark_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(t) >= 4
+             THEN list_transform(generate_series(1, len(t)-3),
+                                 i -> array_to_string(t[i:i+3], ' '))
+             ELSE [] END AS shingles
+           FROM toks),
+    ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM ds WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY 1
+    """,
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (eval-overlap filter): training docs
+    sharing any word 4-gram with the pseudo-benchmark slice
+    (doc_id % 97 == 0), via a broadcast of the benchmark's distinct
+    shingle set — the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return text.decontaminate(train, bench, n=4)
 
 
 @register(

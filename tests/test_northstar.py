@@ -27,6 +27,8 @@ NORTHSTAR_ORACLED = [
     "token_budget",
     "embedding_near_dup_pairs_lsh",
     "dedup_components",
+    "repetition_stats",
+    "benchmark_decontaminate",
 ]
 
 

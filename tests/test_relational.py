@@ -39,6 +39,7 @@ PHASE2 = [
     "large_volume_customers",
     "waiting_suppliers",
     "churned_high_balance",
+    "heavy_hitters_users",
 ]
 
 
@@ -101,3 +102,29 @@ def test_hll_merge_equals_direct_and_bounds_error(spark, sf_medium):
     for et, r in rows.items():
         assert r["merged_users"] == r["direct_users"], et
         assert abs(r["direct_users"] - exact[et]) / exact[et] < 0.03, et
+
+
+def test_heavy_hitters_pigeonhole_across_partitions(spark, sf_medium):
+    """Phase-1 candidates must be a superset of the true answer under ANY
+    partitioning — force a many-partition layout (worst case for the
+    per-partition threshold) and check the final result still equals the
+    exact GROUP BY ... HAVING."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import topk
+
+    ev = io_mod.load_table(spark, sf_medium, "events").select("user_id")
+    scattered = ev.repartition(32)  # round-robin: keys spread maximally
+    got = {
+        (r.user_id, r.n)
+        for r in topk.heavy_hitters(scattered, "user_id", min_count=70).collect()
+    }
+    exact = {
+        (r.user_id, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 70)
+        .collect()
+    }
+    assert got == exact
