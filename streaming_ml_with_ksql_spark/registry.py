@@ -952,6 +952,77 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_extract_props",
+    """
+    SELECT event_id, event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+             AS k_val,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns (KSQL VALUE_FORMAT=JSON analog, reference
+    README.md:27 topics are JSON/Avro): the events `props` JSON string
+    parsed both ways — strictly typed `from_json` (schema'd struct field)
+    and path-style `get_json_object`. k_val is DOUBLE (nullable-integer
+    bridge rule: malformed/missing keys surface as NULL)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT")["k"].cast("double").alias("k_val"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127
+               AS scale
+      FROM embeddings)
+    SELECT s.vec_id, s.label, s.scale,
+           CASE WHEN s.scale = 0
+             THEN list_transform(e.embedding, x -> 0)
+             ELSE list_transform(e.embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS INT))
+           END AS codes
+    FROM scaled s JOIN embeddings e USING (vec_id)
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard 4× storage/bandwidth reduction for vector search at 100 TB
+    (codes in [-127,127], per-vector scale = max|x|/127). Entirely JVM
+    array expressions; floor(x/scale + 0.5) instead of round() because
+    both engines' floor over identical IEEE doubles is bit-deterministic
+    (round()'s tie-breaking is not guaranteed identical). Dequantization
+    error ≤ scale/2 is pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = (maxabs / F.lit(127)).alias("scale")
+    with_scale = emb.select("vec_id", "label", "embedding", scale)
+    codes = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return with_scale.select("vec_id", "label", "scale", codes.alias("codes"))
+
+
+@register(
     "dedup_near_minhash",
     _MINHASH_SQL_BODY.format(minhash_cols=_MINHASH_COLS)
     + """

@@ -29,6 +29,7 @@ NORTHSTAR_ORACLED = [
     "dedup_components",
     "repetition_stats",
     "benchmark_decontaminate",
+    "embedding_quantize_int8",
 ]
 
 

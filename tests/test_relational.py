@@ -40,6 +40,7 @@ PHASE2 = [
     "waiting_suppliers",
     "churned_high_balance",
     "heavy_hitters_users",
+    "json_extract_props",
 ]
 
 

@@ -92,3 +92,35 @@ def test_ivf_recall_vs_brute_force(spark, sf_medium):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_int8_quantization_error_bound(spark, sf_medium):
+    """Dequantized values must sit within scale/2 of the originals (the
+    symmetric-quantization guarantee), codes within [-127, 127], and the
+    oracle-checked scale must be max|x|/127 exactly."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark import registry
+
+    q = registry._REGISTRY["embedding_quantize_int8"].spark(spark, sf_medium)
+    emb = io_mod.load_table(spark, sf_medium, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    joined = q.join(emb, "vec_id")
+    checked = joined.select(
+        F.array_max(
+            F.zip_with(
+                "codes",
+                "embedding",
+                lambda c, x: F.abs(c.cast("double") * F.col("scale") - x.cast("double")),
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("codes", lambda c: F.abs(c))).alias("max_code"),
+        "scale",
+    )
+    bad = checked.filter(
+        (F.col("max_err") > F.col("scale") / 2 + 1e-12)
+        | (F.col("max_code") > 127)
+    ).count()
+    assert bad == 0
