@@ -2155,6 +2155,74 @@ def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "streaming_interval_join_right",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.user_id, CAST(purchase_id AS DOUBLE) AS purchase_id,
+             purchase_ts, view_id, view_ts, view_value
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.view_ts >= p.purchase_ts - INTERVAL 1 DAY
+       AND v.view_ts <= p.purchase_ts)
+    SELECT * FROM m
+    UNION ALL
+    SELECT v.user_id, CAST(NULL AS DOUBLE) AS purchase_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           view_id, view_ts, view_value
+    FROM v
+    WHERE view_id NOT IN (SELECT view_id FROM m)
+      -- A view can still match purchases up to view_ts + lookback; its
+      -- NULL row emits only when the final watermark (MIN over both
+      -- sides' ms-truncated max event times, minus the delay) passes
+      -- that point.
+      AND view_ts + INTERVAL 1 DAY <
+          least(date_trunc('milliseconds',
+                           (SELECT max(purchase_ts) FROM p)),
+                date_trunc('milliseconds',
+                           (SELECT max(view_ts) FROM v)))
+          - INTERVAL 2 MINUTE
+    """,
+)
+def q_streaming_interval_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream RIGHT OUTER interval join: unmatched views emit a
+    NULL-padded purchase side only on state eviction — once the watermark
+    passes view_ts + lookback (the last instant a matching purchase could
+    arrive). Completes the inner/left/full/right family; purchase_id is
+    DOUBLE on both sides (nullable-BIGINT bridge rule)."""
+    stream = _replay_events(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = stream_queries.interval_join_stream(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lookback="1 day",
+        watermark_delay=_STREAM_WM,
+        how="right_outer",
+    ).withColumn("purchase_id", F.col("purchase_id").cast("double"))
+    return stream_sinks.run_to_memory(
+        joined, f"reg_stream_ivjr_{next(_STREAM_SEQ)}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Additional text / fingerprint queries (north-star breadth)
 # --------------------------------------------------------------------------

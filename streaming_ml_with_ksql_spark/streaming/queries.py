@@ -117,7 +117,8 @@ def interval_join_stream(
     )
     key_col = (
         F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
-        if how == "full_outer"  # right-only rows have a NULL left side
+        # outer rows may carry the key on either side only
+        if how in ("full_outer", "right_outer")
         else F.col(f"l.{key}").alias(key)
     )
     out_cols = [key_col] + [

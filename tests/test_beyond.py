@@ -34,6 +34,7 @@ STREAMING = [
     "streaming_interval_join_full",
     "streaming_dedup_exact",
     "streaming_cdc_upsert",
+    "streaming_interval_join_right",
 ]
 
 
