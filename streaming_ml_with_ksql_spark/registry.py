@@ -2737,6 +2737,42 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partitioned_sink_prune",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 physical-layout sink: events written as a day-partitioned parquet
+    layout (Hive-style event_day=... directories), then read back with a
+    partition filter — the planner prunes 27 of 30 day directories before
+    any I/O (PartitionFilters on the scan, asserted in tests/test_plans.py).
+    The write is memoized per session; the oracle filters the raw table,
+    so pruned-read ≡ full-scan-filter is itself the checked property."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    path = bucketing.write_partitioned(
+        ev, "event_day", cache_key=f"events_day_{sf_dir}"
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("event_day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_day") <= F.lit("2024-01-12").cast("date"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @register("hll_partition_merge", None)  # sketch estimates are engine-specific
 def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch pattern: per-day HLL sketches (DataSketches,

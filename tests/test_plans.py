@@ -110,3 +110,22 @@ def test_bucketed_join_has_no_exchange_on_join_key(spark):
     assert "SortMergeJoin" in plan
     for key in ("o_custkey", "c_custkey"):
         assert not re.search(rf"Exchange hashpartitioning\({key}", plan), key
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """The day-partitioned read-back must carry the date predicate as a
+    PartitionFilter (directory pruning at planning time), not a post-scan
+    data filter over every file."""
+    plan = _explain(spark, "partitioned_sink_prune", "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_day" in m.group(1), plan[:2000]
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    """The bloom membership test must sit below the join's Exchange —
+    pruning before the shuffle is the operator's entire point."""
+    plan = _explain(spark, "bloom_pruned_join", "simple")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    exchange_pos = plan.find("Exchange")
+    filter_pos = plan.rfind("Filter")
+    assert exchange_pos != -1 and filter_pos > exchange_pos, plan[:2000]

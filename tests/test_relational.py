@@ -41,6 +41,7 @@ PHASE2 = [
     "churned_high_balance",
     "heavy_hitters_users",
     "json_extract_props",
+    "partitioned_sink_prune",
 ]
 
 
