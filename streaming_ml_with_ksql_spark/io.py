@@ -71,6 +71,17 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             # Conf may be absent or static on some Spark versions; proceed —
             # the read either works (no NANOS cols) or fails loudly.
             pass
+    # Right-size shuffle parallelism, but ONLY off the untouched default:
+    # a vanilla session runs every shuffle — and, worse, every stateful
+    # streaming exchange, where AQE cannot coalesce — at 200 partitions of
+    # pure scheduling overhead at oracle scale. An explicitly configured
+    # session (ours sets 32 in session.py; a real cluster sets thousands)
+    # is left alone.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import io as io_mod
+from .functions import python_udfs
 from .functions.scalars import as_array, timestamp_to_string
 from .ml import features as ml_features
 from .ml import predict as ml_predict
@@ -2735,6 +2736,41 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice",
         "o_orderpriority", "o_orderdate",
     )
+
+
+@register(
+    "pandas_udaf_median",
+    """
+    SELECT event_type, median(value) AS median_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 UDAF surface: per-group median through the Arrow grouped-agg
+    Pandas UDAF path. Median is the deliberate choice: it is
+    order-INDEPENDENT, so the Python aggregate hashes equal to DuckDB's
+    quantile_cont(0.5) — an order-sensitive float sum would not."""
+    return python_udfs.grouped_median(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@register(
+    "python_udtf_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(t[i:i+1], ' ') AS ngram
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    """,
+)
+def q_python_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 UDTF surface: lateral word-bigram expansion via a registered
+    Python UDTF (API demo — the hot-path form is the JVM shingles
+    expression, see functions/python_udfs.py docstring)."""
+    return python_udfs.ngrams_udtf_frame(_t(spark, sf_dir, "documents"))
 
 
 @register(

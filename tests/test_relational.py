@@ -42,6 +42,8 @@ PHASE2 = [
     "heavy_hitters_users",
     "json_extract_props",
     "partitioned_sink_prune",
+    "pandas_udaf_median",
+    "python_udtf_ngrams",
 ]
 
 
