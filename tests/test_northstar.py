@@ -30,6 +30,7 @@ NORTHSTAR_ORACLED = [
     "repetition_stats",
     "benchmark_decontaminate",
     "embedding_quantize_int8",
+    "ngram_jaccard_pairs_prefix",
 ]
 
 
@@ -86,3 +87,40 @@ def test_token_counts_budget_consistency(spark, sf_medium):
     )
     assert bad_avg.count() == 0
     out.unpersist()
+
+
+def test_prefix_filter_reduces_candidate_volume(spark, sf_medium):
+    """The PPJoin prefix index must shrink the self-join's candidate
+    volume (Σ df² over indexed shingles) versus the full inverted index,
+    while the answer stays identical (the shared oracle pins that)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import text
+
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    ds = text._doc_shingles(docs, 3)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    def volume(frame):
+        c = frame.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return c.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+
+    ranked = (
+        ds.join(df_tbl, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(0.5) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    assert volume(prefix) < volume(ds)
