@@ -52,6 +52,13 @@ HEADLINE = [
     "hourly_gap_fill_locf",
     "bucketed_colocated_join",
     "hll_partition_merge",
+    "volume_shipping",
+    "waiting_suppliers",
+    "heavy_hitters_users",
+    "bloom_pruned_join",
+    "dedup_components",
+    "benchmark_decontaminate",
+    "embedding_quantize_int8",
     "streaming_hopping_window",
 ]
 

@@ -710,11 +710,14 @@ def decontaminate(
     Shape: both sides shingle-explode; the benchmark side is tiny (eval
     sets are thousands of prompts, the corpus is 100 TB), so its distinct
     shingle set BROADCASTS and contamination is a broadcast inner join on
-    the shingle — the corpus never shuffles. Output is (doc_id,
+    the shingle — the corpus side never shuffles before the join. Per-doc
+    shingle dedup happens AFTER the join (count_distinct in the final
+    groupBy), so the only shuffle carries the contaminated docs' matched
+    shingles — a vanishing fraction of the corpus. Output is (doc_id,
     n_shared_shingles) for contaminated docs only."""
-    train_sh = documents.select(
+    train_sh = _fan_out(documents.select(id_col, "text")).select(
         id_col, F.explode(shingles(tokens_col(F.col("text")), n)).alias("shingle")
-    ).distinct()
+    )
     bench_sh = (
         benchmark.select(
             F.explode(shingles(tokens_col(F.col("text")), n)).alias("shingle")
@@ -724,7 +727,7 @@ def decontaminate(
     return (
         train_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )
 
 
