@@ -45,6 +45,9 @@ __all__ = [
     "repetition_stats",
     "decontaminate",
     "ngram_jaccard_pairs_prefix",
+    "hash_split",
+    "shuffle_shard",
+    "bm25_scores",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -822,4 +825,136 @@ def ngram_jaccard_pairs_prefix(
     return (
         with_sizes.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible split / shuffle / keyword scoring (training-data plumbing)
+# ---------------------------------------------------------------------------
+
+def _hash_bucket(key: Column, *, salt: str, mod: int) -> Column:
+    """Deterministic cross-engine bucket in [0, mod): the first 7 hex
+    digits (28 bits) of md5('<salt>:' || key) as an integer, mod ``mod``.
+    Matches DuckDB's ('0x' || substr(md5(...),1,7))::UBIGINT exactly —
+    md5 of a UTF-8 string is identical lowercase hex in both engines, and
+    28 bits stays far below any ANSI-mode overflow."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(mod))
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash —
+    the reproducible-split primitive of a training pipeline. Every engine,
+    run, and data order produces the same assignment (no RNG in the plan,
+    unlike ``df.randomSplit`` whose outcome depends on partitioning).
+
+    Purely narrow: a per-row md5 + mod, no shuffle at any scale. Changing
+    ``salt`` re-rolls the split without touching the data; holding it
+    fixed makes incremental corpus additions stable (old docs never move
+    between splits — the property that keeps eval sets uncontaminated as
+    the corpus grows)."""
+    bucket = _hash_bucket(F.col(id_col), salt=salt, mod=100)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        id_col, bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order reproducibility:
+    each row gets a (shard, pos_in_shard) address where shard is a hash
+    bucket and pos is the rank by (hash, id) inside the shard. Reading
+    shards in order 0..S-1, each sorted by pos, yields the SAME
+    pseudo-random document order on every engine and every run — the
+    property data loaders need for resumable, comparable training runs.
+
+    Scale shape: one shuffle keyed by shard, per-shard sort for the rank
+    window. At 100 TB set num_shards ≫ executor count (e.g. 8-64k) so
+    each shard's sort fits in memory and the output maps 1:1 onto
+    training-loader file shards."""
+    h = _hash_bucket(F.col(id_col), salt=salt, mod=1 << 28)
+    shard = F.pmod(F.col("h"), F.lit(num_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, h.alias("h"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select(id_col, "shard", "pos_in_shard")
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("spark", "window", "join"),
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword relevance per (document, query term) — the retrieval
+    scoring step of a corpus search/filter pipeline (Robertson & Zaragoza
+    2009), with one deliberate change: idf uses the RATIONAL Robertson
+    form (N - df + 0.5)/(df + 0.5) WITHOUT the log. log() is not
+    correctly-rounded-identical across engines (last-ulp divergence would
+    break exact differential checks), while +,-,*,/ are IEEE
+    correctly-rounded and therefore bit-identical when evaluated in the
+    same order. Rank order per term is unchanged (log is monotone).
+
+    Scale shape: the query-term list is a tiny literal array — exploding
+    it is a narrow per-row fan-out of |terms|; tf comes from an array
+    filter on the already-split tokens (no per-term rescan). The df and
+    corpus-stats aggregates are bytes-sized and broadcast back. The only
+    shuffle is the df groupBy over rows with tf > 0."""
+    toks = tokens_col(F.col("text"))
+    base = documents.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    per = base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"),
+        "t",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter(F.col("t"), lambda x: x == F.col("term"))).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    df_tbl = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = per.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(stats))
+    # Evaluation order mirrors the oracle SQL exactly — see the module
+    # docstring on cross-engine float identity.
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+    return scored.select(
+        "doc_id", "term", "tf", F.round(score, 6).alias("bm25")
     )

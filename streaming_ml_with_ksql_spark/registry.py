@@ -2854,3 +2854,80 @@ def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type").select(
         "event_type", "merged_users", "direct_users"
     )
+
+
+# --------------------------------------------------------------------------
+# Reproducible training-data plumbing: hash split, shuffled sharding, BM25
+# --------------------------------------------------------------------------
+
+@register(
+    "corpus_hash_split",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))
+             ::UBIGINT::BIGINT % 100 AS bucket,
+           CASE
+             WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    ::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id hash (80/10/10) — no RNG,
+    engine- and run-stable, narrow at any scale."""
+    return text.hash_split(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_shuffle_shard",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 268435456 AS h
+      FROM documents)
+    SELECT doc_id, h % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS INTEGER) AS pos_in_shard
+    FROM h
+    """,
+)
+def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order as (shard, pos_in_shard)
+    addresses — reproducible training order; per-shard rank windows keep
+    the sort distributed."""
+    return text.shuffle_shard(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "keyword_bm25",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+              FROM base),
+    per AS (
+      SELECT doc_id, dl, term,
+             len(list_filter(t, x -> x = term)) AS tf
+      FROM base CROSS JOIN (SELECT unnest(['spark','window','join']) AS term)),
+    hit AS (SELECT * FROM per WHERE tf > 0),
+    dfr AS (SELECT term, count(*) AS df FROM hit GROUP BY term)
+    SELECT h.doc_id, h.term, h.tf,
+           round(((n_docs - df + 0.5) / (df + 0.5))
+                 * (h.tf * 2.2)
+                 / (h.tf + 1.2 * (0.25 + 0.75 * (h.dl / (sum_dl / n_docs)))),
+                 6) AS bm25
+    FROM hit h JOIN dfr USING (term) CROSS JOIN stats
+    """,
+)
+def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword scores for a literal query-term list, rational idf
+    (log-free: cross-engine bit-identity needs correctly-rounded ops
+    only). Only the tiny df aggregate shuffles."""
+    return text.bm25_scores(_t(spark, sf_dir, "documents"))

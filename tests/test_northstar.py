@@ -31,6 +31,9 @@ NORTHSTAR_ORACLED = [
     "benchmark_decontaminate",
     "embedding_quantize_int8",
     "ngram_jaccard_pairs_prefix",
+    "corpus_hash_split",
+    "corpus_shuffle_shard",
+    "keyword_bm25",
 ]
 
 
@@ -124,3 +127,51 @@ def test_prefix_filter_reduces_candidate_volume(spark, sf_medium):
         F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(0.5) * F.col("n_sh")) + 1
     ).select("doc_id", "shingle")
     assert volume(prefix) < volume(ds)
+
+
+def test_hash_split_stable_under_corpus_growth(spark, sf_small, sf_medium):
+    """The property that keeps eval sets uncontaminated as the corpus
+    grows: a doc's split assignment depends only on (id, salt), so the
+    sf0.001 corpus's assignments are a strict subset of sf0.01's."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import text
+
+    small = {
+        r.doc_id: r.split
+        for r in text.hash_split(
+            io_mod.load_table(spark, sf_small, "documents")
+        ).collect()
+    }
+    big = {
+        r.doc_id: r.split
+        for r in text.hash_split(
+            io_mod.load_table(spark, sf_medium, "documents")
+        ).collect()
+    }
+    assert small and all(big[k] == v for k, v in small.items())
+    # All three splits materialize at 500 docs, in roughly 80/10/10.
+    from collections import Counter
+
+    frac = Counter(big.values())
+    assert 0.7 < frac["train"] / len(big) < 0.9
+    assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_shuffle_shard_is_a_total_order(spark, sf_medium):
+    """(shard, pos) must be a bijection onto the corpus: every doc gets
+    exactly one address, and each shard's positions are contiguous 1..n."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import text
+
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    out = text.shuffle_shard(docs).cache()
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("shard", "pos_in_shard").distinct().count() == n
+    per_shard = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos_in_shard").alias("mx")
+    )
+    assert per_shard.filter(F.col("n") != F.col("mx")).count() == 0
+    out.unpersist()
