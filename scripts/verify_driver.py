@@ -104,6 +104,20 @@ def main() -> int:
         ddf = con.execute(oracles[name]).fetchdf()
         dcols = sorted(ddf.columns)
         ok = True
+        # The real driver canonicalizes via pandas sort_values over ALL
+        # columns, which raises "unhashable type: 'list'" on array cells
+        # (round-2: embedding_quantize_int8). Oracled queries must emit
+        # scalars only — stringify arrays on both sides.
+        arr_cols = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if arr_cols:
+            failures.append(
+                f"{name}: non-scalar columns {arr_cols} — the driver's "
+                "canonicalizer cannot sort these; stringify them"
+            )
+            ok = False
         if scols != dcols:
             failures.append(f"{name}: columns {scols} != {dcols}")
             ok = False

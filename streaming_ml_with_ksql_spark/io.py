@@ -17,11 +17,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["TABLES", "default_sf_dir", "load_table", "load_tables", "register_views"]
 
-# Testdata parquet encodes these as INT64 TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong they surface as epoch-nanos longs.
-# Normalize once at the scan edge (SURVEY.md §7 hard part 4) with exact
-# integer arithmetic (`div 1000` — no double round-trip, which would drift
-# at 1.7e18 nanos).
+# Timestamp columns have shipped in two physical encodings across testdata
+# generations: INT64 TIMESTAMP(NANOS) (surfaces as epoch-nanos bigint under
+# spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ under Spark 4's default
+# inferTimestampNTZ). Normalize BOTH once at the scan edge (SURVEY.md §7
+# hard part 4) so every operator downstream sees one type: TimestampType.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -91,7 +92,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
+            # Exact integer arithmetic (`div 1000` — no double round-trip,
+            # which would drift at 1.7e18 nanos).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # TIMESTAMP_NTZ → TIMESTAMP. _ensure_session_confs pinned the session
+    # timezone to UTC, so this cast is an exact reinterpretation (naive value
+    # == UTC instant) — identical rendering, window grids, and epoch math to
+    # the NTZ form, but unlocks unix_micros() and withWatermark(), which
+    # require TimestampType (driver round 2: 6 queries died on NTZ inputs).
+    ntz_cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

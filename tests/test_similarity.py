@@ -104,6 +104,11 @@ def test_int8_quantization_error_bound(spark, sf_medium):
     from streaming_ml_with_ksql_spark import registry
 
     q = registry._REGISTRY["embedding_quantize_int8"].spark(spark, sf_medium)
+    # The registered query stringifies codes (driver canonicalizer cannot
+    # sort list cells); parse back to ints for the numeric bound check.
+    q = q.withColumn(
+        "codes", F.transform(F.split("codes", ","), lambda s: s.cast("int"))
+    )
     emb = io_mod.load_table(spark, sf_medium, "embeddings").select(
         "vec_id", "embedding"
     )
