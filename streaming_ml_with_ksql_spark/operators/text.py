@@ -48,6 +48,10 @@ __all__ = [
     "hash_split",
     "shuffle_shard",
     "bm25_scores",
+    "chunk_tokens",
+    "pack_sequences",
+    "pii_scrub",
+    "domain_mix_weights",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -957,4 +961,156 @@ def bm25_scores(
     )
     return scored.select(
         "doc_id", "term", "tf", F.round(score, 6).alias("bm25")
+    )
+
+
+def chunk_tokens(
+    documents: DataFrame,
+    *,
+    chunk_size: int = 256,
+) -> DataFrame:
+    """Fixed-token-budget document chunking — the context-window prep step
+    of a training/RAG pipeline: each document becomes ⌈n/chunk_size⌉
+    chunks of at most ``chunk_size`` whitespace tokens.
+
+    Scale shape: ENTIRELY narrow. The token array never leaves its row —
+    chunks are described by an index sequence + per-chunk arithmetic
+    (least/element_at), then inline-exploded. No shuffle at any corpus
+    size; output rows ~ total_tokens/chunk_size. The chunk text itself is
+    deliberately not materialized here (first/last token + exact count
+    address it) — a downstream writer slices the array only for chunks it
+    keeps, preserving column pruning on `text`.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = documents.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    cs = F.lit(chunk_size)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / cs).cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.least(cs, n - i * cs).cast("int").alias("n_tokens"),
+            F.element_at("toks", (i * cs + 1).cast("int")).alias("first_token"),
+            F.element_at(
+                "toks", F.least((i + 1) * cs, n).cast("int")
+            ).alias("last_token"),
+        ),
+    )
+    return base.select("doc_id", F.inline(chunks))
+
+
+def pack_sequences(
+    documents: DataFrame,
+    *,
+    budget: int = 2048,
+    num_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents are laid out in a
+    deterministic pseudo-random order inside hash shards, and each doc is
+    assigned to the training pack (concatenated sequence of ~``budget``
+    whitespace tokens) in which it STARTS — the standard concat-and-split
+    packing that keeps padding waste near zero when preparing fixed-length
+    training batches.
+
+    Deterministic twin of a data-loader shuffle+pack: shard and order come
+    from the salted md5 of doc_id (no RNG, stable across engines/runs —
+    same property as hash_split/shuffle_shard). Scale shape: one shuffle
+    keyed by shard, one per-shard sort window for the running token sum.
+    At 100 TB set num_shards ≫ executor count so every shard's sort fits
+    in memory; packs then map 1:1 onto loader shard files.
+    """
+    tok_n = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    h = _hash_bucket(F.col("doc_id"), salt=salt, mod=1 << 28)
+    base = documents.select(
+        "doc_id", tok_n.alias("n_tokens"), h.alias("h")
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(num_shards)))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("pack_id"),
+        (cum - F.col("n_tokens")).alias("start_offset"),
+    )
+
+
+# PII patterns written to the RE2 ∩ java.util.regex common dialect:
+# ASCII classes only, no backreferences/lookaround, so regexp_count and
+# regexp_replace behave identically in Spark (Java) and DuckDB (RE2).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII scrubbing pass (corpus-cleaning step before training): count
+    email / IPv4 / phone-shaped spans per document and emit the md5 and
+    length of the text with every match replaced by a fixed ``<PII>``
+    sentinel. Replacement order is fixed (email → ipv4 → phone) so both
+    engines transform identical strings identically.
+
+    Scale shape: purely narrow per-row regex work, all JVM `regexp_count`
+    / `regexp_replace` (codegen) — zero shuffle; the 100 TB cost is one
+    streaming pass over `text`, which is the floor for any scrubber.
+    """
+    email_n = F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+    ip_n = F.regexp_count(F.col("text"), F.lit(PII_IPV4))
+    phone_n = F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<PII>"),
+            PII_IPV4,
+            "<PII>",
+        ),
+        PII_PHONE,
+        "<PII>",
+    )
+    return documents.select(
+        "doc_id",
+        email_n.cast("int").alias("n_emails"),
+        ip_n.cast("int").alias("n_ipv4"),
+        phone_n.cast("int").alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def domain_mix_weights(documents: DataFrame) -> DataFrame:
+    """Per-source data-mixing weights: the factor to up/down-sample each
+    source so the training mix hits a UNIFORM token share per source
+    (weight = total_tokens / (n_sources · source_tokens)). The planning
+    primitive behind "rebalance the corpus mix" at 100 TB.
+
+    Cross-engine float discipline: weights are a SINGLE division of
+    integer-valued doubles (counts), which IEEE rounds identically in
+    both engines — no round()/log() canonicalization needed.
+
+    Scale shape: one partial-aggregated groupBy on `source` (map-side
+    combine carries two longs per source); the global totals come from a
+    window over the few-row aggregate, not the corpus.
+    """
+    tok_n = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    per = documents.select("source", tok_n.alias("t")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("doc_share"),
+        (
+            F.sum("n_tokens").over(w).cast("double")
+            / (
+                F.count(F.lit(1)).over(w).cast("double")
+                * F.col("n_tokens").cast("double")
+            )
+        ).alias("uniform_weight"),
     )

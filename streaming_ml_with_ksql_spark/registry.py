@@ -2962,6 +2962,119 @@ def q_keyword_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_chunk_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / 256.0) AS INT) - 1)) AS chunk_id
+      FROM t)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(least(256, n - chunk_id * 256) AS INT) AS n_tokens,
+           toks[CAST(chunk_id * 256 + 1 AS INT)] AS first_token,
+           toks[CAST(least((chunk_id + 1) * 256, n) AS INT)] AS last_token
+    FROM c
+    """,
+)
+def q_corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget (256-token) document chunking — context-window prep.
+    Narrow plan: chunk descriptors are computed inside each row's token
+    array and inline-exploded; no shuffle at any corpus size."""
+    return text.chunk_tokens(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_pack_sequences",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 268435456 AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, h % 8 AS shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY h % 8
+                                      ORDER BY h, doc_id) AS BIGINT) AS cum
+      FROM h)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset
+    FROM c
+    """,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 2048-token training packs
+    inside 8 deterministic hash shards (assignment = pack where the doc
+    starts). One shuffle on shard + one per-shard sort window."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+        len(regexp_extract_all(text,
+            '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<PII>', 'g'),
+          '\+[0-9][0-9 ()-]{6,}[0-9]', '<PII>', 'g') AS scrubbed
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_ipv4 AS INT) AS n_ipv4,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII span counting + sentinel redaction (email → ipv4 → phone, fixed
+    order), verified by md5 of the scrubbed text. Patterns live in the
+    RE2 ∩ Java-regex common dialect so both engines transform identically.
+    Purely narrow JVM regex work."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_domain_mix",
+    r"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+             AS doc_share,
+           CAST(sum(n_tokens) OVER () AS DOUBLE)
+             / (CAST(count(*) OVER () AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS uniform_weight
+    FROM per
+    """,
+)
+def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing weights toward a uniform token share — single
+    integer-valued-double division per weight (bit-identical across
+    engines, no round() canonicalization). The corpus never shuffles;
+    the window runs over the few-row aggregate."""
+    return text.domain_mix_weights(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-priority ordering: the 50 designated queries the grading driver
 # will verify (one per SURVEY.md §2 row / pipeline operator family — see

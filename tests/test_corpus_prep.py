@@ -1,0 +1,105 @@
+"""Training-data prep operators: chunking, packing, PII scrub, domain mix.
+
+Oracle equivalence is covered by verify_driver/the grading driver; these
+tests pin the *semantic invariants* that SQL equivalence alone wouldn't
+(conservation, budgets, determinism, planted-PII behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import text
+
+
+def test_chunk_tokens_conserves_and_bounds(spark, sf_medium):
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    chunks = text.chunk_tokens(docs, chunk_size=7)
+    # Every chunk within budget, at least one token.
+    bad = chunks.filter(
+        (F.col("n_tokens") > 7) | (F.col("n_tokens") < 1)
+    ).count()
+    assert bad == 0
+    # Per-doc conservation: chunk token counts sum to the doc token count,
+    # and chunk ids are exactly 0..k-1.
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.count("*").alias("k"),
+        F.max("chunk_id").alias("max_id"),
+        F.min("chunk_id").alias("min_id"),
+    )
+    truth = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    joined = per_doc.join(truth, "doc_id")
+    bad = joined.filter(
+        (F.col("tok_sum") != F.col("n_tok"))
+        | (F.col("min_id") != 0)
+        | (F.col("max_id") != F.col("k") - 1)
+    ).count()
+    assert bad == 0
+
+
+def test_pack_sequences_offsets_are_contiguous(spark, sf_medium):
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    packed = text.pack_sequences(docs, budget=97, num_shards=4)
+    # Within a shard, start offsets are the exclusive prefix sum of token
+    # counts in a deterministic order — so offset+n_tokens of the k-th row
+    # equals the (k+1)-th row's offset; globally, tokens are conserved.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("start_offset")
+    chained = packed.withColumn(
+        "next_off", F.lead("start_offset").over(w)
+    ).filter(F.col("next_off").isNotNull())
+    bad = chained.filter(
+        F.col("start_offset") + F.col("n_tokens") != F.col("next_off")
+    ).count()
+    assert bad == 0
+    # pack_id is the budget-quotient of the start offset.
+    bad = packed.filter(
+        F.col("pack_id") != F.floor(F.col("start_offset") / 97)
+    ).count()
+    assert bad == 0
+    # Deterministic: two independent plans agree exactly.
+    again = text.pack_sequences(docs, budget=97, num_shards=4)
+    assert packed.exceptAll(again).count() == 0
+
+
+def test_pii_scrub_planted_spans(spark):
+    rows = [
+        (1, "contact me at alice@example.com or +1 (555) 123-4567 now"),
+        (2, "server at 10.0.0.1 and 192.168.1.255, no mail"),
+        (3, "clean text with nothing sensitive at all"),
+        (4, "two mails: a@b.io c.d@e-f.org and ip 8.8.8.8"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.pii_scrub(docs).collect()
+    }
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == out[3]["n_ipv4"] == out[3]["n_phones"] == 0
+    assert out[4]["n_emails"] == 2 and out[4]["n_ipv4"] == 1
+    # Scrubbed text of the clean doc is unchanged (md5 of original).
+    orig_md5 = docs.filter("doc_id = 3").select(
+        F.md5("text").alias("m")
+    ).first()["m"]
+    assert out[3]["scrubbed_md5"] == orig_md5
+    # Redaction actually removed the spans from doc 1 (length shrank to
+    # the sentinel'd form, deterministically).
+    assert out[1]["scrubbed_len"] < len(rows[0][1])
+
+
+def test_domain_mix_weights_normalize(spark, sf_medium):
+    docs = io_mod.load_table(spark, sf_medium, "documents")
+    mix = text.domain_mix_weights(docs).collect()
+    assert abs(sum(r["doc_share"] for r in mix) - 1.0) < 1e-9
+    # Uniform-target property: weight * n_tokens is the same constant
+    # (total/n_sources) for every source.
+    consts = {round(r["uniform_weight"] * r["n_tokens"], 6) for r in mix}
+    assert len(consts) == 1
+    assert all(r["uniform_weight"] > 0 for r in mix)
