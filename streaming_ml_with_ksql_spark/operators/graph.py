@@ -19,6 +19,13 @@ join-groupBy primitive; the propagation loop below is the simpler shape
 and keeps per-round cost to ONE shuffle join + ONE groupBy.
 
 Scale notes:
+- The iteration runs ONLY over the edge-induced subgraph: a vertex with no
+  edges can never change label, so the corpus (|V| ~ billions at 100 TB)
+  stays out of the loop entirely — per-round cost is O(|E|) rows, and the
+  full vertex set is touched exactly once, by the final singleton
+  left-join. Near-dup edge sets are orders of magnitude smaller than the
+  corpus, so this is the difference between 25 corpus-wide shuffles and
+  25 shuffles of a frame that fits in a few executors.
 - State per round is (vertex, label) — two longs — never adjacency lists.
 - Each round localCheckpoints the label frame: truncates the iterative
   lineage (plan size would otherwise grow linearly and re-run every prior
@@ -50,14 +57,25 @@ def connected_components(
     """(id, component) for every vertex; component = min vertex id reachable
     via undirected ``edges``. Vertices absent from ``edges`` are singleton
     components of themselves."""
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
-    labels = vertices.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    # Materialize the edge list ONCE before symmetrizing: `edges` is
+    # usually an expensive lazy plan (a near-dup pair join), and the
+    # two-branch union would otherwise execute it twice.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Iterate over edge-touched vertices only; edge-free vertices are
+    # singleton components and join back once at the end.
+    labels = (
+        sym.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -85,7 +103,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
+    resolved = labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
+    # One pass over the full vertex set: resolved label where present,
+    # else the vertex is its own (singleton) component.
+    return (
+        vertices.select(F.col(id_col))
+        .join(resolved, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
 
 
 def dedup_groups(
