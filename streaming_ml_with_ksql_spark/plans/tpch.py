@@ -39,6 +39,16 @@ __all__ = [
     "large_volume_customers",
     "waiting_suppliers",
     "churned_high_balance",
+    "forecast_revenue",
+    "market_share",
+    "product_profit",
+    "returned_item_topk",
+    "shipping_delay_priority",
+    "promo_revenue",
+    "order_count_histogram",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "excess_part_suppliers",
 ]
 
 
@@ -505,4 +515,374 @@ def top_supplier_per_nation(
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select("r_name", "n_name", "s_name", "s_acctbal")
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    *,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no joins, no groupBy.
+
+    Every predicate references a raw scan column, so all three push into the
+    parquet reader (``PushedFilters`` carries the shipdate range, the
+    discount band and the quantity cap) and column pruning reads exactly
+    three columns. At 100 TB this is the canonical "the scan IS the query"
+    plan: partial sums map-side, a single scalar crosses the exchange."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def market_share(
+    nation: DataFrame,
+    region: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    target_nation: str = "NATION_1",
+    target_region: str = "AMERICA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: market share = conditional-sum / total-sum per year.
+
+    Customer nation is restricted to one region (broadcast probe on the
+    fact), supplier nation feeds the CASE numerator. Both sums come out of
+    ONE aggregation over one shuffled lineitem↔orders join — the ratio is a
+    post-aggregation scalar expression, so the share costs nothing beyond
+    the base volume query. Rounded sums divide in double on both engines."""
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(region_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi"
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(0.0)),
+                4,
+            ).alias("nation_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_substr: str = "red",
+    cost_factor: float = 0.1,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, ship year) over parts
+    whose name contains a token. The testdata has no partsupp/supplycost, so
+    cost is ``cost_factor * p_retailprice * l_quantity`` — same expression
+    tree, same join graph minus partsupp.
+
+    part is filtered BEFORE the join (contains() prunes ~95% of parts) and
+    broadcast, so lineitem rows for non-matching parts die at the probe;
+    the only shuffle is the final (nation, year) aggregation."""
+    p = part.filter(F.col("p_name").contains(name_substr)).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+def returned_item_topk(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    quarter_start: str = "1996-01-01",
+    quarter_end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by lost revenue on returned items.
+
+    Orders are date-pruned at the scan, lineitem keeps only R-flag rows
+    (both filters pushed), the join shuffles only the surviving quarter.
+    Top-k is ORDER BY (rounded revenue DESC, custkey) LIMIT k — Spark
+    executes it as TakeOrderedAndProject (per-partition heaps, no global
+    sort, no single-partition window), and the rounded-revenue + custkey
+    total order makes the cut deterministic cross-engine."""
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(quarter_start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(quarter_end).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    topk = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(k)
+    return (
+        topk.join(F.broadcast(customer), topk.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+            "c_mktsegment",
+        )
+    )
+
+
+def shipping_delay_priority(
+    orders: DataFrame, lineitem: DataFrame, *, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape: per ship-year, how many late-shipped lines belong to
+    high- vs low-priority orders (CASE-in-aggregate over a join). The
+    testdata has no shipmode/commitdate, so the Q12 axes become ship year ×
+    a shipdate-vs-orderdate lateness predicate.
+
+    The lateness predicate is non-equi but intra-row (after the equi-join),
+    so the join itself stays a plain hash join on the order key."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    month_start: str = "1996-01-01",
+    month_end: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one month. One
+    date-pruned scan, one broadcast part join, one aggregation producing
+    both the CASE numerator and the denominator; the percentage divides the
+    two ROUNDED sums (identical double op on both engines)."""
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(month_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == promo_type, vol).otherwise(0.0)), 4
+            ).alias("promo_rev"),
+            F.round(F.sum(vol), 4).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+def order_count_histogram(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, including
+    the zero bucket (LEFT join, count of non-null keys, then a second
+    groupBy over the per-customer counts).
+
+    Two shuffles by construction (per-customer count, then histogram); the
+    second operates on one row per customer, and the histogram key has at
+    most a few dozen distinct values — partial aggregation collapses it
+    map-side, so the second exchange moves almost nothing."""
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame, part: DataFrame, *, brand: str = "Brand#1", factor: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than ``factor`` × the
+    part's average quantity (correlated scalar AVG subquery, decorrelated to
+    a per-part aggregate joined back to the fact).
+
+    The brand filter restricts both the aggregate and the probe side BEFORE
+    any shuffle (semi-join through the broadcast part list). Quantities are
+    integral doubles, so the per-part average is bit-exact cross-engine
+    without decimal games; only the final revenue needs rounding."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(factor) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (three brand/size/quantity
+    bands). The join stays a single broadcast hash join on the part key; the
+    disjunction is a post-join filter referencing both sides, which Catalyst
+    keeps as one predicate — no union-of-three-joins blowup, no re-scan."""
+    p = part.select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def excess_part_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    part_type: str = "PROMO",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    share: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 shape (nested correlated IN, two levels): suppliers who in
+    one year shipped more than ``share`` of their all-time volume of some
+    promo-type part. partsupp's availqty doesn't exist, so "available" is
+    the supplier's all-time shipped quantity of that part — the correlated
+    comparison (year volume vs. own total) keeps Q20's two-aggregate nesting.
+
+    Both aggregates come from ONE scan of the part-filtered lineitem (a
+    conditional sum per (part, supplier) beats two scans + a self-join);
+    the qualifying pairs then semi-join suppliers. Quantities are integral
+    doubles -> the share compare is exact."""
+    pk = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    in_year = (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(year_end).cast("timestamp")
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_year, F.col("l_quantity")).otherwise(0.0)).alias("year_qty"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    qualifying = per_pair.filter(
+        F.col("year_qty") > F.lit(share) * F.col("total_qty")
+    ).select("l_suppkey").distinct()
+    return (
+        supplier.join(
+            qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
     )

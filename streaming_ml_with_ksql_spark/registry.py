@@ -3076,6 +3076,285 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Remaining TPC-H query shapes (SURVEY.md §2.9): Q6/Q8/Q9/Q10/Q12/Q13/Q14/
+# Q17/Q19/Q20 analogs over the driver's star schema (no partsupp table —
+# Q9/Q20 substitute lineitem-derived part↔supplier associations, same
+# subquery nesting). These round out the subquery/predicate families the
+# round-1 verdict named as the open stretch (VERDICT.md item 8).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure scan-filter-aggregate; every predicate reaches
+    the parquet reader (PushedFilters), three columns read, one scalar out."""
+    return tpch.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "market_share",
+    """
+    WITH agg AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             round(sum(CASE WHEN n_s.n_name = 'NATION_1'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END), 4) AS nation_volume,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n_c ON c.c_nationkey = n_c.n_nationkey
+      JOIN region r ON n_c.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n_s ON s.s_nationkey = n_s.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT o_year, nation_volume, total_volume,
+           round(nation_volume / total_volume, 6) AS mkt_share
+    FROM agg
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share as conditional-sum / total-sum out of
+    ONE aggregation; the region restriction is a broadcast semi-join probe."""
+    return tpch.market_share(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per (supplier nation, ship year); the part
+    filter prunes before the broadcast probe (no partsupp in the testdata,
+    cost = 0.1 × retailprice × quantity)."""
+    return tpch.product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "returned_item_topk",
+    """
+    WITH rev AS (
+      SELECT o.o_custkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+      ORDER BY revenue DESC, o_custkey
+      LIMIT 20
+    )
+    SELECT c.c_custkey, c.c_name, rev.revenue, c.c_acctbal,
+           n.n_name AS nation, c.c_mktsegment
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item lost revenue;
+    executed as TakeOrderedAndProject on (rounded revenue, custkey)."""
+    return tpch.returned_item_topk(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "shipping_delay_priority",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-in-aggregate over the order join, lateness as
+    the non-equi intra-row predicate (testdata has no shipmode/commitdate)."""
+    return tpch.shipping_delay_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+    WITH agg AS (
+      SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0 END), 4) AS promo_rev,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_rev
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    )
+    SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_revenue_pct
+    FROM agg
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share for one month; numerator and
+    denominator from one aggregation, ratio over the rounded sums."""
+    return tpch.promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "order_count_histogram",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    """,
+)
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution by order count including the
+    zero bucket (LEFT join + count(non-null) + second groupBy)."""
+    return tpch.order_count_histogram(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    li AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM pk)
+    ),
+    avg_qty AS (
+      SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
+      FROM li GROUP BY 1
+    )
+    SELECT round(sum(li.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM li JOIN avg_qty ON li.l_partkey = avg_qty.ap_key
+    WHERE li.l_quantity < 0.2 * avg_qty.avg_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar AVG decorrelated to a per-part
+    aggregate joined back; quantities are integral doubles so the 0.2×avg
+    threshold is bit-exact cross-engine."""
+    return tpch.small_qty_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate referencing both join sides;
+    one broadcast hash join, the disjunction stays a single post-join
+    filter (no union-of-joins blowup)."""
+    return tpch.disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "excess_part_suppliers",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    per_pair AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS year_qty,
+             sum(l_quantity) AS total_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM pk)
+      GROUP BY 1, 2
+    ),
+    qualifying AS (
+      SELECT DISTINCT l_suppkey FROM per_pair
+      WHERE year_qty > 0.5 * total_qty
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    """,
+)
+def q_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — two-level nested correlated IN: suppliers whose
+    one-year shipped volume of a promo part exceeds half their all-time
+    volume; both aggregates from one conditional-sum scan."""
+    return tpch.excess_part_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-priority ordering: the 50 designated queries the grading driver
 # will verify (one per SURVEY.md §2 row / pipeline operator family — see
 # _ordered_names). Everything registered but absent here remains a fully

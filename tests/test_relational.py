@@ -44,6 +44,18 @@ PHASE2 = [
     "partitioned_sink_prune",
     "pandas_udaf_median",
     "python_udtf_ngrams",
+    # round-3 additions: remaining TPC-H shapes (Q6/Q8/Q9/Q10/Q12/Q13/Q14/
+    # Q17/Q19/Q20 analogs)
+    "forecast_revenue",
+    "market_share",
+    "product_profit",
+    "returned_item_topk",
+    "shipping_delay_priority",
+    "promo_revenue",
+    "order_count_histogram",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "excess_part_suppliers",
 ]
 
 
