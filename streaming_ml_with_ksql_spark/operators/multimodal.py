@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction runs as Arrow-batched pandas over
-``mapInPandas``. The container has no media libraries, so the actual codec
-step is STUBBED (import-gated): when PIL/librosa/cv2 are absent we emit a
-deterministic fake decode derived from the bytes, keeping the Spark-side
+``mapInPandas``. The container has no image/video libraries, so those
+codec kernels are STUBBED (import-gated): when PIL/cv2 are absent we emit
+a deterministic fake decode derived from the bytes, keeping the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape — real
-and tested.
+and tested. The AUDIO path is NOT stubbed: `synthesize_wav_payload` /
+`decode_audio` (bottom of this module) encode and parse genuine RIFF/WAVE
+containers with the Python standard library, end-to-end in-sandbox.
 
 Scale notes:
 - mapInPandas streams Arrow record batches; peak executor memory is one
@@ -33,8 +35,11 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "resize_meta",
+    "synthesize_wav_payload",
+    "decode_audio",
     "DECODED_SCHEMA",
     "FEATURES_SCHEMA",
+    "AUDIO_DECODED_SCHEMA",
 ]
 
 DECODED_SCHEMA = (
@@ -223,4 +228,114 @@ def resize_meta(
         F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias(
             "target_height"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path: WAV (RIFF) via the Python standard library. Unlike the
+# image/video kernels above (stubbed — no PIL/cv2 in this container), the
+# audio path needs no third-party library: `wave` writes and parses the
+# RIFF/WAVE container for real, so encode → bytes → decode is exercised
+# end-to-end in-sandbox and the decode is a genuine container parse, not a
+# byte-derived fake.
+# --------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+AUDIO_PAYLOAD_SCHEMA = "doc_id long, media_type string, payload binary"
+
+AUDIO_DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, n_channels int, sample_width int, "
+    "sample_rate int, n_samples int, duration_ms double, decoder string"
+)
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic 8-bit mono PCM WAV: 100 + doc_id % 400 samples at
+    WAV_SAMPLE_RATE, sample i = (doc_id * 31 + i * 7) % 256. Standard
+    44-byte RIFF header + data ⇒ n_bytes = 44 + n_samples (the closed
+    form the oracle states)."""
+    import io as _io
+    import wave
+
+    n = 100 + doc_id % 400
+    buf = _io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(bytes((doc_id * 31 + i * 7) % 256 for i in range(n)))
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": "audio/wav",
+                "payload": [_wav_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synthesize_wav_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, 'audio/wav', genuine RIFF/WAVE payload bytes).
+    Narrow Arrow map; the per-row Python loop is the encoder boundary,
+    exactly where a real media transcode would run."""
+    return documents.select("doc_id").mapInPandas(
+        _wav_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
+    )
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode kernel: parse each payload's RIFF/WAVE container with
+    the stdlib `wave` reader. Raises on malformed payloads (no silent
+    fake fallback on this path)."""
+    import io as _io
+    import wave
+
+    for pdf in batches:
+        rows = []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(p)
+            r = wave.open(_io.BytesIO(payload), "rb")
+            try:
+                rate = r.getframerate()
+                nf = r.getnframes()
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "n_bytes": len(payload),
+                        "n_channels": r.getnchannels(),
+                        "sample_width": r.getsampwidth(),
+                        "sample_rate": rate,
+                        "n_samples": nf,
+                        "duration_ms": (nf * 1000.0) / rate,
+                        "decoder": "stdlib-wave",
+                    }
+                )
+            finally:
+                r.close()
+        out = pd.DataFrame(rows)
+        yield out.astype(
+            {
+                "n_bytes": "int32",
+                "n_channels": "int32",
+                "sample_width": "int32",
+                "sample_rate": "int32",
+                "n_samples": "int32",
+            }
+        )
+
+
+def decode_audio(with_wav_payload: DataFrame) -> DataFrame:
+    """WAV payload → audio metadata via a REAL container parse (stdlib
+    `wave`), Arrow-batched mapInPandas, narrow map — the production shape
+    for audio decode at 100 TB (batch-bounded memory, no shuffle)."""
+    return with_wav_payload.mapInPandas(
+        _wav_decode_batches, schema=AUDIO_DECODED_SCHEMA
     )

@@ -52,6 +52,7 @@ __all__ = [
     "pack_sequences",
     "pii_scrub",
     "domain_mix_weights",
+    "ngram_lm_score",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -1113,4 +1114,64 @@ def domain_mix_weights(documents: DataFrame) -> DataFrame:
                 * F.col("n_tokens").cast("double")
             )
         ).alias("uniform_weight"),
+    )
+
+
+def ngram_lm_score(documents: DataFrame, *, k: float = 0.5) -> DataFrame:
+    """Per-document bigram language-model fluency score — the
+    perplexity-filtering step of a CCNet-style corpus pipeline (Wenzek et
+    al. 2020 train a 5-gram KenLM and drop high-perplexity docs; the
+    operator contract here is the same corpus-trained n-gram scoring,
+    self-supervised on the corpus being filtered).
+
+    Score = mean conditional probability of each bigram under an add-k
+    smoothed bigram model: P(w2|w1) = (C(w1,w2)+k) / (C(w1)+k·V).
+    Deliberately log-free (mean prob, not log-perplexity): like
+    ``bm25_scores``, exact cross-engine differential checking needs only
+    IEEE correctly-rounded ops (+,-,*,/), while log() may diverge in the
+    last ulp between engines. The ranking this filter thresholds on is
+    unchanged (doc-length-normalized mean prob orders fluency the same
+    direction; a production variant would emit log-perplexity from the
+    identical counts).
+
+    Scale shape: bigrams are built INSIDE the row (transform over an index
+    sequence — narrow, no shuffle), then aggregated per (doc, w1, w2)
+    with multiplicity so the model join touches distinct-bigrams-per-doc
+    rows, not every token instance. The model itself is two groupBys over
+    the corpus bigrams (map-side partial combine; state per key = one
+    long). The probability join shuffles on (w1, w2) — both sides hash
+    the same key, co-partitioned — and the vocab size is a broadcast
+    scalar. Docs with < 2 tokens have no bigrams and drop out (the
+    oracle states the same).
+    """
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + 1).alias("w2"),
+        ),
+    )
+    big = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = base.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    # Evaluation order mirrors the oracle SQL exactly (cross-engine float
+    # identity): (c12 + k) / (c1 + k*v), summed weighted by multiplicity.
+    p = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    return (
+        doc_big.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * p) / F.sum("m"), 6).alias("avg_cond_prob"),
+        )
     )

@@ -1191,6 +1191,44 @@ def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "embedding_dedup_groups",
+    """
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+    edges AS (SELECT pa AS u, pb AS v FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    reach(u, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.u),
+    comp AS (SELECT u AS vec_id, min(label) AS group_id FROM reach GROUP BY u)
+    SELECT c.vec_id, c.group_id, s.group_size
+    FROM comp c
+    JOIN (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) s
+      USING (group_id)
+    """,
+)
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup groups — the SemDeDup step
+    (Abbas et al. 2023): cosine near-dup pairs resolved into transitive
+    keep-one-representative groups. Reuses the exact-rescored pair
+    generator (bit-identical to the all-pairs SQL) and the same
+    min-label-propagation components as the MinHash dedup family, so the
+    fixpoint is hash-checked against DuckDB's recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_blocked(emb)
+    return graph.dedup_groups(
+        emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )
+
+
 @register("embedding_topk_lsh", None)  # approximate: rows-only check
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN (scale path). No SQL oracle — approximate by design;
@@ -2380,6 +2418,32 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.attach_binary_payload(docs))
 
 
+@register(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id,
+           CAST(44 + (doc_id % 400) + 100 AS INT) AS n_bytes,
+           CAST(1 AS INT) AS n_channels,
+           CAST(1 AS INT) AS sample_width,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(100 + (doc_id % 400) AS INT) AS n_samples,
+           ((100 + (doc_id % 400)) * 1000.0) / 8000 AS duration_ms,
+           'stdlib-wave' AS decoder
+    FROM documents
+    """,
+)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (not a stub): deterministic 8-bit PCM WAV
+    payloads are encoded with the stdlib `wave` writer, then parsed back
+    by the stdlib `wave` reader inside an Arrow mapInPandas kernel. The
+    oracle states the closed-form container metadata (44-byte RIFF header
+    + n_samples data bytes, mono, 8 kHz), so a hash match proves the
+    encode → binary column → parse round-trip recovered every field
+    through a genuine RIFF parse."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.synthesize_wav_payload(docs))
+
+
 @register("multimodal_features", None)  # Pandas-UDF path: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction through Arrow mapInPandas
@@ -3075,6 +3139,41 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_mix_weights(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "ngram_lm_score",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM d)),
+    db AS (SELECT doc_id, w1, w2, count(*) AS m FROM big GROUP BY 1, 2, 3),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM d))
+    SELECT db.doc_id,
+           CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+           round(sum(db.m * ((bg.c12 + 0.5) / (ctx.c1 + 0.5 * voc.v)))
+                 / sum(db.m), 6) AS avg_cond_prob
+    FROM db
+    JOIN bg USING (w1, w2)
+    JOIN ctx USING (w1)
+    CROSS JOIN voc
+    GROUP BY 1
+    """,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM fluency scoring (add-k bigram model trained on
+    the corpus itself, mean conditional probability per doc) — log-free so
+    the differential oracle is exact; see text.ngram_lm_score."""
+    return text.ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Remaining TPC-H query shapes (SURVEY.md §2.9): Q6/Q8/Q9/Q10/Q12/Q13/Q14/
 # Q17/Q19/Q20 analogs over the driver's star schema (no partsupp table —
@@ -3376,9 +3475,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_users",
     "rolling_counts",
     "lag_lead_features",
-    # join family (J1-J4, skew, as-of)
+    # join family (J1-J4, skew, as-of; the salted variant is
+    # answer-identical to enriched_window_join and yields its slot)
     "enriched_window_join",
-    "enriched_window_join_salted",
     "asof_view_attribution",
     # relational/TPC-H family (agg, top-k, rollup, pivot, semi/anti,
     # set ops, correlated subquery, percentiles, distinct-agg, sketches)
@@ -3401,30 +3500,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ksql_runbook_hopping",
     # CDC source (S3)
     "cdc_snapshot_customers",
-    # text analysis family
+    # text analysis family (incl. corpus-LM fluency scoring)
     "text_stats",
     "lang_id_ngram",
     "doc_fingerprint",
     "token_budget",
-    # dedup family (exact, minhash, keep-min-id, ngram-jaccard, simhash)
+    "ngram_lm_score",
+    # dedup family (exact, minhash, keep-min-id, ngram-jaccard, simhash;
+    # simhash_fingerprints is the input half of simhash_near_dup_pairs and
+    # yields its slot)
     "dedup_exact_events",
     "minhash_near_dup_pairs",
     "dedup_near_minhash",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
     "simhash_near_dup_pairs",
-    # embedding family (quantize, ANN brute/LSH/IVF, near-dup scale path)
+    # embedding family (quantize, ANN brute/IVF, near-dup scale path,
+    # semantic dedup groups; topk_lsh is recall-tested in pytest and yields
+    # its rows-only slot to the hash-checked dedup groups)
     "embedding_quantize_int8",
     "embedding_topk_bruteforce",
-    "embedding_topk_lsh",
+    "embedding_dedup_groups",
     "embedding_topk_ivf",
     "embedding_near_dup_pairs_lsh",
     # corpus pipeline (composite clean, stratified mixing)
     "corpus_clean_pipeline",
     "corpus_sample_mix",
     # multimodal (Arrow plumbing, typed metadata; frame_sample is the
-    # oracled representative — decode/features are rows-only stubs)
+    # oracled JVM representative, audio_decode the REAL stdlib-wave codec
+    # round-trip — image/video decode/features stay rows-only stubs)
     "multimodal_frame_sample",
+    "multimodal_audio_decode",
     # streaming family (EMIT CHANGES, custom stateful, stream-stream join)
     "streaming_hopping_window",
     "streaming_sessionize",

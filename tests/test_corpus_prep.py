@@ -103,3 +103,21 @@ def test_domain_mix_weights_normalize(spark, sf_medium):
     consts = {round(r["uniform_weight"] * r["n_tokens"], 6) for r in mix}
     assert len(consts) == 1
     assert all(r["uniform_weight"] > 0 for r in mix)
+
+
+def test_ngram_lm_score_orders_fluency(spark):
+    """A doc made of the corpus's dominant bigram pattern must outscore a
+    doc of one-off bigrams: the model is trained on the corpus itself, so
+    mean conditional probability ranks repeated constructions higher."""
+    from streaming_ml_with_ksql_spark.operators import text
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zq wx kj vb nm pl"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.ngram_lm_score(docs).collect()}
+    fluent = out[0]
+    odd = out[100]
+    assert fluent.n_bigrams == 5 and odd.n_bigrams == 5
+    assert fluent.avg_cond_prob > odd.avg_cond_prob
+    # every conditional probability is a true probability
+    assert 0.0 < odd.avg_cond_prob < fluent.avg_cond_prob <= 1.0

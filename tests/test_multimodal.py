@@ -91,3 +91,44 @@ def test_resize_meta_preserves_aspect(spark, sf_small):
         | (F.col("target_height") < 1)
     )
     assert bad.count() == 0
+
+
+def test_wav_roundtrip_is_real_riff(spark):
+    """The audio path is NOT a stub: bytes produced by the encoder must be
+    a genuine RIFF/WAVE container (magic bytes checked here directly) and
+    the decode must recover the container fields through the stdlib
+    parser, not from the doc_id."""
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    raw = multimodal._wav_bytes(7)
+    assert raw[0:4] == b"RIFF" and raw[8:12] == b"WAVE"
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_audio(
+            multimodal.synthesize_wav_payload(docs)
+        ).collect()
+    }
+    for i in range(12):
+        r = out[i]
+        n = 100 + i % 400
+        assert r.n_samples == n
+        assert r.n_bytes == 44 + n
+        assert (r.n_channels, r.sample_width, r.sample_rate) == (1, 1, 8000)
+        assert abs(r.duration_ms - n * 1000.0 / 8000) < 1e-9
+        assert r.decoder == "stdlib-wave"
+
+
+def test_wav_decode_rejects_garbage(spark):
+    """Malformed payloads must raise through the real parser (no silent
+    fake fallback on the audio path)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    bad = spark.createDataFrame([(1, "audio/wav")], "doc_id long, media_type string")
+    bad = bad.withColumn("payload", F.lit(b"not a wav file"))
+    with pytest.raises(Exception):
+        multimodal.decode_audio(bad).collect()

@@ -34,6 +34,10 @@ NORTHSTAR_ORACLED = [
     "corpus_hash_split",
     "corpus_shuffle_shard",
     "keyword_bm25",
+    # round-3 additions
+    "ngram_lm_score",
+    "embedding_dedup_groups",
+    "multimodal_audio_decode",
 ]
 
 
