@@ -793,7 +793,13 @@ def small_qty_revenue(
     The brand filter restricts both the aggregate and the probe side BEFORE
     any shuffle (semi-join through the broadcast part list). Quantities are
     integral doubles, so the per-part average is bit-exact cross-engine
-    without decimal games; only the final revenue needs rounding."""
+    without decimal games; only the final revenue needs rounding.
+
+    The avg_qty frame is fact-DERIVED (one row per brand part — grows with
+    scale factor), so it is deliberately NOT broadcast-hinted: both sides
+    of that join already hash-partition on the part key, and AQE may still
+    elect a broadcast when the brand slice is small. Forcing it would OOM
+    the driver at 100 TB."""
     pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(
         F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
@@ -802,7 +808,7 @@ def small_qty_revenue(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        li.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.lit(factor) * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")

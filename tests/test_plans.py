@@ -129,3 +129,48 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
     exchange_pos = plan.find("Exchange")
     filter_pos = plan.rfind("Filter")
     assert exchange_pos != -1 and filter_pos > exchange_pos, plan[:2000]
+
+
+def test_forecast_revenue_scan_is_the_query(spark):
+    """Q6 shape: all three predicates reach the parquet reader and the scan
+    reads only the referenced columns; the aggregate partials map-side."""
+    plan = _explain(spark, "forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    assert pushed, plan[:1500]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed.group(1), frag
+    schema = re.search(r"ReadSchema: struct<(.+?)>", plan)
+    assert schema and len(schema.group(1).split(",")) <= 4
+    assert "partial_sum" in plan
+
+
+def test_returned_item_topk_uses_heap_not_global_sort(spark):
+    """Q10's top-k must be TakeOrderedAndProject (per-partition heaps), not
+    a global Sort feeding a Limit."""
+    plan = _explain(spark, "returned_item_topk", "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_revenue_single_join(spark):
+    """Q19's OR-of-ANDs must stay ONE broadcast hash join + one filter —
+    not a union of three joins, not a nested loop."""
+    plan = _explain(spark, "disjunctive_revenue", "simple")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" not in plan
+
+
+def test_ngram_lm_score_stays_jvm(spark):
+    """Bigram construction and the model joins must never cross into
+    Python — in-row transform/explode plus JVM joins only."""
+    plan = _explain(spark, "ngram_lm_score", "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_market_share_no_cartesian_and_broadcast_dims(spark):
+    plan = _explain(spark, "market_share", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
