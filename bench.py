@@ -60,6 +60,14 @@ HEADLINE = [
     "benchmark_decontaminate",
     "embedding_quantize_int8",
     "streaming_hopping_window",
+    # round-3 additions
+    "product_profit",
+    "market_share",
+    "order_count_histogram",
+    "ngram_lm_score",
+    "embedding_dedup_groups",
+    "multimodal_audio_decode",
+    "streaming_corpus_ingest",
 ]
 
 

@@ -68,41 +68,65 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the loop's partitioning to the MEASURED edge count (free — sym
+    # is already materialized). AQE cannot re-plan inside an iterative
+    # checkpointed loop, so without this every round shuffles a possibly
+    # tiny frame across the full spark.sql.shuffle.partitions, and
+    # fixed per-task scheduling overhead dominates wall time. ~1M edge
+    # rows per partition; large graphs keep the session's parallelism.
+    n_edges = sym.count()
+    default_parts = int(
+        sym.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    loop_parts = max(1, min(default_parts, n_edges // 1_000_000 + 1))
+    sym = sym.repartition(loop_parts, "v").localCheckpoint(eager=True)
     # Iterate over edge-touched vertices only; edge-free vertices are
     # singleton components and join back once at the end.
     labels = (
         sym.select("u")
         .distinct()
         .withColumn("label", F.col("u"))
+        .repartition(loop_parts, "u")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(F.col("u").alias("v"), F.col("label")), "v"
+    # Every action inside the loop (checkpoint materializations, the
+    # convergence count) shuffles at spark.sql.shuffle.partitions — scope
+    # it to loop_parts for the loop's duration, then restore.
+    sess = sym.sparkSession
+    prev_parts = sess.conf.get("spark.sql.shuffle.partitions", "200")
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.select(F.col("u").alias("v"), F.col("label")), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+            # The change flag rides INSIDE the checkpointed frame (labels
+            # only decrease, so nbr < old ⇔ changed) — the convergence
+            # check is then a filter-count over already-materialized
+            # partitions instead of a new-vs-old join shuffle per round.
+            stepped = (
+                labels.join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                        "chg"
+                    ),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            changed = stepped.filter(F.col("chg")).count()
+            labels = stepped.select("u", "label")
+            if changed == 0:
+                break
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
     resolved = labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
     # One pass over the full vertex set: resolved label where present,
     # else the vertex is its own (singleton) component.

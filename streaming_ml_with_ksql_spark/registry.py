@@ -2720,6 +2720,144 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_function_suite",
+    r"""
+    SELECT event_id,
+           upper(event_type) AS et_upper,
+           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS et_key,
+           concat_ws('|', event_type, CAST(event_id AS VARCHAR)) AS et_ws,
+           substring(event_type, 2, 3) AS et_sub,
+           length(event_type) AS et_len,
+           replace(event_type, 'e', '3') AS et_leet,
+           lpad(event_type, 10, '.') AS et_lpad,
+           reverse(event_type) AS et_rev,
+           strpos(event_type, 'i') AS et_pos,
+           abs(value - 50.0) AS v_abs,
+           CAST(ceil(value) AS BIGINT) AS v_ceil,
+           CAST(floor(value) AS BIGINT) AS v_floor,
+           round(value, 1) AS v_round1,
+           sqrt(value) AS v_sqrt,
+           CAST(sign(value - 50.0) AS INT) AS v_sign,
+           greatest(value, 10.0) AS v_hi,
+           least(value, 90.0) AS v_lo,
+           CAST(year(ts) AS INT) AS ts_year,
+           CAST(month(ts) AS INT) AS ts_month,
+           CAST(day(ts) AS INT) AS ts_day,
+           CAST(hour(ts) AS INT) AS ts_hour,
+           date_trunc('hour', ts) AS ts_hour_trunc,
+           strftime(ts, '%Y-%m-%d') AS ts_date_str,
+           coalesce(nullif(event_type, 'view'), '<viewed>') AS et_nullif,
+           md5(event_type) AS et_md5,
+           sha256(event_type) AS et_sha256
+    FROM events
+    """,
+)
+def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function library parity in one pass (SURVEY.md §2.9 'string/
+    math/JSON scalar library' — the reference invokes only two scalars;
+    a complete engine carries the whole library): string ops, math ops,
+    date parts/trunc/format, null handling (coalesce/nullif), and
+    cryptographic hashes, each chosen for identical Spark/DuckDB
+    semantics (1-based substring/instr, IEEE sqrt, epoch-free date
+    parts). All narrow codegen projections — zero shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    et, v = F.col("event_type"), F.col("value")
+    return ev.select(
+        "event_id",
+        F.upper(et).alias("et_upper"),
+        F.concat(et, F.lit(":"), F.col("user_id").cast("string")).alias("et_key"),
+        F.concat_ws("|", et, F.col("event_id").cast("string")).alias("et_ws"),
+        F.substring(et, 2, 3).alias("et_sub"),
+        F.length(et).alias("et_len"),
+        F.replace(et, F.lit("e"), F.lit("3")).alias("et_leet"),
+        F.lpad(et, 10, ".").alias("et_lpad"),
+        F.reverse(et).alias("et_rev"),
+        F.instr(et, "i").alias("et_pos"),
+        F.abs(v - 50.0).alias("v_abs"),
+        F.ceil(v).cast("long").alias("v_ceil"),
+        F.floor(v).cast("long").alias("v_floor"),
+        F.round(v, 1).alias("v_round1"),
+        F.sqrt(v).alias("v_sqrt"),
+        F.signum(v - 50.0).cast("int").alias("v_sign"),
+        F.greatest(v, F.lit(10.0)).alias("v_hi"),
+        F.least(v, F.lit(90.0)).alias("v_lo"),
+        F.year("ts").cast("int").alias("ts_year"),
+        F.month("ts").cast("int").alias("ts_month"),
+        F.dayofmonth("ts").cast("int").alias("ts_day"),
+        F.hour("ts").cast("int").alias("ts_hour"),
+        F.date_trunc("hour", "ts").alias("ts_hour_trunc"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date_str"),
+        F.coalesce(F.nullif(et, F.lit("view")), F.lit("<viewed>")).alias(
+            "et_nullif"
+        ),
+        F.md5(et).alias("et_md5"),
+        F.sha2(et, 256).alias("et_sha256"),
+    )
+
+
+def _replay_documents(spark: SparkSession, sf_dir: str):
+    """Sharded file-replay stream over the documents table (doc_id order),
+    memoized per sf_dir like _replay_events."""
+    key = f"docs:{sf_dir}"
+    d = _REPLAY_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="sgraft_replay_docs_")
+        stream_source.shard_table_to_dir(
+            _t(spark, sf_dir, "documents"), d, num_shards=4, order_col="doc_id"
+        )
+        _REPLAY_DIRS[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return stream_source.stream_parquet_dir(spark, d, max_files_per_trigger=2)
+
+
+@register(
+    "streaming_corpus_ingest",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(text,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+        len(regexp_extract_all(text,
+            '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<PII>', 'g'),
+          '\+[0-9][0-9 ()-]{6,}[0-9]', '<PII>', 'g') AS scrubbed
+      FROM documents
+      WHERE lang = 'en' AND n_chars >= 200)
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_ipv4 AS INT) AS n_ipv4,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    """,
+)
+def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest pipeline: documents replayed as a file
+    stream, then quality-gated (lang + length) and PII-scrubbed with the
+    SAME narrow JVM transforms as the batch operator — the continuous
+    form of corpus cleaning (new documents scrub as they arrive, no
+    state, no watermark needed). Because every stage is stateless, the
+    append-mode emission set equals the batch answer EXACTLY, so the
+    batch SQL is the oracle — the strongest check a streaming query can
+    carry."""
+    stream = _replay_documents(spark, sf_dir)
+    gated = stream.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+    cleaned = text.pii_scrub(gated)
+    return stream_sinks.run_to_memory(
+        cleaned,
+        f"reg_stream_corpus_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_interval_join_full",
     """
     WITH p AS (

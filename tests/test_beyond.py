@@ -35,6 +35,7 @@ STREAMING = [
     "streaming_dedup_exact",
     "streaming_cdc_upsert",
     "streaming_interval_join_right",
+    "streaming_corpus_ingest",
 ]
 
 

@@ -56,6 +56,7 @@ PHASE2 = [
     "small_qty_revenue",
     "disjunctive_revenue",
     "excess_part_suppliers",
+    "scalar_function_suite",
 ]
 
 
