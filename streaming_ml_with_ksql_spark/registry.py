@@ -2444,6 +2444,41 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio(multimodal.synthesize_wav_payload(docs))
 
 
+@register(
+    "multimodal_image_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 25 AS INT) AS width,
+             CAST(8 + (doc_id * 3) % 17 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM dims),
+    m AS (
+      SELECT doc_id, avg(CAST((doc_id + y) % 256 AS DOUBLE)) AS mean_pixel
+      FROM px GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(54 + ((3 * d.width + 3) // 4) * 4 * d.height AS INT) AS n_bytes,
+           d.width, d.height, CAST(24 AS INT) AS bpp,
+           m.mean_pixel,
+           'struct-bmp' AS decoder
+    FROM dims d JOIN m USING (doc_id)
+    """,
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path (not a stub): deterministic 24-bit BMPs are
+    written with stdlib struct, then parsed back — header geometry AND the
+    mean channel value computed from the decoded pixel array — inside an
+    Arrow mapInPandas kernel. The oracle states the closed-form container
+    metadata and per-row pixel average, so a hash match proves the decode
+    read the actual pixel bytes (stride padding excluded) through a
+    genuine DIB parse."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.synthesize_bmp_payload(docs))
+
+
 @register("multimodal_features", None)  # Pandas-UDF path: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction through Arrow mapInPandas

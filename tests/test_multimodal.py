@@ -132,3 +132,38 @@ def test_wav_decode_rejects_garbage(spark):
     bad = bad.withColumn("payload", F.lit(b"not a wav file"))
     with pytest.raises(Exception):
         multimodal.decode_audio(bad).collect()
+
+
+def test_bmp_roundtrip_is_real_dib(spark):
+    """The image path is real for BMP: encoder output carries the BM magic
+    and spec-compliant padding; the decoder recovers geometry from the
+    INFOHEADER and pixel statistics from the actual array."""
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    raw = multimodal._bmp_bytes(11)
+    assert raw[0:2] == b"BM"
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_image(
+            multimodal.synthesize_bmp_payload(docs)
+        ).collect()
+    }
+    for i in range(10):
+        r = out[i]
+        w, h = multimodal._bmp_dims(i)
+        stride = (3 * w + 3) // 4 * 4
+        assert (r.width, r.height, r.bpp) == (w, h, 24)
+        assert r.n_bytes == 54 + stride * h
+        assert abs(r.mean_pixel - sum((i + y) % 256 for y in range(h)) / h) < 1e-12
+        assert r.decoder == "struct-bmp"
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal._bmp_parse(b"JFIF not a bmp")

@@ -38,6 +38,7 @@ NORTHSTAR_ORACLED = [
     "ngram_lm_score",
     "embedding_dedup_groups",
     "multimodal_audio_decode",
+    "multimodal_image_decode",
 ]
 
 
