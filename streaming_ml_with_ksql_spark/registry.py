@@ -2754,6 +2754,45 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").join(drained, "event_id")
 
 
+_FMT_DIRS: dict[str, str] = {}
+
+
+def _fmt_dir(sf_dir: str, fmt: str) -> str:
+    key = f"{fmt}:{sf_dir}"
+    d = _FMT_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"sgraft_fmt_{fmt}_")
+        _FMT_DIRS[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+_DOCS_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+@register("json_source_roundtrip", _DOCS_ORACLE)
+def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth (S-family): documents written as JSONL and read back
+    with an explicit schema (no inference scan), FAILFAST. The parquet
+    table is the oracle, so a hash match proves the round-trip lossless
+    — unicode escapes included."""
+    from .sources import formats
+
+    out = formats.documents_via_jsonl(spark, sf_dir, _fmt_dir(sf_dir, "json"))
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register("csv_source_roundtrip", _DOCS_ORACLE)
+def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth (S-family): documents through quoteAll CSV and a
+    multiLine schema'd read — embedded newlines/quotes in document text
+    survive; FAILFAST surfaces malformed rows instead of nulling them."""
+    from .sources import formats
+
+    out = formats.documents_via_csv(spark, sf_dir, _fmt_dir(sf_dir, "csv"))
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 @register(
     "scalar_function_suite",
     r"""

@@ -1,0 +1,59 @@
+"""Text-format source/sink breadth: JSONL and CSV round-trips.
+
+The reference ingests Avro-on-Kafka (SURVEY.md §2.1 S1; the Avro seam
+lives in sources/avro.py) — but a corpus pipeline at 100 TB meets raw
+text formats constantly (web dumps arrive as JSONL, tabular exports as
+CSV). These helpers materialize a table through the format's writer and
+read it back with an EXPLICIT schema, which is the part that matters:
+
+- JSONL: unicode escapes round-trip exactly; schema is passed, never
+  inferred (inference is a full extra scan at scale and non-deterministic
+  under sampling).
+- CSV: ``quoteAll`` + doubled-quote escaping on write, ``multiLine`` on
+  read — embedded newlines and quotes in document text survive. FAILFAST
+  mode: a malformed row is an error, not a silently-nulled record.
+
+Scale notes: both writers shard by the frame's partitioning (no global
+coordination); readers split JSONL by line and CSV by record with
+multiLine handling per file. Parquet remains the engine's native format —
+these exist for interchange parity, and the oracle (the parquet table
+itself) proves the round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import io as io_mod
+
+__all__ = ["documents_via_jsonl", "documents_via_csv"]
+
+
+def _roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
+    spark = df.sparkSession
+    if fmt == "json":
+        df.write.mode("overwrite").json(path)
+        return spark.read.schema(df.schema).option("mode", "FAILFAST").json(path)
+    if fmt == "csv":
+        (
+            df.write.mode("overwrite")
+            .options(header=True, quoteAll=True, escape='"')
+            .csv(path)
+        )
+        return (
+            spark.read.schema(df.schema)
+            .options(header=True, multiLine=True, quote='"', escape='"')
+            .option("mode", "FAILFAST")
+            .csv(path)
+        )
+    raise ValueError(fmt)
+
+
+def documents_via_jsonl(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """documents → JSONL on disk → read back with explicit schema."""
+    return _roundtrip(io_mod.load_table(spark, sf_dir, "documents"), path, "json")
+
+
+def documents_via_csv(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """documents → quoted CSV on disk → multiLine read with explicit schema."""
+    return _roundtrip(io_mod.load_table(spark, sf_dir, "documents"), path, "csv")

@@ -73,3 +73,12 @@ def test_avro_capability_probe(spark):
         except Exception:
             raised = True
         assert raised
+
+
+def test_format_roundtrips_lossless(spark, sf_medium):
+    """JSONL and CSV round-trips must be lossless against the parquet
+    source of truth (driver oracle states the same at the value level)."""
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(spark, "json_source_roundtrip", sf_medium)
+    assert_query_matches(spark, "csv_source_roundtrip", sf_medium)
