@@ -45,6 +45,11 @@ QUERIES = [
     "minhash_near_dup_pairs",
     "corpus_clean_pipeline",
     "embedding_topk_bruteforce",
+    # round-3 additions
+    "ngram_lm_score",
+    "product_profit",
+    "order_count_histogram",
+    "dedup_components",
 ]
 
 
@@ -78,9 +83,10 @@ def main() -> None:
 
     qs = registry.queries()
     for name in QUERIES:
-        df = qs[name](spark, OUT)
+        # Construction INSIDE the timed region: operators with eager
+        # checkpoints (connected components) do real work at build time.
         t0 = time.perf_counter()
-        n = df.count()
+        n = qs[name](spark, OUT).count()
         print(f"{name}: {n} rows in {time.perf_counter()-t0:.1f}s")
     spark.stop()
 

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["enrich_left_join", "semi_join", "anti_join", "as_of_join", "salted_join"]
+__all__ = [
+    "enrich_left_join",
+    "semi_join",
+    "anti_join",
+    "as_of_join",
+    "salted_join",
+    "range_bucket_join",
+]
 
 
 def enrich_left_join(
@@ -155,4 +162,49 @@ def as_of_join(
     )
     return merged.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col(f"__m.{c}").alias(c) for c in payload_cols]
+    )
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equality key — the join shape
+    Catalyst can only plan as BroadcastNestedLoopJoin (O(n·m) probes), made
+    scalable by time-bucket discretization: every interval explodes to the
+    buckets it overlaps, every fact maps to its containing bucket, the join
+    becomes a plain equi-join on the bucket id, and the exact range
+    predicate filters the per-bucket candidates (semantics unchanged —
+    bucketing only prunes, the final filter decides).
+
+    Candidate cost is Σ_buckets |facts_b|·|intervals_b| instead of n·m:
+    pick ``bucket_seconds`` near the typical interval length so each
+    interval lands in O(1) buckets. Absent from the reference (SURVEY.md
+    §2.9 theta/range joins); the standard technique for event-in-window
+    attribution at scale (e.g. incident windows × event streams).
+    """
+    bus = F.lit(int(bucket_seconds) * 1_000_000)
+    f_b = facts.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(ts_col)) / bus)
+    )
+    i_b = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bus),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / bus),
+            )
+        ),
+    )
+    return (
+        f_b.join(i_b, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bucket")
     )

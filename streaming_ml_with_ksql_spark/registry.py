@@ -2754,6 +2754,58 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").join(drained, "event_id")
 
 
+@register(
+    "hot_window_events",
+    """
+    WITH eph AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+    stats AS (SELECT sum(n) AS tot, count(*) AS nh FROM eph),
+    hot AS (
+      SELECT h - INTERVAL 30 MINUTE AS window_start,
+             h + INTERVAL 90 MINUTE AS window_end
+      FROM eph CROSS JOIN stats
+      WHERE n >= 2.0 * (tot / nh))
+    SELECT e.event_id, e.event_type, w.window_start, w.window_end
+    FROM events e
+    JOIN hot w ON e.ts >= w.window_start AND e.ts < w.window_end
+    """,
+)
+def q_hot_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join at scale (SURVEY.md §2.9 theta/range joins):
+    attribute every event to each "incident window" — a ±(30/90)-minute
+    interval around hours whose error count is ≥ 2× the hourly average (a
+    scale-free threshold: integer counts divide exactly on both engines).
+    Catalyst alone would plan the interval containment as
+    BroadcastNestedLoopJoin; joins.range_bucket_join discretizes to hour
+    buckets so it runs as an equi-join + exact filter (plan asserted in
+    tests/test_plans.py)."""
+    ev = _t(spark, sf_dir, "events")
+    eph = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = eph.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nh")
+    )
+    hot = (
+        eph.crossJoin(F.broadcast(stats))
+        .filter(F.col("n") >= F.lit(2.0) * (F.col("tot") / F.col("nh")))
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("window_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("window_end"),
+        )
+    )
+    return joins.range_bucket_join(
+        ev.select("event_id", "event_type", "ts"),
+        hot,
+        ts_col="ts",
+        start_col="window_start",
+        end_col="window_end",
+    ).select("event_id", "event_type", "window_start", "window_end")
+
+
 _FMT_DIRS: dict[str, str] = {}
 
 

@@ -174,3 +174,15 @@ def test_market_share_no_cartesian_and_broadcast_dims(spark):
     plan = _explain(spark, "market_share", "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_bucket_join_avoids_nested_loop(spark):
+    """The keyless interval-containment join must run as a bucket
+    equi-join + filter — never the BroadcastNestedLoopJoin Catalyst
+    would pick for a pure range predicate."""
+    plan = _explain(spark, "hot_window_events", "simple")
+    # the fact×interval containment must be an equi-join on the bucket id
+    assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join \[__bucket", plan)
+    # the only nested-loop allowed is the 1-row scalar-stats attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan

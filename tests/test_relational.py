@@ -57,6 +57,7 @@ PHASE2 = [
     "disjunctive_revenue",
     "excess_part_suppliers",
     "scalar_function_suite",
+    "hot_window_events",
 ]
 
 
