@@ -849,14 +849,17 @@ def q_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest |d|-⌈t|d|⌉+1 shingles enter the index self-join, so the
     frequent shingles that dominate Σ df² never generate candidates.
 
-    Crossover note (measured, sf0.1): candidate volume drops ~2.8× but
-    wall time is WORSE here — the df/rank stages cost more than they save
-    on a corpus whose shingles are near-unique. Prefix filtering is the
-    plan for heavy-tailed df distributions (web boilerplate, templated
-    text) where a handful of shingles appear in millions of docs and
-    df² explodes; `ngram_jaccard_pairs` stays the default. Both are
-    registered because the choice is a genuine planner decision at 100 TB
-    and both must stay answer-identical (same oracle)."""
+    Crossover note (measured, sf0.1 AND 10× replicated corpus): candidate
+    volume drops ~2.8×, but wall time is WORSE in both regimes — 266 s vs
+    30 s at 10× (50 k docs, every doc a 10-clique near-dup) — because the
+    global df rank (row_number over every (doc, shingle) pair) grows
+    faster than the candidate savings in THIS implementation. The prefix
+    trick only pays when the rank stage is amortized (a persisted,
+    incrementally-maintained df index) or df skew is far more extreme
+    than 10× replication; `ngram_jaccard_pairs` stays the default at
+    every scale measured. Both remain registered because they must stay
+    answer-identical (same oracle), and the measurement itself is the
+    planner guidance."""
     return text.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
 
 
