@@ -192,15 +192,18 @@ def range_bucket_join(
     f_b = facts.withColumn(
         "__bucket", F.floor(F.unix_micros(F.col(ts_col)) / bus)
     )
-    i_b = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / bus),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / bus),
-            )
+    # Guard empty/inverted intervals: Spark's sequence(a, b) counts DOWN
+    # when b < a (same trap as text.shingles), which would explode an
+    # inverted interval into every bucket across the reversed span. An
+    # interval with end <= start matches nothing — emit no buckets at all.
+    buckets = F.when(
+        F.col(end_col) > F.col(start_col),
+        F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / bus),
+            F.floor((F.unix_micros(F.col(end_col)) - 1) / bus),
         ),
-    )
+    ).otherwise(F.array().cast("array<long>"))
+    i_b = intervals.withColumn("__bucket", F.explode(buckets))
     return (
         f_b.join(i_b, "__bucket")
         .filter(

@@ -2853,7 +2853,8 @@ def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT event_id,
            upper(event_type) AS et_upper,
-           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS et_key,
+           concat(coalesce(event_type, '?'), ':',
+                  coalesce(CAST(user_id AS VARCHAR), '?')) AS et_key,
            concat_ws('|', event_type, CAST(event_id AS VARCHAR)) AS et_ws,
            substring(event_type, 2, 3) AS et_sub,
            length(event_type) AS et_len,
@@ -2865,7 +2866,7 @@ def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(value) AS BIGINT) AS v_ceil,
            CAST(floor(value) AS BIGINT) AS v_floor,
            round(value, 1) AS v_round1,
-           sqrt(value) AS v_sqrt,
+           sqrt(greatest(value, 0.0)) AS v_sqrt,
            CAST(sign(value - 50.0) AS INT) AS v_sign,
            greatest(value, 10.0) AS v_hi,
            least(value, 90.0) AS v_lo,
@@ -2894,7 +2895,11 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.upper(et).alias("et_upper"),
-        F.concat(et, F.lit(":"), F.col("user_id").cast("string")).alias("et_key"),
+        F.concat(
+            F.coalesce(et, F.lit("?")),
+            F.lit(":"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("?")),
+        ).alias("et_key"),
         F.concat_ws("|", et, F.col("event_id").cast("string")).alias("et_ws"),
         F.substring(et, 2, 3).alias("et_sub"),
         F.length(et).alias("et_len"),
@@ -2906,7 +2911,7 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(v).cast("long").alias("v_ceil"),
         F.floor(v).cast("long").alias("v_floor"),
         F.round(v, 1).alias("v_round1"),
-        F.sqrt(v).alias("v_sqrt"),
+        F.sqrt(F.greatest(v, F.lit(0.0))).alias("v_sqrt"),
         F.signum(v - 50.0).cast("int").alias("v_sign"),
         F.greatest(v, F.lit(10.0)).alias("v_hi"),
         F.least(v, F.lit(90.0)).alias("v_lo"),
@@ -2922,6 +2927,32 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(et).alias("et_md5"),
         F.sha2(et, 256).alias("et_sha256"),
     )
+
+
+def _pii_oracle(where: str = "") -> str:
+    """DuckDB oracle for the PII scrub projection, composed from the SAME
+    regex constants the Spark operator uses (text.PII_*) — one source of
+    truth, so a pattern tweak cannot silently diverge the two engines."""
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS n_emails,
+        len(regexp_extract_all(text, '{text.PII_IPV4}')) AS n_ipv4,
+        len(regexp_extract_all(text, '{text.PII_PHONE}')) AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '{text.PII_EMAIL}', '<PII>', 'g'),
+            '{text.PII_IPV4}', '<PII>', 'g'),
+          '{text.PII_PHONE}', '<PII>', 'g') AS scrubbed
+      FROM documents{where})
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_ipv4 AS INT) AS n_ipv4,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    """
 
 
 def _replay_documents(spark: SparkSession, sf_dir: str):
@@ -2941,31 +2972,7 @@ def _replay_documents(spark: SparkSession, sf_dir: str):
 
 @register(
     "streaming_corpus_ingest",
-    r"""
-    WITH s AS (
-      SELECT doc_id,
-        len(regexp_extract_all(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        len(regexp_extract_all(text,
-            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
-        len(regexp_extract_all(text,
-            '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
-            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<PII>', 'g'),
-          '\+[0-9][0-9 ()-]{6,}[0-9]', '<PII>', 'g') AS scrubbed
-      FROM documents
-      WHERE lang = 'en' AND n_chars >= 200)
-    SELECT doc_id,
-           CAST(n_emails AS INT) AS n_emails,
-           CAST(n_ipv4 AS INT) AS n_ipv4,
-           CAST(n_phones AS INT) AS n_phones,
-           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
-           md5(scrubbed) AS scrubbed_md5
-    FROM s
-    """,
+    _pii_oracle(" WHERE lang = 'en' AND n_chars >= 200"),
 )
 def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-ingest pipeline: documents replayed as a file
@@ -3348,30 +3355,7 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pii_scrub",
-    r"""
-    WITH s AS (
-      SELECT doc_id,
-        len(regexp_extract_all(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        len(regexp_extract_all(text,
-            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
-        len(regexp_extract_all(text,
-            '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
-            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<PII>', 'g'),
-          '\+[0-9][0-9 ()-]{6,}[0-9]', '<PII>', 'g') AS scrubbed
-      FROM documents)
-    SELECT doc_id,
-           CAST(n_emails AS INT) AS n_emails,
-           CAST(n_ipv4 AS INT) AS n_ipv4,
-           CAST(n_phones AS INT) AS n_phones,
-           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
-           md5(scrubbed) AS scrubbed_md5
-    FROM s
-    """,
+    _pii_oracle(),
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII span counting + sentinel redaction (email → ipv4 → phone, fixed

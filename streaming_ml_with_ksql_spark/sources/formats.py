@@ -35,14 +35,25 @@ def _roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
         df.write.mode("overwrite").json(path)
         return spark.read.schema(df.schema).option("mode", "FAILFAST").json(path)
     if fmt == "csv":
+        # Without an explicit null sentinel, Spark's CSV reader collapses
+        # quoted-empty fields to NULL — an empty string would not survive
+        # the round-trip (verified live). Writing NULL as \N and reading
+        # with nullValue=\N + emptyValue="" keeps '' and NULL distinct.
         (
             df.write.mode("overwrite")
-            .options(header=True, quoteAll=True, escape='"')
+            .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
             .csv(path)
         )
         return (
             spark.read.schema(df.schema)
-            .options(header=True, multiLine=True, quote='"', escape='"')
+            .options(
+                header=True,
+                multiLine=True,
+                quote='"',
+                escape='"',
+                nullValue="\\N",
+                emptyValue="",
+            )
             .option("mode", "FAILFAST")
             .csv(path)
         )

@@ -50,7 +50,9 @@ def test_pack_sequences_offsets_are_contiguous(spark, sf_medium):
     # equals the (k+1)-th row's offset; globally, tokens are conserved.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy("start_offset")
+    # doc_id tiebreak: zero-token docs share a start_offset, and lead()
+    # over a non-unique order is partition-order-dependent
+    w = Window.partitionBy("shard").orderBy("start_offset", "doc_id")
     chained = packed.withColumn(
         "next_off", F.lead("start_offset").over(w)
     ).filter(F.col("next_off").isNotNull())

@@ -82,3 +82,42 @@ def test_format_roundtrips_lossless(spark, sf_medium):
 
     assert_query_matches(spark, "json_source_roundtrip", sf_medium)
     assert_query_matches(spark, "csv_source_roundtrip", sf_medium)
+
+
+def test_csv_roundtrip_preserves_empty_vs_null(spark, tmp_path):
+    """Empty string and NULL are distinct values and must both survive the
+    CSV round-trip (the default reader collapses quoted-empty to NULL)."""
+    from streaming_ml_with_ksql_spark.sources.formats import _roundtrip
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, None), (4, 'quote " and\nnewline')],
+        "id long, t string",
+    )
+    back = _roundtrip(df, str(tmp_path / "csv"), "csv")
+    got = sorted([(r.id, r.t) for r in back.collect()])
+    assert got == [(1, ""), (2, "x"), (3, None), (4, 'quote " and\nnewline')]
+
+
+def test_range_bucket_join_handles_degenerate_intervals(spark):
+    """Empty and inverted intervals must produce no candidate buckets —
+    Spark's sequence() counts down when end < start, which would
+    otherwise explode the candidate set."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import joins
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 05:30:00")], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [
+            ("2024-01-01 05:00:00", "2024-01-01 05:00:00"),   # empty
+            ("2024-01-01 23:00:00", "2024-01-01 01:00:00"),   # inverted
+            ("2024-01-01 05:00:00", "2024-01-01 06:00:00"),   # real match
+        ],
+        "s string, e string",
+    ).select(F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    out = joins.range_bucket_join(
+        facts, intervals, ts_col="ts", start_col="s", end_col="e"
+    ).collect()
+    assert len(out) == 1 and str(out[0].s) == "2024-01-01 05:00:00"
