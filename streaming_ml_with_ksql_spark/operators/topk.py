@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "cms_cells", "cms_estimates", "CMS_DEPTH", "CMS_WIDTH"]
 
 
 def heavy_hitters(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
@@ -65,4 +65,89 @@ def heavy_hitters(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the MERGEABLE approximate-count companion to the exact
+# heavy_hitters above (Cormode & Muthukrishnan 2005). Counters are
+# additive, so per-partition / per-day sketches sum cell-wise to exactly
+# the single-pass sketch — the property that makes it the 100 TB rollup
+# structure (keep a d×w grid per hour, merge grids for any time range).
+# Hashing reuses the MinHash md5/affine idiom, so the whole construction
+# is deterministic and cross-engine reproducible — the DuckDB oracle
+# rebuilds the identical sketch and the comparison is exact, not
+# tolerance-based.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_hash_cols(key_str):
+    """depth deterministic row-hash columns for a string key column."""
+    from .text import MINHASH_P, minhash_coeffs
+
+    h = F.conv(F.substring(F.md5(key_str), 1, 7), 16, 10).cast("long")
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) % F.lit(CMS_WIDTH)).alias(
+            f"__c{i}"
+        )
+        for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+    ]
+
+
+def cms_cells(df: DataFrame, key_col: str, extra_group: list[str] | None = None) -> DataFrame:
+    """(row_i, col, cnt) sketch cells for the key column — optionally per
+    ``extra_group`` (e.g. a day column) for mergeability. Keys pre-aggregate
+    BEFORE the explode (one map-combined shuffle carries (key, n), then the
+    d-way fan-out runs over distinct keys only, never raw rows)."""
+    g = list(extra_group or [])
+    per_key = (
+        df.groupBy(*g, F.col(key_col).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(*g, "__k", "__n", *_cms_hash_cols(F.col("__k")))
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"), F.col(f"__c{i}").alias("col")
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        per_key.select(*g, "__n", rows)
+        .select(*g, "cell.row_i", "cell.col", "__n")
+        .groupBy(*g, "row_i", "col")
+        .agg(F.sum("__n").alias("cnt"))
+    )
+
+
+def cms_estimates(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
+    """(key, exact_n, cms_est) for keys with exact count >= min_count:
+    est = min over rows of the key's cell counter. The sketch grid is at
+    most depth×width rows — broadcast — so the estimate join never
+    shuffles the keys a second time; by construction est >= exact
+    (pinned in tests), with the classic (eps, delta) overestimate bound."""
+    per_key = (
+        df.groupBy(F.col(key_col).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select("__k", "exact_n", *_cms_hash_cols(F.col("__k")))
+    )
+    cells = cms_cells(df, key_col)
+    est = None
+    out = per_key.filter(F.col("exact_n") >= min_count)
+    for i in range(CMS_DEPTH):
+        c = cells.filter(F.col("row_i") == i).select(
+            F.col("col").alias(f"__c{i}"), F.col("cnt").alias(f"__cnt{i}")
+        )
+        out = out.join(F.broadcast(c), f"__c{i}")
+    est = F.least(*[F.col(f"__cnt{i}") for i in range(CMS_DEPTH)])
+    return out.select(
+        F.col("__k").alias("key"),
+        "exact_n",
+        est.cast("long").alias("cms_est"),
     )

@@ -2929,6 +2929,55 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    """DuckDB oracle rebuilding the IDENTICAL count-min sketch (same md5
+    digest, same affine row hashes from text.minhash_coeffs, same grid) —
+    the comparison is exact, not tolerance-based."""
+    from .operators.text import MINHASH_P
+    from .operators.topk import CMS_DEPTH, CMS_WIDTH
+    from .operators.text import minhash_coeffs
+
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+    )
+    return f"""
+    WITH per_key AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+      FROM events GROUP BY 1),
+    hk AS (
+      SELECT k, n,
+             CAST(('0x' || substr(md5(k), 1, 7))::UBIGINT AS BIGINT) AS h
+      FROM per_key),
+    coef(i, a, b) AS (VALUES {coef_rows}),
+    keyed AS (
+      SELECT k, n, i, (a * h + b) % {MINHASH_P} % {CMS_WIDTH} AS col
+      FROM hk CROSS JOIN coef),
+    cells AS (
+      SELECT i, col, sum(n) AS cnt FROM keyed GROUP BY 1, 2)
+    SELECT k.k AS key, CAST(k.n AS BIGINT) AS exact_n,
+           CAST(min(c.cnt) AS BIGINT) AS cms_est
+    FROM keyed k JOIN cells c ON k.i = c.i AND k.col = c.col
+    WHERE k.n >= 70
+    GROUP BY 1, 2
+    """
+
+
+@register("cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates for the heavy keys — the mergeable
+    approximate companion to the exact heavy_hitters operator: additive
+    d×w counter grid (per-day grids sum cell-wise to exactly the
+    single-pass grid — pinned in tests), deterministic md5/affine row
+    hashes, estimates = min over rows. The oracle rebuilds the identical
+    sketch in DuckDB, so even the approximation error is hash-checked."""
+    from .operators import topk as topk_mod
+
+    return topk_mod.cms_estimates(
+        _t(spark, sf_dir, "events").select("user_id"), "user_id", min_count=70
+    )
+
+
 def _pii_oracle(where: str = "") -> str:
     """DuckDB oracle for the PII scrub projection, composed from the SAME
     regex constants the Spark operator uses (text.PII_*) — one source of

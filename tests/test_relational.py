@@ -146,3 +146,27 @@ def test_heavy_hitters_pigeonhole_across_partitions(spark, sf_medium):
         .collect()
     }
     assert got == exact
+
+
+def test_cms_merge_is_exact_and_never_underestimates(spark, sf_medium):
+    """Count-min counters are additive: per-day grids summed cell-wise
+    must equal the single-pass grid EXACTLY (not approximately), and the
+    estimate can never be below the true count."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import topk
+
+    ev = io_mod.load_table(spark, sf_medium, "events")
+    direct = topk.cms_cells(ev.select("user_id"), "user_id")
+    daily = topk.cms_cells(
+        ev.select("user_id", F.to_date("ts").alias("day")),
+        "user_id",
+        extra_group=["day"],
+    )
+    merged = daily.groupBy("row_i", "col").agg(F.sum("cnt").alias("cnt"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    est = topk.cms_estimates(ev.select("user_id"), "user_id", min_count=1)
+    assert est.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
