@@ -26,8 +26,9 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "colocated_join"]
+__all__ = ["write_bucketed", "colocated_join", "zorder_index"]
 
 _SEQ = itertools.count()
 # (session id, cache key) -> registered table name; bucketed copies are
@@ -117,3 +118,52 @@ def write_partitioned(
         df.write.partitionBy(part_col).mode("overwrite").parquet(path)
         _PARTITIONED[memo] = path
     return path
+
+
+def zorder_index(
+    df: DataFrame,
+    col_a,
+    col_b,
+    *,
+    a_min,
+    a_max,
+    b_min,
+    b_max,
+    bits: int = 16,
+) -> DataFrame:
+    """Morton (Z-order) curve index over two dimensions — the multi-column
+    data-layout key (Delta OPTIMIZE ZORDER, Iceberg sort orders): sorting
+    by ``zindex`` co-locates rows that are close in BOTH dimensions, so
+    min/max file statistics prune scans filtered on either column, where a
+    lexicographic sort prunes only its leading column.
+
+    Each value scales linearly into a ``bits``-bit integer over its
+    [min, max] range (value-based, not rank-based: no global sort or
+    quantile pass — the min/max scalars come from a one-row aggregate the
+    caller already has or computes cheaply), then the two coordinates'
+    bits interleave. All pure Catalyst integer arithmetic; the interleave
+    unrolls to 2×bits shift/mask terms inside one codegen stage.
+    """
+    def scaled(c, lo, hi):
+        # bounds may be literals or (broadcast one-row) columns — exact
+        # integer aggregates, so data-derived bounds stay deterministic
+        from pyspark.sql import Column as _Col
+
+        lo_l = (lo if isinstance(lo, _Col) else F.lit(lo)).cast("double")
+        hi_l = (hi if isinstance(hi, _Col) else F.lit(hi)).cast("double")
+        x = (c.cast("double") - lo_l) / (hi_l - lo_l)
+        x = F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+        return F.least(
+            F.floor(x * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+
+    xa = scaled(col_a, a_min, a_max)
+    xb = scaled(col_b, b_min, b_max)
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xa, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+            + F.shiftleft(F.shiftright(xb, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+    return df.withColumn("zindex", z)

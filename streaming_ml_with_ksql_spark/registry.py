@@ -2978,6 +2978,76 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    """DuckDB mirror of the Morton interleave (same shift/mask terms,
+    generated from the same bit loop)."""
+    return """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             epoch_us(l_shipdate) AS t, l_partkey AS p
+      FROM lineitem),
+    rng AS (SELECT min(t) AS tlo, max(t) AS thi,
+                   min(p) AS plo, max(p) AS phi FROM li),
+    sc AS (
+      SELECT l_orderkey, l_linenumber,
+        least(CAST(floor(least(greatest(
+            (CAST(t AS DOUBLE) - tlo) / (thi - tlo), 0.0), 1.0) * 65536)
+          AS BIGINT), 65535) AS xa,
+        least(CAST(floor(least(greatest(
+            (CAST(p AS DOUBLE) - plo) / (phi - plo), 0.0), 1.0) * 65536)
+          AS BIGINT), 65535) AS xb
+      FROM li CROSS JOIN rng)
+    SELECT l_orderkey, l_linenumber,
+           (((xa >> 0) & 1) << 1) + (((xb >> 0) & 1) << 0)
+             + (((xa >> 1) & 1) << 3) + (((xb >> 1) & 1) << 2)
+             + (((xa >> 2) & 1) << 5) + (((xb >> 2) & 1) << 4)
+             + (((xa >> 3) & 1) << 7) + (((xb >> 3) & 1) << 6)
+             + (((xa >> 4) & 1) << 9) + (((xb >> 4) & 1) << 8)
+             + (((xa >> 5) & 1) << 11) + (((xb >> 5) & 1) << 10)
+             + (((xa >> 6) & 1) << 13) + (((xb >> 6) & 1) << 12)
+             + (((xa >> 7) & 1) << 15) + (((xb >> 7) & 1) << 14)
+             + (((xa >> 8) & 1) << 17) + (((xb >> 8) & 1) << 16)
+             + (((xa >> 9) & 1) << 19) + (((xb >> 9) & 1) << 18)
+             + (((xa >> 10) & 1) << 21) + (((xb >> 10) & 1) << 20)
+             + (((xa >> 11) & 1) << 23) + (((xb >> 11) & 1) << 22)
+             + (((xa >> 12) & 1) << 25) + (((xb >> 12) & 1) << 24)
+             + (((xa >> 13) & 1) << 27) + (((xb >> 13) & 1) << 26)
+             + (((xa >> 14) & 1) << 29) + (((xb >> 14) & 1) << 28)
+             + (((xa >> 15) & 1) << 31) + (((xb >> 15) & 1) << 30)
+           AS zindex
+    FROM sc
+    """
+
+
+@register("zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (ship time, part key) — sort by
+    zindex before writing and min/max file stats prune scans filtered on
+    EITHER dimension (lexicographic sorts prune only the leading column).
+    Bounds are exact integer min/max aggregates broadcast from a one-row
+    frame, so the index is deterministic and the DuckDB oracle rebuilds
+    it bit-for-bit. Locality is pinned quantitatively in
+    tests/test_plans.py (block spread vs a single-column sort)."""
+    from .operators import bucketing
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros("l_shipdate").alias("t"),
+        F.col("l_partkey").alias("p"),
+    )
+    rng = li.agg(
+        F.min("t").alias("tlo"), F.max("t").alias("thi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+    )
+    both = li.crossJoin(F.broadcast(rng))
+    return bucketing.zorder_index(
+        both, F.col("t"), F.col("p"),
+        a_min=F.col("tlo"), a_max=F.col("thi"),
+        b_min=F.col("plo"), b_max=F.col("phi"),
+    ).select("l_orderkey", "l_linenumber", "zindex")
+
+
 def _pii_oracle(where: str = "") -> str:
     """DuckDB oracle for the PII scrub projection, composed from the SAME
     regex constants the Spark operator uses (text.PII_*) — one source of

@@ -186,3 +186,59 @@ def test_range_bucket_join_avoids_nested_loop(spark):
     # the only nested-loop allowed is the 1-row scalar-stats attach
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_colocates_both_dimensions(spark):
+    """Sorting by zindex must bound the per-block value spread in BOTH
+    dimensions, where a single-column sort leaves the other dimension at
+    ~full range per block — the property that makes min/max file stats
+    prune scans on either column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import bucketing
+
+    # Same construction as the registered query, but keeping (t, p) in the
+    # frame — joining the query output back on (l_orderkey, l_linenumber)
+    # would multiply rows: that pair is NOT unique in the synthetic data.
+    li = io_mod.load_table(spark, SF, "lineitem").select(
+        F.unix_micros("l_shipdate").alias("t"),
+        F.col("l_partkey").alias("p"),
+    )
+    rng = li.agg(
+        F.min("t").alias("tlo"), F.max("t").alias("thi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+    )
+    joined = bucketing.zorder_index(
+        li.crossJoin(F.broadcast(rng)),
+        F.col("t"), F.col("p"),
+        a_min=F.col("tlo"), a_max=F.col("thi"),
+        b_min=F.col("plo"), b_max=F.col("phi"),
+    ).select("t", "p", "zindex")
+
+    def block_spread(df, order_col):
+        w = Window.orderBy(order_col, "t", "p")
+        blocks = df.withColumn(
+            "blk", ((F.row_number().over(w) - 1) / 256).cast("long")
+        )
+        return (
+            blocks.groupBy("blk")
+            .agg(
+                (F.max("t") - F.min("t")).alias("st"),
+                (F.max("p") - F.min("p")).alias("sp"),
+            )
+            .agg(F.avg("st").alias("st"), F.avg("sp").alias("sp"))
+            .collect()[0]
+        )
+
+    z_spread = block_spread(joined, "zindex")
+    t_spread = block_spread(joined, "t")
+    # single-column time sort: part key spread per block is ~full range
+    # (measured 198/199); z-order cuts it several-fold (measured 74) while
+    # keeping time spread a bounded fraction of the range (measured ~27%
+    # at ~23 blocks — both-dims locality, which no lexicographic sort has)
+    assert z_spread.sp < 0.5 * t_spread.sp
+    assert z_spread.st < 0.4 * (
+        joined.agg(F.max("t") - F.min("t")).collect()[0][0]
+    )

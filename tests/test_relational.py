@@ -58,6 +58,8 @@ PHASE2 = [
     "excess_part_suppliers",
     "scalar_function_suite",
     "hot_window_events",
+    "cms_heavy_hitters",
+    "zorder_layout",
 ]
 
 
