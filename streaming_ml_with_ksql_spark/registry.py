@@ -2929,6 +2929,72 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_profile",
+    """
+    SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(round(min(value), 6) AS VARCHAR),
+           CAST(round(max(value), 6) AS VARCHAR)
+    FROM events
+    """,
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the quality gate a pipeline runs before
+    training on a new drop): per-column row/null/distinct counts and
+    min/max, computed in ONE scan — every column's aggregates are
+    expressions in a single agg (multi-aggregate pushdown, map-side
+    partials), then unpivoted to (column, metrics) rows driver-side-free.
+    min/max stringified so the profile has one schema across types."""
+    ev = _t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    specs = []
+    for c, fmt in (
+        ("event_id", None),
+        ("user_id", None),
+        ("event_type", None),
+        ("value", 6),
+    ):
+        col = F.col(c)
+        mn, mx = F.min(col), F.max(col)
+        if fmt is not None:
+            mn, mx = F.round(mn, fmt), F.round(mx, fmt)
+        specs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                n.alias("n_rows"),
+                (n - F.count(col)).cast("long").alias("n_nulls"),
+                F.count_distinct(col).cast("long").alias("n_distinct"),
+                mn.cast("string").alias("min_str"),
+                mx.cast("string").alias("max_str"),
+            ).alias(f"__{c}")
+        )
+    one = ev.agg(*specs)
+    return one.select(
+        F.explode(F.array(*[f"__{c}" for c in ("event_id", "user_id", "event_type", "value")])).alias("m")
+    ).select("m.*")
+
+
 def _cms_oracle() -> str:
     """DuckDB oracle rebuilding the IDENTICAL count-min sketch (same md5
     digest, same affine row hashes from text.minhash_coeffs, same grid) —

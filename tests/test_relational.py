@@ -60,6 +60,7 @@ PHASE2 = [
     "hot_window_events",
     "cms_heavy_hitters",
     "zorder_layout",
+    "events_profile",
 ]
 
 
