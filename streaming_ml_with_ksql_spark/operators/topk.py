@@ -136,9 +136,25 @@ def cms_estimates(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
         df.groupBy(F.col(key_col).cast("string").alias("__k"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .select("__k", "exact_n", *_cms_hash_cols(F.col("__k")))
+        .localCheckpoint(eager=False)
     )
-    cells = cms_cells(df, key_col)
-    est = None
+    # Derive the grid from the SAME per-key aggregate (rename exact_n to
+    # the cell weight) — calling cms_cells(df) here would re-scan and
+    # re-shuffle the raw rows a second time for an identical groupBy.
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row_i"), F.col(f"__c{i}").alias("col"))
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    cells = (
+        per_key.select(F.col("exact_n").alias("__n"), rows)
+        .select("cell.row_i", "cell.col", "__n")
+        .groupBy("row_i", "col")
+        .agg(F.sum("__n").alias("cnt"))
+    )
     out = per_key.filter(F.col("exact_n") >= min_count)
     for i in range(CMS_DEPTH):
         c = cells.filter(F.col("row_i") == i).select(

@@ -2954,8 +2954,8 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'value', count(*),
            CAST(count(*) - count(value) AS BIGINT),
            CAST(count(DISTINCT value) AS BIGINT),
-           CAST(round(min(value), 6) AS VARCHAR),
-           CAST(round(max(value), 6) AS VARCHAR)
+           printf('%.6f', min(value)),
+           printf('%.6f', max(value))
     FROM events
     """,
 )
@@ -2978,7 +2978,11 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         col = F.col(c)
         mn, mx = F.min(col), F.max(col)
         if fmt is not None:
-            mn, mx = F.round(mn, fmt), F.round(mx, fmt)
+            # fixed-decimal printf on BOTH sides: raw double->string
+            # formatting diverges between engines outside [1e-3, 1e7)
+            # (scientific notation) and on round-half ties
+            mn = F.format_string(f"%.{fmt}f", mn)
+            mx = F.format_string(f"%.{fmt}f", mx)
         specs.append(
             F.struct(
                 F.lit(c).alias("col_name"),
