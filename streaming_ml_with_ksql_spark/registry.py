@@ -2930,6 +2930,109 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feature_drift",
+    """
+    WITH rng AS (
+      SELECT min(ts) AS tlo, max(ts) AS thi,
+             min(value) AS vlo, max(value) AS vhi
+      FROM events),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) * 2 <= epoch_us(tlo) + epoch_us(thi)
+                  THEN 'base' ELSE 'current' END AS period,
+             least(CAST(floor((value - vlo) / (vhi - vlo) * 10) AS BIGINT), 9)
+               AS bin
+      FROM events CROSS JOIN rng),
+    cells AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+               AS base_n,
+             CAST(sum(CASE WHEN period = 'current' THEN 1 ELSE 0 END) AS BIGINT)
+               AS curr_n
+      FROM binned GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             sum(base_n) AS base_tot, sum(curr_n) AS curr_tot
+      FROM cells GROUP BY 1),
+    shares AS (
+      SELECT c.event_type, c.bin, c.base_n, c.curr_n,
+             CAST(c.base_n AS DOUBLE) / base_tot AS p,
+             CAST(c.curr_n AS DOUBLE) / curr_tot AS q
+      FROM cells c JOIN tot USING (event_type))
+    SELECT event_type, bin, base_n, curr_n,
+           round(p, 6) AS base_share, round(q, 6) AS curr_share,
+           round(sum((p - q) * (p - q) / ((p + q) / 2))
+                   OVER (PARTITION BY event_type), 6) AS drift_chi2
+    FROM shares
+    """,
+)
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitoring (the model-observability step of the
+    reference's MLOps loop): split events at the time midpoint, bin the
+    feature into 10 fixed-width buckets over its global range, and
+    compare the base vs current distributions per event type with a
+    symmetrized chi-square statistic — log-free (unlike PSI) so every
+    term is IEEE-exact cross-engine; only the 10-term sum is rounded.
+
+    Scale shape: one scan; the range scalars broadcast from a one-row
+    aggregate; ONE (type, bin) groupBy with conditional partial sums
+    carries 2 longs per cell; shares and the drift statistic ride on a
+    window over the tiny cell frame, never the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("ts").alias("tlo"), F.max("ts").alias("thi"),
+        F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts") * 2
+            <= F.unix_micros("tlo") + F.unix_micros("thi"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("current"))
+        .alias("period"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vlo"))
+                / (F.col("vhi") - F.col("vlo"))
+                * 10
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
+        .cast("long")
+        .alias("base_n"),
+        F.sum(F.when(F.col("period") == "current", 1).otherwise(0))
+        .cast("long")
+        .alias("curr_n"),
+    )
+    w_t = Window.partitionBy("event_type")
+    shares = cells.select(
+        "event_type",
+        "bin",
+        "base_n",
+        "curr_n",
+        (F.col("base_n").cast("double") / F.sum("base_n").over(w_t)).alias("p"),
+        (F.col("curr_n").cast("double") / F.sum("curr_n").over(w_t)).alias("q"),
+    )
+    contrib = (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / (
+        (F.col("p") + F.col("q")) / 2
+    )
+    return shares.select(
+        "event_type",
+        "bin",
+        "base_n",
+        "curr_n",
+        F.round("p", 6).alias("base_share"),
+        F.round("q", 6).alias("curr_share"),
+        F.round(F.sum(contrib).over(w_t), 6).alias("drift_chi2"),
+    )
+
+
+@register(
     "events_profile",
     """
     SELECT 'event_id' AS col_name, count(*) AS n_rows,

@@ -61,6 +61,7 @@ PHASE2 = [
     "cms_heavy_hitters",
     "zorder_layout",
     "events_profile",
+    "feature_drift",
 ]
 
 
