@@ -4035,7 +4035,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_above_customer_avg",
     "order_value_percentiles",
     "user_event_type_diversity",
-    "approx_sketches",
+    "cms_heavy_hitters",
     # ML scoring + runbook (U1-U3, W4). The hopping runbook is the oracled
     # runbook representative; the predictions runbook is model-backed
     # (rows-only) and yields its slot to score_events' oracled U2 check.

@@ -14,7 +14,6 @@ from streaming_ml_with_ksql_spark import registry
 # Approximate / model-backed operators where no exact cross-engine SQL
 # oracle exists by design (driver records a rows-only "ran" check).
 EXPECTED_ROWS_ONLY = {
-    "approx_sketches",  # HLL/quantile sketches: engine-specific estimates
     "embedding_topk_ivf",  # approximate ANN: recall-tested vs brute force
 }
 
