@@ -178,3 +178,45 @@ def test_salt_is_stable_under_recomputation(spark):
         map(tuple, facts.withColumn("s", salt_expr).repartition(3).collect())
     )
     assert a == b
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),   # start offset (s)
+        st.integers(min_value=-600, max_value=7200),  # length (s) — may be <= 0
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows=events_strategy, ivals=intervals_strategy)
+@_SETTINGS
+def test_range_bucket_join_equals_naive_containment(spark, rows, ivals):
+    """Bucketing is a pure pruning rewrite: against ANY interval set —
+    empty, degenerate (length <= 0), bucket-spanning, overlapping — the
+    bucketed join must return exactly the rows of the naive
+    cross-join-and-filter containment, including multiplicity when an
+    event falls in several intervals."""
+    facts = _events_df(spark, rows)
+    idata = [
+        (j, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + ln))
+        for j, (s, ln) in enumerate(ivals)
+    ]
+    intervals = spark.createDataFrame(
+        idata, "ival_id long, w_start timestamp, w_end timestamp"
+    )
+    got = joins.range_bucket_join(
+        facts,
+        intervals,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=900,
+    ).select("event_id", "ival_id")
+    naive = (
+        facts.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("event_id", "ival_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
