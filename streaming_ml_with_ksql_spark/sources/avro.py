@@ -21,17 +21,20 @@ __all__ = ["avro_available", "decode_avro", "encode_avro"]
 
 
 def avro_available(spark: SparkSession) -> bool:
-    """True iff the spark-avro SQL module is on the JVM classpath.
+    """True iff the Avro SQL functions are actually USABLE in this session.
 
-    The Python-side import alone is not a valid probe: pyspark always
-    ships the wrapper module, but `from_avro` fails at run time with
-    ClassNotFoundException when the spark-avro jar is missing — so ask
-    the JVM directly.
+    Neither a Python import (the pyspark wrapper always ships) nor a JVM
+    Class.forName (some org.apache.spark.sql.avro classes ride inside
+    spark-sql even when the spark-avro data source module is absent — in
+    which case calls fail with AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE)
+    is an honest probe. The only reliable check is evaluating a one-row
+    to_avro expression end-to-end.
     """
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.spark.sql.avro.SchemaConverters"
-        )
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id"))).collect()
         return True
     except Exception:
         return False

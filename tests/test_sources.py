@@ -60,19 +60,19 @@ def test_cdc_snapshot_upsert_semantics(spark):
     assert "__op" not in snap.columns
 
 
-def test_avro_capability_probe(spark):
-    """In this environment the spark-avro SQL jar is absent; the probe must
-    say so (a bare Python import would lie — the wrapper module always
-    imports)."""
+def test_avro_capability_probe_matches_reality(spark):
+    """The probe must agree with an actual to_avro evaluation — round 3
+    caught it returning True off a Class.forName hit while the function
+    failed with AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE (some avro classes
+    ride inside spark-sql without the data source module)."""
     available = avro.avro_available(spark)
-    if not available:
-        df = spark.createDataFrame([Row(b=bytearray(b"x"))])
-        try:
-            df.select(avro.decode_avro(F.col("b"), '"bytes"')).collect()
-            raised = False
-        except Exception:
-            raised = True
-        assert raised
+    df = spark.createDataFrame([Row(b=bytearray(b"x"))])
+    try:
+        df.select(avro.decode_avro(F.col("b"), '"bytes"')).collect()
+        works = True
+    except Exception:
+        works = False
+    assert available == works
 
 
 def test_format_roundtrips_lossless(spark, sf_medium):
