@@ -68,6 +68,10 @@ HEADLINE = [
     "embedding_dedup_groups",
     "multimodal_audio_decode",
     "streaming_corpus_ingest",
+    "cms_heavy_hitters",
+    "zorder_layout",
+    "hot_window_events",
+    "feature_drift",
 ]
 
 
