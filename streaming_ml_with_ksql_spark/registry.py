@@ -1450,6 +1450,71 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.scd2_history(_customer_envelope(spark, sf_dir), "c_custkey")
 
 
+@register(
+    "point_in_time_join",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CAST(1000 AS BIGINT) AS ts, 'r' AS op
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100, 2000, 'u'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal + 100, 3000, 'd'
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    v AS (
+      SELECT *, lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS nxt
+      FROM changes),
+    hist AS (
+      SELECT c_custkey, c_name, c_acctbal, ts AS valid_from,
+             CAST(nxt AS DOUBLE) AS valid_to
+      FROM v WHERE op <> 'd'),
+    q AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(1000 + (o_orderkey % 3) * 1000 AS BIGINT) AS qt
+      FROM orders)
+    SELECT q.o_orderkey, q.o_custkey, q.qt,
+           h.c_name, h.c_acctbal
+    FROM q
+    LEFT JOIN hist h
+      ON q.o_custkey = h.c_custkey
+     AND q.qt >= h.valid_from
+     AND (h.valid_to IS NULL OR q.qt < h.valid_to)
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join — the training-serving-skew
+    killer: each fact joins the dimension VERSION that was valid at its
+    own timestamp, against the SCD2 history (versions bounded by
+    [valid_from, valid_to); deleted keys' final version closes, so a
+    later query time correctly gets NULLs instead of stale attributes).
+
+    Plan shape: an ordinary LEFT equi-join on the key with the validity
+    range as the join filter — versions per key are few, so the range
+    filter runs over a handful of candidates per probe; no nested loop
+    (asserted in tests/test_plans.py). Query times are synthesized
+    deterministically (1000 + orderkey%3 × 1000 ms) to hit before/
+    between/after every version boundary."""
+    hist = cdc.scd2_history(_customer_envelope(spark, sf_dir), "c_custkey")
+    q = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.lit(1000) + (F.col("o_orderkey") % 3) * 1000)
+        .cast("bigint")
+        .alias("qt"),
+    )
+    cond = (
+        (q.o_custkey == hist.c_custkey)
+        & (q.qt >= hist.valid_from)
+        & (hist.valid_to.isNull() | (q.qt < hist.valid_to))
+    )
+    return q.join(hist, cond, "left").select(
+        "o_orderkey", "o_custkey", "qt", "c_name", "c_acctbal"
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming parity queries (SURVEY.md §2.5 W1-W5, §7 phase 5).
 # Each replays the events table as a 4-shard file stream (deterministic

@@ -242,3 +242,12 @@ def test_zorder_colocates_both_dimensions(spark):
     assert z_spread.st < 0.4 * (
         joined.agg(F.max("t") - F.min("t")).collect()[0][0]
     )
+
+
+def test_point_in_time_join_is_keyed_not_nested_loop(spark):
+    """The temporal join must hash/merge on the customer key with the
+    validity range as a join filter — never a nested loop over versions."""
+    plan = _explain(spark, "point_in_time_join", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join", plan)

@@ -62,6 +62,7 @@ PHASE2 = [
     "zorder_layout",
     "events_profile",
     "feature_drift",
+    "point_in_time_join",
 ]
 
 
