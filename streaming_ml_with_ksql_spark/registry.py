@@ -1451,6 +1451,66 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_trend",
+    """
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS us0 FROM events GROUP BY 1),
+    pts AS (
+      SELECT e.user_id,
+             CAST((epoch_us(e.ts) - t0.us0) // 1000000 AS BIGINT) AS t,
+             e.value AS v
+      FROM events e JOIN t0 USING (user_id)),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             sum(v) AS sv, sum(t * v) AS stv
+      FROM pts GROUP BY 1)
+    SELECT user_id, n,
+           round((n * stv - st * sv) / (n * stt - st * st) * 86400.0, 6)
+             AS slope_per_day,
+           round(sv / n, 6) AS value_mean
+    FROM s
+    WHERE n * stt - st * st <> 0
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (feature engineering: is this user's
+    value drifting?): slope = (nΣtv − ΣtΣv)/(nΣtt − (Σt)²), time
+    re-origined per key to integer SECONDS — with epoch microseconds the
+    t² sums would exceed 2^53 and go inexact; in seconds every t-moment
+    is an exact integer in both engines, so the denominator is
+    bit-identical and only the v-weighted sums need rounding. One
+    min-aggregate + one moment-aggregate, both map-side combined; keys
+    with a single distinct time point are excluded (zero variance)."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("us0"))
+    pts = ev.join(t0, "user_id").select(
+        "user_id",
+        # integral DIV, not `/`: double division + cast could truncate to
+        # a different integer than DuckDB's // at representation edges
+        F.expr("CAST((unix_micros(ts) - us0) DIV 1000000 AS BIGINT)").alias("t"),
+        F.col("value").alias("v"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).alias("stv"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slope = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")) / den
+    return s.filter(den != 0).select(
+        "user_id",
+        "n",
+        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("value_mean"),
+    )
+
+
+@register(
     "point_in_time_join",
     """
     WITH changes AS (

@@ -63,6 +63,7 @@ PHASE2 = [
     "events_profile",
     "feature_drift",
     "point_in_time_join",
+    "user_value_trend",
 ]
 
 
