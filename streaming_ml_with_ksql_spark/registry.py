@@ -1451,6 +1451,50 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_matches",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance — the fuzzy-match
+    companion to the token/hash dedup families (catalog/name dedup where
+    near-duplicates differ by typos, not shingles). Candidate pairs come
+    from an equi-join on a blocking key (first name token), so the
+    Levenshtein evaluation — O(|s|²) per pair — runs on within-block
+    candidates only, never the n² cross product; both engines implement
+    classic unit-cost Levenshtein, so the distances hash-check exactly."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
+
+
+@register(
     "user_value_trend",
     """
     WITH t0 AS (

@@ -64,6 +64,7 @@ PHASE2 = [
     "feature_drift",
     "point_in_time_join",
     "user_value_trend",
+    "fuzzy_name_matches",
 ]
 
 
