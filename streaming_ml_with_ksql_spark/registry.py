@@ -1451,6 +1451,109 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → later click → later purchase):
+    each stage is a conditional MIN against the PREVIOUS stage's
+    timestamp, so only strictly-ordered progressions count — the
+    sequential-pattern analytic a sessionized clickstream engine owes its
+    users. Three per-user aggregates, each over a frame that shrinks with
+    the funnel; the stage join keys are the (already small) per-user
+    stage tables, broadcast onward."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(F.broadcast(v), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel")))
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id, fw.cohort_week,
+             CAST(date_diff('day', fw.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS weeks_since
+      FROM events e JOIN fw USING (user_id))
+    SELECT cohort_week, weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity ISO week,
+    counted distinct in each later week of activity — both engines
+    truncate weeks to Monday, and the week offset is exact integer day
+    arithmetic. One first-week aggregate + one distinct-activity
+    aggregate; the retention groupBy runs over (user, week) pairs, which
+    is already orders of magnitude smaller than events."""
+    ev = _t(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(F.broadcast(fw), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "weeks_since").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+
+
+@register(
     "fuzzy_name_matches",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),

@@ -65,6 +65,8 @@ PHASE2 = [
     "point_in_time_join",
     "user_value_trend",
     "fuzzy_name_matches",
+    "conversion_funnel",
+    "weekly_retention_cohorts",
 ]
 
 
