@@ -1477,8 +1477,9 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp, so only strictly-ordered progressions count — the
     sequential-pattern analytic a sessionized clickstream engine owes its
     users. Three per-user aggregates, each over a frame that shrinks with
-    the funnel; the stage join keys are the (already small) per-user
-    stage tables, broadcast onward."""
+    the funnel; the stage joins run on the per-user stage tables —
+    deliberately NOT broadcast-hinted (one row per user grows with the
+    corpus; AQE may still elect a broadcast when small)."""
     ev = _t(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1486,13 +1487,13 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_view"))
     )
     c = (
-        ev.join(F.broadcast(v), "user_id")
+        ev.join(v, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
-        ev.join(F.broadcast(c), "user_id")
+        ev.join(c, "user_id")
         .filter(
             (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
         )
@@ -1535,7 +1536,7 @@ def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     act = (
-        ev.join(F.broadcast(fw), "user_id")
+        ev.join(fw, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -3212,8 +3213,10 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CASE WHEN epoch_us(ts) * 2 <= epoch_us(tlo) + epoch_us(thi)
                   THEN 'base' ELSE 'current' END AS period,
-             least(CAST(floor((value - vlo) / (vhi - vlo) * 10) AS BIGINT), 9)
-               AS bin
+             CASE WHEN vhi > vlo
+                  THEN least(CAST(floor((value - vlo) / (vhi - vlo) * 10)
+                                  AS BIGINT), 9)
+                  ELSE 0 END AS bin
       FROM events CROSS JOIN rng),
     cells AS (
       SELECT event_type, bin,
@@ -3228,8 +3231,10 @@ def q_scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells GROUP BY 1),
     shares AS (
       SELECT c.event_type, c.bin, c.base_n, c.curr_n,
-             CAST(c.base_n AS DOUBLE) / base_tot AS p,
-             CAST(c.curr_n AS DOUBLE) / curr_tot AS q
+             CASE WHEN base_tot > 0
+                  THEN CAST(c.base_n AS DOUBLE) / base_tot ELSE 0.0 END AS p,
+             CASE WHEN curr_tot > 0
+                  THEN CAST(c.curr_n AS DOUBLE) / curr_tot ELSE 0.0 END AS q
       FROM cells c JOIN tot USING (event_type))
     SELECT event_type, bin, base_n, curr_n,
            round(p, 6) AS base_share, round(q, 6) AS curr_share,
@@ -3264,14 +3269,22 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("current"))
         .alias("period"),
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vlo"))
-                / (F.col("vhi") - F.col("vlo"))
-                * 10
-            ).cast("long"),
-            F.lit(9),
-        ).alias("bin"),
+        # vhi == vlo guard: Spark 0/0 is NULL while DuckDB yields NaN
+        # (and errors casting floor(nan)) — an all-equal-values column
+        # must not diverge the engines
+        F.when(
+            F.col("vhi") > F.col("vlo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vlo"))
+                    / (F.col("vhi") - F.col("vlo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
     )
     cells = binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
@@ -3287,8 +3300,20 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "base_n",
         "curr_n",
-        (F.col("base_n").cast("double") / F.sum("base_n").over(w_t)).alias("p"),
-        (F.col("curr_n").cast("double") / F.sum("curr_n").over(w_t)).alias("q"),
+        # zero-total guard: one-sided event types (all rows in one time
+        # half) are NULL-p in Spark but NaN-p in DuckDB without this
+        F.when(
+            F.sum("base_n").over(w_t) > 0,
+            F.col("base_n").cast("double") / F.sum("base_n").over(w_t),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+        F.when(
+            F.sum("curr_n").over(w_t) > 0,
+            F.col("curr_n").cast("double") / F.sum("curr_n").over(w_t),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("q"),
     )
     contrib = (F.col("p") - F.col("q")) * (F.col("p") - F.col("q")) / (
         (F.col("p") + F.col("q")) / 2
