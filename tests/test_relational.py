@@ -67,6 +67,7 @@ PHASE2 = [
     "fuzzy_name_matches",
     "conversion_funnel",
     "weekly_retention_cohorts",
+    "top_revenue_supplier",
 ]
 
 
