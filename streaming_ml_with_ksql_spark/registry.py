@@ -3037,6 +3037,72 @@ def q_hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream-stream interval join
 # --------------------------------------------------------------------------
 
+def _streaming_cms_oracle() -> str:
+    """DuckDB rebuild of the per-EVENT count-min grid (no per-key
+    pre-aggregate here — streaming complete mode supports one aggregation,
+    and summing 1 per event reaches the identical additive counters)."""
+    from .operators.text import MINHASH_P
+    from .operators.topk import CMS_DEPTH, CMS_WIDTH
+    from .operators.text import minhash_coeffs
+
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+    )
+    return f"""
+    WITH hk AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::UBIGINT
+                  AS BIGINT) AS h
+      FROM events),
+    coef(i, a, b) AS (VALUES {coef_rows})
+    SELECT i AS row_i, (a * h + b) % {MINHASH_P} % {CMS_WIDTH} AS col,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM hk CROSS JOIN coef
+    GROUP BY 1, 2
+    """
+
+
+@register("streaming_cms_cells", _streaming_cms_oracle())
+def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained count-min sketch: the event stream explodes
+    into its depth×(row, col) cells and ONE complete-mode groupBy keeps
+    the additive counter grid — because CMS counters are order-insensitive
+    sums, the drained streaming grid equals the batch grid EXACTLY, which
+    the oracle rebuilds in DuckDB. The streaming form of the sketch rollup
+    a 100 TB pipeline keeps per hour and merges for any range; state is
+    bounded by the d×w grid (4×1024 cells), not the key cardinality —
+    the whole point of sketching a stream."""
+    from .operators.text import MINHASH_P, minhash_coeffs
+    from .operators.topk import CMS_DEPTH, CMS_WIDTH
+
+    stream = _replay_events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) % F.lit(CMS_WIDTH)).alias(
+                        "col"
+                    ),
+                )
+                for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+            ]
+        )
+    ).alias("cell")
+    grid = (
+        stream.select(cells)
+        .select("cell.row_i", "cell.col")
+        .groupBy("row_i", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return stream_sinks.run_to_memory(
+        grid, f"reg_stream_cms_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+
+
+
 @register(
     "streaming_dedup_exact",
     """

@@ -36,6 +36,7 @@ STREAMING = [
     "streaming_cdc_upsert",
     "streaming_interval_join_right",
     "streaming_corpus_ingest",
+    "streaming_cms_cells",
 ]
 
 
