@@ -2803,6 +2803,37 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.synthesize_bmp_payload(docs))
 
 
+@register(
+    "multimodal_audio_features",
+    """
+    WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+    smp AS (
+      SELECT doc_id, n, i, ((doc_id * 31 + i * 7) % 256) - 128 AS s
+      FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)),
+    nxt AS (
+      SELECT doc_id, n, i, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM smp)
+    SELECT doc_id,
+           CAST(max(n) AS INT) AS n_samples,
+           sqrt(sum(s * s) / CAST(max(n) AS DOUBLE)) AS rms,
+           CAST(sum(CASE WHEN s2 IS NOT NULL AND s * s2 < 0
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM nxt GROUP BY 1
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (not the byte-histogram stub): the
+    WAV payload is container-parsed and its PCM frames decoded; RMS
+    energy, zero-crossing count and peak come from the actual sample
+    array. The oracle reconstructs the deterministic sample series in SQL
+    — integer moment sums are exact and sqrt is IEEE correctly rounded in
+    both engines, so even the RMS double hash-checks without rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.synthesize_wav_payload(docs))
+
+
 @register("multimodal_features", None)  # Pandas-UDF path: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction through Arrow mapInPandas

@@ -167,3 +167,28 @@ def test_bmp_decode_rejects_garbage():
 
     with pytest.raises(ValueError):
         multimodal._bmp_parse(b"JFIF not a bmp")
+
+
+def test_audio_features_come_from_decoded_samples(spark):
+    """RMS/ZC/peak must derive from the decoded PCM array, not payload
+    bytes: verified against a straight numpy recomputation of the known
+    sample series."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in multimodal.audio_features(
+            multimodal.synthesize_wav_payload(docs)
+        ).collect()
+    }
+    for i in range(8):
+        n = 100 + i % 400
+        s = np.array([((i * 31 + k * 7) % 256) - 128 for k in range(n)], dtype=np.int64)
+        r = out[i]
+        assert r.n_samples == n
+        assert abs(r.rms - float(np.sqrt(float((s * s).sum()) / n))) < 1e-12
+        assert r.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
+        assert r.peak == int(np.abs(s).max())
