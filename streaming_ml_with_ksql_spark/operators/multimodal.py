@@ -43,6 +43,7 @@ __all__ = [
     "synthesize_bmp_payload",
     "decode_image",
     "audio_features",
+    "resize_image",
     "DECODED_SCHEMA",
     "FEATURES_SCHEMA",
     "AUDIO_DECODED_SCHEMA",
@@ -504,4 +505,68 @@ def audio_features(with_wav_payload: DataFrame) -> DataFrame:
     the DECODED sample array (Arrow mapInPandas, narrow map)."""
     return with_wav_payload.mapInPandas(
         _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized_mean double"
+)
+
+
+def _resize_batches(max_side: int):
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """REAL pixel resample: decode the BMP array, nearest-neighbor
+        downsample with integer floor index maps (floor keeps the index
+        arithmetic bit-identical to the SQL oracle — round() differs
+        between Python's banker's rounding and SQL half-up), and compute
+        the resized image's mean from the actual resampled array."""
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                meta = _bmp_parse(payload)
+                w, h, bpp = meta["width"], meta["height"], meta["bpp"]
+                stride = (bpp // 8 * w + 3) // 4 * 4
+                import struct
+
+                off = struct.unpack_from("<I", payload, 10)[0]
+                arr = np.frombuffer(payload, dtype=np.uint8, offset=off)
+                px = arr[: stride * h].reshape(h, stride)[:, : bpp // 8 * w]
+                mx = max(w, h)
+                dst_w = max(1, (w * max_side) // mx) if mx > max_side else w
+                dst_h = max(1, (h * max_side) // mx) if mx > max_side else h
+                row_idx = (np.arange(dst_h) * h) // dst_h
+                col_idx = (np.arange(dst_w * (bpp // 8)) * (w * (bpp // 8))) // (
+                    dst_w * (bpp // 8)
+                )
+                resized = px[row_idx][:, col_idx]
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "src_w": w,
+                        "src_h": h,
+                        "dst_w": dst_w,
+                        "dst_h": dst_h,
+                        "resized_mean": float(
+                            resized.astype(np.float64).sum() / resized.size
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows).astype(
+                {"src_w": "int32", "src_h": "int32", "dst_w": "int32", "dst_h": "int32"}
+            )
+
+    return _batches
+
+
+def resize_image(with_bmp_payload: DataFrame, *, max_side: int = 16) -> DataFrame:
+    """BMP payload → nearest-neighbor downsample (long side clamped to
+    ``max_side``) with the mean computed from the RESAMPLED pixel array —
+    the pixel half of resize that resize_meta only planned. Arrow
+    mapInPandas, narrow map."""
+    return with_bmp_payload.mapInPandas(
+        _resize_batches(max_side), schema=RESIZED_SCHEMA
     )

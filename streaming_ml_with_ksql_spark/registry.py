@@ -2834,6 +2834,43 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(multimodal.synthesize_wav_payload(docs))
 
 
+@register(
+    "multimodal_image_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 3) % 17 AS h
+      FROM documents),
+    d2 AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM dims),
+    d3 AS (
+      SELECT doc_id, w, h,
+        CASE WHEN mx > 16 THEN greatest(1, (w * 16) // mx) ELSE w END AS dst_w,
+        CASE WHEN mx > 16 THEN greatest(1, (h * 16) // mx) ELSE h END AS dst_h
+      FROM d2),
+    rowsy AS (
+      SELECT doc_id, h, dst_h, unnest(generate_series(0, dst_h - 1)) AS y
+      FROM d3),
+    m AS (
+      SELECT doc_id,
+             avg(CAST((doc_id + (y * h) // dst_h) % 256 AS DOUBLE))
+               AS resized_mean
+      FROM rowsy GROUP BY 1)
+    SELECT d3.doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(dst_w AS INT) AS dst_w, CAST(dst_h AS INT) AS dst_h,
+           m.resized_mean
+    FROM d3 JOIN m USING (doc_id)
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize (the half resize_meta only planned): decode the
+    BMP array, nearest-neighbor downsample with floor index maps, and
+    report the mean of the RESAMPLED array. The oracle replays the exact
+    index arithmetic (floor division on both sides — round() would
+    diverge between Python banker's and SQL half-up) over the known
+    per-row pixel pattern, so the resampled mean hash-checks exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_image(multimodal.synthesize_bmp_payload(docs))
+
+
 @register("multimodal_features", None)  # Pandas-UDF path: rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction through Arrow mapInPandas

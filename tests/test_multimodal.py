@@ -192,3 +192,29 @@ def test_audio_features_come_from_decoded_samples(spark):
         assert abs(r.rms - float(np.sqrt(float((s * s).sum()) / n))) < 1e-12
         assert r.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
         assert r.peak == int(np.abs(s).max())
+
+
+def test_resize_image_preserves_aspect_and_samples_real_pixels(spark):
+    """Resize must clamp the long side, keep >=1 px per dim, and the
+    resized mean must come from the actual resampled array (verified by
+    numpy recomputation over the decoded source)."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_image(
+            multimodal.synthesize_bmp_payload(docs), max_side=16
+        ).collect()
+    }
+    for i in range(10):
+        r = out[i]
+        w, h = multimodal._bmp_dims(i)
+        assert (r.src_w, r.src_h) == (w, h)
+        assert max(r.dst_w, r.dst_h) <= max(16, min(w, h))
+        assert r.dst_w >= 1 and r.dst_h >= 1
+        row_idx = (np.arange(r.dst_h) * h) // r.dst_h
+        expect = float(np.mean([(i + y) % 256 for y in row_idx]))
+        assert abs(r.resized_mean - expect) < 1e-9
