@@ -390,10 +390,9 @@ def _bmp_bytes(doc_id: int) -> bytes:
     return header + b"".join(rows)
 
 
-def _bmp_parse(payload: bytes) -> dict:
-    """REAL BMP parse: validate magic, read geometry from the INFOHEADER,
-    then decode the (padded) pixel array and compute the mean channel
-    value from the actual bytes."""
+def _bmp_px(payload: bytes):
+    """Shared REAL BMP decode: validate magic, read geometry, return
+    (width, height, bpp, pixel-array) with stride padding stripped."""
     import struct
 
     import numpy as np
@@ -405,6 +404,14 @@ def _bmp_parse(payload: bytes) -> dict:
     stride = (bpp // 8 * w + 3) // 4 * 4
     arr = np.frombuffer(payload, dtype=np.uint8, offset=off)
     rows = arr[: stride * h].reshape(h, stride)[:, : bpp // 8 * w]
+    return w, h, bpp, rows
+
+
+def _bmp_parse(payload: bytes) -> dict:
+    """Container metadata + mean channel value from the decoded array."""
+    import numpy as np
+
+    w, h, bpp, rows = _bmp_px(payload)
     # integer sum (exact in float64 far beyond these sizes) / exact count
     mean_pixel = float(rows.astype(np.float64).sum() / rows.size)
     return {
@@ -415,6 +422,20 @@ def _bmp_parse(payload: bytes) -> dict:
         "mean_pixel": mean_pixel,
         "decoder": "struct-bmp",
     }
+
+
+def _nn_resample(px, w: int, h: int, dst_w: int, dst_h: int, channels: int):
+    """Nearest-neighbor resample with PER-PIXEL floor index maps, expanded
+    by the channel offset — a per-BYTE column map would stitch a
+    destination pixel from different source pixels/channels whenever
+    w/dst_w is non-integral (caught in review; invisible on the synthetic
+    B=G=R images, wrong on any real 24-bit data)."""
+    import numpy as np
+
+    row_idx = (np.arange(dst_h) * h) // dst_h
+    px_idx = (np.arange(dst_w) * w) // dst_w
+    col_idx = (px_idx[:, None] * channels + np.arange(channels)[None, :]).reshape(-1)
+    return px[row_idx][:, col_idx]
 
 
 def _bmp_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -526,23 +547,11 @@ def _resize_batches(max_side: int):
         for pdf in batches:
             rows = []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(p)
-                meta = _bmp_parse(payload)
-                w, h, bpp = meta["width"], meta["height"], meta["bpp"]
-                stride = (bpp // 8 * w + 3) // 4 * 4
-                import struct
-
-                off = struct.unpack_from("<I", payload, 10)[0]
-                arr = np.frombuffer(payload, dtype=np.uint8, offset=off)
-                px = arr[: stride * h].reshape(h, stride)[:, : bpp // 8 * w]
+                w, h, bpp, px = _bmp_px(bytes(p))
                 mx = max(w, h)
                 dst_w = max(1, (w * max_side) // mx) if mx > max_side else w
                 dst_h = max(1, (h * max_side) // mx) if mx > max_side else h
-                row_idx = (np.arange(dst_h) * h) // dst_h
-                col_idx = (np.arange(dst_w * (bpp // 8)) * (w * (bpp // 8))) // (
-                    dst_w * (bpp // 8)
-                )
-                resized = px[row_idx][:, col_idx]
+                resized = _nn_resample(px, w, h, dst_w, dst_h, bpp // 8)
                 rows.append(
                     {
                         "doc_id": int(d),

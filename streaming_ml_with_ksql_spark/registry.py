@@ -3105,21 +3105,30 @@ def q_hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream-stream interval join
 # --------------------------------------------------------------------------
 
+_CMS_HASH_SQL = "CAST(('0x' || substr(md5({key}), 1, 7))::UBIGINT AS BIGINT)"
+
+
+def _cms_coef_rows() -> str:
+    from .operators.text import minhash_coeffs
+    from .operators.topk import CMS_DEPTH
+
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+    )
+
+
 def _streaming_cms_oracle() -> str:
     """DuckDB rebuild of the per-EVENT count-min grid (no per-key
     pre-aggregate here — streaming complete mode supports one aggregation,
     and summing 1 per event reaches the identical additive counters)."""
     from .operators.text import MINHASH_P
-    from .operators.topk import CMS_DEPTH, CMS_WIDTH
-    from .operators.text import minhash_coeffs
+    from .operators.topk import CMS_WIDTH
 
-    coef_rows = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
-    )
+    coef_rows = _cms_coef_rows()
+    h_sql = _CMS_HASH_SQL.format(key="CAST(user_id AS VARCHAR)")
     return f"""
     WITH hk AS (
-      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::UBIGINT
-                  AS BIGINT) AS h
+      SELECT {h_sql} AS h
       FROM events),
     coef(i, a, b) AS (VALUES {coef_rows})
     SELECT i AS row_i, (a * h + b) % {MINHASH_P} % {CMS_WIDTH} AS col,
@@ -3139,28 +3148,24 @@ def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB pipeline keeps per hour and merges for any range; state is
     bounded by the d×w grid (4×1024 cells), not the key cardinality —
     the whole point of sketching a stream."""
-    from .operators.text import MINHASH_P, minhash_coeffs
-    from .operators.topk import CMS_DEPTH, CMS_WIDTH
+    from .operators.topk import CMS_DEPTH, _cms_hash_cols
 
     stream = _replay_events(spark, sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10
-    ).cast("long")
+    # SAME hash columns as the batch sketch (topk._cms_hash_cols) — the
+    # streaming-equals-batch-grid guarantee depends on one hash definition
+    hashed = stream.select(*_cms_hash_cols(F.col("user_id").cast("string")))
     cells = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("row_i"),
-                    ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) % F.lit(CMS_WIDTH)).alias(
-                        "col"
-                    ),
+                    F.lit(i).alias("row_i"), F.col(f"__c{i}").alias("col")
                 )
-                for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
+                for i in range(CMS_DEPTH)
             ]
         )
     ).alias("cell")
     grid = (
-        stream.select(cells)
+        hashed.select(cells)
         .select("cell.row_i", "cell.col")
         .groupBy("row_i", "col")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -3586,20 +3591,16 @@ def _cms_oracle() -> str:
     digest, same affine row hashes from text.minhash_coeffs, same grid) —
     the comparison is exact, not tolerance-based."""
     from .operators.text import MINHASH_P
-    from .operators.topk import CMS_DEPTH, CMS_WIDTH
-    from .operators.text import minhash_coeffs
+    from .operators.topk import CMS_WIDTH
 
-    coef_rows = ", ".join(
-        f"({i}, {a}, {b})"
-        for i, (a, b) in enumerate(minhash_coeffs(CMS_DEPTH))
-    )
+    coef_rows = _cms_coef_rows()
+    h_sql = _CMS_HASH_SQL.format(key="k")
     return f"""
     WITH per_key AS (
       SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
       FROM events GROUP BY 1),
     hk AS (
-      SELECT k, n,
-             CAST(('0x' || substr(md5(k), 1, 7))::UBIGINT AS BIGINT) AS h
+      SELECT k, n, {h_sql} AS h
       FROM per_key),
     coef(i, a, b) AS (VALUES {coef_rows}),
     keyed AS (
@@ -4536,14 +4537,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_near_minhash",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
-    # embedding family (quantize, ANN brute/IVF, near-dup scale path,
-    # semantic dedup groups; topk_lsh is recall-tested in pytest and yields
-    # its rows-only slot to the hash-checked dedup groups)
+    # embedding family (quantize, ANN brute, near-dup scale path, semantic
+    # dedup groups; both approximate ANN variants are recall-tested in
+    # pytest and yield their rows-only slots — lsh to the hash-checked
+    # dedup groups, ivf to the TPC-H-completing Q15 below)
     "embedding_quantize_int8",
     "embedding_topk_bruteforce",
     "embedding_dedup_groups",
-    "embedding_topk_ivf",
     "embedding_near_dup_pairs_lsh",
+    "top_revenue_supplier",
     # corpus pipeline (composite clean, stratified mixing)
     "corpus_clean_pipeline",
     "corpus_sample_mix",

@@ -213,8 +213,29 @@ def test_resize_image_preserves_aspect_and_samples_real_pixels(spark):
         r = out[i]
         w, h = multimodal._bmp_dims(i)
         assert (r.src_w, r.src_h) == (w, h)
-        assert max(r.dst_w, r.dst_h) <= max(16, min(w, h))
+        assert max(r.dst_w, r.dst_h) <= 16
         assert r.dst_w >= 1 and r.dst_h >= 1
         row_idx = (np.arange(r.dst_h) * h) // r.dst_h
         expect = float(np.mean([(i + y) % 256 for y in row_idx]))
         assert abs(r.resized_mean - expect) < 1e-9
+
+
+def test_nn_resample_preserves_channels():
+    """The resample's column map must be per-PIXEL (then channel-expanded):
+    a per-byte map stitches destination pixels from different source
+    pixels/channels whenever w/dst_w is non-integral — invisible on the
+    synthetic B=G=R images, wrong on real 24-bit data."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators.multimodal import _nn_resample
+
+    w, h, ch = 24, 8, 3
+    px = np.zeros((h, w * ch), dtype=np.uint8)
+    for x in range(w):
+        for c in range(ch):
+            px[:, x * ch + c] = (x * 3 + c) % 251
+    out = _nn_resample(px, w, h, 16, 8, ch)
+    px_idx = (np.arange(16) * w) // 16
+    for i in range(16):
+        for c in range(ch):
+            assert out[0, i * ch + c] == (px_idx[i] * 3 + c) % 251

@@ -13,9 +13,10 @@ from streaming_ml_with_ksql_spark import registry
 
 # Approximate / model-backed operators where no exact cross-engine SQL
 # oracle exists by design (driver records a rows-only "ran" check).
-EXPECTED_ROWS_ONLY = {
-    "embedding_topk_ivf",  # approximate ANN: recall-tested vs brute force
-}
+# Every driver-priority slot now carries an exact oracle (the approximate
+# ANN variants are recall-tested in pytest and verified rows-only outside
+# the block).
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_priority_block_is_first_50():
