@@ -165,48 +165,9 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_pairs_blocked(
-    embeddings: DataFrame, *, threshold: float = 0.4
-) -> DataFrame:
-    """Dense blocked-GEMM near-dup scan — the scale path for LOW thresholds.
-
-    Sign-LSH amplifies the gap between a pair's collision probability
-    ``p = 1 - angle/pi`` and a random pair's 0.5. At cosine 0.4, p ≈ 0.63:
-    with any (planes, tables, probes) setting that reaches high recall, the
-    expected candidate set is most of all pairs (measured 94% on the driver
-    testdata) — the bucketed join degenerates to all-pairs plus overhead.
-    The honest dense plan instead treats the corpus as a broadcast matrix
-    tile and scans it with one BLAS matmul per Arrow batch:
-
-    - **Zero pair shuffle.** No join node at all: ``mapInPandas`` over the
-      row side, corpus tile broadcast once. Non-passing pairs never
-      materialize as rows — only the survivors (plus a float-margin sliver)
-      leave the kernel.
-    - **FLOPs at BLAS speed.** (batch × dim) @ (dim × corpus) per batch vs
-      per-pair interpreted folds; the O(n²·d) work is unavoidable at this
-      threshold (that's the information-theoretic cost), so pay it at
-      matmul throughput.
-    - **100 TB shape**: tile the corpus into broadcastable chunks (outer
-      loop, one union per tile); each tile scans in a single pass over the
-      row side. This is the standard dense-retrieval fallback when no
-      index can prune.
-
-    Exactness: the GEMM filters with a 1e-6 margin, then survivors are
-    re-scored with the dimension-ordered sequential fold (bit-identical to
-    the JVM/DuckDB fold); the final round+threshold happens JVM-side, so
-    output pairs and cosines hash-match the all-pairs SQL oracle.
-
-    For HIGH thresholds (true near-dup, cosine ≥ ~0.9) prefer
-    ``embedding_near_dup_pairs_lsh`` — there the amplification gap is real
-    and the bucketed join prunes almost everything.
-    """
-    emb = _as_double(embeddings).select("vec_id", "embedding")
-    spark = emb.sparkSession
-    pdf = emb.toPandas()  # corpus tile: one broadcast at this sf (see above)
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat))
-    margin = 1e-6
+def _gemm_tile_scan(bc, threshold: float, margin: float):
+    """Build the mapInPandas kernel for ONE broadcast corpus tile — a
+    factory so each tile's closure captures its own broadcast handle."""
 
     def scan(batches):
         c_ids, c_mat = bc.value
@@ -240,9 +201,97 @@ def embedding_near_dup_pairs_blocked(
                 }
             )
 
-    out = _fan_out(emb).mapInPandas(
-        scan, "vec_a long, vec_b long, cosine double"
-    )
+    return scan
+
+
+def embedding_near_dup_pairs_blocked(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.4,
+    tile_budget_bytes: int = 256 << 20,
+    n_tiles: int | None = None,
+) -> DataFrame:
+    """Dense blocked-GEMM near-dup scan — the scale path for LOW thresholds.
+
+    Sign-LSH amplifies the gap between a pair's collision probability
+    ``p = 1 - angle/pi`` and a random pair's 0.5. At cosine 0.4, p ≈ 0.63:
+    with any (planes, tables, probes) setting that reaches high recall, the
+    expected candidate set is most of all pairs (measured 94% on the driver
+    testdata) — the bucketed join degenerates to all-pairs plus overhead.
+    The honest dense plan instead treats the corpus as a sequence of
+    broadcastable matrix tiles and scans each with one BLAS matmul per
+    Arrow batch:
+
+    - **Bounded driver footprint.** The corpus is split into
+      ``T = ceil(rows · row_bytes / tile_budget_bytes)`` tiles by
+      ``pmod(vec_id, T)``; only ONE tile is ever collected to the driver
+      at a time (then broadcast to executors), so driver memory is capped
+      by ``tile_budget_bytes`` regardless of corpus size. (Assumes
+      roughly uniform vec_id residues — dense ids give exact balance;
+      pathologically clustered ids would need a hash residue instead.)
+    - **Zero pair shuffle.** No join node at all: ``mapInPandas`` over the
+      row side, one scan pass per tile, results unioned. Non-passing pairs
+      never materialize as rows — only the survivors (plus a float-margin
+      sliver) leave the kernel.
+    - **FLOPs at BLAS speed.** (batch × dim) @ (dim × tile) per batch vs
+      per-pair interpreted folds; the O(n²·d) work is unavoidable at this
+      threshold (that's the information-theoretic cost), so pay it at
+      matmul throughput. At 100 TB, cache/persist the row side so the T
+      passes re-read columnar memory, not parquet.
+
+    Exactness: the GEMM filters with a 1e-6 margin, then survivors are
+    re-scored with the dimension-ordered sequential fold (bit-identical to
+    the JVM/DuckDB fold); the final round+threshold happens JVM-side. A
+    pair (a, b) is emitted by exactly the tile containing b, so the union
+    over tiles is bit-identical to the single-tile form — same pairs, same
+    cosines, same oracle.
+
+    For HIGH thresholds (true near-dup, cosine ≥ ~0.9) prefer
+    ``embedding_near_dup_pairs_lsh`` — there the amplification gap is real
+    and the bucketed join prunes almost everything.
+
+    ``last_tile_rows`` on the function records the per-tile collected row
+    counts of the most recent call (test hook for the budget invariant).
+    """
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    spark = emb.sparkSession
+    margin = 1e-6
+    schema = "vec_a long, vec_b long, cosine double"
+
+    if n_tiles is None:
+        n_rows = emb.count()
+        first = emb.select(F.size("embedding").alias("d")).first()
+        dim = (first["d"] if first is not None else 0) or 0
+        row_bytes = dim * 8 + 64  # float64 payload + id/pandas overhead
+        n_tiles = max(1, -(-(n_rows * row_bytes) // tile_budget_bytes))
+
+    fanned = _fan_out(emb)
+    parts: list[DataFrame] = []
+    tile_rows: list[int] = []
+    for t in range(n_tiles):
+        tile = (
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t)
+            if n_tiles > 1
+            else emb
+        )
+        pdf = tile.toPandas()  # bounded: ≤ tile_budget_bytes by construction
+        if not len(pdf):
+            continue
+        tile_rows.append(len(pdf))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        bc = spark.sparkContext.broadcast((ids, mat))
+        parts.append(
+            fanned.mapInPandas(_gemm_tile_scan(bc, threshold, margin), schema)
+        )
+    embedding_near_dup_pairs_blocked.last_tile_rows = tile_rows
+
+    if not parts:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
     return out.select(
         "vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -483,10 +532,15 @@ def ivf_topk(
     1. *Index build*: seeded KMeans partitions the corpus into
        ``n_centroids`` cells; each vector stores its cell id (one narrow
        transform after the fit).
-    2. *Search*: each query ranks the (driver-bounded, broadcastable)
-       centroid list by L2 distance with JVM expressions, probes its
-       ``n_probe`` nearest cells, and candidates come from an equi-join on
-       cell id — the corpus is never all-pairs joined.
+    2. *Search*: the (driver-bounded) centroid list becomes a broadcast
+       DataFrame; each query broadcast-joins it, computes L2 distance with
+       JVM expressions, keeps its ``n_probe`` nearest cells via a
+       row_number window, and candidates come from an equi-join on cell
+       id — the corpus is never all-pairs joined. Centroids travel as
+       relation DATA (LocalRelation + broadcast), never as Catalyst
+       expression literals, so plan/analysis size is independent of
+       ``n_centroids`` (a 65k-centroid index plans as fast as a 16-cell
+       one; pinned in tests/test_plans.py).
     3. Exact cosine re-ranks candidates; top-k per query.
 
     At 100 TB the cell assignment is a write-once index column (cluster
@@ -508,41 +562,33 @@ def ivf_topk(
         F.col("__cell").alias("cell"),
     )
 
-    # centroids: bounded driver-side list → literal arrays (broadcast-sized)
-    centroid_structs = [
-        F.struct(
-            F.lit(cid).alias("cell"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in center]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist2"),
-        )
-        for cid, center in enumerate(model.clusterCenters())
-    ]
+    # centroids: bounded driver-side list → broadcast relation (DATA, not
+    # plan literals — plan size stays O(1) in n_centroids)
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (cid, [float(x) for x in center])
+            for cid, center in enumerate(model.clusterCenters())
+        ],
+        schema="cell int, center array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("cell").asc()
+    )
     probed = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.slice(
-                F.array_sort(
-                    F.array(*centroid_structs),
-                    lambda a, b: F.when(a.dist2 < b.dist2, -1)
-                    .when(a.dist2 > b.dist2, 1)
-                    .otherwise(0),
-                ),
-                1,
-                n_probe,
-            ).alias("cells"),
-        )
-        .select(
-            "query_id", "q_emb", F.explode(F.col("cells.cell")).alias("cell")
-        )
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "q_emb", "cell", dist2.alias("dist2"))
+        .withColumn("__cr", F.row_number().over(cw))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "q_emb", "cell")
     )
     scored = probed.join(corpus, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -251,3 +251,24 @@ def test_point_in_time_join_is_keyed_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"(BroadcastHash|ShuffledHash|SortMerge)Join", plan)
+
+
+def test_ivf_plan_size_independent_of_centroid_count(spark):
+    """Centroids must enter the search plan as broadcast relation DATA, not
+    as unrolled Catalyst literals — otherwise a realistic 4k-65k-centroid
+    index makes the plan itself tens of MB and analysis time explodes. The
+    analyzed plan must not grow with n_centroids (beyond noise)."""
+    import os
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    emb = io_mod.load_table(spark, sf_dir, "embeddings")
+    sizes = {}
+    for k in (4, 32):
+        df = similarity.ivf_topk(emb, n_centroids=k, n_probe=2)
+        sizes[k] = len(str(df._jdf.queryExecution().analyzed()))
+    # 8x the centroids must not even double the plan text (literal unrolling
+    # would scale it ~8x: 32 centroids x 64 dims of double literals)
+    assert sizes[32] < 2 * sizes[4], sizes

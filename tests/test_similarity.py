@@ -77,6 +77,44 @@ def test_near_dup_blocked_matches_all_pairs_exactly(spark, sf_medium):
     )
 
 
+def test_near_dup_blocked_tiled_is_bit_identical_and_bounded(spark, sf_medium):
+    """The 100 TB form: forcing multiple corpus tiles must (a) never collect
+    more than one tile's worth of rows to the driver per step, and (b) give
+    the EXACT same pairs+cosines as the single-tile form and the all-pairs
+    baseline — a pair is scanned by exactly the tile containing vec_b."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {tuple(r) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    tiled = {
+        tuple(r)
+        for r in similarity.embedding_near_dup_pairs_blocked(
+            emb, n_tiles=4
+        ).collect()
+    }
+    assert tiled == exact, (
+        f"missed={len(exact - tiled)} extra={len(tiled - exact)} of {len(exact)}"
+    )
+    n = emb.count()
+    rows = similarity.embedding_near_dup_pairs_blocked.last_tile_rows
+    assert len(rows) == 4 and sum(rows) == n
+    assert max(rows) <= -(-n // 4) + 1, f"tile imbalance: {rows}"
+
+
+def test_near_dup_blocked_budget_derives_tile_count(spark, sf_medium):
+    """With an explicit byte budget smaller than the corpus, the auto tile
+    count must keep every driver collect under the budget."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    n = emb.count()
+    dim = emb.select(F.size("embedding")).first()[0]
+    row_bytes = dim * 8 + 64
+    budget = (n * row_bytes) // 3  # forces T >= 3
+    similarity.embedding_near_dup_pairs_blocked(
+        emb, tile_budget_bytes=budget
+    ).count()
+    rows = similarity.embedding_near_dup_pairs_blocked.last_tile_rows
+    assert len(rows) >= 3
+    assert all(r * row_bytes <= budget + row_bytes for r in rows), rows
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_medium):
     """IVF with 4/16 cells probed must recover most exact top-5 pairs."""
     from streaming_ml_with_ksql_spark import io as io_mod
