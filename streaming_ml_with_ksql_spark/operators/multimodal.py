@@ -2,16 +2,24 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extraction runs as Arrow-batched pandas over
-``mapInPandas``. The container has no image/video libraries, so those
-codec kernels are STUBBED (import-gated): when PIL/cv2 are absent we emit
-a deterministic fake decode derived from the bytes, keeping the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — real
-and tested. Two codec paths are NOT stubbed: `synthesize_wav_payload` /
-`decode_audio` encode and parse genuine RIFF/WAVE containers, and
-`synthesize_bmp_payload` / `decode_image` genuine uncompressed BMP
-containers (including real pixel statistics from the decoded array) —
-both with the Python standard library + numpy, end-to-end in-sandbox.
-Only compressed codecs (PNG/JPEG/MP4) remain stubbed.
+``mapInPandas``. Four container codecs are REAL, stdlib-only, end-to-end
+in-sandbox (encode → binary column → parse):
+
+- **WAV** (RIFF/WAVE): `synthesize_wav_payload` / `decode_audio` /
+  `audio_features` — genuine container parse + PCM DSP features.
+- **BMP** (uncompressed DIB): `synthesize_bmp_payload` / `decode_image` /
+  `resize_image` — header geometry, orientation-aware pixel array
+  (bottom-up rows flipped, negative-height top-down handled), real pixel
+  statistics and nearest-neighbor resampling.
+- **PNG**: `synthesize_png_payload` / `decode_image` — chunked container
+  (CRC-verified), zlib-inflated scanlines, all five spec filter types
+  (None/Sub/Up/Average/Paeth) applied on encode and inverted on decode.
+- **AVI** (RIFF): `synthesize_avi_payload` / `decode_video` /
+  `sample_frames` — hdrl/strl/movi walk; the frame COUNT and per-frame
+  byte slices come from the parsed container. Frame payloads are opaque
+  compressed-tagged blobs (as in an MJPG AVI): frame-level pixel decode
+  of compressed streams is the one remaining import-gated seam
+  (`_decode_compressed` — PIL/cv2 are absent in this container).
 
 Scale notes:
 - mapInPandas streams Arrow record batches; peak executor memory is one
@@ -41,13 +49,18 @@ __all__ = [
     "synthesize_wav_payload",
     "decode_audio",
     "synthesize_bmp_payload",
+    "synthesize_png_payload",
+    "synthesize_avi_payload",
     "decode_image",
+    "decode_png",
+    "decode_video",
     "audio_features",
     "resize_image",
     "DECODED_SCHEMA",
     "FEATURES_SCHEMA",
     "AUDIO_DECODED_SCHEMA",
     "IMAGE_DECODED_SCHEMA",
+    "VIDEO_DECODED_SCHEMA",
 ]
 
 DECODED_SCHEMA = (
@@ -55,91 +68,112 @@ DECODED_SCHEMA = (
     "width int, height int, n_frames int, decoder string"
 )
 
-_MEDIA_TYPES = ("image/png", "audio/wav", "video/mp4")
+_MEDIA_TYPES = ("image/png", "audio/wav", "video/avi")
+
+
+def _payload_bytes(doc_id: int, media_type: str) -> bytes:
+    """One deterministic REAL container per (doc_id, media_type)."""
+    if media_type == "image/png":
+        return _png_bytes(doc_id)
+    if media_type == "audio/wav":
+        return _wav_bytes(doc_id)
+    if media_type == "video/avi":
+        return _avi_bytes(doc_id)
+    raise ValueError(f"no synthesizer for {media_type}")
+
+
+def _attach_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        media = [_MEDIA_TYPES[int(d) % len(_MEDIA_TYPES)] for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": media,
+                "payload": [
+                    _payload_bytes(int(d), m) for d, m in zip(pdf["doc_id"], media)
+                ],
+            }
+        )
 
 
 def attach_binary_payload(documents: DataFrame) -> DataFrame:
     """Build an opaque binary payload column + typed metadata from the
-    documents table (the driver testdata has no real media; the payload is
-    the utf-8 text bytes, which is exactly as opaque to the decode stage as
-    a real codec stream)."""
-    media = F.element_at(
-        F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
-        (F.col("doc_id") % len(_MEDIA_TYPES) + 1).cast("int"),
-    )
-    return documents.select(
-        "doc_id",
-        media.alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+    documents table. The driver testdata ships no media files, so the
+    payloads are synthesized — but they are GENUINE containers (PNG / WAV /
+    AVI, stdlib encoders below), so the downstream decode stage exercises
+    real parsers, not byte-derived fakes. Narrow Arrow map."""
+    return documents.select("doc_id").mapInPandas(
+        _attach_batches, schema="doc_id long, media_type string, payload binary"
     )
 
 
-def _try_real_decoder():
+def _decode_compressed(doc_id: int, media_type: str, payload: bytes) -> dict:
+    """THE remaining seam: frame/pixel decode of compressed codecs
+    (JPEG, MP4/H.264, MJPG frame payloads) needs PIL/cv2, which this
+    container lacks. Import-gated so the swap point is one function."""
     try:
         import PIL.Image  # noqa: F401
-
-        return "pillow"
     except ImportError:
-        return None
+        raise NotImplementedError(
+            "compressed-codec decode not wired: container lacks media libraries"
+        ) from None
+    raise NotImplementedError("wire PIL/cv2 decode here")  # pragma: no cover
 
 
-def _stub_decode(doc_id: int, media_type: str, payload: bytes) -> dict:
-    """THE STUB. Deterministic pseudo-metadata derived from the payload
-    bytes — a stand-in for a real codec, because this container has no
-    media libraries (PARTIAL component; see README 'Multimodal columns').
-    Same signature as _real_decode; everything else in the pipeline is
-    real (Arrow batching, schema, partitioning)."""
+def _decode_one(doc_id: int, media_type: str, payload: bytes) -> dict:
+    """Dispatch a REAL container parse by media type. Every type the
+    in-sandbox synthesizer produces has a genuine stdlib parser; anything
+    else falls through to the import-gated compressed seam."""
     import hashlib
+    import io as _io
+    import wave
 
-    first = payload[0] if payload else 0
-    second = payload[1] if len(payload) > 1 else 0
-    return {
+    base = {
         "n_bytes": len(payload),
         "sha256": hashlib.sha256(payload).hexdigest(),
-        "width": first % 64 + 1,
-        "height": second % 64 + 1,
-        "n_frames": doc_id % 30 + 1,
-        "decoder": "stub",
     }
-
-
-def _real_decode(doc_id: int, media_type: str, payload: bytes) -> dict:
-    """The one function to swap for production: open `payload` with
-    PIL/librosa/cv2 according to `media_type` and return the same dict
-    shape as _stub_decode. Raises here because the container has no media
-    libraries and no real media testdata."""
-    raise NotImplementedError(
-        "real media decode not wired: container lacks media libraries"
-    )
-
-
-def _active_decode_kernel():
-    """Single dispatch point: the real codec when a media library is
-    importable, the deterministic stub otherwise."""
-    return _real_decode if _try_real_decoder() else _stub_decode
+    if media_type == "image/png":
+        w, h, bit_depth, _ctype, _px = _png_parse(payload)
+        return base | {"width": w, "height": h, "n_frames": 1, "decoder": "stdlib-png"}
+    if media_type == "image/bmp":
+        w, h, _bpp, _px = _bmp_px(payload)
+        return base | {"width": w, "height": h, "n_frames": 1, "decoder": "struct-bmp"}
+    if media_type == "audio/wav":
+        r = wave.open(_io.BytesIO(payload), "rb")
+        try:
+            r.getnframes()
+        finally:
+            r.close()
+        return base | {"width": None, "height": None, "n_frames": None,
+                       "decoder": "stdlib-wave"}
+    if media_type == "video/avi":
+        meta, frames = _avi_parse(payload)
+        return base | {"width": meta["width"], "height": meta["height"],
+                       "n_frames": len(frames), "decoder": "stdlib-avi"}
+    return base | _decode_compressed(doc_id, media_type, payload)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batch decode: per-row kernel dispatch inside Arrow-sized
+    """Arrow-batch decode: per-row container parse inside Arrow-sized
     batches. The per-row Python loop IS the codec boundary — a real decoder
     is per-payload work regardless; Arrow keeps the transfer vectorized."""
-    kernel = _active_decode_kernel()
+    cols = ["n_bytes", "sha256", "width", "height", "n_frames", "decoder"]
     for pdf in batches:
         metas = [
-            kernel(int(d), m, bytes(p))
+            _decode_one(int(d), m, bytes(p))
             for d, m, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"])
         ]
-        cols = ["n_bytes", "sha256", "width", "height", "n_frames", "decoder"]
-        out = pd.DataFrame(metas, columns=cols).astype(
-            {"n_bytes": "int32", "width": "int32", "height": "int32", "n_frames": "int32"}
-        )
+        out = pd.DataFrame(metas, columns=cols)
+        for c in ("n_bytes", "width", "height", "n_frames"):
+            out[c] = pd.array(out[c], dtype="Int32")  # nullable (audio w/h)
         out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
         out.insert(1, "media_type", pdf["media_type"].to_numpy())
         yield out
 
 
 def decode_media(with_payload: DataFrame) -> DataFrame:
-    """documents-with-payload → decoded metadata frame (mapInPandas)."""
+    """documents-with-payload → decoded metadata frame (mapInPandas), one
+    REAL container parse per row (PNG/BMP/WAV/AVI)."""
     return with_payload.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
 
 
@@ -180,39 +214,50 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
 
 
-def sample_frames(
-    with_payload: DataFrame, *, stride: int = 5
-) -> DataFrame:
-    """Frame sampling for video-typed rows: emit every ``stride``-th frame
-    index with a deterministic per-frame content fingerprint
-    (md5(payload ++ frame_idx)). Pure JVM (posexplode of a sequence) — the
-    frame *decode* would slot into the mapInPandas kernel; the row
-    explosion shape is what matters for the pipeline."""
-    frames = F.sequence(
-        F.lit(0),
-        F.col("n_frames") - 1,
-        F.lit(stride),
-    )
-    decoded = with_payload.withColumn(
-        "n_frames", (F.col("doc_id") % 30 + 1).cast("int")
-    )
-    return (
-        decoded.filter(F.col("media_type") == "video/mp4")
-        .select(
-            "doc_id",
-            "n_frames",
-            F.explode(frames).alias("frame_idx"),
-            F.col("payload"),
-        )
-        .select(
-            "doc_id",
-            "n_frames",
-            "frame_idx",
-            F.md5(F.concat(F.col("payload"), F.col("frame_idx").cast("string").cast("binary"))).alias(
-                "frame_fingerprint"
-            ),
-        )
-    )
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, frame_fingerprint string"
+)
+
+
+def _frame_sample_batches(stride: int):
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """REAL video frame sampling: parse each payload's RIFF/AVI
+        container, take the frame COUNT and per-frame byte slices from the
+        parsed ``movi`` list (never from the doc_id), and fingerprint every
+        ``stride``-th frame's actual bytes."""
+        import hashlib
+
+        cols = ["doc_id", "n_frames", "frame_idx", "frame_fingerprint"]
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, frames = _avi_parse(bytes(p))
+                n = len(frames)
+                for idx in range(0, n, stride):
+                    rows.append(
+                        (
+                            int(d),
+                            n,
+                            idx,
+                            hashlib.md5(frames[idx]).hexdigest(),
+                        )
+                    )
+            out = pd.DataFrame(rows, columns=cols)
+            yield out.astype({"n_frames": "int32", "frame_idx": "int32"})
+
+    return _batches
+
+
+def sample_frames(with_avi_payload: DataFrame, *, stride: int = 5) -> DataFrame:
+    """Frame sampling over video rows: emit every ``stride``-th frame with
+    a fingerprint of that frame's parsed byte slice. The frame count and
+    slices come from a genuine RIFF/AVI container walk (``_avi_parse``)
+    inside an Arrow mapInPandas kernel — narrow map, no shuffle; the
+    per-frame pixel decode of the compressed payloads is the import-gated
+    ``_decode_compressed`` seam."""
+    return with_avi_payload.filter(
+        F.col("media_type").startswith("video/")
+    ).mapInPandas(_frame_sample_batches(stride), schema=FRAME_SAMPLE_SCHEMA)
 
 
 def resize_meta(
@@ -370,8 +415,10 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
 
 def _bmp_bytes(doc_id: int) -> bytes:
     """Deterministic 24-bit BMP: width/height from _bmp_dims, every pixel
-    in row y (bottom-up, as BMP stores them) has B=G=R=(doc_id + y) % 256.
-    Rows are zero-padded to 4-byte boundaries per the BMP spec."""
+    in STORAGE row y (bottom-up, as positive-height BMPs store them) has
+    B=G=R=(doc_id + y) % 256 — so IMAGE row j (top-down, what _bmp_px
+    returns) has value (doc_id + h - 1 - j) % 256. Rows are zero-padded
+    to 4-byte boundaries per the BMP spec."""
     import struct
 
     w, h = _bmp_dims(doc_id)
@@ -392,7 +439,12 @@ def _bmp_bytes(doc_id: int) -> bytes:
 
 def _bmp_px(payload: bytes):
     """Shared REAL BMP decode: validate magic, read geometry, return
-    (width, height, bpp, pixel-array) with stride padding stripped."""
+    (width, height, bpp, pixel-array) with stride padding stripped.
+
+    Orientation-aware: a positive biHeight means bottom-up row storage
+    (the common layout — rows are flipped here to image order), a
+    negative biHeight means top-down storage (rows already in image
+    order, height = |biHeight|), per the DIB spec."""
     import struct
 
     import numpy as np
@@ -400,10 +452,13 @@ def _bmp_px(payload: bytes):
     magic, _file_size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
-    _hsize, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    _hsize, w, h_raw, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    h = abs(h_raw)
     stride = (bpp // 8 * w + 3) // 4 * 4
     arr = np.frombuffer(payload, dtype=np.uint8, offset=off)
     rows = arr[: stride * h].reshape(h, stride)[:, : bpp // 8 * w]
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down image order
     return w, h, bpp, rows
 
 
@@ -578,4 +633,407 @@ def resize_image(with_bmp_payload: DataFrame, *, max_side: int = 16) -> DataFram
     mapInPandas, narrow map."""
     return with_bmp_payload.mapInPandas(
         _resize_batches(max_side), schema=RESIZED_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #3: PNG via stdlib zlib + struct. The full container is
+# implemented — 8-byte signature, length/type/data/CRC chunk framing with
+# CRC32 verification on read, IHDR geometry, concatenated IDAT inflate,
+# and scanline UN-FILTERING for all five spec filter types (None, Sub,
+# Up, Average, Paeth). The encoder deliberately CYCLES filter types per
+# row (y % 5) so the decoder's filter inversion is exercised on every
+# image, not just the trivial type-0 path. Filters are lossless, so the
+# decoded pixels keep the closed-form oracle exact.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 21, 8 + (doc_id * 5) % 13
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> int:
+    """Per-PIXEL pattern (varies along both axes): R=G=B=this value."""
+    return (doc_id + 3 * y + 7 * x) % 256
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes | None, bpp: int) -> bytes:
+    """Apply one spec filter to a raw scanline (encoder side)."""
+    out = bytearray()
+    for x in range(len(raw)):
+        a = raw[x - bpp] if x >= bpp else 0
+        b = prior[x] if prior is not None else 0
+        c = prior[x - bpp] if (prior is not None and x >= bpp) else 0
+        if ftype == 0:
+            v = raw[x]
+        elif ftype == 1:
+            v = (raw[x] - a) & 0xFF
+        elif ftype == 2:
+            v = (raw[x] - b) & 0xFF
+        elif ftype == 3:
+            v = (raw[x] - (a + b) // 2) & 0xFF
+        else:  # Paeth
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = (raw[x] - pred) & 0xFF
+        out.append(v)
+    return bytes(out)
+
+
+def _png_unfilter_row(
+    ftype: int, filt: bytes, prior: bytearray | None, bpp: int
+) -> bytearray:
+    """Invert one spec filter (decoder side). Reconstruction must use the
+    already-reconstructed left neighbor, hence the sequential scan."""
+    recon = bytearray()
+    for x in range(len(filt)):
+        a = recon[x - bpp] if x >= bpp else 0
+        b = prior[x] if prior is not None else 0
+        c = prior[x - bpp] if (prior is not None and x >= bpp) else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        elif ftype == 4:
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon.append((filt[x] + pred) & 0xFF)
+    return recon
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG (color type 2): dims from _png_dims,
+    pixel (x, y) has R=G=B=_png_pixel(doc_id, x, y); row y is written with
+    filter type y % 5 (all five spec filters exercised), scanlines
+    zlib-compressed into one IDAT."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    scanlines = bytearray()
+    prior: bytes | None = None
+    for y in range(h):
+        raw = bytes(
+            _png_pixel(doc_id, x, y) for x in range(w) for _ in range(3)
+        )
+        ftype = y % 5
+        scanlines.append(ftype)
+        scanlines += _png_filter_row(ftype, raw, prior, 3)
+        prior = raw
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(payload: bytes):
+    """REAL PNG decode: verify signature, walk chunks verifying each CRC,
+    read IHDR geometry, inflate the concatenated IDAT stream, and invert
+    the per-row filters. Returns (width, height, bit_depth, color_type,
+    pixel-rows ndarray of shape (h, w·channels))."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError("unsupported PNG variant (8-bit gray/RGB, no interlace)")
+    channels = 3 if color_type == 2 else 1
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = []
+    prior: bytearray | None = None
+    for y in range(h):
+        off = y * (1 + stride)
+        recon = _png_unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prior, channels)
+        rows.append(recon)
+        prior = recon
+    px = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8).reshape(
+        h, stride
+    )
+    return w, h, bit_depth, color_type, px
+
+
+def _png_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": "image/png",
+                "payload": [_png_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synthesize_png_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, 'image/png', genuine PNG payload bytes)."""
+    return documents.select("doc_id").mapInPandas(
+        _png_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
+    )
+
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, channels int, "
+    "mean_pixel double, decoder string"
+)
+
+
+def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, bit_depth, color_type, px = _png_parse(bytes(p))
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "width": w,
+                    "height": h,
+                    "bit_depth": bit_depth,
+                    "channels": 3 if color_type == 2 else 1,
+                    "mean_pixel": float(px.astype(np.float64).sum() / px.size),
+                    "decoder": "stdlib-png",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {"width": "int32", "height": "int32", "bit_depth": "int32",
+             "channels": "int32"}
+        )
+
+
+def decode_png(with_png_payload: DataFrame) -> DataFrame:
+    """PNG payload → geometry + mean channel value from the fully decoded
+    (inflated + unfiltered) pixel array. Arrow mapInPandas, narrow map."""
+    return with_png_payload.mapInPandas(
+        _png_decode_batches, schema=PNG_DECODED_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #4: AVI (RIFF) via stdlib struct — the same container
+# family as the WAV path. The writer emits a spec-shaped
+# RIFF('AVI ' LIST('hdrl' avih, LIST('strl' strh+strf)) LIST('movi'
+# '00dc'…)) tree; the parser walks it generically (chunk framing + even
+# padding), reads geometry and the declared frame count from avih/strh,
+# slices every frame's bytes out of 'movi', and cross-checks declared vs
+# actual frame count. Frame payloads are compressed-tagged opaque blobs
+# (biCompression='MJPG'), exactly like a real MJPG AVI — their pixel
+# decode is the import-gated _decode_compressed seam; the CONTAINER parse
+# (which is what frame sampling needs) is complete and real.
+# --------------------------------------------------------------------------
+
+
+def _avi_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 9, 12 + doc_id % 7
+
+
+def _avi_n_frames(doc_id: int) -> int:
+    return doc_id % 30 + 1
+
+
+def _avi_frame_bytes(doc_id: int, i: int) -> bytes:
+    """Deterministic opaque frame payload (stand-in for an MJPG-compressed
+    frame). ASCII by design so the SQL oracle can recompute the md5."""
+    return f"F{doc_id}:{i};".encode()
+
+
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _avi_list(list_type: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + payload)
+
+
+def _avi_bytes(doc_id: int) -> bytes:
+    """Deterministic RIFF/AVI container: _avi_n_frames(doc_id) opaque
+    MJPG-tagged frames of _avi_dims(doc_id) geometry."""
+    import struct
+
+    w, h = _avi_dims(doc_id)
+    n = _avi_n_frames(doc_id)
+    frames = [_avi_frame_bytes(doc_id, i) for i in range(n)]
+    max_frame = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        33333,  # dwMicroSecPerFrame (~30 fps)
+        0, 0, 0x10,  # maxBytesPerSec, padding, flags (HASINDEX off, INTERLEAVED)
+        n,  # dwTotalFrames
+        0, 1, max_frame,  # initialFrames, streams, suggestedBufferSize
+        w, h, 0, 0, 0, 0,  # width, height, reserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0, 0, 0, 0,  # flags, priority, language, initialFrames
+            1, 30,  # scale, rate → 30 fps
+            0, n,  # start, length (frames)
+            max_frame, 0xFFFF, 0,  # bufSize, quality, sampleSize
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24,
+        struct.unpack("<I", b"MJPG")[0],  # biCompression: tagged compressed
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(b"movi", b"".join(_avi_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_parse(payload: bytes):
+    """REAL RIFF/AVI walk: validate magic, recursively traverse LIST
+    chunks with even-padding, read avih geometry + declared frame count,
+    slice the '00dc'/'00db' frame payloads out of 'movi', and verify the
+    declared count matches the frames actually present. Returns
+    ({width, height, n_frames_declared}, [frame bytes])."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int) -> None:
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_start + length)
+            elif fourcc == b"avih":
+                fields = struct.unpack_from("<14I", payload, data_start)
+                meta["n_frames_declared"] = fields[4]
+                meta["width"] = fields[8]
+                meta["height"] = fields[9]
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(bytes(payload[data_start : data_start + length]))
+            pos = data_start + length + (length & 1)
+
+    walk(12, end)
+    if "n_frames_declared" not in meta:
+        raise ValueError("AVI missing avih header")
+    if meta["n_frames_declared"] != len(frames):
+        raise ValueError(
+            f"AVI frame count mismatch: declared {meta['n_frames_declared']}, "
+            f"found {len(frames)}"
+        )
+    return meta, frames
+
+
+def _avi_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": "video/avi",
+                "payload": [_avi_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synthesize_avi_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, 'video/avi', genuine RIFF/AVI payload bytes)."""
+    return documents.select("doc_id").mapInPandas(
+        _avi_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
+    )
+
+
+VIDEO_DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_frames int, "
+    "total_frame_bytes int, decoder string"
+)
+
+
+def _avi_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(p)
+            meta, frames = _avi_parse(payload)
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "n_bytes": len(payload),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "n_frames": len(frames),
+                    "total_frame_bytes": sum(len(f) for f in frames),
+                    "decoder": "stdlib-avi",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {"n_bytes": "int32", "width": "int32", "height": "int32",
+             "n_frames": "int32", "total_frame_bytes": "int32"}
+        )
+
+
+def decode_video(with_avi_payload: DataFrame) -> DataFrame:
+    """AVI payload → container metadata via a REAL RIFF walk (Arrow
+    mapInPandas, narrow map): geometry from avih, frame count and byte
+    totals from the actual 'movi' slices."""
+    return with_avi_payload.mapInPandas(
+        _avi_decode_batches, schema=VIDEO_DECODED_SCHEMA
     )

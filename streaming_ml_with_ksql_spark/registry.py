@@ -1240,14 +1240,17 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# North-star: multimodal columns (binary payload + mapInPandas decode stub)
+# North-star: multimodal columns (binary payloads + mapInPandas decode)
 # --------------------------------------------------------------------------
 
-@register("multimodal_decode", None)  # Pandas-UDF path: rows-only check
+@register("multimodal_decode", None)  # sha256/zlib sizes not SQL-expressible
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns through the Arrow/mapInPandas decode stub.
-    Deterministic, but exercises the Python worker path on purpose — the
-    stub equivalence is asserted in tests/test_multimodal.py."""
+    """Mixed-modality decode: one REAL container parse per row (PNG / WAV /
+    AVI by doc_id residue) through Arrow mapInPandas. Rows-only here
+    because sha256 digests and zlib-compressed byte sizes aren't
+    SQL-reproducible; each codec's full-fidelity oracle lives in its
+    dedicated query (multimodal_png_decode / _audio_decode /
+    _video_decode / _image_decode)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_media(multimodal.attach_binary_payload(docs))
 
@@ -2722,24 +2725,27 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     """
     WITH v AS (
-      SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames, text
-      FROM documents WHERE doc_id % 3 = 2),
+      SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS n_frames FROM documents),
     f AS (
       SELECT doc_id, n_frames,
-             unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx, text
+             unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
       FROM v)
     SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
-           md5(text || CAST(frame_idx AS VARCHAR)) AS frame_fingerprint
+           md5('F' || doc_id || ':' || frame_idx || ';') AS frame_fingerprint
     FROM f
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video-typed binary rows (every 5th frame index,
-    deterministic per-frame fingerprint) — the row-explosion half of video
-    decode, pure JVM, oracle-checked byte-for-byte (payload is the utf-8
-    text, so DuckDB reproduces the fingerprints with string md5)."""
+    """REAL video frame sampling: genuine RIFF/AVI containers are written
+    by the stdlib encoder, then the kernel PARSES each container (chunk
+    walk, avih/strh headers, 'movi' frame slices), takes n_frames from the
+    parse — never from the doc_id — and fingerprints every 5th frame's
+    actual byte slice. The oracle reconstructs the known frame payloads
+    (ASCII by design, like an opaque MJPG blob) and their md5, so a hash
+    match proves the container walk sliced the exact frame bytes the
+    encoder wrote, at the exact declared frame count."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.attach_binary_payload(docs))
+    return multimodal.sample_frames(multimodal.synthesize_avi_payload(docs))
 
 
 @register(
@@ -2850,8 +2856,10 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, h, dst_h, unnest(generate_series(0, dst_h - 1)) AS y
       FROM d3),
     m AS (
+      -- image row j (top-down, after the decoder's bottom-up flip) has
+      -- value (doc_id + h - 1 - j) % 256; dst row y samples (y*h)//dst_h
       SELECT doc_id,
-             avg(CAST((doc_id + (y * h) // dst_h) % 256 AS DOUBLE))
+             avg(CAST((doc_id + h - 1 - (y * h) // dst_h) % 256 AS DOUBLE))
                AS resized_mean
       FROM rowsy GROUP BY 1)
     SELECT d3.doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
@@ -2869,6 +2877,75 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row pixel pattern, so the resampled mean hash-checks exactly."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.resize_image(multimodal.synthesize_bmp_payload(docs))
+
+
+@register(
+    "multimodal_png_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 21 AS INT) AS width,
+             CAST(8 + (doc_id * 5) % 13 AS INT) AS height
+      FROM documents),
+    xs AS (SELECT doc_id, width, height,
+                  unnest(generate_series(0, width - 1)) AS x FROM dims),
+    xy AS (SELECT doc_id, height, x,
+                  unnest(generate_series(0, height - 1)) AS y FROM xs),
+    m AS (
+      SELECT doc_id,
+             avg(CAST((doc_id + 3 * y + 7 * x) % 256 AS DOUBLE)) AS mean_pixel
+      FROM xy GROUP BY 1)
+    SELECT d.doc_id, d.width, d.height,
+           CAST(8 AS INT) AS bit_depth, CAST(3 AS INT) AS channels,
+           m.mean_pixel, 'stdlib-png' AS decoder
+    FROM dims d JOIN m USING (doc_id)
+    """,
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec path (not a stub, stdlib zlib+struct only):
+    deterministic 8-bit RGB PNGs are written with per-row filter types
+    cycling through ALL FIVE spec filters (None/Sub/Up/Average/Paeth),
+    then parsed back — CRC-verified chunk walk, IDAT inflate, filter
+    inversion — and the mean channel value is computed from the decoded
+    pixel array. The oracle states the closed-form per-pixel pattern
+    (filters are lossless), so a hash match proves the decoder inverted
+    every filter type over every image correctly."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_png(multimodal.synthesize_png_payload(docs))
+
+
+@register(
+    "multimodal_video_decode",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 9 AS INT) AS width,
+             CAST(12 + doc_id % 7 AS INT) AS height,
+             CAST(doc_id % 30 + 1 AS INT) AS n_frames
+      FROM documents),
+    f AS (
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS i FROM v),
+    fb AS (
+      SELECT doc_id,
+             CAST(sum(length('F' || doc_id || ':' || i || ';')) AS INT)
+               AS total_frame_bytes
+      FROM f GROUP BY 1)
+    SELECT v.doc_id, v.width, v.height, v.n_frames, fb.total_frame_bytes,
+           'stdlib-avi' AS decoder
+    FROM v JOIN fb USING (doc_id)
+    """,
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container path: genuine RIFF/AVI trees (hdrl/strl/movi)
+    are written, then walked back — geometry from avih, frame count and
+    byte totals from the actual 'movi' chunk slices, with a declared-vs-
+    present frame-count cross-check. The oracle reconstructs the known
+    frame payload lengths, so a hash match proves the walk found every
+    frame chunk (even-padding and all) and the header geometry."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_video(multimodal.synthesize_avi_payload(docs)).select(
+        "doc_id", "width", "height", "n_frames", "total_frame_bytes", "decoder"
+    )
 
 
 @register("multimodal_features", None)  # Pandas-UDF path: rows-only check
