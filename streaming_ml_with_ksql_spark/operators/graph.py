@@ -89,44 +89,44 @@ def connected_components(
         .repartition(loop_parts, "u")
         .localCheckpoint(eager=True)
     )
-    # Every action inside the loop (checkpoint materializations, the
-    # convergence count) shuffles at spark.sql.shuffle.partitions — scope
-    # it to loop_parts for the loop's duration, then restore.
-    sess = sym.sparkSession
-    prev_parts = sess.conf.get("spark.sql.shuffle.partitions", "200")
-    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(
-                    labels.select(F.col("u").alias("v"), F.col("label")), "v"
-                )
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_label"))
+    # The loop's shuffle width is scoped with EXPLICIT per-frame
+    # repartition(loop_parts, ...) calls, never by mutating the session's
+    # spark.sql.shuffle.partitions: a session-global set would re-plan any
+    # concurrent work in the same session (an active streaming query, a
+    # parallel caller) at the loop's tiny width. The explicit hash
+    # partitioning also lets Catalyst elide the aggregation/join
+    # exchanges whose distribution it already satisfies.
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("label")), "v"
             )
-            # The change flag rides INSIDE the checkpointed frame (labels
-            # only decrease, so nbr < old ⇔ changed) — the convergence
-            # check is then a filter-count over already-materialized
-            # partitions instead of a new-vs-old join shuffle per round.
-            stepped = (
-                labels.join(nbr, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
-                    ).alias("label"),
-                    (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                        "chg"
-                    ),
-                )
-                .localCheckpoint(eager=True)
+            .repartition(loop_parts, "u")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # The change flag rides INSIDE the checkpointed frame (labels
+        # only decrease, so nbr < old ⇔ changed) — the convergence
+        # check is then a filter-count over already-materialized
+        # partitions instead of a new-vs-old join shuffle per round.
+        stepped = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "chg"
+                ),
             )
-            changed = stepped.filter(F.col("chg")).count()
-            labels = stepped.select("u", "label")
-            if changed == 0:
-                break
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .repartition(loop_parts, "u")
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.select("u", "label")
+        if changed == 0:
+            break
     resolved = labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
     # One pass over the full vertex set: resolved label where present,
     # else the vertex is its own (singleton) component.

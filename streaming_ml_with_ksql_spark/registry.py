@@ -1667,11 +1667,14 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(v) AS sv, sum(t * v) AS stv
       FROM pts GROUP BY 1)
     SELECT user_id, n,
-           round((n * stv - st * sv) / (n * stt - st * st) * 86400.0, 6)
+           round((CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+                 / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * 86400.0, 6)
              AS slope_per_day,
            round(sv / n, 6) AS value_mean
     FROM s
-    WHERE n * stt - st * st <> 0
+    WHERE CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0
     """,
 )
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1699,8 +1702,17 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("sv"),
         F.sum(F.col("t") * F.col("v")).alias("stv"),
     )
-    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
-    slope = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")) / den
+    # products in DOUBLE, not BIGINT: st*st is ~1.5e16 at sf0.1 and grows
+    # quadratically with per-key event count — BIGINT would wrap silently
+    # (ANSI off) within ~25x headroom while DuckDB errors. The moment sums
+    # themselves are exact integers; the double PRODUCTS round identically
+    # in both engines (one IEEE multiply of exact operands), so den==0
+    # (all-t-equal keys) is still detected exactly.
+    n_d = F.col("n").cast("double")
+    st_d = F.col("st").cast("double")
+    stt_d = F.col("stt").cast("double")
+    den = n_d * stt_d - st_d * st_d
+    slope = (n_d * F.col("stv") - st_d * F.col("sv")) / den
     return s.filter(den != 0).select(
         "user_id",
         "n",

@@ -37,11 +37,17 @@ def _roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         # Without an explicit null sentinel, Spark's CSV reader collapses
         # quoted-empty fields to NULL — an empty string would not survive
-        # the round-trip (verified live). Writing NULL as \N and reading
-        # with nullValue=\N + emptyValue="" keeps '' and NULL distinct.
+        # the round-trip (verified live). Writing NULL as a sentinel and
+        # reading with nullValue=sentinel + emptyValue="" keeps '' and
+        # NULL distinct. The sentinel must be a token that cannot occur in
+        # data: univocity applies nullValue AFTER unquoting, so a genuine
+        # field value equal to the sentinel would silently read back as
+        # NULL (the classic \N collision). A long tagged random token
+        # makes that collision practically impossible.
+        sentinel = "\\N{9f1c2d7e4b5a6980}"
         (
             df.write.mode("overwrite")
-            .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
+            .options(header=True, quoteAll=True, escape='"', nullValue=sentinel)
             .csv(path)
         )
         return (
@@ -51,7 +57,7 @@ def _roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
                 multiLine=True,
                 quote='"',
                 escape='"',
-                nullValue="\\N",
+                nullValue=sentinel,
                 emptyValue="",
             )
             .option("mode", "FAILFAST")
