@@ -4573,37 +4573,48 @@ def q_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship + window family (W1/W2, tumbling, session)
+    # Round-4 rotation: ten slots whose families were proven green in
+    # CORRECTNESS_r03 (trivial scalar projections, tumbling≈hopping,
+    # keep-min-id over verified minhash pairs, semi-join twin, rank-per-key,
+    # ANN brute baseline) yielded to ten never-driver-verdicted queries
+    # (point-in-time join, gap-fill, range-bucket join, corpus chunk/pack/
+    # PII, bloom prune, TPC-H Q21/Q7, the new PNG codec). Displaced queries
+    # stay fully supported + locally oracled in verify_driver's 133-query
+    # sweep.
+    #
+    # flagship + window family (W1/W2; session = the distinct gap
+    # semantics; tumbling is hopping with step=size and yields its slot)
     "hopping_window_agg",
-    "tumbling_window_agg",
     "session_window_agg",
-    # projection/scalar family (P1-P8)
+    # projection/scalar family rep (P1-P8; the scalar suite is local)
     "projection_filter_cast",
-    "timestamp_format",
-    "array_constructor",
-    "case_when_indicators",
     # table-state family (A5-A7, lag/lead)
     "latest_per_key",
-    "distinct_users",
     "rolling_counts",
     "lag_lead_features",
-    # join family (J1-J4, skew, as-of; the salted variant is
-    # answer-identical to enriched_window_join and yields its slot)
+    # join family (J1-J4, skew, as-of, temporal, range-bucket, bloom;
+    # the salted variant is answer-identical to enriched_window_join and
+    # yields its slot)
     "enriched_window_join",
     "asof_view_attribution",
-    # relational/TPC-H family (agg, top-k, rollup, pivot, semi/anti,
-    # set ops, correlated subquery, percentiles, distinct-agg, sketches)
+    "point_in_time_join",
+    "hot_window_events",
+    "bloom_pruned_join",
+    # time-series family (gap-fill + LOCF)
+    "hourly_gap_fill_locf",
+    # relational/TPC-H family (agg, top-k, rollup, pivot, anti join,
+    # set ops, correlated subquery, percentiles, NOT-EXISTS-chain Q21,
+    # multi-dim Q7, sketches)
     "pricing_summary",
     "shipping_priority",
-    "top_orders_per_customer",
     "returnflag_rollup",
     "event_type_pivot",
     "customers_without_orders",
-    "active_event_customers",
     "key_set_ops",
     "orders_above_customer_avg",
     "order_value_percentiles",
-    "user_event_type_diversity",
+    "waiting_suppliers",
+    "volume_shipping",
     "cms_heavy_hitters",
     # ML scoring + runbook (U1-U3, W4). The hopping runbook is the oracled
     # runbook representative; the predictions runbook is model-backed
@@ -4618,31 +4629,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "token_budget",
     "ngram_lm_score",
-    # dedup family (exact, minhash, keep-min-id, ngram-jaccard, simhash;
-    # simhash_fingerprints is the input half of simhash_near_dup_pairs and
-    # yields its slot)
+    # dedup family (exact, minhash, ngram-jaccard, simhash; keep-min-id
+    # rides the verified minhash pairs and yields its slot)
     "dedup_exact_events",
     "minhash_near_dup_pairs",
-    "dedup_near_minhash",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
-    # embedding family (quantize, ANN brute, near-dup scale path, semantic
-    # dedup groups; both approximate ANN variants are recall-tested in
-    # pytest and yield their rows-only slots — lsh to the hash-checked
-    # dedup groups, ivf to the TPC-H-completing Q15 below)
+    # embedding family (quantize, near-dup scale path, semantic dedup
+    # groups; the ANN variants — brute baseline + recall-tested lsh/ivf —
+    # yield their slots; Q15 completes the TPC-H family)
     "embedding_quantize_int8",
-    "embedding_topk_bruteforce",
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
     "top_revenue_supplier",
-    # corpus pipeline (composite clean, stratified mixing)
+    # corpus pipeline (composite clean, stratified mixing, fixed-budget
+    # chunking, greedy sequence packing, PII scrubbing)
     "corpus_clean_pipeline",
     "corpus_sample_mix",
-    # multimodal (Arrow plumbing, typed metadata; frame_sample is the
-    # oracled JVM representative, audio_decode the REAL stdlib-wave codec
-    # round-trip — image/video decode/features stay rows-only stubs)
+    "corpus_chunk_tokens",
+    "corpus_pack_sequences",
+    "pii_scrub",
+    # multimodal (REAL stdlib codecs: AVI container walk behind
+    # frame_sample, RIFF/WAVE audio, five-filter PNG)
     "multimodal_frame_sample",
     "multimodal_audio_decode",
+    "multimodal_png_decode",
     # streaming family (EMIT CHANGES, custom stateful, stream-stream join)
     "streaming_hopping_window",
     "streaming_sessionize",
