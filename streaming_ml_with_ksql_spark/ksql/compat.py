@@ -17,7 +17,7 @@ KSQL parser. Each construct maps Spark-first:
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |
 | predict(model, strs, ints) AS alias    | whole-frame predict_arrays (U2)   |
-| SELECT ... EMIT CHANGES                | batch snapshot of current state   |
+| SELECT ... EMIT CHANGES                | batch snapshot / streaming drain  |
 
 predict() is deliberately NOT a row-wise Python UDF: the projection is
 lifted out of the SQL, the rest of the query runs JVM-side, and scoring is
@@ -25,13 +25,20 @@ the broadcast PipelineModel transform (SURVEY.md U2 option 1) — the
 reference's per-row LeapFrame (PredictUdf.java:55-58) simulated exactly
 one row at a time what transform does in one vectorized pass.
 
-EMIT CHANGES returns the current batch snapshot — the engine's batch/
-stream duality means the same translated plan runs under Structured
-Streaming (streaming/queries.py) when the bound sources are streams.
+Batch/stream duality: topics may be bound to *streaming* DataFrames (file
+replay or Kafka). The same translated plans then come out unbounded —
+``CREATE TABLE`` dispatches to the stateful ``latest_per_key_stream``
+twin, CSAS registers the continuous relation for downstream statements to
+compose against (exactly how KSQL chains persistent queries through
+topics), and a top-level ``SELECT ... EMIT CHANGES`` over a streaming
+relation is the push query: it drains the plan through a memory sink
+(complete mode for aggregating plans — KSQL's every-refinement changelog —
+append otherwise) and returns the materialized table.
 """
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 
@@ -40,8 +47,12 @@ from pyspark.sql import functions as F
 
 from ..ml import predict as ml_predict
 from ..operators.dedup import latest_per_key
+from ..streaming import queries as stream_queries
+from ..streaming import sinks as stream_sinks
 
 __all__ = ["KsqlCompat"]
+
+_PUSH_SEQ = itertools.count()
 
 _UNIT = {
     "SECOND": "second", "SECONDS": "seconds",
@@ -147,7 +158,13 @@ class KsqlCompat:
                     f"TABLE {name}: need KEY/PARTITION BY and an event-time "
                     "column to materialize latest-per-key"
                 )
-            df = latest_per_key(df, key, ts_col)
+            if df.isStreaming:
+                # stateful twin: continuously-updated max_by changelog
+                df = stream_queries.latest_per_key_stream(
+                    df, key, ts_col, tiebreak=key
+                )
+            else:
+                df = latest_per_key(df, key, ts_col)
         self._register(_Relation(name.lower(), df, ts_col, key))
 
     def _register(self, rel: _Relation) -> None:
@@ -178,6 +195,19 @@ class KsqlCompat:
 
     def _run_select(self, select: str) -> DataFrame:
         df, _ = self._translate_select(select)
+        if df.isStreaming:
+            # Push query (EMIT CHANGES over a continuous relation): drain
+            # the plan through a memory sink. Aggregating plans run in
+            # complete mode — the full changelog table, KSQL's
+            # every-refinement semantics; pure row-wise/join plans append.
+            mode = (
+                "complete"
+                if "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+                else "append"
+            )
+            return stream_sinks.run_to_memory(
+                df, f"ksql_push_{next(_PUSH_SEQ)}", output_mode=mode
+            )
         return df
 
     # ------------------------------------------------------------------

@@ -150,6 +150,10 @@ def _decode_one(doc_id: int, media_type: str, payload: bytes) -> dict:
         meta, frames = _avi_parse(payload)
         return base | {"width": meta["width"], "height": meta["height"],
                        "n_frames": len(frames), "decoder": "stdlib-avi"}
+    if media_type == "video/mp4":
+        meta, frames = _mp4_parse(payload)
+        return base | {"width": meta["width"], "height": meta["height"],
+                       "n_frames": len(frames), "decoder": "stdlib-bmff"}
     return base | _decode_compressed(doc_id, media_type, payload)
 
 
@@ -221,17 +225,18 @@ FRAME_SAMPLE_SCHEMA = (
 
 def _frame_sample_batches(stride: int):
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """REAL video frame sampling: parse each payload's RIFF/AVI
-        container, take the frame COUNT and per-frame byte slices from the
-        parsed ``movi`` list (never from the doc_id), and fingerprint every
-        ``stride``-th frame's actual bytes."""
+        """REAL video frame sampling: sniff each payload's container magic
+        (RIFF/AVI or ISO BMFF), parse it, take the frame COUNT and
+        per-frame byte slices from the parsed sample table (never from the
+        doc_id), and fingerprint every ``stride``-th frame's actual
+        bytes."""
         import hashlib
 
         cols = ["doc_id", "n_frames", "frame_idx", "frame_fingerprint"]
         for pdf in batches:
             rows = []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                _meta, frames = _avi_parse(bytes(p))
+                _meta, frames = _container_parse(bytes(p))
                 n = len(frames)
                 for idx in range(0, n, stride):
                     rows.append(
@@ -251,9 +256,11 @@ def _frame_sample_batches(stride: int):
 def sample_frames(with_avi_payload: DataFrame, *, stride: int = 5) -> DataFrame:
     """Frame sampling over video rows: emit every ``stride``-th frame with
     a fingerprint of that frame's parsed byte slice. The frame count and
-    slices come from a genuine RIFF/AVI container walk (``_avi_parse``)
-    inside an Arrow mapInPandas kernel — narrow map, no shuffle; the
-    per-frame pixel decode of the compressed payloads is the import-gated
+    slices come from a genuine container walk — magic-sniffed per row
+    (``_container_parse``: RIFF/AVI chunk list or ISO BMFF
+    stsc/stco/stsz sample map), so mixed-container corpora work — inside
+    an Arrow mapInPandas kernel: narrow map, no shuffle; the per-frame
+    pixel decode of the compressed payloads is the import-gated
     ``_decode_compressed`` seam."""
     return with_avi_payload.filter(
         F.col("media_type").startswith("video/")
@@ -1037,3 +1044,316 @@ def decode_video(with_avi_payload: DataFrame) -> DataFrame:
     return with_avi_payload.mapInPandas(
         _avi_decode_batches, schema=VIDEO_DECODED_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #5: MP4 (ISO BMFF / MPEG-4 Part 12) via stdlib struct.
+# The writer emits a spec-shaped box tree — ftyp, mdat, then
+# moov(mvhd, trak(tkhd, mdia(mdhd, hdlr'vide', minf(vmhd, dinf(dref(url)),
+# stbl(stsd(avc1), stts, stsc, stsz, stco))))) — with big-endian sizes,
+# version/flags full-box headers, 16.16 fixed-point tkhd geometry, and a
+# correct stco absolute file offset into mdat. The parser walks boxes
+# generically (including 64-bit largesize framing), reads geometry from
+# tkhd, the timescale from mdhd, and resolves every sample's file offset
+# through the REAL stsc/stco/stsz chunk-map algorithm — then cross-checks
+# stts's total sample count. Frame payloads are opaque compressed-tagged
+# blobs (stsd says 'avc1'); their pixel decode is the import-gated
+# _decode_compressed seam, but the CONTAINER parse — what frame sampling,
+# duration accounting and byte slicing need — is complete and real.
+# --------------------------------------------------------------------------
+
+_MP4_TIMESCALE = 90000
+_MP4_FRAME_TICKS = 3000  # 30 fps
+
+
+def _mp4_dims(doc_id: int) -> tuple[int, int]:
+    return 32 + doc_id % 11, 24 + doc_id % 5
+
+
+def _mp4_n_frames(doc_id: int) -> int:
+    return doc_id % 24 + 1
+
+
+def _mp4_frame_bytes(doc_id: int, i: int) -> bytes:
+    """Deterministic opaque frame payload (stand-in for an AVC access
+    unit). ASCII by design so the SQL oracle can recompute the md5."""
+    return f"M{doc_id}:{i};".encode()
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mp4_full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _mp4_bytes(doc_id: int) -> bytes:
+    """Deterministic ISO BMFF container: _mp4_n_frames(doc_id) opaque
+    avc1-tagged samples of _mp4_dims(doc_id) geometry, one chunk, with
+    mdat before moov and a correct stco offset."""
+    import struct
+
+    w, h = _mp4_dims(doc_id)
+    n = _mp4_n_frames(doc_id)
+    frames = [_mp4_frame_bytes(doc_id, i) for i in range(n)]
+    duration = n * _MP4_FRAME_TICKS
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    first_sample_offset = len(ftyp) + 8  # into mdat's payload
+
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")),
+    )
+    # VisualSampleEntry 'avc1' (86 bytes incl. header; no avcC needed for a
+    # container-level parse — the frame payloads are opaque here anyway)
+    avc1 = _mp4_box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data-reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x00" * 32  # compressor name (pascal string, zeroed)
+        + struct.pack(">Hh", 24, -1),  # depth, color-table id
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+    stts = _mp4_full(
+        b"stts", 0, 0, struct.pack(">III", 1, n, _MP4_FRAME_TICKS)
+    )
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, first_sample_offset))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf"}
+
+
+def _mp4_parse(payload: bytes):
+    """REAL ISO BMFF walk: generic box framing (32-bit and 64-bit
+    largesize), recursive descent through the container boxes, geometry
+    from tkhd's 16.16 fixed-point fields, timescale/duration from mdhd,
+    codec fourcc from stsd's first sample entry, and sample byte slices
+    resolved through the genuine stsc/stco/stsz chunk-map algorithm
+    against absolute file offsets. Cross-checks stts's declared sample
+    total. Returns ({width, height, n_frames_declared, timescale,
+    duration_ms, codec}, [frame bytes])."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    meta: dict = {}
+    stsz_sizes: list[int] = []
+    stco_offsets: list[int] = []
+    stsc_entries: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    stts_total = 0
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal stts_total
+        while pos + 8 <= stop:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize framing
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = stop - pos
+            box_end = pos + size
+            if typ in _MP4_CONTAINERS:
+                walk(body, box_end)
+            elif typ == b"tkhd":
+                version = payload[body] if body < len(payload) else 0
+                geom_at = box_end - 8
+                fw, fh = struct.unpack_from(">II", payload, geom_at)
+                meta["width"], meta["height"] = fw >> 16, fh >> 16
+                del version
+            elif typ == b"mdhd":
+                version = payload[body]
+                at = body + 4 + (16 if version == 1 else 8)
+                (meta["timescale"],) = struct.unpack_from(">I", payload, at)
+                if version == 1:
+                    (dur,) = struct.unpack_from(">Q", payload, at + 4)
+                else:
+                    (dur,) = struct.unpack_from(">I", payload, at + 4)
+                meta["duration_ticks"] = dur
+            elif typ == b"stsd":
+                meta["codec"] = payload[body + 8 + 4 : body + 8 + 8].decode(
+                    "ascii", "replace"
+                )
+            elif typ == b"stts":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                for k in range(n_entries):
+                    cnt, _delta = struct.unpack_from(">II", payload, body + 8 + 8 * k)
+                    stts_total += cnt
+            elif typ == b"stsc":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                for k in range(n_entries):
+                    first, per, _desc = struct.unpack_from(
+                        ">III", payload, body + 8 + 12 * k
+                    )
+                    stsc_entries.append((first, per))
+            elif typ == b"stsz":
+                uniform, count = struct.unpack_from(">II", payload, body + 4)
+                if uniform:
+                    stsz_sizes.extend([uniform] * count)
+                else:
+                    stsz_sizes.extend(
+                        struct.unpack_from(f">{count}I", payload, body + 12)
+                    )
+            elif typ == b"stco":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                stco_offsets.extend(
+                    struct.unpack_from(f">{n_entries}I", payload, body + 8)
+                )
+            elif typ == b"co64":
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                stco_offsets.extend(
+                    struct.unpack_from(f">{n_entries}Q", payload, body + 8)
+                )
+            pos = box_end
+
+    walk(0, len(payload))
+    for key in ("width", "timescale"):
+        if key not in meta:
+            raise ValueError(f"MP4 missing {key} metadata")
+    if stts_total != len(stsz_sizes):
+        raise ValueError(
+            f"MP4 sample count mismatch: stts {stts_total}, stsz {len(stsz_sizes)}"
+        )
+    # stsc chunk map → per-sample absolute offsets (the real algorithm:
+    # each stsc entry applies from its first_chunk until the next entry's)
+    frames: list[bytes] = []
+    sample = 0
+    for ci, chunk_off in enumerate(stco_offsets):
+        per = 0
+        for first, p in stsc_entries:
+            if first <= ci + 1:
+                per = p
+        off = chunk_off
+        for _ in range(per):
+            if sample >= len(stsz_sizes):
+                break
+            size = stsz_sizes[sample]
+            frames.append(bytes(payload[off : off + size]))
+            off += size
+            sample += 1
+    if len(frames) != len(stsz_sizes):
+        raise ValueError(
+            f"MP4 chunk map resolved {len(frames)} of {len(stsz_sizes)} samples"
+        )
+    meta["n_frames_declared"] = stts_total
+    meta["duration_ms"] = meta["duration_ticks"] * 1000.0 / meta["timescale"]
+    return meta, frames
+
+
+def _mp4_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": "video/mp4",
+                "payload": [_mp4_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synthesize_mp4_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, 'video/mp4', genuine ISO BMFF payload bytes)."""
+    return documents.select("doc_id").mapInPandas(
+        _mp4_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
+    )
+
+
+MP4_DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_frames int, "
+    "total_frame_bytes int, duration_ms double, codec string, decoder string"
+)
+
+
+def _mp4_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(p)
+            meta, frames = _mp4_parse(payload)
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "n_bytes": len(payload),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "n_frames": len(frames),
+                    "total_frame_bytes": sum(len(f) for f in frames),
+                    "duration_ms": meta["duration_ms"],
+                    "codec": meta["codec"],
+                    "decoder": "stdlib-bmff",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {"n_bytes": "int32", "width": "int32", "height": "int32",
+             "n_frames": "int32", "total_frame_bytes": "int32"}
+        )
+
+
+def decode_mp4(with_mp4_payload: DataFrame) -> DataFrame:
+    """MP4 payload → container metadata via a REAL ISO BMFF walk (Arrow
+    mapInPandas, narrow map): geometry from tkhd, duration from mdhd,
+    sample count and byte totals from the resolved stsc/stco/stsz map."""
+    return with_mp4_payload.mapInPandas(
+        _mp4_decode_batches, schema=MP4_DECODED_SCHEMA
+    )
+
+
+def _container_parse(payload: bytes):
+    """Sniff the container by magic and dispatch to the real parser:
+    RIFF/AVI or ISO BMFF. Returns (meta, frames) in either case."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_parse(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _mp4_parse(payload)
+    raise ValueError("unknown video container (expected RIFF/AVI or ISO BMFF)")

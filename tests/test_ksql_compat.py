@@ -159,3 +159,33 @@ def test_predict_statement_matches_whole_frame_scoring(engine, spark):
     vals = {r.prediction for r in got.select("prediction").distinct().collect()}
     assert vals <= {"bot", "user", None}
     assert vals & {"bot", "user"}
+
+
+def test_runbook_hopping_statement_through_file_stream(engine, spark, topics, tmp_path):
+    """Batch/stream duality of the compat layer: the SAME verbatim runbook
+    statements (STMT_EVENTS + STMT_HOPPING), executed against a topic bound
+    to a *file stream* replay instead of a batch frame, produce exactly the
+    batch engine's hopping table once the push query drains (complete mode =
+    KSQL's every-refinement final state).
+
+    NOTE: defined last in this module — the streaming engine re-registers
+    the runbook's temp views ('events', 'events_in_10_minutes_window') in
+    the shared session namespace.
+    """
+    from streaming_ml_with_ksql_spark.streaming import source as stream_source
+
+    # snapshot the batch engine's answer BEFORE clobbering its views
+    expected_rows = _sorted_rows(spark.table("events_in_10_minutes_window"))
+
+    ev, ts = topics["events"][0], topics["events"][1]
+    d = str(tmp_path / "events_replay")
+    stream_source.shard_table_to_dir(ev, d, num_shards=3, order_col=ts)
+    stream = stream_source.stream_parquet_dir(spark, d)
+
+    ksql = KsqlCompat(spark, {**topics, "events": (stream, ts)})
+    ksql.execute(STMT_EVENTS)
+    created = ksql.execute(STMT_HOPPING)
+    assert created.isStreaming  # the CSAS registered a continuous relation
+    got = ksql.execute("SELECT * FROM events_in_10_minutes_window EMIT CHANGES;")
+    assert not got.isStreaming  # the push query drained to a table
+    assert _sorted_rows(got) == expected_rows

@@ -66,6 +66,17 @@ def test_hopping_stream_matches_batch(spark, events_stream_dir):
     assert out.count() > 0
 
 
+def test_late_data_dropped_per_watermark_policy(spark, sf_small):
+    """W5 planted-late-data check: the replay delivers a day-late sliver
+    after the watermark has fully advanced (heartbeat batches account for
+    the SPARK-24634 one-batch admission-filter lag); the DuckDB oracle
+    states the watermark-dropped emission set explicitly, so oracle
+    equality proves the late events are absent from every aggregate."""
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(spark, "streaming_late_data_policy", sf_small)
+
+
 def test_latest_per_key_stream_matches_batch(spark, events_stream_dir):
     """Complete-mode max_by table == batch latest_per_key (KSQL TABLE
     semantics, reference README.md:29), with identical tiebreak."""
