@@ -8,15 +8,24 @@ training-data pipeline at 100 TB needs the component step too, because
 near-duplication is transitive in practice (A≈B, B≈C ⇒ A,B,C are one
 group even when A,C alone miss the threshold).
 
-Algorithm: iterative min-label propagation — every vertex starts with its
-own id as label; each round every vertex takes the min of its own and its
-neighbors' labels; converged when no label changes. Rounds needed = graph
-diameter, which for near-dup clusters is small (clusters are dense blobs,
-not paths). For adversarially long chains the alternating large-star /
-small-star algorithm (Kiveris et al., "Connected Components in MapReduce
-and Beyond", SoCC'14) converges in O(log d) rounds with the same
-join-groupBy primitive; the propagation loop below is the simpler shape
-and keeps per-round cost to ONE shuffle join + ONE groupBy.
+Two algorithms, selected by ``algorithm=``:
+
+- ``"propagation"`` (default): iterative min-label propagation — every
+  vertex starts with its own id as label; each round every vertex takes
+  the min of its own and its neighbors' labels; converged when no label
+  changes. Rounds needed = graph diameter, which for near-dup clusters
+  is small (clusters are dense blobs, not paths); per-round cost is ONE
+  shuffle join + ONE groupBy.
+- ``"star"``: alternating large-star / small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  algorithm, independently implemented here). Each round rewrites the
+  EDGE set: large-star hangs every strictly-larger neighbor of u onto
+  min(Γ(u) ∪ {u}); small-star hangs u and its smaller neighbors onto
+  their min. The graph contracts toward a star forest in O(log d)
+  rounds, so a 10⁶-vertex adversarial path needs ~20 rounds, not 10⁶.
+  Two shuffle joins + two groupBys per round — pick it when components
+  may be long chains (URL redirect graphs, citation chains); for dense
+  near-dup blobs propagation's cheaper round wins.
 
 Scale notes:
 - The iteration runs ONLY over the edge-induced subgraph: a vertex with no
@@ -45,6 +54,67 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_groups"]
 
 
+def _star_contract(
+    e: DataFrame, loop_parts: int, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star over a canonical directed edge set
+    (u, v) with u > v, no self-loops, distinct. Returns the converged star
+    forest's (u, label) frame. Every intermediate is localCheckpointed —
+    same lineage-truncation rationale as the propagation loop."""
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: symmetric neighborhoods; every neighbor v > u hangs
+        # onto m(u) = min(Γ(u) ∪ {u}). m ≤ u < v keeps the u > v invariant.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.repartition(loop_parts, "u")
+            .groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(loop_parts, "u")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: group by the larger endpoint u (all its targets are
+        # smaller); u and every smaller neighbor hang onto min(Γ⁻(u)).
+        mins2 = (
+            large.repartition(loop_parts, "u")
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        stepped = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(loop_parts, "u")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Deterministic fixed-point test (not a probabilistic checksum):
+        # same cardinality + empty one-way difference ⇔ identical sets.
+        converged = (
+            stepped.count() == e.count()
+            and stepped.exceptAll(e).isEmpty()
+        )
+        e = stepped
+        if converged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # At the fixed point e IS a star forest: one (vertex, root) edge per
+    # non-root vertex. The groupBy-min is a safety net, not a correctness
+    # requirement.
+    return e.groupBy("u").agg(F.min("v").alias("label"))
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -53,16 +123,52 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iter: int = 25,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min vertex id reachable
     via undirected ``edges``. Vertices absent from ``edges`` are singleton
-    components of themselves."""
+    components of themselves. ``algorithm`` picks the iteration shape (see
+    module docstring); ``stats``, if given, receives {"rounds": n}."""
     # Materialize the edge list ONCE before symmetrizing: `edges` is
     # usually an expensive lazy plan (a near-dup pair join), and the
     # two-branch union would otherwise execute it twice.
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    if algorithm == "star":
+        canon = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_edges = canon.count()
+        default_parts = int(
+            canon.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        loop_parts = max(1, min(default_parts, n_edges // 1_000_000 + 1))
+        stars = _star_contract(
+            canon.repartition(loop_parts, "u").localCheckpoint(eager=True),
+            loop_parts,
+            max_iter,
+            stats,
+        )
+        resolved = stars.select(
+            F.col("u").alias(id_col), F.col("label").alias("component")
+        )
+        return (
+            vertices.select(F.col(id_col))
+            .join(resolved, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -96,7 +202,9 @@ def connected_components(
     # parallel caller) at the loop's tiny width. The explicit hash
     # partitioning also lets Catalyst elide the aggregation/join
     # exchanges whose distribution it already satisfies.
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             sym.join(
                 labels.select(F.col("u").alias("v"), F.col("label")), "v"
@@ -127,6 +235,8 @@ def connected_components(
         labels = stepped.select("u", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     resolved = labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
     # One pass over the full vertex set: resolved label where present,
     # else the vertex is its own (singleton) component.
@@ -147,13 +257,19 @@ def dedup_groups(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve a near-dup pair graph into dedup groups over the full corpus:
     (doc_id, group_id, group_size) where group_id is the component's min
     doc_id — the canonical keep-min-id representative. group_size rides on
     a self-aggregation of the (tiny relative to the corpus) label frame."""
     comp = connected_components(
-        pairs, documents.select(id_col), src=a_col, dst=b_col, id_col=id_col
+        pairs,
+        documents.select(id_col),
+        src=a_col,
+        dst=b_col,
+        id_col=id_col,
+        algorithm=algorithm,
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     return comp.join(sizes, "component").select(

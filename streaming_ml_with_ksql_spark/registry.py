@@ -864,9 +864,7 @@ def q_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_components",
-    r"""
+_DEDUP_COMPONENTS_ORACLE = r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       FROM documents),
@@ -898,8 +896,10 @@ def q_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp c
     JOIN (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) s
       USING (group_id)
-    """,
-)
+    """
+
+
+@register("dedup_components", _DEDUP_COMPONENTS_ORACLE)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CONNECTED COMPONENTS: exact n-gram Jaccard pairs resolved
     into transitive dedup groups (doc_id, group_id = component min id,
@@ -910,6 +910,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = text.ngram_jaccard_pairs(docs)
     return graph.dedup_groups(docs, pairs)
+
+
+@register("dedup_components_star", _DEDUP_COMPONENTS_ORACLE)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup-group resolution through the ALTERNATING large-star /
+    small-star contraction (Kiveris et al. SoCC'14, graph.py): the edge
+    set itself is rewritten toward a star forest in O(log d) rounds
+    instead of O(d) label-propagation sweeps — the shape to pick when
+    components can be long chains. Registered against the identical
+    recursive-CTE oracle as dedup_components, so both algorithms are
+    pinned answer-identical by an independent engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    return graph.dedup_groups(docs, pairs, algorithm="star")
 
 
 @register(

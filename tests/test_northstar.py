@@ -4,6 +4,7 @@ families, embedding similarity (SURVEY.md Phase 4 / BASELINE.json)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.oracle import assert_query_matches
 
@@ -39,6 +40,10 @@ NORTHSTAR_ORACLED = [
     "embedding_dedup_groups",
     "multimodal_audio_decode",
     "multimodal_image_decode",
+    # round-4 additions
+    "dedup_components_star",
+    "multimodal_mp4_decode",
+    "multimodal_mixed_container_sample",
 ]
 
 
@@ -63,6 +68,45 @@ def test_connected_components_chain_and_singletons(spark):
     }
     assert all(comp[i] == 2 for i in range(2, 12))
     assert all(comp[i] == i for i in (0, 1, 12, 13, 14))
+
+
+def test_star_contraction_logarithmic_rounds_and_parity(spark):
+    """Large-star/small-star must (a) collapse an adversarial 600-vertex
+    path in O(log d) rounds — far under the diameter that propagation
+    would need — and (b) agree with propagation label-for-label on a
+    random graph with self-loops, parallel edges and singletons."""
+    import random
+
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    n = 600
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    st: dict = {}
+    comp = graph.connected_components(
+        edges, vertices, max_iter=40, algorithm="star", stats=st
+    )
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert st["rounds"] <= 16, st  # ~2*log2(600); propagation needs 599
+
+    random.seed(7)
+    ee = [(random.randrange(80), random.randrange(80)) for _ in range(120)]
+    edges2 = spark.createDataFrame(ee + [(5, 5)], "src long, dst long")
+    verts2 = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = sorted(
+        map(tuple, graph.connected_components(edges2, verts2, algorithm="star").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            graph.connected_components(
+                edges2, verts2, algorithm="propagation"
+            ).collect(),
+        )
+    )
+    assert a == b
 
 
 def test_minhash_finds_planted_near_dups(spark, sf_medium):
