@@ -3033,6 +3033,45 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(9 + doc_id % 20 AS INT) AS width,
+             CAST(9 + (doc_id * 3) % 14 AS INT) AS height
+      FROM documents),
+    xs AS (SELECT doc_id, width, height,
+                  unnest(generate_series(0, width - 1)) AS x FROM dims),
+    xy AS (SELECT doc_id, height, x,
+                  unnest(generate_series(0, height - 1)) AS y FROM xs),
+    m AS (
+      SELECT doc_id,
+             avg(CAST((doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
+                      AS DOUBLE)) AS mean_pixel
+      FROM xy GROUP BY 1)
+    SELECT d.doc_id, d.width, d.height,
+           CAST(1 AS INT) AS n_components, CAST(8 AS INT) AS precision,
+           m.mean_pixel, 'stdlib-jpeg' AS decoder
+    FROM dims d JOIN m USING (doc_id)
+    """,
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec path (ITU T.81, numpy+struct only): the
+    encoder runs the genuine pipeline — level shift, 8x8 forward DCT,
+    IJG-scaled Annex-K quantization, zigzag, differential-DC + RLE-AC
+    magnitude coding, canonical Huffman with 0xFF stuffing — and the
+    decoder fully inverts it, rebuilding the Huffman tables from the
+    stream's own DHT segments. The synthesized images are block-constant,
+    which makes the DC-only path integer-exact at quality 75 (quant step
+    8): decode(encode(img)) == img bit-for-bit, so the oracle can state
+    the decoded mean in closed form — a hash match proves the whole
+    marker walk + entropy decode + IDCT chain, not just the geometry.
+    The lossy AC path is PSNR-pinned in tests/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_jpeg(multimodal.synthesize_jpeg_payload(docs))
+
+
+@register(
     "multimodal_video_decode",
     """
     WITH v AS (

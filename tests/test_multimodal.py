@@ -466,3 +466,62 @@ def test_mixed_container_sampling_dispatches_by_magic(spark):
             assert r.n_frames == multimodal._mp4_n_frames(r.doc_id)
             expect = multimodal._mp4_frame_bytes(r.doc_id, r.frame_idx)
         assert r.frame_fingerprint == _hl.md5(expect).hexdigest()
+
+
+def test_jpeg_roundtrip_block_constant_is_bit_exact():
+    """Quality-75 DC quant step is 8, so block-constant images — AC-free
+    by construction — survive encode→decode bit-for-bit: the strongest
+    possible check that markers, stream-described Huffman tables, entropy
+    decode, dezigzag, dequantize and IDCT all invert exactly."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    for doc in (0, 3, 17, 123):
+        raw = multimodal._jpeg_bytes(doc)
+        assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        meta, px = multimodal._jpeg_parse(raw)
+        w, h = multimodal._jpeg_dims(doc)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert (meta["n_components"], meta["precision"]) == (1, 8)
+        y, x = np.mgrid[0:h, 0:w]
+        expect = ((doc + 5 * (x // 8) + 11 * (y // 8)) % 256).astype(np.uint8)
+        assert np.array_equal(px, expect)
+
+
+def test_jpeg_lossy_ac_path_psnr_and_stuffing():
+    """Full-variation images exercise the AC magnitude/ZRL/EOB coding the
+    block-constant oracle can't: the decode must track the original within
+    a PSNR bound (baseline JPEG at q75 on smooth gradients is near-exact),
+    and at least one payload must contain genuine 0xFF00 byte stuffing."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    stuffed = False
+    for w, h in ((40, 33), (17, 9), (64, 64)):
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((x * 255 // max(w - 1, 1) + y * 255 // max(h - 1, 1)) // 2).astype(
+            np.uint8
+        )
+        raw = multimodal._jpeg_encode_gray(img)
+        stuffed = stuffed or b"\xff\x00" in raw[2:-2]
+        _meta, px = multimodal._jpeg_parse(raw)
+        mse = float(np.mean((px.astype(float) - img.astype(float)) ** 2))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+        assert psnr > 35, (w, h, psnr)
+    assert stuffed
+
+
+def test_jpeg_parse_rejects_garbage_and_progressive():
+    import pytest
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal._jpeg_parse(b"\x89PNG\r\n\x1a\n")
+    raw = bytearray(multimodal._jpeg_bytes(5))
+    sof = raw.find(b"\xff\xc0")
+    raw[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError, match="baseline"):
+        multimodal._jpeg_parse(bytes(raw))

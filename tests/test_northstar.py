@@ -44,6 +44,7 @@ NORTHSTAR_ORACLED = [
     "dedup_components_star",
     "multimodal_mp4_decode",
     "multimodal_mixed_container_sample",
+    "multimodal_jpeg_decode",
 ]
 
 
