@@ -12,7 +12,14 @@ KSQL parser. Each construct maps Spark-first:
 | CREATE TABLE t WITH (KAFKA_TOPIC=...)  | latest-per-key compaction (A6)    |
 | CSAS/CTAS SELECT ...                   | translated Spark SQL              |
 | WINDOW HOPPING (SIZE a, ADVANCE BY b)  | GROUP BY window(ts, 'a', 'b')     |
+| WINDOW TUMBLING (SIZE a)               | GROUP BY window(ts, 'a')          |
+| WINDOW SESSION (gap)                   | GROUP BY session_window(ts, gap)  |
+| WINDOWSTART / WINDOWEND                | unix_millis(window.start / .end)  |
 | ROWTIME pseudo-column                  | unix_millis(event-time col)       |
+| UCASE/LCASE/STRINGTOTIMESTAMP/MASK     | SQL UDFs → pure Catalyst exprs    |
+| ARRAYCONTAINS / COUNT_DISTINCT         | array_contains / count(distinct)  |
+| LATEST_BY_OFFSET / EARLIEST_BY_OFFSET  | max_by / min_by on event time     |
+| TOPK(x, k)                             | slice(sort_array(collect_list))   |
 | t.rowkey pseudo-column                 | t's recorded key column           |
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |
@@ -86,13 +93,18 @@ class KsqlCompat:
     relations: dict[str, _Relation] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        # TIMESTAMPTOSTRING as a SQL-defined function: pure Catalyst
-        # expression (no Python), registered once per session.
-        self.spark.sql(
-            "CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMPTOSTRING"
-            "(ms BIGINT, fmt STRING) RETURNS STRING "
-            "RETURN date_format(timestamp_millis(ms), fmt)"
-        )
+        # KSQL scalar builtins as SQL-defined functions: pure Catalyst
+        # expressions (no Python), registered once per session. UCASE /
+        # LCASE need nothing (Spark ships them as upper/lower aliases) and
+        # MASK is handled by a rewrite onto Spark's parameterized mask()
+        # (KSQL's default masking is upper→X, lower→x, digit→n, other→-).
+        for ddl in (
+            "TIMESTAMPTOSTRING(ms BIGINT, fmt STRING) RETURNS STRING "
+            "RETURN date_format(timestamp_millis(ms), fmt)",
+            "STRINGTOTIMESTAMP(s STRING, fmt STRING) RETURNS BIGINT "
+            "RETURN unix_millis(to_timestamp(s, fmt))",
+        ):
+            self.spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
 
     # ------------------------------------------------------------------
     # public API
@@ -241,26 +253,98 @@ class KsqlCompat:
 
         sql = re.sub(r"(?:(\w+)\.)?rowtime\b", sub_rowtime, sql, flags=re.IGNORECASE)
 
-        # WINDOW HOPPING (SIZE n U, ADVANCE BY m U) + GROUP BY keys
-        #   → GROUP BY window(ts, 'n u', 'm u'), keys      (SURVEY.md W1)
+        # WINDOW HOPPING/TUMBLING/SESSION + GROUP BY keys
+        #   → GROUP BY window(ts, ...) / session_window(ts, gap), keys
+        # (SURVEY.md W1/§2.9; KSQL window clause syntax is public docs)
         m = re.search(
-            r"\s*WINDOW HOPPING \(SIZE (\d+) (\w+), ADVANCE BY (\d+) (\w+)\)\s*",
+            r"\s*WINDOW (HOPPING|TUMBLING|SESSION)\s*\(([^)]*)\)\s*",
             sql,
             re.IGNORECASE,
         )
         if m:
             if src is None or src.ts_col is None:
-                raise ValueError("WINDOW HOPPING needs a source event-time column")
-            size = f"{m.group(1)} {_UNIT[m.group(2).upper()]}"
-            slide = f"{m.group(3)} {_UNIT[m.group(4).upper()]}"
-            win = f"window({src.ts_col}, '{size}', '{slide}')"
+                raise ValueError(f"WINDOW {m.group(1)} needs a source event-time column")
+            kind, body = m.group(1).upper(), m.group(2)
+
+            def dur(pat: str) -> str:
+                dm = re.search(pat, body, re.IGNORECASE)
+                if dm is None:
+                    raise ValueError(f"WINDOW {kind}: cannot parse ({body})")
+                return f"{dm.group(1)} {_UNIT[dm.group(2).upper()]}"
+
+            if kind == "HOPPING":
+                size = dur(r"SIZE (\d+) (\w+)")
+                slide = dur(r"ADVANCE BY (\d+) (\w+)")
+                win, win_col = f"window({src.ts_col}, '{size}', '{slide}')", "window"
+            elif kind == "TUMBLING":
+                size = dur(r"SIZE (\d+) (\w+)")
+                win, win_col = f"window({src.ts_col}, '{size}')", "window"
+            else:  # SESSION (gap has no SIZE keyword)
+                gap = dur(r"(\d+) (\w+)")
+                win, win_col = (
+                    f"session_window({src.ts_col}, '{gap}')",
+                    "session_window",
+                )
             sql = sql[: m.start()] + " " + sql[m.end():]
             sql = re.sub(
                 r"GROUP BY (.+)$", rf"GROUP BY {win}, \1", sql, flags=re.IGNORECASE
             )
+            # WINDOWSTART/WINDOWEND pseudo-columns (KSQL: BIGINT epoch-ms
+            # bounds of the enclosing window)
+            sql = re.sub(
+                r"\bWINDOWSTART\b",
+                f"unix_millis({win_col}.start)",
+                sql,
+                flags=re.IGNORECASE,
+            )
+            sql = re.sub(
+                r"\bWINDOWEND\b",
+                f"unix_millis({win_col}.end)",
+                sql,
+                flags=re.IGNORECASE,
+            )
 
         # builtins
         sql = re.sub(r"\bas_array\s*\(", "array(", sql, flags=re.IGNORECASE)
+        sql = re.sub(
+            r"\bARRAYCONTAINS\s*\(", "array_contains(", sql, flags=re.IGNORECASE
+        )
+        sql = re.sub(
+            r"\bCOUNT_DISTINCT\s*\(", "count(DISTINCT ", sql, flags=re.IGNORECASE
+        )
+        # KSQL MASK defaults (upper→X, lower→x, digit→n, other→-) onto
+        # Spark's parameterized built-in
+        sql = re.sub(
+            r"\bMASK\s*\(([^()]+)\)",
+            r"mask(\1, 'X', 'x', 'n', '-')",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        # offset-ordered aggregates: the batch/stream analog of "latest by
+        # Kafka offset" is max_by on the designated event time (the same
+        # order TABLE compaction uses)
+        if re.search(r"\b(LATEST|EARLIEST)_BY_OFFSET\s*\(", sql, re.IGNORECASE):
+            if src is None or src.ts_col is None:
+                raise ValueError("LATEST_BY_OFFSET needs an event-time column")
+            sql = re.sub(
+                r"\bLATEST_BY_OFFSET\s*\(([^()]+)\)",
+                rf"max_by(\1, unix_millis({src.ts_col}))",
+                sql,
+                flags=re.IGNORECASE,
+            )
+            sql = re.sub(
+                r"\bEARLIEST_BY_OFFSET\s*\(([^()]+)\)",
+                rf"min_by(\1, unix_millis({src.ts_col}))",
+                sql,
+                flags=re.IGNORECASE,
+            )
+        # TOPK(x, k) → k largest values as an array
+        sql = re.sub(
+            r"\bTOPK\s*\(([^(),]+),\s*(\d+)\s*\)",
+            r"slice(sort_array(collect_list(\1), false), 1, \2)",
+            sql,
+            flags=re.IGNORECASE,
+        )
 
         # predict(...) → placeholder columns + whole-frame scoring
         pred = _extract_predict(sql)

@@ -161,6 +161,102 @@ def test_predict_statement_matches_whole_frame_scoring(engine, spark):
     assert vals & {"bot", "user"}
 
 
+def test_tumbling_and_session_window_statements(engine, spark, topics):
+    """WINDOW TUMBLING / WINDOW SESSION clauses + the WINDOWSTART/WINDOWEND
+    pseudo-columns must translate to window()/session_window() grouping
+    with epoch-ms bounds — compared against the native DataFrame plans."""
+    ev, ts = topics["events"]
+    got = engine.execute(
+        "SELECT user_id, WINDOWSTART AS ws, WINDOWEND AS we, count(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 10 MINUTES) GROUP BY user_id;"
+    )
+    expected = (
+        ev.groupBy(F.window(ts, "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("ws"),
+            F.unix_millis("w.end").alias("we"),
+            "n",
+        )
+    )
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+    got = engine.execute(
+        "SELECT user_id, WINDOWSTART AS ws, count(*) AS n "
+        "FROM events WINDOW SESSION (15 MINUTES) GROUP BY user_id;"
+    )
+    expected = (
+        ev.groupBy(F.session_window(ts, "15 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.unix_millis("sw.start").alias("ws"), "n")
+    )
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+
+def test_scalar_builtins_match_catalyst(engine, spark, topics):
+    """UCASE/LCASE/MASK/STRINGTOTIMESTAMP are SQL-defined Catalyst
+    functions (no Python in the plan); MASK uses KSQL's default X/x/n
+    masking."""
+    users = topics["mysql.demo.users"][0]
+    got = engine.execute(
+        "SELECT UCASE(country) AS cu, LCASE(platform) AS pl, "
+        "MASK(ip_address) AS mi FROM users_stream;"
+    )
+    expected = users.select(
+        F.upper("country").alias("cu"),
+        F.lower("platform").alias("pl"),
+        F.expr("mask(ip_address, 'X', 'x', 'n', '-')").alias("mi"),
+    )
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+    got2 = engine.execute(
+        "SELECT STRINGTOTIMESTAMP(TIMESTAMPTOSTRING(rowtime, "
+        "'yyyy-MM-dd HH:mm:ss'), 'yyyy-MM-dd HH:mm:ss') AS ms FROM events;"
+    )
+    expected2 = spark.sql(
+        "SELECT unix_millis(to_timestamp(date_format(ts, "
+        "'yyyy-MM-dd HH:mm:ss'), 'yyyy-MM-dd HH:mm:ss')) AS ms FROM events"
+    )
+    assert _sorted_rows(got2) == _sorted_rows(expected2)
+
+
+def test_offset_aggregates_and_topk(spark):
+    """LATEST/EARLIEST_BY_OFFSET map to max_by/min_by on the designated
+    event time (the same order TABLE compaction uses); TOPK(x,k) yields
+    the k largest values; COUNT_DISTINCT rewrites to count(DISTINCT).
+    Run on a crafted topic with strictly distinct per-user timestamps so
+    the offset order is unambiguous."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0 + dt.timedelta(seconds=1)),
+        (1, "b", t0 + dt.timedelta(seconds=2)),
+        (1, "c", t0 + dt.timedelta(seconds=3)),
+        (2, "x", t0 + dt.timedelta(seconds=5)),
+        (2, "y", t0 + dt.timedelta(seconds=4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event string, ts timestamp")
+    ksql = KsqlCompat(spark, {"ev_offsets": (df, "ts")})
+    ksql.execute(
+        "CREATE STREAM ev_off WITH (KAFKA_TOPIC = 'ev_offsets', TIMESTAMP='ts');"
+    )
+    got = {
+        r.user_id: r
+        for r in ksql.execute(
+            "SELECT user_id, LATEST_BY_OFFSET(event) AS last_event, "
+            "EARLIEST_BY_OFFSET(event) AS first_event, "
+            "TOPK(event, 2) AS top2, COUNT_DISTINCT(event) AS nde "
+            "FROM ev_off GROUP BY user_id;"
+        ).collect()
+    }
+    assert (got[1].last_event, got[1].first_event) == ("c", "a")
+    assert (got[2].last_event, got[2].first_event) == ("x", "y")
+    assert got[1].top2 == ["c", "b"] and got[2].top2 == ["y", "x"]
+    assert got[1].nde == 3 and got[2].nde == 2
+
+
 def test_runbook_hopping_statement_through_file_stream(engine, spark, topics, tmp_path):
     """Batch/stream duality of the compat layer: the SAME verbatim runbook
     statements (STMT_EVENTS + STMT_HOPPING), executed against a topic bound
