@@ -33,6 +33,7 @@ from .ml import predict as ml_predict
 from .ksql import runbook
 from .operators import (
     bloom,
+    bpe,
     bucketing,
     dedup,
     graph,
@@ -4403,6 +4404,58 @@ def q_corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow plan: chunk descriptors are computed inside each row's token
     array and inline-exploded; no shuffle at any corpus size."""
     return text.chunk_tokens(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle_sql() -> str:
+    """Build the DuckDB twin of the fixed-merge BPE apply chain: the same
+    ordered replace() cascade over the chr(1)-joined character form —
+    both engines' replace() scans left-to-right non-overlapping, which IS
+    the BPE merge-apply rule, so token counts match exactly."""
+    expr = r"rtrim(regexp_replace(w, '(.)', '\1' || chr(1), 'g'), chr(1))"
+    for a, b in bpe.FIXED_MERGES:
+        expr = f"replace({expr}, '{a}' || chr(1) || '{b}', '{a}{b}')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents),
+    t2 AS (
+      SELECT doc_id, w, len(string_split({expr}, chr(1))) AS n_toks
+      FROM toks WHERE len(w) > 0)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+           CAST(sum(len(w)) AS INT) AS n_chars,
+           CAST(sum(n_toks) AS INT) AS n_bpe_tokens
+    FROM t2 GROUP BY 1
+    """
+
+
+@register("bpe_tokenize_fixed", _bpe_oracle_sql())
+def q_bpe_tokenize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE) token accounting through the pure-Catalyst apply
+    path (operators/bpe.py): each merge of the fixed table is ONE
+    whole-stage-codegen replace() over the char-separated word form —
+    zero Python, one scan, one doc aggregation. The oracle replays the
+    identical ordered replace cascade in DuckDB (replace() left-to-right
+    non-overlapping semantics agree across engines), so subword counts
+    hash-check exactly."""
+    return bpe.bpe_tokenize(_t(spark, sf_dir, "documents"), bpe.FIXED_MERGES)
+
+
+@register("bpe_train_merges", None)  # iterative argmax loop: rows-only
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (operators/bpe.py): the corpus
+    is scanned once into the distinct-word frame; each of the 16 merge
+    rounds is one pair-count aggregation + a 1-row argmax collect with a
+    deterministic (count DESC, a ASC, b ASC) tie-break. Not expressible
+    as one SQL query (iterative argmax), so rows-only here; the merge
+    SEQUENCE is pinned against an independently written pure-Python BPE
+    in tests/test_bpe.py."""
+    merges = bpe.train_bpe(
+        _t(spark, sf_dir, "documents"), n_merges=16, min_count=2
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string, merged string",
+    )
 
 
 @register(

@@ -1,0 +1,106 @@
+"""Distributed BPE tokenizer: training parity against an independent
+pure-Python reference, expression-path vs Arrow-kernel equality, and the
+fixed-merge serving oracle."""
+
+from __future__ import annotations
+
+import collections
+
+from tests.oracle import assert_query_matches
+
+from streaming_ml_with_ksql_spark import io as sio
+from streaming_ml_with_ksql_spark.operators import bpe
+
+
+def _reference_bpe(texts, n_merges: int, min_count: int = 2):
+    """Independently written reference BPE (dict/Counter loop, no Spark):
+    most-frequent adjacent pair, ties on (count DESC, a ASC, b ASC)."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_train_matches_pure_python_reference(spark, sf_small):
+    docs = sio.load_table(spark, sf_small, "documents")
+    merges = bpe.train_bpe(docs, n_merges=12)
+    texts = [r.text for r in docs.select("text").collect()]
+    assert merges == _reference_bpe(texts, 12)
+    assert len(merges) == 12  # the corpus supports at least 12 merges
+
+
+def test_expression_path_equals_kernel_path(spark, sf_small):
+    """The whole-stage-codegen replace() chain and the memoized Arrow
+    kernel must produce identical per-document subword counts — including
+    on a learned (not fixed) merge table."""
+    docs = sio.load_table(spark, sf_small, "documents")
+    merges = bpe.train_bpe(docs, n_merges=8)
+    a = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in bpe.bpe_tokenize(docs, merges).collect()
+    }
+    b = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in bpe.bpe_tokenize_kernel(docs, merges).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_merge_apply_semantics_overlap_and_chaining(spark):
+    """Left-to-right non-overlapping merge application: 'aaa' under (a,a)
+    gives [aa, a]; chained merges build multi-char symbols."""
+    df = spark.createDataFrame(
+        [(1, "aaa their then the")], "doc_id long, text string"
+    )
+    row = bpe.bpe_tokenize(df, (("a", "a"), ("t", "h"), ("th", "e"))).first()
+    # aaa -> [aa, a] = 2; their -> [th,e,i,r]->[the,i,r] = 3;
+    # then -> [th,e,n]->[the,n] = 2; the -> [the] = 1
+    assert row.n_words == 4
+    assert row.n_bpe_tokens == 2 + 3 + 2 + 1
+    # kernel agrees on the crafted edge case
+    krow = bpe.bpe_tokenize_kernel(
+        df, (("a", "a"), ("t", "h"), ("th", "e"))
+    ).first()
+    assert (krow.n_words, krow.n_bpe_tokens) == (row.n_words, row.n_bpe_tokens)
+
+
+def test_fixed_merge_oracle(spark, sf_medium):
+    assert_query_matches(spark, "bpe_tokenize_fixed", sf_medium)
+
+
+def test_training_is_deterministic_under_ties(spark):
+    """Equal-count pairs must resolve (a ASC, b ASC): corpus 'ab cd' has
+    pairs (a,b) and (c,d) each with count 2 — (a,b) must win merge 1."""
+    df = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ab cd")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, n_merges=2, min_count=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("c", "d")
