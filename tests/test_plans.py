@@ -272,3 +272,56 @@ def test_ivf_plan_size_independent_of_centroid_count(spark):
     # 8x the centroids must not even double the plan text (literal unrolling
     # would scale it ~8x: 32 centroids x 64 dims of double literals)
     assert sizes[32] < 2 * sizes[4], sizes
+
+
+def test_bpe_expression_path_stays_jvm(spark):
+    """The fixed-merge BPE tokenizer must be pure whole-stage-codegen:
+    no Python evaluation node anywhere (every merge is a JVM replace()),
+    one scan of only the needed columns, map-side partial aggregation."""
+    plan = _explain(spark, "bpe_tokenize_fixed")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    schema = re.search(r"ReadSchema: struct<(.+?)>", plan)
+    assert schema and set(schema.group(1).split(",")) <= {
+        "doc_id:bigint",
+        "text:string",
+    }
+
+
+def test_jpeg_decode_is_narrow_map(spark):
+    """Codec kernels are narrow Arrow maps: exactly one scan feeding
+    MapInPandas stages, and no Exchange anywhere (decode must not
+    shuffle payload bytes)."""
+    plan = _explain(spark, "multimodal_jpeg_decode", "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_star_contraction_edges_stay_partitioned(spark):
+    """The star algorithm's output over the sf0.001 near-dup graph must
+    come from the measured tiny loop width (no 32-wide shuffles of a
+    KB-sized label frame), like the propagation loop before it."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as sio
+    from streaming_ml_with_ksql_spark.operators import graph, text
+
+    docs = sio.load_table(spark, SF, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    st: dict = {}
+    comp = graph.connected_components(
+        pairs,
+        docs.select("doc_id"),
+        src="doc_a",
+        dst="doc_b",
+        id_col="doc_id",
+        algorithm="star",
+        stats=st,
+    )
+    # the final resolve join sees the checkpointed 1-partition label RDD
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        comp._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan
+    assert st == {} or st.get("rounds", 0) <= 6  # dense blobs converge fast
