@@ -78,6 +78,8 @@ HEADLINE = [
     "multimodal_mp4_decode",
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
+    "bpe_tokenize_fixed",
+    "duplicate_span_coverage",
 ]
 
 

@@ -1175,3 +1175,87 @@ def ngram_lm_score(documents: DataFrame, *, k: float = 0.5) -> DataFrame:
             F.round(F.sum(F.col("m") * p) / F.sum("m"), 6).alias("avg_cond_prob"),
         )
     )
+
+
+def duplicate_span_positions(
+    documents: DataFrame, *, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """EXACT duplicate-substring spans: every position where a k-token
+    n-gram occurs in >= min_docs distinct documents — the positional
+    building block of exact substring deduplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    public method, independently implemented), which REMOVES repeated
+    spans rather than dropping whole near-dup documents.
+
+    Scale shape: one narrow pass emits (doc, pos, md5(gram)) — grouping
+    on the 32-char digest, never the raw k-token text, keeps the shuffle
+    payload fixed-width — then ONE groupBy builds the gram frequency
+    index and one equi-join annotates the positions. Cost is
+    Σ_g occ(g) like the inverted shingle index, not |docs|²; at 100 TB
+    add a document-frequency cap exactly as in ngram_jaccard_pairs.
+    """
+    toks = tokens_col(F.col("text"))
+    grams = (
+        documents.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.struct(
+                        (i - 1).cast("int").alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("t", i, k))).alias(
+                            "gram_md5"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gram_md5")
+    )
+    stats = (
+        grams.groupBy("gram_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(stats, "gram_md5").select(
+        "doc_id",
+        "pos",
+        "gram_md5",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_occurrences").cast("int").alias("n_occurrences"),
+    )
+
+
+def duplicate_span_coverage(
+    documents: DataFrame, *, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span coverage: how many token positions sit
+    inside at least one cross-document duplicate k-gram, and the fraction
+    of the document that is — the actionable 'how much of this doc is
+    boilerplate' signal that decides span removal vs doc drop. The
+    interval union is computed exactly (distinct covered positions after
+    a k-wide explode; k is a small constant)."""
+    spans = duplicate_span_positions(documents, k=k, min_docs=min_docs)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"),
+    ).distinct()
+    cov = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_positions")
+    )
+    base = documents.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("int").alias("n_tokens")
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_positions", F.lit(0)).cast("int").alias("dup_positions"),
+        (F.coalesce("dup_positions", F.lit(0)) / F.col("n_tokens")).alias(
+            "dup_fraction"
+        ),
+    )

@@ -4440,6 +4440,66 @@ def q_bpe_tokenize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_tokenize(_t(spark, sf_dir, "documents"), bpe.FIXED_MERGES)
 
 
+_DUP_SPAN_GRAMS = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(t[i:i+7], ' ')) AS gram_md5
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+    s AS (
+      SELECT gram_md5, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY 1)
+"""
+
+
+@register(
+    "duplicate_span_positions",
+    f"""
+    WITH {_DUP_SPAN_GRAMS}
+    SELECT g.doc_id, g.pos, g.gram_md5,
+           CAST(s.n_docs AS INT) AS n_docs,
+           CAST(s.n_occurrences AS INT) AS n_occurrences
+    FROM g JOIN s USING (gram_md5)
+    WHERE s.n_docs >= 2
+    """,
+)
+def q_duplicate_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication spans (Lee et al. ACL'22 shape): every
+    position whose 8-token gram recurs in >=2 distinct documents — the
+    inverse index groups on a fixed-width md5 digest, never raw text.
+    The oracle rebuilds the same index in DuckDB, so positions, digests
+    and frequencies all hash-check."""
+    return text.duplicate_span_positions(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "duplicate_span_coverage",
+    f"""
+    WITH {_DUP_SPAN_GRAMS},
+    d AS (
+      SELECT DISTINCT g.doc_id, g.pos + off AS p
+      FROM g JOIN s USING (gram_md5),
+           unnest(generate_series(0, 7)) AS o(off)
+      WHERE s.n_docs >= 2),
+    cov AS (SELECT doc_id, count(*) AS dup_positions FROM d GROUP BY 1)
+    SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+           CAST(coalesce(cov.dup_positions, 0) AS INT) AS dup_positions,
+           coalesce(cov.dup_positions, 0) / len(t.t) AS dup_fraction
+    FROM toks t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage — the 'how much of this doc
+    is boilerplate' decision signal (span removal vs doc drop). Exact
+    interval union via distinct covered positions; the DOUBLE fraction is
+    one IEEE division on both engines."""
+    return text.duplicate_span_coverage(_t(spark, sf_dir, "documents"))
+
+
 @register("bpe_train_merges", None)  # iterative argmax loop: rows-only
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary TRAINING (operators/bpe.py): the corpus

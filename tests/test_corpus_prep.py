@@ -123,3 +123,43 @@ def test_ngram_lm_score_orders_fluency(spark):
     assert fluent.avg_cond_prob > odd.avg_cond_prob
     # every conditional probability is a true probability
     assert 0.0 < odd.avg_cond_prob < fluent.avg_cond_prob <= 1.0
+
+
+def test_duplicate_spans_planted_fixture(spark):
+    """Two documents sharing one exact 8-token run (at different offsets)
+    and otherwise unique text: the span index must report exactly the
+    shared gram at both positions, and coverage must count exactly 8
+    covered positions per doc."""
+    from streaming_ml_with_ksql_spark.operators import text as t
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    d1 = "u1 u2 u3 " + shared + " v1 v2"
+    d2 = "w1 " + shared + " x1 x2 x3 x4"
+    d3 = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    spans = t.duplicate_span_positions(df, k=8).collect()
+    assert {(r.doc_id, r.pos) for r in spans} == {(1, 3), (2, 1)}
+    assert all(r.n_docs == 2 and r.n_occurrences == 2 for r in spans)
+    cov = {r.doc_id: r for r in t.duplicate_span_coverage(df, k=8).collect()}
+    assert cov[1].dup_positions == 8 and cov[2].dup_positions == 8
+    assert cov[3].dup_positions == 0 and cov[3].dup_fraction == 0.0
+    assert abs(cov[1].dup_fraction - 8 / 13) < 1e-12
+
+
+def test_duplicate_span_coverage_interval_union(spark):
+    """Overlapping duplicate grams must union, not double-count: doc A
+    repeated verbatim in doc B makes EVERY position of A covered once."""
+    from streaming_ml_with_ksql_spark.operators import text as t
+
+    body = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "solo text only here")],
+        "doc_id long, text string",
+    )
+    cov = {r.doc_id: r for r in t.duplicate_span_coverage(df, k=8).collect()}
+    # 12 tokens, 5 duplicate grams (positions 0..4), union covers all 12
+    assert cov[1].dup_positions == 12 and cov[1].dup_fraction == 1.0
+    assert cov[2].dup_positions == 12
+    assert cov[3].dup_positions == 0

@@ -45,6 +45,8 @@ NORTHSTAR_ORACLED = [
     "multimodal_mp4_decode",
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
+    "duplicate_span_positions",
+    "duplicate_span_coverage",
 ]
 
 
