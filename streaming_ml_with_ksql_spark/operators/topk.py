@@ -167,3 +167,65 @@ def cms_estimates(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
         "exact_n",
         est.cast("long").alias("cms_est"),
     )
+
+
+HLL_P = 8  # 2^8 = 256 registers
+
+_HLL_REST_LEN = 30  # md5 hex chars after the 2 bucket chars
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """From-first-principles HyperLogLog register table (Flajolet et al.
+    2007 — public algorithm, independently implemented): bucket = first
+    byte of md5(key), register = max over keys of the leading-zero rank
+    of the remaining 120 hash bits. Everything is Catalyst expressions
+    over the md5 HEX STRING (nibble arithmetic, no 64-bit int hashing),
+    which is what makes the sketch EXACTLY reproducible in DuckDB — the
+    register table itself hash-checks cross-engine, unlike opaque
+    DataSketches blobs (hll_partition_merge covers that path rows-only).
+
+    Registers are max-mergeable: union of sketches = groupBy(bucket).max.
+    Scale: one map-combined shuffle of (group, bucket) — 256 rows per
+    group survive, whatever the corpus size.
+    """
+    g = list(group_cols or [])
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, _HLL_REST_LEN)
+    stripped = F.regexp_replace(rest, "^0+", "")
+    nz = F.length(rest) - F.length(stripped)
+    v = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    bl = (
+        F.when(v >= 8, 4).when(v >= 4, 3).when(v >= 2, 2).otherwise(1)
+    )
+    rho = F.when(
+        F.length(stripped) == 0, F.lit(4 * _HLL_REST_LEN + 1)
+    ).otherwise(4 * nz + (4 - bl) + 1)
+    return (
+        df.select(*g, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_estimate_from_registers(rows, m: int = 1 << HLL_P) -> float:
+    """Driver-side HLL estimator over a collected register list
+    [(bucket, register), ...] — harmonic mean with the standard
+    small-range (linear counting) correction. The float math lives HERE,
+    outside the oracled register query, because power-sum rounding is
+    order-dependent across engines."""
+    import math
+
+    regs = {b: r for b, r in rows}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

@@ -4279,6 +4279,52 @@ def q_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_registers_exact",
+    """
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    b AS (
+      SELECT event_type,
+             CAST((strpos('0123456789abcdef', hx[1:1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[2:2]) - 1) AS INT)
+               AS bucket,
+             hx[3:32] AS rest
+      FROM h),
+    r AS (
+      SELECT event_type, bucket, ltrim(rest, '0') AS stripped,
+             len(rest) - len(ltrim(rest, '0')) AS nz
+      FROM b),
+    v AS (
+      SELECT event_type, bucket,
+             CASE WHEN stripped = '' THEN 121
+                  ELSE 4 * nz + (4 - CASE
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 8
+                      THEN 4
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 4
+                      THEN 3
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 2
+                      THEN 2
+                    ELSE 1 END) + 1
+             END AS rho
+      FROM r)
+    SELECT event_type, bucket, CAST(max(rho) AS INT) AS register
+    FROM v GROUP BY 1, 2
+    """,
+)
+def q_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-first-principles HLL register table per event_type
+    (operators/topk.py): bucket = first md5 byte, register = max
+    leading-zero rank of the remaining 120 bits — nibble arithmetic over
+    the hex string on BOTH engines, so the sketch state itself (not just
+    row counts) hash-checks exactly. The float estimator stays outside
+    the oracle (power-sum rounding is order-dependent); its error bound
+    and the max-merge identity are pinned in tests/test_relational.py."""
+    return topk.hll_registers(
+        _t(spark, sf_dir, "events"), "user_id", group_cols=["event_type"]
+    )
+
+
 @register("hll_partition_merge", None)  # sketch estimates are engine-specific
 def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch pattern: per-day HLL sketches (DataSketches,

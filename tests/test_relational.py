@@ -180,3 +180,45 @@ def test_cms_merge_is_exact_and_never_underestimates(spark, sf_medium):
 
     est = topk.cms_estimates(ev.select("user_id"), "user_id", min_count=1)
     assert est.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
+
+
+def test_hll_registers_estimate_and_merge_identity(spark, sf_medium):
+    """The first-principles HLL (exact-oracled register table): the
+    estimator must land within the theoretical ~3*1.04/sqrt(256) ≈ 20%
+    of the exact distinct count for every event_type, and max-merging
+    daily partial register tables must reproduce the direct sketch
+    register-for-register (the mergeability identity)."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as sio
+    from streaming_ml_with_ksql_spark.operators import topk
+
+    ev = sio.load_table(spark, sf_medium, "events")
+    direct = topk.hll_registers(ev, "user_id", group_cols=["event_type"])
+    regs: dict[str, list] = {}
+    for r in direct.collect():
+        regs.setdefault(r.event_type, []).append((r.bucket, r.register))
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(regs) == set(exact)
+    for et, rows in regs.items():
+        est = topk.hll_estimate_from_registers(rows)
+        assert abs(est - exact[et]) / exact[et] < 0.20, (et, est, exact[et])
+
+    daily = topk.hll_registers(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        "user_id",
+        group_cols=["event_type", "day"],
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(
+        (r.event_type, r.bucket, r.register) for r in direct.collect()
+    )
+    assert a == b
