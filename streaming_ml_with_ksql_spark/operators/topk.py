@@ -194,23 +194,29 @@ def hll_registers(
     group survive, whatever the corpus size.
     """
     g = list(group_cols or [])
-    h = F.md5(F.col(key_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    rest = F.substring(h, 3, _HLL_REST_LEN)
-    stripped = F.regexp_replace(rest, "^0+", "")
-    nz = F.length(rest) - F.length(stripped)
-    v = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
-    bl = (
-        F.when(v >= 8, 4).when(v >= 4, 3).when(v >= 2, 2).otherwise(1)
-    )
-    rho = F.when(
-        F.length(stripped) == 0, F.lit(4 * _HLL_REST_LEN + 1)
-    ).otherwise(4 * nz + (4 - bl) + 1)
+    bucket, rho = hll_hash_cols(F.col(key_col))
     return (
         df.select(*g, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*g, "bucket")
         .agg(F.max("rho").cast("int").alias("register"))
     )
+
+
+def hll_hash_cols(key) -> tuple:
+    """(bucket, rho) columns for one key — the single hash definition the
+    batch AND streaming register tables share (the streaming-equals-batch
+    guarantee depends on it)."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, _HLL_REST_LEN)
+    stripped = F.regexp_replace(rest, "^0+", "")
+    nz = F.length(rest) - F.length(stripped)
+    v = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    bl = F.when(v >= 8, 4).when(v >= 4, 3).when(v >= 2, 2).otherwise(1)
+    rho = F.when(
+        F.length(stripped) == 0, F.lit(4 * _HLL_REST_LEN + 1)
+    ).otherwise(4 * nz + (4 - bl) + 1)
+    return bucket, rho
 
 
 def hll_estimate_from_registers(rows, m: int = 1 << HLL_P) -> float:

@@ -3446,6 +3446,61 @@ def _streaming_cms_oracle() -> str:
     """
 
 
+@register(
+    "streaming_hll_registers",
+    """
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    b AS (
+      SELECT CAST((strpos('0123456789abcdef', hx[1:1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[2:2]) - 1) AS INT)
+               AS bucket,
+             hx[3:32] AS rest
+      FROM h),
+    r AS (
+      SELECT bucket, ltrim(rest, '0') AS stripped,
+             len(rest) - len(ltrim(rest, '0')) AS nz
+      FROM b),
+    v AS (
+      SELECT bucket,
+             CASE WHEN stripped = '' THEN 121
+                  ELSE 4 * nz + (4 - CASE
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 8
+                      THEN 4
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 4
+                      THEN 3
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 2
+                      THEN 2
+                    ELSE 1 END) + 1
+             END AS rho
+      FROM r)
+    SELECT bucket, CAST(max(rho) AS INT) AS register
+    FROM v GROUP BY 1
+    """,
+)
+def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained HyperLogLog: each event contributes its
+    (bucket, rho) and ONE complete-mode groupBy keeps the max-register
+    table — max is order-insensitive, so the drained streaming registers
+    equal the batch sketch EXACTLY, and the oracle rebuilds the same
+    nibble-arithmetic registers in DuckDB. The streaming distinct-count
+    companion to streaming_cms_cells (frequencies): state is 256
+    registers, independent of user cardinality. Shares the single hash
+    definition with the batch sketch (topk.hll_hash_cols)."""
+    from .operators.topk import hll_hash_cols
+
+    stream = _replay_events(spark, sf_dir)
+    bucket, rho = hll_hash_cols(F.col("user_id"))
+    regs = (
+        stream.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+    return stream_sinks.run_to_memory(
+        regs, f"reg_stream_hll_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+
+
 @register("streaming_cms_cells", _streaming_cms_oracle())
 def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained count-min sketch: the event stream explodes
@@ -4955,9 +5010,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # keep-min-id over verified minhash pairs, semi-join twin, rank-per-key,
     # ANN brute baseline) yielded to ten never-driver-verdicted queries
     # (point-in-time join, gap-fill, range-bucket join, corpus chunk/pack/
-    # PII, bloom prune, TPC-H Q21/Q7, the new PNG codec). Displaced queries
-    # stay fully supported + locally oracled in verify_driver's 133-query
-    # sweep.
+    # PII, bloom prune, TPC-H Q21/Q7, the new PNG codec); four more
+    # r03-verdicted slots (doc_fingerprint, cms_heavy_hitters,
+    # dedup_exact_events, multimodal_audio_decode) then yielded to the
+    # round-4 operators (BPE subword accounting, first-principles HLL
+    # registers, duplicate-span coverage, baseline JPEG codec) — every
+    # family stays represented, historical verdicts stand in the r03
+    # record. Displaced queries stay fully supported + locally oracled in
+    # verify_driver's 140-query sweep.
     #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
@@ -4992,7 +5052,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_value_percentiles",
     "waiting_suppliers",
     "volume_shipping",
-    "cms_heavy_hitters",
+    "hll_registers_exact",
     # ML scoring + runbook (U1-U3, W4). The hopping runbook is the oracled
     # runbook representative; the predictions runbook is model-backed
     # (rows-only) and yields its slot to score_events' oracled U2 check.
@@ -5003,12 +5063,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text analysis family (incl. corpus-LM fluency scoring)
     "text_stats",
     "lang_id_ngram",
-    "doc_fingerprint",
+    "bpe_tokenize_fixed",
     "token_budget",
     "ngram_lm_score",
     # dedup family (exact, minhash, ngram-jaccard, simhash; keep-min-id
     # rides the verified minhash pairs and yields its slot)
-    "dedup_exact_events",
+    "duplicate_span_coverage",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
@@ -5031,7 +5091,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the same AVI walk on even doc_ids PLUS the ISO BMFF stsc/stco/stsz
     # sample map on odd ones, magic-dispatched per row in one kernel)
     "multimodal_mixed_container_sample",
-    "multimodal_audio_decode",
+    "multimodal_jpeg_decode",
     "multimodal_png_decode",
     # streaming family (EMIT CHANGES, custom stateful, stream-stream join).
     # streaming_late_data_policy subsumes streaming_hopping_window: the same

@@ -259,3 +259,12 @@ def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
     )
     cols = sorted(expected.columns)
     assert _rows(final, cols) == _rows(expected, cols)
+
+
+def test_streaming_hll_registers_equal_batch(spark, sf_small):
+    """Max registers are order-insensitive, so the drained streaming HLL
+    must equal the batch sketch register-for-register (and its DuckDB
+    oracle, which assert_query_matches checks)."""
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(spark, "streaming_hll_registers", sf_small)
