@@ -48,6 +48,7 @@ from .operators import (
 )
 from .plans import tpch
 from .sources import cdc
+from .sources import generator
 from .streaming import queries as stream_queries
 from .streaming import sinks as stream_sinks
 from .streaming import source as stream_source
@@ -4599,6 +4600,88 @@ def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval union via distinct covered positions; the DOUBLE fraction is
     one IEEE division on both engines."""
     return text.duplicate_span_coverage(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "synthetic_clickstream",
+    """
+    WITH RECURSIVE subj AS (
+      SELECT i AS user_id, i >= 30 AS is_bot
+      FROM unnest(generate_series(0, 39)) AS tt(i)),
+    walk(user_id, is_bot, t, state) AS (
+      SELECT user_id, is_bot, 0, 'main_page' FROM subj
+      UNION ALL
+      SELECT user_id, is_bot, t + 1,
+        CASE WHEN NOT is_bot THEN CASE state
+            WHEN 'main_page' THEN CASE WHEN u < 800000
+              THEN 'products_listing' ELSE 'product_page' END
+            WHEN 'products_listing' THEN CASE WHEN u < 900000
+              THEN 'product_page' ELSE 'main_page' END
+            WHEN 'product_page' THEN CASE WHEN u < 400000
+              THEN 'product_gallery' ELSE 'products_listing' END
+            ELSE CASE WHEN u < 900000
+              THEN 'product_gallery' ELSE 'product_page' END END
+        ELSE CASE state
+            WHEN 'main_page' THEN 'products_listing'
+            WHEN 'products_listing' THEN CASE WHEN u < 950000
+              THEN 'product_page' ELSE 'main_page' END
+            WHEN 'product_page' THEN CASE WHEN u < 800000
+              THEN 'product_gallery' ELSE 'products_listing' END
+            ELSE CASE WHEN u < 600000
+              THEN 'product_gallery' ELSE 'product_page' END END
+        END
+      FROM (
+        SELECT user_id, is_bot, t, state,
+               ('0x' || substr(md5('traffic:' || user_id || ':' || (t + 1)),
+                               1, 7))::UBIGINT::BIGINT % 1000000 AS u
+        FROM walk WHERE t < 60) w
+    )
+    SELECT user_id, CAST(t AS INT) AS tick,
+           CAST(1647352800000 + 1000 * t AS BIGINT) AS ts_ms,
+           state AS event, is_bot
+    FROM walk WHERE t >= 1
+    """,
+)
+def q_synthetic_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 parity: the reference's Markov clickstream generator
+    (traffic-generator/generator.py:36-163) as deterministic Spark
+    computation — 30 humans + 10 bots, one transition per 1-second tick
+    from the reference-shaped matrices, randomness md5-derived per
+    (user, tick). mapInPandas parallelizes over users (time stays local
+    to each subject — the honest Markov shape). The oracle replays the
+    EXACT same walk with a DuckDB recursive CTE, so every emitted event
+    of the 60-tick simulation hash-checks cross-engine."""
+    return generator.synthetic_clickstream(spark)
+
+
+@register(
+    "synthetic_users_profile",
+    """
+    WITH ids AS (SELECT i AS id FROM unnest(generate_series(0, 39)) tt(i)),
+    h AS (SELECT id, md5('user:' || id) AS hx FROM ids),
+    n AS (SELECT id,
+      ('0x' || substr(hx, 1, 2))::UBIGINT::BIGINT AS h1,
+      ('0x' || substr(hx, 3, 2))::UBIGINT::BIGINT AS h2,
+      ('0x' || substr(hx, 5, 2))::UBIGINT::BIGINT AS o1,
+      ('0x' || substr(hx, 7, 2))::UBIGINT::BIGINT AS o2,
+      ('0x' || substr(hx, 9, 2))::UBIGINT::BIGINT AS o3,
+      ('0x' || substr(hx, 11, 2))::UBIGINT::BIGINT AS o4
+      FROM h)
+    SELECT id, 'User_' || id AS name,
+      ['Windows','Linux','Android','iOS'][CAST(h1 % 4 + 1 AS INT)]
+        AS platform,
+      ['PL','DE','FR'][CAST(h2 % 3 + 1 AS INT)] AS country,
+      o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_address,
+      CAST(0 AS INT) AS nb_orders
+    FROM n
+    """,
+)
+def q_synthetic_users_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator's users-dimension row (generator.py:198-214) as pure
+    Catalyst md5 arithmetic: platform/country choice-list picks and IPv4
+    octets all come from digest bytes, so the dimension is bit-identical
+    on every engine and run — no random.choice anywhere."""
+    return generator.synthetic_users_profile(spark)
 
 
 @register("bpe_train_merges", None)  # iterative argmax loop: rows-only

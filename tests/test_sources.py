@@ -121,3 +121,47 @@ def test_range_bucket_join_handles_degenerate_intervals(spark):
         facts, intervals, ts_col="ts", start_col="s", end_col="e"
     ).collect()
     assert len(out) == 1 and str(out[0].s) == "2024-01-01 05:00:00"
+
+
+def test_synthetic_clickstream_markov_properties(spark):
+    """Generator parity checks: one event per (user, tick); bots leave
+    main_page deterministically (p=1.0 transition), humans split between
+    listing and product; all events come from the 4-state space."""
+    from tests.oracle import assert_query_matches
+
+    from streaming_ml_with_ksql_spark.sources import generator
+
+    df = generator.synthetic_clickstream(spark, n_users=40, n_bots=10, n_ticks=60)
+    rows = df.collect()
+    assert len(rows) == 40 * 60
+    states = {r.event for r in rows}
+    assert states <= {
+        "main_page", "products_listing", "product_page", "product_gallery"
+    }
+    first = {r.user_id: r.event for r in rows if r.tick == 1}
+    # every walk starts at main_page: bots must move to the listing
+    # (probability 1.0), humans to listing or product only
+    assert all(first[u] == "products_listing" for u in range(30, 40))
+    assert all(
+        first[u] in ("products_listing", "product_page") for u in range(30)
+    )
+    assert_query_matches(spark, "synthetic_clickstream", "/root/testdata/sf0.01")
+
+
+def test_clickstream_stream_equals_batch(spark, tmp_path):
+    """The streaming twin replays exactly the batch generator's events."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.sources import generator
+    from streaming_ml_with_ksql_spark.streaming import sinks as stream_sinks
+
+    stream = generator.clickstream_stream(
+        spark, str(tmp_path / "clicks"), n_users=12, n_bots=3, n_ticks=20
+    )
+    got = stream_sinks.run_to_memory(stream, "gen_clicks_test")
+    batch = generator.synthetic_clickstream(
+        spark, n_users=12, n_bots=3, n_ticks=20
+    )
+    a = sorted((r.user_id, r.tick, r.event) for r in got.collect())
+    b = sorted((r.user_id, r.tick, r.event) for r in batch.collect())
+    assert a == b
