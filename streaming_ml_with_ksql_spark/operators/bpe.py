@@ -67,9 +67,12 @@ FIXED_MERGES: tuple[tuple[str, str], ...] = (
 
 def _words(docs: DataFrame, text_col: str) -> DataFrame:
     """Corpus → one row per word occurrence (lowercased, whitespace
-    split, SEP scrubbed)."""
+    split, SEP scrubbed). Fanned out first (text._fan_out rationale):
+    tokenize/merge cost follows rows × chars, not input bytes."""
+    from .text import _fan_out
+
     cleaned = F.replace(F.lower(F.col(text_col)), F.lit(SEP), F.lit(""))
-    return docs.select(
+    return _fan_out(docs.select("doc_id", text_col)).select(
         F.col("doc_id"),
         F.explode(F.split(cleaned, r"\s+")).alias("w"),
     ).filter(F.length("w") > 0)

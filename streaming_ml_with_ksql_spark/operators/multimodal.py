@@ -102,9 +102,20 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
     payloads are synthesized — but they are GENUINE containers (PNG / WAV /
     AVI, stdlib encoders below), so the downstream decode stage exercises
     real parsers, not byte-derived fakes. Narrow Arrow map."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _attach_batches, schema="doc_id long, media_type string, payload binary"
     )
+
+
+def _fan_out(ids: DataFrame) -> DataFrame:
+    """Spread doc_ids across the configured shuffle parallelism before a
+    CPU-bound codec kernel (same rationale as text._fan_out: input
+    partitioning follows BYTES — one small parquet file, one partition —
+    but encode/decode cost follows ROWS). The shuffle moves only the
+    8-byte ids, never payloads; at production scale the scan already has
+    many partitions and the round-robin is a cheap rebalance."""
+    n = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return ids.repartition(n)
 
 
 def _decode_compressed(doc_id: int, media_type: str, payload: bytes) -> dict:
@@ -350,7 +361,7 @@ def synthesize_wav_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'audio/wav', genuine RIFF/WAVE payload bytes).
     Narrow Arrow map; the per-row Python loop is the encoder boundary,
     exactly where a real media transcode would run."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _wav_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 
@@ -517,7 +528,7 @@ def _bmp_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def synthesize_bmp_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'image/bmp', genuine BMP payload bytes)."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _bmp_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 
@@ -825,7 +836,7 @@ def _png_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def synthesize_png_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'image/png', genuine PNG payload bytes)."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _png_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 
@@ -1007,7 +1018,7 @@ def _avi_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def synthesize_avi_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'video/avi', genuine RIFF/AVI payload bytes)."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _avi_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 
@@ -1308,7 +1319,7 @@ def _mp4_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def synthesize_mp4_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'video/mp4', genuine ISO BMFF payload bytes)."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _mp4_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 
@@ -1771,7 +1782,7 @@ def _jpeg_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 def synthesize_jpeg_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, 'image/jpeg', genuine baseline JFIF bytes)."""
-    return documents.select("doc_id").mapInPandas(
+    return _fan_out(documents.select("doc_id")).mapInPandas(
         _jpeg_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA
     )
 

@@ -1196,7 +1196,8 @@ def duplicate_span_positions(
     """
     toks = tokens_col(F.col("text"))
     grams = (
-        documents.select("doc_id", toks.alias("t"))
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= k)
         .select(
             "doc_id",

@@ -290,12 +290,19 @@ def test_bpe_expression_path_stays_jvm(spark):
 
 
 def test_jpeg_decode_is_narrow_map(spark):
-    """Codec kernels are narrow Arrow maps: exactly one scan feeding
-    MapInPandas stages, and no Exchange anywhere (decode must not
-    shuffle payload bytes)."""
+    """Codec kernels are narrow Arrow maps: the ONLY exchange allowed is
+    the CPU-aware round-robin fan-out of the 8-byte doc_ids BEFORE the
+    encode kernel — payload bytes, once synthesized, must never
+    shuffle."""
     plan = _explain(spark, "multimodal_jpeg_decode", "simple")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1 and "RoundRobin" in exchanges[0], exchanges
+    # the fan-out sits below the payload synthesis: nothing between the
+    # two MapInPandas stages shuffles
+    assert plan.index("Exchange") > plan.rindex("MapInPandas")
 
 
 def test_star_contraction_edges_stay_partitioned(spark):
