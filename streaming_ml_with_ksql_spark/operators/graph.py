@@ -62,10 +62,14 @@ def _star_contract(
     forest's (u, label) frame. Every intermediate is localCheckpointed —
     same lineage-truncation rationale as the propagation loop."""
     rounds = 0
+    prev_count = None
     for _ in range(max_iter):
         rounds += 1
         # large-star: symmetric neighborhoods; every neighbor v > u hangs
         # onto m(u) = min(Γ(u) ∪ {u}). m ≤ u < v keeps the u > v invariant.
+        # Not checkpointed: small-star consumes it within the same round,
+        # so the lineage stays two operators deep — one materialization
+        # per round, not two.
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
             sym.repartition(loop_parts, "u")
@@ -80,15 +84,10 @@ def _star_contract(
             .filter(F.col("u") != F.col("v"))
             .repartition(loop_parts, "u")
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # small-star: group by the larger endpoint u (all its targets are
         # smaller); u and every smaller neighbor hang onto min(Γ⁻(u)).
-        mins2 = (
-            large.repartition(loop_parts, "u")
-            .groupBy("u")
-            .agg(F.min("v").alias("m"))
-        )
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         stepped = (
             large.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -100,11 +99,14 @@ def _star_contract(
         )
         # Deterministic fixed-point test (not a probabilistic checksum):
         # same cardinality + empty one-way difference ⇔ identical sets.
+        # The count compare is a free precheck — when cardinality moved,
+        # the frames cannot be equal and the exceptAll job is skipped.
+        n = stepped.count()
         converged = (
-            stepped.count() == e.count()
+            n == (prev_count if prev_count is not None else e.count())
             and stepped.exceptAll(e).isEmpty()
         )
-        e = stepped
+        e, prev_count = stepped, n
         if converged:
             break
     if stats is not None:

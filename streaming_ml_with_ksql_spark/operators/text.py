@@ -1215,20 +1215,21 @@ def duplicate_span_positions(
         )
         .select("doc_id", "s.pos", "s.gram_md5")
     )
-    stats = (
-        grams.groupBy("gram_md5")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.count_distinct("doc_id").alias("n_docs"),
-        )
+    # Annotate occurrences via WINDOWS over one gram_md5 shuffle instead
+    # of a stats-groupBy + self-join: the join form recomputes the whole
+    # tokenize→explode→md5 scan on both sides (measured 3x the cost at
+    # sf0.1); here every gram row is shuffled exactly once. Distinct-doc
+    # count rides a dense_rank (windows don't take count(DISTINCT)).
+    from pyspark.sql import Window
+
+    by_gram = Window.partitionBy("gram_md5")
+    ranked = Window.partitionBy("gram_md5").orderBy("doc_id")
+    return (
+        grams.withColumn("__rk", F.dense_rank().over(ranked))
+        .withColumn("n_docs", F.max("__rk").over(by_gram).cast("int"))
+        .withColumn("n_occurrences", F.count(F.lit(1)).over(by_gram).cast("int"))
         .filter(F.col("n_docs") >= min_docs)
-    )
-    return grams.join(stats, "gram_md5").select(
-        "doc_id",
-        "pos",
-        "gram_md5",
-        F.col("n_docs").cast("int").alias("n_docs"),
-        F.col("n_occurrences").cast("int").alias("n_occurrences"),
+        .select("doc_id", "pos", "gram_md5", "n_docs", "n_occurrences")
     )
 
 
