@@ -133,7 +133,44 @@ class KsqlCompat:
         if re.match(r"SELECT ", flat, re.IGNORECASE):
             return self._run_select(flat)
 
+        m = re.match(r"SHOW (STREAMS|TABLES)$", flat, re.IGNORECASE)
+        if m:
+            return self._show(m.group(1).upper())
+
+        m = re.match(r"DESCRIBE (\w+)$", flat, re.IGNORECASE)
+        if m:
+            return self._describe(m.group(1))
+
         raise ValueError(f"unsupported statement shape: {flat[:80]}...")
+
+    def _show(self, kind: str) -> DataFrame:
+        """SHOW STREAMS / SHOW TABLES: one row per registered relation —
+        a TABLE is a keyed latest-per-key materialization, a STREAM is
+        everything else (the engine's batch/stream duality means both may
+        be continuous)."""
+        rows = [
+            (
+                rel.name.upper(),
+                rel.key,
+                rel.ts_col,
+                bool(rel.df.isStreaming),
+            )
+            for rel in self.relations.values()
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, key string, timestamp_col string, is_streaming boolean"
+        )
+
+    def _describe(self, name: str) -> DataFrame:
+        """DESCRIBE <relation>: one row per column (name, type), matching
+        the shape of ksqlDB's field listing."""
+        rel = self.relations.get(name.lower())
+        if rel is None:
+            raise KeyError(f"unknown relation {name!r}")
+        return self.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in rel.df.schema.fields],
+            "field string, type string",
+        )
 
     # ------------------------------------------------------------------
     # DDL over topics

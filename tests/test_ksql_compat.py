@@ -161,6 +161,16 @@ def test_predict_statement_matches_whole_frame_scoring(engine, spark):
     assert vals & {"bot", "user"}
 
 
+def test_show_and_describe_statements(engine):
+    shows = {r.name: r for r in engine.execute("SHOW STREAMS;").collect()}
+    assert {"USERS_STREAM", "USERS", "EVENTS", "EVENTS_IN_10_MINUTES_WINDOW"} <= set(
+        shows
+    )
+    assert shows["USERS"].key == "id"
+    desc = {r.field: r.type for r in engine.execute("DESCRIBE events;").collect()}
+    assert desc["user_id"] == "bigint" and desc["event"] == "string"
+
+
 def test_tumbling_and_session_window_statements(engine, spark, topics):
     """WINDOW TUMBLING / WINDOW SESSION clauses + the WINDOWSTART/WINDOWEND
     pseudo-columns must translate to window()/session_window() grouping
