@@ -87,3 +87,47 @@ def test_dedup_cost_tracks_true_duplication_not_corpus_squared(spark, sf_medium)
     # linear envelope: MULT x data / MULT x edges should cost ~MULT x plus
     # fixed overhead; a pairs-quadratic regression costs ~MULT^2 x.
     assert t4 <= 1.5 * MULT * t1 + 15.0, (t1, t4)
+
+
+@pytest.mark.slow
+def test_duplicate_span_structure_replicates_linearly(spark, sf_medium):
+    """The span index under MULT× replication: the alphabet rotation is a
+    token bijection, so every within-replica duplicate 8-gram maps
+    bijectively — per-document coverage replicates EXACTLY as a multiset,
+    total duplicated positions scale ×MULT, and no duplicate gram may
+    span replicas. A quadratic (cross-replica) regression would break the
+    gram-frequency invariant immediately."""
+    docs1 = io_mod.load_table(spark, sf_medium, "documents").localCheckpoint(
+        eager=True
+    )
+    big = _replica(docs1, 0)
+    for i in range(1, MULT):
+        big = big.unionByName(_replica(docs1, i))
+    docs4 = big.localCheckpoint(eager=True)
+
+    cov1 = sorted(
+        (r.n_tokens, r.dup_positions)
+        for r in text.duplicate_span_coverage(docs1).collect()
+    )
+    t0 = time.perf_counter()
+    cov4 = sorted(
+        (r.n_tokens, r.dup_positions)
+        for r in text.duplicate_span_coverage(docs4).collect()
+    )
+    t4 = time.perf_counter() - t0
+    assert cov4 == sorted(cov1 * MULT)
+
+    # no duplicate gram spans replicas: every position's gram frequency
+    # is replica-local, so n_docs of every span is unchanged at MULT x
+    span1 = text.duplicate_span_positions(docs1)
+    span4 = text.duplicate_span_positions(docs4)
+    a = sorted(
+        (r.doc_id % ID_STEP, r.pos, r.n_docs, r.n_occurrences)
+        for r in span1.collect()
+    )
+    b = sorted(
+        (r.doc_id % ID_STEP, r.pos, r.n_docs, r.n_occurrences)
+        for r in span4.filter(F.col("doc_id") < ID_STEP).collect()
+    )
+    assert a == b
+    assert t4 < 120.0, t4  # sanity ceiling; 4x corpus, window single-shuffle
