@@ -1006,6 +1006,7 @@ def pack_sequences(
     budget: int = 2048,
     num_shards: int = 8,
     salt: str = "pack",
+    token_count=None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: documents are laid out in a
     deterministic pseudo-random order inside hash shards, and each doc is
@@ -1020,8 +1021,16 @@ def pack_sequences(
     keyed by shard, one per-shard sort window for the running token sum.
     At 100 TB set num_shards ≫ executor count so every shard's sort fits
     in memory; packs then map 1:1 onto loader shard files.
+
+    ``token_count``: optional Column overriding the whitespace token
+    counter — pass a real tokenizer's per-doc count (e.g. a joined BPE
+    subword total) so packs reflect what the trainer actually consumes.
     """
-    tok_n = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
+    tok_n = (
+        token_count
+        if token_count is not None
+        else F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    ).cast("bigint")
     h = _hash_bucket(F.col("doc_id"), salt=salt, mod=1 << 28)
     base = documents.select(
         "doc_id", tok_n.alias("n_tokens"), h.alias("h")
@@ -1260,4 +1269,58 @@ def duplicate_span_coverage(
         (F.coalesce("dup_positions", F.lit(0)) / F.col("n_tokens")).alias(
             "dup_fraction"
         ),
+    )
+
+
+def passage_dedup_stats(
+    documents: DataFrame, *, tokens_per_passage: int = 32
+) -> DataFrame:
+    """EXACT passage-granularity deduplication (the RefinedWeb/FineWeb
+    preprocessing stage between span detection and whole-doc dropping):
+    documents split into fixed 32-token passages, each passage md5-keyed,
+    and duplicates resolved KEEP-FIRST globally — the canonical occurrence
+    is the minimum (doc_id, passage_id). Emits the per-document retention
+    accounting that decides how much of each doc survives passage dedup.
+
+    Scale shape: one narrow pass emits (digest, doc, passage) — constant-
+    width md5 keys, never passage text — then ONE digest-keyed window
+    picks winners and one doc aggregation folds the stats. Same
+    single-shuffle discipline as duplicate_span_positions."""
+    from pyspark.sql import Window
+
+    p = tokens_per_passage
+    toks = tokens_col(F.col("text"))
+    n_pass = F.ceil(F.size("t") / F.lit(p)).cast("int")
+    passages = (
+        _fan_out(documents.select("doc_id", "text"))
+        .select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_pass - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("passage_id"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("t", i * p + 1, F.lit(p)))
+                        ).alias("digest"),
+                        F.least(F.lit(p), F.size("t") - i * p)
+                        .cast("int")
+                        .alias("n_tokens"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.passage_id", "s.digest", "s.n_tokens")
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id", "passage_id")
+    kept = passages.withColumn("rn", F.row_number().over(w))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_passages"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("int")
+        .alias("kept_passages"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("int")
+        .alias("kept_tokens"),
     )

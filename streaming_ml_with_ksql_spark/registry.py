@@ -4684,6 +4684,93 @@ def q_synthetic_users_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generator.synthetic_users_profile(spark)
 
 
+@register(
+    "passage_dedup_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id, CAST(i AS INT) AS passage_id,
+             md5(array_to_string(t[i*32+1 : i*32+32], ' ')) AS digest,
+             least(32, len(t) - i*32) AS n_tokens
+      FROM toks,
+           unnest(generate_series(0,
+             CAST(ceil(len(t) / 32.0) AS BIGINT) - 1)) u(i)),
+    k AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY doc_id, passage_id) AS rn
+      FROM p)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_passages,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+             AS kept_passages,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS INT)
+             AS kept_tokens
+    FROM k GROUP BY 1
+    """,
+)
+def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT passage-granularity dedup (the RefinedWeb-style stage between
+    span detection and whole-doc dropping): fixed 32-token passages,
+    md5-keyed, duplicates resolved KEEP-FIRST by global (doc_id,
+    passage_id) order; per-doc retention accounting. One digest-keyed
+    window shuffle; the oracle replays the identical keep-first
+    resolution, so retention counts hash-check exactly."""
+    return text.passage_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_pack_oracle() -> str:
+    """Compose the BPE token-count chain with the pack layout oracle: the
+    per-doc subword total (replace cascade) drives the same salted-hash
+    shard + prefix-sum pack assignment corpus_pack_sequences states."""
+    expr = r"rtrim(regexp_replace(w, '(.)', '\1' || chr(1), 'g'), chr(1))"
+    for a, b in bpe.FIXED_MERGES:
+        expr = f"replace({expr}, '{a}' || chr(1) || '{b}', '{a}{b}')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents),
+    t2 AS (
+      SELECT doc_id, len(string_split({expr}, chr(1))) AS n_toks
+      FROM toks WHERE len(w) > 0),
+    bc AS (
+      SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM t2 GROUP BY 1),
+    h AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 268435456 AS h
+      FROM bc),
+    c AS (
+      SELECT doc_id, h % 8 AS shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY h % 8
+                                      ORDER BY h, doc_id) AS BIGINT) AS cum
+      FROM h)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset
+    FROM c
+    """
+
+
+@register("corpus_bpe_pack", _bpe_pack_oracle())
+def q_corpus_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by the REAL tokenizer: per-doc BPE subword
+    totals (the whole-stage-codegen replace cascade) feed
+    pack_sequences's salted-shard prefix-sum layout — packs reflect what
+    the trainer actually consumes, not whitespace proxies. The oracle
+    composes the two independently-verified chains and the full layout
+    (shard, pack_id, start_offset) hash-checks."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe.bpe_tokenize(docs, bpe.FIXED_MERGES)
+    return text.pack_sequences(
+        docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        token_count=F.col("n_bpe_tokens"),
+    )
+
+
 @register("bpe_train_merges", None)  # iterative argmax loop: rows-only
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary TRAINING (operators/bpe.py): the corpus

@@ -163,3 +163,54 @@ def test_duplicate_span_coverage_interval_union(spark):
     assert cov[1].dup_positions == 12 and cov[1].dup_fraction == 1.0
     assert cov[2].dup_positions == 12
     assert cov[3].dup_positions == 0
+
+
+def test_passage_dedup_keep_first_semantics(spark):
+    """Two docs opening with the same 32 tokens: the lower doc_id keeps
+    the passage, the higher drops it; unique tails always survive; a doc
+    made ENTIRELY of another doc's passages retains zero tokens."""
+    from streaming_ml_with_ksql_spark.operators import text as t
+
+    block = " ".join(f"w{i}" for i in range(32))
+    d1 = block + " unique tail one"
+    d2 = block + " different ending here indeed"
+    d3 = block  # exactly one passage, fully duplicated
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in t.passage_dedup_stats(df).collect()}
+    assert got[1].n_passages == 2 and got[1].kept_passages == 2
+    assert got[1].kept_tokens == 35
+    # doc 2 loses the shared block but keeps its 4-token tail passage
+    assert got[2].n_passages == 2 and got[2].kept_passages == 1
+    assert got[2].kept_tokens == 4
+    assert got[3].n_passages == 1 and got[3].kept_passages == 0
+    assert got[3].kept_tokens == 0
+
+
+def test_bpe_pack_layout_consistent_with_counts(spark, sf_small):
+    """corpus_bpe_pack's offsets must be the prefix sums of the SAME BPE
+    counts bpe_tokenize reports, within each shard's salted order."""
+    from streaming_ml_with_ksql_spark import registry
+    from streaming_ml_with_ksql_spark.operators import bpe
+
+    sio = __import__(
+        "streaming_ml_with_ksql_spark.io", fromlist=["load_table"]
+    )
+    docs = sio.load_table(spark, sf_small, "documents")
+    counts = {
+        r.doc_id: r.n_bpe_tokens for r in bpe.bpe_tokenize(docs).collect()
+    }
+    packed = registry._REGISTRY["corpus_bpe_pack"].spark(spark, sf_small).collect()
+    assert {r.doc_id for r in packed} == set(counts)
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert r.n_tokens == counts[r.doc_id]
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.start_offset)
+        run = 0
+        for r in rows:
+            assert r.start_offset == run
+            assert r.pack_id == run // 2048
+            run += r.n_tokens

@@ -47,6 +47,8 @@ NORTHSTAR_ORACLED = [
     "multimodal_jpeg_decode",
     "duplicate_span_positions",
     "duplicate_span_coverage",
+    "passage_dedup_stats",
+    "corpus_bpe_pack",
 ]
 
 
