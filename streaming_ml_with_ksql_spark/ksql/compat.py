@@ -265,6 +265,7 @@ class KsqlCompat:
 
     def _translate_select(self, select: str) -> tuple[DataFrame, _Relation | None]:
         sql = re.sub(r"\s+EMIT CHANGES\s*$", "", select, flags=re.IGNORECASE)
+        restore_view: _Relation | None = None
 
         # source relation (for rowtime/window translation)
         m = re.search(r"\bFROM (\w+)", sql, re.IGNORECASE)
@@ -309,6 +310,14 @@ class KsqlCompat:
                     raise ValueError(f"WINDOW {kind}: cannot parse ({body})")
                 return f"{dm.group(1)} {_UNIT[dm.group(2).upper()]}"
 
+            # GRACE PERIOD = how long to admit late events before a
+            # window finalizes — KSQL's spelling of the watermark delay.
+            # On a streaming source it becomes withWatermark; on a batch
+            # snapshot every event is "on time" and it is a no-op.
+            gm = re.search(r"GRACE PERIOD (\d+) (\w+)", body, re.IGNORECASE)
+            grace = (
+                f"{gm.group(1)} {_UNIT[gm.group(2).upper()]}" if gm else None
+            )
             if kind == "HOPPING":
                 size = dur(r"SIZE (\d+) (\w+)")
                 slide = dur(r"ADVANCE BY (\d+) (\w+)")
@@ -317,10 +326,19 @@ class KsqlCompat:
                 size = dur(r"SIZE (\d+) (\w+)")
                 win, win_col = f"window({src.ts_col}, '{size}')", "window"
             else:  # SESSION (gap has no SIZE keyword)
-                gap = dur(r"(\d+) (\w+)")
+                gap = dur(r"(?:SIZE )?(\d+) (\w+)")
                 win, win_col = (
                     f"session_window({src.ts_col}, '{gap}')",
                     "session_window",
+                )
+            if grace is not None and src.df.isStreaming:
+                # swap the source view for its watermarked form for THIS
+                # statement only; restored after analysis (spark.sql
+                # resolves views eagerly, so later statements see the
+                # original ungated relation again — see finally below)
+                restore_view = src
+                src.df.withWatermark(src.ts_col, grace).createOrReplaceTempView(
+                    src.name
                 )
             sql = sql[: m.start()] + " " + sql[m.end():]
             sql = re.sub(
@@ -384,6 +402,15 @@ class KsqlCompat:
         )
 
         # predict(...) → placeholder columns + whole-frame scoring
+        try:
+            return self._finish_select(sql, src)
+        finally:
+            if restore_view is not None:
+                restore_view.df.createOrReplaceTempView(restore_view.name)
+
+    def _finish_select(
+        self, sql: str, src: _Relation | None
+    ) -> tuple[DataFrame, _Relation | None]:
         pred = _extract_predict(sql)
         if pred is not None:
             sql, model_name, str_expr, int_expr, alias = pred

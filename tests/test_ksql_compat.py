@@ -267,6 +267,43 @@ def test_offset_aggregates_and_topk(spark):
     assert got[1].nde == 3 and got[2].nde == 2
 
 
+def test_grace_period_maps_to_watermark_and_is_statement_scoped(spark, tmp_path):
+    """WINDOW ... GRACE PERIOD n U on a STREAMING source must inject
+    withWatermark(ts, 'n u') into that statement's plan — and ONLY that
+    statement's: the relation's registered view is restored afterwards,
+    so a follow-up query sees no watermark. On batch sources GRACE is a
+    no-op by definition (every event is on time)."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark.streaming import source as stream_source
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i % 4, t0 + dt.timedelta(minutes=i), "main_page") for i in range(40)],
+        "user_id long, ts timestamp, event string",
+    )
+    d = str(tmp_path / "grace_events")
+    stream_source.shard_table_to_dir(ev, d, num_shards=2, order_col="ts")
+    stream = stream_source.stream_parquet_dir(spark, d)
+    ksql = KsqlCompat(spark, {"gev": (stream, "ts")})
+    ksql.execute("CREATE STREAM gevents WITH (KAFKA_TOPIC='gev', TIMESTAMP='ts');")
+    created = ksql.execute(
+        "CREATE TABLE g_counts AS SELECT user_id, count(*) AS n FROM gevents "
+        "WINDOW TUMBLING (SIZE 10 MINUTES, GRACE PERIOD 3 MINUTES) "
+        "GROUP BY user_id;"
+    )
+    assert created.isStreaming
+    plan = created._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "3 minutes" in plan
+    # statement-scoped: the next windowed statement WITHOUT grace carries
+    # no watermark node
+    plain = ksql.execute(
+        "CREATE TABLE g_counts2 AS SELECT user_id, count(*) AS n FROM gevents "
+        "WINDOW TUMBLING (SIZE 10 MINUTES) GROUP BY user_id;"
+    )
+    assert "EventTimeWatermark" not in plain._jdf.queryExecution().analyzed().toString()
+
+
 def test_runbook_hopping_statement_through_file_stream(engine, spark, topics, tmp_path):
     """Batch/stream duality of the compat layer: the SAME verbatim runbook
     statements (STMT_EVENTS + STMT_HOPPING), executed against a topic bound
