@@ -2572,6 +2572,16 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_topk_pq", None)  # approximate: rows-only check
+def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the corpus-COMPRESSING index family:
+    8x16 codebooks shrink 64-double vectors to 8 small ints, queries scan
+    codes via broadcast ADC tables with partition-local pruning, exact
+    cosine re-ranks the shortlist). No SQL oracle — approximate by
+    design; recall vs brute force pinned in tests/test_similarity.py."""
+    return similarity.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "streaming_interval_join",
     """

