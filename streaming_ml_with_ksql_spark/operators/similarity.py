@@ -770,3 +770,178 @@ def pq_topk(
             "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
         )
     )
+
+
+def _exact_rerank(shortlist: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Join raw embeddings back onto an ANN candidate shortlist and keep
+    the exact-cosine top-k per query (the shared tail of the PQ paths)."""
+    rer = (
+        shortlist.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 8,
+    train_sample: int = 2048,
+    rerank_factor: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ — the classic billion-scale composition (Jégou et al.,
+    TPAMI 2011): the IVF coarse quantizer restricts WHICH vectors a query
+    scans (n_probe of n_centroids cells), and product quantization of the
+    RESIDUAL (vector minus its cell centroid) decides how cheaply each
+    scanned vector is scored (m byte-codes + ADC table lookups).
+
+    Distribution of labor: KMeans cells + residual PQ codes are a
+    write-once distributed index (one narrow encode kernel under
+    broadcast codebooks); at query time every (query, probed-cell) pair's
+    exact ADC table is built driver-side from the bounded centroid list
+    and broadcast, and one kernel scan over the coded corpus emits
+    partition-local shortlists. Exact cosine re-ranks. Approximate —
+    recall vs brute force pinned in tests."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    with_vec = emb.withColumn("__vec", array_to_vector("embedding"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__vec", predictionCol="__cell"
+    ).fit(with_vec)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(with_vec).select(
+        "vec_id", "embedding", F.col("__cell").alias("cell")
+    )
+
+    spark = emb.sparkSession
+    n_total = emb.count()
+    stride = max(1, n_total // train_sample)
+    sample_rows = (
+        assigned.filter(F.pmod("vec_id", F.lit(stride)) == 0)
+        .orderBy("vec_id")
+        .limit(train_sample)
+        .collect()
+    )
+    resid = np.array(
+        [np.array(r.embedding) - centers[r.cell] for r in sample_rows]
+    )
+    books = _pq_train_codebooks(resid, m, ksub, n_iter, seed)
+    dim = centers.shape[1]
+    d_sub = dim // m
+    bc = spark.sparkContext.broadcast((books, centers))
+
+    def _encode(batches):
+        import numpy as _np
+
+        bk, cent = bc.value
+        for pdf in batches:
+            mat = _np.array(list(pdf["embedding"]))
+            res = mat - cent[pdf["cell"].to_numpy()]
+            codes = _np.empty((len(pdf), m), dtype=_np.int32)
+            for j in range(m):
+                xj = res[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((xj[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    coded = _fan_out(assigned).mapInPandas(
+        _encode, schema="vec_id long, cell int, codes array<int>"
+    )
+
+    # driver-side probe plan + per-(query, cell) residual ADC tables —
+    # all bounded: n_queries x n_probe x m x ksub floats
+    q_rows = emb.filter(F.col("vec_id") < n_queries).collect()
+    cell_tables: dict = {}
+    for r in q_rows:
+        q = np.array(r.embedding)
+        cd = ((centers - q[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(cd, kind="stable")[:n_probe]:
+            qr = q - centers[cell]
+            table = np.empty((m, ksub))
+            for j in range(m):
+                qj = qr[j * d_sub : (j + 1) * d_sub]
+                table[j] = ((books[j] - qj[None, :]) ** 2).sum(axis=1)
+            cell_tables.setdefault(int(cell), []).append((int(r.vec_id), table))
+    bc_probe = spark.sparkContext.broadcast(cell_tables)
+    keep = k * rerank_factor
+
+    def _scan(batches):
+        import numpy as _np
+
+        probe = bc_probe.value
+        for pdf in batches:
+            codes = _np.array(list(pdf["codes"]))
+            cells = pdf["cell"].to_numpy()
+            nid = pdf["vec_id"].to_numpy()
+            rows = []
+            for cell, queries in probe.items():
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                c_codes, c_nid = codes[mask], nid[mask]
+                for q, table in queries:
+                    dist = table[_np.arange(m)[None, :], c_codes].sum(axis=1)
+                    ok = c_nid != q
+                    d, nn = dist[ok], c_nid[ok]
+                    top = _np.argsort(d, kind="stable")[:keep]
+                    for t in top:
+                        rows.append((int(q), int(nn[t]), float(d[t])))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "adc_dist"]
+            )
+
+    cands = coded.mapInPandas(
+        _scan, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cands.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= keep
+    )
+    return _exact_rerank(shortlist, emb, k)

@@ -2572,6 +2572,16 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_topk_ivfpq", None)  # approximate: rows-only check
+def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the classic billion-scale composition: coarse KMeans cells
+    restrict WHICH vectors each query scans, residual product-quantization
+    codes decide how cheaply each is scored (broadcast per-(query,cell)
+    ADC tables, partition-local prune, exact re-rank). Rows-only —
+    approximate by design; recall pinned in tests/test_similarity.py."""
+    return similarity.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("embedding_topk_pq", None)  # approximate: rows-only check
 def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the corpus-COMPRESSING index family:

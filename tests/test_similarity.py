@@ -186,3 +186,24 @@ def test_pq_recall_vs_brute_force_and_code_compression(spark, sf_medium):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"PQ recall too low: {recall:.2f}"
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_medium):
+    """IVF-PQ (4/16 cells probed, residual 8x16 codes, exact re-rank)
+    must recover a solid share of exact top-5 — slightly below plain PQ
+    by construction (cell restriction can exclude true neighbors), far
+    above chance."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall:.2f}"
