@@ -91,10 +91,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             # Exact integer arithmetic (`div 1000` — no double round-trip,
             # which would drift at 1.7e18 nanos).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "string":
+            # Defensive: a future testdata generation shipping ISO-text
+            # timestamps (the physical encoding has changed every round;
+            # round 2's bench died on such a shift). UTC session pinned
+            # above makes the parse deterministic.
+            df = df.withColumn(c, F.to_timestamp(F.col(c)))
+        elif dt == "date":
+            # date32 → midnight-UTC instant (exact; same rendering DuckDB
+            # applies when a DATE meets a timestamp function)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     # TIMESTAMP_NTZ → TIMESTAMP. _ensure_session_confs pinned the session
     # timezone to UTC, so this cast is an exact reinterpretation (naive value
     # == UTC instant) — identical rendering, window grids, and epoch math to

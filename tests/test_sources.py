@@ -165,3 +165,33 @@ def test_clickstream_stream_equals_batch(spark, tmp_path):
     a = sorted((r.user_id, r.tick, r.event) for r in got.collect())
     b = sorted((r.user_id, r.tick, r.event) for r in batch.collect())
     assert a == b
+
+
+def test_load_table_normalizes_alternate_ts_encodings(spark, tmp_path):
+    """The testdata's physical timestamp encoding has changed EVERY round
+    (nanos-bigint, then TIMESTAMP_NTZ); load_table must also survive the
+    other plausible shifts — ISO-text and date32 columns — and always
+    hand operators TimestampType."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark import io as sio
+
+    base = dt.datetime(2024, 5, 1, 12, 30, 15)
+    # string-encoded ts
+    d1 = str(tmp_path / "enc_str")
+    spark.createDataFrame(
+        [(1, base.strftime("%Y-%m-%d %H:%M:%S"), 7, "main_page", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).write.parquet(d1 + "/events.parquet")
+    got = sio.load_table(spark, d1, "events")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert got.first().ts == base
+    # date-encoded ts
+    d2 = str(tmp_path / "enc_date")
+    spark.createDataFrame(
+        [(1, base.date(), 7, "main_page", 1.0)],
+        "event_id long, ts date, user_id long, event_type string, value double",
+    ).write.parquet(d2 + "/events.parquet")
+    got2 = sio.load_table(spark, d2, "events")
+    assert dict(got2.dtypes)["ts"] == "timestamp"
+    assert got2.first().ts == dt.datetime(2024, 5, 1)
