@@ -20,6 +20,9 @@ KSQL parser. Each construct maps Spark-first:
 | ARRAYCONTAINS / COUNT_DISTINCT         | array_contains / count(distinct)  |
 | LATEST_BY_OFFSET / EARLIEST_BY_OFFSET  | max_by / min_by on event time     |
 | TOPK(x, k)                             | slice(sort_array(collect_list))   |
+| GRACE PERIOD n U                       | statement-scoped withWatermark    |
+| INSERT INTO s SELECT ...               | relation := unionByName append    |
+| SHOW STREAMS/TABLES, DESCRIBE r        | registered-relation introspection |
 | t.rowkey pseudo-column                 | t's recorded key column           |
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |
