@@ -64,6 +64,21 @@ __all__ = ["KsqlCompat"]
 
 _PUSH_SEQ = itertools.count()
 
+
+def _plan_has_node(jplan, names: set[str]) -> bool:
+    """True if the analyzed logical plan contains a node whose nodeName
+    is in ``names`` — a real tree walk over the JVM plan (children are a
+    Scala Seq), immune to string-render false positives."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in names:
+            return True
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return False
+
 _UNIT = {
     "SECOND": "second", "SECONDS": "seconds",
     "MINUTE": "minute", "MINUTES": "minutes",
@@ -272,9 +287,15 @@ class KsqlCompat:
             # the plan through a memory sink. Aggregating plans run in
             # complete mode — the full changelog table, KSQL's
             # every-refinement semantics; pure row-wise/join plans append.
+            # Mode is decided by walking the analyzed plan for genuine
+            # Aggregate nodes (ADVICE r4: a substring match on the plan's
+            # string render misfires on aliases containing 'Aggregate',
+            # dedup plans, or renderer changes).
             mode = (
                 "complete"
-                if "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+                if _plan_has_node(
+                    df._jdf.queryExecution().analyzed(), {"Aggregate"}
+                )
                 else "append"
             )
             return stream_sinks.run_to_memory(

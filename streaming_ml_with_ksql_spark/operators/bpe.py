@@ -17,12 +17,19 @@ Scale design:
   chosen pair — a driver action over one row, not a corpus collect), and
   ONE column rewrite; the frame is localCheckpointed per round to keep
   the iterative lineage flat (same rationale as operators/graph.py).
-- Applying a learned merge table is pure Catalyst: the word's symbol
-  sequence is a SEP-joined string and each merge is one replace() —
-  whole-stage codegen, zero Python in the hot path. JVM replace() scans
-  left-to-right non-overlapping, which is exactly the BPE merge-apply
-  semantics, and DuckDB's replace() agrees — that equivalence is what
-  makes the fixed-merge tokenizer exactly ORACLE-able cross-engine.
+- Applying a learned merge table is pure Catalyst: every symbol is
+  individually DELIMITED as SEP+s+SEP (word 'ab' → '␁a␁␁b␁') and each
+  merge (a,b) is one replace(SEP+a+SEP + SEP+b+SEP → SEP+ab+SEP) —
+  whole-stage codegen, zero Python in the hot path. The full wrapping
+  matters: a bare a+SEP+b pattern would also fire when a prior
+  multi-char symbol merely ENDS with 'a' (merges (t,h),(th,e),(e,r)
+  must NOT turn 'there' → [the,r,e] into one token via the spurious
+  'e␁r' inside '…the␁r…'); with whole-symbol delimiters the pattern
+  can only match two complete adjacent symbols. JVM replace() scans
+  left-to-right non-overlapping, which with this encoding is exactly
+  the BPE merge-apply semantics, and DuckDB's replace() agrees — that
+  equivalence is what makes the fixed-merge tokenizer exactly
+  ORACLE-able cross-engine.
 - For production-size vocabs (32k merges) a chain of 32k string
   expressions is not a plan Catalyst should analyze; the Arrow kernel
   twin (bpe_tokenize_kernel) applies the merge list per distinct word
@@ -79,17 +86,31 @@ def _words(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _char_sep(col) -> F.Column:
-    """Word → SEP-joined character sequence ('the' → 't\\x01h\\x01e')."""
-    return F.rtrim(F.regexp_replace(col, "(.)", "$1" + SEP), F.lit(SEP))
+    """Word → per-symbol delimited sequence: each character wrapped as
+    SEP+c+SEP ('the' → '␁t␁␁h␁␁e␁'). Whole-symbol delimiters keep merge
+    patterns from matching across a multi-char symbol's boundary."""
+    return F.regexp_replace(col, "(.)", SEP + "$1" + SEP)
 
 
 def _merge_chain(col, merges) -> F.Column:
-    """Apply an ordered merge table to a SEP-joined symbol string — one
-    JVM replace() per merge, left-to-right non-overlapping."""
+    """Apply an ordered merge table to a symbol-delimited string — one
+    JVM replace() per merge, left-to-right non-overlapping. The pattern
+    SEP+a+SEP+SEP+b+SEP only matches two complete adjacent symbols
+    (never a suffix of a previously merged symbol), and the replacement
+    SEP+ab+SEP re-wraps the merged symbol so later merges see it whole."""
     s = col
     for a, b in merges:
-        s = F.replace(s, F.lit(a + SEP + b), F.lit(a + b))
+        s = F.replace(s, F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP))
     return s
+
+
+def _n_symbols(col) -> F.Column:
+    """Symbol count of a delimited string: every symbol carries exactly
+    two SEPs, so count = SEP occurrences / 2 — cheap length arithmetic,
+    expressible identically in DuckDB."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(SEP), F.lit("")))) / 2
+    ).cast("int")
 
 
 def train_bpe(
@@ -111,7 +132,9 @@ def train_bpe(
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        syms = F.split("s", SEP)
+        # split on SEP yields '' between/around the delimiters
+        # ('␁a␁␁b␁' → ['','a','','b','']); drop them to recover symbols
+        syms = F.filter(F.split("s", SEP), lambda x: x != F.lit(""))
         pairs = F.filter(
             F.transform(
                 syms,
@@ -134,7 +157,10 @@ def train_bpe(
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
         wc = wc.select(
-            F.replace("s", F.lit(a + SEP + b), F.lit(a + b)).alias("s"), "cnt"
+            F.replace(
+                "s", F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP)
+            ).alias("s"),
+            "cnt",
         ).localCheckpoint(eager=True)
     return merges
 
@@ -152,9 +178,7 @@ def bpe_tokenize(
     toks = _words(docs, text_col).select(
         "doc_id",
         F.length("w").alias("n_chars"),
-        F.size(F.split(_merge_chain(_char_sep(F.col("w")), merges), SEP)).alias(
-            "n_toks"
-        ),
+        _n_symbols(_merge_chain(_char_sep(F.col("w")), merges)).alias("n_toks"),
     )
     return toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_words"),

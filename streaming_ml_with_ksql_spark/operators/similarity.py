@@ -745,31 +745,7 @@ def pq_topk(
     shortlist = cands.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= keep
     )
-    rerank = (
-        shortlist.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")),
-            "neighbor_id",
-        )
-        .join(
-            emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
-        )
-    )
+    return _exact_rerank(shortlist, emb, k)
 
 
 def _exact_rerank(shortlist: DataFrame, emb: DataFrame, k: int) -> DataFrame:

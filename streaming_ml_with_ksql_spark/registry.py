@@ -1921,11 +1921,22 @@ def _replay_events_with_late(spark: SparkSession, sf_dir: str):
     return stream_source.stream_parquet_dir(spark, d, max_files_per_trigger=1)
 
 
+# ADVICE r4: the oracle derives from _HOPPING_ORACLE by substituting its
+# source relation; a silent replace() no-op (if the hopping FROM clause is
+# ever reworded) would fold late events back into the oracle and fail the
+# driver far from the cause — assert the substitution actually happened.
+_LATE_ORACLE_BODY = _HOPPING_ORACLE.replace("FROM events e", "FROM on_time e")
+assert "FROM on_time e" in _LATE_ORACLE_BODY, (
+    "streaming_late_data_policy oracle: _HOPPING_ORACLE no longer contains "
+    "'FROM events e' — update the source-relation substitution"
+)
+
+
 @register(
     "streaming_late_data_policy",
     f"""
     WITH on_time AS (SELECT * FROM events WHERE NOT ({_LATE_PRED_SQL}))
-    SELECT * FROM ({_HOPPING_ORACLE.replace("FROM events e", "FROM on_time e")}) r
+    SELECT * FROM ({_LATE_ORACLE_BODY}) r
     WHERE r.window_end <= (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
     """,
 )
@@ -4528,20 +4539,30 @@ def q_corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_tokens(_t(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle_sql() -> str:
-    """Build the DuckDB twin of the fixed-merge BPE apply chain: the same
-    ordered replace() cascade over the chr(1)-joined character form —
-    both engines' replace() scans left-to-right non-overlapping, which IS
-    the BPE merge-apply rule, so token counts match exactly."""
-    expr = r"rtrim(regexp_replace(w, '(.)', '\1' || chr(1), 'g'), chr(1))"
+def _bpe_chain_sql() -> str:
+    """DuckDB twin of the fixed-merge BPE apply chain over the
+    whole-symbol-delimited form (operators/bpe.py): each symbol is
+    wrapped chr(1)+s+chr(1), each merge replaces two complete adjacent
+    wrapped symbols — both engines' replace() scans left-to-right
+    non-overlapping, which with this encoding IS the BPE merge-apply
+    rule, so token counts match exactly (no cross-symbol-boundary
+    false matches: see the bpe.py module docstring)."""
+    expr = r"regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g')"
     for a, b in bpe.FIXED_MERGES:
-        expr = f"replace({expr}, '{a}' || chr(1) || '{b}', '{a}{b}')"
+        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
+        rep = f"chr(1) || '{a}{b}' || chr(1)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    # every symbol carries exactly two chr(1)s → count = SEPs // 2
+    return f"(len({expr}) - len(replace({expr}, chr(1), ''))) // 2"
+
+
+def _bpe_oracle_sql() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
       FROM documents),
     t2 AS (
-      SELECT doc_id, w, len(string_split({expr}, chr(1))) AS n_toks
+      SELECT doc_id, w, {_bpe_chain_sql()} AS n_toks
       FROM toks WHERE len(w) > 0)
     SELECT doc_id, CAST(count(*) AS INT) AS n_words,
            CAST(sum(len(w)) AS INT) AS n_chars,
@@ -4743,17 +4764,15 @@ def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_pack_oracle() -> str:
     """Compose the BPE token-count chain with the pack layout oracle: the
-    per-doc subword total (replace cascade) drives the same salted-hash
-    shard + prefix-sum pack assignment corpus_pack_sequences states."""
-    expr = r"rtrim(regexp_replace(w, '(.)', '\1' || chr(1), 'g'), chr(1))"
-    for a, b in bpe.FIXED_MERGES:
-        expr = f"replace({expr}, '{a}' || chr(1) || '{b}', '{a}{b}')"
+    per-doc subword total (whole-symbol-delimited replace cascade,
+    _bpe_chain_sql) drives the same salted-hash shard + prefix-sum pack
+    assignment corpus_pack_sequences states."""
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
       FROM documents),
     t2 AS (
-      SELECT doc_id, len(string_split({expr}, chr(1))) AS n_toks
+      SELECT doc_id, {_bpe_chain_sql()} AS n_toks
       FROM toks WHERE len(w) > 0),
     bc AS (
       SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens
@@ -5195,53 +5214,54 @@ def q_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation: ten slots whose families were proven green in
-    # CORRECTNESS_r03 (trivial scalar projections, tumbling≈hopping,
-    # keep-min-id over verified minhash pairs, semi-join twin, rank-per-key,
-    # ANN brute baseline) yielded to ten never-driver-verdicted queries
-    # (point-in-time join, gap-fill, range-bucket join, corpus chunk/pack/
-    # PII, bloom prune, TPC-H Q21/Q7, the new PNG codec); four more
-    # r03-verdicted slots (doc_fingerprint, cms_heavy_hitters,
-    # dedup_exact_events, multimodal_audio_decode) then yielded to the
-    # round-4 operators (BPE subword accounting, first-principles HLL
-    # registers, duplicate-span coverage, baseline JPEG codec) — every
-    # family stays represented, historical verdicts stand in the r03
-    # record. Displaced queries stay fully supported + locally oracled in
-    # verify_driver's 140-query sweep.
+    # Round-5 rotation (the third): fourteen slots whose families hold
+    # r03/r04 driver verdicts (projection/cast, latest-per-key, rolling
+    # counts, lag/lead, TPC-H Q1/pivot/set-ops/correlated-avg/percentiles,
+    # text stats, token budget, corpus mixing, minhash+simhash pairs)
+    # yielded to fourteen queries that had NEVER held a driver verdict —
+    # including five whole families with no verdicted representative
+    # before this round: connected components (dedup_components_star),
+    # UDAF/UDTF (§2.6), the 26-scalar suite (P9), the synthetic traffic
+    # generators (S6/S7), and storage-layout pruning (z-order). Historical
+    # verdicts stand in the r03/r04 records; displaced queries remain
+    # fully supported + exactly oracled in verify_driver's full sweep.
     #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
     "hopping_window_agg",
     "session_window_agg",
-    # projection/scalar family rep (P1-P8; the scalar suite is local)
-    "projection_filter_cast",
-    # table-state family (A5-A7, lag/lead)
-    "latest_per_key",
-    "rolling_counts",
-    "lag_lead_features",
+    # projection/scalar family rep (P1-P9): the 26-scalar suite subsumes
+    # projection_filter_cast's projection/filter/cast shapes
+    "scalar_function_suite",
+    # §2.6 UDAF/UDTF (grouped-agg pandas median; lateral ngram UDTF)
+    "pandas_udaf_median",
+    "python_udtf_ngrams",
+    # dedup propagation family: star-contraction CC (Kiveris SoCC'14),
+    # never verdicted before r5; answer-identical propagation twin stays
+    # in the sweep
+    "dedup_components_star",
     # join family (J1-J4, skew, as-of, temporal, range-bucket, bloom;
     # the salted variant is answer-identical to enriched_window_join and
     # yields its slot)
     "enriched_window_join",
     "asof_view_attribution",
-    "point_in_time_join",
     "hot_window_events",
     "bloom_pruned_join",
-    # time-series family (gap-fill + LOCF)
+    # time-series family (gap-fill + LOCF; multi-resolution rollup chain)
     "hourly_gap_fill_locf",
-    # relational/TPC-H family (agg, top-k, rollup, pivot, anti join,
-    # set ops, correlated subquery, percentiles, NOT-EXISTS-chain Q21,
-    # multi-dim Q7, sketches)
-    "pricing_summary",
+    "multi_resolution_rollup",
+    # storage-layout family (z-order interleaved clustering; partition
+    # pruning of a partitioned+bucketed sink)
+    "zorder_layout",
+    "partitioned_sink_prune",
+    # relational/TPC-H family (top-k, rollup, anti join, NOT-EXISTS-chain
+    # Q21, multi-dim Q7, two-level-nested Q20, sketches)
     "shipping_priority",
     "returnflag_rollup",
-    "event_type_pivot",
     "customers_without_orders",
-    "key_set_ops",
-    "orders_above_customer_avg",
-    "order_value_percentiles",
     "waiting_suppliers",
     "volume_shipping",
+    "excess_part_suppliers",
     "hll_registers_exact",
     # ML scoring + runbook (U1-U3, W4). The hopping runbook is the oracled
     # runbook representative; the predictions runbook is model-backed
@@ -5250,18 +5270,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ksql_runbook_hopping",
     # CDC source (S3)
     "cdc_snapshot_customers",
-    # text analysis family (incl. corpus-LM fluency scoring)
-    "text_stats",
+    # synthetic traffic/user generators (S6/S7/G1-G3) — deterministic
+    # Markov clickstream, recursive-CTE oracled
+    "synthetic_clickstream",
+    # text analysis family (lang-id, corpus-LM fluency, BM25 retrieval,
+    # per-source drift profile)
     "lang_id_ngram",
     "bpe_tokenize_fixed",
-    "token_budget",
     "ngram_lm_score",
-    # dedup family (exact, minhash, ngram-jaccard, simhash; keep-min-id
-    # rides the verified minhash pairs and yields its slot)
+    "keyword_bm25",
+    "events_profile",
+    "feature_drift",
+    # dedup family (span coverage + passage granularity + exact n-gram
+    # jaccard; minhash/simhash pairs hold r03/r04 verdicts and yield)
     "duplicate_span_coverage",
-    "minhash_near_dup_pairs",
+    "passage_dedup_stats",
     "ngram_jaccard_pairs",
-    "simhash_near_dup_pairs",
     # embedding family (quantize, near-dup scale path, semantic dedup
     # groups; the ANN variants — brute baseline + recall-tested lsh/ivf —
     # yield their slots; Q15 completes the TPC-H family)
@@ -5269,26 +5293,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
     "top_revenue_supplier",
-    # corpus pipeline (composite clean, stratified mixing, fixed-budget
-    # chunking, greedy sequence packing, PII scrubbing)
-    "corpus_clean_pipeline",
-    "corpus_sample_mix",
+    # corpus pipeline (fixed-budget chunking, greedy sequence packing,
+    # PII scrubbing, deterministic hash split; the composite clean
+    # pipeline holds an r04 verdict and yields)
     "corpus_chunk_tokens",
     "corpus_pack_sequences",
     "pii_scrub",
-    # multimodal (REAL stdlib codecs: RIFF/WAVE audio, five-filter PNG,
-    # and mixed-container frame sampling — subsumes multimodal_frame_sample:
-    # the same AVI walk on even doc_ids PLUS the ISO BMFF stsc/stco/stsz
-    # sample map on odd ones, magic-dispatched per row in one kernel)
+    "corpus_hash_split",
+    # multimodal (REAL stdlib codecs: mixed-container frame sampling,
+    # ISO-BMFF sample-map decode, baseline JPEG, five-filter PNG)
     "multimodal_mixed_container_sample",
+    "multimodal_mp4_decode",
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
-    # streaming family (EMIT CHANGES, custom stateful, stream-stream join).
-    # streaming_late_data_policy subsumes streaming_hopping_window: the same
-    # watermarked hopping plan through the streaming harness, PLUS planted
-    # late events whose watermark-mandated drop the oracle states explicitly
-    # (W5 — a family never driver-verdicted before round 4).
+    # streaming family (EMIT CHANGES, custom stateful, stream-stream
+    # joins — the LEFT outer interval join gets its first verdict;
+    # streaming_late_data_policy subsumes streaming_hopping_window: the
+    # same watermarked hopping plan PLUS planted late events whose
+    # watermark-mandated drop the oracle states explicitly)
     "streaming_late_data_policy",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_interval_join_left",
 )

@@ -91,6 +91,47 @@ def test_merge_apply_semantics_overlap_and_chaining(spark):
     assert (krow.n_words, krow.n_bpe_tokens) == (row.n_words, row.n_bpe_tokens)
 
 
+def test_symbol_boundary_collisions(spark):
+    """ADVICE r4 (medium): merges (t,h),(th,e),(e,r) must NOT fire the
+    (e,r) merge inside 'there' — the 'e' there is the tail of the merged
+    symbol 'the', not a standalone symbol. Whole-symbol delimiters make
+    the expression path agree with true BPE (the kernel) on exactly the
+    words that used to collide."""
+    words = ["there", "were", "other", "the", "her", "ether"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = (("t", "h"), ("th", "e"), ("e", "r"))
+    expr = {
+        r.doc_id: r.n_bpe_tokens for r in bpe.bpe_tokenize(df, merges).collect()
+    }
+    kern = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_tokenize_kernel(df, merges).collect()
+    }
+    # true BPE: there->[the,r,e]=3, were->[w,er,e]=3, other->[o,th,er]=3,
+    # the->[the]=1, her->[h,er]=2, ether->[e,th,er]=3
+    truth = {0: 3, 1: 3, 2: 3, 3: 1, 4: 2, 5: 3}
+    assert expr == truth
+    assert kern == truth
+
+
+def test_train_boundary_collision_corpus(spark):
+    """train_bpe's vocab rewrite must also respect symbol boundaries:
+    on a corpus rich in 'th'/'the'/'er' collisions the learned sequence
+    must equal the pure-Python reference."""
+    texts = [
+        "the there were other mother ether her then",
+        "the the there were other mother her",
+        "there were brothers together rather",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, n_merges=10, min_count=2)
+    assert merges == _reference_bpe(texts, 10)
+
+
 def test_fixed_merge_oracle(spark, sf_medium):
     assert_query_matches(spark, "bpe_tokenize_fixed", sf_medium)
 
