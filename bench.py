@@ -80,7 +80,18 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
     "duplicate_span_coverage",
+    # round-5 additions
+    "scalar_function_suite",
+    "synthetic_clickstream",
+    "passage_dedup_stats",
+    "keyword_bm25",
 ]
+
+# Reference calibration time: BENCH_r04's calib_sec on the round-4 host.
+# ``queries_norm`` scales each timing by (CALIB_REF / this run's
+# calib_sec), so cross-round comparisons separate machine/host drift from
+# real plan changes (VERDICT r4, Next round #5).
+CALIB_REF = 0.782
 
 
 def _calibrate(spark) -> float:
@@ -130,6 +141,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    calib = _calibrate(spark)
+    scale = CALIB_REF / calib if calib > 0 else 1.0
+    norm = {n: round(t * scale, 3) for n, t in timings.items()}
     print(
         json.dumps(
             {
@@ -138,7 +152,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "calib_sec": _calibrate(spark),
+                "calib_sec": calib,
+                "calib_ref": CALIB_REF,
+                "queries_norm": norm,
+                "value_norm": round(sum(norm.values()), 3),
             }
         )
     )

@@ -89,7 +89,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (schema from parquet footer),
     normalizing nano-precision timestamp columns to TimestampType."""
     _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, ()):
         dt = dict(df.dtypes).get(c)
         if dt == "bigint":
@@ -115,6 +116,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 if f.dataType.typeName() == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    try:
+        # Driver-side exact row count from the parquet footer (no Spark
+        # job) — operators/sizing.py uses it to right-size CPU-kernel
+        # fan-out width without a count() job. Attached to the FINAL
+        # frame (withColumn returns new objects). Best-effort: any
+        # failure just drops the hint and sizing falls back to count().
+        import pyarrow.parquet as _pq
+
+        setattr(df, "_sg_row_hint", _pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        pass
     return df
 
 

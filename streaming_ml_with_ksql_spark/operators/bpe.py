@@ -79,7 +79,7 @@ def _words(docs: DataFrame, text_col: str) -> DataFrame:
     from .text import _fan_out
 
     cleaned = F.replace(F.lower(F.col(text_col)), F.lit(SEP), F.lit(""))
-    return _fan_out(docs.select("doc_id", text_col)).select(
+    return _fan_out(docs.select("doc_id", text_col), source=docs).select(
         F.col("doc_id"),
         F.explode(F.split(cleaned, r"\s+")).alias("w"),
     ).filter(F.length("w") > 0)

@@ -80,9 +80,12 @@ def _with_norm(df: DataFrame, emb_col: str, norm_col: str) -> DataFrame:
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread the streamed side of a pair stage across the configured
+    """Spread the streamed side of a pair stage across the FULL configured
     parallelism — embedding tables are byte-small (one input partition)
-    but the pair work is O(n²·dim) CPU."""
+    but the pair work is O(n²·dim) CPU. Deliberately NOT size-capped like
+    text/multimodal's fan-out (operators/sizing.py): per-row cost here
+    scales with the corpus itself, so even a small frame saturates every
+    core, and under-fanning is the costlier mistake."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n)
 

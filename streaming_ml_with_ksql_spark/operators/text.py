@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import sizing
+
 __all__ = [
     "tokens_col",
     "shingles",
@@ -194,14 +196,25 @@ def doc_fingerprint(documents: DataFrame, *, n: int = 3, k: int = 5) -> DataFram
 # MinHash + banded LSH near-dup detection
 # ---------------------------------------------------------------------------
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread rows across the configured shuffle parallelism before a
-    CPU-bound expansion stage. Input partitioning follows *bytes* (one
-    small parquet file → one partition), but shingling/hashing cost follows
+def _fan_out(
+    df: DataFrame,
+    *,
+    rows_per_task: int = 160,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Spread rows across a size-aware partition count before a CPU-bound
+    expansion stage. Input partitioning follows *bytes* (one small parquet
+    file → one partition), but shingling/hashing cost follows
     *rows × tokens* — an explicit partition count keeps AQE from coalescing
-    the byte-small, CPU-heavy stage onto one core."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
+    the byte-small, CPU-heavy stage onto one core, while the
+    ``ceil(rows / rows_per_task)`` cap (VERDICT r4) keeps small frames
+    from paying full-width task-scheduling overhead. ``source`` is the
+    ancestor frame carrying io.load_table's footer row hint."""
+    return sizing.fan_out(
+        df,
+        rows_per_task=rows_per_task,
+        approx_rows=sizing.row_hint(source if source is not None else df),
+    )
 
 
 def _doc_shingles(
@@ -211,7 +224,7 @@ def _doc_shingles(
     for consumers that are duplicate-insensitive (MinHash mins) — at
     100 TB the global distinct is a full-corpus shuffle worth avoiding."""
     toks = tokens_col(F.col("text"))
-    ds = _fan_out(documents.select("doc_id", "text")).select(
+    ds = _fan_out(documents.select("doc_id", "text"), source=documents).select(
         "doc_id", F.explode(shingles(toks, n)).alias("shingle")
     )
     return ds.distinct() if distinct else ds
@@ -442,7 +455,7 @@ def simhash_fingerprint(documents: DataFrame, *, bits: int = 32) -> DataFrame:
     (doc,bit) then (doc); entirely JVM expressions.
     """
     toks = tokens_col(F.col("text"))
-    dt = _fan_out(documents.select("doc_id", "text")).select(
+    dt = _fan_out(documents.select("doc_id", "text"), source=documents).select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long")
@@ -723,7 +736,7 @@ def decontaminate(
     groupBy), so the only shuffle carries the contaminated docs' matched
     shingles — a vanishing fraction of the corpus. Output is (doc_id,
     n_shared_shingles) for contaminated docs only."""
-    train_sh = _fan_out(documents.select(id_col, "text")).select(
+    train_sh = _fan_out(documents.select(id_col, "text"), source=documents).select(
         id_col, F.explode(shingles(tokens_col(F.col("text")), n)).alias("shingle")
     )
     bench_sh = (
@@ -1205,7 +1218,7 @@ def duplicate_span_positions(
     """
     toks = tokens_col(F.col("text"))
     grams = (
-        _fan_out(documents.select("doc_id", "text"))
+        _fan_out(documents.select("doc_id", "text"), source=documents)
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= k)
         .select(
@@ -1292,7 +1305,7 @@ def passage_dedup_stats(
     toks = tokens_col(F.col("text"))
     n_pass = F.ceil(F.size("t") / F.lit(p)).cast("int")
     passages = (
-        _fan_out(documents.select("doc_id", "text"))
+        _fan_out(documents.select("doc_id", "text"), source=documents)
         .select("doc_id", toks.alias("t"))
         .select(
             "doc_id",

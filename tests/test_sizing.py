@@ -1,0 +1,64 @@
+"""Size-aware fan-out (operators/sizing.py, VERDICT r4 fix): cheap
+kernels must stop paying full-width task overhead on small frames, heavy
+kernels must keep the full configured width, and io.load_table's footer
+row hint must make the sizing free (no count job needed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as sio
+from streaming_ml_with_ksql_spark.operators import multimodal, sizing
+
+
+def test_load_table_attaches_footer_row_hint(spark, sf_small):
+    docs = sio.load_table(spark, sf_small, "documents")
+    hint = sizing.row_hint(docs)
+    assert hint == docs.count()  # exact, from parquet footer metadata
+
+
+def test_fan_out_clamps_small_frames(spark):
+    df = spark.range(100)
+    n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert sizing.fan_out(df, rows_per_task=50).rdd.getNumPartitions() == 2
+    assert sizing.fan_out(df, rows_per_task=1).rdd.getNumPartitions() == n_max
+    assert sizing.fan_out(df, rows_per_task=10**6).rdd.getNumPartitions() == 1
+    assert (
+        sizing.fan_out(df, parallelism=7).rdd.getNumPartitions() == 7
+    )  # explicit override wins
+
+
+def test_fan_out_uses_hint_over_count(spark):
+    df = spark.range(10)
+    n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # an (over)estimated ancestor hint widens the fan-out — the safe
+    # direction after filters drop rows
+    wide = sizing.fan_out(df, rows_per_task=10, approx_rows=100)
+    assert wide.rdd.getNumPartitions() == min(n_max, 10)
+
+
+def test_cheap_codec_narrow_heavy_codec_wide(spark, sf_small):
+    """The per-codec weights: WAV synthesis (cheap PCM write) fans out
+    narrower than JPEG synthesis (DCT+Huffman) on the same 500-doc frame."""
+    docs = sio.load_table(spark, sf_small, "documents")
+    n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wav = multimodal.synthesize_wav_payload(docs)
+    jpg = multimodal.synthesize_jpeg_payload(docs)
+    n_wav = wav.rdd.getNumPartitions()
+    n_jpg = jpg.rdd.getNumPartitions()
+    assert n_wav == 1  # 500 rows / 1024 rows-per-task
+    assert n_jpg == min(n_max, 8)  # 500 rows / 64 rows-per-task
+    # results are fan-out-invariant: same decode output either way
+    a = sorted(
+        (r.doc_id, r.n_samples)
+        for r in multimodal.decode_audio(wav).select("doc_id", "n_samples").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_samples)
+        for r in multimodal.decode_audio(
+            multimodal.synthesize_wav_payload(docs.repartition(16))
+        )
+        .select("doc_id", "n_samples")
+        .collect()
+    )
+    assert a == b and len(a) == 500
