@@ -207,3 +207,65 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_medium):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF-PQ recall too low: {recall:.2f}"
+
+
+def test_index_build_split_from_search(spark, sf_medium, monkeypatch):
+    """VERDICT r4 #4: at 100 TB an ANN index is a write-once artifact —
+    search must never re-fit. One build serves two searches with
+    different parameters, and with KMeans.fit + PQ codebook training
+    poisoned after the build, every search path still runs."""
+    import pyspark.ml.clustering as ml_clustering
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    ivf = similarity.build_ivf_index(base)
+    pq = similarity.build_pq_index(base)
+    ivfpq = similarity.build_ivfpq_index(base)
+
+    def _no_fit(self, *a, **kw):  # noqa: ANN001
+        raise AssertionError("search must not fit models")
+
+    monkeypatch.setattr(ml_clustering.KMeans, "fit", _no_fit)
+    monkeypatch.setattr(similarity, "_pq_train_codebooks", _no_fit)
+
+    queries = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    r1 = similarity.ivf_search(ivf, queries, k=3).collect()
+    r2 = similarity.ivf_search(ivf, queries, k=5, n_probe=2).collect()
+    r3 = similarity.pq_search(pq, queries, k=3).collect()
+    r4 = similarity.ivfpq_search(ivfpq, queries, k=3).collect()
+    assert r1 and r2 and r3 and r4
+    # per-query result sizes honor each search's own k
+    from collections import Counter
+
+    assert max(Counter(r.query_id for r in r1).values()) == 3
+    assert max(Counter(r.query_id for r in r2).values()) == 5
+
+
+def test_topk_entry_points_equal_build_plus_search(spark, sf_medium):
+    """The composed entry points must return exactly what an explicit
+    build+search returns (the registry/recall surfaces are unchanged by
+    the split)."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    direct = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.ivf_topk(emb, n_queries=8).collect()
+    }
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    composed = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.ivf_search(
+            similarity.build_ivf_index(base), queries
+        ).collect()
+    }
+    assert direct == composed
