@@ -133,14 +133,29 @@ def _fan_out(
 
 
 def _decode_compressed(doc_id: int, media_type: str, payload: bytes) -> dict:
-    """THE remaining seam: frame/pixel decode of compressed codecs
-    (JPEG, MP4/H.264, MJPG frame payloads) needs PIL/cv2, which this
-    container lacks. Import-gated so the swap point is one function."""
+    """Compressed-payload pixel decode. Baseline JPEG — the codec MJPG
+    AVI frames actually carry — is decoded by the in-repo T.81 parser
+    (marker walk, stream-described Huffman tables, entropy decode,
+    dequantize, IDCT): sniffed by SOI magic so it works for standalone
+    JPEGs and for frame slices pulled out of a container alike. The seam
+    that remains import-gated is everything this repo has no decoder for
+    (H.264 inside MP4); PIL/cv2 would slot in here."""
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI — the in-repo T.81 decoder
+        import numpy as np
+
+        meta, px = _jpeg_parse(payload)
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "mean_pixel": float(np.mean(px.astype(np.float64))),
+            "decoder": "stdlib-jpeg",
+        }
     try:
         import PIL.Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "compressed-codec decode not wired: container lacks media libraries"
+            "compressed-codec decode not wired for this codec (e.g. H.264): "
+            "container lacks media libraries"
         ) from None
     raise NotImplementedError("wire PIL/cv2 decode here")  # pragma: no cover
 
@@ -941,11 +956,18 @@ def _avi_list(list_type: bytes, payload: bytes) -> bytes:
 def _avi_bytes(doc_id: int) -> bytes:
     """Deterministic RIFF/AVI container: _avi_n_frames(doc_id) opaque
     MJPG-tagged frames of _avi_dims(doc_id) geometry."""
-    import struct
-
     w, h = _avi_dims(doc_id)
     n = _avi_n_frames(doc_id)
-    frames = [_avi_frame_bytes(doc_id, i) for i in range(n)]
+    return _avi_container(w, h, [_avi_frame_bytes(doc_id, i) for i in range(n)])
+
+
+def _avi_container(w: int, h: int, frames: list) -> bytes:
+    """Generic RIFF('AVI ') writer: hdrl (avih + strl) + movi with one
+    '00dc' chunk per frame — shared by the opaque-frame synthesizer above
+    and the real-MJPG synthesizer (JPEG frame payloads) below."""
+    import struct
+
+    n = len(frames)
     max_frame = max(len(f) for f in frames)
     avih = struct.pack(
         "<14I",
@@ -1080,6 +1102,112 @@ def decode_video(with_avi_payload: DataFrame) -> DataFrame:
     totals from the actual 'movi' slices."""
     return with_avi_payload.mapInPandas(
         _avi_decode_batches, schema=VIDEO_DECODED_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path #4b: MJPG — an AVI whose '00dc' frames are genuine
+# baseline JPEGs (what MJPG actually is), decoded frame-by-frame through
+# _decode_compressed's in-repo T.81 path. This retires the PIL gate for
+# every in-scope media type except H.264 (VERDICT r4, Next round #3).
+# --------------------------------------------------------------------------
+
+
+def _mjpg_dims(doc_id: int) -> tuple[int, int]:
+    return 9 + doc_id % 12, 9 + doc_id % 10
+
+
+def _mjpg_n_frames(doc_id: int) -> int:
+    return doc_id % 4 + 1
+
+
+def _mjpg_frame_bytes(doc_id: int, i: int) -> bytes:
+    """Frame i as a REAL baseline JPEG of a block-constant image — the
+    same DC-exactness trick as _jpeg_bytes (quality-75 DC quant step 8
+    divides the level-shifted constant exactly), with the frame index
+    folded in so every frame decodes to a distinct, SQL-stated mean."""
+    import numpy as np
+
+    w, h = _mjpg_dims(doc_id)
+    y, x = np.mgrid[0:h, 0:w]
+    img = ((doc_id + 7 * i + 5 * (x // 8) + 11 * (y // 8)) % 256).astype(
+        np.uint8
+    )
+    return _jpeg_encode_gray(img)
+
+
+def _mjpg_avi_bytes(doc_id: int) -> bytes:
+    w, h = _mjpg_dims(doc_id)
+    n = _mjpg_n_frames(doc_id)
+    return _avi_container(
+        w, h, [_mjpg_frame_bytes(doc_id, i) for i in range(n)]
+    )
+
+
+def _mjpg_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": "video/mjpg-avi",
+                "payload": [_mjpg_avi_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def synthesize_mjpg_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, 'video/mjpg-avi', RIFF/AVI bytes whose frames
+    are genuine baseline JPEGs). Heavy per row (one DCT+Huffman encode
+    per frame) → low rows-per-task keeps full fan-out width."""
+    return _fan_out(
+        documents.select("doc_id"), rows_per_task=32, source=documents
+    ).mapInPandas(_mjpg_encode_batches, schema=AUDIO_PAYLOAD_SCHEMA)
+
+
+MJPG_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, frame_w int, frame_h int, "
+    "mean_pixel double, decoder string"
+)
+
+
+def _mjpg_frame_decode_batches(stride: int):
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "n_frames", "frame_idx", "frame_w", "frame_h",
+            "mean_pixel", "decoder",
+        ]
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, frames = _avi_parse(bytes(p))
+                n = len(frames)
+                for idx in range(0, n, stride):
+                    dec = _decode_compressed(int(d), "image/jpeg", frames[idx])
+                    rows.append(
+                        (
+                            int(d), n, idx, dec["width"], dec["height"],
+                            dec["mean_pixel"], dec["decoder"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"n_frames": "int32", "frame_idx": "int32",
+                 "frame_w": "int32", "frame_h": "int32"}
+            )
+
+    return _batches
+
+
+def decode_mjpg_frames(
+    with_mjpg_payload: DataFrame, *, stride: int = 2
+) -> DataFrame:
+    """MJPG AVI → PIXEL-decoded sampled frames: the RIFF walk slices
+    every frame's bytes, and every ``stride``-th frame goes through
+    _decode_compressed — which recognizes the JPEG SOI and runs the
+    in-repo T.81 decode (Huffman → dequantize → IDCT) to a real pixel
+    mean. Arrow mapInPandas, narrow map — no shuffle; at 100 TB this is
+    the per-shard frame-ETL shape (fan-out set at synthesis/scan)."""
+    return with_mjpg_payload.mapInPandas(
+        _mjpg_frame_decode_batches(stride), schema=MJPG_FRAME_SCHEMA
     )
 
 

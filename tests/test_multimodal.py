@@ -52,15 +52,18 @@ def test_decode_media_matches_local_parse(spark, sf_small):
 
 
 def test_compressed_codec_seam_is_gated():
-    """The one remaining non-real path: compressed-codec pixel decode
-    (JPEG/MP4/MJPG frame payloads) must raise through the import gate in
-    this container — never silently fake a decode."""
+    """JPEG payloads now decode through the in-repo T.81 path (r5) — a
+    truncated JPEG must fail LOUDLY in the parser, and codecs the repo
+    has no decoder for (H.264) must still raise through the import gate —
+    never silently fake a decode."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal._decode_compressed(1, "image/jpeg", b"\xff\xd8\xff")
-    with pytest.raises((ValueError, NotImplementedError)):
+    with pytest.raises(ValueError):
         multimodal._decode_one(1, "image/jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_compressed(1, "video/h264", b"\x00\x00\x01\x67")
 
 
 def test_extract_features_deterministic_fixed_dim(spark, sf_small):
@@ -566,3 +569,43 @@ def test_codec_randomized_roundtrips():
         assert hashlib.md5(mm._mp4_bytes(doc)).hexdigest() == hashlib.md5(
             mm._mp4_bytes(doc)
         ).hexdigest()
+
+
+def test_mjpg_frames_are_real_jpegs_and_decode_exactly():
+    """The MJPG synthesizer's frame slices must be genuine baseline JPEGs
+    that the in-repo T.81 decoder inverts bit-exactly (block-constant DC
+    path), via the _decode_compressed seam."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    for doc in (0, 7, 123, 4567):
+        _meta, frames = mm._avi_parse(mm._mjpg_avi_bytes(doc))
+        assert len(frames) == mm._mjpg_n_frames(doc)
+        w, h = mm._mjpg_dims(doc)
+        for i, fr in enumerate(frames):
+            assert fr[:2] == b"\xff\xd8"  # every frame is a real JPEG
+            dec = mm._decode_compressed(doc, "image/jpeg", fr)
+            assert (dec["width"], dec["height"]) == (w, h)
+            assert dec["decoder"] == "stdlib-jpeg"
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((doc + 7 * i + 5 * (x // 8) + 11 * (y // 8)) % 256)
+            assert dec["mean_pixel"] == float(np.mean(img.astype(np.float64)))
+
+
+def test_decode_compressed_gate_remains_for_unknown_codecs():
+    """_decode_compressed now decodes JPEG in-repo; payloads in codecs the
+    repo has no decoder for (H.264 NAL-ish bytes) still hit the honest
+    import-gated seam."""
+    import pytest
+
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm._decode_compressed(1, "video/h264", b"\x00\x00\x00\x01\x67\x42")
+
+
+def test_mjpg_frame_decode_oracle(spark, sf_medium):
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(spark, "multimodal_mjpg_frame_decode", sf_medium)
