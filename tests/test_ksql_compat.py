@@ -356,3 +356,62 @@ def test_runbook_hopping_statement_through_file_stream(engine, spark, topics, tm
     got = ksql.execute("SELECT * FROM events_in_10_minutes_window EMIT CHANGES;")
     assert not got.isStreaming  # the push query drained to a table
     assert _sorted_rows(got) == expected_rows
+
+
+def test_generated_stream_insert_into_and_push_query(spark, tmp_path):
+    """VERDICT r4 #6: the generator + compat surfaces composed — a
+    GENERATED clickstream replayed as a file stream, a second cohort
+    merged in with INSERT INTO, and a windowed push query (EMIT CHANGES)
+    drained over the union. The drained table must equal the same
+    statements run over the batch generator frames."""
+    from streaming_ml_with_ksql_spark.sources import generator
+
+    from streaming_ml_with_ksql_spark.streaming import source as stream_source
+
+    stream = generator.clickstream_stream(
+        spark, str(tmp_path / "clicks"), n_users=8, n_bots=2, n_ticks=30
+    )
+    batch = generator.synthetic_clickstream(
+        spark, n_users=8, n_bots=2, n_ticks=30
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    # second cohort: the same walk shifted into a disjoint id space —
+    # replayed as a stream too (Spark unions streams with streams)
+    extra = batch.withColumn("user_id", F.col("user_id") + 100)
+    d2 = str(tmp_path / "cohort2")
+    stream_source.shard_table_to_dir(extra, d2, num_shards=2, order_col="tick")
+    extra_stream = stream_source.stream_parquet_dir(spark, d2)
+
+    stmt_decl = "CREATE STREAM clicks WITH (KAFKA_TOPIC='traffic', TIMESTAMP='ts');"
+    stmt_ins = (
+        "INSERT INTO clicks SELECT user_id, tick, ts_ms, event, is_bot, ts "
+        "FROM cohort2;"
+    )
+    push = (
+        "SELECT user_id, WINDOWSTART AS ws, count(*) AS n FROM clicks "
+        "WINDOW TUMBLING (SIZE 1 MINUTE) GROUP BY user_id EMIT CHANGES;"
+    )
+
+    # streaming engine
+    ks = KsqlCompat(
+        spark, {"traffic": (stream, "ts"), "cohort2": (extra_stream, "ts")}
+    )
+    ks.execute(stmt_decl)
+    ks.execute("CREATE STREAM cohort2 WITH (KAFKA_TOPIC='cohort2', TIMESTAMP='ts');")
+    merged = ks.execute(stmt_ins)
+    assert merged.isStreaming  # batch/stream duality: union stays unbounded
+    got = ks.execute(push)
+    assert not got.isStreaming  # push query drained through the memory sink
+
+    # batch engine, same statements
+    kb = KsqlCompat(spark, {"traffic": (batch, "ts"), "cohort2": (extra, "ts")})
+    kb.execute(stmt_decl)
+    kb.execute("CREATE STREAM cohort2 WITH (KAFKA_TOPIC='cohort2', TIMESTAMP='ts');")
+    kb.execute(stmt_ins)
+    want = kb.execute(
+        "SELECT user_id, WINDOWSTART AS ws, count(*) AS n FROM clicks "
+        "WINDOW TUMBLING (SIZE 1 MINUTE) GROUP BY user_id;"
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # both cohorts are present in the drained result
+    ids = {r.user_id for r in got.collect()}
+    assert ids & {0, 1} and ids & {100, 101}
