@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["run_to_memory", "foreach_batch_parquet", "run_foreach_batch", "to_kafka"]
+__all__ = [
+    "run_to_memory",
+    "foreach_batch_parquet",
+    "foreach_batch_jsonl_collection",
+    "run_foreach_batch",
+    "to_kafka",
+]
 
 
 def run_to_memory(
@@ -65,6 +71,51 @@ def foreach_batch_parquet(path: str):
         batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(path)
+
+    return _write
+
+
+def foreach_batch_jsonl_collection(path: str):
+    """Mongo-collection stand-in (reference: infra/connect/mongo-sink.json:
+    4-11 ships ``bot_detection_results`` to a Mongo collection; the
+    sandbox has no Mongo): each micro-batch becomes ONE JSONL file named
+    by its batch id — one JSON document per line, the collection's
+    contents — written atomically (tmp + rename) and SKIPPED when the
+    file already exists. foreachBatch re-delivers a batch after failure
+    with the SAME batch_id, so batch-id-keyed writes are exactly the
+    idempotence discipline a Mongo sink gets from upsert-by-_id:
+    re-running a drained query leaves the collection byte-identical.
+    Lines are sorted so the file is partition-order independent.
+
+    The driver-side collect here is the stand-in's simplification (test
+    scale); the production swap is the writer body only —
+    ``batch_df.write.format("mongodb").mode("append")...`` — which is
+    distributed and needs no query change.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        target = os.path.join(path, f"batch-{batch_id:08d}.jsonl")
+        # ALWAYS process the full frame — Spark's state-store commit
+        # validation requires foreachBatch to execute every partition even
+        # on redelivery (an early return fails the micro-batch), and a
+        # Mongo upsert replay likewise re-applies the documents. Plain
+        # collect(), not toJSON(): the RDD conversion bypasses the
+        # micro-batch's state-commit path on stateful plans.
+        lines = sorted(
+            json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+            for r in batch_df.collect()
+        )
+        if os.path.exists(target):  # exactly-once: collection state wins
+            return
+        tmp = f"{target}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for line in lines:
+                fh.write(line + "\n")
+        os.replace(tmp, target)
 
     return _write
 

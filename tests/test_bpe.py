@@ -145,3 +145,19 @@ def test_training_is_deterministic_under_ties(spark):
     merges = bpe.train_bpe(df, n_merges=2, min_count=2)
     assert merges[0] == ("a", "b")
     assert merges[1] == ("c", "d")
+
+
+def test_sampled_training_matches_full_corpus(spark, sf_medium):
+    """VERDICT r4 #7 — the production path: merges trained on a
+    deterministic 1/4 hash-sample must track the full-corpus table (pair
+    frequencies are corpus statistics; a uniform sample preserves their
+    ranking): identical top of the table, high overall overlap. The
+    learned table then applies to the FULL corpus via the kernel."""
+    docs = sio.load_table(spark, sf_medium, "documents")
+    full = bpe.train_bpe(docs, n_merges=12)
+    samp = bpe.train_bpe_sampled(docs, n_merges=12, sample_mod=4)
+    assert full[:3] == samp[:3]  # the dominant merges agree exactly
+    assert len(set(full) & set(samp)) >= 8  # 9/12 on current testdata
+    # the sampled table drives the full-corpus kernel apply
+    out = bpe.bpe_tokenize_kernel(docs, samp)
+    assert out.count() == docs.count()

@@ -268,3 +268,63 @@ def test_streaming_hll_registers_equal_batch(spark, sf_small):
     from tests.oracle import assert_query_matches
 
     assert_query_matches(spark, "streaming_hll_registers", sf_small)
+
+
+def test_mongo_standin_collection_is_idempotent(
+    spark, sf_small, events_stream_dir, tmp_path
+):
+    """S5 parity drill (VERDICT r4 #8): the bot_detection_results shape
+    round-trips through the JSONL 'collection' (the Mongo stand-in) and
+    re-running the drained query — foreachBatch's redelivery case — is
+    exactly-once: batch-id-keyed writes leave the collection
+    byte-identical. Recovery: a deleted batch file is restored
+    identically on replay."""
+    import json
+    import os
+
+    from streaming_ml_with_ksql_spark.streaming.queries import (
+        enrich_and_score_stream,
+        hopping_window_stream,
+    )
+    from streaming_ml_with_ksql_spark.streaming.sinks import (
+        foreach_batch_jsonl_collection,
+    )
+
+    customers = io_mod.load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_name", "c_nationkey"
+    )
+
+    def _results_stream():
+        stream = stream_parquet_dir(spark, events_stream_dir)
+        agg = hopping_window_stream(stream, watermark_delay=WM_DELAY)
+        return enrich_and_score_stream(agg, customers, dim_key="cust_id")
+
+    coll = str(tmp_path / "bot_detection_results_jsonl")
+    run_foreach_batch(_results_stream(), foreach_batch_jsonl_collection(coll))
+
+    def _snapshot() -> dict[str, str]:
+        return {
+            f: open(os.path.join(coll, f)).read()
+            for f in sorted(os.listdir(coll))
+        }
+
+    first = _snapshot()
+    assert first and all(f.endswith(".jsonl") for f in first)
+    docs = [
+        json.loads(line)
+        for content in first.values()
+        for line in content.splitlines()
+    ]
+    assert len(docs) > 0 and all("user_id" in d for d in docs)
+    assert any("c_name" in d for d in docs)  # enrichment rode along
+
+    # re-run the SAME query (no checkpoint → same deterministic batch
+    # split, batch ids restart at 0 = redelivery): collection unchanged
+    run_foreach_batch(_results_stream(), foreach_batch_jsonl_collection(coll))
+    assert _snapshot() == first
+
+    # crash-recovery: drop one batch file; replay restores it identically
+    victim = sorted(first)[0]
+    os.remove(os.path.join(coll, victim))
+    run_foreach_batch(_results_stream(), foreach_batch_jsonl_collection(coll))
+    assert _snapshot() == first
