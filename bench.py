@@ -85,6 +85,8 @@ HEADLINE = [
     "synthetic_clickstream",
     "passage_dedup_stats",
     "keyword_bm25",
+    "multimodal_mjpg_frame_decode",
+    "ksql_generated_traffic",
 ]
 
 # Reference calibration time: BENCH_r04's calib_sec on the round-4 host.

@@ -186,7 +186,7 @@ def _decode_one(doc_id: int, media_type: str, payload: bytes) -> dict:
             r.close()
         return base | {"width": None, "height": None, "n_frames": None,
                        "decoder": "stdlib-wave"}
-    if media_type == "video/avi":
+    if media_type in ("video/avi", "video/mjpg-avi"):
         meta, frames = _avi_parse(payload)
         return base | {"width": meta["width"], "height": meta["height"],
                        "n_frames": len(frames), "decoder": "stdlib-avi"}
