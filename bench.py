@@ -119,6 +119,41 @@ def _calibrate(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibrate_python(spark) -> float:
+    """Second calibration axis: a fixed Arrow mapInPandas workload (the
+    shape every codec/ANN kernel runs). Round 5 found the two axes drift
+    INDEPENDENTLY — the JVM calib got 15% faster between rounds while
+    Python-kernel queries (mp4 decode, bruteforce cosine) ran ~2× slower
+    on identical code (A/B-verified against the r4 tree on the same
+    host). Reported as ``calib_py_sec`` so Python-heavy query drift can
+    be separated from plan changes too."""
+    import pandas as pd
+
+    def _kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "h": [
+                        hashlib.md5(str(int(v)).encode()).hexdigest()
+                        for v in pdf["id"]
+                    ],
+                }
+            )
+
+    def _work() -> None:
+        spark.range(400_000).repartition(32).mapInPandas(
+            _kernel, schema="id long, h string"
+        ).write.format("noop").mode("overwrite").save()
+
+    _work()  # warm
+    t0 = time.perf_counter()
+    _work()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -155,6 +190,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calib_sec": calib,
+                "calib_py_sec": _calibrate_python(spark),
                 "calib_ref": CALIB_REF,
                 "queries_norm": norm,
                 "value_norm": round(sum(norm.values()), 3),
