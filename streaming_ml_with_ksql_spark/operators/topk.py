@@ -33,7 +33,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-__all__ = ["heavy_hitters", "cms_cells", "cms_estimates", "CMS_DEPTH", "CMS_WIDTH"]
+__all__ = [
+    "heavy_hitters",
+    "cms_cells",
+    "cms_estimates",
+    "CMS_DEPTH",
+    "CMS_WIDTH",
+    "quantile_sketch_cells",
+    "quantile_estimates",
+]
 
 
 def heavy_hitters(df: DataFrame, key_col: str, *, min_count: int) -> DataFrame:
@@ -235,3 +243,85 @@ def hll_estimate_from_registers(rows, m: int = 1 << HLL_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: fixed-width histogram
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_cells(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bucket_width: float,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The sketch STATE: (group..., bucket, n) with bucket =
+    floor(value / width). Completes the repo's sketch family (CMS =
+    additive counters, HLL = max registers, heavy hitters = pigeonhole
+    candidates) with the quantile axis.
+
+    Scale properties, same playbook as the CMS/HLL cells:
+    - additive — cells from disjoint shards MERGE by summing n, so
+      per-day sketches roll up to any range without touching raw data,
+      and the streaming twin is the identical aggregate in complete
+      mode (counts only grow);
+    - bounded — state is value_range / width cells regardless of row
+      count (vs percentile_approx's per-query GK state: this one is a
+      persistable, mergeable TABLE);
+    - deterministic — bucket assignment is one IEEE double divide +
+      floor, reproduced bit-for-bit by the DuckDB oracle, so unlike
+      t-digest/KLL the sketch hash-checks exactly cross-engine.
+    """
+    bucket = F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("long")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_estimates(
+    cells: DataFrame,
+    *,
+    bucket_width: float,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch: a cumulative-count
+    walk (window over the bounded cell table — state is cells, never
+    rows) locates rank ``floor(q*(N-1)) + 1``'s bucket, and uniform
+    interpolation inside it gives the estimate. Error <= bucket_width
+    by construction (pinned against exact percentiles in tests). The
+    whole estimator is Catalyst arithmetic the oracle restates
+    verbatim, so estimates hash-check exactly."""
+    from pyspark.sql import Window
+
+    spark = cells.sparkSession
+    gl = list(group_cols)
+    w = Window.partitionBy(*gl).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*gl)
+    cum = cells.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_total", F.sum("n").over(wt)
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "rank", (F.floor(F.col("q") * (F.col("n_total") - 1)) + 1).cast("long")
+    )
+    hit = ranked.filter(
+        (F.col("cum") - F.col("n") < F.col("rank")) & (F.col("rank") <= F.col("cum"))
+    )
+    width = F.lit(float(bucket_width))
+    est = F.round(
+        F.col("bucket") * width
+        + width
+        * (F.col("rank") - (F.col("cum") - F.col("n"))).cast("double")
+        / F.col("n").cast("double"),
+        6,
+    )
+    return hit.select(
+        *gl, "q", est.alias("est"), F.col("n_total").alias("n_total")
+    )

@@ -4458,6 +4458,91 @@ def q_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSKETCH_WIDTH = 5.0
+_QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "quantile_sketch_events",
+    f"""
+    WITH cells AS (
+      SELECT event_type, CAST(floor(value / {_QSKETCH_WIDTH}) AS BIGINT)
+               AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS n_total
+      FROM cells),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _QSKETCH_QS)}]) AS q),
+    r AS (
+      SELECT c.*, q,
+             CAST(floor(q * (n_total - 1)) + 1 AS BIGINT) AS rnk
+      FROM c CROSS JOIN qs)
+    SELECT event_type, q,
+           round(bucket * {_QSKETCH_WIDTH}
+                 + {_QSKETCH_WIDTH} * CAST(rnk - (cum - n) AS DOUBLE)
+                   / CAST(n AS DOUBLE), 6) AS est,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM r WHERE cum - n < rnk AND rnk <= cum
+    """,
+)
+def q_quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/topk.py) — the quantile axis
+    of the sketch family (CMS counts, HLL cardinality, heavy hitters):
+    fixed-width histogram cells per event_type (additive, bounded by
+    value_range/width, persistable), then a cumulative-walk +
+    uniform-interpolation estimator whose arithmetic the oracle restates
+    verbatim — unlike t-digest/KLL the whole thing is deterministic, so
+    five quantile estimates per event_type hash-check exactly. Error <=
+    bucket_width, pinned vs exact percentiles in tests."""
+    cells = topk.quantile_sketch_cells(
+        _t(spark, sf_dir, "events"),
+        "value",
+        bucket_width=_QSKETCH_WIDTH,
+        group_cols=("event_type",),
+    )
+    return topk.quantile_estimates(
+        cells,
+        bucket_width=_QSKETCH_WIDTH,
+        qs=_QSKETCH_QS,
+        group_cols=("event_type",),
+    )
+
+
+@register(
+    "streaming_quantile_sketch",
+    f"""
+    SELECT CAST(floor(value / {_QSKETCH_WIDTH}) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained quantile sketch: each event contributes
+    its histogram bucket and ONE complete-mode groupBy keeps the
+    additive cell table — counts are order-insensitive sums, so the
+    drained streaming cells equal the batch sketch EXACTLY (same
+    bucket arithmetic, stated by the oracle). The streaming quantile
+    companion to streaming_cms_cells / streaming_hll_registers; state
+    is value_range/width cells regardless of stream length, and the
+    estimator (quantile_estimates) reads the drained table."""
+    stream = _replay_events(spark, sf_dir)
+    cells = (
+        stream.select(
+            F.floor(F.col("value") / F.lit(_QSKETCH_WIDTH))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return stream_sinks.run_to_memory(
+        cells, f"qsketch_stream_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+
+
 @register("hll_partition_merge", None)  # sketch estimates are engine-specific
 def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch pattern: per-day HLL sketches (DataSketches,

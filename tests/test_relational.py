@@ -222,3 +222,46 @@ def test_hll_registers_estimate_and_merge_identity(spark, sf_medium):
         (r.event_type, r.bucket, r.register) for r in direct.collect()
     )
     assert a == b
+
+
+def test_quantile_sketch_error_bound_and_merge(spark, sf_medium):
+    """Histogram quantile sketch: (1) every estimate sits within one
+    bucket_width of the exact quantile; (2) cells are MERGEABLE — the
+    sketch of two disjoint shards, merged by summing counts, equals the
+    single-pass sketch exactly (the 100 TB rollup property)."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as sio
+    from streaming_ml_with_ksql_spark.operators import topk
+
+    ev = sio.load_table(spark, sf_medium, "events")
+    width = 5.0
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    cells = topk.quantile_sketch_cells(ev, "value", bucket_width=width)
+    est = {
+        r.q: r.est
+        for r in topk.quantile_estimates(
+            cells, bucket_width=width, qs=qs
+        ).collect()
+    }
+    exact = ev.select(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[i]) <= width, (q, est[q], exact[i])
+
+    # mergeability: shard by event parity, sum cell counts, compare
+    a = topk.quantile_sketch_cells(
+        ev.filter(F.col("event_id") % 2 == 0), "value", bucket_width=width
+    )
+    b = topk.quantile_sketch_cells(
+        ev.filter(F.col("event_id") % 2 == 1), "value", bucket_width=width
+    )
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("n").alias("n"))
+    )
+    direct = {(r.bucket, r.n) for r in cells.collect()}
+    assert {(r.bucket, r.n) for r in merged.collect()} == direct
