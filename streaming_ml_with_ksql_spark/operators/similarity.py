@@ -564,6 +564,21 @@ class IvfIndex:
         self.corpus = corpus  # (neighbor_id, c_emb, cell)
         self.centroids = centroids  # (cell, center) — driver-bounded
 
+    def save(self, path: str) -> None:
+        """Persist as two parquet relations (corpus/, centroids/) — the
+        write-once form a production pipeline stores; at 100 TB write
+        ``corpus`` partitioned/clustered BY the cell column so a probe
+        reads only its n_probe cells' files."""
+        self.corpus.write.mode("overwrite").parquet(f"{path}/corpus")
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        return cls(
+            spark.read.parquet(f"{path}/corpus"),
+            spark.read.parquet(f"{path}/centroids"),
+        )
+
 
 def build_ivf_index(
     embeddings: DataFrame, *, n_centroids: int = 16, seed: int = 42
@@ -713,6 +728,43 @@ class PqIndex:
         self.m = m
         self.ksub = ksub
         self.d_sub = books.shape[2]
+
+    def save(self, path: str) -> None:
+        """Persist the compressed corpus (parquet — THE serving scan) and
+        the bounded codebooks as one flattened relation
+        (subspace, centroid, component, value): everything survives as
+        plain columnar data, no pickle/npz sidecars."""
+        self.coded.write.mode("overwrite").parquet(f"{path}/coded")
+        self.emb.write.mode("overwrite").parquet(f"{path}/emb")
+        spark = self.coded.sparkSession
+        rows = [
+            (j, c, d, float(self.books[j, c, d]))
+            for j in range(self.m)
+            for c in range(self.ksub)
+            for d in range(self.d_sub)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, centroid int, component int, value double"
+        ).write.mode("overwrite").parquet(f"{path}/books")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PqIndex":
+        import numpy as np
+
+        brows = spark.read.parquet(f"{path}/books").collect()
+        m = max(r.subspace for r in brows) + 1
+        ksub = max(r.centroid for r in brows) + 1
+        d_sub = max(r.component for r in brows) + 1
+        books = np.zeros((m, ksub, d_sub))
+        for r in brows:
+            books[r.subspace, r.centroid, r.component] = r.value
+        return cls(
+            books,
+            spark.read.parquet(f"{path}/coded"),
+            spark.read.parquet(f"{path}/emb"),
+            m,
+            ksub,
+        )
 
 
 def build_pq_index(

@@ -269,3 +269,41 @@ def test_topk_entry_points_equal_build_plus_search(spark, sf_medium):
         ).collect()
     }
     assert direct == composed
+
+
+def test_index_persistence_round_trip(spark, sf_medium, tmp_path):
+    """The write-once story end-to-end: build → save (plain parquet
+    relations, no pickle) → load in a fresh object → search — results
+    identical to searching the in-memory build."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    ivf = similarity.build_ivf_index(base)
+    ivf.save(str(tmp_path / "ivf"))
+    ivf2 = similarity.IvfIndex.load(spark, str(tmp_path / "ivf"))
+    a = {(r.query_id, r.neighbor_id, r.rnk)
+         for r in similarity.ivf_search(ivf, queries, k=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rnk)
+         for r in similarity.ivf_search(ivf2, queries, k=3).collect()}
+    assert a == b and len(a) == 18
+
+    pq = similarity.build_pq_index(base)
+    pq.save(str(tmp_path / "pq"))
+    pq2 = similarity.PqIndex.load(spark, str(tmp_path / "pq"))
+    assert (pq2.m, pq2.ksub, pq2.d_sub) == (pq.m, pq.ksub, pq.d_sub)
+    import numpy as np
+
+    assert np.array_equal(pq2.books, pq.books)
+    c = {(r.query_id, r.neighbor_id, r.rnk)
+         for r in similarity.pq_search(pq, queries, k=3).collect()}
+    d = {(r.query_id, r.neighbor_id, r.rnk)
+         for r in similarity.pq_search(pq2, queries, k=3).collect()}
+    assert c == d and len(c) == 18
