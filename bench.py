@@ -87,6 +87,7 @@ HEADLINE = [
     "keyword_bm25",
     "multimodal_mjpg_frame_decode",
     "ksql_generated_traffic",
+    "quantile_sketch_events",
 ]
 
 # Reference calibration time: BENCH_r04's calib_sec on the round-4 host.

@@ -5463,14 +5463,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # holds an r04 verdict and yields its slot)
     "synthetic_clickstream",
     "ksql_generated_traffic",
-    # text analysis family (lang-id, corpus-LM fluency, BM25 retrieval,
-    # per-source drift profile)
+    # text analysis family (lang-id, BM25 retrieval, per-source drift
+    # profile; ngram_lm_score holds an r04 verdict and yields its slot
+    # to the new quantile-sketch family member)
     "lang_id_ngram",
     "bpe_tokenize_fixed",
-    "ngram_lm_score",
     "keyword_bm25",
     "events_profile",
     "feature_drift",
+    # sketch family second rep: the new mergeable quantile sketch joins
+    # hll_registers_exact (cardinality axis)
+    "quantile_sketch_events",
     # dedup family (span coverage + passage granularity + exact n-gram
     # jaccard; minhash/simhash pairs hold r03/r04 verdicts and yield)
     "duplicate_span_coverage",
