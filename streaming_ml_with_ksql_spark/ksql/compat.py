@@ -19,7 +19,12 @@ KSQL parser. Each construct maps Spark-first:
 | UCASE/LCASE/STRINGTOTIMESTAMP/MASK     | SQL UDFs → pure Catalyst exprs    |
 | ARRAYCONTAINS / COUNT_DISTINCT         | array_contains / count(distinct)  |
 | LATEST_BY_OFFSET / EARLIEST_BY_OFFSET  | max_by / min_by on event time     |
-| TOPK(x, k)                             | slice(sort_array(collect_list))   |
+| TOPK(x, k) / TOPKDISTINCT(x, k)        | slice(sort_array(collect_list/set)) |
+| HISTOGRAM(x)                           | sorted map_from_entries counts    |
+| LEN / IFNULL                           | Spark's native len / ifnull       |
+| EXTRACTJSONFIELD(j, p)                 | SQL UDF → get_json_object         |
+| STRINGTODATE / DATETOSTRING            | SQL UDFs ↔ days-since-epoch INT   |
+| GEO_DISTANCE(lat1, lon1, lat2, lon2)   | SQL UDF → haversine (km)          |
 | GRACE PERIOD n U                       | statement-scoped withWatermark    |
 | INSERT INTO s SELECT ...               | relation := unionByName append    |
 | SHOW STREAMS/TABLES, DESCRIBE r        | registered-relation introspection |
@@ -121,6 +126,19 @@ class KsqlCompat:
             "RETURN date_format(timestamp_millis(ms), fmt)",
             "STRINGTOTIMESTAMP(s STRING, fmt STRING) RETURNS BIGINT "
             "RETURN unix_millis(to_timestamp(s, fmt))",
+            # KSQL DATE scalars carry days-since-epoch integers
+            "STRINGTODATE(s STRING, fmt STRING) RETURNS INT "
+            "RETURN datediff(to_date(s, fmt), DATE'1970-01-01')",
+            "DATETOSTRING(d INT, fmt STRING) RETURNS STRING "
+            "RETURN date_format(date_add(DATE'1970-01-01', d), fmt)",
+            # LEN and IFNULL need nothing: Spark ships len()/ifnull()
+            "EXTRACTJSONFIELD(j STRING, p STRING) RETURNS STRING "
+            "RETURN get_json_object(j, p)",
+            # great-circle distance, km (KSQL geo_distance default unit)
+            "GEO_DISTANCE(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+            "RETURNS DOUBLE RETURN 6371.0 * 2 * asin(sqrt("
+            "pow(sin(radians(lat2 - lat1) / 2), 2) + cos(radians(lat1)) * "
+            "cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
         ):
             self.spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
 
@@ -437,10 +455,29 @@ class KsqlCompat:
                 sql,
                 flags=re.IGNORECASE,
             )
+        # TOPKDISTINCT before TOPK (the latter's pattern would otherwise
+        # match the TOPK prefix of the former)
+        sql = re.sub(
+            r"\bTOPKDISTINCT\s*\(([^(),]+),\s*(\d+)\s*\)",
+            r"slice(sort_array(collect_set(\1), false), 1, \2)",
+            sql,
+            flags=re.IGNORECASE,
+        )
         # TOPK(x, k) → k largest values as an array
         sql = re.sub(
             r"\bTOPK\s*\(([^(),]+),\s*(\d+)\s*\)",
             r"slice(sort_array(collect_list(\1), false), 1, \2)",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        # HISTOGRAM(x) → MAP<value, count> (KSQL's value-frequency UDAF),
+        # keys in sorted order for determinism
+        sql = re.sub(
+            r"\bHISTOGRAM\s*\(([^()]+)\)",
+            r"map_from_entries(transform("
+            r"array_sort(array_distinct(collect_list(\1))), "
+            r"v -> struct(v, CAST(size(filter(collect_list(\1), "
+            r"y -> y = v)) AS BIGINT))))",
             sql,
             flags=re.IGNORECASE,
         )

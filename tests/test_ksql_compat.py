@@ -415,3 +415,43 @@ def test_generated_stream_insert_into_and_push_query(spark, tmp_path):
     # both cohorts are present in the drained result
     ids = {r.user_id for r in got.collect()}
     assert ids & {0, 1} and ids & {100, 101}
+
+
+def test_ksql54_scalar_builtins_extended(engine, spark, topics):
+    """The remaining KSQL 5.4 scalar builtins: LEN, IFNULL (Spark ships
+    it), EXTRACTJSONFIELD, STRINGTODATE/DATETOSTRING (days-since-epoch
+    integers, KSQL's DATE carrier), GEO_DISTANCE (great-circle km)."""
+    got = engine.execute(
+        "SELECT LEN(country) AS lc, IFNULL(NULL, country) AS ic, "
+        "EXTRACTJSONFIELD('{\"a\": {\"b\": \"x\"}}', '$.a.b') AS jf, "
+        "STRINGTODATE('2022-03-15', 'yyyy-MM-dd') AS sd, "
+        "DATETOSTRING(STRINGTODATE('2022-03-15', 'yyyy-MM-dd'), "
+        "'yyyy/MM/dd') AS ds, "
+        "ROUND(GEO_DISTANCE(52.23, 21.01, 50.06, 19.94)) AS dist_km "
+        "FROM users_stream;"
+    ).first()
+    assert got.ic is not None and got.lc == len(got.ic)  # IFNULL passthrough
+    assert got.jf == "x"
+    assert got.sd == 19066  # days from 1970-01-01 to 2022-03-15
+    assert got.ds == "2022/03/15"
+    assert got.dist_km == 253.0  # Warsaw–Krakow great-circle, km
+
+
+def test_histogram_and_topkdistinct(spark):
+    """HISTOGRAM(col) → deterministic MAP<value, count>; TOPKDISTINCT
+    deduplicates before taking the k largest."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, e) for e in ["a", "b", "a", "c", "a", "b"]],
+        "user_id long, ts timestamp, event string",
+    )
+    ks = KsqlCompat(spark, {"hev": (ev, "ts")})
+    ks.execute("CREATE STREAM histev WITH (KAFKA_TOPIC='hev', TIMESTAMP='ts');")
+    row = ks.execute(
+        "SELECT user_id, HISTOGRAM(event) AS h, "
+        "TOPKDISTINCT(event, 2) AS t2 FROM histev GROUP BY user_id;"
+    ).first()
+    assert dict(row.h) == {"a": 3, "b": 2, "c": 1}
+    assert list(row.t2) == ["c", "b"]
