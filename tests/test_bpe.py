@@ -161,3 +161,55 @@ def test_sampled_training_matches_full_corpus(spark, sf_medium):
     # the sampled table drives the full-corpus kernel apply
     out = bpe.bpe_tokenize_kernel(docs, samp)
     assert out.count() == docs.count()
+
+
+def test_randomized_expression_kernel_reference_agreement(spark):
+    """Seeded randomized sweep (the codec-robustness pattern): 300 random
+    words over a 5-letter alphabet — maximally collision-prone — and a
+    merge table learned from them; the Catalyst replace() chain, the
+    Arrow kernel, and the independent pure-Python reference must agree
+    on every word's token count. This class of input is exactly what
+    exposed the r4 symbol-boundary bug."""
+    import random
+
+    rng = random.Random(20260814)
+    words = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    texts = [" ".join(words[i::10]) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, n_merges=15, min_count=2)
+    assert merges == _reference_bpe(texts, 15)
+    assert len(merges) >= 10  # the corpus is dense enough to be a real test
+
+    expr = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_tokenize(df, merges).collect()
+    }
+    kern = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_tokenize_kernel(df, merges).collect()
+    }
+    assert expr == kern
+
+    # cross-check totals against the pure-Python reference apply
+    def ref_tokens(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert expr[i] == (len(ws), sum(ref_tokens(w) for w in ws))
