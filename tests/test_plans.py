@@ -332,3 +332,28 @@ def test_star_contraction_edges_stay_partitioned(spark):
     )
     assert "Scan ExistingRDD" in plan
     assert st == {} or st.get("rounds", 0) <= 6  # dense blobs converge fast
+
+
+def test_quantile_sketch_partial_agg_and_pruned_scan(spark):
+    """The quantile sketch's one real shuffle carries (event_type, bucket)
+    partial counts — map-side combined — and the scan reads ONLY the two
+    columns the sketch needs; the estimator's windows run over the
+    bounded cell table, never raw rows."""
+    plan = _explain(spark, "quantile_sketch_events")
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"event_type", "value"}, m.group(0) if m else plan[:400]
+
+
+def test_mjpg_frame_decode_is_narrow_map(spark):
+    """Same discipline as the JPEG codec: ONE round-robin fan-out of the
+    8-byte ids before synthesis; the AVI payloads and their decoded
+    frames never shuffle."""
+    plan = _explain(spark, "multimodal_mjpg_frame_decode", "simple")
+    assert "MapInPandas" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1 and "RoundRobin" in exchanges[0], exchanges
