@@ -1114,7 +1114,11 @@ def decode_video(with_avi_payload: DataFrame) -> DataFrame:
 
 
 def _mjpg_dims(doc_id: int) -> tuple[int, int]:
-    return 9 + doc_id % 12, 9 + doc_id % 10
+    # 8..16 x 8..14: spans single-block and 2x2-block geometries (and the
+    # edge-padding path) at about half the block count of the still-JPEG
+    # synthesizer — the per-frame Huffman loop runs for every frame of
+    # every doc, so block economy matters for the bench
+    return 8 + doc_id % 9, 8 + doc_id % 7
 
 
 def _mjpg_n_frames(doc_id: int) -> int:

@@ -3216,8 +3216,8 @@ def q_multimodal_mixed_container_sample(spark: SparkSession, sf_dir: str) -> Dat
     """
     WITH v AS (
       SELECT doc_id,
-             CAST(9 + doc_id % 12 AS INT) AS frame_w,
-             CAST(9 + doc_id % 10 AS INT) AS frame_h,
+             CAST(8 + doc_id % 9 AS INT) AS frame_w,
+             CAST(8 + doc_id % 7 AS INT) AS frame_h,
              CAST(doc_id % 4 + 1 AS INT) AS n_frames
       FROM documents),
     f AS (
