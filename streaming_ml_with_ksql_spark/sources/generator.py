@@ -123,7 +123,13 @@ def synthetic_clickstream(
         F.col("id").alias("user_id"),
         (F.col("id") >= n_users - n_bots).alias("is_bot"),
     )
-    return subjects.repartition(min(n_users, 32)).mapInPandas(
+    # size-aware walk fan-out (operators/sizing.py rationale): one task
+    # per ~8 subjects, capped at the configured parallelism — the demo's
+    # 40-user walk stops paying 32 Python-worker spin-ups, while a
+    # production-size subject list still saturates every core
+    n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(n_max, -(-n_users // 8)))
+    return subjects.repartition(parts).mapInPandas(
         _walk_batches(n_ticks),
         schema="user_id long, tick int, ts_ms long, event string, is_bot boolean",
     )
