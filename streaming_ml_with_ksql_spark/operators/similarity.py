@@ -1,16 +1,22 @@
 """Embedding similarity search (north-star surface, BASELINE.json).
 
-Two paths over an ``array<float>`` embedding column:
+Four ANN families over an ``array<float>`` embedding column, plus the
+exact near-duplicate operators:
 
 - **Brute-force cosine top-k** — the exactness baseline and the oracle-able
   form: queries × corpus join, JVM-side `zip_with`/`aggregate` dot product,
   rank by (rounded cosine, candidate id). At 100 TB this is the *verifier*,
   run on samples, not the serving path.
-- **Sign-LSH bucketed ANN** — the scale path: P deterministic random
-  hyperplanes (seeded md5, no RNG at plan time) give a P-bit bucket id;
-  candidates share a probed bucket (multi-probe hamming ≤ 1), then exact
-  cosine re-ranks. The corpus-side bucket id is computed once (narrow map),
-  and the join is an equi-join on bucket id — no all-pairs shuffle.
+- **Sign-LSH bucketed ANN** — P deterministic random hyperplanes (seeded
+  md5, no RNG at plan time) give a P-bit bucket id; candidates share a
+  probed bucket (multi-probe hamming ≤ 1), then exact cosine re-ranks. The
+  corpus-side bucket id is computed once (narrow map), and the join is an
+  equi-join on bucket id — no all-pairs shuffle.
+- **IVF / PQ / IVF-PQ** — write-once index artifacts split from fit-free
+  search (``build_*_index`` / ``*_search``; VERDICT r4 #4), persistable as
+  plain parquet relations: KMeans cells restrict WHICH vectors a query
+  scans, product-quantized codes decide how CHEAPLY each one is scored
+  (broadcast ADC tables, partition-local prune, exact re-rank).
 
 Dense-vector arithmetic (bucket matmuls, candidate-pair cosine) runs in
 Arrow-batched numpy kernels (`pandas_udf`): Catalyst's higher-order
