@@ -55,6 +55,7 @@ __all__ = [
     "pii_scrub",
     "domain_mix_weights",
     "ngram_lm_score",
+    "hash_embed",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -1337,3 +1338,61 @@ def passage_dedup_stats(
         .cast("int")
         .alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embeddings (the hashing trick)
+# ---------------------------------------------------------------------------
+
+
+def hash_embed(
+    documents: DataFrame,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-free document embeddings via the hashing trick (Weinberger
+    et al., ICML 2009 — public method, independently implemented): every
+    token maps to a bucket by md5 and a deterministic ±1 sign by a second
+    digest nibble; the document vector is the signed bucket-count
+    histogram, L2-normalized. Bridges the raw corpus into the embedding
+    operators (LSH/IVF/PQ near-dup + ANN) when no learned encoder exists
+    — the classic cheap-embedding stage of a training-data pipeline.
+
+    Scale shape: explode → ONE map-side-combined groupBy(doc, bucket)
+    carrying two longs per (doc, bucket) — the shuffle is sparse
+    term-partial-sized, never text — then map_from_entries + a
+    sequence() densification per doc (narrow). All Catalyst; md5 bucket
+    and sign arithmetic reproduce bit-for-bit in DuckDB, and the only
+    float ops (count normalization) are fixed-order, so the rounded
+    vector is exactly oracle-able."""
+    toks = tokens_col(F.col(text_col))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 8, 1), 16, 10) % 2 == 0, 1
+    ).otherwise(-1)
+    per_bucket = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", (h % dim).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    dense = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket", "w")))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    unit = F.transform(
+        vec, lambda v: F.round(v / F.greatest(norm, F.lit(1e-12)), 6)
+    )
+    return dense.select("doc_id", unit.alias("embedding"))

@@ -4915,6 +4915,50 @@ def q_ksql_generated_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_hash_embed",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 7))::UBIGINT::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 8, 1))::UBIGINT::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM t),
+    pb AS (SELECT doc_id, bucket, sum(s) AS w FROM hb GROUP BY 1, 2),
+    dense AS (
+      SELECT d.doc_id, i.i AS idx, CAST(coalesce(pb.w, 0) AS DOUBLE) AS v
+      FROM (SELECT DISTINCT doc_id FROM pb) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i(i)
+      LEFT JOIN pb ON pb.doc_id = d.doc_id AND pb.bucket = i.i),
+    n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY 1)
+    SELECT d.doc_id,
+           string_agg(CAST(round(v / greatest(nrm, 1e-12), 6) AS VARCHAR),
+                      ',' ORDER BY idx) AS embedding
+    FROM dense d JOIN n USING (doc_id) GROUP BY 1
+    """,
+)
+def q_doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via the hashing trick (Weinberger
+    et al. 2009): signed md5-bucket token histogram, L2-normalized — the
+    bridge from the raw corpus into the embedding/ANN operators when no
+    learned encoder exists. Sparse (doc, bucket) partials shuffle, never
+    text; the norm sums integer-valued doubles (exact in any order), so
+    the rounded 64-dim vector hash-checks exactly. Stringified (driver
+    canonicalizer needs scalar cells)."""
+    emb = text.hash_embed(_t(spark, sf_dir, "documents"))
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda v: v.cast("string"))
+        ).alias("embedding"),
+    )
+
+
+@register(
     "passage_dedup_stats",
     r"""
     WITH toks AS (

@@ -214,3 +214,41 @@ def test_bpe_pack_layout_consistent_with_counts(spark, sf_small):
             assert r.start_offset == run
             assert r.pack_id == run // 2048
             run += r.n_tokens
+
+
+def test_hash_embed_feeds_similarity_operators(spark):
+    """The hashing-trick embeddings are unit vectors that plug straight
+    into the embedding operators: duplicate documents map to IDENTICAL
+    vectors (cosine 1.0), disjoint-vocabulary documents to orthogonal
+    ones, and the brute-force ANN over (vec_id, embedding) ranks the
+    planted duplicate first."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import similarity, text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely unrelated content"),
+            (3, "the quick brown fox jumps over a sleepy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = text.hash_embed(docs)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    assert rows[0] == rows[1]  # exact duplicates → identical vectors
+    import math
+
+    for v in rows.values():  # unit norm (components rounded to 6 dp)
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-4
+    dot02 = sum(a * b for a, b in zip(rows[0], rows[2]))
+    assert abs(dot02) < 0.3  # disjoint vocab ≈ orthogonal
+
+    topk = similarity.brute_force_topk(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_queries=1,
+        k=2,
+    ).collect()
+    best = [r for r in topk if r.rnk == 1][0]
+    assert best.neighbor_id == 1 and best.cosine == 1.0
