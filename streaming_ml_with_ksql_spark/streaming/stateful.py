@@ -36,7 +36,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["sessionize_stream", "latest_per_key_stateful"]
+__all__ = [
+    "sessionize_stream",
+    "latest_per_key_stateful",
+    "threshold_alert_stream",
+]
 
 _US = 1_000_000
 
@@ -208,6 +212,93 @@ def latest_per_key_stateful(
 
     return (
         df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def threshold_alert_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    min_events: int = 8,
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Per-key threshold ALERTING — the canonical monitoring state
+    machine (the reference's bot-detection domain done as a stream-time
+    rule instead of a model): the moment a key's trailing-``window``
+    event count first reaches ``min_events``, emit ONE alert row
+    (key, alert_ts, n_events) and retire the key's state.
+
+    Exactly the semantics of the batch RANGE-frame query "first ts whose
+    (t - window, t] count >= N" — which is what the DuckDB oracle
+    states — so the emission set is hash-checkable on an in-order
+    bounded replay. Events sharing a timestamp are processed as one
+    group (RANGE peers), so the alert count includes all of them.
+
+    Scale: state per live key is at most the event timestamps inside one
+    window (bounded by window x per-key rate; JSON-encoded longs), and
+    an ALERTED key's state collapses to a tombstone — the fleet-wide
+    state is O(live keys), the same discipline as the sessionizer."""
+    import json
+
+    w_us = _parse_duration_seconds(window) * _US
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("alert_ts", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("done", LongType()), StructField("buf", StringType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        done, buf_json = state.get if state.exists else (0, "[]")
+        if done:
+            return
+        buf = json.loads(buf_json)
+        ts_us = pd.concat([pdf[ts_col] for pdf in pdfs]).astype("int64") // 1000
+        ts_us = ts_us.sort_values().to_numpy()
+        i, n = 0, len(ts_us)
+        while i < n:
+            t = int(ts_us[i])
+            j = i
+            while j < n and int(ts_us[j]) == t:
+                j += 1
+            # evict outside (t - window, t], then admit ALL peers at t —
+            # matching the RANGE frame's peer-inclusive current row
+            buf = [x for x in buf if x > t - w_us]
+            buf.extend([t] * (j - i))
+            if len(buf) >= min_events:
+                state.update((1, "[]"))  # tombstone: alert once, drop buffer
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "alert_ts": [pd.Timestamp(t, unit="us")],
+                        "n_events": [len(buf)],
+                    }
+                )
+                return
+            i = j
+        state.update((0, json.dumps(buf)))
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,

@@ -328,3 +328,45 @@ def test_mongo_standin_collection_is_idempotent(
     os.remove(os.path.join(coll, victim))
     run_foreach_batch(_results_stream(), foreach_batch_jsonl_collection(coll))
     assert _snapshot() == first
+
+
+def test_threshold_alert_stream_semantics(spark, tmp_path):
+    """Alert-once threshold state machine: first trailing-window crossing
+    emits exactly one row per key, peers at the crossing timestamp all
+    count (RANGE semantics), later bursts do NOT re-alert, and
+    under-threshold keys stay silent."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark.streaming.stateful import (
+        threshold_alert_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = []
+    # user 1: burst crossing N=3 inside 10 min at t=4 (events 0,2,4)
+    rows += [(1, m(0)), (1, m(2)), (1, m(4))]
+    # ... and a SECOND burst later that must not re-alert
+    rows += [(1, m(60)), (1, m(61)), (1, m(62))]
+    # user 2: crossing happens via two PEERS at the same timestamp —
+    # the alert count must include both (cnt=4 >= 3 at m(8))
+    rows += [(2, m(0)), (2, m(5)), (2, m(8)), (2, m(8))]
+    # user 3: never 3 events within 10 minutes
+    rows += [(3, m(0)), (3, m(30)), (3, m(60))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    d = str(tmp_path / "alert_events")
+    shard_table_to_dir(ev, d, num_shards=3, order_col="ts")
+    alerts = threshold_alert_stream(
+        stream_parquet_dir(spark, d), window="10 minutes", min_events=3
+    )
+    from streaming_ml_with_ksql_spark.streaming.sinks import run_to_memory
+
+    got = {
+        r.user_id: (r.alert_ts, r.n_events)
+        for r in run_to_memory(alerts, "alerts_sem_test").collect()
+    }
+    assert got == {1: (m(4), 3), 2: (m(8), 4)}  # one alert each; 3 silent
