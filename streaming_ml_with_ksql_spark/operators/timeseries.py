@@ -28,25 +28,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["multi_resolution_rollup", "gap_fill_locf"]
+__all__ = [
+    "multi_resolution_rollup",
+    "minute_partials",
+    "rollup_from_minute_partials",
+    "gap_fill_locf",
+]
 
 _DEC = "decimal(18,6)"
 
 
-def multi_resolution_rollup(
+def minute_partials(
     events: DataFrame,
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
-    """Minute/hour/day rollup of (count, sum, min, max) per key, coarser
-    grains aggregated from the finer grain's partials. Output columns:
-    resolution, bucket_start, <key>, n_events, sum_value, min_value,
-    max_value."""
+    """The finest-grain partial table (minute, key) -> (count, decimal
+    sum, min, max). ALL rollup state derives from this frame; it is the
+    thing a hypertable materializes continuously — batch (one groupBy)
+    or streaming (the identical aggregate in complete mode: counts/sums
+    additive, min/max order-insensitive, so drained == batch exactly)."""
     ts, val = F.col(ts_col), F.col(value_col).cast(_DEC)
-
-    minute = events.groupBy(
+    return events.groupBy(
         F.date_trunc("minute", ts).alias("bucket_start"), key_col
     ).agg(
         F.count("*").alias("n_events"),
@@ -54,6 +59,12 @@ def multi_resolution_rollup(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+def rollup_from_minute_partials(minute: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """Coarsen stored minute partials into the hour/day grains and union
+    the three resolutions — never re-touching raw events (the 100 TB
+    rollup contract: coarse grains are derived from persisted partials)."""
 
     def _coarsen(finer: DataFrame, grain: str) -> DataFrame:
         return finer.groupBy(
@@ -84,6 +95,25 @@ def multi_resolution_rollup(
         _finalize(minute, "minute")
         .unionAll(_finalize(hour, "hour"))
         .unionAll(_finalize(day, "day"))
+    )
+
+
+def multi_resolution_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Minute/hour/day rollup of (count, sum, min, max) per key, coarser
+    grains aggregated from the finer grain's partials. Output columns:
+    resolution, bucket_start, <key>, n_events, sum_value, min_value,
+    max_value."""
+    return rollup_from_minute_partials(
+        minute_partials(
+            events, ts_col=ts_col, key_col=key_col, value_col=value_col
+        ),
+        key_col=key_col,
     )
 
 

@@ -3444,6 +3444,31 @@ def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_multi_resolution_rollup",
+    " UNION ALL ".join(
+        _ROLLUP_GRAIN_SQL.format(res=r) for r in ("minute", "hour", "day")
+    ),
+)
+def q_streaming_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable continuous-aggregate loop end-to-end: the event
+    STREAM continuously maintains the minute-grain partial table (ONE
+    complete-mode groupBy — counts/decimal sums additive, min/max
+    order-insensitive, so the drained partials equal the batch frame
+    exactly), and the hour/day grains are derived from the stored
+    partials without re-touching raw events. Chained streaming
+    aggregations are unsupported by design — maintaining the finest
+    grain continuously and rolling up coarser grains from persisted
+    partials IS the production pattern. Same oracle as the batch rollup:
+    all three drained resolutions hash-check."""
+    stream = _replay_events(spark, sf_dir)
+    minute = timeseries.minute_partials(stream)
+    drained = stream_sinks.run_to_memory(
+        minute, f"rollup_stream_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    return timeseries.rollup_from_minute_partials(drained)
+
+
+@register(
     "hourly_gap_fill_locf",
     """
     WITH ev AS (SELECT * FROM events WHERE user_id < 50),
