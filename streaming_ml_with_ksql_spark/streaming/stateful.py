@@ -268,6 +268,14 @@ def threshold_alert_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # only non-alerted keys register timeouts (below): a buffer
+            # whose newest event is a full window behind the watermark can
+            # never contribute to a future crossing — drop the state.
+            # Alert TOMBSTONES never time out (alert-once-EVER semantics;
+            # their cost is one long per alerted key).
+            state.remove()
+            return
         done, buf_json = state.get if state.exists else (0, "[]")
         if done:
             return
@@ -296,6 +304,16 @@ def threshold_alert_stream(
                 return
             i = j
         state.update((0, json.dumps(buf)))
+        if buf:
+            # state-size guard: once the watermark is a full window past
+            # the buffer's newest event, no future event can share a
+            # window with it — evict. (Spark requires the timeout
+            # strictly beyond the current watermark.)
+            timeout_ms = max(
+                buf[-1] // 1000 + (w_us // 1000) + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
 
     return (
         events.withWatermark(ts_col, watermark_delay)
@@ -305,6 +323,6 @@ def threshold_alert_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
