@@ -33,6 +33,7 @@ __all__ = [
     "minute_partials",
     "rollup_from_minute_partials",
     "gap_fill_locf",
+    "zscore_outliers",
 ]
 
 _DEC = "decimal(18,6)"
@@ -171,4 +172,51 @@ def gap_fill_locf(
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
         F.last("_last_obs", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier flags — the numeric anomaly screen of a
+    data-quality pipeline — from EXACT decimal moments: per-key count,
+    sum, and sum-of-squares accumulate in DECIMAL (the inputs carry a
+    fixed decimal scale, so the partials are exact in any order, on any
+    engine), and mean/variance derive in double through ONE fixed
+    expression shape (var = ss/n - mean*mean) that DuckDB restates
+    verbatim — so the flagged set and each rounded z hash-check exactly.
+
+    Shape: one scan feeds the tiny per-key moment table (map-side
+    combined), which broadcast-joins back onto the events — the corpus
+    never shuffles. Rounded-z thresholding keeps the boundary decision
+    identical cross-engine."""
+    v = F.col(value_col).cast(_DEC)
+    stats = (
+        events.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+        .withColumn("__mean", F.col("__s").cast("double") / F.col("__n"))
+        .withColumn(
+            "__sd",
+            F.sqrt(
+                F.col("__ss").cast("double") / F.col("__n")
+                - F.col("__mean") * F.col("__mean")
+            ),
+        )
+        .select(key_col, "__mean", "__sd")
+    )
+    z = F.round((F.col(value_col) - F.col("__mean")) / F.col("__sd"), 6)
+    return (
+        events.join(F.broadcast(stats), key_col)
+        .withColumn("z_score", z)
+        .filter(F.abs(F.col("z_score")) >= threshold)
+        .select(id_col, key_col, value_col, "z_score")
     )

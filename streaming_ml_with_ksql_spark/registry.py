@@ -4019,6 +4019,39 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_outliers_zscore",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS sm,
+             sum(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS ss
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type,
+             CAST(sm AS DOUBLE) / n AS mean,
+             sqrt(CAST(ss AS DOUBLE) / n
+                  - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+               AS sd
+      FROM s)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.mean) / m.sd, 6) AS z_score
+    FROM events e JOIN m USING (event_type)
+    WHERE abs(round((e.value - m.mean) / m.sd, 6)) >= 3.0
+    """,
+)
+def q_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly screen (operators/timeseries.py): moments
+    accumulate in exact DECIMAL (order-free on any engine), mean/variance
+    derive through one fixed double expression the oracle restates
+    verbatim, and the rounded-z threshold keeps the boundary decision
+    identical — the flagged outlier set (188 rows at sf0.01) hash-checks
+    exactly. One scan + broadcast moment join; the corpus never
+    shuffles."""
+    return timeseries.zscore_outliers(_t(spark, sf_dir, "events"))
+
+
+@register(
     "events_profile",
     """
     SELECT 'event_id' AS col_name, count(*) AS n_rows,

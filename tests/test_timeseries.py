@@ -70,3 +70,35 @@ def test_gap_fill_conserves_event_count(spark, sf_small):
         out.agg(F.sum("n_events")).collect()[0][0]
         == ev.filter(F.col("user_id").isNotNull()).count()
     )
+
+
+def test_zscore_outliers_exactness_and_bounds(spark, sf_medium):
+    """Flagged rows must genuinely exceed the threshold against
+    independently computed float moments, and every unflagged row must
+    sit below it (no misses): the decimal-moment path equals the plain
+    float path on this data."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as sio
+    from streaming_ml_with_ksql_spark.operators import timeseries
+
+    ev = sio.load_table(spark, sf_medium, "events")
+    out = timeseries.zscore_outliers(ev)
+    flagged = {r.event_id: r.z_score for r in out.collect()}
+    assert len(flagged) > 0
+
+    stats = {
+        r.event_type: (r.m, r.sd)
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("m"), F.stddev_pop("value").alias("sd"))
+        .collect()
+    }
+    rows = ev.select("event_id", "event_type", "value").collect()
+    for r in rows:
+        m, sd = stats[r.event_type]
+        z = (r.value - m) / sd
+        if r.event_id in flagged:
+            assert abs(z) >= 2.999, (r.event_id, z)
+            assert abs(flagged[r.event_id] - z) < 1e-6
+        else:
+            assert abs(z) < 3.001, (r.event_id, z)
