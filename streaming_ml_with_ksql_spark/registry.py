@@ -5553,6 +5553,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # verdicts stand in the r03/r04 records; displaced queries remain
     # fully supported + exactly oracled in verify_driver's full sweep.
     #
+    # Round-6 rotation candidates (new exact-oracled queries born after
+    # this block froze, all green in the full sweep but never verdicted):
+    # streaming_threshold_alert (alert-once stateful family),
+    # streaming_multi_resolution_rollup, value_outliers_zscore,
+    # doc_hash_embed, streaming_quantile_sketch, synthetic_users_profile,
+    # plus the remaining never-verdicted TPC-H/variant tail.
+    #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
     "hopping_window_agg",
