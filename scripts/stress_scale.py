@@ -50,6 +50,12 @@ QUERIES = [
     "product_profit",
     "order_count_histogram",
     "dedup_components",
+    # round-5 additions
+    "quantile_sketch_events",
+    "value_outliers_zscore",
+    "doc_hash_embed",
+    "bpe_tokenize_fixed",
+    "multimodal_mjpg_frame_decode",
 ]
 
 
