@@ -986,9 +986,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "benchmark_decontaminate",
-    r"""
+_DECON_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       FROM documents),
@@ -1003,8 +1001,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id, count(*) AS n_shared_shingles
     FROM train t JOIN bench b ON t.shingle = b.shingle
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("benchmark_decontaminate", _DECON_ORACLE)
 def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (eval-overlap filter): training docs
     sharing any word 4-gram with the pseudo-benchmark slice
@@ -5530,6 +5530,60 @@ def q_excess_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "part"),
+    )
+
+
+def _curation_oracle() -> str:
+    """Compose the three independently-verified stage oracles into the
+    full curation pass: clean survivors (over the train split) minus
+    contaminated docs, packed by real BPE token counts. Substitutions are
+    asserted (the streaming_late_data_policy lesson: a silent replace()
+    no-op fails the driver far from the cause)."""
+    clean = _CLEAN_CORPUS_ORACLE.format(minhash_cols=_MINHASH_COLS)
+    assert clean.count("FROM documents") == 1
+    clean_train = clean.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) documents",
+    )
+    pack = _bpe_pack_oracle()
+    assert pack.count("FROM documents") == 1
+    pack_scoped = pack.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM final_set)",
+    ).lstrip()
+    assert pack_scoped.startswith("WITH ")
+    return f"""
+    WITH final_set AS (
+      SELECT doc_id FROM ({clean_train}) c
+      WHERE doc_id NOT IN (SELECT doc_id FROM ({_DECON_ORACLE}) d)
+    ), {pack_scoped[5:]}"""
+
+
+@register("corpus_curation_pipeline", _curation_oracle())
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pass as one query — what a training-data team
+    actually runs nightly: language/quality gates → MinHash-LSH near-dup
+    removal (clean_corpus) → benchmark decontamination (4-gram overlap
+    with the held-out slice, broadcast) → REAL BPE token accounting →
+    salted-shard prefix-sum sequence packing. Every stage is an
+    independently-oracled operator; this query pins that they COMPOSE
+    exactly — the final (doc_id, shard, n_tokens, pack_id, start_offset)
+    layout hash-checks against the three stage oracles stitched into one
+    SQL statement. Stage plan shapes are preserved by construction
+    (composition is DataFrame-level; Catalyst fuses the scans)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = text.clean_corpus(train)
+    contaminated = text.decontaminate(train, bench, n=4)
+    final_docs = docs.join(
+        clean.join(contaminated, "doc_id", "left_anti").select("doc_id"),
+        "doc_id",
+    )
+    counts = bpe.bpe_tokenize(final_docs, bpe.FIXED_MERGES)
+    return text.pack_sequences(
+        final_docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        token_count=F.col("n_bpe_tokens"),
     )
 
 

@@ -252,3 +252,39 @@ def test_hash_embed_feeds_similarity_operators(spark):
     ).collect()
     best = [r for r in topk if r.rnk == 1][0]
     assert best.neighbor_id == 1 and best.cosine == 1.0
+
+
+def test_curation_pipeline_stage_containment(spark, sf_medium):
+    """The composed curation pass must agree with its stages run alone:
+    curated docs ⊆ clean survivors, disjoint from contaminated docs, and
+    the pack layout's token totals equal the per-doc BPE counts."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as sio
+    from streaming_ml_with_ksql_spark import registry
+    from streaming_ml_with_ksql_spark.operators import bpe, text
+
+    out = registry._REGISTRY["corpus_curation_pipeline"].spark(spark, sf_medium)
+    rows = out.collect()
+    curated = {r.doc_id for r in rows}
+    assert len(curated) > 0
+
+    docs = sio.load_table(spark, sf_medium, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean_ids = {r.doc_id for r in text.clean_corpus(train).collect()}
+    contaminated = {
+        r.doc_id
+        for r in text.decontaminate(
+            train, docs.filter(F.col("doc_id") % 97 == 0), n=4
+        ).collect()
+    }
+    assert curated <= clean_ids
+    assert not (curated & contaminated)
+    assert curated == clean_ids - contaminated
+
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_tokenize(docs, bpe.FIXED_MERGES).collect()
+    }
+    for r in rows:
+        assert r.n_tokens == counts[r.doc_id]
