@@ -5685,11 +5685,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
     "top_revenue_supplier",
-    # corpus pipeline (fixed-budget chunking, greedy sequence packing,
-    # PII scrubbing, deterministic hash split; the composite clean
-    # pipeline holds an r04 verdict and yields)
+    # corpus pipeline (fixed-budget chunking, PII scrubbing,
+    # deterministic hash split, and the FULL curation composite —
+    # clean → decontaminate → BPE counts → packing in one statement;
+    # corpus_pack_sequences and the clean composite hold r04 verdicts
+    # and yield to it)
     "corpus_chunk_tokens",
-    "corpus_pack_sequences",
+    "corpus_curation_pipeline",
     "pii_scrub",
     "corpus_hash_split",
     # multimodal (REAL stdlib codecs: mixed-container frame sampling,
