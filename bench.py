@@ -88,6 +88,8 @@ HEADLINE = [
     "multimodal_mjpg_frame_decode",
     "ksql_generated_traffic",
     "quantile_sketch_events",
+    "value_outliers_zscore",
+    "corpus_curation_pipeline",
 ]
 
 # Reference calibration time: BENCH_r04's calib_sec on the round-4 host.
