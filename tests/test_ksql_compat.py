@@ -455,3 +455,34 @@ def test_histogram_and_topkdistinct(spark):
     ).first()
     assert dict(row.h) == {"a": 3, "b": 2, "c": 1}
     assert list(row.t2) == ["c", "b"]
+
+
+def test_malformed_statements_fail_loudly(spark):
+    """The compat layer is a shim, not a parser — anything outside its
+    statement grammar must raise with a clear message, never silently
+    no-op (a mistyped runbook statement should stop the runbook)."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "main_page")],
+        "user_id long, ts timestamp, event string",
+    )
+    ks = KsqlCompat(spark, {"t_err": (ev, "ts")})
+    with pytest.raises(ValueError, match="unsupported statement"):
+        ks.execute("DROP STREAM something;")
+    with pytest.raises(KeyError, match="unknown topic"):
+        ks.execute("CREATE STREAM s WITH (KAFKA_TOPIC='missing');")
+    with pytest.raises(KeyError, match="unknown relation"):
+        ks.execute("INSERT INTO missing SELECT 1;")
+    with pytest.raises(KeyError, match="unknown relation"):
+        ks.execute("DESCRIBE missing;")
+    with pytest.raises(ValueError, match="need KEY"):
+        # TABLE materialization without a key cannot compact
+        ks.execute("CREATE TABLE t1 WITH (KAFKA_TOPIC='t_err');")
+    ks.execute("CREATE STREAM s_ok WITH (KAFKA_TOPIC='t_err');")
+    with pytest.raises(ValueError, match="cannot parse|event-time"):
+        # windowed statement with a malformed duration body
+        ks.execute(
+            "CREATE TABLE t2 AS SELECT user_id, count(*) AS n FROM s_ok "
+            "WINDOW HOPPING (SIZE banana) GROUP BY user_id;"
+        )
