@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_groups"]
+__all__ = ["connected_components", "dedup_groups", "triangle_counts"]
 
 
 def _star_contract(
@@ -278,4 +278,88 @@ def dedup_groups(
         F.col(id_col),
         F.col("component").alias("group_id"),
         F.col("group_size"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-vertex triangle counts on an undirected graph via
+    DEGREE-ORDERED edge orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011 — public
+    method, independently implemented): orient every edge from its
+    (degree, id)-smaller endpoint, build wedges by self-joining oriented
+    edges on the pivot, and close each wedge against the oriented edge
+    set. Every triangle is enumerated EXACTLY ONCE (its (deg, id)-minimal
+    vertex is the only possible pivot), and the wedge join's skew is
+    bounded by out-degrees under the orientation — a celebrity vertex's
+    edges all point INTO it, so it never pivots its full neighborhood
+    (the last-reducer fix; on the near-dup graph this is what keeps a
+    viral duplicate cluster from serializing one task).
+
+    Output: (vertex, n_triangles) for EVERY vertex of the edge set,
+    zero-filled — triangle participation is the numerator of the local
+    clustering coefficient, the standard community-density screen over
+    a near-dup pair graph.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation: a -> b iff (deg_a, a) < (deg_b, b); every edge gets
+    # exactly one direction (total order, ids distinct)
+    withdeg = (
+        e.join(deg.select(F.col("vertex").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("vertex").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges pivoted at a: (a->b, a->c) with (deg_b, b) < (deg_c, c) so
+    # the closing edge b->c carries the same orientation
+    o1 = oriented.select(
+        F.col("a").alias("wa"), F.col("b").alias("wb"),
+        F.col("db").alias("wdb"),
+    )
+    o2 = oriented.select(
+        F.col("a").alias("wa"), F.col("b").alias("wc"),
+        F.col("db").alias("wdc"),
+    )
+    wedges = o1.join(o2, "wa").where(
+        (F.col("wdb") < F.col("wdc"))
+        | ((F.col("wdb") == F.col("wdc")) & (F.col("wb") < F.col("wc")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("wb"), F.col("b").alias("wc")
+    )
+    tri = wedges.join(closing, ["wb", "wc"]).select("wa", "wb", "wc")
+    per_vertex = (
+        tri.select(F.col("wa").alias("vertex"))
+        .unionAll(tri.select(F.col("wb").alias("vertex")))
+        .unionAll(tri.select(F.col("wc").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return verts.join(per_vertex, "vertex", "left").select(
+        "vertex",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )

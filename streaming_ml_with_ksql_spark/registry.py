@@ -2575,6 +2575,47 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "near_dup_triangle_counts",
+    _EMB_CTE
+    + """
+    , p AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM p e1 JOIN p e2 ON e2.u = e1.v
+      JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+    verts AS (
+      SELECT DISTINCT vertex FROM (
+        SELECT u AS vertex FROM p UNION ALL SELECT v FROM p)),
+    tv AS (
+      SELECT vertex, count(*) AS n FROM (
+        SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT v.vertex, CAST(coalesce(tv.n, 0) AS BIGINT) AS n_triangles
+    FROM verts v LEFT JOIN tv USING (vertex)
+    """,
+)
+def q_near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the embedding near-dup pair graph
+    (operators/graph.py, Suri & Vassilvitskii WWW'11 degree-ordered
+    orientation): the community-density screen between pair emission and
+    component resolution — a vertex in many triangles sits in a dense
+    duplicate clique, one in none is a chain link. The oracle enumerates
+    triangles by id-canonical joins; orientation order doesn't change
+    the triangle SET, so per-vertex counts hash-check exactly (the pair
+    edges themselves reuse the verified all-pairs cosine rule)."""
+    edges = similarity.embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings")
+    )
+    return graph.triangle_counts(edges, src="vec_a", dst="vec_b")
+
+
 @register("embedding_topk_ivf", None)  # approximate: rows-only check
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells + n_probe nearest-cell search). No SQL oracle

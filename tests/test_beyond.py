@@ -77,3 +77,27 @@ def test_bloom_filter_prunes_without_false_negatives(spark, sf_medium):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in plan
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles with every vertex in 3; a path has none; a
+    triangle with a pendant vertex counts 1-1-1-0; duplicate and
+    reversed edge rows must not inflate counts."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.vertex: r.n_triangles
+            for r in graph.triangle_counts(df).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # duplicates + reversed directions collapse to the same undirected set
+    assert tc(k4 + [(b, a) for a, b in k4] + k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert tc([(0, 1), (1, 2), (2, 3)]) == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert tc([(0, 1), (1, 2), (0, 2), (2, 3)]) == {0: 1, 1: 1, 2: 1, 3: 0}
+    # two triangles sharing an edge: shared endpoints count 2
+    two = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    assert tc(two) == {0: 1, 1: 2, 2: 2, 3: 1}
