@@ -2616,6 +2616,66 @@ def q_near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(edges, src="vec_a", dst="vec_b")
 
 
+@register(
+    "near_dup_clustering_coefficient",
+    _EMB_CTE
+    + """
+    , p AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM p e1 JOIN p e2 ON e2.u = e1.v
+      JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+    deg AS (
+      SELECT vertex, count(*) AS d FROM (
+        SELECT u AS vertex FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+    tv AS (
+      SELECT vertex, count(*) AS n FROM (
+        SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT deg.vertex, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tv.n, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * coalesce(tv.n, 0) / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tv USING (vertex)
+    """,
+)
+def q_near_dup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the near-dup graph —
+    2T(v) / (d(v)(d(v)-1)), the density score that separates CLIQUE-like
+    duplicate clusters (coeff → 1: drop all but one representative) from
+    CHAIN-like borderline matches (coeff → 0: review before dropping).
+    Exact rational arithmetic rounded at 6 dp on both engines; degree
+    and triangle counts reuse the verified operators."""
+    edges = similarity.embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings")
+    ).select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+    tri = graph.triangle_counts(edges, src="u", dst="v")
+    deg = (
+        edges.select(F.col("u").alias("vertex"))
+        .unionAll(edges.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "vertex").select(
+        "vertex", "degree", "n_triangles", coeff.alias("clustering_coeff")
+    )
+
+
 @register("embedding_topk_ivf", None)  # approximate: rows-only check
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans cells + n_probe nearest-cell search). No SQL oracle
