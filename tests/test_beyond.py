@@ -21,6 +21,14 @@ BEYOND = [
     "multi_resolution_rollup",
     "hourly_gap_fill_locf",
     "bloom_pruned_join",
+    # round-5 additions
+    "near_dup_triangle_counts",
+    "near_dup_clustering_coefficient",
+    "value_outliers_zscore",
+    "doc_hash_embed",
+    "quantile_sketch_events",
+    "corpus_curation_pipeline",
+    "ksql_generated_traffic",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
@@ -37,6 +45,10 @@ STREAMING = [
     "streaming_interval_join_right",
     "streaming_corpus_ingest",
     "streaming_cms_cells",
+    # round-5 additions
+    "streaming_quantile_sketch",
+    "streaming_threshold_alert",
+    "streaming_multi_resolution_rollup",
 ]
 
 
