@@ -194,7 +194,13 @@ def zscore_outliers(
     Shape: one scan feeds the tiny per-key moment table (map-side
     combined), which broadcast-joins back onto the events — the corpus
     never shuffles. Rounded-z thresholding keeps the boundary decision
-    identical cross-engine."""
+    identical cross-engine.
+
+    Zero-variance keys produce NO outlier rows: sd = 0 would make
+    z = 0/0 = NaN, and both Spark and DuckDB order NaN above every
+    double, so without the ``__sd > 0`` guard a constant-valued key —
+    the least anomalous data possible — would flag every row (ADVICE
+    r5). The guard is mirrored in the DuckDB oracle."""
     v = F.col(value_col).cast(_DEC)
     stats = (
         events.groupBy(key_col)
@@ -211,6 +217,7 @@ def zscore_outliers(
                 - F.col("__mean") * F.col("__mean")
             ),
         )
+        .filter(F.col("__sd") > 0)
         .select(key_col, "__mean", "__sd")
     )
     z = F.round((F.col(value_col) - F.col("__mean")) / F.col("__sd"), 6)

@@ -4138,7 +4138,8 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - m.mean) / m.sd, 6) AS z_score
     FROM events e JOIN m USING (event_type)
-    WHERE abs(round((e.value - m.mean) / m.sd, 6)) >= 3.0
+    WHERE m.sd > 0
+      AND abs(round((e.value - m.mean) / m.sd, 6)) >= 3.0
     """,
 )
 def q_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:

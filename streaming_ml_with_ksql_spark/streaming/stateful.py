@@ -240,17 +240,29 @@ def threshold_alert_stream(
 
     Exactly the semantics of the batch RANGE-frame query "first ts whose
     (t - window, t] count >= N" — which is what the DuckDB oracle
-    states — so the emission set is hash-checkable on an in-order
-    bounded replay. Events sharing a timestamp are processed as one
-    group (RANGE peers), so the alert count includes all of them.
+    states — so the emission set is hash-checkable on a bounded replay.
+    Events sharing a timestamp are processed as one group (RANGE peers),
+    so the alert count includes all of them.
+
+    Out-of-order arrivals inside the watermark are handled exactly
+    (ADVICE r5): the buffer is kept sorted, the window at position t
+    counts only events <= t (a later-buffered FUTURE event never
+    inflates an earlier window), every position >= the earliest new
+    arrival is (re-)evaluated — a late event can create a crossing at
+    an already-seen position — and eviction keeps a ``watermark_delay``
+    margin beyond the window so a late event's full look-back is still
+    in state.
 
     Scale: state per live key is at most the event timestamps inside one
-    window (bounded by window x per-key rate; JSON-encoded longs), and
-    an ALERTED key's state collapses to a tombstone — the fleet-wide
-    state is O(live keys), the same discipline as the sessionizer."""
+    window plus the lateness margin (bounded by (window + delay) x
+    per-key rate; JSON-encoded longs), and an ALERTED key's state
+    collapses to a tombstone — the fleet-wide state is O(live keys),
+    the same discipline as the sessionizer."""
     import json
+    from bisect import bisect_right
 
     w_us = _parse_duration_seconds(window) * _US
+    delay_us = _parse_duration_seconds(watermark_delay) * _US
     key_field = events.schema[key_col]
     out_schema = StructType(
         [
@@ -281,36 +293,48 @@ def threshold_alert_stream(
             return
         buf = json.loads(buf_json)
         ts_us = pd.concat([pdf[ts_col] for pdf in pdfs]).astype("int64") // 1000
-        ts_us = ts_us.sort_values().to_numpy()
-        i, n = 0, len(ts_us)
-        while i < n:
-            t = int(ts_us[i])
-            j = i
-            while j < n and int(ts_us[j]) == t:
-                j += 1
-            # evict outside (t - window, t], then admit ALL peers at t —
-            # matching the RANGE frame's peer-inclusive current row
-            buf = [x for x in buf if x > t - w_us]
-            buf.extend([t] * (j - i))
-            if len(buf) >= min_events:
+        new = sorted(int(v) for v in ts_us)
+        if not new:
+            return
+        merged = sorted(buf + new)
+        # (re-)evaluate every event-time position >= the earliest new
+        # arrival: a new event e only changes windows ending at t >= e,
+        # and positions < e were already evaluated with final counts.
+        # The window at t counts entries in (t - window, t] ONLY — a
+        # buffered event newer than t (out-of-order delivery) must not
+        # inflate an earlier window.
+        lo_new, prev = new[0], None
+        for t in merged:
+            if t < lo_new or t == prev:
+                prev = t
+                continue
+            prev = t
+            cnt = bisect_right(merged, t) - bisect_right(merged, t - w_us)
+            if cnt >= min_events:
                 state.update((1, "[]"))  # tombstone: alert once, drop buffer
                 yield pd.DataFrame(
                     {
                         key_col: [key[0]],
                         "alert_ts": [pd.Timestamp(t, unit="us")],
-                        "n_events": [len(buf)],
+                        "n_events": [cnt],
                     }
                 )
                 return
-            i = j
-        state.update((0, json.dumps(buf)))
-        if buf:
+        # evict with a lateness margin: a future event may arrive up to
+        # `delay` behind the newest seen timestamp (watermark contract),
+        # and its window reaches back another `window` — anything older
+        # than t_max - window - delay can never be counted again.
+        t_max = merged[-1]
+        keep = [x for x in merged if x > t_max - w_us - delay_us]
+        state.update((0, json.dumps(keep)))
+        if keep:
             # state-size guard: once the watermark is a full window past
             # the buffer's newest event, no future event can share a
             # window with it — evict. (Spark requires the timeout
-            # strictly beyond the current watermark.)
+            # strictly beyond the current watermark; keep is sorted, so
+            # keep[-1] is max(buf).)
             timeout_ms = max(
-                buf[-1] // 1000 + (w_us // 1000) + 1,
+                keep[-1] // 1000 + (w_us // 1000) + 1,
                 state.getCurrentWatermarkMs() + 1,
             )
             state.setTimeoutTimestamp(timeout_ms)

@@ -370,3 +370,64 @@ def test_threshold_alert_stream_semantics(spark, tmp_path):
         for r in run_to_memory(alerts, "alerts_sem_test").collect()
     }
     assert got == {1: (m(4), 3), 2: (m(8), 4)}  # one alert each; 3 silent
+
+
+def test_threshold_alert_stream_out_of_order(spark, tmp_path):
+    """Late arrivals inside the watermark are handled exactly (ADVICE r5):
+    a buffered FUTURE event must not inflate an earlier window, a late
+    event can create a crossing at an already-evaluated position, and
+    eviction keeps a watermark_delay margin so a late event's full
+    look-back is still in state. Both users replay out of order; the
+    expected alerts are the batch RANGE-oracle answers over the full
+    event set."""
+    import datetime as dt
+    import os
+    import time
+
+    from streaming_ml_with_ksql_spark.streaming.stateful import (
+        threshold_alert_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # Global watermark after batch 1 = max event time (12) - delay (5) = 7,
+    # so both late events (7.5 and 9) are admissible in batch 2.
+    #
+    # user 1: batch 1 delivers t=0 and t=8; t=7.5 arrives LATE. True RANGE
+    # crossing (N=3, window=10 min): first t with count((t-10, t]) >= 3 is
+    # t=8 ({0, 7.5, 8}) — the pre-fix kernel alerted at t=7.5 by counting
+    # the buffered future event t=8.
+    # user 2: batch 1 delivers t=0,1,12 (plain in-window eviction at t=12
+    # would discard 0 and 1); t=9 arrives late. True crossing: t=9
+    # ({0, 1, 9}) — reachable only if eviction kept the delay margin.
+    b1 = [(1, m(0)), (1, m(8)), (2, m(0)), (2, m(1)), (2, m(12))]
+    b2 = [(1, m(7.5)), (2, m(9))]
+
+    d = tmp_path / "ooo_events"
+    d.mkdir()
+    base = time.time() - 10
+    for i, rows in enumerate([b1, b2]):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        sub = str(tmp_path / f"ooo_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub) if f.endswith(".parquet")
+        )
+        dst = str(d / f"batch-{i}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (base + i, base + i))
+
+    alerts = threshold_alert_stream(
+        stream_parquet_dir(spark, str(d)),
+        window="10 minutes",
+        min_events=3,
+        watermark_delay="5 minutes",
+    )
+    got = {
+        r.user_id: (r.alert_ts, r.n_events)
+        for r in run_to_memory(alerts, "alerts_ooo_test").collect()
+    }
+    assert got == {1: (m(8), 3), 2: (m(9), 3)}

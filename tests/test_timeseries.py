@@ -102,3 +102,20 @@ def test_zscore_outliers_exactness_and_bounds(spark, sf_medium):
             assert abs(flagged[r.event_id] - z) < 1e-6
         else:
             assert abs(z) < 3.001, (r.event_id, z)
+
+
+def test_zscore_constant_key_emits_no_outliers(spark):
+    """A zero-variance key must produce NO outlier rows: sd = 0 would make
+    z = 0/0 = NaN, which both Spark and DuckDB order above every double —
+    without the sd > 0 guard the least anomalous data (a constant key)
+    would flag every row (ADVICE r5)."""
+    rows = [(i, "const", 5.0) for i in range(20)]
+    # one genuinely-anomalous key alongside, so the query itself still fires
+    rows += [(100 + i, "vary", 1.0) for i in range(50)]
+    rows += [(200, "vary", 1000.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = timeseries.zscore_outliers(ev).collect()
+    assert all(r.event_type != "const" for r in out)
+    assert any(r.event_type == "vary" for r in out)  # guard didn't over-drop
