@@ -13,8 +13,15 @@ expensive the kernel is per row.
 
 Row counts come free where possible: ``io.load_table`` attaches the exact
 parquet-footer row count as a driver-side hint (no Spark job); when a
-frame carries no hint the fallback is one column-free ``count()`` — a
-metadata-weight scan, far cheaper than the overhead it prevents. At
+frame carries no hint the fallback depends on its lineage. A scan-shaped
+frame (project/filter over a source) gets one column-free ``count()`` —
+a metadata-weight scan, far cheaper than the overhead it prevents. A
+frame whose lineage contains joins/aggregates/Python stages does NOT:
+counting it would re-execute the whole upstream DAG once per fan-out
+(ADVICE r5 — ``corpus_curation_pipeline`` re-ran its clean+decontaminate
+join DAG inside ``bpe_tokenize``), so those frames keep the full
+configured width (round-4 behavior; correct at scale, mildly taxing only
+for small derived frames whose callers didn't pass ``approx_rows``). At
 production scale the clamp is inactive (any real frame saturates the
 configured parallelism) and the behavior is identical to round 4's.
 """
@@ -26,6 +33,34 @@ from pyspark.sql import DataFrame
 __all__ = ["ROW_HINT_ATTR", "row_hint", "fan_out"]
 
 ROW_HINT_ATTR = "_sg_row_hint"
+
+# Logical-plan node names whose presence makes a count() fallback cost a
+# full DAG re-execution rather than a metadata-weight scan.
+_EXPENSIVE_PLAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Generate",
+    "Deduplicate",
+    "Distinct",
+    "Union",
+    "MapInPandas",
+    "FlatMapGroupsIn",
+    "MapGroups",
+    "Sort",
+)
+
+
+def _count_is_cheap(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is scan-shaped (no joins,
+    aggregates, generators, sorts, or Python stages), so a column-free
+    ``count()`` costs one metadata-weight pass rather than a re-execution
+    of the upstream DAG."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(node in plan for node in _EXPENSIVE_PLAN_NODES)
 
 
 def row_hint(df: DataFrame | None) -> int | None:
@@ -48,8 +83,11 @@ def fan_out(
     ceil(rows / rows_per_task))`` partitions. ``approx_rows`` may come from
     a row hint on an ancestor frame (an upper bound after filters — an
     overestimate only adds partitions, the safe direction); without one,
-    a column-free count() measures the frame. ``parallelism`` overrides
-    the computation entirely (callers that KNOW the width they want)."""
+    a column-free count() measures the frame ONLY when its lineage is
+    scan-shaped — a derived frame (joins/aggs/Python stages) keeps the
+    full width instead of re-executing its DAG to size itself (ADVICE
+    r5). ``parallelism`` overrides the computation entirely (callers
+    that KNOW the width they want)."""
     spark = df.sparkSession
     n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.isStreaming:
@@ -57,7 +95,12 @@ def fan_out(
         return df.repartition(parallelism or n_max)
     if parallelism is None:
         rows = approx_rows if approx_rows is not None else row_hint(df)
-        if rows is None:
+        if rows is None and _count_is_cheap(df):
             rows = df.count()
-        parallelism = max(1, min(n_max, -(-int(rows) // int(rows_per_task))))
+        if rows is None:
+            parallelism = n_max
+        else:
+            parallelism = max(
+                1, min(n_max, -(-int(rows) // int(rows_per_task)))
+            )
     return df.repartition(parallelism)

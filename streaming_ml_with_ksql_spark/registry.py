@@ -5682,6 +5682,13 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.join(contaminated, "doc_id", "left_anti").select("doc_id"),
         "doc_id",
     )
+    # carry the base table's footer row hint onto the derived frame: an
+    # upper bound (survivors <= documents) that lets bpe_tokenize's
+    # fan-out size itself without a count() that would re-execute the
+    # clean+decontaminate DAG (ADVICE r5)
+    from .operators import sizing
+
+    setattr(final_docs, sizing.ROW_HINT_ATTR, sizing.row_hint(docs))
     counts = bpe.bpe_tokenize(final_docs, bpe.FIXED_MERGES)
     return text.pack_sequences(
         final_docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id"),

@@ -62,3 +62,32 @@ def test_cheap_codec_narrow_heavy_codec_wide(spark, sf_small):
         .collect()
     )
     assert a == b and len(a) == 500
+
+
+def test_fan_out_never_counts_derived_lineage(spark):
+    """A hint-less frame whose lineage contains a join/aggregate must NOT
+    be sized by count() — that re-executes the whole upstream DAG once per
+    fan-out (ADVICE r5: corpus_curation_pipeline re-ran its
+    clean+decontaminate join DAG inside bpe_tokenize). Such frames keep
+    the full configured width; the proof that no count ran is a kernel
+    poison pill that would make the count job fail."""
+    import pyspark.sql.functions as F
+
+    n_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("fan_out executed the derived DAG to size it")
+
+    a = spark.range(50).select(F.col("id"), boom(F.col("id")).alias("x"))
+    b = spark.range(50).withColumnRenamed("id", "id2")
+    derived = a.join(b, a.id == b.id2).groupBy("id").count()
+    # sizing must not trigger a job; materializing the fan-out plan lazily
+    # is fine — only .count()/.collect() would detonate the pill
+    assert not sizing._count_is_cheap(derived)
+    out = sizing.fan_out(derived, rows_per_task=10)
+    assert out.rdd.getNumPartitions() == n_max
+
+    # scan-shaped lineage still counts (and clamps) as before
+    assert sizing._count_is_cheap(spark.range(100))
+    assert sizing.fan_out(spark.range(100), rows_per_task=50).rdd.getNumPartitions() == 2
