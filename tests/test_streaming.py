@@ -271,16 +271,20 @@ def test_streaming_hll_registers_equal_batch(spark, sf_small):
 
 
 def test_mongo_standin_collection_is_idempotent(
-    spark, sf_small, events_stream_dir, tmp_path
+    spark, sf_small, events_stream_dir, tmp_path, monkeypatch
 ):
     """S5 parity drill (VERDICT r4 #8): the bot_detection_results shape
     round-trips through the JSONL 'collection' (the Mongo stand-in) and
     re-running the drained query — foreachBatch's redelivery case — is
     exactly-once: batch-id-keyed writes leave the collection
     byte-identical. Recovery: a deleted batch file is restored
-    identically on replay."""
+    identically on replay. Rows never pass through the driver (VERDICT
+    r5 #2): every run executes with DataFrame.collect poisoned — the
+    writer serializes partitions executor-side."""
     import json
     import os
+
+    from pyspark.sql import DataFrame as SparkDataFrame
 
     from streaming_ml_with_ksql_spark.streaming.queries import (
         enrich_and_score_stream,
@@ -289,6 +293,11 @@ def test_mongo_standin_collection_is_idempotent(
     from streaming_ml_with_ksql_spark.streaming.sinks import (
         foreach_batch_jsonl_collection,
     )
+
+    def _no_collect(self):
+        raise AssertionError("Mongo stand-in sink collected rows to the driver")
+
+    monkeypatch.setattr(SparkDataFrame, "collect", _no_collect)
 
     customers = io_mod.load_table(spark, sf_small, "customer").select(
         F.col("c_custkey").alias("cust_id"), "c_name", "c_nationkey"
