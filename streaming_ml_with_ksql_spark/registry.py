@@ -5704,121 +5704,111 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation (the third): fourteen slots whose families hold
-    # r03/r04 driver verdicts (projection/cast, latest-per-key, rolling
-    # counts, lag/lead, TPC-H Q1/pivot/set-ops/correlated-avg/percentiles,
-    # text stats, token budget, corpus mixing, minhash+simhash pairs)
-    # yielded to fourteen queries that had NEVER held a driver verdict —
-    # including five whole families with no verdicted representative
-    # before this round: connected components (dedup_components_star),
-    # UDAF/UDTF (§2.6), the 26-scalar suite (P9), the synthetic traffic
-    # generators (S6/S7), and storage-layout pruning (z-order). Historical
-    # verdicts stand in the r03/r04 records; displaced queries remain
-    # fully supported + exactly oracled in verify_driver's full sweep.
-    #
-    # Round-6 rotation candidates (new exact-oracled queries born after
-    # this block froze, all green in the full sweep but never verdicted):
-    # streaming_threshold_alert (alert-once stateful family),
-    # streaming_multi_resolution_rollup, value_outliers_zscore,
-    # doc_hash_embed, streaming_quantile_sketch, synthetic_users_profile,
-    # plus the remaining never-verdicted TPC-H/variant tail.
+    # Round-6 rotation (the fourth): sixteen slots whose occupants hold
+    # fresh r05 verdicts (scalar suite, UDAF/UDTF, star-contraction CC,
+    # bloom join, gap-fill, batch rollup, z-order, TPC-H Q1/Q20, HLL,
+    # clickstream, BM25, profile, drift, batch quantile sketch) yielded
+    # to sixteen exact-oracled queries that had NEVER held a driver
+    # verdict — giving SEVEN whole families their first verdict: graph
+    # metrics (triangles + clustering coefficient), the alert-once
+    # stateful machine, the continuously-maintained streaming twins
+    # (rollup + quantile sketch, VERDICT r5 #5), funnels, cohorts, fuzzy
+    # matching, and trend extraction — plus unpivot/GROUPING SETS and the
+    # right/full outer stream-stream joins that complete their families.
+    # Historical verdicts stand in the r03-r05 records; displaced
+    # queries remain fully supported + exactly oracled in
+    # verify_driver's full sweep.
     #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
     "hopping_window_agg",
     "session_window_agg",
-    # projection/scalar family rep (P1-P9): the 26-scalar suite subsumes
-    # projection_filter_cast's projection/filter/cast shapes
-    "scalar_function_suite",
-    # §2.6 UDAF/UDTF (grouped-agg pandas median; lateral ngram UDTF)
-    "pandas_udaf_median",
-    "python_udtf_ngrams",
-    # dedup propagation family: star-contraction CC (Kiveris SoCC'14),
-    # never verdicted before r5; answer-identical propagation twin stays
-    # in the sweep
-    "dedup_components_star",
-    # join family (J1-J4, skew, as-of, temporal, range-bucket, bloom;
-    # the salted variant is answer-identical to enriched_window_join and
-    # yields its slot)
+    # graph-metrics family (first verdict): degree-ordered triangle
+    # counting (Suri-Vassilvitskii WWW'11) + local clustering coefficient
+    # over the near-dup graph; the CC variants hold r05 verdicts
+    "near_dup_triangle_counts",
+    "near_dup_clustering_coefficient",
+    # join family (J1-J4, skew, as-of, temporal; bloom holds r05)
     "enriched_window_join",
     "asof_view_attribution",
-    "bloom_pruned_join",
-    # time-series family (gap-fill + LOCF; multi-resolution rollup chain)
-    "hourly_gap_fill_locf",
-    "multi_resolution_rollup",
-    # storage-layout family (z-order interleaved clustering; partition
-    # pruning of a partitioned+bucketed sink)
-    "zorder_layout",
+    # time-series family: the STREAMING multi-resolution rollup twin gets
+    # the family's verdict this round (batch rollup + gap-fill hold r05);
+    # per-key z-score anomaly screen (exact-DECIMAL moments, first
+    # verdict)
+    "streaming_multi_resolution_rollup",
+    "value_outliers_zscore",
+    # behavioral analytics family (first verdicts): ordered-step
+    # conversion funnel, weekly retention cohorts, per-user value trend
+    "conversion_funnel",
+    "weekly_retention_cohorts",
+    "user_value_trend",
+    # fuzzy-matching family (first verdict): blocked edit-distance name
+    # matching — never all-pairs
+    "fuzzy_name_matches",
+    # storage-layout family (z-order holds r05; the partitioned+bucketed
+    # sink prune keeps the family's slot)
     "partitioned_sink_prune",
-    # relational/TPC-H family (top-k, rollup, anti join, NOT-EXISTS-chain
-    # Q21, multi-dim Q7, two-level-nested Q20, sketches)
+    # relational/TPC-H family (top-k, NOT-EXISTS-chain Q21, multi-dim Q7,
+    # Q15; rollup/Q20/scalar-suite hold r05 — GROUPING SETS and unpivot
+    # take their families' first verdicts)
     "shipping_priority",
-    "returnflag_rollup",
     "waiting_suppliers",
     "volume_shipping",
-    "excess_part_suppliers",
-    "hll_registers_exact",
-    # ML scoring + runbook (U1-U3, W4). The hopping runbook is the oracled
-    # runbook representative; the predictions runbook is model-backed
-    # (rows-only) and yields its slot to score_events' oracled U2 check.
+    "top_revenue_supplier",
+    "order_grouping_sets",
+    "event_type_unpivot",
+    # ML scoring + runbook (U1-U3, W4)
     "score_events",
     "ksql_runbook_hopping",
     # CDC source (S3)
     "cdc_snapshot_customers",
-    # synthetic traffic/user generators (S6/S7/G1-G3) — deterministic
-    # Markov clickstream, recursive-CTE oracled; plus the full KSQL
-    # statement loop over generated traffic (customers_without_orders
-    # holds an r04 verdict and yields its slot)
-    "synthetic_clickstream",
+    # synthetic traffic/user generators (S6/S7/G1-G3): the seeded USER
+    # PROFILE generator gets its first verdict (clickstream holds r05);
+    # the full KSQL statement loop over generated traffic stays
+    "synthetic_users_profile",
     "ksql_generated_traffic",
-    # text analysis family (lang-id, BM25 retrieval, per-source drift
-    # profile; ngram_lm_score holds an r04 verdict and yields its slot
-    # to the new quantile-sketch family member)
+    # text analysis family (lang-id, BPE; BM25/profile/drift hold r05 —
+    # the hashing-trick doc embeddings take their first verdict)
     "lang_id_ngram",
     "bpe_tokenize_fixed",
-    "keyword_bm25",
-    "events_profile",
-    "feature_drift",
-    # sketch family second rep: the new mergeable quantile sketch joins
-    # hll_registers_exact (cardinality axis)
-    "quantile_sketch_events",
+    "doc_hash_embed",
+    # sketch family: the STREAMING quantile-sketch twin gets the verdict
+    # this round (batch sketch + HLL registers hold r05)
+    "streaming_quantile_sketch",
     # dedup family (span coverage + passage granularity + exact n-gram
-    # jaccard; minhash/simhash pairs hold r03/r04 verdicts and yield)
+    # jaccard; minhash/simhash/CC variants hold r03-r05 verdicts)
     "duplicate_span_coverage",
     "passage_dedup_stats",
     "ngram_jaccard_pairs",
     # embedding family (quantize, near-dup scale path, semantic dedup
     # groups; the ANN variants — brute baseline + recall-tested lsh/ivf —
-    # yield their slots; Q15 completes the TPC-H family)
+    # yield their slots)
     "embedding_quantize_int8",
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
-    "top_revenue_supplier",
     # corpus pipeline (fixed-budget chunking, PII scrubbing,
-    # deterministic hash split, and the FULL curation composite —
-    # clean → decontaminate → BPE counts → packing in one statement;
-    # corpus_pack_sequences and the clean composite hold r04 verdicts
-    # and yield to it)
+    # deterministic hash split, and the FULL curation composite)
     "corpus_chunk_tokens",
     "corpus_curation_pipeline",
     "pii_scrub",
     "corpus_hash_split",
     # multimodal (REAL stdlib codecs: mixed-container frame sampling,
     # ISO-BMFF sample-map decode, baseline JPEG, five-filter PNG, and the
-    # MJPG frame-pixel chain that retires the PIL gate for all but H.264;
-    # hot_window_events holds an r04 verdict and yields its slot)
+    # MJPG frame-pixel chain that retires the PIL gate for all but H.264)
     "multimodal_mixed_container_sample",
     "multimodal_mp4_decode",
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
     "multimodal_mjpg_frame_decode",
     # streaming family (EMIT CHANGES, custom stateful, stream-stream
-    # joins — the LEFT outer interval join gets its first verdict;
-    # streaming_late_data_policy subsumes streaming_hopping_window: the
-    # same watermarked hopping plan PLUS planted late events whose
-    # watermark-mandated drop the oracle states explicitly)
+    # joins — the RIGHT and FULL outer interval joins complete the
+    # family; the alert-once threshold state machine takes its first
+    # verdict, out-of-order-hardened this round)
     "streaming_late_data_policy",
     "streaming_sessionize",
     "streaming_interval_join",
     "streaming_interval_join_left",
+    "streaming_interval_join_right",
+    "streaming_interval_join_full",
+    "streaming_threshold_alert",
 )
