@@ -28,6 +28,9 @@ KSQL parser. Each construct maps Spark-first:
 | GRACE PERIOD n U                       | statement-scoped withWatermark    |
 | INSERT INTO s SELECT ...               | relation := unionByName append    |
 | SHOW STREAMS/TABLES, DESCRIBE r        | registered-relation introspection |
+| SHOW QUERIES                           | persistent-query registry listing |
+| TERMINATE q / TERMINATE ALL            | retire persistent query id(s)     |
+| DROP STREAM/TABLE [IF EXISTS] r        | deregister + drop temp view       |
 | t.rowkey pseudo-column                 | t's recorded key column           |
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |
@@ -101,6 +104,21 @@ class _Relation:
 
 
 @dataclass
+class _PersistentQuery:
+    """A CSAS/CTAS/INSERT INTO registration — ksqlDB's persistent query.
+    The lifecycle statements (SHOW QUERIES / TERMINATE / DROP) operate on
+    this registry exactly as on a server: a relation cannot be dropped
+    while a RUNNING query writes to or reads from it."""
+
+    query_id: str
+    kind: str  # CSAS | CTAS | INSERT
+    sink: str  # relation the query writes
+    sources: tuple[str, ...]  # relations the query reads
+    statement: str
+    state: str = "RUNNING"
+
+
+@dataclass
 class KsqlCompat:
     """Statement executor bound to a set of named topics.
 
@@ -114,6 +132,8 @@ class KsqlCompat:
     topics: dict[str, tuple[DataFrame, str | None]]
     models_dir: str | None = None
     relations: dict[str, _Relation] = field(default_factory=dict)
+    queries: dict[str, _PersistentQuery] = field(default_factory=dict)
+    _query_seq: "itertools.count" = field(default_factory=itertools.count)
 
     def __post_init__(self) -> None:
         # KSQL scalar builtins as SQL-defined functions: pure Catalyst
@@ -179,11 +199,101 @@ class KsqlCompat:
         if m:
             return self._show(m.group(1).upper())
 
+        if re.match(r"SHOW QUERIES$", flat, re.IGNORECASE):
+            return self._show_queries()
+
         m = re.match(r"DESCRIBE (\w+)$", flat, re.IGNORECASE)
         if m:
             return self._describe(m.group(1))
 
+        m = re.match(r"TERMINATE (ALL|\w+)$", flat, re.IGNORECASE)
+        if m:
+            return self._terminate(m.group(1))
+
+        m = re.match(
+            r"DROP (STREAM|TABLE)( IF EXISTS)? (\w+)( DELETE TOPIC)?$",
+            flat,
+            re.IGNORECASE,
+        )
+        if m:
+            return self._drop(
+                m.group(1).upper(), m.group(3), if_exists=bool(m.group(2))
+            )
+
         raise ValueError(f"unsupported statement shape: {flat[:80]}...")
+
+    # ------------------------------------------------------------------
+    # persistent-query lifecycle (ksqlDB's operational statements — the
+    # ones a user types right after the reference's runbook: list what
+    # runs, retire a query, drop its relation)
+    # ------------------------------------------------------------------
+
+    def _select_sources(self, select: str) -> tuple[str, ...]:
+        """Registered relations a SELECT reads (FROM/JOIN targets)."""
+        names = re.findall(r"\b(?:FROM|JOIN)\s+(\w+)", select, re.IGNORECASE)
+        return tuple(
+            dict.fromkeys(n.lower() for n in names if n.lower() in self.relations)
+        )
+
+    def _register_query(
+        self, kind: str, sink: str, sources: tuple[str, ...], statement: str
+    ) -> _PersistentQuery:
+        qid = f"{kind}_{sink.upper()}_{next(self._query_seq)}"
+        q = _PersistentQuery(qid, kind, sink.lower(), sources, statement)
+        self.queries[qid] = q
+        return q
+
+    def _show_queries(self) -> DataFrame:
+        """SHOW QUERIES: one row per persistent query, matching ksqlDB's
+        listing shape (id, type, state, sink, statement)."""
+        rows = [
+            (q.query_id, q.kind, q.state, q.sink.upper(), q.statement)
+            for q in self.queries.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "query_id string, query_type string, state string, "
+            "sink string, statement string",
+        )
+
+    def _terminate(self, target: str) -> None:
+        """TERMINATE <query_id> / TERMINATE ALL: retire persistent
+        queries. The sink relation stays materialized (its last state),
+        exactly as on a server — DROP removes it."""
+        if target.upper() == "ALL":
+            for q in self.queries.values():
+                q.state = "TERMINATED"
+            return None
+        q = self.queries.get(target.upper())
+        if q is None:
+            raise KeyError(f"unknown query {target!r}")
+        q.state = "TERMINATED"
+        return None
+
+    def _drop(self, kind: str, name: str, *, if_exists: bool) -> None:
+        """DROP STREAM/TABLE [IF EXISTS] <name>: deregister the relation
+        and its temp view. Refused while a RUNNING persistent query
+        writes to or reads from it (ksqlDB's drop guard) — TERMINATE
+        first."""
+        rel = self.relations.get(name.lower())
+        if rel is None:
+            if if_exists:
+                return None
+            raise KeyError(f"unknown relation {name!r}")
+        blockers = [
+            q.query_id
+            for q in self.queries.values()
+            if q.state == "RUNNING"
+            and (q.sink == name.lower() or name.lower() in q.sources)
+        ]
+        if blockers:
+            raise ValueError(
+                f"cannot drop {name}: used by running queries "
+                f"{blockers} — TERMINATE them first"
+            )
+        del self.relations[name.lower()]
+        self.spark.catalog.dropTempView(name.lower())
+        return None
 
     def _insert_into(self, name: str, select: str) -> DataFrame:
         """INSERT INTO <stream> SELECT ...: append the query's rows to an
@@ -194,6 +304,10 @@ class KsqlCompat:
         rel = self.relations.get(name.lower())
         if rel is None:
             raise KeyError(f"unknown relation {name!r}")
+        self._register_query(
+            "INSERT", rel.name, self._select_sources(select),
+            f"INSERT INTO {name} {select}",
+        )
         df, _src = self._translate_select(select)
         merged = rel.df.unionByName(df.select(*rel.df.columns))
         self._register(_Relation(rel.name, merged, rel.ts_col, rel.key))
@@ -281,6 +395,12 @@ class KsqlCompat:
     # ------------------------------------------------------------------
 
     def _create_as_select(self, kind: str, name: str, select: str) -> DataFrame:
+        self._register_query(
+            "CSAS" if kind == "STREAM" else "CTAS",
+            name,
+            self._select_sources(select),
+            f"CREATE {kind} {name} AS {select}",
+        )
         key = None
         m = re.search(r"\s+PARTITION BY (\w+)$", select, re.IGNORECASE)
         if m:
