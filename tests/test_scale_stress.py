@@ -131,3 +131,120 @@ def test_duplicate_span_structure_replicates_linearly(spark, sf_medium):
     )
     assert a == b
     assert t4 < 120.0, t4  # sanity ceiling; 4x corpus, window single-shuffle
+
+
+@pytest.mark.slow
+def test_triangle_counting_scales_linearly_with_replicated_structure(
+    spark, sf_medium
+):
+    """VERDICT r5 #7: the degree-ordered wedge join. Replicating the real
+    near-dup edge set MULT× with shifted vertex ids replicates the true
+    triangle structure exactly ×MULT (edges are replica-local by
+    construction), so per-vertex triangle counts and clustering
+    coefficients must replicate as multisets, and wall time must stay in
+    a linear envelope — an orientation regression (wedges from full
+    degrees, the 'last reducer' failure) scales with the square of the
+    hub degree and would blow through it."""
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    edges1 = (
+        similarity.embedding_near_dup_pairs_blocked(emb)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    big = edges1
+    for i in range(1, MULT):
+        big = big.unionByName(
+            edges1.select(
+                (F.col("vec_a") + F.lit(i * ID_STEP)).alias("vec_a"),
+                (F.col("vec_b") + F.lit(i * ID_STEP)).alias("vec_b"),
+            )
+        )
+    edges4 = big.localCheckpoint(eager=True)
+
+    def tri_sizes(edges):
+        return sorted(
+            (r.vertex % ID_STEP, r.n_triangles)
+            for r in graph.triangle_counts(
+                edges, src="vec_a", dst="vec_b"
+            ).collect()
+        )
+
+    t0 = time.perf_counter()
+    tri1 = tri_sizes(edges1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tri4 = tri_sizes(edges4)
+    t4 = time.perf_counter() - t0
+    assert len(tri1) > 0 and tri4 == sorted(tri1 * MULT)
+    assert t4 <= 1.5 * MULT * t1 + 15.0, (t1, t4)
+
+    def cc(edges):
+        # the registry's clustering-coefficient composition: 2T/(d(d-1))
+        tri = graph.triangle_counts(edges, src="vec_a", dst="vec_b")
+        deg = (
+            edges.select(F.col("vec_a").alias("vertex"))
+            .unionAll(edges.select(F.col("vec_b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        joined = tri.join(deg, "vertex").select(
+            "vertex",
+            F.when(
+                F.col("degree") > 1,
+                F.round(
+                    2.0 * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+        return sorted((r.vertex % ID_STEP, r.coeff) for r in joined.collect())
+
+    assert cc(edges4) == sorted(cc(edges1) * MULT)
+
+
+@pytest.mark.slow
+def test_curation_composite_collapses_exact_duplication(
+    spark, sf_medium, tmp_path
+):
+    """VERDICT r5 #7: the full curation pass at MULT× exact duplication.
+    Replicas shift doc_ids by a multiple of 97 (preserving the
+    train/bench split residue), so every replica is an exact text copy:
+    the near-dup stage must collapse each cross-replica group onto its
+    min-id (replica-0) representative and the ENTIRE pipeline output —
+    survivors, BPE token counts, packing layout — must equal the 1×
+    run exactly. That is the operational meaning of dedup-before-train,
+    and a recall loss or nondeterministic representative choice breaks
+    it immediately. Wall time stays in a linear envelope."""
+    from streaming_ml_with_ksql_spark import registry
+
+    step = 97 * 10_000  # keeps doc_id % 97 per replica
+    docs1 = io_mod.load_table(spark, sf_medium, "documents")
+    big = docs1
+    for i in range(1, MULT):
+        big = big.unionByName(
+            docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * step))
+        )
+    rep_dir = str(tmp_path / "dup_corpus")
+    import os
+
+    os.makedirs(rep_dir)
+    big.write.mode("overwrite").parquet(f"{rep_dir}/documents.parquet")
+
+    q = registry.queries()["corpus_curation_pipeline"]
+    t0 = time.perf_counter()
+    out1 = sorted(tuple(r) for r in q(spark, sf_medium).collect())
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out4 = sorted(tuple(r) for r in q(spark, rep_dir).collect())
+    t4 = time.perf_counter() - t0
+    assert len(out1) > 0
+    assert out4 == out1, (
+        f"curation output changed under exact duplication: "
+        f"{len(out1)} vs {len(out4)} rows"
+    )
+    assert t4 <= 1.5 * MULT * t1 + 20.0, (t1, t4)
