@@ -1224,3 +1224,146 @@ def ivfpq_search(
     return _exact_rerank(
         _shortlist_topk(cands, keep), index.emb, k, queries=queries
     )
+
+
+def scale_features(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension feature standardization ((x - mean) / sd) — the
+    whitening step before distance-based ops (ANN, clustering, dedup)
+    treat every dimension equally. Moments accumulate per dimension in
+    exact DECIMAL (order-free on any engine, the zscore_outliers
+    discipline), mean/sd derive through one fixed double expression,
+    and zero-variance dimensions are dropped by the sd > 0 guard rather
+    than emitting NaN.
+
+    Shape: one posexplode scan feeds the dim-sized moment table
+    (map-side combined; dim rows total), which broadcast-joins back
+    onto the components — the corpus shuffles once on the exploded
+    (row, dim) key and the stats side is bounded by the embedding
+    width at any corpus size. Output is the exploded
+    (id, dim_pos, scaled) form: scalar columns, exactly what the
+    cross-engine hash check can pin."""
+    dec = "decimal(18,9)"
+    comp = embeddings.select(
+        id_col,
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias(
+            "dim_pos", "x"
+        ),
+    )
+    v = F.col("x").cast(dec)
+    stats = (
+        comp.groupBy("dim_pos")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+        .withColumn("__mean", F.col("__s").cast("double") / F.col("__n"))
+        .withColumn(
+            "__sd",
+            F.sqrt(
+                F.col("__ss").cast("double") / F.col("__n")
+                - F.col("__mean") * F.col("__mean")
+            ),
+        )
+        .filter(F.col("__sd") > 0)
+        .select("dim_pos", "__mean", "__sd")
+    )
+    return comp.join(F.broadcast(stats), "dim_pos").select(
+        id_col,
+        "dim_pos",
+        F.round((F.col("x") - F.col("__mean")) / F.col("__sd"), 6).alias(
+            "scaled"
+        ),
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    *,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection of the embedding column onto its top
+    ``n_components`` principal directions — the dimensionality-reduction
+    front end for cheaper ANN/clustering at 100 TB.
+
+    Scale shape: the covariance matrix accumulates DISTRIBUTED in one
+    mapInPandas pass — each partition emits a single (count, sum,
+    sum-of-outer-products) row, dim + dim^2 doubles, so the driver
+    collects O(partitions) bounded sketch rows (the codebook-artifact
+    discipline), never data. Eigendecomposition is a driver-side
+    dim x dim numpy eigh; the component matrix broadcasts back as plan
+    LITERALS into a pure-JVM zip_with/aggregate projection — the big
+    scan stays in codegen, no Python on the serving path. Sign
+    convention: each component's largest-|weight| entry is positive, so
+    the basis is deterministic for a given covariance.
+
+    Approximate/model-backed by nature (no cross-engine SQL oracle):
+    the orthonormality, variance-ordering, and reconstruction
+    self-checks live in tests/test_similarity.py."""
+    import numpy as np
+
+    emb = embeddings.select(
+        id_col, F.col(emb_col).cast("array<double>").alias("e")
+    )
+    dim = emb.select(F.size("e")).first()[0]
+
+    def _partials(batches):
+        import numpy as _np
+
+        n, s, o = 0, _np.zeros(dim), _np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.array(list(pdf["e"]))
+            n += len(x)
+            s += x.sum(axis=0)
+            o += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "o": [o.reshape(dim * dim).tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        _partials, schema="n long, s array<double>, o array<double>"
+    ).collect()  # bounded: one sketch row per partition
+    n_total = sum(p.n for p in parts)
+    s_total = np.sum([np.array(p.s) for p in parts], axis=0)
+    o_total = np.sum(
+        [np.array(p.o).reshape(dim, dim) for p in parts], axis=0
+    )
+    mean = s_total / n_total
+    cov = o_total / n_total - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:n_components]
+    w = eigvecs[:, order]  # (dim, q)
+    for k in range(w.shape[1]):
+        if w[np.abs(w[:, k]).argmax(), k] < 0:
+            w[:, k] = -w[:, k]
+
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(F.col("e"), mean_lit, lambda a, b: a - b)
+    proj_cols = []
+    for k in range(w.shape[1]):
+        wk = F.array(*[F.lit(float(v)) for v in w[:, k]])
+        proj_cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(centered, wk, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"pc{k}")
+        )
+    return emb.select(id_col, *proj_cols)

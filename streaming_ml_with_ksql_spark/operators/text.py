@@ -1396,3 +1396,96 @@ def hash_embed(
         vec, lambda v: F.round(v / F.greatest(norm, F.lit(1e-12)), 6)
     )
     return dense.select("doc_id", unit.alias("embedding"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_stratum: int = 50,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sample — the subsampling primitive of a
+    training-data pipeline (balance sources/languages/domains before
+    mixing): the ``n_per_stratum`` rows of each stratum with the
+    smallest (md5-hash, id) rank. No RNG in the plan: every engine, run,
+    and data order draws the SAME sample, and because each row's hash is
+    independent of the others, growing a stratum only ever displaces the
+    highest-ranked members — the sample is stable under corpus growth
+    the same way hash_split is.
+
+    Shape: one narrow hash projection, one shuffle by stratum for the
+    rank window. Skew is bounded by the stratum layout itself (a window
+    over the natural strata — the same discipline as shuffle_shard's
+    per-shard ranks); n is assumed << stratum size, so the emitted
+    sample is tiny relative to the scan."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, strata_col, h.alias("__h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(
+            id_col,
+            strata_col,
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+def term_postings(
+    documents: DataFrame,
+    terms: list[str],
+    *,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Inverted-index build for a term dictionary — the serving artifact
+    behind keyword_bm25's scoring: per (term, shard) posting lists of
+    ``doc_id:position`` entries, plus document and occurrence counts.
+    Postings are SHARDED by doc-id range (``doc_id % n_shards``) so a
+    hot term's list is bounded per group and shards merge by
+    concatenation — the layout a 100 TB index actually stores (posting
+    lists are written per doc-range segment, never one row per term).
+
+    Shape: tokenize + posexplode (narrow), filter against the bounded
+    dictionary (literal IN — no join), one groupBy (term, shard). The
+    postings string is ordered by (doc_id, pos), so it is deterministic
+    under any partitioning."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    entry = F.struct(F.col("doc_id"), F.col("pos"))
+    return (
+        toks.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+        .groupBy("term", "shard")
+        .agg(
+            F.countDistinct("doc_id").cast("double").alias("df_docs"),
+            F.count(F.lit(1)).cast("double").alias("n_occurrences"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(entry)),
+                    lambda s: F.concat_ws(":", s.doc_id, s.pos),
+                ),
+            ).alias("postings"),
+        )
+        .select(
+            "term",
+            F.col("shard").cast("int").alias("shard"),
+            "df_docs",
+            "n_occurrences",
+            "postings",
+        )
+    )

@@ -5696,6 +5696,111 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_sample_documents",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT AS h
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  AS INTEGER) AS sample_rank
+      FROM h)
+    SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 50
+    """,
+)
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/text.py): the 50
+    lowest-(md5, id)-ranked docs per source — the subsampling primitive
+    that balances sources before corpus mixing, with no RNG anywhere in
+    the plan, so the drawn sample hash-checks exactly across engines and
+    is stable under corpus growth (new docs only displace higher
+    ranks)."""
+    return text.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "term_postings_index",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_transform(t, (x, i) ->
+               struct_pack(term := x, pos := i - 1))) AS u
+      FROM d),
+    hit AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM tok
+      WHERE u.term IN ('spark', 'window', 'join'))
+    SELECT term, CAST(doc_id % 4 AS INT) AS shard,
+           CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_docs,
+           CAST(count(*) AS DOUBLE) AS n_occurrences,
+           string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos)
+             AS postings
+    FROM hit GROUP BY 1, 2
+    """,
+)
+def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/text.py): doc-range-sharded
+    posting lists for the BM25 demo dictionary — the serving artifact
+    behind keyword retrieval, with per-(term, shard) groups bounding a
+    hot term's list and the (doc_id, pos)-ordered postings string
+    deterministic under any partitioning."""
+    return text.term_postings(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "join"]
+    )
+
+
+@register(
+    "embedding_scale_features",
+    """
+    WITH comp AS (
+      SELECT vec_id, u.pos AS dim_pos, u.x AS x FROM (
+        SELECT vec_id,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]), (v, i) ->
+                 struct_pack(pos := i - 1, x := v))) AS u
+        FROM embeddings) q),
+    s AS (SELECT dim_pos, count(*) AS n,
+                 sum(CAST(x AS DECIMAL(18,9))) AS sm,
+                 sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+                   AS ss
+          FROM comp GROUP BY 1),
+    m AS (SELECT dim_pos, CAST(sm AS DOUBLE) / n AS mean,
+                 sqrt(CAST(ss AS DOUBLE) / n
+                      - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+                   AS sd
+          FROM s)
+    SELECT c.vec_id, CAST(c.dim_pos AS INT) AS dim_pos,
+           round((c.x - m.mean) / m.sd, 6) AS scaled
+    FROM comp c JOIN m USING (dim_pos) WHERE m.sd > 0
+    """,
+)
+def q_embedding_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization (operators/similarity.py):
+    exact-DECIMAL moments per dimension (order-free), one fixed double
+    expression for mean/sd that the oracle restates verbatim, sd > 0
+    guard against NaN on constant dimensions — the whitening step before
+    distance-based embedding ops, hash-checked in exploded scalar
+    form."""
+    return similarity.scale_features(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_pca_project")
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-8 principal directions
+    (operators/similarity.py): covariance accumulates distributed (one
+    bounded sketch row per partition), eigh is a driver-side dim x dim
+    solve, and the projection runs pure-JVM from literal component
+    arrays. Model-backed by nature (rows-only check); orthonormality,
+    variance ordering, and reconstruction self-checks live in
+    tests/test_similarity.py."""
+    return similarity.pca_project(_t(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Driver-priority ordering: the 50 designated queries the grading driver
 # will verify (one per SURVEY.md §2 row / pipeline operator family — see

@@ -29,6 +29,10 @@ BEYOND = [
     "quantile_sketch_events",
     "corpus_curation_pipeline",
     "ksql_generated_traffic",
+    # round-6 additions
+    "stratified_sample_documents",
+    "term_postings_index",
+    "embedding_scale_features",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

@@ -386,3 +386,63 @@ def test_search_never_collects_the_query_frame(spark, sf_medium, monkeypatch):
             and abs(r.cosine - 1.0) < 1e-9
             for r in rows
         )
+
+
+def test_pca_projection_self_checks(spark, sf_medium):
+    """PCA is model-backed (rows-only at the driver), so its quality
+    gates live here: the learned basis is orthonormal, component
+    variances are the covariance eigenvalues in descending order, the
+    projection preserves them empirically, and reconstruction from the
+    top-q components captures a meaningful share of total variance."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    q = 8
+    out = similarity.pca_project(emb, n_components=q).toPandas()
+    assert len(out) == emb.count()
+    proj = out[[f"pc{k}" for k in range(q)]].to_numpy()
+
+    x = np.array(
+        [r.e for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        ).collect()]
+    )
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    eigvals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+
+    # projected variance per component == top eigenvalues, descending
+    pvar = proj.var(axis=0)
+    assert np.all(np.diff(pvar) <= 1e-6), "components not variance-ordered"
+    assert np.allclose(pvar, eigvals[:q], rtol=1e-3, atol=1e-4)
+
+    # components are uncorrelated (orthonormal basis ⇒ diagonal cov)
+    pcov = np.cov(proj, rowvar=False)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-3
+
+    # top-q explained variance dominates an equal-width random pick
+    explained = pvar.sum() / eigvals.sum()
+    assert explained > q / x.shape[1], explained
+
+
+def test_scale_features_is_standardized(spark, sf_medium):
+    """Every surviving dimension of the scaled output has mean ~0 and
+    variance ~1 (the definition of standardization), computed
+    independently of the operator's own arithmetic."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    out = similarity.scale_features(emb)
+    stats = out.groupBy("dim_pos").agg(
+        F.avg("scaled").alias("m"), F.var_pop("scaled").alias("v")
+    )
+    bad = stats.filter(
+        (F.abs(F.col("m")) > 1e-4) | (F.abs(F.col("v") - 1.0) > 1e-3)
+    ).count()
+    assert bad == 0
+    assert stats.count() == emb.select(F.size("embedding")).first()[0]
