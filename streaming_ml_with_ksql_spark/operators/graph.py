@@ -363,3 +363,54 @@ def triangle_counts(
         "vertex",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core (the maximal subgraph where every vertex
+    keeps degree >= k) with their within-core degree — the density
+    filter between raw near-dup pairs and clique-level dedup decisions:
+    a 2-core strips chain-like borderline matches, a 3-core keeps only
+    genuinely clustered duplicates.
+
+    Iterative peeling (Matula & Beck, JACM 1983 — public algorithm):
+    each round computes degrees (one map-side-combined groupBy over the
+    edge list), drops every vertex below k (two left-anti joins), and
+    truncates lineage with an eager localCheckpoint — the
+    connected-components loop discipline (graph.py:59): O(|E|) per
+    round, rounds bounded by the peeling depth, plan size constant.
+    ``max_rounds`` is a runaway guard only; the loop exits at the first
+    fixpoint round."""
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = canon.unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = und.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.filter(F.col("deg") < k).select("u")
+        if bad.isEmpty():
+            break
+        cur = (
+            cur.join(bad, "u", "left_anti")
+            .join(bad.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"k-core peeling did not converge in {max_rounds} rounds")
+    return (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("int").alias("core_degree"))
+        .select(F.col("u").alias("vertex"), "core_degree")
+    )

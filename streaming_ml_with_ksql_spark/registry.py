@@ -5789,6 +5789,98 @@ def q_embedding_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.scale_features(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "touch_attribution",
+    """
+    WITH t AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+             ts AS touch_ts
+      FROM events WHERE event_type IN ('view', 'click')),
+    b AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT b.purchase_id, t.touch_id, b.user_id, t.touch_type,
+             t.touch_ts, t.touch_id AS tid, b.value,
+             row_number() OVER (PARTITION BY b.purchase_id
+                                ORDER BY t.touch_ts, t.touch_id) AS rn,
+             count(*) OVER (PARTITION BY b.purchase_id) AS n
+      FROM b JOIN t USING (user_id)
+      WHERE t.touch_ts < b.purchase_ts
+        AND t.touch_ts >= b.purchase_ts - INTERVAL 7 DAY)
+    SELECT purchase_id, touch_id, user_id, touch_type,
+           CASE WHEN rn = 1 THEN 'first'
+                WHEN rn = n THEN 'last'
+                ELSE 'mid' END AS touch_role,
+           round(value / n, 6) AS attributed_value
+    FROM j
+    """,
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution — each purchase's value split
+    linearly across the user's view/click touchpoints in the 7-day
+    lookback, with first/last-touch roles resolved by a deterministic
+    (ts, id) rank. The marketing-analytics companion to
+    asof_view_attribution (which is single-touch last-view): one
+    user-keyed equi-join carries the time predicate, so candidate pairs
+    stay bounded by per-user activity — never a time-range cross
+    product — and the two windows share one (purchase_id) shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = buys.join(touches, "user_id").filter(
+        (F.col("touch_ts") < F.col("purchase_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    role = (
+        F.when(F.col("rn") == 1, F.lit("first"))
+        .when(F.col("rn") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("mid"))
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "purchase_id",
+            "touch_id",
+            "user_id",
+            "touch_type",
+            role.alias("touch_role"),
+            F.round(F.col("value") / F.col("n"), 6).alias("attributed_value"),
+        )
+    )
+
+
+@register("near_dup_kcore")
+def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the embedding near-dup graph (operators/graph.py,
+    Matula-Beck peeling): the vertices that survive iterated removal of
+    degree-<2 nodes, with their within-core degree — chain-like
+    borderline matches peel away, clustered duplicates stay. Iterative
+    by nature (no SQL-expressible oracle — degree recomputation inside
+    the recursion); exact parity with a pure-Python peeler is pinned in
+    tests/test_corpus_prep.py."""
+    edges = similarity.embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings")
+    )
+    return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-8 principal directions

@@ -33,6 +33,7 @@ BEYOND = [
     "stratified_sample_documents",
     "term_postings_index",
     "embedding_scale_features",
+    "touch_attribution",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

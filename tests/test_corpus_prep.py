@@ -288,3 +288,65 @@ def test_curation_pipeline_stage_containment(spark, sf_medium):
     }
     for r in rows:
         assert r.n_tokens == counts[r.doc_id]
+
+
+def test_kcore_matches_pure_python_peeling(spark, sf_medium):
+    """k-core is iterative (rows-only at the driver), so its correctness
+    gate is exact parity with an independent pure-Python peeler on the
+    real near-dup graph, for k=2 and k=3, plus the defining invariant:
+    every core vertex keeps >= k neighbors inside the core."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import graph, similarity
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_pairs_blocked(emb)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+
+    def py_kcore(pairs, k):
+        adj: dict = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    edf = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    for k in (2, 3):
+        got = {
+            r.vertex: r.core_degree
+            for r in graph.kcore_vertices(
+                edf, k=k, src="vec_a", dst="vec_b"
+            ).collect()
+        }
+        want = py_kcore(edges, k)
+        assert got == want, f"k={k}: {len(got)} vs {len(want)} vertices"
+        # defining invariant, checked against the raw edge list
+        core = set(got)
+        neigh: dict = {}
+        for a, b in edges:
+            if a in core and b in core:
+                neigh.setdefault(a, set()).add(b)
+                neigh.setdefault(b, set()).add(a)
+        assert all(len(neigh.get(v, ())) >= k for v in core)
+    # non-empty at k=2 on this testdata, and 3-core ⊆ 2-core
+    g2 = set(
+        r.vertex
+        for r in graph.kcore_vertices(edf, k=2, src="vec_a", dst="vec_b").collect()
+    )
+    g3 = set(
+        r.vertex
+        for r in graph.kcore_vertices(edf, k=3, src="vec_a", dst="vec_b").collect()
+    )
+    assert g2 and g3 <= g2
