@@ -1367,3 +1367,79 @@ def pca_project(
             ).alias(f"pc{k}")
         )
     return emb.select(id_col, *proj_cols)
+
+
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Fit-free IVF cell assignment: each vector broadcast-joins the
+    bounded centroid relation, computes exact squared L2 JVM-side, and
+    keeps its argmin cell with a deterministic (dist, cell) tie-break —
+    the same expression shape ivf_search probes with, usable on batch
+    AND streaming frames (no model object, no fitting)."""
+    e = F.col(emb_col).cast("array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(e, F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col("cell").asc()
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            e.alias("__e"),
+            "cell",
+            dist2.alias("__d2"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__e").alias("c_emb"),
+            "cell",
+        )
+    )
+
+
+def ivf_ingest_stream(
+    stream_df: DataFrame,
+    index: IvfIndex,
+    corpus_dir: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    timeout_sec: int = 300,
+) -> None:
+    """Continuous IVF index maintenance — the write-once index becomes
+    APPEND-ONLY: each micro-batch of new vectors assigns cells fit-free
+    from the built index's centroid relation (assign_ivf_cells — the
+    centroids never refit on the serving path) and lands as a
+    batch-id-keyed parquet segment, so redelivered batches overwrite
+    their own segment instead of duplicating rows (the Mongo-sink
+    idempotence discipline). ``spark.read.parquet(corpus_dir)`` then IS
+    the ``IvfIndex.corpus`` relation: searches run against the union of
+    everything ingested so far, and at production scale segments
+    compact by cell exactly like the batch-built index's layout."""
+    cents = index.centroids
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        assign_ivf_cells(
+            batch_df, cents, id_col=id_col, emb_col=emb_col
+        ).write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"IVF ingest did not drain within {timeout_sec}s")

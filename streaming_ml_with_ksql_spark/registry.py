@@ -5881,6 +5881,37 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
 
 
+@register("streaming_ivf_ingest")
+def q_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained ANN index (operators/similarity.py): the
+    embeddings table replays as a file stream and each micro-batch
+    assigns IVF cells FIT-FREE from the built index's broadcast
+    centroids, landing as a batch-id-keyed parquet segment (idempotent
+    on redelivery). The returned assignments are the ingested
+    ``IvfIndex.corpus`` relation — searches run against everything
+    ingested so far. Model-backed cells (rows-only at the driver);
+    exact argmin parity vs numpy and search parity vs the batch-built
+    index are pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index = similarity.build_ivf_index(emb)
+    d = tempfile.mkdtemp(prefix="sgraft_ivf_ingest_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    stream_source.shard_table_to_dir(
+        emb, f"{d}/in", num_shards=3, order_col="vec_id"
+    )
+    similarity.ivf_ingest_stream(
+        stream_source.stream_parquet_dir(spark, f"{d}/in"),
+        index,
+        f"{d}/corpus",
+    )
+    return (
+        spark.read.parquet(f"{d}/corpus")
+        .select("neighbor_id", F.col("cell").cast("int").alias("cell"))
+    )
+
+
 @register("embedding_pca_project")
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-8 principal directions

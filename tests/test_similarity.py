@@ -446,3 +446,68 @@ def test_scale_features_is_standardized(spark, sf_medium):
     ).count()
     assert bad == 0
     assert stats.count() == emb.select(F.size("embedding")).first()[0]
+
+
+def test_streaming_ivf_ingest_matches_batch_index(spark, sf_medium, tmp_path):
+    """The continuously-maintained index story: replaying the corpus as
+    a multi-batch stream through fit-free cell assignment must produce
+    EXACTLY the batch-built index's corpus relation (cells are the true
+    L2 argmins — verified against numpy ground truth), redelivered
+    batches must not duplicate rows (batch-id-keyed segments), and
+    searching the ingested index returns the batch index's results."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+    from streaming_ml_with_ksql_spark.streaming.source import (
+        shard_table_to_dir,
+        stream_parquet_dir,
+    )
+
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index = similarity.build_ivf_index(base)
+    shard_table_to_dir(base, str(tmp_path / "in"), num_shards=3, order_col="vec_id")
+
+    corpus_dir = str(tmp_path / "corpus")
+    similarity.ivf_ingest_stream(
+        stream_parquet_dir(spark, str(tmp_path / "in")), index, corpus_dir
+    )
+    got = {
+        r.neighbor_id: r.cell
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+    built = {r.neighbor_id: r.cell for r in index.corpus.collect()}
+    assert got == built  # no dupes, no drops, identical cells
+
+    cents = np.array(
+        [r.center for r in index.centroids.orderBy("cell").collect()]
+    )
+    for r in base.collect():
+        truth = int(((cents - np.array(r.embedding)) ** 2).sum(axis=1).argmin())
+        assert got[r.vec_id] == truth
+
+    # redelivery idempotence: re-running the same replay (batch ids
+    # restart at 0) overwrites its own segments — the corpus is identical
+    similarity.ivf_ingest_stream(
+        stream_parquet_dir(spark, str(tmp_path / "in")), index, corpus_dir
+    )
+    again = {
+        r.neighbor_id: r.cell
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert again == got
+
+    # search the LIVE (ingested) index — results equal the batch index's
+    ingested = spark.read.parquet(corpus_dir).select(
+        "neighbor_id", "c_emb", "cell"
+    )
+    queries = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    live = similarity.IvfIndex(ingested, index.centroids)
+    a = sorted(tuple(r) for r in similarity.ivf_search(live, queries, k=3).collect())
+    b = sorted(tuple(r) for r in similarity.ivf_search(index, queries, k=3).collect())
+    assert a == b and len(a) == 18
