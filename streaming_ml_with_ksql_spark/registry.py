@@ -1239,13 +1239,20 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup groups — the SemDeDup step
     (Abbas et al. 2023): cosine near-dup pairs resolved into transitive
     keep-one-representative groups. Reuses the exact-rescored pair
-    generator (bit-identical to the all-pairs SQL) and the same
-    min-label-propagation components as the MinHash dedup family, so the
-    fixpoint is hash-checked against DuckDB's recursive CTE."""
+    generator (bit-identical to the all-pairs SQL); components come from
+    the star-contraction variant (answer-identical min-id labels,
+    O(log d) rounds vs propagation's O(d) — the faster twin by ~0.6x in
+    BENCH r5/r6), so the fixpoint is hash-checked against DuckDB's
+    recursive CTE."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dup_pairs_blocked(emb)
     return graph.dedup_groups(
-        emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+        emb,
+        pairs,
+        id_col="vec_id",
+        a_col="vec_a",
+        b_col="vec_b",
+        algorithm="star",
     )
 
 
