@@ -5954,6 +5954,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # queries remain fully supported + exactly oracled in
     # verify_driver's full sweep.
     #
+    # Round-7 rotation candidates (exact-oracled, never verdicted after
+    # this block lands): the round-6 additions (stratified_sample_documents,
+    # term_postings_index, embedding_scale_features, touch_attribution),
+    # the source-format roundtrips (json/csv), the streaming sketch grids
+    # (hll registers / cms cells / dedup-exact / corpus ingest),
+    # bucketed_colocated_join, corpus_shuffle_shard / domain_mix /
+    # bpe_pack, duplicate_span_positions, simhash_fingerprints, the
+    # multimodal decode/resize/feature variants, forecast_revenue, and
+    # the remaining TPC-H tail (market_share, product_profit,
+    # order_count_histogram, value_rank_suite, ...).
+    #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
     "hopping_window_agg",

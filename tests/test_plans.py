@@ -357,3 +357,60 @@ def test_mjpg_frame_decode_is_narrow_map(spark):
         ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
     ]
     assert len(exchanges) == 1 and "RoundRobin" in exchanges[0], exchanges
+
+
+def test_round6_operators_plan_shapes(spark):
+    """Round-6 additions keep the scale discipline:
+    - stratified_sample: no join anywhere — one hash projection, one
+      shuffle for the per-stratum rank window;
+    - touch_attribution: user-keyed equi-join, never a time-range
+      nested loop; the two windows share one (purchase_id) shuffle;
+    - term_postings_index: joinless — dictionary filter is a literal
+      IN over the exploded tokens, one aggregation shuffle;
+    - embedding_scale_features: the dim-sized moment table broadcasts
+      back onto the components (no shuffled join of the corpus side)."""
+    plan = _explain(spark, "stratified_sample_documents", "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    plan = _explain(spark, "touch_attribution", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join shuffle on user_id + one shared window shuffle on purchase_id
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+    plan = _explain(spark, "term_postings_index", "simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+    plan = _explain(spark, "embedding_scale_features", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_search_is_cogrouped_not_collected(spark):
+    """The ANN serving path (VERDICT r5 #4): pq/ivfpq search plans must
+    carry the cogrouped Arrow scan (FlatMapCoGroupsInPandas) and no
+    cartesian anything — the query frame streams through executors."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, SF, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = base.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    for df in (
+        similarity.pq_search(similarity.build_pq_index(base), queries),
+        similarity.ivfpq_search(similarity.build_ivfpq_index(base), queries),
+    ):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
