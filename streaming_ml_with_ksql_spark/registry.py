@@ -5888,6 +5888,101 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
 
 
+@register("orc_source_roundtrip", _DOCS_ORACLE)
+def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth (S-family): documents through ORC — the Hive-era
+    columnar container a lake migration meets — written and read back
+    with an explicit schema; the parquet table is the oracle, so a hash
+    match proves the round-trip lossless."""
+    from .sources import formats
+
+    out = formats.documents_via_orc(spark, sf_dir, _fmt_dir(sf_dir, "orc"))
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "gdpr_purge_audit",
+    """
+    WITH tomb AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders),
+    po AS (
+      SELECT o_orderkey FROM o
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+    counts AS (
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM customer) AS rows_before,
+             (SELECT count(*) FROM customer
+              WHERE c_custkey IN (SELECT c_custkey FROM tomb)) AS rows_purged
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM po)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM po)))
+    SELECT table_name,
+           CAST(rows_before AS DOUBLE) AS rows_before_d,
+           CAST(rows_purged AS DOUBLE) AS rows_purged_d,
+           CAST(rows_before - rows_purged AS DOUBLE) AS rows_after_d
+    FROM counts
+    """,
+)
+def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade — the deletion-propagation pass
+    every lake owes its compliance team: tombstoned customers purge
+    their customer rows, their orders, and those orders' lineitems
+    (FK-linked cascade), with a per-table audit of before/purged/after
+    counts. The tombstone and derived order-key sets ride broadcast
+    LEFT SEMI joins (bounded key relations — the fact scans are never
+    shuffled), and the audit is three count aggregates unioned — the
+    same single-scan shape at any scale."""
+    tomb = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    purged_orders = orders.join(
+        F.broadcast(tomb),
+        orders.o_custkey == tomb.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+
+    def audit(name: str, table: DataFrame, purged: DataFrame) -> DataFrame:
+        return table.agg(
+            F.count(F.lit(1)).cast("double").alias("rows_before_d")
+        ).crossJoin(
+            purged.agg(
+                F.count(F.lit(1)).cast("double").alias("rows_purged_d")
+            )
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_before_d",
+            "rows_purged_d",
+            (F.col("rows_before_d") - F.col("rows_purged_d")).alias(
+                "rows_after_d"
+            ),
+        )
+
+    purged_cust = cust.join(F.broadcast(tomb), "c_custkey", "left_semi")
+    purged_li = li.join(
+        F.broadcast(purged_orders),
+        li.l_orderkey == purged_orders.o_orderkey,
+        "left_semi",
+    )
+    return (
+        audit("customer", cust, purged_cust)
+        .unionByName(audit("orders", orders, purged_orders))
+        .unionByName(audit("lineitem", li, purged_li))
+    )
+
+
 @register("streaming_ivf_ingest")
 def q_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained ANN index (operators/similarity.py): the

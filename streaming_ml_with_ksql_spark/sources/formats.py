@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import io as io_mod
 
-__all__ = ["documents_via_jsonl", "documents_via_csv"]
+__all__ = ["documents_via_jsonl", "documents_via_csv", "documents_via_orc"]
 
 
 def _roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
@@ -74,3 +74,14 @@ def documents_via_jsonl(spark: SparkSession, sf_dir: str, path: str) -> DataFram
 def documents_via_csv(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     """documents → quoted CSV on disk → multiLine read with explicit schema."""
     return _roundtrip(io_mod.load_table(spark, sf_dir, "documents"), path, "csv")
+
+
+def documents_via_orc(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """documents → ORC on disk → read back with explicit schema. The
+    columnar-interchange sibling of the text formats: ORC is the other
+    splittable columnar container a lake migration meets (Hive-era
+    tables); types round-trip natively, so this needs no sentinel
+    machinery — the oracle (the parquet table) proves losslessness."""
+    df = io_mod.load_table(spark, sf_dir, "documents")
+    df.write.mode("overwrite").orc(path)
+    return spark.read.schema(df.schema).orc(path)

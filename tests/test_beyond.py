@@ -34,6 +34,8 @@ BEYOND = [
     "term_postings_index",
     "embedding_scale_features",
     "touch_attribution",
+    "orc_source_roundtrip",
+    "gdpr_purge_audit",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
