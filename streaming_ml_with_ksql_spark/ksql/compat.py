@@ -210,6 +210,10 @@ class KsqlCompat:
         if m:
             return self._terminate(m.group(1))
 
+        m = re.match(r"EXPLAIN (.+)$", flat, re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._explain(m.group(1))
+
         m = re.match(
             r"DROP (STREAM|TABLE)( IF EXISTS)? (\w+)( DELETE TOPIC)?$",
             flat,
@@ -254,6 +258,27 @@ class KsqlCompat:
             rows,
             "query_id string, query_type string, state string, "
             "sink string, statement string",
+        )
+
+    def _explain(self, target: str) -> DataFrame:
+        """EXPLAIN <query_id> / EXPLAIN <select...>: ksqlDB's plan
+        introspection, answered with Spark's formatted physical plan —
+        for a persistent query id, the plan of its sink relation; for an
+        inline SELECT, the plan of the translated statement."""
+        q = self.queries.get(target.strip().upper())
+        if q is not None:
+            df = self.relations[q.sink].df
+            label = q.query_id
+        elif re.match(r"SELECT ", target.strip(), re.IGNORECASE):
+            df, _ = self._translate_select(target.strip())
+            label = "QUERY"
+        else:
+            raise KeyError(f"unknown query {target!r}")
+        plan = self.spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return self.spark.createDataFrame(
+            [(label, plan)], "query_id string, plan string"
         )
 
     def _terminate(self, target: str) -> None:

@@ -548,3 +548,26 @@ def test_query_lifecycle_terminate_then_drop(spark):
     ks2.execute("DROP TABLE t1;")
     ks2.execute("DROP STREAM d1;")
     ks2.execute("DROP STREAM s2;")
+
+
+def test_explain_statement(spark):
+    """EXPLAIN <query_id> returns the persistent query's physical plan;
+    EXPLAIN <select> plans an inline statement; unknown ids fail
+    loudly."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))], "id long, v string, ts timestamp"
+    )
+    ks = KsqlCompat(spark, {"exp_topic": (df, "ts")})
+    ks.execute("CREATE STREAM exp_src WITH (KAFKA_TOPIC='exp_topic');")
+    ks.execute(
+        "CREATE TABLE exp_agg AS SELECT id, count(*) AS n FROM exp_src GROUP BY id;"
+    )
+    qid = ks.execute("SHOW QUERIES;").collect()[0].query_id
+    row = ks.execute(f"EXPLAIN {qid};").collect()[0]
+    assert row.query_id == qid and "HashAggregate" in row.plan
+    row = ks.execute("EXPLAIN SELECT id FROM exp_src WHERE id > 0;").collect()[0]
+    assert "Filter" in row.plan or "PushedFilters" in row.plan
+    with pytest.raises(KeyError, match="unknown query"):
+        ks.execute("EXPLAIN CSAS_NOPE_99;")
