@@ -31,6 +31,7 @@ KSQL parser. Each construct maps Spark-first:
 | SHOW QUERIES                           | persistent-query registry listing |
 | TERMINATE q / TERMINATE ALL            | retire persistent query id(s)     |
 | DROP STREAM/TABLE [IF EXISTS] r        | deregister + drop temp view       |
+| EXPLAIN q / EXPLAIN SELECT ...         | Spark formatted physical plan     |
 | t.rowkey pseudo-column                 | t's recorded key column           |
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |

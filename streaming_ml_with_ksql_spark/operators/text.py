@@ -1489,3 +1489,43 @@ def term_postings(
             "postings",
         )
     )
+
+
+def chunk_tokens_sliding(
+    documents: DataFrame,
+    *,
+    chunk_size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the standard LLM
+    ingestion shape (RAG indexing / long-doc training keeps
+    ``chunk_size - stride`` tokens of context between consecutive
+    chunks). Chunk k starts at ``k * stride``; the window count is
+    ``1 + ceil(max(n - chunk_size, 0) / stride)`` so the final window
+    always reaches the document's end exactly once.
+
+    Same scale shape as chunk_tokens: ENTIRELY narrow — descriptors are
+    arithmetic over the row's own token array, inline-exploded, no
+    shuffle at any corpus size, and the chunk text is deliberately not
+    materialized (start/count/first/last address it)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = documents.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    cs, st = F.lit(chunk_size), F.lit(stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - cs, F.lit(0)) / st).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * st).cast("int").alias("start_token"),
+            F.least(cs, n - i * st).cast("int").alias("n_tokens"),
+            F.element_at("toks", (i * st + 1).cast("int")).alias("first_token"),
+            F.element_at(
+                "toks", F.least(i * st + cs, n).cast("int")
+            ).alias("last_token"),
+        ),
+    )
+    return base.select("doc_id", F.inline(chunks))

@@ -5888,6 +5888,35 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
 
 
+@register(
+    "corpus_chunk_sliding",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    b AS (SELECT doc_id, t, len(t) AS n FROM d),
+    c AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, 1 + CAST(ceil(greatest(n - 256, 0) / 192.0)
+                                      AS BIGINT))) AS cid
+      FROM b)
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(cid * 192 AS INT) AS start_token,
+           CAST(least(256, n - cid * 192) AS INT) AS n_tokens,
+           t[CAST(cid * 192 + 1 AS INT)] AS first_token,
+           t[CAST(least(cid * 192 + 256, n) AS INT)] AS last_token
+    FROM c
+    """,
+)
+def q_corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with 64-token overlap (256-token windows,
+    stride 192) — the RAG/long-doc ingestion shape, as a fully narrow
+    plan (descriptors inline-exploded from each row's own token array,
+    no shuffle). The final window reaches each document's end exactly
+    once; the oracle restates the window-count arithmetic verbatim."""
+    return text.chunk_tokens_sliding(_t(spark, sf_dir, "documents"))
+
+
 @register("orc_source_roundtrip", _DOCS_ORACLE)
 def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format breadth (S-family): documents through ORC — the Hive-era

@@ -36,6 +36,7 @@ BEYOND = [
     "touch_attribution",
     "orc_source_roundtrip",
     "gdpr_purge_audit",
+    "corpus_chunk_sliding",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

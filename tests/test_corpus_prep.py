@@ -350,3 +350,43 @@ def test_kcore_matches_pure_python_peeling(spark, sf_medium):
         for r in graph.kcore_vertices(edf, k=3, src="vec_a", dst="vec_b").collect()
     )
     assert g2 and g3 <= g2
+
+
+def test_sliding_chunks_tile_with_overlap(spark):
+    """On synthetic long docs the sliding windows must tile the token
+    range exactly: chunk k starts at k*stride, every window is
+    chunk_size tokens except possibly the last, the final window ends
+    at n, and consecutive windows overlap by chunk_size - stride."""
+    from streaming_ml_with_ksql_spark.operators.text import (
+        chunk_tokens_sliding,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(700))),
+            (2, " ".join(f"t{i}" for i in range(256))),
+            (3, " ".join(f"t{i}" for i in range(10))),
+            (4, " ".join(f"t{i}" for i in range(449))),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens_sliding(docs, chunk_size=256, stride=192)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {1: 700, 2: 256, 3: 10, 4: 449}
+    for doc_id, n in lens.items():
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        expect = 1 + max(0, -(-(n - 256) // 192))
+        assert len(rows) == expect, (doc_id, len(rows), expect)
+        for k, r in enumerate(rows):
+            assert r.chunk_id == k and r.start_token == k * 192
+            assert r.n_tokens == min(256, n - k * 192)
+            assert r.first_token == f"t{k * 192}"
+            assert r.last_token == f"t{min(k * 192 + 256, n) - 1}"
+        # final window reaches the end exactly
+        last = rows[-1]
+        assert last.start_token + last.n_tokens == n
+        # consecutive overlap is chunk - stride while full-sized
+        for a, b in zip(rows, rows[1:]):
+            assert (a.start_token + a.n_tokens) - b.start_token in (64, a.n_tokens - 192)
