@@ -195,3 +195,12 @@ def test_load_table_normalizes_alternate_ts_encodings(spark, tmp_path):
     got2 = sio.load_table(spark, d2, "events")
     assert dict(got2.dtypes)["ts"] == "timestamp"
     assert got2.first().ts == dt.datetime(2024, 5, 1)
+
+
+def test_synthetic_users_profile_matches_oracle(spark):
+    """The seeded user-profile generator (a round-6 driver slot) against
+    its recursive-free digest-arithmetic oracle at the registered
+    scale."""
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(spark, "synthetic_users_profile", "/root/testdata/sf0.01")
