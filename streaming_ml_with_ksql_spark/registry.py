@@ -5889,6 +5889,79 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_event_paths",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id
+      FROM s),
+    p AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w2 AS e2,
+             lead(event_type, 2) OVER w2 AS e3
+      FROM g
+      WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+             count(*) AS n_occurrences
+      FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, CAST(n_occurrences AS DOUBLE) AS n_occurrences_d,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+                AS INTEGER) AS rnk
+    FROM c QUALIFY rnk <= 10
+    """,
+)
+def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 event-type trigram paths inside 30-minute gap sessions —
+    the path-analysis view of the sessionized clickstream (which
+    three-step journeys dominate). One (user) window pass assigns gap
+    sessions, one (user, session) window emits trigrams via lead, one
+    count aggregation, one 10-row rank — the deterministic (ts,
+    event_id) tie-break keeps the trigram set engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > 1800,
+        1,
+    ).otherwise(
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    g = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    p = g.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w2).alias("e2"),
+        F.lead("event_type", 2).over(w2).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    c = p.groupBy(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_occurrences_d"))
+    wr = Window.orderBy(F.col("n_occurrences_d").desc(), F.col("path").asc())
+    return (
+        c.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("path", "n_occurrences_d", "rnk")
+    )
+
+
+@register(
     "corpus_chunk_sliding",
     r"""
     WITH d AS (

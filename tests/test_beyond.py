@@ -37,6 +37,7 @@ BEYOND = [
     "orc_source_roundtrip",
     "gdpr_purge_audit",
     "corpus_chunk_sliding",
+    "session_event_paths",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
