@@ -5888,6 +5888,78 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
 
 
+_DHASH_CTE = """
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 21 AS w, 8 + (doc_id * 5) % 13 AS h
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w, h, r.r, c.c
+      FROM dims,
+           (SELECT unnest(range(0, 8)) AS r) r,
+           (SELECT unnest(range(0, 8)) AS c) c),
+    bits AS (
+      SELECT doc_id, r * 8 + c AS i,
+             CASE WHEN (doc_id + 3 * ((r * h) // 8)
+                        + 7 * (((c + 1) * w) // 9)) % 256
+                  >    (doc_id + 3 * ((r * h) // 8)
+                        + 7 * ((c * w) // 9)) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM pos),
+    dh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN i < 16 THEN bit << i ELSE 0 END) AS INT) AS b0,
+             CAST(sum(CASE WHEN i >= 16 AND i < 32 THEN bit << (i - 16)
+                           ELSE 0 END) AS INT) AS b1,
+             CAST(sum(CASE WHEN i >= 32 AND i < 48 THEN bit << (i - 32)
+                           ELSE 0 END) AS INT) AS b2,
+             CAST(sum(CASE WHEN i >= 48 THEN bit << (i - 48) ELSE 0 END)
+               AS INT) AS b3
+      FROM bits GROUP BY 1)
+"""
+
+
+@register("image_dhash_png", _DHASH_CTE + "SELECT doc_id, b0, b1, b2, b3 FROM dh")
+def q_image_dhash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash table over REAL decoded PNGs
+    (operators/multimodal.py): CRC-verified parse + filter inversion →
+    grayscale → 9x8 nearest-neighbor resample → 64 horizontal-gradient
+    bits packed as four 16-bit bands. The oracle replays the closed-form
+    pixel pattern and the exact floor-division resample indices, so a
+    hash match proves the whole decode→resample→hash chain bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.image_dhash(multimodal.synthesize_png_payload(docs))
+
+
+@register(
+    "image_near_dup_pairs_dhash",
+    _DHASH_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+              + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+              + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+              + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+        + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+        + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+        + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3
+    """,
+)
+def q_image_near_dup_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded Hamming LSH over the dHash table —
+    the multimodal member of the dedup family. Candidates equi-join on
+    any of the four 16-bit bands (pigeonhole: Hamming <= 3 cannot touch
+    all four, so recall is exactly 100%); bit_count(xor) re-ranks
+    JVM-side. The oracle is the ALL-PAIRS Hamming filter over the same
+    closed-form hashes, so a hash match proves band completeness on
+    real data, never just on the planted pytest fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = multimodal.image_dhash(multimodal.synthesize_png_payload(docs))
+    return multimodal.image_near_dup_pairs_dhash(hashes, max_hamming=3)
+
+
 @register(
     "session_event_paths",
     """

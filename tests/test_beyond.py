@@ -38,6 +38,7 @@ BEYOND = [
     "gdpr_purge_audit",
     "corpus_chunk_sliding",
     "session_event_paths",
+    "image_dhash_png",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

@@ -609,3 +609,78 @@ def test_mjpg_frame_decode_oracle(spark, sf_medium):
     from tests.oracle import assert_query_matches
 
     assert_query_matches(spark, "multimodal_mjpg_frame_decode", sf_medium)
+
+
+def test_dhash_finds_planted_noisy_duplicates(spark):
+    """Perceptual behavior on discriminative images (the synthetic PNG
+    gradients are too regular to show it): md5-noise originals vs copies
+    with a few corrupted pixels must pair up within Hamming <= 3, while
+    distinct originals stay far apart; the banded candidate set must
+    equal the all-pairs answer (pigeonhole completeness)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    def noise_px(seed, w, h):
+        px = np.zeros((h, w), dtype=np.uint8)
+        for y in range(h):
+            d = hashlib.md5(f"{seed}:{y}".encode()).digest()
+            row = (d * (w // len(d) + 1))[:w]
+            px[y] = np.frombuffer(row, dtype=np.uint8)
+        return px
+
+    def bmp_bytes(px):
+        h, w = px.shape
+        stride = (3 * w + 3) // 4 * 4
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            rows.append(
+                b"".join(bytes([v, v, v]) for v in px[y])
+                + b"\x00" * (stride - 3 * w)
+            )
+        return header + b"".join(rows)
+
+    w, h = 36, 32
+    payloads = []
+    for i in range(12):
+        base = noise_px(i, w, h)
+        payloads.append((i, bytearray(bmp_bytes(base))))
+        # noisy copy: corrupt two pixels far from most 9x8 sample points
+        noisy = base.copy()
+        noisy[1, 1] ^= 0xFF
+        noisy[2, 3] ^= 0x7F
+        payloads.append((100 + i, bytearray(bmp_bytes(noisy))))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    hashes = multimodal.image_dhash(df)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_near_dup_pairs_dhash(
+            hashes, max_hamming=3
+        ).collect()
+    }
+    # every planted (original, copy) pair recovered
+    for i in range(12):
+        assert (i, 100 + i) in pairs, f"planted pair {i} missed"
+    # banded == all-pairs (pigeonhole): recompute in numpy
+    hs = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in hashes.collect()}
+    want = {}
+    ids = sorted(hs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            hd = sum(bin(hs[a][k] ^ hs[b][k]).count("1") for k in range(4))
+            if hd <= 3:
+                want[(a, b)] = hd
+    assert pairs == want
+    # distinct originals dominate the far field: planted pairs are a
+    # minority of all 276 pairs
+    assert len(pairs) < 50
