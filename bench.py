@@ -98,6 +98,10 @@ HEADLINE = [
     "quantile_sketch_events",
     "value_outliers_zscore",
     "corpus_curation_pipeline",
+    # round-6 additions (worst-case line stays under LINE_BUDGET_BYTES —
+    # pinned by tests/test_bench_record.py)
+    "touch_attribution",
+    "session_event_paths",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
