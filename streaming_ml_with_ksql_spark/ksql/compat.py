@@ -196,11 +196,13 @@ class KsqlCompat:
         if m:
             return self._insert_into(m.group(1), m.group(2))
 
-        m = re.match(r"SHOW (STREAMS|TABLES)$", flat, re.IGNORECASE)
+        # LIST is ksqlDB's synonym for SHOW (both spellings are live CLI
+        # vocabulary)
+        m = re.match(r"(?:SHOW|LIST) (STREAMS|TABLES)$", flat, re.IGNORECASE)
         if m:
             return self._show(m.group(1).upper())
 
-        if re.match(r"SHOW QUERIES$", flat, re.IGNORECASE):
+        if re.match(r"(?:SHOW|LIST) QUERIES$", flat, re.IGNORECASE):
             return self._show_queries()
 
         m = re.match(r"DESCRIBE (\w+)$", flat, re.IGNORECASE)

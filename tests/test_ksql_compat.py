@@ -571,3 +571,18 @@ def test_explain_statement(spark):
     assert "Filter" in row.plan or "PushedFilters" in row.plan
     with pytest.raises(KeyError, match="unknown query"):
         ks.execute("EXPLAIN CSAS_NOPE_99;")
+
+
+def test_list_is_show_synonym(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "id long, ts timestamp"
+    )
+    ks = KsqlCompat(spark, {"list_topic": (df, "ts")})
+    ks.execute("CREATE STREAM list_src WITH (KAFKA_TOPIC='list_topic');")
+    ks.execute("CREATE STREAM list_d AS SELECT id FROM list_src;")
+    assert {r.name for r in ks.execute("LIST STREAMS;").collect()} == {
+        r.name for r in ks.execute("SHOW STREAMS;").collect()
+    }
+    assert ks.execute("LIST QUERIES;").count() == 1
