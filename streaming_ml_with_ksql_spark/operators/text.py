@@ -1398,7 +1398,7 @@ def hash_embed(
     return dense.select("doc_id", unit.alias("embedding"))
 
 
-def stratified_sample(
+def stratified_sample_ranked(
     df: DataFrame,
     *,
     strata_col: str = "source",
@@ -1406,14 +1406,16 @@ def stratified_sample(
     n_per_stratum: int = 50,
     salt: str = "sample",
 ) -> DataFrame:
-    """Deterministic stratified sample — the subsampling primitive of a
-    training-data pipeline (balance sources/languages/domains before
-    mixing): the ``n_per_stratum`` rows of each stratum with the
-    smallest (md5-hash, id) rank. No RNG in the plan: every engine, run,
-    and data order draws the SAME sample, and because each row's hash is
-    independent of the others, growing a stratum only ever displaces the
-    highest-ranked members — the sample is stable under corpus growth
-    the same way hash_split is.
+    """Deterministic stratified sample with an explicit rank column — the
+    uniform-n, SALTED sibling of ``stratified_sample`` above (that one
+    takes per-stratum quota dicts over a bare md5(id) order; this one
+    draws the same n everywhere, emits ``sample_rank`` so downstream
+    stages can sub-slice without re-ranking, and salts the hash so a
+    pipeline can re-roll the draw without touching the data). No RNG in
+    the plan: every engine, run, and data order draws the SAME sample,
+    and because each row's hash is independent of the others, growing a
+    stratum only ever displaces the highest-ranked members — the sample
+    is stable under corpus growth the same way hash_split is.
 
     Shape: one narrow hash projection, one shuffle by stratum for the
     rank window. Skew is bounded by the stratum layout itself (a window

@@ -5725,8 +5725,8 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     that balances sources before corpus mixing, with no RNG anywhere in
     the plan, so the drawn sample hash-checks exactly across engines and
     is stable under corpus growth (new docs only displace higher
-    ranks)."""
-    return text.stratified_sample(_t(spark, sf_dir, "documents"))
+    ranks). The quota-dict sibling holds the corpus_sample_mix slot."""
+    return text.stratified_sample_ranked(_t(spark, sf_dir, "documents"))
 
 
 @register(
