@@ -43,3 +43,28 @@ def test_oracle_dict_preserves_priority_order():
     oracle_names = list(registry.oracle_sql())
     filtered = [n for n in names if n in set(oracle_names)]
     assert oracle_names == filtered
+
+
+def test_no_shadowed_module_definitions():
+    """A module-level redefinition silently shadows the earlier function
+    (round 6: a second stratified_sample broke corpus_sample_mix far from
+    the edit). Every top-level def/class in the package must be unique
+    within its module."""
+    import ast
+    import pathlib
+
+    import streaming_ml_with_ksql_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = {}
+    for path in root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        names = [
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+        ]
+        dups = {n for n in names if names.count(n) > 1}
+        if dups:
+            offenders[str(path)] = dups
+    assert not offenders, offenders
