@@ -5888,6 +5888,60 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_vertices(edges, k=2, src="vec_a", dst="vec_b")
 
 
+@register(
+    "text_semantic_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 7))::UBIGINT::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5(tok), 8, 1))::UBIGINT::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM t),
+    pb AS (SELECT doc_id, bucket, sum(s) AS w FROM hb GROUP BY 1, 2),
+    dense AS (
+      SELECT d.doc_id, i.i AS idx, CAST(coalesce(pb.w, 0) AS DOUBLE) AS v
+      FROM (SELECT DISTINCT doc_id FROM pb) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i(i)
+      LEFT JOIN pb ON pb.doc_id = d.doc_id AND pb.bucket = i.i),
+    n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY 1),
+    he AS (
+      SELECT d.doc_id AS vec_id,
+             array_agg(round(v / greatest(nrm, 1e-12), 6) ORDER BY idx) AS e
+      FROM dense d JOIN n USING (doc_id) GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM he WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        round(list_dot_product(qe, c.e)
+              / (sqrt(list_dot_product(qe, qe))
+                 * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q CROSS JOIN he c WHERE c.vec_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_text_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-free semantic retrieval: raw text → hashing-trick
+    embeddings (text.hash_embed, exactly oracled on its own) → exact
+    cosine top-5 (similarity.brute_force_topk) — the composition that
+    turns the corpus into a searchable index with zero learned
+    components. Both stages reuse their verified operators, and the
+    oracle stitches the hash-embedding CTE into the brute-force ranking
+    SQL, so the retrieval results themselves hash-check exactly."""
+    emb = text.hash_embed(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, n_queries=20, k=5)
+
+
 _DHASH_CTE = """
     WITH dims AS (
       SELECT doc_id,

@@ -39,6 +39,7 @@ BEYOND = [
     "corpus_chunk_sliding",
     "session_event_paths",
     "image_dhash_png",
+    "text_semantic_search",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
