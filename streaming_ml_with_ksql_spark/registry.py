@@ -5889,6 +5889,95 @@ def q_near_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_quality_rules",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events),
+    r AS (
+      SELECT 'null_user_id' AS rule,
+             count(*) FILTER (WHERE user_id IS NULL) AS viol FROM events
+      UNION ALL
+      SELECT 'unknown_event_type',
+             count(*) FILTER (WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error'))
+      FROM events
+      UNION ALL
+      SELECT 'negative_value',
+             count(*) FILTER (WHERE value < 0) FROM events
+      UNION ALL
+      SELECT 'duplicate_event_id',
+             (SELECT count(*) FROM
+               (SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1) d)
+      UNION ALL
+      SELECT 'ts_out_of_range',
+             count(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01'
+                                 OR ts >= TIMESTAMP '2030-01-01')
+      FROM events)
+    SELECT r.rule, CAST(r.viol AS DOUBLE) AS n_violations_d,
+           round(CAST(r.viol AS DOUBLE) / n.total, 6) AS violation_rate
+    FROM r, n
+    """,
+)
+def q_events_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based data-quality audit — the contract check a pipeline runs
+    before anything downstream trusts a batch: null keys, out-of-domain
+    event types, negative values, duplicate primary keys, timestamps
+    outside the sane window. One scan computes the four row-level rules
+    as conditional counts (map-side combined); the duplicate-key rule is
+    its own keyed aggregate; the report is five rows joined to the total.
+    Identical shape at any scale — no rule touches more than one
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    total_df = ev.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    row_rules = ev.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("null_user_id"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("unknown_event_type"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("negative_value"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("ts_out_of_range"),
+    )
+    dup = (
+        ev.groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).cast("double").alias("duplicate_event_id"))
+    )
+    wide = row_rules.crossJoin(dup).crossJoin(total_df)
+    rules = ["null_user_id", "unknown_event_type", "negative_value",
+             "duplicate_event_id", "ts_out_of_range"]
+    stacked = None
+    for rule in rules:
+        one = wide.select(
+            F.lit(rule).alias("rule"),
+            F.col(rule).alias("n_violations_d"),
+            F.round(F.col(rule) / F.col("__total"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    return stacked
+
+
+@register(
     "text_semantic_search",
     r"""
     WITH toks AS (

@@ -40,6 +40,7 @@ BEYOND = [
     "session_event_paths",
     "image_dhash_png",
     "text_semantic_search",
+    "events_quality_rules",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
