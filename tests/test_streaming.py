@@ -440,3 +440,86 @@ def test_threshold_alert_stream_out_of_order(spark, tmp_path):
         for r in run_to_memory(alerts, "alerts_ooo_test").collect()
     }
     assert got == {1: (m(8), 3), 2: (m(9), 3)}
+
+
+def test_threshold_alert_randomized_out_of_order_equivalence(spark, tmp_path):
+    """Randomized (seeded) replay equivalence: random per-user event sets,
+    split into two micro-batches with watermark-admissible late movers,
+    must emit EXACTLY the batch RANGE-oracle alert set (first t with
+    count((t - w, t]) >= N, peers included) computed independently in
+    pure Python."""
+    import datetime as dt
+    import os
+    import random
+    import time
+
+    from streaming_ml_with_ksql_spark.streaming.stateful import (
+        threshold_alert_stream,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    W_MIN, DELAY_MIN, N = 30, 5, 4
+
+    def oracle(ts_list):
+        ts = sorted(ts_list)
+        for t in sorted(set(ts)):
+            cnt = sum(1 for x in ts if t - W_MIN < x <= t)
+            if cnt >= N:
+                return (t, cnt)
+        return None
+
+    for trial in range(3):
+        users = {}
+        for u in range(1, 5):
+            n = rng.randint(5, 12)
+            users[u] = sorted(rng.randint(0, 120) for _ in range(n))
+        all_events = sorted(
+            ((u, m) for u, ms in users.items() for m in ms),
+            key=lambda x: (x[1], x[0]),
+        )
+        cut = len(all_events) * 2 // 3
+        b1, b2 = list(all_events[:cut]), list(all_events[cut:])
+        # move watermark-admissible stragglers from b1 into b2: after b1
+        # the watermark is max(b1 ts) - DELAY, so anything strictly newer
+        # may arrive late without being dropped
+        max_b1 = max(m for _, m in b1)
+        movers = [e for e in b1 if e[1] > max_b1 - DELAY_MIN and e[1] != max_b1]
+        for e in movers[: rng.randint(1, 3)]:
+            b1.remove(e)
+            b2.append(e)
+        rng.shuffle(b2)
+
+        d = tmp_path / f"rand_{trial}"
+        d.mkdir()
+        base = time.time() - 10
+        for i, rows in enumerate([b1, b2]):
+            df = spark.createDataFrame(
+                [(u, t0 + dt.timedelta(minutes=m)) for u, m in rows],
+                "user_id long, ts timestamp",
+            )
+            sub = str(tmp_path / f"rand_{trial}_b{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = str(d / f"batch-{i}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            os.utime(dst, (base + i, base + i))
+
+        alerts = threshold_alert_stream(
+            stream_parquet_dir(spark, str(d)),
+            window=f"{W_MIN} minutes",
+            min_events=N,
+            watermark_delay=f"{DELAY_MIN} minutes",
+        )
+        got = {
+            r.user_id: (r.alert_ts, r.n_events)
+            for r in run_to_memory(
+                alerts, f"alerts_rand_{trial}"
+            ).collect()
+        }
+        want = {}
+        for u, ms in users.items():
+            o = oracle(ms)
+            if o is not None:
+                want[u] = (t0 + dt.timedelta(minutes=o[0]), o[1])
+        assert got == want, f"trial {trial}: {got} != {want}"
