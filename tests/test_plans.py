@@ -414,3 +414,16 @@ def test_pq_search_is_cogrouped_not_collected(spark):
         assert "FlatMapCoGroupsInPandas" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_pairs_and_gdpr_plan_shapes(spark):
+    """image_near_dup_pairs_dhash candidates come from band equi-joins
+    (never a cartesian/nested-loop pair scan); gdpr_purge_audit's fact
+    scans ride broadcast left-semi joins on the bounded key relations."""
+    plan = _explain(spark, "image_near_dup_pairs_dhash", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _explain(spark, "gdpr_purge_audit", "simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
