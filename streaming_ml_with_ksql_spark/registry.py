@@ -6205,6 +6205,41 @@ def q_corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_tokens_sliding(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "avro_source_roundtrip",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's VALUE_FORMAT='AVRO' wire format, executable
+    in-sandbox (sources/avro_py.py — the Avro 1.11 BINARY spec
+    implemented pure-Python, since spark-avro is genuinely absent from
+    this classpath): the events table encodes to real Avro record bytes
+    (zigzag varints, union-prefixed nullables, timestamp-micros) and
+    decodes back to typed columns. The parquet table is the oracle, so a
+    hash match proves the round-trip lossless — nullable user_id nulls
+    included (cast DOUBLE on both sides per the driver's pandas
+    bridge)."""
+    from .sources import avro_py
+
+    ev = _t(spark, sf_dir, "events")
+    schema_json = avro_py.avro_schema_for(ev.schema)
+    decoded = avro_py.decode_avro_py(
+        avro_py.encode_avro_py(ev, schema_json), schema_json
+    )
+    return decoded.select(
+        "event_id",
+        "ts",
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 @register("orc_source_roundtrip", _DOCS_ORACLE)
 def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format breadth (S-family): documents through ORC — the Hive-era

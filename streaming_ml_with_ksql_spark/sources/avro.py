@@ -10,7 +10,12 @@ of engine scope (SURVEY.md §2.1 S1).
 
 The spark-avro module ships with Spark but may be absent from a stripped
 classpath, so decode/encode raise a clear capability error instead of an
-opaque ClassNotFoundException mid-query.
+opaque ClassNotFoundException mid-query. When it IS absent (this sandbox:
+avro_available() measures False), ``sources/avro_py.py`` implements the
+Avro BINARY value encoding itself, pure-Python from the public spec — so
+VALUE_FORMAT='AVRO' round-trips end-to-end in-sandbox and the
+``avro_source_roundtrip`` registry query hash-checks it against the
+parquet oracle.
 """
 
 from __future__ import annotations

@@ -41,6 +41,7 @@ BEYOND = [
     "image_dhash_png",
     "text_semantic_search",
     "events_quality_rules",
+    "avro_source_roundtrip",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

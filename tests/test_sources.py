@@ -204,3 +204,72 @@ def test_synthetic_users_profile_matches_oracle(spark):
     from tests.oracle import assert_query_matches
 
     assert_query_matches(spark, "synthetic_users_profile", "/root/testdata/sf0.01")
+
+
+def test_avro_binary_wire_format_spec_vectors(spark):
+    """Spec conformance, not just self-consistency: hand-computed Avro
+    1.11 binary vectors (zigzag varint longs, union-index-prefixed
+    nullables, length-prefixed utf-8) must match the encoder byte for
+    byte, and decode back exactly."""
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (-1, None), (64, "")],
+        "id long, name string",
+    )
+    schema = avro_py.avro_schema_for(df.schema)
+    got = {
+        r.id: bytes(v)
+        for r, v in zip(
+            df.collect(),
+            [
+                r.value
+                for r in avro_py.encode_avro_py(df, schema)
+                .collect()
+            ],
+        )
+    }
+    # id is non-nullable? createDataFrame marks both nullable — so every
+    # field carries a union index. zigzag: 1→2, -1→1, 64→128 (two bytes).
+    assert got[1] == bytes([0x02, 0x02, 0x02, 0x04, 0x61, 0x62])
+    assert got[-1] == bytes([0x02, 0x01, 0x00])
+    assert got[64] == bytes([0x02, 0x80, 0x01, 0x02, 0x00])
+
+    back = avro_py.decode_avro_py(
+        avro_py.encode_avro_py(df, schema), schema
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_avro_roundtrip_preserves_nulls_and_timestamps(spark, sf_small):
+    """Events (nullable user_id, micros timestamps, doubles) survive the
+    pure-Python Avro wire format bit-exactly."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    ev = io_mod.load_table(spark, sf_small, "events")
+    schema = avro_py.avro_schema_for(ev.schema)
+    back = avro_py.decode_avro_py(avro_py.encode_avro_py(ev, schema), schema)
+    cols = ev.columns
+    assert back.columns == cols
+    a = sorted(tuple(str(r[c]) for c in cols) for r in ev.collect())
+    b = sorted(tuple(str(r[c]) for c in cols) for r in back.collect())
+    assert a == b
+    # null unions on a planted frame (sf0.001 events happen to carry no
+    # null user_id; the sf0.01 driver check does)
+    import datetime as dt
+
+    planted = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0, 123456), None, "x", 1.5, None)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    ps = avro_py.avro_schema_for(planted.schema)
+    row = avro_py.decode_avro_py(
+        avro_py.encode_avro_py(planted, ps), ps
+    ).collect()[0]
+    assert row.user_id is None and row.props is None
+    assert row.ts == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    assert row.value == 1.5
