@@ -41,6 +41,9 @@ __all__ = [
     "avro_schema_for",
     "encode_avro_py",
     "decode_avro_py",
+    "LocalSchemaRegistry",
+    "encode_confluent",
+    "decode_confluent",
 ]
 
 _SPARK_TO_AVRO = {
@@ -242,3 +245,82 @@ def decode_avro_py(df: DataFrame, schema_json: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[n for n, _t, _n in plan])
 
     return df.select("value").mapInPandas(_decode, schema=out_schema)
+
+
+class LocalSchemaRegistry:
+    """In-process stand-in for Confluent Schema Registry's subject store
+    (reference: docker-compose.yaml:29-37 runs the real service; no such
+    process exists in this sandbox). Implements the part the engine
+    needs — subject → versioned schema ids, id → schema — with the same
+    semantics a REST client provides (`POST /subjects/{s}-value/versions`,
+    `GET /schemas/ids/{id}`); the swap is an HTTP call per method, no
+    query change. Registering an identical schema is idempotent (returns
+    the existing id), like the real service."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, str] = {}
+        self._subjects: dict[str, list[int]] = {}
+        self._next_id = 1
+
+    def register(self, subject: str, schema_json: str) -> int:
+        canon = json.dumps(json.loads(schema_json), sort_keys=True)
+        for sid in self._subjects.get(subject, []):
+            if self._by_id[sid] == canon:
+                return sid
+        sid = self._next_id
+        self._next_id += 1
+        self._by_id[sid] = canon
+        self._subjects.setdefault(subject, []).append(sid)
+        return sid
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        versions = self._subjects.get(subject)
+        if not versions:
+            raise KeyError(f"subject {subject!r} has no registered schema")
+        sid = versions[-1]
+        return sid, self._by_id[sid]
+
+    def by_id(self, schema_id: int) -> str:
+        try:
+            return self._by_id[schema_id]
+        except KeyError:
+            raise KeyError(f"unknown schema id {schema_id}") from None
+
+
+def encode_confluent(
+    df: DataFrame, registry: LocalSchemaRegistry, subject: str
+) -> DataFrame:
+    """Confluent wire framing around the Avro binary value: one 0x00
+    magic byte + big-endian 4-byte schema id + the record's Avro bytes —
+    byte-for-byte what a registry-aware producer puts on the topic. The
+    schema registers under ``{subject}-value`` (idempotent), exactly the
+    subject-naming strategy ksqlDB uses."""
+    schema_json = avro_schema_for(df.schema)
+    sid = registry.register(f"{subject}-value", schema_json)
+    frame = struct.pack(">bI", 0, sid)
+    return encode_avro_py(df, schema_json).select(
+        F.concat(F.lit(frame), F.col("value")).alias("value")
+    )
+
+
+def decode_confluent(
+    df: DataFrame, registry: LocalSchemaRegistry
+) -> DataFrame:
+    """Strip + validate the Confluent frame, resolve the writer schema by
+    id from the registry, decode the Avro payload. The consumer half of
+    the wire format; assumes one schema id per frame batch (the steady
+    state of a single-writer topic — mixed-id batches would group by id
+    first)."""
+    head = df.select(
+        F.col("value").substr(1, 5).alias("h"), F.col("value")
+    ).limit(1).collect()
+    if not head:
+        raise ValueError("empty frame: no records to decode")
+    magic, sid = struct.unpack(">bI", bytes(head[0].h))
+    if magic != 0:
+        raise ValueError(f"bad Confluent magic byte {magic}")
+    schema_json = registry.by_id(sid)
+    payload = df.select(
+        F.expr("substring(value, 6, length(value) - 5)").alias("value")
+    )
+    return decode_avro_py(payload, schema_json)

@@ -273,3 +273,41 @@ def test_avro_roundtrip_preserves_nulls_and_timestamps(spark, sf_small):
     assert row.user_id is None and row.props is None
     assert row.ts == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
     assert row.value == 1.5
+
+
+def test_confluent_wire_format_roundtrip(spark):
+    """The registry-framed topic value: 0x00 magic + big-endian schema id
+    + Avro payload. Idempotent registration returns the same id, decode
+    resolves the writer schema by id, a corrupted magic byte fails
+    loudly, and the payload round-trips."""
+    import struct
+
+    import pytest as _pytest
+
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, -1.0)], "id long, s string, v double"
+    )
+    reg = avro_py.LocalSchemaRegistry()
+    framed = avro_py.encode_confluent(df, reg, "events_topic")
+    raw = [bytes(r.value) for r in framed.collect()]
+    sid, schema = reg.latest("events_topic-value")
+    assert all(r[:5] == struct.pack(">bI", 0, sid) for r in raw)
+    # idempotent registration
+    assert reg.register("events_topic-value", schema) == sid
+
+    back = avro_py.decode_confluent(framed, reg)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    bad = framed.select(
+        F.concat(
+            F.lit(b"\x01"), F.expr("substring(value, 2, length(value)-1)")
+        ).alias("value")
+    )
+    with _pytest.raises(Exception, match="magic"):
+        avro_py.decode_confluent(bad, reg)
+    with _pytest.raises(KeyError, match="unknown schema id"):
+        avro_py.decode_confluent(framed, avro_py.LocalSchemaRegistry())
