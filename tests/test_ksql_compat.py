@@ -586,3 +586,34 @@ def test_list_is_show_synonym(spark):
         r.name for r in ks.execute("SHOW STREAMS;").collect()
     }
     assert ks.execute("LIST QUERIES;").count() == 1
+
+
+def test_runbook_over_confluent_avro_topics(spark, topics):
+    """VALUE_FORMAT='AVRO' end-to-end minus only the broker: the events
+    topic passes through the Confluent wire format (local schema
+    registry + pure-Python Avro binary) before binding, and the
+    reference's hopping-window statement produces results identical to
+    binding the frame directly."""
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    ev, ts = topics["events"]
+    reg = avro_py.LocalSchemaRegistry()
+    wire = avro_py.encode_confluent(ev, reg, "events")
+    decoded = avro_py.decode_confluent(wire, reg)
+
+    direct = KsqlCompat(spark, {"events": (ev, ts)})
+    via_avro = KsqlCompat(spark, {"events": (decoded, ts)})
+    for ks in (direct, via_avro):
+        ks.execute(
+            "CREATE STREAM events WITH (KAFKA_TOPIC = 'events', "
+            "VALUE_FORMAT = 'AVRO', TIMESTAMP='ts');"
+        )
+        ks.execute(STMT_HOPPING)
+    a = _sorted_rows(direct.execute("SELECT * FROM events_in_10_minutes_window;"))
+    via_avro.execute(STMT_HOPPING.replace(
+        "events_in_10_minutes_window", "events_in_10_minutes_window_avro"
+    ))
+    b = _sorted_rows(
+        via_avro.execute("SELECT * FROM events_in_10_minutes_window_avro;")
+    )
+    assert a == b and len(a) > 0
