@@ -1446,6 +1446,29 @@ def q_cdc_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_wire_snapshot_customers",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_cdc_wire_snapshot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 at the WIRE level: the same changelog serialized to the JSON
+    bytes a Debezium topic carries (sources/cdc.py debezium_json_wire),
+    parsed back with an explicit FAILFAST schema (from_json, JVM-side),
+    then unwrapped and compacted. Same oracle as cdc_snapshot_customers
+    — a hash match proves the JSON wire round-trip changes nothing,
+    including null before/after images on snapshot and delete records."""
+    row_t = "struct<c_custkey:bigint,c_name:string,c_acctbal:double>"
+    env = _customer_envelope(spark, sf_dir)
+    parsed = cdc.parse_debezium_json(cdc.debezium_json_wire(env), row_t)
+    return cdc.cdc_snapshot(parsed, "c_custkey")
+
+
+@register(
     "scd2_customer_history",
     """
     WITH changes AS (

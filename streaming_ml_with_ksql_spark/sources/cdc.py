@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import latest_per_key
 
-__all__ = ["unwrap_debezium", "cdc_snapshot", "scd2_history"]
+__all__ = ["unwrap_debezium", "cdc_snapshot", "scd2_history", "debezium_json_wire", "parse_debezium_json"]
 
 # Debezium op codes: c=create, u=update, r=snapshot read, d=delete.
 _UPSERT_OPS = ("c", "u", "r")
@@ -115,3 +115,28 @@ def scd2_history(
     return versioned.filter(F.col("__op") != "d").select(
         *payload, "valid_from", "valid_to", "is_current"
     )
+
+
+def debezium_json_wire(envelope: DataFrame) -> DataFrame:
+    """Serialize an envelope frame to the JSON bytes a Debezium topic
+    actually carries (producer side of the wire; used by the round-trip
+    checks — a real deployment's bytes come off Kafka)."""
+    return envelope.select(
+        F.to_json(F.struct("before", "after", "op", "ts_ms")).alias("value")
+    )
+
+
+def parse_debezium_json(wire: DataFrame, row_type: str) -> DataFrame:
+    """Parse Debezium JSON topic values back into the typed envelope —
+    the consumer edge a real deployment points at the connector's topic.
+    Explicit schema (no inference scan), FAILFAST (a malformed change
+    record is an error, never a silently-null envelope). JVM from_json —
+    no Python in the path; works identically on batch and streaming
+    frames."""
+    env_schema = (
+        f"struct<before:{row_type},after:{row_type},"
+        "op:string,ts_ms:bigint>"
+    )
+    return wire.select(
+        F.from_json("value", env_schema, {"mode": "FAILFAST"}).alias("e")
+    ).select("e.*")

@@ -42,6 +42,7 @@ BEYOND = [
     "text_semantic_search",
     "events_quality_rules",
     "avro_source_roundtrip",
+    "cdc_wire_snapshot_customers",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
