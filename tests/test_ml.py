@@ -100,3 +100,55 @@ def test_predict_arrays_positional_binding(spark, frame):
     )
     preds0 = ml_predict.predict_arrays(zeroed, MODEL, "s", "i")
     assert preds0.filter(F.col("prediction") == "user").count() == sample.count()
+
+
+def test_model_registry_lifecycle(spark, tmp_path):
+    """MLflow stage-lifecycle parity on the local registry: register two
+    versions (immutable, monotone numbers), promote v1 to Production,
+    then promote v2 — v1 is archived automatically (the default
+    workflow), the Production slot now scores with v2, and resolve_model
+    needs no change to see the promotion. Staging promotion of an
+    archived version works (rollback path); bad stages and unknown
+    versions fail loudly."""
+    import pytest as _pytest
+
+    from streaming_ml_with_ksql_spark.ml import predict as ml_predict
+    from streaming_ml_with_ksql_spark.ml.predict import resolve_model
+    from streaming_ml_with_ksql_spark.ml.registry import ModelRegistry
+    from streaming_ml_with_ksql_spark.ml.train import SIGNATURE
+
+    base_model, _sig = resolve_model("Bot Detector")  # the shipped model
+    reg = ModelRegistry(str(tmp_path / "registry"))
+
+    v1 = reg.register_model_version("Demo Model", base_model, SIGNATURE)
+    v2 = reg.register_model_version("Demo Model", base_model, SIGNATURE)
+    assert (v1, v2) == (1, 2)
+    assert reg.get_version_stage("Demo Model", 1) == "None"
+
+    reg.transition("Demo Model", 1, "Production")
+    assert reg.get_latest_versions("Demo Model")["Production"] == 1
+
+    ml_predict.clear_model_cache()
+    m1, sig = resolve_model(
+        "Demo Model", "Production", models_dir=str(tmp_path / "registry")
+    )
+    assert sig == SIGNATURE and m1.stages
+
+    reg.transition("Demo Model", 2, "Production")
+    assert reg.get_version_stage("Demo Model", 1) == "Archived"
+    assert reg.get_latest_versions("Demo Model")["Production"] == 2
+
+    # rollback: re-promote the archived v1 into Staging
+    reg.transition("Demo Model", 1, "Staging")
+    assert reg.get_version_stage("Demo Model", 1) == "Staging"
+    ml_predict.clear_model_cache()
+    m_stage, _ = resolve_model(
+        "Demo Model", "Staging", models_dir=str(tmp_path / "registry")
+    )
+    assert m_stage.stages
+
+    with _pytest.raises(ValueError, match="unknown stage"):
+        reg.transition("Demo Model", 1, "Canary")
+    with _pytest.raises(KeyError, match="not registered"):
+        reg.transition("Demo Model", 99, "Production")
+    ml_predict.clear_model_cache()
