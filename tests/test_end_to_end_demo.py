@@ -34,6 +34,19 @@ def test_reference_demo_end_to_end_on_generated_traffic(spark):
     events = clicks.select(
         "user_id", F.timestamp_millis("ts_ms").alias("ts"), "event"
     )
+    # WIRE-ACCURATE topics (round 6): both topics pass through the
+    # Confluent framing (0x00 magic + schema id + Avro binary, local
+    # schema registry) before binding — exactly the bytes the reference's
+    # producers put on Kafka; only the broker process is absent.
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    reg = avro_py.LocalSchemaRegistry()
+    users = avro_py.decode_confluent(
+        avro_py.encode_confluent(users, reg, "mysql.demo.users"), reg
+    )
+    events = avro_py.decode_confluent(
+        avro_py.encode_confluent(events, reg, "events"), reg
+    )
     ksql = KsqlCompat(
         spark,
         {"mysql.demo.users": (users, "updated_at"), "events": (events, "ts")},
