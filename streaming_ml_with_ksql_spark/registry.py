@@ -6425,15 +6425,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # verify_driver's full sweep.
     #
     # Round-7 rotation candidates (exact-oracled, never verdicted after
-    # this block lands): the round-6 additions (stratified_sample_documents,
-    # term_postings_index, embedding_scale_features, touch_attribution),
-    # the source-format roundtrips (json/csv), the streaming sketch grids
-    # (hll registers / cms cells / dedup-exact / corpus ingest),
-    # bucketed_colocated_join, corpus_shuffle_shard / domain_mix /
-    # bpe_pack, duplicate_span_positions, simhash_fingerprints, the
-    # multimodal decode/resize/feature variants, forecast_revenue, and
-    # the remaining TPC-H tail (market_share, product_profit,
-    # order_count_histogram, value_rank_suite, ...).
+    # this block lands): the round-6 additions — stratified_sample_documents,
+    # term_postings_index, embedding_scale_features, touch_attribution,
+    # session_event_paths, corpus_chunk_sliding, events_quality_rules,
+    # gdpr_purge_audit, text_semantic_search, image_dhash_png +
+    # image_near_dup_pairs_dhash (perceptual-dedup family),
+    # avro_source_roundtrip + cdc_wire_snapshot_customers +
+    # orc_source_roundtrip (wire/format family) — plus the older tail:
+    # json/csv roundtrips, the streaming sketch grids (hll registers /
+    # cms cells / dedup-exact / corpus ingest), bucketed_colocated_join,
+    # corpus_shuffle_shard / domain_mix / bpe_pack,
+    # duplicate_span_positions, simhash_fingerprints, the multimodal
+    # decode/resize/feature variants, forecast_revenue, and the TPC-H
+    # remainder (market_share, product_profit, order_count_histogram,
+    # value_rank_suite, ...).
     #
     # flagship + window family (W1/W2; session = the distinct gap
     # semantics; tumbling is hopping with step=size and yields its slot)
