@@ -137,8 +137,17 @@ PY_AXIS = frozenset(
 # CALIB_REF: BENCH_r04's JVM calib on the round-4 host; CALIB_PY_REF:
 # BENCH_r05's Python-kernel calib on the round-5 driver host (the axis
 # was introduced in r5, so r5 is its first reference point).
+#
+# PROTOCOL NOTE (r6): calibration is now median-of-3 after one warm run;
+# r4/r5 records timed a single post-warm run, which reads ~2x SLOWER for
+# the same host (less JIT warming) — so normalized values jump uniformly
+# at the r5→r6 boundary. Cross-round ratios are valid only between
+# records with the same ``calib_protocol`` field (scripts/bench_compare.py
+# warns otherwise); the per-query RAW values plus each record's own
+# calibs remain the ground truth either way.
 CALIB_REF = 0.782
 CALIB_PY_REF = 0.528
+CALIB_PROTOCOL = "median3"
 
 # The driver captures ~2 KB of stdout; leave headroom so the record can
 # never ship truncated/unparseable again (VERDICT r5 #8).
@@ -226,8 +235,7 @@ def build_line(
         "sf": sf,
         "calib_sec": calib,
         "calib_py_sec": calib_py,
-        "calib_ref": CALIB_REF,
-        "calib_py_ref": CALIB_PY_REF,
+        "calib_protocol": CALIB_PROTOCOL,
         "value_norm_jvm": round(norm_jvm, 2),
         "value_norm_py": round(norm_py, 2),
     }

@@ -1,0 +1,90 @@
+"""Compare two bench records with per-axis normalization.
+
+Usage: python scripts/bench_compare.py OLD.json NEW.json [threshold]
+
+Loads two BENCH records (either the driver's capture format with a
+``tail``/raw line or bench.py's own one-line JSON), normalizes each
+query by ITS calibration axis (PY_AXIS queries by calib_py, everything
+else by the JVM calib — ADVICE r5: a single axis misattributes host
+drift as plan regressions), and prints queries whose normalized ratio
+moved beyond the threshold (default 1.3x either way). Queries present
+in only one record are listed separately.
+
+This is the builder-side tool for the A/B discipline in
+memory/bench-host-drift-axes.md: before treating a ratio as real,
+confirm with a worktree A/B on the same host.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import CALIB_PY_REF, CALIB_REF, PY_AXIS  # noqa: E402
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        raw = json.load(f)
+    if "queries" in raw:
+        return raw
+    # driver capture format: the parsed record or a raw tail
+    if isinstance(raw.get("parsed"), dict):
+        return raw["parsed"]
+    raise SystemExit(f"{path}: no usable queries record")
+
+
+def norm(rec: dict) -> dict[str, float]:
+    calib = rec.get("calib_sec") or CALIB_REF
+    calib_py = rec.get("calib_py_sec") or CALIB_PY_REF
+    jvm_scale = CALIB_REF / calib
+    py_scale = CALIB_PY_REF / calib_py
+    return {
+        n: t * (py_scale if n in PY_AXIS else jvm_scale)
+        for n, t in rec["queries"].items()
+    }
+
+
+def main() -> None:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    p_old = old.get("calib_protocol", "single-shot")
+    p_new = new.get("calib_protocol", "single-shot")
+    if p_old != p_new:
+        print(
+            f"WARNING: calibration protocols differ ({p_old} vs {p_new}) — "
+            "median-of-3 reads ~2x lower than single-shot on the same "
+            "host, so EVERY ratio below carries that uniform bias; only "
+            "relative ordering is meaningful across this boundary."
+        )
+    a, b = norm(old), norm(new)
+    both = sorted(set(a) & set(b))
+    moved = []
+    for n in both:
+        if a[n] <= 0:
+            continue
+        r = b[n] / a[n]
+        if r > threshold or r < 1 / threshold:
+            moved.append((r, n))
+    for r, n in sorted(moved, reverse=True):
+        axis = "py " if n in PY_AXIS else "jvm"
+        print(f"{r:6.2f}x  [{axis}]  {n}  ({a[n]:.2f}s -> {b[n]:.2f}s norm)")
+    if not moved:
+        print(f"no per-axis normalized movement beyond {threshold}x "
+              f"({len(both)} shared queries)")
+    only_old = sorted(set(a) - set(b))
+    only_new = sorted(set(b) - set(a))
+    if only_old:
+        print("only in OLD:", ", ".join(only_old))
+    if only_new:
+        print("only in NEW:", ", ".join(only_new))
+    ta = sum(a[n] for n in both)
+    tb = sum(b[n] for n in both)
+    print(f"shared-set normalized total: {ta:.1f}s -> {tb:.1f}s "
+          f"({tb / ta:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

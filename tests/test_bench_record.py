@@ -33,7 +33,7 @@ def test_record_fits_capture_budget_at_worst_case():
     line = bench.build_line(timings, 0.1, 99.999, 99.999)
     assert len(line.encode()) <= bench.LINE_BUDGET_BYTES
     parsed = json.loads(line)
-    assert parsed["queries"] and parsed["calib_py_ref"] == bench.CALIB_PY_REF
+    assert parsed["queries"] and parsed["calib_protocol"] == bench.CALIB_PROTOCOL
     assert parsed["value_norm_jvm"] > 0 and parsed["value_norm_py"] > 0
 
 
