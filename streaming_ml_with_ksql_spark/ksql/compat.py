@@ -218,6 +218,14 @@ class KsqlCompat:
             return self._explain(m.group(1))
 
         m = re.match(
+            r"PRINT '?([\w.\-]+)'?(?: FROM BEGINNING)?(?: LIMIT (\d+))?$",
+            flat,
+            re.IGNORECASE,
+        )
+        if m:
+            return self._print_topic(m.group(1), int(m.group(2) or 20))
+
+        m = re.match(
             r"DROP (STREAM|TABLE)( IF EXISTS)? (\w+)( DELETE TOPIC)?$",
             flat,
             re.IGNORECASE,
@@ -261,6 +269,22 @@ class KsqlCompat:
             rows,
             "query_id string, query_type string, state string, "
             "sink string, statement string",
+        )
+
+    def _print_topic(self, topic: str, limit: int) -> DataFrame:
+        """PRINT 'topic' [FROM BEGINNING] [LIMIT n]: ksqlDB's raw topic
+        inspection — each record rendered as its JSON value (the CLI's
+        view of an Avro/JSON topic after deserialization), bounded by
+        ``limit`` (default 20, like an interrupted CLI tail)."""
+        df, _ts, _key = self._resolve_topic(topic)
+        if df.isStreaming:
+            raise ValueError(
+                f"PRINT {topic!r}: bind a bounded replay to inspect a "
+                "continuous topic"
+            )
+        return df.limit(limit).select(
+            F.lit(topic).alias("topic"),
+            F.to_json(F.struct(*df.columns)).alias("value"),
         )
 
     def _explain(self, target: str) -> DataFrame:

@@ -617,3 +617,21 @@ def test_runbook_over_confluent_avro_topics(spark, topics):
         via_avro.execute("SELECT * FROM events_in_10_minutes_window_avro;")
     )
     assert a == b and len(a) > 0
+
+
+def test_print_topic_statement(spark):
+    """PRINT 'topic' renders bounded raw records as JSON values with the
+    CLI's default tail limit; LIMIT overrides; unknown topics fail."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string"
+    )
+    ks = KsqlCompat(spark, {"print.topic": (df, None)})
+    rows = ks.execute("PRINT 'print.topic';").collect()
+    assert len(rows) == 20 and rows[0].topic == "print.topic"
+    doc = _json.loads(rows[0].value)
+    assert set(doc) == {"id", "v"}
+    assert ks.execute("PRINT 'print.topic' FROM BEGINNING LIMIT 3;").count() == 3
+    with pytest.raises(KeyError, match="unknown topic"):
+        ks.execute("PRINT 'missing.topic';")
