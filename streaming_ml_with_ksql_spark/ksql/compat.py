@@ -32,6 +32,7 @@ KSQL parser. Each construct maps Spark-first:
 | TERMINATE q / TERMINATE ALL            | retire persistent query id(s)     |
 | DROP STREAM/TABLE [IF EXISTS] r        | deregister + drop temp view       |
 | EXPLAIN q / EXPLAIN SELECT ...         | Spark formatted physical plan     |
+| PRINT 'topic' [LIMIT n]                | bounded raw-record JSON tail      |
 | t.rowkey pseudo-column                 | t's recorded key column           |
 | TIMESTAMPTOSTRING(ms, fmt)             | SQL UDF → date_format(timestamp_millis) |
 | as_array(...)                          | array(...)                        |
