@@ -6199,9 +6199,7 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_chunk_sliding",
-    r"""
+_SLIDING_CHUNK_SQL = r"""
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents),
@@ -6217,8 +6215,10 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            t[CAST(cid * 192 + 1 AS INT)] AS first_token,
            t[CAST(least(cid * 192 + 256, n) AS INT)] AS last_token
     FROM c
-    """,
-)
+"""
+
+
+@register("corpus_chunk_sliding", _SLIDING_CHUNK_SQL)
 def q_corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with 64-token overlap (256-token windows,
     stride 192) — the RAG/long-doc ingestion shape, as a fully narrow
@@ -6261,6 +6261,53 @@ def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+def _rag_oracle() -> str:
+    """Compose the verified stage oracles into the RAG indexing pass:
+    clean survivors of the train split, minus benchmark-contaminated
+    docs, sliced into overlapping retrieval chunks. Substitutions are
+    asserted (the curation-composite discipline)."""
+    clean = _CLEAN_CORPUS_ORACLE.format(minhash_cols=_MINHASH_COLS)
+    assert clean.count("FROM documents") == 1
+    clean_train = clean.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) documents",
+    )
+    chunk = _SLIDING_CHUNK_SQL
+    assert chunk.count("FROM documents") == 1
+    chunk_scoped = chunk.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM final_set)",
+    ).lstrip()
+    assert chunk_scoped.startswith("WITH ")
+    return f"""
+    WITH final_set AS (
+      SELECT doc_id FROM ({clean_train}) c
+      WHERE doc_id NOT IN (SELECT doc_id FROM ({_DECON_ORACLE}) d)
+    ), {chunk_scoped[5:]}"""
+
+
+@register("corpus_rag_pipeline", _rag_oracle())
+def q_corpus_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG indexing pass as one query — corpus_curation_pipeline's
+    retrieval sibling: language/quality gates → MinHash-LSH near-dup
+    removal → benchmark decontamination → OVERLAPPING sliding-window
+    chunks (what the vector store actually indexes). Every stage is an
+    independently-oracled operator; this pins that they compose — the
+    final chunk layout hash-checks against the stitched stage oracles.
+    Same scale discipline as the curation composite (each stage
+    bucketed/broadcast-bounded; the chunker is fully narrow)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = text.clean_corpus(train)
+    contaminated = text.decontaminate(train, bench, n=4)
+    final_docs = docs.join(
+        clean.join(contaminated, "doc_id", "left_anti").select("doc_id"),
+        "doc_id",
+    )
+    return text.chunk_tokens_sliding(final_docs)
 
 
 @register("orc_source_roundtrip", _DOCS_ORACLE)

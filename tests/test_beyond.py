@@ -43,6 +43,7 @@ BEYOND = [
     "events_quality_rules",
     "avro_source_roundtrip",
     "cdc_wire_snapshot_customers",
+    "corpus_rag_pipeline",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
