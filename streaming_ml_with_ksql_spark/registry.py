@@ -6199,6 +6199,110 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# z-normalized "spike" query pattern [0,0,1,2,1,0] — constants computed
+# once at full precision; both engines consume the identical literals.
+_SPIKE_PZ = (
+    -0.8944271909999159,
+    -0.8944271909999159,
+    0.447213595499958,
+    1.788854381999832,
+    0.447213595499958,
+    -0.8944271909999159,
+)
+
+
+@register(
+    "series_pattern_match",
+    f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    win AS (
+      SELECT user_id, bucket AS window_start,
+             {", ".join(f"lead(v, {i}) OVER w AS a{i}" for i in range(6))},
+             lead(bucket, 5) OVER w AS b5
+      FROM hourly
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+    full_win AS (
+      SELECT * FROM win
+      WHERE a5 IS NOT NULL AND b5 = window_start + INTERVAL 5 DAY),
+    z AS (
+      SELECT user_id, window_start,
+             (a0+a1+a2+a3+a4+a5) / 6 AS m,
+             sqrt((a0*a0+a1*a1+a2*a2+a3*a3+a4*a4+a5*a5) / 6
+                  - ((a0+a1+a2+a3+a4+a5) / 6) * ((a0+a1+a2+a3+a4+a5) / 6))
+               AS sd,
+             a0, a1, a2, a3, a4, a5
+      FROM full_win),
+    scored AS (
+      SELECT user_id, window_start,
+             round({" + ".join(
+                 f"((a{i} - m) / sd - ({_SPIKE_PZ[i]!r})) "
+                 f"* ((a{i} - m) / sd - ({_SPIKE_PZ[i]!r}))"
+                 for i in range(6))}, 6) AS dist
+      FROM z WHERE sd > 0)
+    SELECT user_id, window_start, dist,
+           CAST(row_number() OVER (ORDER BY dist, user_id, window_start)
+                AS INTEGER) AS rnk
+    FROM scored QUALIFY rnk <= 10
+    """,
+)
+def q_series_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence pattern search (the matrix-profile-style
+    primitive of streaming similarity search, cf. EDBT'19 in PAPERS.md):
+    per-user daily value series → every CONSECUTIVE 6-day window
+    (lead-built, gap-checked) → z-normalized Euclidean distance to the
+    spike pattern → global top-10. Exact-DECIMAL daily sums, one fixed
+    6-term distance expression both engines evaluate identically, sd > 0
+    guard drops flat windows, deterministic (dist, user, start) rank.
+    Shape: one keyed aggregation + one per-user ordered window + a
+    10-row rank — no joins, no Python."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    leads = [F.lead("v", i).over(w).alias(f"a{i}") for i in range(6)]
+    win = hourly.select(
+        "user_id",
+        F.col("bucket").alias("window_start"),
+        *leads,
+        F.lead("bucket", 5).over(w).alias("b5"),
+    ).filter(
+        F.col("a5").isNotNull()
+        & (F.col("b5") == F.col("window_start") + F.expr("INTERVAL 5 DAYS"))
+    )
+    s = sum(F.col(f"a{i}") for i in range(6))
+    ss = sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(6))
+    m = s / 6
+    sd = F.sqrt(ss / 6 - m * m)
+    dist = F.round(
+        sum(
+            ((F.col(f"a{i}") - m) / sd - F.lit(_SPIKE_PZ[i]))
+            * ((F.col(f"a{i}") - m) / sd - F.lit(_SPIKE_PZ[i]))
+            for i in range(6)
+        ),
+        6,
+    )
+    scored = (
+        win.withColumn("__sd", sd)
+        .filter(F.col("__sd") > 0)
+        .select("user_id", "window_start", dist.alias("dist"))
+    )
+    wr = Window.orderBy(
+        F.col("dist").asc(), F.col("user_id").asc(), F.col("window_start").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
 _SLIDING_CHUNK_SQL = r"""
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -44,6 +44,7 @@ BEYOND = [
     "avro_source_roundtrip",
     "cdc_wire_snapshot_customers",
     "corpus_rag_pipeline",
+    "series_pattern_match",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
