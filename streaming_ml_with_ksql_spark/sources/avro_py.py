@@ -181,7 +181,12 @@ def _decode_value(data: bytes, pos: int, t: str):
 def encode_avro_py(df: DataFrame, schema_json: str) -> DataFrame:
     """(all columns) → one Avro-binary ``value`` column — what a producer
     writes to the topic. Null fields encode as union index 0, present
-    fields as index 1 + value, per the spec."""
+    fields as index 1 + value, per the spec.
+
+    Known conflation: in a NULLABLE double field, a genuine NaN value
+    encodes as null — Arrow hands null doubles to the kernel as NaN, so
+    the two are indistinguishable batch-side (pandas' own conflation).
+    Non-nullable doubles pass NaN through bit-exactly."""
     plan = _field_plan(schema_json)
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

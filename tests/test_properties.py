@@ -220,3 +220,37 @@ def test_range_bucket_join_equals_naive_containment(spark, rows, ivals):
         .select("event_id", "ival_id")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_avro_binary_roundtrip_property(spark, rows):
+    """Property: arbitrary (long, nullable unicode string, double incl.
+    ±inf, boolean) records survive the pure-Python Avro wire format
+    exactly — full 63-bit long range (varint length boundaries), empty
+    and multi-byte-unicode strings, and union nulls."""
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    df = spark.createDataFrame(
+        rows, "a long, s string, d double, b boolean"
+    )
+    schema = avro_py.avro_schema_for(df.schema)
+    back = avro_py.decode_avro_py(avro_py.encode_avro_py(df, schema), schema)
+    a = sorted(tuple(map(repr, r)) for r in df.collect())
+    b = sorted(tuple(map(repr, r)) for r in back.collect())
+    assert a == b
