@@ -6127,6 +6127,52 @@ def q_image_near_dup_pairs_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_dedup_groups",
+    "WITH RECURSIVE "
+    + _DHASH_CTE.strip().removeprefix("WITH")
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+          + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+          + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+          + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3),
+    e AS (SELECT pa AS u, pb AS v FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+    reach(u, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN e ON e.u = r.u),
+    comp AS (SELECT u AS doc_id, min(label) AS group_id FROM reach GROUP BY u)
+    SELECT c.doc_id, c.group_id, s.group_size
+    FROM comp c
+    JOIN (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) s
+      USING (group_id)
+    """,
+)
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup GROUPS — the visual twin of
+    embedding_dedup_groups: banded-Hamming dHash pairs resolved into
+    transitive keep-min-id groups by star-contraction components. The
+    oracle stitches the closed-form hash CTE, the all-pairs Hamming
+    filter, and the recursive-CTE reachability fixpoint — so the full
+    decode → hash → band-join → components chain hash-checks as one
+    statement."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = multimodal.image_dhash(multimodal.synthesize_png_payload(docs))
+    pairs = multimodal.image_near_dup_pairs_dhash(hashes, max_hamming=3)
+    return graph.dedup_groups(
+        docs,
+        pairs,
+        id_col="doc_id",
+        a_col="doc_a",
+        b_col="doc_b",
+        algorithm="star",
+    )
+
+
+@register(
     "session_event_paths",
     """
     WITH s AS (

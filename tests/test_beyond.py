@@ -45,6 +45,7 @@ BEYOND = [
     "cdc_wire_snapshot_customers",
     "corpus_rag_pipeline",
     "series_pattern_match",
+    "image_dedup_groups",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
