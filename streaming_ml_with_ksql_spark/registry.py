@@ -6626,7 +6626,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # term_postings_index, embedding_scale_features, touch_attribution,
     # session_event_paths, corpus_chunk_sliding, events_quality_rules,
     # gdpr_purge_audit, text_semantic_search, image_dhash_png +
-    # image_near_dup_pairs_dhash (perceptual-dedup family),
+    # image_near_dup_pairs_dhash + image_dedup_groups (perceptual-dedup
+    # family), corpus_rag_pipeline, series_pattern_match,
     # avro_source_roundtrip + cdc_wire_snapshot_customers +
     # orc_source_roundtrip (wire/format family) — plus the older tail:
     # json/csv roundtrips, the streaming sketch grids (hll registers /
