@@ -56,6 +56,15 @@ QUERIES = [
     "doc_hash_embed",
     "bpe_tokenize_fixed",
     "multimodal_mjpg_frame_decode",
+    # round-6 additions
+    "touch_attribution",
+    "session_event_paths",
+    "image_dhash_png",
+    "term_postings_index",
+    "embedding_scale_features",
+    "corpus_chunk_sliding",
+    "series_pattern_match",
+    "corpus_rag_pipeline",
 ]
 
 
