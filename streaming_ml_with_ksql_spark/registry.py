@@ -3434,6 +3434,62 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DISTINCT aggregates + HAVING, exact percentiles, approximate sketches
 # --------------------------------------------------------------------------
 
+def _langid_report_oracle() -> str:
+    """Stitch the lang-ID oracle into the classification-report SQL —
+    the full predict → evaluate chain as one statement (the verified
+    lang-ID statement rides as a nested subquery; SQL allows a WITH
+    inside a derived table)."""
+    lang = _lang_ngram_oracle().strip()
+    assert lang.startswith("WITH ")
+    return f"""
+    WITH pairs AS (
+      SELECT lang AS label, predicted_lang AS pred FROM ({lang}) q),
+    classes AS (
+      SELECT label AS class FROM pairs
+      UNION SELECT pred FROM pairs),
+    nt AS (SELECT label AS class, CAST(count(*) AS DOUBLE) AS n_true_d
+           FROM pairs GROUP BY 1),
+    np AS (SELECT pred AS class, CAST(count(*) AS DOUBLE) AS n_pred_d
+           FROM pairs GROUP BY 1),
+    tp AS (SELECT label AS class, CAST(count(*) AS DOUBLE) AS tp_d
+           FROM pairs WHERE label = pred GROUP BY 1),
+    base AS (
+      SELECT c.class,
+             coalesce(nt.n_true_d, 0.0) AS n_true_d,
+             coalesce(np.n_pred_d, 0.0) AS n_pred_d,
+             coalesce(tp.tp_d, 0.0) AS tp_d
+      FROM classes c
+      LEFT JOIN nt USING (class)
+      LEFT JOIN np USING (class)
+      LEFT JOIN tp USING (class)),
+    m AS (
+      SELECT class, n_true_d, n_pred_d, tp_d,
+             CASE WHEN n_pred_d > 0 THEN tp_d / n_pred_d ELSE 0.0 END AS p,
+             CASE WHEN n_true_d > 0 THEN tp_d / n_true_d ELSE 0.0 END AS r
+      FROM base)
+    SELECT class, n_true_d, n_pred_d, tp_d,
+           round(p, 6) AS precision, round(r, 6) AS recall,
+           round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                      ELSE 0.0 END, 6) AS f1
+    FROM m
+    """
+
+
+@register("langid_classification_report", _langid_report_oracle())
+def q_langid_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation surface (ml/metrics.py classification_report):
+    per-class precision/recall/F1 + support for the trigram language-ID
+    predictions against the labeled lang column — the predict → evaluate
+    chain a serving pipeline runs continuously, as three
+    map-side-combined counts joined on the bounded class dimension. The
+    oracle stitches the verified lang-ID CTE into the metric arithmetic,
+    so the whole chain hash-checks as one statement."""
+    from .ml.metrics import classification_report
+
+    preds = text.lang_id_ngram(_t(spark, sf_dir, "documents"))
+    return classification_report(preds, "lang", "predicted_lang")
+
+
 @register(
     "user_event_type_diversity",
     """

@@ -46,6 +46,7 @@ BEYOND = [
     "corpus_rag_pipeline",
     "series_pattern_match",
     "image_dedup_groups",
+    "langid_classification_report",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

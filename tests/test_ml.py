@@ -152,3 +152,28 @@ def test_model_registry_lifecycle(spark, tmp_path):
     with _pytest.raises(KeyError, match="not registered"):
         reg.transition("Demo Model", 99, "Production")
     ml_predict.clear_model_cache()
+
+
+def test_classification_report_known_matrix(spark):
+    """Hand-checked confusion matrix: labels/predictions with a class
+    that is never predicted (recall only), one never true (precision
+    only), and an exact-F1 case."""
+    from streaming_ml_with_ksql_spark.ml.metrics import classification_report
+
+    pairs = [
+        ("a", "a"), ("a", "a"), ("a", "b"),   # a: tp=2, fn=1
+        ("b", "a"), ("b", "b"),               # b: tp=1, fp from a
+        ("c", "a"),                           # c: never predicted
+        ("d", "d"),                           # clean class
+    ]
+    df = spark.createDataFrame(pairs, "label string, pred string")
+    rep = {r["class"]: r for r in classification_report(df, "label", "pred").collect()}
+    a = rep["a"]
+    assert (a.n_true_d, a.n_pred_d, a.tp_d) == (3.0, 4.0, 2.0)
+    assert a.precision == 0.5 and round(a.recall, 6) == 0.666667
+    b = rep["b"]
+    assert b.precision == 0.5 and b.recall == 0.5 and b.f1 == 0.5
+    c = rep["c"]
+    assert c.n_pred_d == 0.0 and c.precision == 0.0 and c.f1 == 0.0
+    d = rep["d"]
+    assert d.precision == d.recall == d.f1 == 1.0
