@@ -169,9 +169,13 @@ def _decode_value(data: bytes, pos: int, t: str):
         return struct.unpack_from("<f", data, pos)[0], pos + 4
     if t == "string":
         n, pos = _read_long(data, pos)
+        if n < 0 or pos + n > len(data):
+            raise ValueError(f"truncated string: need {n} bytes at {pos}")
         return data[pos : pos + n].decode("utf-8"), pos + n
     if t == "bytes":
         n, pos = _read_long(data, pos)
+        if n < 0 or pos + n > len(data):
+            raise ValueError(f"truncated bytes: need {n} bytes at {pos}")
         return bytes(data[pos : pos + n]), pos + n
     if t == "boolean":
         return bool(data[pos]), pos + 1

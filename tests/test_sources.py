@@ -311,3 +311,28 @@ def test_confluent_wire_format_roundtrip(spark):
         avro_py.decode_confluent(bad, reg)
     with _pytest.raises(KeyError, match="unknown schema id"):
         avro_py.decode_confluent(framed, avro_py.LocalSchemaRegistry())
+
+
+def test_avro_decode_fails_loudly_on_corrupt_payloads(spark):
+    """Truncated or trailing-garbage Avro values must error, never
+    silently yield wrong rows (the FAILFAST discipline of every source
+    in this engine)."""
+    import pytest as _pytest
+
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    df = spark.createDataFrame([(7, "hello")], "id long, s string")
+    schema = avro_py.avro_schema_for(df.schema)
+    good = bytes(avro_py.encode_avro_py(df, schema).collect()[0].value)
+
+    truncated = spark.createDataFrame(
+        [(bytearray(good[:-2]),)], "value binary"
+    )
+    with _pytest.raises(Exception, match="truncated string"):
+        avro_py.decode_avro_py(truncated, schema).collect()
+
+    trailing = spark.createDataFrame(
+        [(bytearray(good + b"\x00\x01"),)], "value binary"
+    )
+    with _pytest.raises(Exception, match="trailing"):
+        avro_py.decode_avro_py(trailing, schema).collect()
