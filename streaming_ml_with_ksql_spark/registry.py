@@ -3827,6 +3827,86 @@ def q_streaming_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_events_quality",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events),
+    r AS (
+      SELECT 'null_user_id' AS rule,
+             count(*) FILTER (WHERE user_id IS NULL) AS viol FROM events
+      UNION ALL
+      SELECT 'unknown_event_type',
+             count(*) FILTER (WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error'))
+      FROM events
+      UNION ALL
+      SELECT 'negative_value',
+             count(*) FILTER (WHERE value < 0) FROM events
+      UNION ALL
+      SELECT 'ts_out_of_range',
+             count(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01'
+                                 OR ts >= TIMESTAMP '2030-01-01')
+      FROM events)
+    SELECT r.rule, CAST(r.viol AS DOUBLE) AS n_violations_d,
+           round(CAST(r.viol AS DOUBLE) / n.total, 6) AS violation_rate
+    FROM r, n
+    """,
+)
+def q_streaming_events_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained data-quality counters: the four row-level
+    rules of events_quality_rules as ONE complete-mode streaming
+    aggregate (conditional sums are additive and order-free, so the
+    drained counter row equals the batch scan exactly — the sketch-twin
+    discipline). The duplicate-key rule needs a second keyed aggregate
+    (unsupported chained streaming aggs) and stays batch-side; state
+    here is five counters, independent of stream length."""
+    stream = _replay_events(spark, sf_dir)
+    wide = stream.agg(
+        F.count(F.lit(1)).cast("double").alias("__total"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("null_user_id"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("unknown_event_type"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("negative_value"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("ts_out_of_range"),
+    )
+    drained = stream_sinks.run_to_memory(
+        wide, f"reg_stream_dq_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+    rules = ["null_user_id", "unknown_event_type", "negative_value",
+             "ts_out_of_range"]
+    stacked = None
+    for rule in rules:
+        one = drained.select(
+            F.lit(rule).alias("rule"),
+            F.col(rule).alias("n_violations_d"),
+            F.round(F.col(rule) / F.col("__total"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    return stacked
+
+
 @register("streaming_cms_cells", _streaming_cms_oracle())
 def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained count-min sketch: the event stream explodes

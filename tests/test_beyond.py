@@ -67,6 +67,7 @@ STREAMING = [
     "streaming_quantile_sketch",
     "streaming_threshold_alert",
     "streaming_multi_resolution_rollup",
+    "streaming_events_quality",
 ]
 
 
