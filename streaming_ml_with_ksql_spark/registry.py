@@ -1697,6 +1697,104 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_trend_fit",
+    """
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS us0 FROM events GROUP BY 1),
+    pts AS (
+      SELECT e.user_id,
+             CAST((epoch_us(e.ts) - t0.us0) // 1000000 AS BIGINT) AS t,
+             CAST(e.value AS DECIMAL(18,6)) AS v
+      FROM events e JOIN t0 USING (user_id)),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(t) AS DOUBLE) AS st,
+             CAST(sum(t * t) AS DOUBLE) AS stt,
+             CAST(sum(v) AS DOUBLE) AS sv,
+             CAST(sum(v * v) AS DOUBLE) AS svv,
+             CAST(sum(t * v) AS DOUBLE) AS stv
+      FROM pts GROUP BY 1),
+    f AS (
+      SELECT user_id, n, sv, svv, stv, st, stt,
+             (n * stv - st * sv) / (n * stt - st * st) AS b
+      FROM s WHERE n * stt - st * st <> 0),
+    g AS (
+      SELECT user_id, n, b, (sv - b * st) / n AS a,
+             sv, svv, stv, st, stt
+      FROM f),
+    e AS (
+      SELECT user_id, CAST(n AS BIGINT) AS n_pts,
+             svv - 2 * a * sv - 2 * b * stv + n * a * a
+               + 2 * a * b * st + b * b * stt AS sse,
+             svv - sv * sv / n AS sst,
+             n, b
+      FROM g)
+    SELECT user_id, n_pts,
+           round(b * 86400.0, 6) AS slope_per_day,
+           round(1.0 - sse / sst, 6) AS r2,
+           round(sqrt(greatest(sse, 0.0) / n), 6) AS rmse
+    FROM e WHERE sst > 0
+    """,
+)
+def q_user_value_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-evaluation surface (the classification report's
+    numeric sibling): per-user least-squares fit quality — slope, R²,
+    RMSE — entirely from the moment sums of ONE scan (n, Σt, Σt², Σv,
+    Σv², Σtv; t as exact integer seconds, v in exact DECIMAL), so the
+    residual metrics need no second pass over the data. Every metric is
+    one fixed double expression over exact components that the oracle
+    restates verbatim; zero-variance users (time or value) are
+    excluded by the same guards on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("us0"))
+    dec = "decimal(18,6)"
+    pts = ev.join(t0, "user_id").select(
+        "user_id",
+        F.expr("CAST((unix_micros(ts) - us0) DIV 1000000 AS BIGINT)").alias(
+            "t"
+        ),
+        F.col("value").cast(dec).alias("v"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+        F.sum(F.col("t") * F.col("v")).cast("double").alias("stv"),
+    )
+    n, st, stt = F.col("n"), F.col("st"), F.col("stt")
+    sv, svv, stv = F.col("sv"), F.col("svv"), F.col("stv")
+    f = s.filter(n * stt - st * st != 0).withColumn(
+        "b", (n * stv - st * sv) / (n * stt - st * st)
+    )
+    b = F.col("b")
+    g = f.withColumn("a", (sv - b * st) / n)
+    a = F.col("a")
+    e = g.select(
+        "user_id",
+        n.cast("bigint").alias("n_pts"),
+        (
+            svv - 2 * a * sv - 2 * b * stv + n * a * a
+            + 2 * a * b * st + b * b * stt
+        ).alias("sse"),
+        (svv - sv * sv / n).alias("sst"),
+        n.alias("n"),
+        b.alias("b"),
+    )
+    return e.filter(F.col("sst") > 0).select(
+        "user_id",
+        "n_pts",
+        F.round(F.col("b") * 86400.0, 6).alias("slope_per_day"),
+        F.round(1.0 - F.col("sse") / F.col("sst"), 6).alias("r2"),
+        F.round(
+            F.sqrt(F.greatest(F.col("sse"), F.lit(0.0)) / F.col("n")), 6
+        ).alias("rmse"),
+    )
+
+
+@register(
     "user_value_trend",
     """
     WITH t0 AS (

@@ -47,6 +47,7 @@ BEYOND = [
     "series_pattern_match",
     "image_dedup_groups",
     "langid_classification_report",
+    "user_value_trend_fit",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks

@@ -119,3 +119,40 @@ def test_zscore_constant_key_emits_no_outliers(spark):
     out = timeseries.zscore_outliers(ev).collect()
     assert all(r.event_type != "const" for r in out)
     assert any(r.event_type == "vary" for r in out)  # guard didn't over-drop
+
+
+def test_trend_fit_known_lines(spark):
+    """Exact fixtures for the regression-quality query: a perfectly
+    linear series fits with r2=1, rmse=0 and the planted slope; a
+    symmetric V (zero correlation with time) fits slope 0 with r2=0;
+    R2 never exceeds 1."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: v = 2 * day → slope_per_day = 2
+    for d in range(5):
+        rows.append((d, t0 + dt.timedelta(days=d), 1, "view", 2.0 * d, None))
+    # user 2: symmetric V around the middle → slope 0, r2 0
+    for d, v in enumerate([2.0, 1.0, 0.0, 1.0, 2.0]):
+        rows.append((100 + d, t0 + dt.timedelta(days=d), 2, "view", v, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = spark.createDataFrame  # noqa: F841  (fixture frame built above)
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="trendfit_")
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in registry.queries()["user_value_trend_fit"](spark, tmp).collect()
+    }
+    assert out[1].slope_per_day == 2.0 and out[1].r2 == 1.0 and out[1].rmse == 0.0
+    assert out[2].slope_per_day == 0.0 and out[2].r2 == 0.0
+    assert all(r.r2 <= 1.0 for r in out.values())
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
