@@ -1606,6 +1606,74 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conversion_funnel_windowed",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 7 DAY
+      GROUP BY 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click_7d,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel_7d
+    """,
+)
+def q_conversion_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel — the attribution-window variant of
+    conversion_funnel: each step must follow the previous one WITHIN 7
+    days (the business rule behind 'conversion windows'), so stale
+    progressions stop counting. Same shrinking per-user stage frames;
+    the step joins carry the window predicate, never a time-range cross
+    product."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click_7d"))
+        )
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel_7d"))
+        )
+    )
+
+
+@register(
     "weekly_retention_cohorts",
     """
     WITH fw AS (

@@ -48,6 +48,7 @@ BEYOND = [
     "image_dedup_groups",
     "langid_classification_report",
     "user_value_trend_fit",
+    "conversion_funnel_windowed",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
