@@ -1606,6 +1606,92 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS d0 FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', max(o_orderdate), (SELECT d0 FROM mx))
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, c_custkey)
+                  AS INTEGER) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey)
+                  AS INTEGER) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey)
+                  AS INTEGER) AS m_score
+      FROM rfm)
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal_lapsing'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics staple:
+    per-customer recency (days since last order, against the corpus max
+    date), frequency, and exact-DECIMAL monetary total, quintile-scored
+    with deterministic (metric, custkey) NTILE tie-breaks and mapped to
+    named segments. One aggregation plus three rank passes over the
+    customer-sized frame (the windows ride the aggregate, never the
+    order fact scan)."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d0"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("d0"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    scored = rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion"
+        )
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment)
+
+
+@register(
     "conversion_funnel_windowed",
     """
     WITH v AS (

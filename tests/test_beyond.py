@@ -49,6 +49,7 @@ BEYOND = [
     "langid_classification_report",
     "user_value_trend_fit",
     "conversion_funnel_windowed",
+    "customer_rfm_segments",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
