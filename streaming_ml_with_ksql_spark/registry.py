@@ -5783,6 +5783,79 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _doc_quality_oracle() -> str:
+    """Stitch the three verified quality signals (repetition metrics,
+    bigram LM fluency, lang-ID agreement) into one weighted score — each
+    rides as a nested derived-table subquery over its own registered
+    oracle, so the composite needs no SQL duplication."""
+    rep = _REGISTRY["repetition_stats"].oracle
+    lm = _REGISTRY["ngram_lm_score"].oracle
+    lid = _REGISTRY["lang_id_ngram"].oracle
+    assert rep and lm and lid
+    return f"""
+    WITH rep AS (
+      SELECT doc_id, distinct_word_frac, top_word_frac, dup_bigram_frac
+      FROM ({rep}) q1),
+    lm AS (SELECT doc_id, avg_cond_prob FROM ({lm}) q2),
+    lid AS (SELECT doc_id, lang, predicted_lang FROM ({lid}) q3),
+    micros AS (
+      SELECT rep.doc_id,
+             CAST(round(distinct_word_frac * 1000000, 0) AS BIGINT) AS dwf,
+             CAST(round(top_word_frac * 1000000, 0) AS BIGINT) AS twf,
+             CAST(round(dup_bigram_frac * 1000000, 0) AS BIGINT) AS dbf,
+             CAST(round(avg_cond_prob * 1000000, 0) AS BIGINT) AS acp,
+             (predicted_lang = lang) AS lang_agrees
+      FROM rep JOIN lm USING (doc_id) JOIN lid USING (doc_id))
+    SELECT doc_id,
+           CAST(3 * dwf + 2 * (1000000 - twf) + 2 * (1000000 - dbf)
+                + 2 * acp + CASE WHEN lang_agrees THEN 1000000 ELSE 0 END
+             AS DOUBLE) / 10000000 AS quality_score,
+           lang_agrees
+    FROM micros
+    """
+
+
+@register("doc_quality_score", _doc_quality_oracle())
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined document quality score — the C4/Gopher-style multi-signal
+    filter a curation pipeline thresholds on: vocabulary diversity, top-
+    word and duplicate-bigram repetition penalties, bigram LM fluency,
+    and lang-ID agreement, weighted into one number. Each signal is an
+    independently-oracled operator whose ROUNDED outputs join narrowly
+    on doc_id, so the weighted sum is identical cross-engine and the
+    stitched oracle hash-checks the whole composition."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = text.repetition_stats(docs).select(
+        "doc_id", "distinct_word_frac", "top_word_frac", "dup_bigram_frac"
+    )
+    lm = text.ngram_lm_score(docs).select("doc_id", "avg_cond_prob")
+    lid = text.lang_id_ngram(docs).select("doc_id", "lang", "predicted_lang")
+    joined = rep.join(lm, "doc_id").join(lid, "doc_id")
+    agree = F.col("predicted_lang") == F.col("lang")
+
+    # EXACT integer micro-units, no final round(): the weighted sum of
+    # 6-dp components lands on x.xxxxxx5 half-way points constantly, and
+    # Spark rounds the double's SHORTEST decimal repr half-up while
+    # DuckDB rounds its exact binary value — a genuine cross-engine
+    # divergence (doc 159 measured it). Integer arithmetic + one shared
+    # division sidesteps rounding entirely.
+    def mic(c):
+        return F.round(F.col(c) * 1_000_000, 0).cast("long")
+
+    su = (
+        3 * mic("distinct_word_frac")
+        + 2 * (F.lit(1_000_000) - mic("top_word_frac"))
+        + 2 * (F.lit(1_000_000) - mic("dup_bigram_frac"))
+        + 2 * mic("avg_cond_prob")
+        + F.when(agree, 1_000_000).otherwise(0)
+    )
+    return joined.select(
+        "doc_id",
+        (su.cast("double") / 10_000_000).alias("quality_score"),
+        agree.alias("lang_agrees"),
+    )
+
+
 @register(
     "forecast_revenue",
     """

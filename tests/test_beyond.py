@@ -50,6 +50,7 @@ BEYOND = [
     "user_value_trend_fit",
     "conversion_funnel_windowed",
     "customer_rfm_segments",
+    "doc_quality_score",
 ]
 
 # Streaming replays are slower — run them at sf0.001; the driver re-checks
