@@ -241,11 +241,15 @@ def build_line(
     }
     line = json.dumps(payload, separators=(",", ":"))
     parsed = json.loads(line)
-    assert parsed["queries"] == payload["queries"], "record round-trip failed"
-    assert len(line.encode()) <= LINE_BUDGET_BYTES, (
-        f"bench record {len(line.encode())} B exceeds the driver capture "
-        f"budget ({LINE_BUDGET_BYTES} B) — trim HEADLINE"
-    )
+    # Explicit raises, not asserts: python -O strips asserts, and an
+    # oversized/unparseable record must fail the run either way (ADVICE r6).
+    if parsed["queries"] != payload["queries"]:
+        raise ValueError("bench record round-trip failed")
+    if len(line.encode()) > LINE_BUDGET_BYTES:
+        raise ValueError(
+            f"bench record {len(line.encode())} B exceeds the driver "
+            f"capture budget ({LINE_BUDGET_BYTES} B) — trim HEADLINE"
+        )
     return line
 
 

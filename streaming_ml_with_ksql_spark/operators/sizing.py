@@ -44,8 +44,8 @@ _EXPENSIVE_PLAN_NODES = (
     "Deduplicate",
     "Distinct",
     "Union",
-    "MapInPandas",
-    "FlatMapGroupsIn",
+    "InPandas",  # MapInPandas / FlatMapGroupsInPandas / FlatMapCoGroupsInPandas
+    "CoGroup",
     "MapGroups",
     "Sort",
 )

@@ -106,7 +106,10 @@ def _write_long(buf: bytearray, n: int) -> None:
 
 def _read_long(data: bytes, pos: int) -> tuple[int, int]:
     shift, acc = 0, 0
+    end = len(data)
     while True:
+        if pos >= end:
+            raise ValueError(f"truncated varint at byte {pos}")
         b = data[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -178,6 +181,8 @@ def _decode_value(data: bytes, pos: int, t: str):
             raise ValueError(f"truncated bytes: need {n} bytes at {pos}")
         return bytes(data[pos : pos + n]), pos + n
     if t == "boolean":
+        if pos >= len(data):
+            raise ValueError(f"truncated boolean at byte {pos}")
         return bool(data[pos]), pos + 1
     raise ValueError(f"unsupported Avro type {t!r}")  # pragma: no cover
 
@@ -217,9 +222,19 @@ def encode_avro_py(df: DataFrame, schema_json: str) -> DataFrame:
     return df.select(*cols).mapInPandas(_encode, schema="value binary")
 
 
-def decode_avro_py(df: DataFrame, schema_json: str) -> DataFrame:
-    """Avro-binary ``value`` column → typed columns (the consumer side)."""
+def decode_avro_py(
+    df: DataFrame, schema_json: str, *, expect_prefix: bytes | None = None
+) -> DataFrame:
+    """Avro-binary ``value`` column → typed columns (the consumer side).
+
+    ``expect_prefix``: when set, every row's value must START with those
+    bytes (the Confluent frame: magic + schema id); decode begins after
+    them. A mismatching row raises a clear per-row error instead of the
+    confusing 'trailing bytes' failure a wrong writer schema produces —
+    this is the cheap 5-byte mixed-schema-id guard (ADVICE r6)."""
     plan = _field_plan(schema_json)
+    pre = bytes(expect_prefix) if expect_prefix else b""
+    npre = len(pre)
     spark_types = {
         "long": "long",
         "int": "int",
@@ -237,7 +252,13 @@ def decode_avro_py(df: DataFrame, schema_json: str) -> DataFrame:
             rows = []
             for raw in pdf["value"]:
                 data = bytes(raw)
-                pos, rec = 0, []
+                if npre and data[:npre] != pre:
+                    raise ValueError(
+                        "frame prefix mismatch: expected "
+                        f"{pre.hex()} got {data[:npre].hex()} — mixed "
+                        "schema ids in topic? group by id before decoding"
+                    )
+                pos, rec = npre, []
                 for _name, t, nullable in plan:
                     if nullable:
                         idx, pos = _read_long(data, pos)
@@ -317,11 +338,12 @@ def decode_confluent(
 ) -> DataFrame:
     """Strip + validate the Confluent frame, resolve the writer schema by
     id from the registry, decode the Avro payload. The consumer half of
-    the wire format; assumes one schema id per frame batch (the steady
-    state of a single-writer topic — mixed-id batches would group by id
-    first)."""
+    the wire format. The writer schema id comes from one sampled row;
+    the decode kernel then enforces that EVERY row carries that same
+    5-byte frame (magic + id) — a mixed-id topic fails with a clear
+    per-row error instead of a wrong-schema decode (ADVICE r6)."""
     head = df.select(
-        F.col("value").substr(1, 5).alias("h"), F.col("value")
+        F.col("value").substr(1, 5).alias("h")
     ).limit(1).collect()
     if not head:
         raise ValueError("empty frame: no records to decode")
@@ -329,7 +351,7 @@ def decode_confluent(
     if magic != 0:
         raise ValueError(f"bad Confluent magic byte {magic}")
     schema_json = registry.by_id(sid)
-    payload = df.select(
-        F.expr("substring(value, 6, length(value) - 5)").alias("value")
+    frame = struct.pack(">bI", 0, sid)
+    return decode_avro_py(
+        df.select("value"), schema_json, expect_prefix=frame
     )
-    return decode_avro_py(payload, schema_json)

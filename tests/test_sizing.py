@@ -91,3 +91,24 @@ def test_fan_out_never_counts_derived_lineage(spark):
     # scan-shaped lineage still counts (and clamps) as before
     assert sizing._count_is_cheap(spark.range(100))
     assert sizing.fan_out(spark.range(100), rows_per_task=50).rdd.getNumPartitions() == 2
+
+
+def test_cogroup_lineage_is_expensive(spark):
+    """FlatMapCoGroupsInPandas (cogroup applyInPandas — the pq_search /
+    ivfpq_search query side) must register as expensive lineage: its
+    node name lacked the old 'FlatMapGroupsIn' substring, so a
+    cogroup-derived frame would have been count()ed — re-executing its
+    Python DAG (ADVICE r6)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    a = spark.range(10).withColumn("k", F.lit(1))
+    b = spark.range(5).withColumn("k", F.lit(1))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(left) + len(right)]})
+
+    co = a.groupBy("k").cogroup(b.groupBy("k")).applyInPandas(
+        merge, schema="n long"
+    )
+    assert not sizing._count_is_cheap(co)

@@ -336,3 +336,42 @@ def test_avro_decode_fails_loudly_on_corrupt_payloads(spark):
     )
     with _pytest.raises(Exception, match="trailing"):
         avro_py.decode_avro_py(trailing, schema).collect()
+
+    # A varint cut mid-byte-sequence (continuation bit set on the last
+    # byte) must raise the same clear ValueError the string/bytes paths
+    # give, not a raw IndexError (ADVICE r6).
+    cut_varint = spark.createDataFrame(
+        [(bytearray(b"\x80"),)], "value binary"
+    )
+    with _pytest.raises(Exception, match="truncated varint"):
+        avro_py.decode_avro_py(cut_varint, schema).collect()
+
+    bool_df = spark.createDataFrame([(True,)], "flag boolean")
+    bool_schema = avro_py.avro_schema_for(bool_df.schema)
+    # nullable boolean encodes as union-index varint + 1 byte; keep only
+    # the union index so the boolean byte itself is missing
+    cut_bool = spark.createDataFrame(
+        [(bytearray(b"\x02"),)], "value binary"
+    )
+    with _pytest.raises(Exception, match="truncated boolean"):
+        avro_py.decode_avro_py(cut_bool, bool_schema).collect()
+
+
+def test_confluent_mixed_schema_ids_fail_loudly(spark):
+    """A topic whose rows carry different schema ids must fail with a
+    clear mixed-id error, not decode every row with one sampled writer
+    schema (ADVICE r6: silent wrong values when field layouts are
+    compatible)."""
+    import pytest as _pytest
+
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    reg = avro_py.LocalSchemaRegistry()
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([(2.5, "y")], "v double, s string")
+    framed = avro_py.encode_confluent(a, reg, "t1").unionAll(
+        avro_py.encode_confluent(b, reg, "t2")
+    )
+    assert len(reg._subjects) == 2  # genuinely two distinct ids on the wire
+    with _pytest.raises(Exception, match="mixed|prefix mismatch"):
+        avro_py.decode_confluent(framed, reg).collect()
