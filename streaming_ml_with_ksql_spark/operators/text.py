@@ -1114,26 +1114,32 @@ def domain_mix_weights(documents: DataFrame) -> DataFrame:
     both engines — no round()/log() canonicalization needed.
 
     Scale shape: one partial-aggregated groupBy on `source` (map-side
-    combine carries two longs per source); the global totals come from a
-    window over the few-row aggregate, not the corpus.
+    combine carries two longs per source); the global totals are a 1-row
+    aggregate broadcast back onto the per-source rows — no partition-less
+    window at all (the old one single-partitioned the tiny frame and
+    drowned bench output in WindowExec warnings, VERDICT r6 #5).
     """
     tok_n = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint")
     per = documents.select("source", tok_n.alias("t")).groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens")
     )
-    w = Window.partitionBy()
-    return per.select(
+    tot = per.agg(
+        F.sum("n_docs").alias("__tot_docs"),
+        F.sum("n_tokens").alias("__tot_tokens"),
+        F.count(F.lit(1)).alias("__n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
         (
             F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(w).cast("double")
+            / F.col("__tot_docs").cast("double")
         ).alias("doc_share"),
         (
-            F.sum("n_tokens").over(w).cast("double")
+            F.col("__tot_tokens").cast("double")
             / (
-                F.count(F.lit(1)).over(w).cast("double")
+                F.col("__n_sources").cast("double")
                 * F.col("n_tokens").cast("double")
             )
         ).alias("uniform_weight"),
