@@ -7099,128 +7099,112 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation (the fourth): sixteen slots whose occupants hold
-    # fresh r05 verdicts (scalar suite, UDAF/UDTF, star-contraction CC,
-    # bloom join, gap-fill, batch rollup, z-order, TPC-H Q1/Q20, HLL,
-    # clickstream, BM25, profile, drift, batch quantile sketch) yielded
-    # to sixteen exact-oracled queries that had NEVER held a driver
-    # verdict — giving SEVEN whole families their first verdict: graph
-    # metrics (triangles + clustering coefficient), the alert-once
-    # stateful machine, the continuously-maintained streaming twins
-    # (rollup + quantile sketch, VERDICT r5 #5), funnels, cohorts, fuzzy
-    # matching, and trend extraction — plus unpivot/GROUPING SETS and the
-    # right/full outer stream-stream joins that complete their families.
-    # Historical verdicts stand in the r03-r05 records; displaced
+    # Round-7 rotation (the fifth): twenty-one slots whose occupants hold
+    # fresh r06 verdicts (triangles + clustering coefficient, enrich
+    # join, z-score screen, funnel, cohorts, trend, fuzzy matching, sink
+    # prune, TPC-H Q7/Q15, CDC snapshot, lang-id, span coverage, int8
+    # quantize, hash split, mp4/mjpg decodes, left/right/full interval
+    # joins) yield to twenty-one exact-oracled queries that had NEVER
+    # held a driver verdict — all of round 6's own work (doc quality,
+    # RFM after the r6-verdict de-globalization, windowed funnel,
+    # trend-fit, avro/orc/CDC-wire roundtrips, the perceptual image-dedup
+    # family, RAG composite, GDPR audit, pattern match after its
+    # TakeOrderedAndProject fix, classification report, semantic search,
+    # postings index, touch attribution, session paths after the
+    # microsecond-gap fix) plus the older never-verdicted tail
+    # (stratified sample, sliding chunking, revenue forecast, simhash).
+    # Historical verdicts stand in the r03-r06 records; displaced
     # queries remain fully supported + exactly oracled in
     # verify_driver's full sweep.
     #
-    # Round-7 rotation candidates (exact-oracled, never verdicted after
-    # this block lands): the round-6 additions — stratified_sample_documents,
-    # term_postings_index, embedding_scale_features, touch_attribution,
-    # session_event_paths, corpus_chunk_sliding, events_quality_rules,
-    # gdpr_purge_audit, text_semantic_search, image_dhash_png +
-    # image_near_dup_pairs_dhash + image_dedup_groups (perceptual-dedup
-    # family), corpus_rag_pipeline, series_pattern_match,
-    # avro_source_roundtrip + cdc_wire_snapshot_customers +
-    # orc_source_roundtrip (wire/format family) — plus the older tail:
-    # json/csv roundtrips, the streaming sketch grids (hll registers /
-    # cms cells / dedup-exact / corpus ingest), bucketed_colocated_join,
-    # corpus_shuffle_shard / domain_mix / bpe_pack,
-    # duplicate_span_positions, simhash_fingerprints, the multimodal
-    # decode/resize/feature variants, forecast_revenue, and the TPC-H
-    # remainder (market_share, product_profit, order_count_histogram,
-    # value_rank_suite, ...).
-    #
     # flagship + window family (W1/W2; session = the distinct gap
-    # semantics; tumbling is hopping with step=size and yields its slot)
+    # semantics)
     "hopping_window_agg",
     "session_window_agg",
-    # graph-metrics family (first verdict): degree-ordered triangle
-    # counting (Suri-Vassilvitskii WWW'11) + local clustering coefficient
-    # over the near-dup graph; the CC variants hold r05 verdicts
-    "near_dup_triangle_counts",
-    "near_dup_clustering_coefficient",
-    # join family (J1-J4, skew, as-of, temporal; bloom holds r05)
-    "enriched_window_join",
+    # perceptual image-dedup family (first verdicts): dHash over the real
+    # PNG codec + banded-Hamming LSH groups (graph metrics hold r06)
+    "image_dhash_png",
+    "image_dedup_groups",
+    # join family (as-of keeps its slot; multi-touch attribution takes
+    # the enrich-join slot — user-keyed equi-join, windowed credit split)
+    "touch_attribution",
     "asof_view_attribution",
-    # time-series family: the STREAMING multi-resolution rollup twin gets
-    # the family's verdict this round (batch rollup + gap-fill hold r05);
-    # per-key z-score anomaly screen (exact-DECIMAL moments, first
-    # verdict)
+    # time-series family: streaming rollup keeps its slot; subsequence
+    # pattern search (z-normalized distance, TakeOrderedAndProject
+    # top-10) takes the z-score slot
     "streaming_multi_resolution_rollup",
-    "value_outliers_zscore",
-    # behavioral analytics family (first verdicts): ordered-step
-    # conversion funnel, weekly retention cohorts, per-user value trend
-    "conversion_funnel",
-    "weekly_retention_cohorts",
-    "user_value_trend",
-    # fuzzy-matching family (first verdict): blocked edit-distance name
-    # matching — never all-pairs
-    "fuzzy_name_matches",
-    # storage-layout family (z-order holds r05; the partitioned+bucketed
-    # sink prune keeps the family's slot)
-    "partitioned_sink_prune",
-    # relational/TPC-H family (top-k, NOT-EXISTS-chain Q21, multi-dim Q7,
-    # Q15; rollup/Q20/scalar-suite hold r05 — GROUPING SETS and unpivot
-    # take their families' first verdicts)
+    "series_pattern_match",
+    # behavioral analytics family (first verdicts): 7-day attribution
+    # funnel, RFM quintile segmentation via distributed NTILE, per-user
+    # least-squares trend fit, sessionized trigram paths
+    "conversion_funnel_windowed",
+    "customer_rfm_segments",
+    "user_value_trend_fit",
+    "session_event_paths",
+    # retrieval family (first verdicts): embedding semantic search +
+    # the full RAG composite (BM25/fuzzy hold r05/r06)
+    "text_semantic_search",
+    "corpus_rag_pipeline",
+    # relational/TPC-H family (top-k Q3, NOT-EXISTS-chain Q21,
+    # GROUPING SETS, unpivot keep their slots; Q7/Q15 yield to the GDPR
+    # purge audit and the term postings index)
     "shipping_priority",
     "waiting_suppliers",
-    "volume_shipping",
-    "top_revenue_supplier",
     "order_grouping_sets",
     "event_type_unpivot",
-    # ML scoring + runbook (U1-U3, W4)
+    "gdpr_purge_audit",
+    "term_postings_index",
+    # ML scoring + runbook (U1-U3, W4) + per-class metrics (first
+    # verdict for the classification report over the lang-id labels)
     "score_events",
     "ksql_runbook_hopping",
-    # CDC source (S3)
-    "cdc_snapshot_customers",
-    # synthetic traffic/user generators (S6/S7/G1-G3): the seeded USER
-    # PROFILE generator gets its first verdict (clickstream holds r05);
-    # the full KSQL statement loop over generated traffic stays
+    "langid_classification_report",
+    # CDC source (S3): the Debezium JSON WIRE path takes the family slot
+    # (the object-form snapshot holds r06)
+    "cdc_wire_snapshot_customers",
+    # wire/format family (first verdicts): executable Avro binary +
+    # Confluent framing roundtrip; ORC storage roundtrip
+    "avro_source_roundtrip",
+    "orc_source_roundtrip",
+    # synthetic traffic/user generators (S6/S7/G1-G3)
     "synthetic_users_profile",
     "ksql_generated_traffic",
-    # text analysis family (lang-id, BPE; BM25/profile/drift hold r05 —
-    # the hashing-trick doc embeddings take their first verdict)
-    "lang_id_ngram",
+    # text analysis family (BPE + hashed embeddings keep their slots;
+    # the C4/Gopher multi-signal quality score takes its first verdict,
+    # in integer micro-units after the r6 round() divergence)
     "bpe_tokenize_fixed",
     "doc_hash_embed",
-    # sketch family: the STREAMING quantile-sketch twin gets the verdict
-    # this round (batch sketch + HLL registers hold r05)
+    "doc_quality_score",
+    # sketch family (streaming quantile twin keeps its slot)
     "streaming_quantile_sketch",
-    # dedup family (span coverage + passage granularity + exact n-gram
-    # jaccard; minhash/simhash/CC variants hold r03-r05 verdicts)
-    "duplicate_span_coverage",
+    # dedup family (passage granularity + exact n-gram jaccard keep;
+    # simhash fingerprints take their first verdict)
     "passage_dedup_stats",
     "ngram_jaccard_pairs",
-    # embedding family (quantize, near-dup scale path, semantic dedup
-    # groups; the ANN variants — brute baseline + recall-tested lsh/ivf —
-    # yield their slots)
-    "embedding_quantize_int8",
+    "simhash_fingerprints",
+    # embedding family (semantic dedup groups + LSH near-dup keep)
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
-    # corpus pipeline (fixed-budget chunking, PII scrubbing,
-    # deterministic hash split, and the FULL curation composite)
+    # corpus pipeline (fixed-budget chunking + curation composite +
+    # PII scrub keep; SLIDING chunking and the seeded stratified sample
+    # take their first verdicts)
     "corpus_chunk_tokens",
+    "corpus_chunk_sliding",
     "corpus_curation_pipeline",
     "pii_scrub",
-    "corpus_hash_split",
-    # multimodal (REAL stdlib codecs: mixed-container frame sampling,
-    # ISO-BMFF sample-map decode, baseline JPEG, five-filter PNG, and the
-    # MJPG frame-pixel chain that retires the PIL gate for all but H.264)
+    "stratified_sample_documents",
+    # forecasting (first verdict): seasonal-naive revenue forecast
+    "forecast_revenue",
+    # multimodal (mixed-container dispatch + JPEG + PNG keep their
+    # slots; mp4/mjpg hold r06)
     "multimodal_mixed_container_sample",
-    "multimodal_mp4_decode",
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
-    "multimodal_mjpg_frame_decode",
-    # streaming family (EMIT CHANGES, custom stateful, stream-stream
-    # joins — the RIGHT and FULL outer interval joins complete the
-    # family; the alert-once threshold state machine takes its first
-    # verdict, out-of-order-hardened this round)
+    # streaming family (EMIT CHANGES, custom stateful, the INNER
+    # interval join keeps the family slot — left/right/full hold r06 —
+    # and the out-of-order-hardened alert-once machine)
     "streaming_late_data_policy",
     "streaming_sessionize",
     "streaming_interval_join",
-    "streaming_interval_join_left",
-    "streaming_interval_join_right",
-    "streaming_interval_join_full",
     "streaming_threshold_alert",
 )
