@@ -64,10 +64,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "corpus_clean_pipeline",
     "multi_resolution_rollup",
-    "hourly_gap_fill_locf",
     "bucketed_colocated_join",
-    "hll_partition_merge",
-    "volume_shipping",
     "waiting_suppliers",
     "heavy_hitters_users",
     "bloom_pruned_join",
@@ -84,24 +81,30 @@ HEADLINE = [
     "feature_drift",
     "dedup_components_star",
     "streaming_late_data_policy",
-    "multimodal_mp4_decode",
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
     "duplicate_span_coverage",
-    "scalar_function_suite",
     "synthetic_clickstream",
     "passage_dedup_stats",
     "keyword_bm25",
     "multimodal_mjpg_frame_decode",
     "ksql_generated_traffic",
     "quantile_sketch_events",
-    "value_outliers_zscore",
     "corpus_curation_pipeline",
-    # round-6 additions (worst-case line stays under LINE_BUDGET_BYTES —
-    # pinned by tests/test_bench_record.py)
+    # round-6/7 additions (worst-case line stays under LINE_BUDGET_BYTES —
+    # pinned by tests/test_bench_record.py). Six redundant family twins
+    # (volume_shipping, hourly_gap_fill_locf, hll_partition_merge,
+    # scalar_function_suite, value_outliers_zscore, multimodal_mp4_decode)
+    # yielded their bytes — each family keeps a heavier representative.
     "touch_attribution",
     "session_event_paths",
+    "customer_rfm_segments",
+    "conversion_funnel_windowed",
+    "user_value_trend_fit",
+    "doc_quality_score",
+    "image_dedup_groups",
+    "corpus_rag_pipeline",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -120,7 +123,6 @@ PY_AXIS = frozenset(
         "benchmark_decontaminate",
         "ngram_lm_score",
         "multimodal_audio_decode",
-        "multimodal_mp4_decode",
         "multimodal_mixed_container_sample",
         "multimodal_jpeg_decode",
         "multimodal_mjpg_frame_decode",
@@ -130,6 +132,7 @@ PY_AXIS = frozenset(
         "synthetic_clickstream",
         "ksql_generated_traffic",
         "corpus_curation_pipeline",
+        "image_dedup_groups",
     }
 )
 
