@@ -17,10 +17,10 @@ the bounded class dimension — no shuffle touches the corpus twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["classification_report"]
+__all__ = ["classification_report", "roc_auc_binary", "calibration_bins"]
 
 
 def classification_report(
@@ -74,4 +74,98 @@ def classification_report(
         F.round(p, 6).alias("precision"),
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def roc_auc_binary(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    *,
+    quantize: int = 10,
+) -> DataFrame:
+    """Exact distributed ROC-AUC over an integer-quantized score — the
+    Mann-Whitney U statistic with average-rank tie handling, computed
+    without a global sort.
+
+    The score is quantized to ``floor(score * quantize)`` (the metric is
+    DEFINED on the quantized score, so both engines agree exactly); one
+    map-side-combined aggregation collapses the corpus to one row per
+    distinct quantized score (bounded by the score range x quantize, a
+    few thousand cells here), and the rank prefix for each cell comes
+    from the O(C^2) broadcast self-join idiom over that bounded cell
+    table (topk.py cdf estimator) — never a partition-less window, never
+    a corpus-sized sort.
+
+    Rank algebra kept in integers: a cell holding cnt rows after
+    ``before`` earlier rows occupies ranks [before+1, before+cnt] whose
+    average is before + (cnt+1)/2, so TWICE the positive rank-sum is
+    sum(npos * (2*before + cnt + 1)) — an exact BIGINT. With
+    U2 = 2*ranksum_pos - npos*(npos+1),  AUC = U2 / (2*npos*nneg): one
+    double division of exactly-represented integers, bit-identical on
+    any engine (no round(), no libm). BIGINT bounds: U2 <= n^2, exact in
+    a double through n ~ 9e7 rows; beyond that lift the two final sums
+    to DECIMAL(38,0) / HUGEINT — same plan shape.
+
+    No analog in the reference (it reports only the training job's AUC,
+    reference train.py evaluator); this is the continuously-computable
+    serving-side twin."""
+    s = F.floor(score * quantize).cast("long")
+    y = label.cast("long")
+    cells = df.groupBy(s.alias("s")).agg(
+        F.sum(y).alias("npos"),
+        F.sum(F.lit(1) - y).alias("nneg"),
+    )
+    c2 = cells.select(
+        F.col("s").alias("__s2"),
+        (F.col("npos") + F.col("nneg")).alias("__n2"),
+    )
+    with_before = (
+        cells.join(F.broadcast(c2), F.col("__s2") < F.col("s"), "left")
+        .groupBy("s", "npos", "nneg")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("before"))
+    )
+    agg = with_before.agg(
+        F.sum(
+            F.col("npos")
+            * (2 * F.col("before") + F.col("npos") + F.col("nneg") + 1)
+        ).alias("ranksum2"),
+        F.sum("npos").alias("np"),
+        F.sum("nneg").alias("nn"),
+    )
+    u2 = F.col("ranksum2") - F.col("np") * (F.col("np") + 1)
+    return agg.select(
+        F.col("np").cast("double").alias("npos_d"),
+        F.col("nn").cast("double").alias("nneg_d"),
+        u2.cast("double").alias("u2_d"),
+        (
+            u2.cast("double") / (2 * F.col("np") * F.col("nn")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    *,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Fixed-width score-calibration table: per bin, row count, positive
+    count, and the observed positive rate in parts-per-million via exact
+    integer division — the reliability-diagram input for a deployed
+    scorer. One map-side-combined aggregation, no window, no sort; every
+    emitted number is an integer cast to double, so the table
+    hash-checks on any engine at any scale."""
+    b = F.least(F.lit(n_bins - 1), F.floor(score / bin_width)).cast("long")
+    y = label.cast("long")
+    g = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("npos")
+    )
+    return g.select(
+        F.col("bin").cast("double").alias("bin_d"),
+        F.col("n").cast("double").alias("n_d"),
+        F.col("npos").cast("double").alias("npos_d"),
+        F.expr("(npos * 1000000L) div n").cast("double").alias("pos_rate_ppm_d"),
     )

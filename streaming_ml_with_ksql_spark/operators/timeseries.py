@@ -34,6 +34,9 @@ __all__ = [
     "rollup_from_minute_partials",
     "gap_fill_locf",
     "zscore_outliers",
+    "mad_outliers",
+    "cusum_changepoints",
+    "autocorrelation",
 ]
 
 _DEC = "decimal(18,6)"
@@ -226,4 +229,162 @@ def zscore_outliers(
         .withColumn("z_score", z)
         .filter(F.abs(F.col("z_score")) >= threshold)
         .select(id_col, key_col, value_col, "z_score")
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key ROBUST outlier screen via the median absolute deviation —
+    the companion to ``zscore_outliers`` for series whose moments are
+    themselves polluted by the outliers being hunted (a 0.1% tail of
+    broken values can double a standard deviation but cannot move a
+    median). Flags rows with |x - med| > threshold * 1.4826 * MAD
+    (1.4826 = the consistency constant making MAD estimate sigma under
+    normality).
+
+    Two passes over the data (median, then median-of-deviations), each a
+    per-key exact interpolated ``percentile`` aggregate — the same
+    documented contract as order_value_percentiles: exact here, swap for
+    ``percentile_approx`` at 100 TB with the identical plan shape. The
+    two tiny per-key stats frames broadcast back onto the events; the
+    corpus itself never shuffles.
+
+    Cross-engine boundary discipline: med and MAD are rounded to 6 dp
+    BEFORE the threshold comparison (and emitted rounded), so the
+    flagged set depends only on 6-dp-stable quantities — a last-ulp
+    interpolation difference between engines cannot flip a row in or
+    out. The emitted robust_z is one double division of those stable
+    inputs (no further rounding needed)."""
+    med_stats = events.groupBy(key_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med")
+    )
+    with_med = events.join(F.broadcast(med_stats), key_col)
+    mad_stats = (
+        with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(key_col)
+        .agg(F.round(F.expr("percentile(__dev, 0.5)"), 6).alias("mad"))
+    )
+    flagged = (
+        with_med.join(F.broadcast(mad_stats), key_col)
+        .withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("__dev") > threshold * 1.4826 * F.col("mad"))
+        )
+    )
+    return flagged.select(
+        id_col,
+        key_col,
+        value_col,
+        "med",
+        "mad",
+        (F.col("__dev") / (1.4826 * F.col("mad"))).alias("robust_z"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key CUSUM changepoint locator over the daily count series:
+    the observed day with the largest absolute cumulative deviation from
+    the key's mean daily rate — the classic level-shift detector.
+
+    Integer-exact throughout: with D observed days and total count T,
+    the deviation of day i is scaled to cnt_i * D - T (x D keeps it a
+    BIGINT; the running sum ends at exactly 0), so the argmax day and
+    the peak statistic are order-independent integers on any engine.
+
+    Shape: the corpus collapses to one row per (key, day) in a single
+    map-side-combined aggregation; every window below runs on that
+    calendar-bounded frame, partitioned BY KEY (rows per partition =
+    observed days) — no partition-less window, no corpus-sized state.
+    The argmax row is selected with a deterministic (|cusum| desc, day
+    asc) row_number per key."""
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = events.groupBy(F.col(key_col), day).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wk = Window.partitionBy(key_col)
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.withColumn("__d", F.count(F.lit(1)).over(wk))
+        .withColumn("__t", F.sum("cnt").over(wk))
+        .withColumn(
+            "cusum", F.sum(F.col("cnt") * F.col("__d") - F.col("__t")).over(wcum)
+        )
+    )
+    wpick = Window.partitionBy(key_col).orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key_col),
+            F.col("day").alias("change_day"),
+            F.col("cusum").cast("double").alias("cusum_d"),
+            F.col("__d").cast("double").alias("n_days_d"),
+            F.col("__t").cast("double").alias("total_d"),
+        )
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    *,
+    t_col: str = "t",
+    x_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of an integer-valued regular series at
+    lags 1..max_lag, via the lag-pair Pearson form computed from six
+    exact BIGINT sums per lag (n, Σa, Σb, Σab, Σa², Σb²) — the only
+    double arithmetic is the single final expression
+    (n·Σab − Σa·Σb) / (√(n·Σa²−Σa²̂)·√(n·Σb²−Σb²̂)), identical
+    correctly-rounded ops on both engines, so values hash-check with no
+    round() anywhere.
+
+    The caller pre-scales x so that n·Σx² stays under 2^63 (the revenue
+    query feeds kilodollar units); lift the six sums to DECIMAL(38,0) /
+    HUGEINT past that — same plan. The series frame is calendar-bounded
+    (one row per time bucket), so the lag join broadcasts one copy
+    against the lag dimension: O(D·L) rows, no corpus shuffle."""
+    spark = series.sparkSession
+    lag_dim = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = series.select(F.col(t_col).alias("__ta"), F.col(x_col).alias("__xa"))
+    b = series.select(F.col(t_col).alias("__tb"), F.col(x_col).alias("__xb"))
+    pairs = a.crossJoin(F.broadcast(lag_dim)).join(
+        F.broadcast(b), F.col("__tb") == F.col("__ta") + F.col("lag")
+    )
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__xa").alias("sa"),
+        F.sum("__xb").alias("sb"),
+        F.sum(F.col("__xa") * F.col("__xb")).alias("sab"),
+        F.sum(F.col("__xa") * F.col("__xa")).alias("saa"),
+        F.sum(F.col("__xb") * F.col("__xb")).alias("sbb"),
+    )
+    dena = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    denb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    acf = F.when(
+        (dena > 0) & (denb > 0), num / (F.sqrt(dena) * F.sqrt(denb))
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("lag").cast("double").alias("lag_d"),
+        F.col("n").cast("double").alias("n_d"),
+        acf.alias("acf"),
     )
