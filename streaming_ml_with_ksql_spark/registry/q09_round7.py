@@ -190,3 +190,155 @@ def q_mad_outliers_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.py mad_outliers)."""
     ev = _t(spark, sf_dir, "events")
     return timeseries.mad_outliers(ev, threshold=3.0)
+
+
+@register(
+    "cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS d, sum(cnt) AS t
+           FROM daily GROUP BY 1),
+    c AS (
+      SELECT daily.event_type, day, d, t,
+             sum(cnt * d - t) OVER (PARTITION BY daily.event_type
+                                    ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cusum
+      FROM daily JOIN st USING (event_type))
+    SELECT event_type, day AS change_day, CAST(cusum AS DOUBLE) AS cusum_d,
+           CAST(d AS DOUBLE) AS n_days_d, CAST(t AS DOUBLE) AS total_d
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, day ASC) = 1
+    """,
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift locator per event type: the observed day with the
+    largest |CUSUM| of the daily count series, integer-exact (deviations
+    scaled by the day count so the running sum is a BIGINT ending at 0).
+    All windows run on the calendar-bounded daily frame partitioned by
+    key (operators/timeseries.py cusum_changepoints)."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.cusum_changepoints(ev)
+
+
+@register(
+    "revenue_autocorr",
+    """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    l AS (SELECT unnest(range(1, 8)) AS lag),
+    p AS (SELECT lag, a.x AS xa, b.x AS xb
+          FROM daily a CROSS JOIN l JOIN daily b ON b.t = a.t + lag),
+    g AS (SELECT lag, count(*) AS n, sum(xa) AS sa, sum(xb) AS sb,
+                 sum(xa * xb) AS sab, sum(xa * xa) AS saa,
+                 sum(xb * xb) AS sbb
+          FROM p GROUP BY 1)
+    SELECT CAST(lag AS DOUBLE) AS lag_d, CAST(n AS DOUBLE) AS n_d,
+           CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                        * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                ELSE 0.0 END AS acf
+    FROM g
+    """,
+)
+def q_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1..7 — the
+    seasonality probe behind the seasonal-naive forecaster. Revenue
+    pre-scaled to exact kilodollar integers (floor per order, integer
+    div per day: deterministic on any engine, and n*sum(x^2) stays well
+    under 2^63 / 2^53 at bench scales); the six per-lag sums are exact
+    BIGINTs and the only float arithmetic is the single final Pearson
+    expression (operators/timeseries.py autocorrelation)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L"
+        ).alias("x")
+    )
+    return timeseries.autocorrelation(daily, t_col="t", x_col="x", max_lag=7)
+
+
+@register(
+    "user_life_table",
+    """
+    WITH span AS (
+      SELECT user_id,
+             datediff('day', date_trunc('day', min(ts)),
+                      date_trunc('day', max(ts))) AS tenure,
+             max(date_trunc('day', ts)) AS last_day
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT max(date_trunc('day', ts)) AS maxd FROM events),
+    lab AS (
+      SELECT tenure,
+             CASE WHEN datediff('day', last_day, maxd) < 7 THEN 1 ELSE 0 END
+               AS censored
+      FROM span CROSS JOIN horizon),
+    g AS (SELECT tenure, count(*) AS n_total,
+                 sum(1 - censored) AS d_churn, sum(censored) AS c_cens
+          FROM lab GROUP BY 1),
+    r AS (
+      SELECT g.tenure, g.d_churn, g.c_cens, sum(g2.n_total) AS n_risk
+      FROM g JOIN g g2 ON g2.tenure >= g.tenure
+      GROUP BY g.tenure, g.d_churn, g.c_cens)
+    SELECT CAST(tenure AS DOUBLE) AS tenure_d,
+           CAST(n_risk AS DOUBLE) AS n_risk_d,
+           CAST(d_churn AS DOUBLE) AS d_churn_d,
+           CAST(c_cens AS DOUBLE) AS c_cens_d,
+           CAST((d_churn * 1000000) // n_risk AS DOUBLE) AS hazard_ppm_d
+    FROM r
+    """,
+)
+def q_user_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table of user tenure (days between first and
+    last observed event), right-censored for users still active within
+    7 days of the corpus horizon: per tenure day, the number at risk,
+    churn events, censored exits, and the discrete hazard in exact
+    integer ppm. The corpus collapses to one row per user, then to one
+    row per tenure day (bounded by the calendar span); the at-risk
+    suffix sum is the O(C^2) broadcast self-join over that bounded
+    frame — no partition-less window, all-integer output."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).alias("tenure"),
+        F.max(day).alias("last_day"),
+    )
+    horizon = ev.agg(F.max(day).alias("maxd"))
+    lab = span.crossJoin(F.broadcast(horizon)).select(
+        "tenure",
+        F.when(
+            F.datediff(F.col("maxd"), F.col("last_day")) < 7, F.lit(1)
+        ).otherwise(F.lit(0)).alias("censored"),
+    )
+    g = lab.groupBy("tenure").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.lit(1) - F.col("censored")).alias("d_churn"),
+        F.sum("censored").alias("c_cens"),
+    )
+    g2 = g.select(F.col("tenure").alias("__t2"), F.col("n_total").alias("__n2"))
+    r = (
+        g.join(F.broadcast(g2), F.col("__t2") >= F.col("tenure"))
+        .groupBy("tenure", "d_churn", "c_cens")
+        .agg(F.sum("__n2").alias("n_risk"))
+    )
+    return r.select(
+        F.col("tenure").cast("double").alias("tenure_d"),
+        F.col("n_risk").cast("double").alias("n_risk_d"),
+        F.col("d_churn").cast("double").alias("d_churn_d"),
+        F.col("c_cens").cast("double").alias("c_cens_d"),
+        F.expr("(d_churn * 1000000L) div n_risk")
+        .cast("double")
+        .alias("hazard_ppm_d"),
+    )

@@ -111,3 +111,80 @@ def test_mad_boundary_discipline(spark, sf_small):
     dev = (out["value"] - out["med"]).abs()
     assert (dev > 3 * 1.4826 * out["mad"]).all()
     assert (out["mad"] > 0).all()
+
+
+def test_cusum_detects_injected_level_shift(spark):
+    """A series flat at 10/day for 15 days then 30/day for 15 days must
+    locate the changepoint at the shift boundary (max |CUSUM| on the
+    last low day)."""
+    rows = []
+    eid = 0
+    for d in range(30):
+        n = 10 if d < 15 else 30
+        for _ in range(n):
+            rows.append((eid, "k", f"2024-01-{d+1:02d} 12:00:00"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, day_s string"
+    ).select("event_id", "event_type", F.col("day_s").cast("timestamp").alias("ts"))
+    out = timeseries.cusum_changepoints(df).collect()
+    assert len(out) == 1
+    assert str(out[0]["change_day"]).startswith("2024-01-15")
+    # cusum at day 15: 15 low days * (10*30 - 600) = 15 * -300
+    assert out[0]["cusum_d"] == -4500.0
+
+
+def test_cusum_running_sum_terminates_at_zero(spark, sf_small):
+    """The scaled deviations sum to exactly 0 over each key's full span
+    (the integer-exactness invariant)."""
+    ev = io_mod.load_table(spark, sf_small, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("cnt").alias("t")
+    )
+    z = (
+        daily.join(st, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("cnt") * F.col("d") - F.col("t")).alias("z"))
+        .collect()
+    )
+    assert all(r["z"] == 0 for r in z)
+
+
+def test_autocorr_perfect_periodicity(spark):
+    """A strict period-2 series has acf(2)=1, acf(4)=1 and negative odd
+    lags."""
+    rows = [(t, 100 if t % 2 == 0 else 200) for t in range(40)]
+    df = spark.createDataFrame(rows, "t long, x long")
+    out = {
+        int(r["lag_d"]): r["acf"]
+        for r in timeseries.autocorrelation(df, max_lag=4).collect()
+    }
+    assert out[2] == 1.0 and out[4] == 1.0
+    assert out[1] < -0.9 and out[3] < -0.9
+
+
+def test_autocorr_constant_series_guard(spark):
+    df = spark.createDataFrame([(t, 5) for t in range(10)], "t long, x long")
+    out = timeseries.autocorrelation(df, max_lag=2).collect()
+    assert all(r["acf"] == 0.0 for r in out)
+
+
+def test_life_table_invariants(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = (
+        _REGISTRY["user_life_table"].spark(spark, sf_small)
+        .toPandas()
+        .sort_values("tenure_d")
+    )
+    ev = io_mod.load_table(spark, sf_small, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # the smallest tenure's at-risk set is everyone
+    assert out["n_risk_d"].iloc[0] == n_users
+    # at-risk counts strictly decrease and each day's exits are bounded
+    assert (out["n_risk_d"].diff().dropna() < 0).all()
+    assert (out["d_churn_d"] + out["c_cens_d"] <= out["n_risk_d"]).all()
+    assert (out["d_churn_d"] + out["c_cens_d"]).sum() == n_users
