@@ -56,6 +56,8 @@ __all__ = [
     "domain_mix_weights",
     "ngram_lm_score",
     "hash_embed",
+    "tfidf_top_terms",
+    "priority_sample",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -1537,3 +1539,95 @@ def chunk_tokens_sliding(
         ),
     )
     return base.select("doc_id", F.inline(chunks))
+
+
+def tfidf_top_terms(documents: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF over the FULL
+    vocabulary — the unsupervised tagging step of a corpus pipeline
+    (keyword_bm25 scores a fixed literal query list; this ranks every
+    term a document contains).
+
+    idf uses the rational Robertson form (N - df + 0.5)/(df + 0.5)
+    WITHOUT the log, for the same reason bm25_scores does: log() is not
+    correctly-rounded-identical across engines, +,-,*,/ are — and log is
+    monotone, so per-document rank order is unchanged. The score is
+    tf * idf evaluated in ONE fixed expression order, bit-identical
+    anywhere; within-document ties (equal (tf, df)) break on term asc.
+
+    Scale shape: explode → (doc, term) tf groupBy (the corpus token
+    shuffle every index build pays once), a bytes-per-term df aggregate
+    joined back (shuffle on term, same as the postings index), and the
+    top-k window partitioned BY DOCUMENT — thousands of small partitions,
+    never a global sort."""
+    toks = tokens_col(F.col("text"))
+    tok = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("double").alias("tf_d"),
+            F.col("df").cast("double").alias("df_d"),
+            "tfidf",
+            "rnk",
+        )
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 200,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement of size k —
+    priority sampling (Duffield, Lund & Thorup 2007): each row gets
+    priority w / u with u uniform on (0, 1], the k largest priorities
+    win; inclusion probability is proportional to weight for the
+    non-extreme mass.
+
+    u is the content-free md5 bucket ((h+1) / 2^28, the corpus_hash_split
+    idiom) — no RNG in the plan, so the sample is identical on every
+    engine, run, and partitioning; re-salting redraws it. Priority is
+    w * 2^28 / (h+1): one exact long product cast to double, one
+    correctly-rounded division — bit-stable. pow()/log() (the classic
+    A-ES exponential-key formulation) are deliberately avoided: they are
+    not correctly-rounded cross-engine, priority sampling needs neither.
+
+    Scale shape: a narrow per-row expression, then orderBy(...).limit(k)
+    — Spark plans TakeOrderedAndProject (per-partition top-k, driver
+    merges k rows). No global sort, no window, no shuffle of the
+    corpus."""
+    h = _hash_bucket(F.col(id_col), salt=salt, mod=1 << 28)
+    pri = (F.col(weight_col) * F.lit(1 << 28)).cast("double") / (
+        h + F.lit(1)
+    ).cast("double")
+    return (
+        df.select(
+            id_col,
+            F.col(weight_col).cast("double").alias(f"{weight_col}_d"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -342,3 +342,151 @@ def q_user_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hazard_ppm_d"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             tf.tf * ((n_docs - df + 0.5) / (df + 0.5)) AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN n)
+    SELECT doc_id, term, CAST(tf AS DOUBLE) AS tf_d,
+           CAST(df AS DOUBLE) AS df_d, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS INTEGER)
+             AS rnk
+    FROM s QUALIFY rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by log-free rational-idf TF-IDF
+    (operators/text.py tfidf_top_terms) — the unsupervised tagging twin
+    of keyword_bm25's fixed-query scoring."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "weighted_sample_documents",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                             1, 7))::UBIGINT::BIGINT % 268435456 AS hv
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_d,
+           CAST(n_chars * 268435456 AS DOUBLE) / CAST(hv + 1 AS DOUBLE)
+             AS priority
+    FROM h ORDER BY priority DESC, doc_id LIMIT 200
+    """,
+)
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted sample of 200 documents via
+    priority sampling (w/u with a content-free md5 uniform; Duffield et
+    al. 2007) — the weighted companion of stratified_sample_documents.
+    No RNG, no pow/log, TakeOrderedAndProject top-k
+    (operators/text.py priority_sample)."""
+    return text.priority_sample(
+        _t(spark, sf_dir, "documents"), k=200, salt="wsample"
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH counts AS (SELECT l_suppkey, count(*) AS c FROM lineitem
+                    GROUP BY 1),
+    hist AS (SELECT c, count(*) AS m FROM counts GROUP BY 1),
+    pref AS (SELECT h.c, h.m, coalesce(sum(h2.m), 0) AS kb
+             FROM hist h LEFT JOIN hist h2 ON h2.c < h.c
+             GROUP BY h.c, h.m),
+    agg AS (SELECT sum(m) AS k, sum(c * m) AS t, max(c) AS maxc,
+                   sum(c * (m * kb + (m * (m + 1)) // 2)) AS s1
+            FROM pref),
+    qv AS (SELECT q, min(c) AS pc
+           FROM pref, agg, (SELECT unnest([50, 99]) AS q) qs
+           WHERE kb + m >= (k * q + 99) // 100
+           GROUP BY q)
+    SELECT CAST(k AS DOUBLE) AS n_keys_d, CAST(t AS DOUBLE) AS n_rows_d,
+           CAST(maxc AS DOUBLE) AS max_key_rows_d,
+           CAST((maxc * 1000000) // t AS DOUBLE) AS top1_share_ppm_d,
+           CAST((SELECT pc FROM qv WHERE q = 50) AS DOUBLE)
+             AS p50_key_rows_d,
+           CAST((SELECT pc FROM qv WHERE q = 99) AS DOUBLE)
+             AS p99_key_rows_d,
+           CAST(((2 * s1 - (k + 1) * t) * 1000000) // (k * t) AS DOUBLE)
+             AS gini_ppm_d
+    FROM agg
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for lineitem.l_suppkey — the planning
+    input for the salted-join / AQE-skew decision the 100 TB operators
+    document: key count, max and p50/p99 per-key row counts, top-1 key
+    share, and the Gini coefficient of the key distribution, all in
+    exact integer ppm.
+
+    Scale shape: the corpus collapses to per-key counts (one shuffle),
+    then to the HISTOGRAM OF COUNTS — bounded by the number of distinct
+    per-key frequencies, orders of magnitude smaller than the key set —
+    and every rank/prefix computation (percentiles, the sorted-index
+    Gini sum) runs on that histogram via the O(C^2) broadcast-self-join
+    prefix idiom. Exact Gini from grouped data: a run of m keys at count
+    c starting after kb keys contributes c*(m*kb + m(m+1)/2) to the
+    sorted-index sum. BIGINT bounds hold through ~1e9 keys x rows; lift
+    to DECIMAL(38,0)/HUGEINT past that."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    h2 = hist.select(F.col("c").alias("__c2"), F.col("m").alias("__m2"))
+    pref = (
+        hist.join(F.broadcast(h2), F.col("__c2") < F.col("c"), "left")
+        .groupBy("c", "m")
+        .agg(F.coalesce(F.sum("__m2"), F.lit(0)).alias("kb"))
+    )
+    agg = pref.agg(
+        F.sum("m").alias("k"),
+        F.sum(F.col("c") * F.col("m")).alias("t"),
+        F.max("c").alias("maxc"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("kb")
+                + F.expr("(m * (m + 1)) div 2")
+            )
+        ).alias("s1"),
+    )
+    qdf = spark.createDataFrame([(50,), (99,)], "q int")
+    qv = (
+        pref.crossJoin(F.broadcast(agg.select("k")))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("kb") + F.col("m") >= F.expr("(k * q + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min("c").alias("pc"))
+    )
+    p50 = qv.filter(F.col("q") == 50).select(F.col("pc").alias("p50c"))
+    p99 = qv.filter(F.col("q") == 99).select(F.col("pc").alias("p99c"))
+    return (
+        agg.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            F.col("k").cast("double").alias("n_keys_d"),
+            F.col("t").cast("double").alias("n_rows_d"),
+            F.col("maxc").cast("double").alias("max_key_rows_d"),
+            F.expr("(maxc * 1000000L) div t")
+            .cast("double")
+            .alias("top1_share_ppm_d"),
+            F.col("p50c").cast("double").alias("p50_key_rows_d"),
+            F.col("p99c").cast("double").alias("p99_key_rows_d"),
+            F.expr("((2 * s1 - (k + 1) * t) * 1000000L) div (k * t)")
+            .cast("double")
+            .alias("gini_ppm_d"),
+        )
+    )

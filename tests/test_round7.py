@@ -188,3 +188,106 @@ def test_life_table_invariants(spark, sf_small):
     assert (out["n_risk_d"].diff().dropna() < 0).all()
     assert (out["d_churn_d"] + out["c_cens_d"] <= out["n_risk_d"]).all()
     assert (out["d_churn_d"] + out["c_cens_d"]).sum() == n_users
+
+
+def test_tfidf_top_terms_ranking_and_counts(spark, sf_small):
+    from streaming_ml_with_ksql_spark.operators import text as text_ops
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    out = text_ops.tfidf_top_terms(docs, k=3).toPandas()
+    # scores non-increasing within each doc
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rnk")
+        assert (g["tfidf"].diff().dropna() <= 0).all()
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+    # spot-check tf for one (doc, term) against a direct count
+    row = out.iloc[0]
+    doc_text = (
+        docs.filter(F.col("doc_id") == int(row["doc_id"]))
+        .collect()[0]["text"]
+        .lower()
+        .strip()
+    )
+    assert doc_text.split().count(row["term"]) == row["tf_d"]
+
+
+def test_priority_sample_weighted_and_deterministic(spark, sf_small):
+    from streaming_ml_with_ksql_spark.operators import text as text_ops
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    a = text_ops.priority_sample(docs, k=100).toPandas()
+    b = text_ops.priority_sample(docs, k=100).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert len(a) == 100
+    # weighting: the length-weighted sample over-represents long docs
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert a["n_chars_d"].mean() > mean_all
+    # re-salting redraws the sample
+    c = text_ops.priority_sample(docs, k=100, salt="other").toPandas()
+    assert set(a["doc_id"]) != set(c["doc_id"])
+
+
+def test_priority_sample_plans_top_k(spark, sf_small):
+    from streaming_ml_with_ksql_spark import registry
+
+    df = registry._REGISTRY["weighted_sample_documents"].spark(spark, sf_small)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Counts {a:1, b:1, c:2, d:4}: K=4, T=8, sorted x=[1,1,2,4],
+    S1=1+2+6+16=25, Gini=(50-40)/32=0.3125 -> 312500 ppm; p50=1 (rank 2),
+    p99=4 (rank 4); top1 share = 4/8 = 500000 ppm."""
+    rows = (
+        [(1, "a")] + [(2, "b")] + [(3, "c")] * 2 + [(4, "d")] * 4
+    )
+    df = spark.createDataFrame(
+        [(i, k) for i, (i2, k) in enumerate(rows) for i2 in [i2]],
+        "rid long, key string",
+    )
+    counts = df.groupBy("key").agg(F.count(F.lit(1)).alias("c")).toPandas()
+    assert sorted(counts["c"]) == [1, 1, 2, 4]
+
+    import duckdb
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    # run the Spark side on a synthetic lineitem stand-in via a temp dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in ("lineitem",):
+            df.select(
+                F.col("key").alias("l_suppkey"),
+                F.col("rid").alias("l_orderkey"),
+            ).write.parquet(os.path.join(tmp, f"{t}.parquet"))
+        out = _REGISTRY["key_skew_profile"].spark(spark, tmp).collect()[0]
+    assert out["n_keys_d"] == 4.0
+    assert out["n_rows_d"] == 8.0
+    assert out["max_key_rows_d"] == 4.0
+    assert out["top1_share_ppm_d"] == 500000.0
+    assert out["p50_key_rows_d"] == 1.0
+    assert out["p99_key_rows_d"] == 4.0
+    assert out["gini_ppm_d"] == 312500.0
+
+
+def test_key_skew_profile_uniform_gini_zero(spark):
+    rows = [(i, f"k{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "rid long, key string")
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.select(
+            F.col("key").alias("l_suppkey"), F.col("rid").alias("l_orderkey")
+        ).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = _REGISTRY["key_skew_profile"].spark(spark, tmp).collect()[0]
+    assert out["gini_ppm_d"] == 0.0
+    assert out["p50_key_rows_d"] == out["p99_key_rows_d"] == 10.0
