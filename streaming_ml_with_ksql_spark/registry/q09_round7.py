@@ -490,3 +490,56 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini_ppm_d"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 6) -> str:
+    """Unrolled fixed-point PageRank oracle: the verified
+    ngram_jaccard_pairs statement nested as a derived table (the
+    corpus_curation_pipeline composition rule), then r1..r{iters} CTEs
+    generated mechanically — every operation integer, so the unrolled
+    SQL replays Spark's loop exactly."""
+    pairs_sql = _REGISTRY["ngram_jaccard_pairs"].oracle
+    sql = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) q),
+    edges AS (SELECT DISTINCT src, dst FROM (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs) u),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, (1000000000000 // n_nodes) AS pr
+           FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n.node,
+             (15 * (1000000000000 // nn.n_nodes)) // 100
+               + (85 * coalesce(s.acc, 0)) // 100 AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // d.outdeg) AS acc
+        FROM edges e
+        JOIN r{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node)"""
+    sql += f"""
+    SELECT node AS doc_id, CAST(pr AS DOUBLE) AS pr_d
+    FROM r{iters} ORDER BY pr DESC, node LIMIT 20"""
+    return sql
+
+
+@register("pagerank_near_dup", _pagerank_oracle(6))
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank hubs of the exact n-gram-Jaccard near-dup graph —
+    which documents sit at the center of their duplication clusters (the
+    natural canonical representative, vs dedup_groups' arbitrary
+    min-id). Six integer fixed-point iterations (operators/graph.py
+    pagerank): every rank in BIGINT micro-units, every update a div —
+    deterministic under any summation order, engine, or partitioning,
+    which is what makes an iterative float algorithm exactly oracleable
+    at all. Selection via orderBy+limit (TakeOrderedAndProject)."""
+    pairs = text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    pr = graph.pagerank(pairs, iters=6)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.col("pr").cast("double").alias("pr_d")
+    ).orderBy(F.col("pr_d").desc(), F.col("doc_id").asc()).limit(20)

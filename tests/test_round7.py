@@ -291,3 +291,41 @@ def test_key_skew_profile_uniform_gini_zero(spark):
         out = _REGISTRY["key_skew_profile"].spark(spark, tmp).collect()[0]
     assert out["gini_ppm_d"] == 0.0
     assert out["p50_key_rows_d"] == out["p99_key_rows_d"] == 10.0
+
+
+def test_pagerank_star_hub_dominates_and_clique_uniform(spark):
+    from streaming_ml_with_ksql_spark.operators import graph as graph_ops
+
+    # star: 0 - {1..6}
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    pr = {r["node"]: r["pr"] for r in graph_ops.pagerank(star, iters=6).collect()}
+    assert all(pr[0] > pr[i] for i in range(1, 7))
+    assert len(set(pr[i] for i in range(1, 7))) == 1
+    # 4-clique: perfectly symmetric -> identical integer ranks
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a long, doc_b long",
+    )
+    prc = [r["pr"] for r in graph_ops.pagerank(clique, iters=6).collect()]
+    assert len(set(prc)) == 1
+    # mass approximately conserved (truncation only loses ulps)
+    assert 0.95 * 10**12 < sum(prc) <= 10**12
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer fixed-point: the ranks must be bit-identical under any
+    input partitioning (the property float PageRank lacks)."""
+    from streaming_ml_with_ksql_spark.operators import graph as graph_ops
+
+    edges = [(a, b) for a in range(10) for b in range(a + 1, 10) if (a + b) % 3]
+    df1 = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    df2 = df1.repartition(7)
+    r1 = sorted(
+        (r["node"], r["pr"]) for r in graph_ops.pagerank(df1, iters=5).collect()
+    )
+    r2 = sorted(
+        (r["node"], r["pr"]) for r in graph_ops.pagerank(df2, iters=5).collect()
+    )
+    assert r1 == r2
