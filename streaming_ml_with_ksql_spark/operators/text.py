@@ -58,6 +58,8 @@ __all__ = [
     "hash_embed",
     "tfidf_top_terms",
     "priority_sample",
+    "term_hits",
+    "postings_from_hits",
 ]
 
 # Stopword lists for the language-ID heuristic (tiny on purpose: the
@@ -1470,12 +1472,27 @@ def term_postings(
     dictionary (literal IN — no join), one groupBy (term, shard). The
     postings string is ordered by (doc_id, pos), so it is deterministic
     under any partitioning."""
-    toks = documents.select(
+    return postings_from_hits(term_hits(documents, terms), n_shards=n_shards)
+
+
+def term_hits(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """The STATELESS stage of the index build — (doc_id, pos, term) hits
+    for the dictionary terms. Narrow (tokenize + posexplode + literal
+    IN), so it runs identically over a batch frame or a file-replayed
+    stream (append mode emits exactly the batch hit set — the
+    batch≡stream property streaming_postings_ingest checks)."""
+    return documents.select(
         "doc_id",
         F.posexplode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("pos", "term"),
     ).filter(F.col("term").isin(terms))
+
+
+def postings_from_hits(toks: DataFrame, *, n_shards: int = 4) -> DataFrame:
+    """Resolution stage: hits → sharded posting lists (see
+    ``term_postings``). Reads either the batch hit frame or a drained
+    streaming hit table."""
     entry = F.struct(F.col("doc_id"), F.col("pos"))
     return (
         toks.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))

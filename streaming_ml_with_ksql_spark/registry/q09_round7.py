@@ -543,3 +543,30 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.col("pr").cast("double").alias("pr_d")
     ).orderBy(F.col("pr_d").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@register(
+    "streaming_postings_ingest",
+    # Stateless hit emission: the streamed hit set IS the batch hit set
+    # (append mode, no watermark filtering), so the verified
+    # term_postings_index oracle applies verbatim — the same batch≡stream
+    # idiom as streaming_image_dedup / streaming_corpus_ingest.
+    _REGISTRY["term_postings_index"].oracle,
+)
+def q_streaming_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance twin of the inverted index: documents
+    replayed as a file stream, the STATELESS hit stage (tokenize +
+    posexplode + dictionary filter, operators/text.py term_hits) runs
+    inside the stream — continuous ingest appends (doc_id, pos, term)
+    hits per micro-batch — and the drained hit table resolves into
+    sharded posting lists with the SAME batch kernel
+    (postings_from_hits). Reference analog: continuous topic
+    materialization (README.md:41-52); this is how a 100 TB index stays
+    current — segment hits land incrementally, list resolution reads
+    the accumulated segment store."""
+    stream = _replay_documents(spark, sf_dir)
+    hits = text.term_hits(stream, ["spark", "window", "join"])
+    drained = stream_sinks.run_to_memory(
+        hits, f"reg_stream_postings_{next(_STREAM_SEQ)}"
+    )
+    return text.postings_from_hits(drained, n_shards=4)

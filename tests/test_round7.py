@@ -329,3 +329,14 @@ def test_pagerank_partitioning_invariant(spark):
         (r["node"], r["pr"]) for r in graph_ops.pagerank(df2, iters=5).collect()
     )
     assert r1 == r2
+
+
+def test_streaming_postings_equals_batch(spark, sf_small):
+    """batch≡stream: the replayed-ingest index must equal the one-shot
+    batch build row for row."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    streamed = _REGISTRY["streaming_postings_ingest"].spark(spark, sf_small)
+    batch = _REGISTRY["term_postings_index"].spark(spark, sf_small)
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
