@@ -61,6 +61,7 @@ __all__ = [
     "build_ivfpq_index",
     "ivfpq_search",
     "ivfpq_topk",
+    "cluster_quality",
 ]
 
 
@@ -1443,3 +1444,104 @@ def ivf_ingest_stream(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"IVF ingest did not drain within {timeout_sec}s")
+
+
+def cluster_quality(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 10**9,
+) -> DataFrame:
+    """Per-label cluster cohesion/separation report for a labeled
+    embedding table: member count, mean squared distance to the label's
+    own centroid (cohesion), the nearest OTHER centroid and its
+    squared distance (separation) — the Davies-Bouldin-style health
+    check a training pipeline runs on its class structure.
+
+    Exactness: centroids come from exact DECIMAL(18,9) per-dimension
+    sums (order-free) divided once into double; every squared deviation
+    is then QUANTIZED to integer nano-units (floor((x-c)^2 * 1e9)) so
+    the cross-row/cross-dimension summations are order-independent
+    BIGINT adds — the metric is DEFINED on the quantized deviations,
+    identical on any engine at any partitioning. Per-vector distances
+    never materialize: sum-over-members-of-sum-over-dims collapses to
+    one groupBy(label) over the exploded (row, dim) frame.
+
+    Scale shape: posexplode (narrow, x dim fan-out), ONE shuffle to
+    (label, dim) partials, centroid table (|labels| x dims) broadcast
+    back; centroid-to-centroid separation runs on the bounded centroid
+    frame. BIGINT bound: quant * dims * n_members per label — lift
+    quant down or sums to DECIMAL(38,0) past ~1e9 rows."""
+    comp = embeddings.select(
+        id_col,
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("dim", "x"),
+    )
+    cent = (
+        comp.groupBy("lbl", "dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(18,9)")).alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "lbl",
+            "dim",
+            (F.col("sm").cast("double") / F.col("n")).alias("c"),
+        )
+    )
+    dev = comp.join(F.broadcast(cent), ["lbl", "dim"]).select(
+        "lbl",
+        F.floor(
+            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * quant
+        ).cast("long").alias("q"),
+    )
+    intra = dev.groupBy("lbl").agg(
+        F.sum("q").alias("qsum"), F.count(F.lit(1)).alias("ncells")
+    )
+    # ncells = n_members * dims; recover n_members via the dims count
+    dims = cent.groupBy("lbl").agg(F.count(F.lit(1)).alias("ndims"))
+    intra = intra.join(F.broadcast(dims), "lbl").select(
+        "lbl",
+        F.expr("ncells div ndims").alias("n_members"),
+        F.expr("qsum div (ncells div ndims)").alias("intra_mean_nano"),
+    )
+    c2 = cent.select(
+        F.col("lbl").alias("lbl2"), F.col("dim").alias("dim2"),
+        F.col("c").alias("c2"),
+    )
+    sep = (
+        cent.join(
+            F.broadcast(c2),
+            (F.col("dim") == F.col("dim2")) & (F.col("lbl") != F.col("lbl2")),
+        )
+        .select(
+            "lbl",
+            "lbl2",
+            F.floor(
+                (F.col("c") - F.col("c2")) * (F.col("c") - F.col("c2")) * quant
+            ).cast("long").alias("q"),
+        )
+        .groupBy("lbl", "lbl2")
+        .agg(F.sum("q").alias("dist_nano"))
+    )
+    w = Window.partitionBy("lbl").orderBy(
+        F.col("dist_nano").asc(), F.col("lbl2").asc()
+    )
+    nearest = (
+        sep.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lbl",
+            F.col("lbl2").alias("nearest_lbl"),
+            F.col("dist_nano").alias("nearest_dist_nano"),
+        )
+    )
+    return intra.join(nearest, "lbl").select(
+        F.col("lbl").cast("double").alias("label_d"),
+        F.col("n_members").cast("double").alias("n_d"),
+        F.col("intra_mean_nano").cast("double").alias("intra_mean_nano_d"),
+        F.col("nearest_lbl").cast("double").alias("nearest_label_d"),
+        F.col("nearest_dist_nano").cast("double").alias("nearest_dist_nano_d"),
+    )

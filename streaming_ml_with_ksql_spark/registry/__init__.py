@@ -155,18 +155,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sketch family (streaming quantile twin keeps its slot)
     "streaming_quantile_sketch",
     # dedup family (passage granularity + exact n-gram jaccard keep;
-    # simhash fingerprints take their first verdict)
+    # the simhash slot goes to round 7's graph-centrality family —
+    # integer fixed-point PageRank over the same near-dup pair graph,
+    # an entirely new family vs a third dedup-fingerprint twin)
     "passage_dedup_stats",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
+    "pagerank_near_dup",
     # embedding family (semantic dedup groups + LSH near-dup keep)
     "embedding_dedup_groups",
     "embedding_near_dup_pairs_lsh",
     # corpus pipeline (fixed-budget chunking + curation composite +
-    # PII scrub keep; SLIDING chunking and the seeded stratified sample
-    # take their first verdicts)
+    # PII scrub keep; the sliding-chunking twin yields its slot to
+    # round 7's ML-evaluation family — distributed exact ROC-AUC, a
+    # new family vs a second chunking variant)
     "corpus_chunk_tokens",
-    "corpus_chunk_sliding",
+    "roc_auc_purchase",
     "corpus_curation_pipeline",
     "pii_scrub",
     "stratified_sample_documents",

@@ -570,3 +570,108 @@ def q_streaming_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits, f"reg_stream_postings_{next(_STREAM_SEQ)}"
     )
     return text.postings_from_hits(drained, n_shards=4)
+
+
+@register(
+    "part_entity_groups",
+    """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM blocked a
+      JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+    edges AS (SELECT na AS u, nb AS v FROM pairs
+              UNION ALL SELECT nb, na FROM pairs),
+    reach(u, label) AS (
+      SELECT p_name, p_name FROM names
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.u),
+    comp AS (SELECT u AS p_name, min(label) AS entity_id
+             FROM reach GROUP BY u),
+    g AS (SELECT entity_id, count(*) AS sz FROM comp GROUP BY 1)
+    SELECT c.p_name, c.entity_id, CAST(g.sz AS DOUBLE) AS group_size_d
+    FROM comp c JOIN g USING (entity_id)
+    """,
+)
+def q_part_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the blocked-Levenshtein candidate
+    pairs (fuzzy_name_matches' verified stage) resolved into transitive
+    entity groups by distributed connected components — every name gets
+    a canonical entity_id (min member) and its group size. The step a
+    catalog-dedup pipeline runs after fuzzy matching, because typo
+    similarity is transitive in practice (A~B, B~C => one entity). The
+    components fixpoint is hash-checked against DuckDB's independent
+    recursive-CTE evaluation (the dedup_components idiom, on string
+    vertices)."""
+    pairs = _REGISTRY["fuzzy_name_matches"].spark(spark, sf_dir)
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    comp = graph.connected_components(
+        pairs.select(
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+        ),
+        names,
+        id_col="p_name",
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            "p_name",
+            F.col("component").alias("entity_id"),
+            F.col("sz").cast("double").alias("group_size_d"),
+        )
+    )
+
+
+@register(
+    "embedding_cluster_quality",
+    """
+    WITH comp AS (
+      SELECT vec_id, lbl, u.pos AS dim, u.x AS x FROM (
+        SELECT vec_id, label AS lbl,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]), (v, i) ->
+                 struct_pack(pos := i - 1, x := v))) AS u
+        FROM embeddings) q),
+    cent AS (
+      SELECT lbl, dim,
+             CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c
+      FROM comp GROUP BY 1, 2),
+    dev AS (
+      SELECT lbl,
+             CAST(floor((x - c) * (x - c) * 1000000000) AS BIGINT) AS q
+      FROM comp JOIN cent USING (lbl, dim)),
+    intra0 AS (SELECT lbl, sum(q) AS qsum, count(*) AS ncells
+               FROM dev GROUP BY 1),
+    dims AS (SELECT lbl, count(*) AS ndims FROM cent GROUP BY 1),
+    intra AS (SELECT lbl, ncells // ndims AS n_members,
+                     qsum // (ncells // ndims) AS intra_mean_nano
+              FROM intra0 JOIN dims USING (lbl)),
+    sep AS (
+      SELECT a.lbl, b.lbl AS lbl2,
+             sum(CAST(floor((a.c - b.c) * (a.c - b.c) * 1000000000)
+                      AS BIGINT)) AS dist_nano
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl <> b.lbl
+      GROUP BY 1, 2),
+    nearest AS (
+      SELECT lbl, lbl2 AS nearest_lbl, dist_nano AS nearest_dist_nano
+      FROM sep
+      QUALIFY row_number() OVER (PARTITION BY lbl
+                                 ORDER BY dist_nano, lbl2) = 1)
+    SELECT CAST(lbl AS DOUBLE) AS label_d,
+           CAST(n_members AS DOUBLE) AS n_d,
+           CAST(intra_mean_nano AS DOUBLE) AS intra_mean_nano_d,
+           CAST(nearest_lbl AS DOUBLE) AS nearest_label_d,
+           CAST(nearest_dist_nano AS DOUBLE) AS nearest_dist_nano_d
+    FROM intra JOIN nearest USING (lbl)
+    """,
+)
+def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster cohesion/separation over the labeled embedding
+    table (operators/similarity.py cluster_quality): exact-DECIMAL
+    centroids, squared deviations quantized to integer nano-units so
+    every summation is order-free BIGINT — the class-structure health
+    check (Davies-Bouldin flavor) of an embedding training pipeline."""
+    return similarity.cluster_quality(_t(spark, sf_dir, "embeddings"))

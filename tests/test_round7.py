@@ -340,3 +340,52 @@ def test_streaming_postings_equals_batch(spark, sf_small):
     batch = _REGISTRY["term_postings_index"].spark(spark, sf_small)
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_entity_groups_cover_all_names_transitively(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["part_entity_groups"].spark(spark, sf_small).toPandas()
+    names = (
+        io_mod.load_table(spark, sf_small, "part")
+        .select("p_name")
+        .distinct()
+        .count()
+    )
+    assert len(out) == names
+    # entity_id is a member of its own group, and sizes are consistent
+    sizes = out.groupby("entity_id")["p_name"].count()
+    for eid, grp in out.groupby("entity_id"):
+        assert (grp["group_size_d"] == sizes[eid]).all()
+        assert eid in set(grp["p_name"])
+        assert eid == grp["p_name"].min()
+
+
+def test_cluster_quality_separates_synthetic_clusters(spark):
+    """Two tight, well-separated synthetic clusters: intra-distance is
+    tiny, nearest-centroid distance is huge, labels point at each
+    other."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        lbl = i % 2
+        base = 0.0 if lbl == 0 else 10.0
+        rows.append(
+            (i, [base + rng.uniform(-0.01, 0.01) for _ in range(4)], lbl)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from streaming_ml_with_ksql_spark.operators import similarity as sim_ops
+
+    out = {
+        int(r["label_d"]): r for r in sim_ops.cluster_quality(df).collect()
+    }
+    assert out[0]["nearest_label_d"] == 1.0
+    assert out[1]["nearest_label_d"] == 0.0
+    assert out[0]["n_d"] == 20.0
+    # separation ~ 4 dims * 100 * 1e9 nano-units; cohesion < 1e6
+    assert out[0]["nearest_dist_nano_d"] > 1e11
+    assert out[0]["intra_mean_nano_d"] < 1e6
