@@ -675,3 +675,261 @@ def q_embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     every summation is order-free BIGINT — the class-structure health
     check (Davies-Bouldin flavor) of an embedding training pipeline."""
     return similarity.cluster_quality(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "bigram_collocations",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 (x, i) -> struct_pack(term := x, pos := i - 1))) AS u
+        FROM documents) q),
+    bi AS (
+      SELECT term AS w1,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok),
+    bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi
+           WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    uni AS (SELECT term, count(*) AS n_u FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS n_uni FROM uni),
+    totb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bc),
+    s AS (
+      SELECT w1, w2, n_ab,
+             ua.n_u AS n_a, ub.n_u AS n_b,
+             CAST(n_ab AS DOUBLE) * n_uni / ua.n_u * n_uni / ub.n_u / n_bi
+               AS lift
+      FROM bc JOIN uni ua ON ua.term = w1
+              JOIN uni ub ON ub.term = w2
+      CROSS JOIN tot CROSS JOIN totb
+      WHERE n_ab >= 5)
+    SELECT w1, w2, CAST(n_ab AS DOUBLE) AS n_ab_d,
+           CAST(n_a AS DOUBLE) AS n_a_d, CAST(n_b AS DOUBLE) AS n_b_d,
+           lift
+    FROM s ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by LIFT — P(ab)/(P(a)P(b)) with the
+    log dropped from classic PMI (log is monotone; rational arithmetic
+    is the cross-engine-exact form, the bm25 rationale). One lead
+    window per document (partitioned by doc), bigram and unigram counts
+    map-side combined, byte-sized totals broadcast, top-k via
+    TakeOrderedAndProject. The phrase-mining step of a corpus
+    pipeline (tokenizer vocab candidates, stopword-phrase screens)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = tok.select(
+        F.col("term").alias("w1"), F.lead("term").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_u"))
+    tot = uni.agg(F.sum("n_u").alias("n_uni"))
+    totb = bc.agg(F.sum("n_ab").alias("n_bi"))
+    s = (
+        bc.filter(F.col("n_ab") >= 5)
+        .join(uni.select(F.col("term").alias("w1"), F.col("n_u").alias("n_a")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("n_u").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("double").alias("n_ab_d"),
+            F.col("n_a").cast("double").alias("n_a_d"),
+            F.col("n_b").cast("double").alias("n_b_d"),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_uni") / F.col("n_a")
+                * F.col("n_uni") / F.col("n_b")
+                / F.col("n_bi")
+            ).alias("lift"),
+        )
+    )
+    return s.orderBy(
+        F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+@register(
+    "copurchase_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT part_a, part_b, n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+             CAST(n_ab * n_orders AS DOUBLE) / CAST(pa.n_p * pb.n_p AS DOUBLE)
+               AS lift
+      FROM pairs JOIN pc pa ON pa.l_partkey = part_a
+                 JOIN pc pb ON pb.l_partkey = part_b
+      CROSS JOIN n
+      WHERE n_ab >= 2)
+    SELECT part_a, part_b, CAST(n_ab AS DOUBLE) AS n_ab_d,
+           CAST(n_a AS DOUBLE) AS n_a_d, CAST(n_b AS DOUBLE) AS n_b_d,
+           lift
+    FROM s ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: top-20 co-purchased part pairs by lift
+    (support >= 2 orders). The pair join is WITHIN-ORDER — each order
+    contributes O(items^2) with items bounded by basket size, never a
+    catalog cross product — and the per-part priors broadcast back;
+    exact integer counts, one fixed double expression for lift, top-k
+    via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    b = op.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        op.join(b, (F.col("l_orderkey") == F.col("__ok"))
+                & (F.col("l_partkey") < F.col("part_b")))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    s = (
+        pairs.filter(F.col("n_ab") >= 2)
+        .join(pc.select(F.col("l_partkey").alias("part_a"),
+                        F.col("n_p").alias("n_a")), "part_a")
+        .join(pc.select(F.col("l_partkey").alias("part_b"),
+                        F.col("n_p").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("double").alias("n_ab_d"),
+            F.col("n_a").cast("double").alias("n_a_d"),
+            F.col("n_b").cast("double").alias("n_b_d"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return s.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+@register(
+    "k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(c_nationkey AS DOUBLE) AS nationkey_d, c_mktsegment,
+           CAST(n AS DOUBLE) AS n_d
+    FROM g WHERE n < 10
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over the (nation, market-segment)
+    quasi-identifier: every equivalence class smaller than k=10 — the
+    rows a privacy review must generalize or suppress before release
+    (the preventive companion of gdpr_purge_audit's curative path). One
+    map-side-combined aggregation over the bounded quasi-id domain."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 10)
+        .select(
+            F.col("c_nationkey").cast("double").alias("nationkey_d"),
+            "c_mktsegment",
+            F.col("n").cast("double").alias("n_d"),
+        )
+    )
+
+
+@register(
+    "ab_test_lift",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) >= 14 THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS x1,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS x0
+      FROM u)
+    SELECT CAST(n1 AS DOUBLE) AS n1_d, CAST(x1 AS DOUBLE) AS x1_d,
+           CAST(n0 AS DOUBLE) AS n0_d, CAST(x0 AS DOUBLE) AS x0_d,
+           CAST((x1 * 1000000) // n1 AS DOUBLE) AS rate1_ppm_d,
+           CAST((x0 * 1000000) // n0 AS DOUBLE) AS rate0_ppm_d,
+           CASE WHEN (x1 + x0) > 0 AND (x1 + x0) < (n1 + n0)
+                THEN (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                     / sqrt((CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                            * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                            * (1.0 / n1 + 1.0 / n0))
+                ELSE 0.0 END AS z_stat
+    FROM c
+    """,
+)
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout (treatment = user_id parity,
+    conversion = any purchase): exact integer counts and ppm rates,
+    plus the pooled z-statistic through ONE fixed double expression —
+    the experimentation-analysis surface, engine-exact with no round().
+    Corpus collapses to one row per user, then to four integers."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", F.expr("CAST(user_id % 2 AS INT)").alias("grp")
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias("x0"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")).cast("double") / (F.col("n1") + F.col("n0"))
+    return c.select(
+        F.col("n1").cast("double").alias("n1_d"),
+        F.col("x1").cast("double").alias("x1_d"),
+        F.col("n0").cast("double").alias("n0_d"),
+        F.col("x0").cast("double").alias("x0_d"),
+        F.expr("(x1 * 1000000L) div n1").cast("double").alias("rate1_ppm_d"),
+        F.expr("(x0 * 1000000L) div n0").cast("double").alias("rate0_ppm_d"),
+        F.when(
+            (F.col("x1") + F.col("x0") > 0)
+            & (F.col("x1") + F.col("x0") < F.col("n1") + F.col("n0")),
+            (p1 - p0)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

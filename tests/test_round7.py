@@ -389,3 +389,60 @@ def test_cluster_quality_separates_synthetic_clusters(spark):
     # separation ~ 4 dims * 100 * 1e9 nano-units; cohesion < 1e6
     assert out[0]["nearest_dist_nano_d"] > 1e11
     assert out[0]["intra_mean_nano_d"] < 1e6
+
+
+def test_copurchase_lift_hand_computed(spark):
+    """3 orders: {1,2}, {1,2}, {1,3}. pair(1,2): n_ab=2, n_1=3, n_2=2,
+    N=3 -> lift = 2*3/(3*2) = 1.0; pair(1,3) support 1 filtered out."""
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = _REGISTRY["copurchase_lift"].spark(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["n_ab_d"] == 2.0 and r["lift"] == 1.0
+
+
+def test_bigram_collocations_finds_glued_phrase(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["bigram_collocations"].spark(spark, sf_small).toPandas()
+    assert len(out) == 20
+    assert (out["n_ab_d"] >= 5).all()
+    # lift of the top hit strictly dominates rank 20, and all lifts > 0
+    assert out["lift"].iloc[0] >= out["lift"].iloc[-1] > 0
+
+
+def test_ab_test_lift_consistency(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    r = _REGISTRY["ab_test_lift"].spark(spark, sf_small).collect()[0]
+    ev = io_mod.load_table(spark, sf_small, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n1_d"] + r["n0_d"] == n_users
+    assert 0 <= r["x1_d"] <= r["n1_d"] and 0 <= r["x0_d"] <= r["n0_d"]
+    # degenerate pooled proportions emit exactly 0.0 (the ANSI guard)
+    if r["x1_d"] + r["x0_d"] in (0, n_users):
+        assert r["z_stat"] == 0.0
+
+
+def test_k_anonymity_groups_are_complete(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["k_anonymity_report"].spark(spark, sf_small).toPandas()
+    cust = io_mod.load_table(spark, sf_small, "customer")
+    direct = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .filter(F.col("count") < 10)
+        .count()
+    )
+    assert len(out) == direct
+    assert (out["n_d"] < 10).all()
