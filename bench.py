@@ -43,6 +43,10 @@ from streaming_ml_with_ksql_spark.session import get_spark  # noqa: E402
 # The headline set: the flagship + the heaviest representatives of each
 # operator family (relational, windowed, rolling, ML-adjacent join, as-of,
 # sessionization, dedup families, similarity, text, multimodal, streaming).
+# Round 7: ngram_jaccard_pairs yielded its slot to pagerank_near_dup
+# (which CONTAINS the full jaccard pair computation plus the iterative
+# rank loop — a strict superset of the signal) and passage_dedup_stats
+# to tfidf_top_terms (the corpus token-shuffle representative).
 # Curated to 48 so the emitted record stays under the driver's capture
 # budget (r6); dropped entries were cheap family twins whose signal a kept
 # representative carries (dedup_exact_events, latest_per_key, text_stats,
@@ -59,7 +63,7 @@ HEADLINE = [
     "asof_view_attribution",
     "session_window_agg",
     "minhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
+    "pagerank_near_dup",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
     "corpus_clean_pipeline",
@@ -86,7 +90,7 @@ HEADLINE = [
     "bpe_tokenize_fixed",
     "duplicate_span_coverage",
     "synthetic_clickstream",
-    "passage_dedup_stats",
+    "tfidf_top_terms",
     "keyword_bm25",
     "multimodal_mjpg_frame_decode",
     "ksql_generated_traffic",
@@ -115,7 +119,7 @@ HEADLINE = [
 PY_AXIS = frozenset(
     {
         "minhash_near_dup_pairs",
-        "ngram_jaccard_pairs",
+        "pagerank_near_dup",
         "embedding_topk_bruteforce",
         "embedding_near_dup_pairs",
         "embedding_dedup_groups",
@@ -128,7 +132,6 @@ PY_AXIS = frozenset(
         "multimodal_mjpg_frame_decode",
         "bpe_tokenize_fixed",
         "duplicate_span_coverage",
-        "passage_dedup_stats",
         "synthetic_clickstream",
         "ksql_generated_traffic",
         "corpus_curation_pipeline",

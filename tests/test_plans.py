@@ -451,3 +451,47 @@ def test_deglobalized_sorts_round7(spark):
         for line in plan.splitlines():
             if "windowspecdefinition(" in line:
                 assert "windowspecdefinition(user_id" in line, line
+
+
+def test_round7_analytics_plan_shapes(spark):
+    """Round-7 operators: equi-join/broadcast shapes, no corpus-sized
+    single-partition windows, top-k via TakeOrderedAndProject."""
+    # transition matrix: per-user lag window + broadcast of the tiny
+    # per-prev totals — no cartesian, no partition-less window
+    plan = _explain(spark, "event_transition_matrix", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    # MAD outliers: two broadcast stat joins onto the corpus — the events
+    # themselves never shuffle
+    plan = _explain(spark, "mad_outliers_values", "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+    # TF-IDF: the top-k window is hash-partitioned BY DOCUMENT (the
+    # only SinglePartition exchanges are the 1-row scalar count
+    # aggregates, which Window never consumes)
+    plan = _explain(spark, "tfidf_top_terms", "formatted")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+    # Spark pushes the rnk<=3 filter into per-group top-k limits
+    # (Partial before the shuffle, Final after) — keep that plan
+    assert plan.count("WindowGroupLimit") >= 2
+
+    # copurchase: the pair stage is an EQUI-join on the order key (the
+    # part_a < part_b predicate rides it as a filter); the only nested
+    # loop is the 1-row scalar-total broadcast
+    plan = _explain(spark, "copurchase_lift", "simple")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    # collocations + weighted sample: global top-k is TakeOrderedAndProject
+    for q in ("bigram_collocations", "weighted_sample_documents"):
+        plan = _explain(spark, q, "simple")
+        assert "TakeOrderedAndProject" in plan
+
+    # AB test / calibration: pure aggregation pipelines — no join at all
+    for q in ("ab_test_lift", "score_calibration_bins"):
+        plan = _explain(spark, q, "simple")
+        assert "Join" not in plan or "BroadcastHashJoin" in plan
