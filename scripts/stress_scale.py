@@ -65,6 +65,19 @@ QUERIES = [
     "corpus_chunk_sliding",
     "series_pattern_match",
     "corpus_rag_pipeline",
+    # round-7 additions
+    "roc_auc_purchase",
+    "event_transition_matrix",
+    "mad_outliers_values",
+    "cusum_changepoints",
+    "user_life_table",
+    "tfidf_top_terms",
+    "weighted_sample_documents",
+    "key_skew_profile",
+    "pagerank_near_dup",
+    "copurchase_lift",
+    "bigram_collocations",
+    "embedding_cluster_quality",
 ]
 
 
