@@ -933,3 +933,98 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+@register(
+    "proto_source_roundtrip",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_proto_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Confluent wire format, executable in-sandbox
+    (sources/proto_py.py — the proto3 BINARY encoding implemented
+    pure-Python, completing the Avro + Debezium-JSON wire family):
+    events pack into real proto3 messages (LEB128 varints, fixed64
+    doubles, length-delimited strings, null = absent field) and decode
+    back to typed columns. The parquet table is the oracle, so a hash
+    match proves the round-trip lossless — including nullable user_id
+    presence semantics and NaN-free double bit-exactness."""
+    from ..sources import proto_py
+
+    ev = _t(spark, sf_dir, "events")
+    fields = [
+        (1, "event_id", "int64"),
+        (2, "ts_micros", "int64"),
+        (3, "user_id", "int64"),
+        (4, "event_type", "string"),
+        (5, "value", "double"),
+        (6, "props", "string"),
+    ]
+    wire_in = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    payloads = proto_py.encode_proto_py(wire_in, fields)
+    decoded = proto_py.decode_proto_py(
+        payloads,
+        fields,
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    return decoded.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "xml_wire_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+           o_orderdate
+    FROM orders
+    """,
+)
+def q_xml_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange round-trip on Spark 4's NATIVE XML support
+    (from_xml — the spark-xml package folded into core): each order
+    serializes to an XML record (JVM concat — shortest-repr doubles,
+    ISO timestamps) and parses back through from_xml's schema-driven
+    reader. The parquet table is the oracle: a hash match proves the
+    print/parse cycle is lossless for longs, doubles, strings, and
+    timestamps. Completes the interchange family: JSONL, CSV, ORC,
+    Avro binary, Debezium JSON, proto3, XML."""
+    orders = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"), F.col("o_orderstatus"),
+        F.lit("</s><t>"), F.col("o_totalprice").cast("string"),
+        F.lit("</t><p>"), F.col("o_orderpriority"),
+        F.lit("</p><d>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("</d></order>"),
+    )
+    parsed = orders.select(
+        F.from_xml(
+            xml,
+            "k BIGINT, s STRING, t DOUBLE, p STRING, d TIMESTAMP",
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.k").alias("o_orderkey"),
+        F.col("r.s").alias("o_orderstatus"),
+        F.col("r.t").alias("o_totalprice"),
+        F.col("r.p").alias("o_orderpriority"),
+        F.col("r.d").alias("o_orderdate"),
+    )

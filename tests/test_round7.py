@@ -446,3 +446,35 @@ def test_k_anonymity_groups_are_complete(spark, sf_small):
     )
     assert len(out) == direct
     assert (out["n_d"] < 10).all()
+
+
+def test_proto_wire_corrupt_payload_fails_loudly(spark):
+    """Truncated varints / fixed64 / lengths raise the avro_py-style
+    clear ValueError, never IndexError; unknown fields are skipped."""
+    import pytest as _pytest
+
+    from streaming_ml_with_ksql_spark.sources import proto_py
+
+    fields = [(1, "a", "int64"), (2, "b", "double"), (3, "c", "string")]
+    good = proto_py._encode_row({"a": -5, "b": 1.5, "c": "hi"}, fields)
+    out = proto_py._decode_payload(good, fields)
+    assert out == {"a": -5, "b": 1.5, "c": "hi"}
+    # negative int64 = ten-byte varint per spec
+    assert len(good) > 10
+    with _pytest.raises(ValueError, match="truncated"):
+        proto_py._decode_payload(good[:-1], fields)
+    with _pytest.raises(ValueError, match="truncated"):
+        proto_py._decode_payload(bytes([0x08, 0xFF]), fields)  # cut varint
+    # unknown field (number 9, varint) skipped cleanly
+    unknown = bytes([0x48, 0x07]) + good
+    assert proto_py._decode_payload(unknown, fields)["a"] == -5
+
+
+def test_proto_null_is_absent_field(spark):
+    from streaming_ml_with_ksql_spark.sources import proto_py
+
+    fields = [(1, "a", "int64"), (2, "c", "string")]
+    enc = proto_py._encode_row({"a": None, "c": "x"}, fields)
+    # only field 2 on the wire
+    assert enc[0] >> 3 == 2
+    assert proto_py._decode_payload(enc, fields) == {"a": None, "c": "x"}
