@@ -1028,3 +1028,43 @@ def q_xml_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.p").alias("o_orderpriority"),
         F.col("r.d").alias("o_orderdate"),
     )
+
+
+from .q04_streamksql import _replay_events  # noqa: E402
+
+
+@register(
+    "streaming_transition_matrix",
+    # The stateful pair emission over an ordered replay equals the batch
+    # lag-window's pair multiset exactly, so the verified batch oracle
+    # applies to the drained aggregation verbatim.
+    _REGISTRY["event_transition_matrix"].oracle,
+)
+def q_streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance twin of the Markov transition matrix: the
+    events replay drives a per-user LAST-EVENT state machine
+    (streaming/stateful.py transition_pairs_stream — three scalars per
+    key, the lightest state in the module), continuously emitting
+    (prev, next) transition pairs; the drained pair stream aggregates
+    into the same ppm matrix as the batch lag window. This is how the
+    next-event model stays current on an infinite stream: counts are
+    additive, so the materialized matrix only ever ADDS the new pairs."""
+    stream = _replay_events(spark, sf_dir)
+    pairs = stream_stateful.transition_pairs_stream(stream)
+    drained = stream_sinks.run_to_memory(
+        pairs, f"reg_stream_transition_{next(_STREAM_SEQ)}"
+    )
+    c = drained.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # totals via a prev_type-partitioned window over the |types|^2
+    # aggregate (a self-join on a memory-sink view trips Spark's
+    # conflicting-reference resolution; the window is equivalent and
+    # stays partitioned)
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return c.withColumn("tot", tot).select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr("(n * 1000000L) div tot").cast("double").alias("prob_ppm_d"),
+    )

@@ -40,6 +40,7 @@ __all__ = [
     "sessionize_stream",
     "latest_per_key_stateful",
     "threshold_alert_stream",
+    "transition_pairs_stream",
 ]
 
 _US = 1_000_000
@@ -348,5 +349,93 @@ def threshold_alert_stream(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def transition_pairs_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Continuous (prev_type, next_type) pair emission per key — the
+    streaming maintenance path of the Markov transition matrix (the
+    incremental form of event_transition_matrix's lag window): each
+    key's state is just its LAST event (ts, order, type); every
+    micro-batch sorts the key's new events by (ts, order), chains them
+    onto the stored last event, emits the consecutive pairs, and stores
+    the new last event. Over an event-ordered replay the emitted pair
+    multiset equals the batch lag-window's exactly, so the verified
+    batch oracle applies to the drained aggregation verbatim.
+
+    Ordering contract: within a micro-batch, (ts, order) sorting makes
+    pair chaining exact regardless of shard interleaving; ACROSS
+    batches the replay's per-file ts ordering preserves each key's
+    sequence (an equal-ts pair split across trigger files is the only
+    theoretical inversion — microsecond event times make that
+    measure-zero, and the batch≡stream test would catch it loudly).
+
+    Scale: state per key is three scalars — O(live keys) fleet-wide,
+    the lightest state machine in this module (no buffers, no
+    timeouts needed: a key's last event stays relevant forever by
+    definition of "next transition")."""
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_us", LongType()),
+            StructField("last_order", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, order_col])
+        types = [str(t) for t in pdf[type_col]]
+        if state.exists:
+            _, _, last_type = state.get
+            prevs = [last_type] + types[:-1]
+        else:
+            prevs = [None] + types[:-1]
+        tail = pdf.iloc[-1]
+        state.update(
+            (
+                int(pd.Timestamp(tail[ts_col]).value // 1000),
+                int(tail[order_col]),
+                str(tail[type_col]),
+            )
+        )
+        rows = [
+            (key[0], p, n) for p, n in zip(prevs, types) if p is not None
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, "prev_type", "next_type"]
+            )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

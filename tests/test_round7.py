@@ -478,3 +478,15 @@ def test_proto_null_is_absent_field(spark):
     # only field 2 on the wire
     assert enc[0] >> 3 == 2
     assert proto_py._decode_payload(enc, fields) == {"a": None, "c": "x"}
+
+
+def test_streaming_transition_matrix_equals_batch(spark, sf_small):
+    """batch≡stream: the per-user last-event state machine's drained
+    matrix must equal the batch lag-window matrix row for row."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    streamed = _REGISTRY["streaming_transition_matrix"].spark(spark, sf_small)
+    batch = _REGISTRY["event_transition_matrix"].spark(spark, sf_small)
+    cols = ["prev_type", "next_type", "n_d", "prob_ppm_d"]
+    assert streamed.select(cols).exceptAll(batch.select(cols)).isEmpty()
+    assert batch.select(cols).exceptAll(streamed.select(cols)).isEmpty()
