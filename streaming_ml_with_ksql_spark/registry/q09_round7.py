@@ -1068,3 +1068,80 @@ def q_streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("double").alias("n_d"),
         F.expr("(n * 1000000L) div tot").cast("double").alias("prob_ppm_d"),
     )
+
+
+@register(
+    "proto_wire_confluent_roundtrip",
+    _REGISTRY["proto_source_roundtrip"].oracle,
+)
+def q_proto_wire_confluent_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full registry-aware protobuf topic cycle: events encode to
+    proto3, wrap in the Confluent frame (magic + schema id +
+    message-indexes [0] as the optimized 0x00 byte), the consumer half
+    resolves the field spec by id from the SAME LocalSchemaRegistry the
+    Avro path uses and decodes with per-row frame validation
+    (mixed-id hardening). Oracle identical to the unframed round-trip —
+    framing provably changes nothing."""
+    from ..sources import avro_py, proto_py
+
+    ev = _t(spark, sf_dir, "events")
+    fields = [
+        (1, "event_id", "int64"),
+        (2, "ts_micros", "int64"),
+        (3, "user_id", "int64"),
+        (4, "event_type", "string"),
+        (5, "value", "double"),
+        (6, "props", "string"),
+    ]
+    wire_in = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    reg = avro_py.LocalSchemaRegistry()
+    framed = proto_py.encode_confluent_proto(wire_in, reg, "events-proto", fields)
+    decoded = proto_py.decode_confluent_proto(
+        framed,
+        reg,
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    return decoded.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "streaming_auc_ingest",
+    _REGISTRY["roc_auc_purchase"].oracle,
+)
+def q_streaming_auc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance path of the ROC-AUC monitor: the replayed
+    event stream emits STATELESS (quantized score, is-positive) cells
+    per row — the additive sufficient statistic — and the drained cell
+    stream runs the identical integer rank algebra as the batch metric
+    (ml/metrics.py roc_auc_binary applied to the drained frame). This
+    is how a serving-quality dashboard stays current: per-cell counts
+    only ever ADD, so the continuously-materialized cell table replaces
+    the corpus scan. Oracle identical to the batch AUC."""
+    from ..ml import metrics as _mm
+
+    stream = _replay_events(spark, sf_dir)
+    cells = stream.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.col("value").alias("score"),
+    )
+    drained = stream_sinks.run_to_memory(
+        cells, f"reg_stream_auc_{next(_STREAM_SEQ)}"
+    )
+    return _mm.roc_auc_binary(drained, F.col("y"), F.col("score"), quantize=10)

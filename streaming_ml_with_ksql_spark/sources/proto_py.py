@@ -34,7 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FieldSpec", "encode_proto_py", "decode_proto_py"]
+__all__ = ["FieldSpec", "encode_proto_py", "decode_proto_py",
+           "encode_confluent_proto", "decode_confluent_proto"]
 
 # (field_number, column_name, proto_type) with proto_type in
 # {"int64", "double", "string"}
@@ -175,3 +176,68 @@ def decode_proto_py(
             yield pd.DataFrame(rows, columns=[n for _, n, _ in ordered])
 
     return payloads.mapInPandas(dec, schema=schema)
+
+
+def encode_confluent_proto(
+    df: DataFrame, registry, subject: str, fields: list[FieldSpec]
+) -> DataFrame:
+    """Confluent wire framing for protobuf values: 0x00 magic +
+    big-endian 4-byte schema id + the MESSAGE-INDEXES array (for the
+    first top-level message the array [0] is serialized as the single
+    optimized byte 0x00, per the Confluent protobuf wire docs) + the
+    proto3 payload. The field spec registers under ``{subject}-value``
+    in the same LocalSchemaRegistry the Avro path uses (subjects are
+    format-agnostic strings)."""
+    import json as _json
+    import struct as _struct
+
+    sid = registry.register(f"{subject}-value", _json.dumps(sorted(fields)))
+    frame = _struct.pack(">bI", 0, sid) + b"\x00"
+    return encode_proto_py(df, fields).select(
+        F.concat(F.lit(frame), F.col("payload")).alias("payload")
+    )
+
+
+def decode_confluent_proto(
+    payloads: DataFrame, registry, schema: str
+) -> DataFrame:
+    """Consumer half: validate the 6-byte frame (magic + id +
+    single-0x00 message-indexes), resolve the field spec by id from the
+    registry, decode every row with a per-row frame check (the mixed-id
+    hardening the Avro path got in ADVICE r6)."""
+    import json as _json
+    import struct as _struct
+
+    head = (
+        payloads.select(F.col("payload").substr(1, 6).alias("h"))
+        .limit(1)
+        .collect()
+    )
+    if not head:
+        raise ValueError("empty frame: no records to decode")
+    magic, sid, idx = _struct.unpack(">bIb", bytes(head[0].h))
+    if magic != 0:
+        raise ValueError(f"bad Confluent magic byte {magic}")
+    if idx != 0:
+        raise ValueError(
+            f"unsupported message-indexes prefix {idx} (expected the "
+            "optimized single-0 form)"
+        )
+    fields = [tuple(f) for f in _json.loads(registry.by_id(sid))]
+    frame = _struct.pack(">bIb", 0, sid, 0)
+
+    def strip(batches):
+        for pdf in batches:
+            vals = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:6] != frame:
+                    raise ValueError(
+                        f"frame mismatch: expected schema id {sid} on "
+                        "every row (mixed-id topic?)"
+                    )
+                vals.append(b[6:])
+            yield pd.DataFrame({"payload": vals})
+
+    stripped = payloads.mapInPandas(strip, schema="payload binary")
+    return decode_proto_py(stripped, fields, schema)

@@ -490,3 +490,40 @@ def test_streaming_transition_matrix_equals_batch(spark, sf_small):
     cols = ["prev_type", "next_type", "n_d", "prob_ppm_d"]
     assert streamed.select(cols).exceptAll(batch.select(cols)).isEmpty()
     assert batch.select(cols).exceptAll(streamed.select(cols)).isEmpty()
+
+
+def test_confluent_proto_frame_mixed_id_fails_loudly(spark):
+    from streaming_ml_with_ksql_spark.sources import avro_py, proto_py
+
+    fields = [(1, "a", "int64")]
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    reg = avro_py.LocalSchemaRegistry()
+    framed = proto_py.encode_confluent_proto(df, reg, "t1", fields)
+    # register a second subject so ids diverge, then splice a frame with
+    # the wrong id into the stream
+    reg.register("t2-value", "[]")
+    import struct as _s
+
+    from pyspark.sql import functions as _F
+
+    bad_frame = _s.pack(">bIb", 0, 99, 0)
+    poisoned = framed.unionByName(
+        framed.limit(1).select(
+            _F.concat(
+                _F.lit(bad_frame), _F.col("payload").substr(7, 10000)
+            ).alias("payload")
+        )
+    )
+    import pytest as _pytest
+
+    decoded = proto_py.decode_confluent_proto(poisoned, reg, "a bigint")
+    with _pytest.raises(Exception, match="frame mismatch|mixed-id"):
+        decoded.collect()
+
+
+def test_streaming_auc_equals_batch(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    s = _REGISTRY["streaming_auc_ingest"].spark(spark, sf_small).collect()[0]
+    b = _REGISTRY["roc_auc_purchase"].spark(spark, sf_small).collect()[0]
+    assert s.asDict() == b.asDict()
