@@ -134,13 +134,17 @@ def roc_auc_binary(
         F.sum("nneg").alias("nn"),
     )
     u2 = F.col("ranksum2") - F.col("np") * (F.col("np") + 1)
+    # single-class degenerate input: AUC undefined -> 0.0 (and ANSI mode
+    # would raise on the zero divisor; the ab_test_lift lesson)
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        u2.cast("double") / (2 * F.col("np") * F.col("nn")).cast("double"),
+    ).otherwise(F.lit(0.0))
     return agg.select(
         F.col("np").cast("double").alias("npos_d"),
         F.col("nn").cast("double").alias("nneg_d"),
         u2.cast("double").alias("u2_d"),
-        (
-            u2.cast("double") / (2 * F.col("np") * F.col("nn")).cast("double")
-        ).alias("auc"),
+        auc.alias("auc"),
     )
 
 

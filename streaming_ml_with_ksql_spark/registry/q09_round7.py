@@ -111,8 +111,10 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wb)
     SELECT CAST(np AS DOUBLE) AS npos_d, CAST(nn AS DOUBLE) AS nneg_d,
            CAST(ranksum2 - np * (np + 1) AS DOUBLE) AS u2_d,
-           CAST(ranksum2 - np * (np + 1) AS DOUBLE)
-             / CAST(2 * np * nn AS DOUBLE) AS auc
+           CASE WHEN np > 0 AND nn > 0
+                THEN CAST(ranksum2 - np * (np + 1) AS DOUBLE)
+                     / CAST(2 * np * nn AS DOUBLE)
+                ELSE 0.0 END AS auc
     FROM agg
     """,
 )

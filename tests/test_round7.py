@@ -527,3 +527,9 @@ def test_streaming_auc_equals_batch(spark, sf_small):
     s = _REGISTRY["streaming_auc_ingest"].spark(spark, sf_small).collect()[0]
     b = _REGISTRY["roc_auc_purchase"].spark(spark, sf_small).collect()[0]
     assert s.asDict() == b.asDict()
+
+
+def test_roc_auc_single_class_guard(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
+    out = ml_metrics.roc_auc_binary(df, F.col("y"), F.col("score")).collect()[0]
+    assert out["auc"] == 0.0 and out["nneg_d"] == 0.0
