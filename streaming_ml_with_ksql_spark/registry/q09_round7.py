@@ -1147,3 +1147,63 @@ def q_streaming_auc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, f"reg_stream_auc_{next(_STREAM_SEQ)}"
     )
     return _mm.roc_auc_binary(drained, F.col("y"), F.col("score"), quantize=10)
+
+
+@register(
+    "ses_forecast_revenue",
+    """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    ser AS (SELECT list(x ORDER BY t) AS xs FROM daily),
+    f AS (SELECT len(xs) AS n,
+                 list_reduce(list_prepend(xs[1] * 1000, xs[2:]),
+                             (acc, v) -> (2 * v * 1000 + 8 * acc) // 10)
+                   AS lvl
+          FROM ser)
+    SELECT CAST(n AS DOUBLE) AS n_days_d,
+           CAST(lvl AS DOUBLE) AS level_milli_d,
+           CAST(lvl // 1000 AS DOUBLE) AS forecast_kusd_d
+    FROM f
+    """,
+)
+def q_ses_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing of daily revenue (alpha = 0.2) as an
+    INTEGER FIXED-POINT fold — the recursive forecaster that window
+    functions cannot express, run entirely JVM-side through Spark's
+    higher-order ``aggregate`` over the calendar-bounded daily series
+    (collect_list of one BIGINT per day — bounded at any corpus scale,
+    the same contract as the autocorrelation frame). Level lives in
+    milli-kilodollar units; each step is
+    (2*x*1000 + 8*level) div 10 — exact integer recursion, so the
+    whole trajectory is engine- and partitioning-exact (the pagerank
+    rationale applied to time series), and DuckDB replays it verbatim
+    with list_reduce. Companion to forecast_revenue's seasonal-naive
+    baseline: SES tracks level shifts the naive carry-forward misses."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    ser = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(t, x))), e -> e.x)")
+        .alias("xs")
+    )
+    f = ser.select(
+        F.size("xs").alias("n"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), xs[0] * 1000L,"
+            " (acc, v) -> (2 * v * 1000L + 8 * acc) div 10)"
+        ).alias("lvl"),
+    )
+    return f.select(
+        F.col("n").cast("double").alias("n_days_d"),
+        F.col("lvl").cast("double").alias("level_milli_d"),
+        F.expr("lvl div 1000L").cast("double").alias("forecast_kusd_d"),
+    )

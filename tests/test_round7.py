@@ -533,3 +533,41 @@ def test_roc_auc_single_class_guard(spark):
     df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
     out = ml_metrics.roc_auc_binary(df, F.col("y"), F.col("score")).collect()[0]
     assert out["auc"] == 0.0 and out["nneg_d"] == 0.0
+
+
+def test_ses_forecast_tracks_level_shift(spark):
+    """SES on a step series converges toward the new level; the naive
+    mean would sit between the plateaus."""
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = []
+    ok = 0
+    for d in range(40):
+        price = 100_000.0 if d < 20 else 300_000.0
+        for _ in range(10):
+            rows.append((ok, float(price), f"1995-01-{(d % 28) + 1:02d}"))
+            ok += 1
+    # spread over consecutive days via explicit date arithmetic
+    rows = []
+    ok = 0
+    import datetime
+
+    base = datetime.datetime(1995, 1, 1)
+    for d in range(40):
+        price = 100_000.0 if d < 20 else 300_000.0
+        for _ in range(10):
+            rows.append((ok, price, base + datetime.timedelta(days=d)))
+            ok += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = _REGISTRY["ses_forecast_revenue"].spark(spark, tmp).collect()[0]
+    assert out["n_days_d"] == 40.0
+    # 10 orders/day: low plateau 1000 k$, high plateau 3000 k$; after 20
+    # days at the high level the smoothed level is within 2% of 3000
+    assert 2940 <= out["forecast_kusd_d"] <= 3000
