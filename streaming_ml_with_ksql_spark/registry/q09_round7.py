@@ -1207,3 +1207,127 @@ def q_ses_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lvl").cast("double").alias("level_milli_d"),
         F.expr("lvl div 1000L").cast("double").alias("forecast_kusd_d"),
     )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT (b.x - a.x) / CAST(b.t - a.t AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.t > a.t),
+    m AS (SELECT count(*) AS n_pairs,
+                 round(quantile_cont(slope, 0.5), 6) AS slope_med
+          FROM pairs)
+    SELECT CAST(n_pairs AS DOUBLE) AS n_pairs_d, slope_med
+    FROM m
+    """,
+)
+def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes — the breakdown-resistant twin of
+    user_value_trend_fit's least squares (one contaminated day cannot
+    move it). Slopes are single exact divisions of integer kilodollar
+    deltas; the median follows the order_value_percentiles exact-
+    interpolation contract, rounded at 6 dp. The O(D^2) pair join runs
+    on the CALENDAR-BOUNDED daily frame (D days -> D^2/2 slope rows —
+    bounded at any corpus scale; the corpus itself collapses to D rows
+    first)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    b = daily.select(F.col("t").alias("__t2"), F.col("x").alias("__x2"))
+    pairs = daily.join(F.broadcast(b), F.col("__t2") > F.col("t")).select(
+        (
+            (F.col("__x2") - F.col("x"))
+            / (F.col("__t2") - F.col("t")).cast("double")
+        ).alias("slope")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_pairs_d"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope_med"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM c),
+    e AS (SELECT unnest(range(1, 10)) AS digit,
+                 unnest([0.301029995663981, 0.176091259055681,
+                         0.124938736608300, 0.096910013008056,
+                         0.079181246047625, 0.066946789630613,
+                         0.057991946977687, 0.051152522447381,
+                         0.045757490560675]) AS p),
+    j AS (
+      -- cast p: DuckDB parses the literals as DECIMAL; the chi2 term
+      -- must evaluate in DOUBLE exactly like Spark
+      SELECT e.digit, coalesce(c.n, 0) AS n, CAST(e.p AS DOUBLE) AS p,
+             tot.total
+      FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN tot)
+    SELECT CAST(digit AS DOUBLE) AS digit_d, CAST(n AS DOUBLE) AS n_d,
+           CAST(total AS DOUBLE) AS total_d,
+           (CAST(n AS DOUBLE) - total * p) * (CAST(n AS DOUBLE) - total * p)
+             / (total * p) AS chi2_term
+    FROM j
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance screen over order totals — the
+    classic fraud/integrity test. The digit comes from the STRING of
+    the integer part (never log10 — not correctly-rounded cross-
+    engine); the expected proportions are nine shared literal
+    constants, so each chi-square term is one fixed double expression
+    over exact integer counts. Emits the per-digit table (sum the
+    chi2_term column against chi2(8) critical values downstream)."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1
+    ).cast("long")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    probs = [
+        0.301029995663981, 0.176091259055681, 0.124938736608300,
+        0.096910013008056, 0.079181246047625, 0.066946789630613,
+        0.057991946977687, 0.051152522447381, 0.045757490560675,
+    ]
+    e = spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(probs)], "digit long, p double"
+    )
+    j = (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "p",
+            "total",
+        )
+    )
+    nd = F.col("n").cast("double")
+    exp = F.col("total") * F.col("p")
+    return j.select(
+        F.col("digit").cast("double").alias("digit_d"),
+        nd.alias("n_d"),
+        F.col("total").cast("double").alias("total_d"),
+        ((nd - exp) * (nd - exp) / exp).alias("chi2_term"),
+    )

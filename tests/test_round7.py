@@ -571,3 +571,44 @@ def test_ses_forecast_tracks_level_shift(spark):
     # 10 orders/day: low plateau 1000 k$, high plateau 3000 k$; after 20
     # days at the high level the smoothed level is within 2% of 3000
     assert 2940 <= out["forecast_kusd_d"] <= 3000
+
+
+def test_theil_sen_ignores_one_contaminated_day(spark):
+    """A clean slope-2 series with one wildly corrupted day: Theil-Sen
+    recovers ~2, OLS would not."""
+    import datetime
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = []
+    ok = 0
+    for d in range(30):
+        daily_total = 1_000_000.0 + 2_000.0 * d  # slope = 2 k$/day
+        if d == 15:
+            daily_total = 50_000_000.0  # corrupted day
+        rows.append((ok, daily_total, base + datetime.timedelta(days=d)))
+        ok += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = _REGISTRY["theil_sen_revenue_trend"].spark(spark, tmp).collect()[0]
+    assert out["n_pairs_d"] == 30 * 29 / 2
+    assert 1.5 <= out["slope_med"] <= 2.5
+
+
+def test_benford_terms_reconstruct_counts(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = (
+        _REGISTRY["benford_first_digit"].spark(spark, sf_small)
+        .toPandas()
+        .sort_values("digit_d")
+    )
+    assert list(out["digit_d"]) == list(map(float, range(1, 10)))
+    assert out["n_d"].sum() == out["total_d"].iloc[0]
+    assert (out["chi2_term"] >= 0).all()
