@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["classification_report", "roc_auc_binary", "calibration_bins"]
+__all__ = ["classification_report", "roc_auc_binary",
+           "calibration_bins", "spearman_correlation"]
 
 
 def classification_report(
@@ -173,3 +174,72 @@ def calibration_bins(
         F.col("npos").cast("double").alias("npos_d"),
         F.expr("(npos * 1000000L) div n").cast("double").alias("pos_rate_ppm_d"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    *,
+    quantize: int = 10,
+) -> DataFrame:
+    """Distributed exact Spearman rank correlation over integer-quantized
+    columns — the monotone-association metric (robust to any monotone
+    transform of either variable), computed without a global sort by the
+    same cell machinery as ``roc_auc_binary``.
+
+    Each variable quantizes to ``floor(v * quantize)``; average ranks per
+    distinct cell come from the O(C^2) broadcast prefix idiom over the
+    bounded cell tables, kept integral as TWICE the rank
+    (2r = 2*before + cnt + 1). Pearson on the doubled ranks equals
+    Pearson on the ranks (invariant to affine maps), and its five sums
+    are exact BIGINTs — the only float arithmetic is the single final
+    expression. BIGINT bound: sum(4*r^2) ~ 4n^3 — exact through ~1e6
+    rows; lift the moment sums to DECIMAL(38,0)/HUGEINT past that (same
+    plan shape).
+
+    Ties: average ranks (the standard Spearman tie treatment), handled
+    exactly by the cell algebra."""
+
+    def _ranked(col: Column, name: str) -> DataFrame:
+        s = F.floor(col * quantize).cast("long")
+        cells = df.groupBy(s.alias(name)).agg(F.count(F.lit(1)).alias("cnt"))
+        c2 = cells.select(
+            F.col(name).alias("__s2"), F.col("cnt").alias("__n2")
+        )
+        return (
+            cells.join(F.broadcast(c2), F.col("__s2") < F.col(name), "left")
+            .groupBy(name, "cnt")
+            .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("before"))
+            .select(
+                name,
+                (2 * F.col("before") + F.col("cnt") + 1).alias(f"r2_{name}"),
+            )
+        )
+
+    sx = F.floor(x * quantize).cast("long")
+    sy = F.floor(y * quantize).cast("long")
+    base = df.select(sx.alias("qx"), sy.alias("qy"))
+    joined = base.join(F.broadcast(_ranked(x, "qx")), "qx").join(
+        F.broadcast(_ranked(y, "qy")), "qy"
+    )
+    g = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_qx").alias("sa"),
+        F.sum("r2_qy").alias("sb"),
+        F.sum(F.col("r2_qx") * F.col("r2_qy")).alias("sab"),
+        F.sum(F.col("r2_qx") * F.col("r2_qx")).alias("saa"),
+        F.sum(F.col("r2_qy") * F.col("r2_qy")).alias("sbb"),
+    )
+    # the closing moments overflow BIGINT already at ~1e5 rows
+    # (n * sum((2r)^2) ~ 4n^3), so they evaluate in DECIMAL(38,0) —
+    # exact like DuckDB's HUGEINT — and only the final values cast to
+    # double (identical nearest-double conversion on both engines)
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    dena = (d("n") * d("saa") - d("sa") * d("sa")).cast("double")
+    denb = (d("n") * d("sbb") - d("sb") * d("sb")).cast("double")
+    num = (d("n") * d("sab") - d("sa") * d("sb")).cast("double")
+    rho = F.when(
+        (dena > 0) & (denb > 0), num / (F.sqrt(dena) * F.sqrt(denb))
+    ).otherwise(F.lit(0.0))
+    return g.select(F.col("n").cast("double").alias("n_d"), rho.alias("rho"))

@@ -1331,3 +1331,55 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total_d"),
         ((nd - exp) * (nd - exp) / exp).alias("chi2_term"),
     )
+
+
+@register(
+    "value_drift_spearman",
+    """
+    WITH base AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS qx,
+             CAST(floor(datediff('day', TIMESTAMP '2024-01-01',
+                                 date_trunc('day', ts)) * 10) AS BIGINT)
+               AS qy
+      FROM events),
+    cx AS (SELECT qx, count(*) AS cnt FROM base GROUP BY 1),
+    rx AS (SELECT c.qx, 2 * coalesce(sum(c2.cnt), 0) + c.cnt + 1 AS r2_qx
+           FROM cx c LEFT JOIN cx c2 ON c2.qx < c.qx
+           GROUP BY c.qx, c.cnt),
+    cy AS (SELECT qy, count(*) AS cnt FROM base GROUP BY 1),
+    ry AS (SELECT c.qy, 2 * coalesce(sum(c2.cnt), 0) + c.cnt + 1 AS r2_qy
+           FROM cy c LEFT JOIN cy c2 ON c2.qy < c.qy
+           GROUP BY c.qy, c.cnt),
+    j AS (SELECT r2_qx, r2_qy
+          FROM base JOIN rx USING (qx) JOIN ry USING (qy)),
+    g AS (SELECT count(*) AS n, sum(r2_qx) AS sa, sum(r2_qy) AS sb,
+                 sum(r2_qx * r2_qy) AS sab, sum(r2_qx * r2_qx) AS saa,
+                 sum(r2_qy * r2_qy) AS sbb
+          FROM j)
+    SELECT CAST(n AS DOUBLE) AS n_d,
+           CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                        * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                ELSE 0.0 END AS rho
+    FROM g
+    """,
+)
+def q_value_drift_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone drift detector: exact tie-corrected Spearman rank
+    correlation between event value and event DAY (is the score
+    distribution creeping over the month?), computed with the AUC cell
+    machinery — average ranks as exact integers from the bounded
+    quantized-cell tables, no global sort, five DECIMAL(38,0)/HUGEINT
+    closing moments, one final double expression
+    (ml/metrics.py spearman_correlation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ml_metrics.spearman_correlation(
+        ev,
+        F.col("value"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).cast("double"),
+        quantize=10,
+    )

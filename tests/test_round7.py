@@ -612,3 +612,30 @@ def test_benford_terms_reconstruct_counts(spark, sf_small):
     assert list(out["digit_d"]) == list(map(float, range(1, 10)))
     assert out["n_d"].sum() == out["total_d"].iloc[0]
     assert (out["chi2_term"] >= 0).all()
+
+
+def test_spearman_monotone_and_ties(spark):
+    """rho = 1 for any monotone map, -1 reversed, and the tie-corrected
+    value matches pandas' spearman on a tied sample."""
+    rows = [(float(i), float(i * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = ml_metrics.spearman_correlation(
+        df, F.col("x"), F.col("y"), quantize=10
+    ).collect()[0]
+    assert out["rho"] == 1.0
+    out2 = ml_metrics.spearman_correlation(
+        df, F.col("x"), -F.col("y"), quantize=10
+    ).collect()[0]
+    assert out2["rho"] == -1.0
+
+    import random
+
+    rng = random.Random(3)
+    tied = [(float(rng.randint(0, 5)), float(rng.randint(0, 5))) for _ in range(200)]
+    tdf = spark.createDataFrame(tied, "x double, y double")
+    got = ml_metrics.spearman_correlation(
+        tdf, F.col("x"), F.col("y"), quantize=1
+    ).collect()[0]["rho"]
+    pdf = pd.DataFrame(tied, columns=["x", "y"])
+    expected = pdf["x"].rank().corr(pdf["y"].rank())  # tie-avg Pearson-on-ranks
+    assert abs(got - expected) < 1e-12
