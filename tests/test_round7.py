@@ -622,11 +622,12 @@ def test_spearman_monotone_and_ties(spark):
     out = ml_metrics.spearman_correlation(
         df, F.col("x"), F.col("y"), quantize=10
     ).collect()[0]
-    assert out["rho"] == 1.0
+    # identical rank vectors: rho = d/(sqrt(d)*sqrt(d)) = 1 +/- 1 ulp
+    assert abs(out["rho"] - 1.0) < 1e-12
     out2 = ml_metrics.spearman_correlation(
         df, F.col("x"), -F.col("y"), quantize=10
     ).collect()[0]
-    assert out2["rho"] == -1.0
+    assert abs(out2["rho"] + 1.0) < 1e-12
 
     import random
 
