@@ -1383,3 +1383,98 @@ def q_value_drift_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double"),
         quantize=10,
     )
+
+
+@register(
+    "mann_kendall_revenue",
+    """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT sum(CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END) AS mk_s
+      FROM daily a JOIN daily b ON b.t > a.t),
+    n AS (SELECT count(*) AS nd FROM daily),
+    ties AS (
+      SELECT coalesce(sum(m * (m - 1) * (2 * m + 5)), 0) AS tie_adj
+      FROM (SELECT x, count(*) AS m FROM daily GROUP BY 1) g
+      WHERE m > 1),
+    v AS (
+      SELECT mk_s, nd,
+             (nd * (nd - 1) * (2 * nd + 5) - tie_adj) AS var18
+      FROM s CROSS JOIN n CROSS JOIN ties)
+    SELECT CAST(mk_s AS DOUBLE) AS s_d, CAST(nd AS DOUBLE) AS n_days_d,
+           CAST(var18 AS DOUBLE) AS var18_d,
+           CASE WHEN var18 > 0 THEN
+             (CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)
+                   WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+           ELSE 0.0 END AS z_stat
+    FROM v
+    """,
+)
+def q_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue — the
+    distribution-free companion to the Theil-Sen slope (S = sum of
+    pairwise signs; variance with the standard tie correction). S,
+    n, and 18*Var(S) are exact integers over the calendar-bounded
+    daily frame; the continuity-corrected z is one fixed double
+    expression, zero-variance guarded (the ANSI rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    b = daily.select(F.col("t").alias("__t2"), F.col("x").alias("__x2"))
+    s = daily.join(F.broadcast(b), F.col("__t2") > F.col("t")).agg(
+        F.sum(
+            F.when(F.col("__x2") > F.col("x"), 1)
+            .when(F.col("__x2") < F.col("x"), -1)
+            .otherwise(0)
+        ).alias("mk_s")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("nd"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_adj")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .withColumn(
+            "var18",
+            F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+            - F.col("tie_adj"),
+        )
+    )
+    cc = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1).cast("double"))
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(
+        F.col("var18") > 0, cc / F.sqrt(F.col("var18").cast("double") / 18.0)
+    ).otherwise(F.lit(0.0))
+    return v.select(
+        F.col("mk_s").cast("double").alias("s_d"),
+        F.col("nd").cast("double").alias("n_days_d"),
+        F.col("var18").cast("double").alias("var18_d"),
+        z.alias("z_stat"),
+    )

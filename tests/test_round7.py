@@ -640,3 +640,46 @@ def test_spearman_monotone_and_ties(spark):
     pdf = pd.DataFrame(tied, columns=["x", "y"])
     expected = pdf["x"].rank().corr(pdf["y"].rank())  # tie-avg Pearson-on-ranks
     assert abs(got - expected) < 1e-12
+
+
+def test_mann_kendall_detects_increasing_trend(spark):
+    import datetime
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = [
+        (d, 1_000_000.0 + 5_000.0 * d, base + datetime.timedelta(days=d))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = _REGISTRY["mann_kendall_revenue"].spark(spark, tmp).collect()[0]
+    # strictly increasing: S = n(n-1)/2, z strongly positive
+    assert out["s_d"] == 30 * 29 / 2
+    assert out["z_stat"] > 5
+
+
+def test_mann_kendall_constant_series_guarded(spark):
+    import datetime
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = [
+        (d, 2_000_000.0, base + datetime.timedelta(days=d)) for d in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = _REGISTRY["mann_kendall_revenue"].spark(spark, tmp).collect()[0]
+    assert out["s_d"] == 0.0 and out["var18_d"] == 0.0 and out["z_stat"] == 0.0
