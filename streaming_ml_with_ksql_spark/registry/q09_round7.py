@@ -1478,3 +1478,70 @@ def q_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var18").cast("double").alias("var18_d"),
         z.alias("z_stat"),
     )
+
+
+@register(
+    "hbos_outlier_events",
+    """
+    WITH f AS (
+      SELECT event_id,
+             least(9, CAST(floor(value / 50.0) AS BIGINT)) AS vbin,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hbin,
+             event_type
+      FROM events),
+    n AS (SELECT count(*) AS total FROM f),
+    bv AS (SELECT vbin, count(*) AS nv FROM f GROUP BY 1),
+    bh AS (SELECT hbin, count(*) AS nh FROM f GROUP BY 1),
+    bt AS (SELECT event_type, count(*) AS nt FROM f GROUP BY 1),
+    s AS (
+      SELECT f.event_id,
+             (total * 1000000) // nv
+             + (total * 1000000) // nh
+             + (total * 1000000) // nt AS rarity_ppm
+      FROM f
+      JOIN bv USING (vbin) JOIN bh USING (hbin) JOIN bt USING (event_type)
+      CROSS JOIN n)
+    SELECT event_id, CAST(rarity_ppm AS DOUBLE) AS rarity_ppm_d
+    FROM s ORDER BY rarity_ppm DESC, event_id LIMIT 20
+    """,
+)
+def q_hbos_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based outlier score (HBOS, Goldstein & Dengel 2012)
+    with the log dropped: each event's rarity is the sum of its
+    inverse bin frequencies across three independent histograms
+    (value decile, hour of day, event type) in exact integer ppm —
+    the unsupervised anomaly screen that needs no moments and no
+    model. Three bounded histogram tables broadcast back onto one
+    scan; global top-20 via TakeOrderedAndProject. Log-free sum of
+    inverse frequencies is rank-equivalent to HBOS for dominant bins
+    and exactly deterministic (the bm25 rationale)."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id",
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("long").alias("vbin"),
+        F.hour("ts").cast("long").alias("hbin"),
+        "event_type",
+    )
+    n = f.agg(F.count(F.lit(1)).alias("total"))
+    bv = f.groupBy("vbin").agg(F.count(F.lit(1)).alias("nv"))
+    bh = f.groupBy("hbin").agg(F.count(F.lit(1)).alias("nh"))
+    bt = f.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    s = (
+        f.join(F.broadcast(bv), "vbin")
+        .join(F.broadcast(bh), "hbin")
+        .join(F.broadcast(bt), "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_id",
+            (
+                F.expr("(total * 1000000L) div nv")
+                + F.expr("(total * 1000000L) div nh")
+                + F.expr("(total * 1000000L) div nt")
+            ).alias("rarity_ppm"),
+        )
+    )
+    return (
+        s.orderBy(F.col("rarity_ppm").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", F.col("rarity_ppm").cast("double").alias("rarity_ppm_d"))
+    )

@@ -683,3 +683,33 @@ def test_mann_kendall_constant_series_guarded(spark):
         df.write.parquet(os.path.join(tmp, "orders.parquet"))
         out = _REGISTRY["mann_kendall_revenue"].spark(spark, tmp).collect()[0]
     assert out["s_d"] == 0.0 and out["var18_d"] == 0.0 and out["z_stat"] == 0.0
+
+
+def test_hbos_surfaces_planted_rarity(spark):
+    """One event in a never-used hour with an extreme value dominates
+    the rarity ranking."""
+    import datetime
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), i % 7, "click", 100.0, "{}")
+        for i in range(500)
+    ]
+    # planted anomaly: unique hour (03), extreme value bin, rare type
+    rows.append(
+        (999, datetime.datetime(2024, 1, 2, 3, 0, 0), 1, "refund", 480.0, "{}")
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = _REGISTRY["hbos_outlier_events"].spark(spark, tmp).collect()
+    assert out[0]["event_id"] == 999
+    assert out[0]["rarity_ppm_d"] > out[1]["rarity_ppm_d"] * 10
