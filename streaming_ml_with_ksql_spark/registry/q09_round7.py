@@ -1545,3 +1545,115 @@ def q_hbos_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("event_id", F.col("rarity_ppm").cast("double").alias("rarity_ppm_d"))
     )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT e.event_type, b.lo, b.hi,
+             CAST(least(greatest(e.value, b.lo), b.hi)
+                  AS DECIMAL(18,6)) AS wv
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type, CAST(count(*) AS DOUBLE) AS n_d, lo, hi,
+           CAST(sum(wv) AS DOUBLE) / count(*) AS win_mean
+    FROM w GROUP BY event_type, lo, hi
+    """,
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics — the robust-preprocessing
+    step before any moment-based model: values clamped to the
+    [p05, p95] band (exact interpolated percentiles rounded at 6 dp,
+    the mad_outliers boundary discipline), then the mean of the
+    clamped values from an exact DECIMAL sum (the metric is DEFINED on
+    6dp-clamped values, so the order-free decimal sum hash-checks on
+    any engine). Tiny boundary table broadcast onto one scan."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("decimal(18,6)")
+        .alias("wv"),
+    )
+    return w.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        (F.sum("wv").cast("double") / F.count(F.lit(1))).alias("win_mean"),
+    ).select("event_type", "n_d", "lo", "hi", "win_mean")
+
+
+@register(
+    "ks_weekend_value_drift",
+    """
+    WITH t AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS s,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+      FROM events),
+    cells AS (
+      SELECT s, sum(wk) AS n1c, sum(1 - wk) AS n2c FROM t GROUP BY 1),
+    tot AS (SELECT sum(n1c) AS n1, sum(n2c) AS n2 FROM cells),
+    cum AS (
+      SELECT c.s, sum(c2.n1c) AS cum1, sum(c2.n2c) AS cum2
+      FROM cells c JOIN cells c2 ON c2.s <= c.s
+      GROUP BY c.s),
+    d AS (
+      SELECT max(abs(cum1 * n2 - cum2 * n1)) AS dmax
+      FROM cum CROSS JOIN tot)
+    SELECT CAST(n1 AS DOUBLE) AS n_weekend_d, CAST(n2 AS DOUBLE) AS n_weekday_d,
+           CAST((dmax * 1000000) // (n1 * n2) AS DOUBLE) AS ks_ppm_d
+    FROM d CROSS JOIN tot
+    """,
+)
+def q_ks_weekend_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between weekend and
+    weekday value distributions, ENTIRELY in integers: over the bounded
+    quantized-cell table, D = max|F1 - F2| evaluates as
+    max|cum1*n2 - cum2*n1| (exact BIGINT cross-products — no float CDFs
+    to drift), reported in integer ppm. The distribution-shift test
+    that needs no binning assumptions beyond the shared quantization;
+    prefix sums via the O(C^2) broadcast idiom, one corpus scan.
+
+    DuckDB's dayofweek() is 0-based (Sunday=0); Spark's dayofweek() is
+    1-based (Sunday=1) — the weekend predicate is stated per engine
+    (0/6 vs 1/7) so the split is identical."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.floor(F.col("value") * 10).cast("long").alias("s"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    cells = t.groupBy("s").agg(
+        F.sum("wk").alias("n1c"), F.sum(F.lit(1) - F.col("wk")).alias("n2c")
+    )
+    tot = cells.agg(F.sum("n1c").alias("n1"), F.sum("n2c").alias("n2"))
+    c2 = cells.select(
+        F.col("s").alias("__s2"),
+        F.col("n1c").alias("__n1c"),
+        F.col("n2c").alias("__n2c"),
+    )
+    cum = (
+        cells.join(F.broadcast(c2), F.col("__s2") <= F.col("s"))
+        .groupBy("s")
+        .agg(F.sum("__n1c").alias("cum1"), F.sum("__n2c").alias("cum2"))
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("dmax")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("double").alias("n_weekend_d"),
+        F.col("n2").cast("double").alias("n_weekday_d"),
+        F.expr("(dmax * 1000000L) div (n1 * n2)")
+        .cast("double")
+        .alias("ks_ppm_d"),
+    )

@@ -713,3 +713,48 @@ def test_hbos_surfaces_planted_rarity(spark):
         out = _REGISTRY["hbos_outlier_events"].spark(spark, tmp).collect()
     assert out[0]["event_id"] == 999
     assert out[0]["rarity_ppm_d"] > out[1]["rarity_ppm_d"] * 10
+
+
+def test_winsorized_mean_between_bounds(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["winsorized_value_stats"].spark(spark, sf_small).toPandas()
+    assert (out["lo"] <= out["win_mean"]).all()
+    assert (out["win_mean"] <= out["hi"]).all()
+    ev = io_mod.load_table(spark, sf_small, "events")
+    assert out["n_d"].sum() == ev.count()
+
+
+def test_ks_identical_and_shifted_samples(spark):
+    """KS ~ 0 for an identical split, large for a shifted one."""
+    import datetime
+    import os
+    import tempfile
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    sat = datetime.datetime(2024, 1, 6, 12, 0)  # Saturday
+    mon = datetime.datetime(2024, 1, 8, 12, 0)  # Monday
+
+    def run(weekend_vals, weekday_vals):
+        rows = []
+        for i, v in enumerate(weekend_vals):
+            rows.append((i, sat, 1, "click", float(v), "{}"))
+        for i, v in enumerate(weekday_vals):
+            rows.append((10_000 + i, mon, 1, "click", float(v), "{}"))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "events.parquet"))
+            return (
+                _REGISTRY["ks_weekend_value_drift"].spark(spark, tmp)
+                .collect()[0]
+            )
+
+    same = run(range(100), range(100))
+    assert same["ks_ppm_d"] == 0.0
+    shifted = run(range(100), range(200, 300))
+    assert shifted["ks_ppm_d"] == 1_000_000.0  # disjoint supports: D = 1
