@@ -1657,3 +1657,105 @@ def q_ks_weekend_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ks_ppm_d"),
     )
+
+
+@register(
+    "chi2_type_weekday",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+      FROM events),
+    cells AS (SELECT event_type, wk, count(*) AS o FROM t GROUP BY 1, 2),
+    rows_ AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT wk, sum(o) AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS total FROM cells),
+    j AS (
+      SELECT cells.event_type, cells.wk, cells.o, rows_.r, cols_.c, n.total
+      FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (wk)
+      CROSS JOIN n)
+    SELECT event_type, CAST(wk AS DOUBLE) AS wk_d, CAST(o AS DOUBLE) AS o_d,
+           CAST(r * c AS DOUBLE) / total AS expected,
+           (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / total)
+             * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / total)
+             / (CAST(r * c AS DOUBLE) / total) AS chi2_term
+    FROM j
+    """,
+)
+def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence table between event type and
+    weekend/weekday — is behavior day-of-week dependent? Observed,
+    expected (r*c/n from exact BIGINT marginals — the only float ops
+    are the shared final expressions), and per-cell chi-square terms
+    over the bounded |types| x 2 contingency table. Sum chi2_term and
+    compare against chi2((|types|-1)) downstream; Cramér's V =
+    sqrt(sum / (n * min(r-1, c-1)))."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    cells = t.groupBy("event_type", "wk").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("wk").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("total"))
+    j = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "wk")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (F.col("r") * F.col("c")).cast("double") / F.col("total")
+    od = F.col("o").cast("double")
+    return j.select(
+        "event_type",
+        F.col("wk").cast("double").alias("wk_d"),
+        od.alias("o_d"),
+        exp.alias("expected"),
+        ((od - exp) * (od - exp) / exp).alias("chi2_term"),
+    )
+
+
+@register(
+    "streaming_ks_ingest",
+    _REGISTRY["ks_weekend_value_drift"].oracle,
+)
+def q_streaming_ks_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance path of the KS drift monitor: the replay
+    emits stateless (quantized value cell, weekend flag) rows — the
+    additive sufficient statistic, exactly the streaming_auc_ingest
+    idiom — and the drained cell table runs the identical integer
+    prefix/cross-product algebra. Oracle identical to the batch KS."""
+    stream = _replay_events(spark, sf_dir)
+    cells = stream.select(
+        F.floor(F.col("value") * 10).cast("long").alias("s"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    drained = stream_sinks.run_to_memory(
+        cells, f"reg_stream_ks_{next(_STREAM_SEQ)}"
+    )
+    agg = drained.groupBy("s").agg(
+        F.sum("wk").alias("n1c"), F.sum(F.lit(1) - F.col("wk")).alias("n2c")
+    )
+    tot = agg.agg(F.sum("n1c").alias("n1"), F.sum("n2c").alias("n2"))
+    c2 = agg.select(
+        F.col("s").alias("__s2"),
+        F.col("n1c").alias("__n1c"),
+        F.col("n2c").alias("__n2c"),
+    )
+    cum = (
+        agg.join(F.broadcast(c2), F.col("__s2") <= F.col("s"))
+        .groupBy("s")
+        .agg(F.sum("__n1c").alias("cum1"), F.sum("__n2c").alias("cum2"))
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("dmax")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("double").alias("n_weekend_d"),
+        F.col("n2").cast("double").alias("n_weekday_d"),
+        F.expr("(dmax * 1000000L) div (n1 * n2)")
+        .cast("double")
+        .alias("ks_ppm_d"),
+    )

@@ -758,3 +758,22 @@ def test_ks_identical_and_shifted_samples(spark):
     assert same["ks_ppm_d"] == 0.0
     shifted = run(range(100), range(200, 300))
     assert shifted["ks_ppm_d"] == 1_000_000.0  # disjoint supports: D = 1
+
+
+def test_chi2_marginals_reconstruct(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["chi2_type_weekday"].spark(spark, sf_small).toPandas()
+    ev = io_mod.load_table(spark, sf_small, "events")
+    assert out["o_d"].sum() == ev.count()
+    # expected sums match observed sums per margin (chi2 table property)
+    assert abs(out["expected"].sum() - out["o_d"].sum()) < 1e-6
+    assert (out["chi2_term"] >= 0).all()
+
+
+def test_streaming_ks_equals_batch(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    s = _REGISTRY["streaming_ks_ingest"].spark(spark, sf_small).collect()[0]
+    b = _REGISTRY["ks_weekend_value_drift"].spark(spark, sf_small).collect()[0]
+    assert s.asDict() == b.asDict()
