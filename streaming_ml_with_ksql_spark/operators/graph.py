@@ -505,3 +505,73 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    seed_mod: int = 10,
+    iters: int = 4,
+    loop_parts: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected pair graph —
+    landmark distance labeling (seeds = vertices with id % seed_mod == 0,
+    a content-free deterministic landmark set), the building block for
+    graph-proximity features ("how many dedup hops from a canonical
+    document") that PageRank's stationary view can't give.
+
+    Determinism: distances are small BIGINTs and every update is
+    ``min(d, min over neighbors (d_neighbor + 1))`` — min over integers
+    is exact and commutative, so any partitioning or engine replays the
+    identical frontier, and the oracle unrolls the loop as generated
+    CTEs (the pagerank discipline, without even a truncation caveat).
+
+    Scale shape: per iteration ONE shuffle join (current labels onto
+    edges, both sides hash-partitioned on src by ``loop_parts``) + ONE
+    groupBy(dst) min — O(|E|) rows per round, frontier never
+    materialized driver-side; the label frame is localCheckpointed each
+    round to truncate iterative lineage. Fixed iteration count keeps
+    the plan deterministic and the oracle unrollable; vertices beyond
+    ``iters`` hops keep a NULL distance (reported, not dropped).
+
+    Returns (node, d) with d NULL when unreached within ``iters``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    if loop_parts is None:
+        default_parts = int(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        loop_parts = max(1, default_parts // 4)
+    ew = edges.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") % seed_mod == 0, F.lit(0).cast("long")).alias("d"),
+    )
+    for _ in range(iters):
+        prop = ew.join(
+            dist.where(F.col("d").isNotNull()).select(
+                F.col("node").alias("src"), "d"
+            ),
+            "src",
+        ).select(F.col("dst").alias("node"), (F.col("d") + 1).alias("nd"))
+        best = prop.groupBy("node").agg(F.min("nd").alias("nd"))
+        dist = (
+            dist.join(best, "node", "left")
+            .select("node", F.least("d", "nd").alias("d"))
+            .repartition(loop_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1,0 +1,167 @@
+"""Round-7 continuation: graph landmark distances and the clamped
+running balance — analytics shapes the earlier families don't cover
+(iterative min-propagation; a non-associative fold made
+window-expressible).
+
+Imported LAST from ``registry/__init__.py`` so the registration tail
+order of all earlier queries is untouched.
+"""
+
+from __future__ import annotations
+
+from ._core import *  # noqa: F401,F403
+from ._core import _REGISTRY, _t, register  # noqa: F401
+
+
+def _bfs_oracle(iters: int = 4, seed_mod: int = 10) -> str:
+    """Unrolled multi-source BFS oracle: the verified
+    ngram_jaccard_pairs statement nested as a derived table (the
+    corpus_curation_pipeline composition rule), then r1..r{iters}
+    reached-set CTEs generated mechanically — min over integers is
+    exact and commutative, so the unrolled SQL replays Spark's
+    frontier loop exactly (the pagerank_near_dup discipline, without
+    even a truncation caveat)."""
+    pairs_sql = _REGISTRY["ngram_jaccard_pairs"].oracle
+    sql = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) q),
+    edges AS (SELECT DISTINCT src, dst FROM (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs) u),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(0 AS BIGINT) AS d
+           FROM nodes WHERE node % {seed_mod} = 0)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM r{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + 1 AS d
+        FROM edges e JOIN r{i - 1} p ON p.node = e.src) u
+      GROUP BY node)"""
+    sql += f"""
+    SELECT CAST(coalesce(r.d, -1) AS DOUBLE) AS hops_d,
+           CAST(count(*) AS DOUBLE) AS n_nodes_d
+    FROM nodes n LEFT JOIN r{iters} r USING (node)
+    GROUP BY 1 ORDER BY 1"""
+    return sql
+
+
+@register("bfs_hops_near_dup", _bfs_oracle(4, 10))
+def q_bfs_hops_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-distance histogram of the exact n-gram-Jaccard near-dup
+    graph: multi-source BFS from the deterministic landmark set
+    (doc_id % 10 == 0), 4 rounds of integer min-propagation
+    (operators/graph.py bfs_hops) — how many dedup hops separate each
+    document from a canonical landmark, the proximity feature
+    PageRank's stationary view can't give. Distances are exact BIGINTs
+    (min is commutative → partitioning- and engine-independent);
+    unreached vertices report hops = -1 rather than vanishing. Output
+    bounded by iters + 2 rows."""
+    pairs = text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    dist = graph.bfs_hops(pairs, seed_mod=10, iters=4)
+    return (
+        dist.select(F.coalesce("d", F.lit(-1)).cast("double").alias("hops_d"))
+        .groupBy("hops_d")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_nodes_d"))
+        .orderBy("hops_d")
+    )
+
+
+@register(
+    "clamped_running_balance",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 1000000.0) AS BIGINT)
+                  WHEN event_type = 'error'
+                    THEN -CAST(floor(value * 1000000.0) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS dv
+      FROM events),
+    s1 AS (
+      SELECT user_id, ts, event_id, dv,
+             sum(dv) OVER w AS ps
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s2 AS (
+      SELECT user_id, dv, ps,
+             least(CAST(0 AS BIGINT), min(ps) OVER w2) AS floor_s
+      FROM s1
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    b AS (SELECT user_id, dv, ps - floor_s AS bal FROM s2)
+    SELECT user_id,
+           CAST(count(*) AS DOUBLE) AS n_tx_d,
+           CAST(max(bal) AS DOUBLE) AS peak_micro_d,
+           CAST(sum(CASE WHEN bal = 0 AND dv < 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS clamp_hits_d
+    FROM b GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running credit balance clamped at zero — purchases add
+    value, errors charge it back, and the balance can never go negative
+    (the inventory/wallet recurrence b_t = max(0, b_{t-1} + d_t), a
+    NON-ASSOCIATIVE fold no plain window aggregate expresses). Made
+    distributed via the prefix-min identity
+    ``b_t = S_t - min(0, min_{k<=t} S_k)``: two per-user window passes
+    (prefix sum, running min of it) replace the sequential fold, so the
+    operator partitions by user and never single-partitions — the
+    100 TB shape. Deltas quantized to exact integer micro-units
+    (floor of a correctly-rounded double product is engine-identical),
+    so every balance is an exact BIGINT. clamp_hits counts charge-backs
+    absorbed by the floor."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1000000.0).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.floor(F.col("value") * 1000000.0).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "dv",
+        F.sum("dv").over(w).alias("ps"),
+    ).withColumn(
+        "floor_s",
+        F.least(
+            F.lit(0).cast("long"),
+            F.min("ps").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    b = s.select("user_id", "dv", (F.col("ps") - F.col("floor_s")).alias("bal"))
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_tx_d"),
+            F.max("bal").cast("double").alias("peak_micro_d"),
+            F.sum(
+                F.when((F.col("bal") == 0) & (F.col("dv") < 0), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("clamp_hits_d"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,98 @@
+"""Round-7 continuation tests: BFS landmark distances and the clamped
+running balance — semantic properties beyond the oracle hash (which
+scripts/verify_driver.py covers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import graph as graph_ops
+
+
+def test_bfs_hops_path_graph_distances(spark):
+    """On a path 0-1-2-...-7 with the single seed 0 (seed_mod large so
+    only node 0 qualifies), hop distances must be the exact path index,
+    NULL beyond the iteration horizon."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    d = {
+        r["node"]: r["d"]
+        for r in graph_ops.bfs_hops(path, seed_mod=1000, iters=4).collect()
+    }
+    for i in range(5):
+        assert d[i] == i
+    for i in range(5, 8):
+        assert d[i] is None
+
+
+def test_bfs_hops_multi_source_takes_nearest_seed(spark):
+    """Two seeds (0 and 10) on the path 0-1-...-10: every vertex labels
+    with the NEARER seed; the midpoint (5 hops from both) sits beyond
+    the 4-round horizon and stays NULL."""
+    edges = [(i, i + 1) for i in range(10)]  # path 0..10
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    d = {
+        r["node"]: r["d"]
+        for r in graph_ops.bfs_hops(df, seed_mod=10, iters=4).collect()
+    }
+    expect = {i: min(i, 10 - i) for i in range(11)}
+    for i, e in expect.items():
+        assert d[i] == (e if e <= 4 else None)
+
+
+def test_bfs_hops_partitioning_invariant(spark):
+    """Min-propagation over integers: distances must be identical under
+    any input partitioning."""
+    edges = [(a, b) for a in range(12) for b in range(a + 1, 12) if (a * b) % 5 == 1]
+    df1 = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    df2 = df1.repartition(7)
+    r1 = sorted(
+        (r["node"], r["d"])
+        for r in graph_ops.bfs_hops(df1, seed_mod=3, iters=4).collect()
+    )
+    r2 = sorted(
+        (r["node"], r["d"])
+        for r in graph_ops.bfs_hops(df2, seed_mod=3, iters=4).collect()
+    )
+    assert r1 == r2
+
+
+def test_clamped_balance_equals_sequential_fold(spark, sf_small):
+    """The prefix-min identity must reproduce the sequential recurrence
+    b_t = max(0, b_{t-1} + d_t) exactly, per user."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = {
+        r["user_id"]: (r["n_tx_d"], r["peak_micro_d"], r["clamp_hits_d"])
+        for r in _REGISTRY["clamped_running_balance"].spark(spark, sf_small).collect()
+    }
+
+    ev = (
+        io_mod.load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import math
+
+    expect = {}
+    for uid, g in ev.groupby("user_id"):
+        bal, peak, hits, n = 0, 0, 0, 0
+        for _, row in g.iterrows():
+            dv = int(math.floor(row["value"] * 1000000.0))
+            if row["event_type"] == "error":
+                dv = -dv
+            elif row["event_type"] != "purchase":
+                dv = 0
+            nxt = bal + dv
+            if nxt < 0:
+                nxt = 0
+            if nxt == 0 and dv < 0:
+                hits += 1
+            bal = nxt
+            peak = max(peak, bal)
+            n += 1
+        expect[uid] = (float(n), float(peak), float(hits))
+    assert out == expect
