@@ -1,0 +1,154 @@
+"""Distributed k-means (Lloyd) in INTEGER fixed point — exactly
+oracleable clustering over the embeddings table.
+
+Float k-means is unreproducible across engines and partitionings
+(centroid means are order-dependent double sums, and every iteration
+amplifies the divergence). Here every coordinate is quantized once to
+exact integer micro-units (floor of a correctly-rounded double product
+is engine-identical), distances are exact BIGINT sums of squares, the
+argmin tie-breaks on centroid id, and centroid updates are
+``sum div count`` — integer truncation is part of the DEFINED
+algorithm, so any engine, summation order, or partitioning replays the
+identical three iterations, and the DuckDB oracle just unrolls the
+loop as generated CTEs (the pagerank_near_dup discipline).
+
+Scale shape: the N x k assignment join broadcasts the k-row centroid
+frame (k-means' canonical distributed form); the update is ONE
+posexplode + groupBy(cid, pos) over N*d rows — partial aggregation
+map-side combines before the k*d-row shuffle. The centroid frame is
+localCheckpointed per iteration to truncate iterative lineage. No
+driver-side collect anywhere; at 100 TB the same plan holds with
+centroids still k rows.
+
+Reference parity: the reference's ML surface is train-then-score
+(train.py:288-372); clustering is a north-star training-data operator
+(corpus organization / semantic dedup seeding), not a reference port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vectors", "kmeans_fixed_point"]
+
+
+def quantize_vectors(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """(id, qv: array<bigint>) — coordinates in exact integer
+    micro-units. float->double widening is exact, the double product is
+    correctly rounded (hence engine-identical), floor is floor."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist): nearest centroid by exact integer squared
+    L2, ties to the smallest cid (lexicographic struct-min)."""
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    best = d.groupBy("vec_id").agg(F.min(F.struct("dist", "cid")).alias("b"))
+    return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist"))
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns the final assignment
+    (vec_id, cid, dist). Seeds = the quantized vectors of the k
+    smallest ids (content-free deterministic seeding); a cluster that
+    empties keeps its previous centroid (coalesce), exactly as the
+    unrolled oracle does."""
+    pts = quantize_vectors(
+        emb, id_col=id_col, vec_col=vec_col, scale=scale
+    ).localCheckpoint(eager=True)
+    cent = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        asg = _assign(pts, cent)
+        sums = (
+            asg.join(pts, "vec_id")
+            .select("cid", F.posexplode("qv").alias("p", "v"))
+            .groupBy("cid", "p")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        )
+        newc = (
+            sums.select("cid", "p", F.expr("sv div n").alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, cval))),"
+                    " s -> s.cval)"
+                ).alias("ncv")
+            )
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return _assign(pts, cent)
+
+
+def kmeans_cluster_report(
+    emb: DataFrame,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    scale: int = 10**6,
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster summary of the final assignment: size, exact integer
+    inertia, and the majority true label (tie to the smallest label) —
+    the purity view that makes the clustering auditable against the
+    embeddings' planted labels. Output bounded by k rows; the majority
+    window partitions by cid over a k x |labels| aggregate."""
+    asg = kmeans_fixed_point(emb, k=k, iters=iters, scale=scale)
+    agg = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia")
+    )
+    lab = (
+        asg.join(emb.select("vec_id", F.col(label_col).cast("long").alias("lbl")), "vec_id")
+        .groupBy("cid", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    maj = lab.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        agg.join(maj, "cid")
+        .select(
+            F.col("cid").cast("double").alias("cid_d"),
+            F.col("n").cast("double").alias("n_d"),
+            F.col("inertia").cast("double").alias("inertia_d"),
+            F.col("lbl").cast("double").alias("majority_label_d"),
+            F.col("cnt").cast("double").alias("majority_n_d"),
+        )
+        .orderBy("cid_d")
+    )

@@ -165,3 +165,85 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _kmeans_oracle(k: int = 10, iters: int = 3, dims: int = 64, scale: int = 10**6) -> str:
+    """Unrolled fixed-point Lloyd oracle: c0 = seeds, then per iteration
+    an assignment (exact integer squared L2, argmin with cid tie-break)
+    and a centroid update (sum // count per coordinate, empty clusters
+    keep their centroid) — every operation integer, so the unrolled SQL
+    replays Spark's loop exactly (the pagerank_near_dup discipline).
+    dims=64 matches the testdata embeddings at every SF."""
+    sql = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM pts ORDER BY vec_id LIMIT {k}),
+    pos AS (SELECT unnest(range(1, {dims + 1})) AS p)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT p.vec_id, c.cid,
+               list_sum(list_transform(p.qv, (x, ix) ->
+                 (x - c.cv[ix]) * (x - c.cv[ix]))) AS dist,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_sum(list_transform(p.qv, (x, ix) ->
+                   (x - c.cv[ix]) * (x - c.cv[ix]))), c.cid) AS rn
+        FROM pts p CROSS JOIN c{i - 1} c) q WHERE rn = 1),
+    s{i} AS (
+      SELECT a.cid, pos.p, sum(p2.qv[pos.p]) AS sv, count(*) AS n
+      FROM a{i} a JOIN pts p2 USING (vec_id) CROSS JOIN pos
+      GROUP BY a.cid, pos.p),
+    n{i} AS (SELECT cid, list(sv // n ORDER BY p) AS cv
+             FROM s{i} GROUP BY cid),
+    c{i} AS (SELECT c.cid, coalesce(n2.cv, c.cv) AS cv
+             FROM c{i - 1} c LEFT JOIN n{i} n2 USING (cid))"""
+    sql += f""",
+    af AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT p.vec_id, c.cid,
+               list_sum(list_transform(p.qv, (x, ix) ->
+                 (x - c.cv[ix]) * (x - c.cv[ix]))) AS dist,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_sum(list_transform(p.qv, (x, ix) ->
+                   (x - c.cv[ix]) * (x - c.cv[ix]))), c.cid) AS rn
+        FROM pts p CROSS JOIN c{iters} c) q WHERE rn = 1),
+    agg AS (SELECT cid, count(*) AS n, sum(dist) AS inertia
+            FROM af GROUP BY 1),
+    lab AS (SELECT a.cid, CAST(e.label AS BIGINT) AS lbl, count(*) AS cnt
+            FROM af a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+    maj AS (SELECT cid, lbl, cnt FROM (
+              SELECT cid, lbl, cnt,
+                     row_number() OVER (PARTITION BY cid
+                                        ORDER BY cnt DESC, lbl) AS rn
+              FROM lab) q WHERE rn = 1)
+    SELECT CAST(g.cid AS DOUBLE) AS cid_d, CAST(g.n AS DOUBLE) AS n_d,
+           CAST(g.inertia AS DOUBLE) AS inertia_d,
+           CAST(m.lbl AS DOUBLE) AS majority_label_d,
+           CAST(m.cnt AS DOUBLE) AS majority_n_d
+    FROM agg g JOIN maj m USING (cid) ORDER BY cid_d"""
+    return sql
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle(10, 3, 64))
+def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embeddings table — three Lloyd
+    iterations ENTIRELY in integer fixed point
+    (operators/clustering.py): coordinates quantized once to exact
+    micro-units, distances exact BIGINT squared L2 with cid tie-break,
+    centroid updates sum-div-count — so the iterative float algorithm
+    becomes exactly oracleable (the pagerank discipline applied to
+    clustering). Per-cluster output: size, exact inertia, and the
+    majority planted label (the purity audit). Assignment broadcasts
+    the k-row centroid frame; the update map-side combines before a
+    k x d shuffle — the plan a 100 TB corpus clustering needs."""
+    from ..operators import clustering
+
+    return clustering.kmeans_cluster_report(
+        _t(spark, sf_dir, "embeddings"), k=10, iters=3
+    )

@@ -96,3 +96,47 @@ def test_clamped_balance_equals_sequential_fold(spark, sf_small):
             n += 1
         expect[uid] = (float(n), float(peak), float(hits))
     assert out == expect
+
+
+def test_kmeans_fixed_point_partitioning_invariant(spark, sf_small):
+    """Integer fixed point: assignments and inertia must be
+    bit-identical under any input partitioning (the property float
+    k-means lacks)."""
+    from streaming_ml_with_ksql_spark.operators import clustering
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    r1 = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in clustering.kmeans_fixed_point(emb, k=5, iters=2).collect()
+    )
+    r2 = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in clustering.kmeans_fixed_point(
+            emb.repartition(13), k=5, iters=2
+        ).collect()
+    )
+    assert r1 == r2
+
+
+def test_kmeans_inertia_nonincreasing(spark, sf_small):
+    """Lloyd's invariant: total inertia must not increase with more
+    iterations (up to the bounded perturbation integer truncation of
+    centroid means can introduce — allow zero slack here and assert the
+    strict Lloyd descent actually holds on this data)."""
+    from streaming_ml_with_ksql_spark.operators import clustering
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    inert = []
+    for it in (1, 2, 3):
+        asg = clustering.kmeans_fixed_point(emb, k=8, iters=it)
+        inert.append(asg.agg(F.sum("dist")).collect()[0][0])
+    assert inert[0] >= inert[1] >= inert[2]
+
+
+def test_kmeans_every_point_assigned_once(spark, sf_small):
+    from streaming_ml_with_ksql_spark.operators import clustering
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    asg = clustering.kmeans_fixed_point(emb, k=10, iters=3)
+    assert asg.count() == emb.count()
+    assert asg.select("vec_id").distinct().count() == emb.count()
