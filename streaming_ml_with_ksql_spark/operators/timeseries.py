@@ -388,3 +388,83 @@ def autocorrelation(
         F.col("n").cast("double").alias("n_d"),
         acf.alias("acf"),
     )
+
+
+# lcm(1..36): every interval length a month-bounded daily series can
+# produce divides it EXACTLY, so scaling interval means by ISO_LCM turns
+# rational mean comparisons into exact integer comparisons.
+ISO_LCM = 144403552893600
+
+
+def isotonic_daily_fit(
+    ev: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact isotonic (monotone non-decreasing) regression of the daily
+    value series via the minimax identity
+    ``iso_t = max_{i<=t} min_{j>=t} mean(y_i..y_j)`` — the shape-
+    constrained trend fit that PAVA computes sequentially, made
+    order-free: interval means are exact rationals (BIGINT sum, day
+    count), and multiplying by ISO_LCM / den (an EXACT integer for any
+    den <= 36) turns every mean into one DECIMAL(38,0) so min/max
+    aggregate it with no float comparison anywhere. Deterministic on
+    any engine or partitioning; DuckDB replays it verbatim in HUGEINT.
+
+    Scale shape: the corpus collapses to one row per calendar day
+    BEFORE any pair math (the revenue_autocorr contract), so the
+    O(days^3) minimax join is over a month-bounded frame (~4.5k rows),
+    all broadcast — corpus size never enters the cubic term. Bound:
+    interval lengths must stay <= 36 days (ISO_LCM's divisibility
+    range); the testdata events table spans one month by design.
+    """
+    daily = ev.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.sum(F.floor(F.col(value_col) * float(scale)).cast("long")).alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    d = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("t"), "y")
+        .localCheckpoint(eager=True)
+    )
+    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("a.t") <= F.col("b.t")).select(
+        F.col("a.t").alias("i"), F.col("b.t").alias("j")
+    )
+    terms = (
+        pairs.join(
+            F.broadcast(c),
+            (F.col("c.t") >= F.col("i")) & (F.col("c.t") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("c.y").cast("decimal(38,0)").alias("num"),
+            F.count(F.lit(1)).alias("den"),
+        )
+    )
+    scaled = terms.select(
+        "i", "j", (F.col("num") * F.expr(f"{ISO_LCM}L div den")).alias("sc")
+    )
+    tf = d.select(F.col("t").alias("tt"))
+    step1 = (
+        scaled.join(
+            F.broadcast(tf),
+            (F.col("i") <= F.col("tt")) & (F.col("j") >= F.col("tt")),
+        )
+        .groupBy("tt", "i")
+        .agg(F.min("sc").alias("mn_sc"))
+    )
+    iso = step1.groupBy("tt").agg(F.max("mn_sc").alias("iso_sc"))
+    return (
+        iso.join(d, iso["tt"] == d["t"])
+        .select(
+            F.col("t").cast("double").alias("day_idx_d"),
+            F.col("y").cast("double").alias("y_micro_d"),
+            F.expr(f"CAST(iso_sc div {ISO_LCM}L AS DOUBLE)").alias(
+                "iso_micro_d"
+            ),
+        )
+        .orderBy("day_idx_d")
+    )

@@ -247,3 +247,88 @@ def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_cluster_report(
         _t(spark, sf_dir, "embeddings"), k=10, iters=3
     )
+
+
+@register(
+    "isotonic_daily_trend",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS y
+      FROM events GROUP BY 1),
+    d0 AS (SELECT min(day) AS d0 FROM daily),
+    d AS (SELECT datediff('day', d0, day) AS t, y FROM daily CROSS JOIN d0),
+    pairs AS (SELECT a.t AS i, b.t AS j FROM d a CROSS JOIN d b
+              WHERE a.t <= b.t),
+    terms AS (
+      SELECT p.i, p.j, CAST(sum(c.y) AS HUGEINT) AS num, count(*) AS den
+      FROM pairs p JOIN d c ON c.t BETWEEN p.i AND p.j
+      GROUP BY 1, 2),
+    scaled AS (SELECT i, j, num * (144403552893600 // den) AS sc
+               FROM terms),
+    tf AS (SELECT t AS tt FROM d),
+    s1 AS (SELECT tt, i, min(sc) AS mn_sc
+           FROM scaled JOIN tf ON i <= tt AND j >= tt GROUP BY 1, 2),
+    iso AS (SELECT tt, max(mn_sc) AS iso_sc FROM s1 GROUP BY 1)
+    SELECT CAST(d.t AS DOUBLE) AS day_idx_d,
+           CAST(d.y AS DOUBLE) AS y_micro_d,
+           CAST(iso_sc // 144403552893600 AS DOUBLE) AS iso_micro_d
+    FROM iso JOIN d ON d.t = iso.tt ORDER BY 1
+    """,
+)
+def q_isotonic_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic regression of daily event value — the monotone
+    shape-constrained trend fit (operators/timeseries.py
+    isotonic_daily_fit): PAVA's sequential pooling replaced by the
+    order-free minimax identity, interval means compared as exact
+    integers after LCM scaling (no float comparison anywhere, no pow /
+    log). The non-parametric companion to theil_sen / mann_kendall:
+    those test or summarize monotonicity, this FITS the best monotone
+    curve. Corpus collapses to one row per calendar day before the
+    month-bounded O(days^3) broadcast joins."""
+    return timeseries.isotonic_daily_fit(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "l_diversity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE)
+                                       / CAST(1000 AS DOUBLE)) AS BIGINT))
+               AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(c_nationkey AS DOUBLE) AS nationkey_d, c_mktsegment,
+           CAST(n AS DOUBLE) AS n_d, CAST(l AS DOUBLE) AS l_d
+    FROM g WHERE l < 6
+    """,
+)
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen over the (nation, market-segment)
+    quasi-identifier with account-balance band (1k-USD floor) as the
+    sensitive attribute: equivalence classes whose sensitive values
+    collapse below l=6 distinct bands — the homogeneity-attack exposure
+    k-anonymity misses (a class can be large yet reveal everyone's
+    balance band). Completes the privacy family: k_anonymity_report
+    (size), l_diversity_report (diversity), gdpr_purge_audit
+    (erasure). One map-side-combined aggregation over the bounded
+    quasi-id domain."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.floor(
+                    F.col("c_acctbal").cast("double") / F.lit(1000).cast("double")
+                ).cast("long")
+            ).alias("l"),
+        )
+        .filter(F.col("l") < 6)
+        .select(
+            F.col("c_nationkey").cast("double").alias("nationkey_d"),
+            "c_mktsegment",
+            F.col("n").cast("double").alias("n_d"),
+            F.col("l").cast("double").alias("l_d"),
+        )
+    )

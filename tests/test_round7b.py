@@ -140,3 +140,45 @@ def test_kmeans_every_point_assigned_once(spark, sf_small):
     asg = clustering.kmeans_fixed_point(emb, k=10, iters=3)
     assert asg.count() == emb.count()
     assert asg.select("vec_id").distinct().count() == emb.count()
+
+
+def test_isotonic_fit_equals_exact_pava(spark, sf_small):
+    """The minimax identity must reproduce sequential
+    pool-adjacent-violators run in exact rational arithmetic."""
+    from fractions import Fraction
+    import math
+
+    from streaming_ml_with_ksql_spark.operators import timeseries as ts_ops
+
+    ev = io_mod.load_table(spark, sf_small, "events")
+    out = ts_ops.isotonic_daily_fit(ev).collect()
+    got = {int(r["day_idx_d"]): r["iso_micro_d"] for r in out}
+
+    pdf = ev.select(F.to_date("ts").alias("day"), "value").toPandas()
+    pdf["y"] = pdf["value"].map(lambda v: int(math.floor(v * 1000000.0)))
+    daily = pdf.groupby("day")["y"].sum().sort_index()
+    ys = [int(v) for v in daily.values]
+    # PAVA with Fractions: pools of (sum, count)
+    pools = []
+    for y in ys:
+        pools.append([y, 1])
+        while len(pools) > 1 and Fraction(pools[-2][0], pools[-2][1]) > Fraction(
+            pools[-1][0], pools[-1][1]
+        ):
+            s, c = pools.pop()
+            pools[-1][0] += s
+            pools[-1][1] += c
+    fit = []
+    for s, c in pools:
+        fit.extend([Fraction(s, c)] * c)
+    expect = {i: float(math.floor(f)) for i, f in enumerate(fit)}
+    assert got == expect
+
+
+def test_isotonic_fit_is_monotone(spark, sf_small):
+    from streaming_ml_with_ksql_spark.operators import timeseries as ts_ops
+
+    ev = io_mod.load_table(spark, sf_small, "events")
+    rows = ts_ops.isotonic_daily_fit(ev).collect()
+    fits = [r["iso_micro_d"] for r in sorted(rows, key=lambda r: r["day_idx_d"])]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
