@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from ._core import *  # noqa: F401,F403
 from ._core import _REGISTRY, _t, register  # noqa: F401
+from .q04_streamksql import _STREAM_SEQ, _replay_events  # noqa: F401
 
 
 def _bfs_oracle(iters: int = 4, seed_mod: int = 10) -> str:
@@ -331,4 +332,53 @@ def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double").alias("n_d"),
             F.col("l").cast("double").alias("l_d"),
         )
+    )
+
+
+@register(
+    "streaming_wallet_balance",
+    # The stateful fold over an ordered replay visits every
+    # post-transaction balance, and its per-batch emissions merge by
+    # sum/max/sum — so the drained aggregation equals the batch
+    # prefix-min identity exactly and the verified batch oracle
+    # applies verbatim.
+    _REGISTRY["clamped_running_balance"].oracle,
+)
+def q_streaming_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance twin of the clamped running balance: the
+    events replay drives a per-user wallet state machine
+    (streaming/stateful.py wallet_balance_stream — three scalars per
+    key), folding each micro-batch's deltas through
+    b = max(0, b + dv) from the stored balance and emitting mergeable
+    increments (tx count, batch peak, clamp hits). This is how an
+    account balance stays current on an infinite stream WITHOUT the
+    batch identity's two window passes: state is the balance itself."""
+    stream = _replay_events(spark, sf_dir)
+    deltas = stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1000000.0).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.floor(F.col("value") * 1000000.0).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dv"),
+    )
+    inc = stream_stateful.wallet_balance_stream(deltas)
+    drained = stream_sinks.run_to_memory(
+        inc, f"reg_stream_wallet_{next(_STREAM_SEQ)}"
+    )
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.sum("n_tx").cast("double").alias("n_tx_d"),
+            F.max("peak").cast("double").alias("peak_micro_d"),
+            F.sum("clamp_hits").cast("double").alias("clamp_hits_d"),
+        )
+        .orderBy("user_id")
     )

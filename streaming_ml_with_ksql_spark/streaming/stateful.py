@@ -41,6 +41,7 @@ __all__ = [
     "latest_per_key_stateful",
     "threshold_alert_stream",
     "transition_pairs_stream",
+    "wallet_balance_stream",
 ]
 
 _US = 1_000_000
@@ -438,4 +439,91 @@ def transition_pairs_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def wallet_balance_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    delta_col: str = "dv",
+) -> DataFrame:
+    """Continuously-maintained clamped wallet balance per key — the
+    streaming form of the clamp recurrence b_t = max(0, b_{t-1} + d_t)
+    (the batch twin computes it via the prefix-min identity;
+    registry q10 clamped_running_balance). Each key's state is its
+    CURRENT balance plus the last (ts, order) seen; every micro-batch
+    sorts the key's new deltas by (ts, order), folds them through the
+    recurrence from the stored balance, and emits ONE increment row
+    (n new transactions, the batch's peak post-transaction balance,
+    clamp hits). All three emissions are merge-able (sum / max / sum),
+    so the drained stream aggregates to EXACTLY the batch summary and
+    the verified batch oracle applies verbatim: every post-transaction
+    balance occurs inside some batch fold, so max-of-batch-peaks is the
+    global peak.
+
+    Ordering contract: same as transition_pairs_stream — (ts, order)
+    sorting within a batch; the replay's per-file ts ordering preserves
+    each key's sequence across batches.
+
+    Scale: state per key is three scalars (balance, last ts, last
+    order) — O(live keys) fleet-wide, no buffers, no timeout needed (a
+    wallet stays live by definition)."""
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("n_tx", LongType()),
+            StructField("peak", LongType()),
+            StructField("clamp_hits", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_us", LongType()),
+            StructField("last_order", LongType()),
+            StructField("bal", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, order_col])
+        bal = state.get[2] if state.exists else 0
+        peak, hits, n = None, 0, 0
+        for dv in (int(v) for v in pdf[delta_col]):
+            bal = bal + dv
+            if bal < 0:
+                bal = 0
+            if bal == 0 and dv < 0:
+                hits += 1
+            peak = bal if peak is None or bal > peak else peak
+            n += 1
+        tail = pdf.iloc[-1]
+        state.update(
+            (
+                int(pd.Timestamp(tail[ts_col]).value // 1000),
+                int(tail[order_col]),
+                int(bal),
+            )
+        )
+        yield pd.DataFrame(
+            [(key[0], n, peak, hits)],
+            columns=[key_col, "n_tx", "peak", "clamp_hits"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -182,3 +182,54 @@ def test_isotonic_fit_is_monotone(spark, sf_small):
     rows = ts_ops.isotonic_daily_fit(ev).collect()
     fits = [r["iso_micro_d"] for r in sorted(rows, key=lambda r: r["day_idx_d"])]
     assert all(a <= b for a, b in zip(fits, fits[1:]))
+
+
+def test_streaming_wallet_equals_batch(spark, sf_small):
+    """batch≡stream: the drained wallet state machine's summary must
+    equal the batch prefix-min identity row for row."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    streamed = _REGISTRY["streaming_wallet_balance"].spark(spark, sf_small)
+    batch = _REGISTRY["clamped_running_balance"].spark(spark, sf_small)
+    cols = ["user_id", "n_tx_d", "peak_micro_d", "clamp_hits_d"]
+    assert streamed.select(cols).exceptAll(batch.select(cols)).isEmpty()
+    assert batch.select(cols).exceptAll(streamed.select(cols)).isEmpty()
+
+
+def test_wallet_state_machine_scrambled_within_batch(spark):
+    """In-batch (ts, order) sorting: feeding one batch with shuffled row
+    order must fold in event order — peak/hits are order-sensitive, so a
+    wrong fold order would change them."""
+    from datetime import datetime
+
+    from streaming_ml_with_ksql_spark.streaming import stateful
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 3), 3, -500),
+        (1, datetime(2024, 1, 1, 0, 0, 1), 1, 300),
+        (1, datetime(2024, 1, 1, 0, 0, 2), 2, 200),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, dv long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        srcdir = os.path.join(tmp, "in")
+        src.repartition(1).write.parquet(srcdir)
+        stream = spark.readStream.schema(src.schema).parquet(srcdir)
+        out = stateful.wallet_balance_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wallet_scramble_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM wallet_scramble_t").collect()
+    assert len(got) == 1
+    r = got[0]
+    # ordered fold: 300 -> 500 -> clamp(-500) = 0 : peak 500, one hit
+    assert r["n_tx"] == 3 and r["peak"] == 500 and r["clamp_hits"] == 1
