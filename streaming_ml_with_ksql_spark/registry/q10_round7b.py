@@ -382,3 +382,42 @@ def q_streaming_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "multimodal_gif_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(10 + doc_id % 17 AS INT) AS width,
+             CAST(6 + (doc_id * 3) % 11 AS INT) AS height
+      FROM documents),
+    xs AS (SELECT doc_id, width, height,
+                  unnest(generate_series(0, width - 1)) AS x FROM dims),
+    xy AS (SELECT doc_id, height, x,
+                  unnest(generate_series(0, height - 1)) AS y FROM xs),
+    m AS (
+      SELECT doc_id,
+             avg(CAST((doc_id + 3 * y + 7 * x) % 256 AS DOUBLE))
+               AS mean_index_d,
+             avg(CAST(((doc_id + 3 * y + 7 * x) % 256) * 5 % 256 AS DOUBLE))
+               AS mean_red_d
+      FROM xy GROUP BY 1)
+    SELECT d.doc_id, d.width, d.height, CAST(256 AS INT) AS palette_size,
+           m.mean_index_d, m.mean_red_d, 'stdlib-gif-lzw' AS decoder
+    FROM dims d JOIN m USING (doc_id)
+    """,
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF89a path: per-document payloads written with an in-repo
+    LZW COMPRESSOR (variable 9..12-bit codes, LSB-first packing, table
+    reset at 4096, 255-byte sub-blocks) and decoded back by the in-repo
+    LZW decompressor (operators/multimodal.py _gif_bytes/_gif_parse) —
+    the palette-indexed sibling of the PNG (zlib) and JPEG (T.81)
+    codecs, completing the still-image family. The oracle recomputes
+    geometry and palette statistics analytically from the deterministic
+    index pattern, so a single wrong pixel anywhere in the LZW
+    round-trip breaks the hash. Arrow mapInPandas with size-aware
+    fan-out; the decode is a narrow map (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_gif(multimodal.synthesize_gif_payload(docs))

@@ -684,3 +684,43 @@ def test_dhash_finds_planted_noisy_duplicates(spark):
     # distinct originals dominate the far field: planted pairs are a
     # minority of all 276 pairs
     assert len(pairs) < 50
+
+
+def test_gif_lzw_roundtrip_and_poison(spark):
+    """The LZW stream must round-trip bit-exactly (including a 4096-table
+    reset on long runs) and fail loudly on truncation or a corrupted
+    pixel count."""
+    import pytest
+
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    for doc in (0, 3, 57, 444):
+        payload = mm._gif_bytes(doc)
+        w, h, palette, idx = mm._gif_parse(payload)
+        assert (w, h) == mm._gif_dims(doc)
+        assert idx == bytes(
+            mm._gif_index(doc, x, y) for y in range(h) for x in range(w)
+        )
+        assert len(palette) == 768
+    big = bytes((i * 37 + (i >> 3)) % 256 for i in range(50000))
+    assert mm._lzw_decompress(mm._lzw_compress(big), 8) == big
+    with pytest.raises(ValueError, match="truncated LZW"):
+        mm._lzw_decompress(mm._lzw_compress(big)[:40], 8)
+    good = mm._gif_bytes(7)
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._gif_parse(b"NOPE" + good[4:])
+
+
+def test_gif_decode_distributed_matches_local(spark, sf_small):
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    out = mm.decode_gif(mm.synthesize_gif_payload(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        w, h = mm._gif_dims(r["doc_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["palette_size"] == 256
+        idx = [mm._gif_index(r["doc_id"], x, y) for y in range(h) for x in range(w)]
+        assert abs(r["mean_index_d"] - sum(idx) / len(idx)) < 1e-12
