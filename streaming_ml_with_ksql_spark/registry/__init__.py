@@ -95,10 +95,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # queries remain fully supported + exactly oracled in
     # verify_driver's full sweep.
     #
-    # flagship + window family (W1/W2; session = the distinct gap
-    # semantics)
+    # flagship + window family (W1/W2; session windows hold r06) — the
+    # second slot goes to the clamped-balance prefix-min identity (a
+    # non-associative fold made window-expressible, first verdict)
     "hopping_window_agg",
-    "session_window_agg",
+    "clamped_running_balance",
     # perceptual image-dedup family (first verdicts): dHash over the real
     # PNG codec + banded-Hamming LSH groups (graph metrics hold r06)
     "image_dhash_png",
@@ -123,13 +124,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the full RAG composite (BM25/fuzzy hold r05/r06)
     "text_semantic_search",
     "corpus_rag_pipeline",
-    # relational/TPC-H family (top-k Q3, NOT-EXISTS-chain Q21,
-    # GROUPING SETS, unpivot keep their slots; Q7/Q15 yield to the GDPR
-    # purge audit and the term postings index)
+    # relational/TPC-H family (top-k Q3 and NOT-EXISTS-chain Q21 keep
+    # their slots; GROUPING SETS and unpivot hold r06 and yield to the
+    # l-diversity privacy screen and the exact isotonic trend fit —
+    # both first verdicts)
     "shipping_priority",
     "waiting_suppliers",
-    "order_grouping_sets",
-    "event_type_unpivot",
+    "l_diversity_report",
+    "isotonic_daily_trend",
     "gdpr_purge_audit",
     "term_postings_index",
     # ML scoring + runbook (U1-U3, W4) + per-class metrics (first
@@ -153,17 +155,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_tokenize_fixed",
     "doc_hash_embed",
     "doc_quality_score",
-    # sketch family (streaming quantile twin keeps its slot)
-    "streaming_quantile_sketch",
-    # dedup family (passage granularity + exact n-gram jaccard keep;
-    # the simhash slot goes to round 7's graph-centrality family —
-    # integer fixed-point PageRank over the same near-dup pair graph,
-    # an entirely new family vs a third dedup-fingerprint twin)
-    "passage_dedup_stats",
+    # stateful-streaming maintenance family (the quantile-sketch twin
+    # holds r06 and yields to the wallet state machine, first verdict)
+    "streaming_wallet_balance",
+    # dedup/graph family (exact n-gram jaccard keeps; passage stats
+    # hold r06 and yield to BFS landmark distances — with PageRank the
+    # graph-centrality pair over the same verified near-dup pair graph)
+    "bfs_hops_near_dup",
     "ngram_jaccard_pairs",
     "pagerank_near_dup",
-    # embedding family (semantic dedup groups + LSH near-dup keep)
-    "embedding_dedup_groups",
+    # embedding family (LSH near-dup keeps; dedup groups hold r06 and
+    # yield to integer fixed-point k-means, first verdict)
+    "kmeans_embedding_clusters",
     "embedding_near_dup_pairs_lsh",
     # corpus pipeline (fixed-budget chunking + curation composite +
     # PII scrub keep; the sliding-chunking twin yields its slot to
@@ -176,11 +179,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_documents",
     # forecasting (first verdict): seasonal-naive revenue forecast
     "forecast_revenue",
-    # multimodal (mixed-container dispatch + JPEG + PNG keep their
-    # slots; mp4/mjpg hold r06)
+    # multimodal (mixed-container dispatch + JPEG keep their slots;
+    # PNG/mp4/mjpg hold r06 — the PNG slot goes to the new GIF89a/LZW
+    # codec, first verdict)
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
-    "multimodal_png_decode",
+    "multimodal_gif_decode",
     # streaming family (EMIT CHANGES, custom stateful, the INNER
     # interval join keeps the family slot — left/right/full hold r06 —
     # and the out-of-order-hardened alert-once machine)
