@@ -72,7 +72,6 @@ HEADLINE = [
     "waiting_suppliers",
     "heavy_hitters_users",
     "bloom_pruned_join",
-    "dedup_components",
     "benchmark_decontaminate",
     "streaming_hopping_window",
     "product_profit",
@@ -92,14 +91,14 @@ HEADLINE = [
     "synthetic_clickstream",
     "tfidf_top_terms",
     "keyword_bm25",
-    "multimodal_mjpg_frame_decode",
     "ksql_generated_traffic",
     "quantile_sketch_events",
     "corpus_curation_pipeline",
     # round-6/7 additions (worst-case line stays under LINE_BUDGET_BYTES —
-    # pinned by tests/test_bench_record.py). Six redundant family twins
+    # pinned by tests/test_bench_record.py). Eight redundant family twins
     # (volume_shipping, hourly_gap_fill_locf, hll_partition_merge,
-    # scalar_function_suite, value_outliers_zscore, multimodal_mp4_decode)
+    # scalar_function_suite, value_outliers_zscore, multimodal_mp4_decode,
+    # and in round-7 continuation dedup_components and mjpg_frame_decode)
     # yielded their bytes — each family keeps a heavier representative.
     "touch_attribution",
     "session_event_paths",
@@ -109,6 +108,11 @@ HEADLINE = [
     "doc_quality_score",
     "image_dedup_groups",
     "corpus_rag_pipeline",
+    # round-7 continuation: integer k-means, the GIF/LZW codec, the
+    # isotonic minimax fit
+    "kmeans_embedding_clusters",
+    "multimodal_gif_decode",
+    "isotonic_daily_trend",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -127,9 +131,9 @@ PY_AXIS = frozenset(
         "benchmark_decontaminate",
         "ngram_lm_score",
         "multimodal_audio_decode",
+        "multimodal_gif_decode",
         "multimodal_mixed_container_sample",
         "multimodal_jpeg_decode",
-        "multimodal_mjpg_frame_decode",
         "bpe_tokenize_fixed",
         "duplicate_span_coverage",
         "synthetic_clickstream",
