@@ -421,3 +421,50 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out; the decode is a narrow map (no shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_gif(multimodal.synthesize_gif_payload(docs))
+
+
+@register(
+    "msgpack_source_roundtrip",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_msgpack_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-describing BINARY wire format
+    (sources/msgpack_py.py — pure-Python MessagePack, completing the
+    Avro / Debezium-JSON / proto3 / XML family with the tag-prefixed
+    schemaless member): events pack into canonical minimal-width
+    MessagePack arrays (nil for null, smallest int form, float64,
+    fixstr/strN) and decode back to typed columns. The parquet table is
+    the oracle, so a hash match proves the round-trip lossless —
+    including nullable user_id nil semantics and double bit-exactness
+    through the big-endian IEEE path."""
+    from ..sources import msgpack_py
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts_micros", "user_id", "event_type", "value", "props"]
+    wire_in = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    payloads = msgpack_py.encode_msgpack(wire_in, cols)
+    decoded = msgpack_py.decode_msgpack(
+        payloads,
+        cols,
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    return decoded.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )

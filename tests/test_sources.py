@@ -375,3 +375,64 @@ def test_confluent_mixed_schema_ids_fail_loudly(spark):
     assert len(reg._subjects) == 2  # genuinely two distinct ids on the wire
     with _pytest.raises(Exception, match="mixed|prefix mismatch"):
         avro_py.decode_confluent(framed, reg).collect()
+
+
+def test_msgpack_boundary_values_roundtrip():
+    """Canonical width selection must round-trip every integer boundary,
+    string-length format crossing, nil, bool, and float."""
+    from streaming_ml_with_ksql_spark.sources import msgpack_py as mp
+
+    vals = [
+        None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536,
+        4294967295, 4294967296, 2**64 - 1, -1, -32, -33, -128, -129,
+        -32768, -32769, -2**31, -2**31 - 1, -2**63,
+        0.0, -1.5, 3.141592653589793, float("inf"),
+        "", "a" * 31, "b" * 32, "c" * 255, "d" * 256, "e" * 70000,
+        "naïve-ütf8", b"", b"\x00\xff" * 300,
+    ]
+    out = bytearray()
+    for v in vals:
+        mp.pack_value(v, out)
+    data = bytes(out)
+    pos = 0
+    got = []
+    while pos < len(data):
+        v, pos = mp.unpack_value(data, pos)
+        got.append(v)
+    assert got == vals
+
+
+def test_msgpack_poison_fails_loudly():
+    import pytest
+
+    from streaming_ml_with_ksql_spark.sources import msgpack_py as mp
+
+    out = bytearray()
+    mp.pack_value("hello world, a longer string" * 4, out)
+    with pytest.raises(ValueError, match="truncated msgpack"):
+        mp.unpack_value(bytes(out[:-5]), 0)
+    with pytest.raises(ValueError, match="truncated msgpack"):
+        mp.unpack_value(b"\xcb\x00\x00", 0)
+    with pytest.raises(ValueError, match="unsupported msgpack tag"):
+        mp.unpack_value(b"\xc1", 0)
+    with pytest.raises(ValueError, match="out of 64-bit range"):
+        mp.pack_value(2**64, bytearray())
+
+
+def test_msgpack_row_arity_and_trailing_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.sources import msgpack_py as mp
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a long, b string")
+    enc = mp.encode_msgpack(df, ["a", "b"])
+    ok = mp.decode_msgpack(enc, ["a", "b"], "a bigint, b string").collect()
+    assert sorted((r["a"], r["b"]) for r in ok) == [(1, "x"), (2, None)]
+    poisoned = enc.select(
+        F.concat(F.col("payload"), F.lit(b"\xc0")).alias("payload")
+    )
+    with pytest.raises(Exception, match="trailing bytes"):
+        mp.decode_msgpack(poisoned, ["a", "b"], "a bigint, b string").collect()
+    with pytest.raises(Exception, match="arity mismatch"):
+        mp.decode_msgpack(enc, ["a", "b", "c"], "a bigint, b string, c string").collect()
