@@ -495,3 +495,72 @@ def test_round7_analytics_plan_shapes(spark):
     for q in ("ab_test_lift", "score_calibration_bins"):
         plan = _explain(spark, q, "simple")
         assert "Join" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_round7b_plan_shapes(spark):
+    """Round-7 continuation operators: partitioned windows, broadcast
+    joins, narrow codec maps."""
+    # clamped balance: BOTH window passes partition by user — a
+    # partition-less window spec (one that starts straight at the
+    # ORDER BY list) must not exist anywhere in the plan
+    plan = _explain(spark, "clamped_running_balance", "formatted")
+    assert "windowspecdefinition(user_id" in plan
+    assert "windowspecdefinition(ts" not in plan
+    assert "CartesianProduct" not in plan
+
+    # isotonic: every join over the month-bounded daily frame is a
+    # broadcast; the corpus-side aggregation happens before any join
+    plan = _explain(spark, "isotonic_daily_trend", "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+    # GIF: same narrow-map contract as the JPEG/PNG codecs — one
+    # round-robin fan-out below the encode kernel, nothing after the
+    # payload synthesis shuffles
+    plan = _explain(spark, "multimodal_gif_decode", "simple")
+    assert "MapInPandas" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1 and "RoundRobin" in exchanges[0], exchanges
+
+    # msgpack roundtrip: two narrow Arrow maps, no shuffle at all
+    plan = _explain(spark, "msgpack_source_roundtrip", "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+    # l-diversity: pure partial-aggregated groupBy, no join
+    plan = _explain(spark, "l_diversity_report", "simple")
+    assert "Join" not in plan
+
+
+def test_kmeans_and_bfs_loop_plan_shapes(spark):
+    """Iterative operators: the per-iteration frames are
+    localCheckpointed (lineage truncation), assignment broadcasts the
+    k-row centroid side, and the final plans contain no cartesian pair
+    scan over points x points."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import clustering, graph
+
+    emb = io_mod.load_table(spark, SF, "embeddings")
+    asg = clustering.kmeans_fixed_point(emb, k=5, iters=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        asg._jdf.queryExecution(), "simple"
+    )
+    # the ONLY nested-loop is the deliberate k-row centroid broadcast
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # lineage truncated: the plan reads the checkpointed RDDs, not the
+    # full iterative DAG back to parquet
+    assert "Scan ExistingRDD" in plan
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    dist = graph.bfs_hops(pairs, seed_mod=7, iters=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        dist._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
