@@ -468,3 +468,101 @@ def q_msgpack_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "link_prediction_copurchase",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+    mids AS (SELECT node, d FROM deg WHERE d <= 50),
+    cand AS (
+      SELECT e1.src AS a, e2.dst AS c, m.d AS md
+      FROM edges e1
+      JOIN mids m ON m.node = e1.dst
+      JOIN edges e2 ON e2.src = e1.dst
+      WHERE e1.src < e2.dst),
+    nonedge AS (
+      SELECT a, c, md FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = cand.a AND e.dst = cand.c)),
+    scored AS (
+      SELECT a, c, count(*) AS cn, sum(1000000 // md) AS score
+      FROM nonedge GROUP BY 1, 2)
+    SELECT a AS part_a, c AS part_b,
+           CAST(score AS DOUBLE) AS score_ppm_d,
+           CAST(cn AS DOUBLE) AS common_neighbors_d
+    FROM scored ORDER BY score DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PREDICTED missing co-purchase edges by resource-allocation
+    index (Zhou/Lu/Zhang 2009): parts never bought together whose shared
+    co-purchase neighborhoods score highest — the item-item candidate
+    recommender over the basket graph (the link-prediction view of
+    copurchase_lift's association view). Log-free integer form of
+    Adamic-Adar (sum of 1e6 div deg(middle) — rank-equivalent, the
+    rational-forms discipline); existing edges leave via an anti-join;
+    selection via TakeOrderedAndProject. Scale: two-hop generation
+    routes ONLY through middles with deg <= 50 (hub removal — the
+    standard item-item CF bound, and 1e6/deg is noise on hubs anyway),
+    so the join is O(n_mid * cap^2) rows shuffled on the middle vertex,
+    never corpus x corpus; the near-dup graph is unusable here because
+    banded Jaccard components are transitively closed (zero two-hop
+    non-edges at every SF — verified)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    mids = deg.where(F.col("d") <= 50)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = edges.select(F.col("src").alias("m"), F.col("dst").alias("c"))
+    cand = (
+        e1.join(mids.select(F.col("node").alias("m"), F.col("d").alias("md")), "m")
+        .join(e2, "m")
+        .where(F.col("a") < F.col("c"))
+    )
+    nonedge = cand.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    scored = nonedge.groupBy("a", "c").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.expr("1000000L div md")).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("a").asc(), F.col("c").asc())
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            F.col("score").cast("double").alias("score_ppm_d"),
+            F.col("cn").cast("double").alias("common_neighbors_d"),
+        )
+    )

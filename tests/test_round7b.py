@@ -233,3 +233,38 @@ def test_wallet_state_machine_scrambled_within_batch(spark):
     r = got[0]
     # ordered fold: 300 -> 500 -> clamp(-500) = 0 : peak 500, one hit
     assert r["n_tx"] == 3 and r["peak"] == 500 and r["clamp_hits"] == 1
+
+
+def test_link_prediction_scores_hand_graph(spark, sf_small):
+    """Predicted pairs must be genuine non-edges, and on the real data
+    every reported score must equal the direct recomputation from the
+    co-purchase graph."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["link_prediction_copurchase"].spark(spark, sf_small).collect()
+    assert 0 < len(out) <= 20
+
+    li = (
+        io_mod.load_table(spark, sf_small, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for _, r in li.iterrows():
+        baskets[r["l_orderkey"]].add(int(r["l_partkey"]))
+    adj = defaultdict(set)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                adj[x].add(y)
+                adj[y].add(x)
+    for r in out:
+        a, b = int(r["part_a"]), int(r["part_b"])
+        assert b not in adj[a], (a, b)
+        mids = [m for m in adj[a] & adj[b] if len(adj[m]) <= 50]
+        assert r["common_neighbors_d"] == float(len(mids))
+        assert r["score_ppm_d"] == float(sum(1000000 // len(adj[m]) for m in mids))
