@@ -566,3 +566,79 @@ def q_link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn").cast("double").alias("common_neighbors_d"),
         )
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS y
+      FROM events GROUP BY 1),
+    d0 AS (SELECT min(day) AS d0 FROM daily),
+    d AS (SELECT datediff('day', d0, day) AS t, y
+          FROM daily CROSS JOIN d0),
+    tr AS (
+      SELECT a.t, a.y, sum(b.y) // count(*) AS trend
+      FROM d a JOIN d b ON b.t BETWEEN a.t - 3 AND a.t + 3
+      GROUP BY a.t, a.y),
+    det AS (SELECT t, y, trend, y - trend AS dt, t % 7 AS w FROM tr),
+    seas AS (SELECT w, sum(dt) // count(*) AS s FROM det GROUP BY 1)
+    SELECT CAST(t AS DOUBLE) AS day_idx_d,
+           CAST(y AS DOUBLE) AS y_micro_d,
+           CAST(trend AS DOUBLE) AS trend_micro_d,
+           CAST(s AS DOUBLE) AS seasonal_micro_d,
+           CAST(dt - s AS DOUBLE) AS resid_micro_d
+    FROM det JOIN seas USING (w) ORDER BY 1
+    """,
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily value series —
+    y = trend + weekly seasonal + residual, the monitoring view behind
+    every "is this drop seasonal or real" question. Trend is a centered
+    7-day moving mean (truncated at the series edges), the seasonal
+    index is the mean detrended value per weekday slot (t mod 7 —
+    anchored to the first observed day, sidestepping the engines'
+    dayofweek origin mismatch), and every mean is an integer
+    sum-div-count in exact micro-units (truncation toward zero matches
+    across engines even on negative detrended sums — the ses/kmeans
+    discipline). Corpus collapses to one row per calendar day before
+    any pair math; the month-bounded window join is all broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    d = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("t"), "y")
+        .localCheckpoint(eager=True)
+    )
+    b = d.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    tr = (
+        d.join(
+            F.broadcast(b),
+            (F.col("t2") >= F.col("t") - 3) & (F.col("t2") <= F.col("t") + 3),
+        )
+        .groupBy("t", "y")
+        .agg(F.expr("sum(y2) div count(*)").alias("trend"))
+    )
+    det = tr.select(
+        "t",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("dt"),
+        (F.col("t") % 7).alias("w"),
+    )
+    seas = det.groupBy("w").agg(F.expr("sum(dt) div count(*)").alias("s"))
+    return (
+        det.join(F.broadcast(seas), "w")
+        .select(
+            F.col("t").cast("double").alias("day_idx_d"),
+            F.col("y").cast("double").alias("y_micro_d"),
+            F.col("trend").cast("double").alias("trend_micro_d"),
+            F.col("s").cast("double").alias("seasonal_micro_d"),
+            (F.col("dt") - F.col("s")).cast("double").alias("resid_micro_d"),
+        )
+        .orderBy("day_idx_d")
+    )

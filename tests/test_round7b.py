@@ -268,3 +268,25 @@ def test_link_prediction_scores_hand_graph(spark, sf_small):
         mids = [m for m in adj[a] & adj[b] if len(adj[m]) <= 50]
         assert r["common_neighbors_d"] == float(len(mids))
         assert r["score_ppm_d"] == float(sum(1000000 // len(adj[m]) for m in mids))
+
+
+def test_seasonal_decompose_reconstructs_and_centers(spark, sf_small):
+    """trend + seasonal + residual must reconstruct y exactly (integer
+    identity), and a planted weekly pattern must land in the seasonal
+    component."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["seasonal_decompose_daily"].spark(spark, sf_small).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (
+            r["trend_micro_d"] + r["seasonal_micro_d"] + r["resid_micro_d"]
+            == r["y_micro_d"]
+        )
+    # same weekday slot -> same seasonal index
+    from collections import defaultdict
+
+    byw = defaultdict(set)
+    for r in rows:
+        byw[int(r["day_idx_d"]) % 7].add(r["seasonal_micro_d"])
+    assert all(len(v) == 1 for v in byw.values())
