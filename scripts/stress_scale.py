@@ -78,6 +78,15 @@ QUERIES = [
     "copurchase_lift",
     "bigram_collocations",
     "embedding_cluster_quality",
+    # round-7 continuation
+    "clamped_running_balance",
+    "kmeans_embedding_clusters",
+    "isotonic_daily_trend",
+    "bfs_hops_near_dup",
+    "link_prediction_copurchase",
+    "seasonal_decompose_daily",
+    "multimodal_gif_decode",
+    "msgpack_source_roundtrip",
 ]
 
 
