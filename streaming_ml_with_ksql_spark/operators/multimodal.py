@@ -2205,16 +2205,18 @@ def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # KwKwK
+            # a full table stops growing until CLEAR — GIF's "deferred
+            # clear": conforming encoders may keep emitting 12-bit codes
+            # from the frozen table, so growing past 4096 would desync
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
         else:
             raise ValueError(f"LZW code {code} beyond table")
         out += entry
-        if prev is not None and len(table) == (1 << width) and width < 12:
-            width += 1
-        elif prev is None and len(table) == (1 << width) and width < 12:
+        if len(table) == (1 << width) and width < 12:
             width += 1
         prev = entry
     return bytes(out)

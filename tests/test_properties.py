@@ -254,3 +254,48 @@ def test_avro_binary_roundtrip_property(spark, rows):
     a = sorted(tuple(map(repr, r)) for r in df.collect())
     b = sorted(tuple(map(repr, r)) for r in back.collect())
     assert a == b
+
+
+@settings(
+    max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**63), max_value=2**64 - 1),
+            st.floats(allow_nan=False),
+            st.text(max_size=300),
+            st.binary(max_size=300),
+        ),
+        max_size=20,
+    )
+)
+def test_msgpack_value_roundtrip_property(vals):
+    """Every supported scalar round-trips through the canonical
+    MessagePack forms, whatever width boundary it sits on."""
+    from streaming_ml_with_ksql_spark.sources import msgpack_py as mp
+
+    out = bytearray()
+    for v in vals:
+        mp.pack_value(v, out)
+    data = bytes(out)
+    pos, got = 0, []
+    while pos < len(data):
+        v, pos = mp.unpack_value(data, pos)
+        got.append(v)
+    assert got == vals
+    assert pos == len(data)
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(st.binary(min_size=0, max_size=8000))
+def test_gif_lzw_roundtrip_property(data):
+    """The LZW codec inverts itself on arbitrary byte streams (any
+    alphabet mix, any repetition structure, table resets included)."""
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    assert mm._lzw_decompress(mm._lzw_compress(data, 8), 8) == data
