@@ -642,3 +642,54 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx_d")
     )
+
+
+@register(
+    "twap_user_value",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+             (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000 AS gap_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, vm, gap_ms FROM g WHERE gap_ms IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS DOUBLE) AS n_intervals_d,
+           CAST(sum(gap_ms) AS DOUBLE) AS span_ms_d,
+           CAST(sum(vm * gap_ms) // sum(gap_ms) AS DOUBLE) AS twap_milli_d
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/loan-balance
+    aggregate): each observation is weighted by how long it remained
+    current (millisecond gap to the user's next event — exact integer
+    division of the unix_micros diff), the fair average
+    for irregularly-sampled series where plain mean over-weights bursts.
+    Weighted sum and divisor are exact integers (milli-unit value x
+    millisecond gap: the per-user weighted sum is bounded by
+    max_value x calendar span — ROW-COUNT-FREE, so it stays BIGINT-safe
+    at any corpus scale; final div truncation shared by both engines). One per-user lead window — partitioned, never
+    global. The last observation carries no forward interval and is
+    excluded, mirroring the LOCF convention of hourly_gap_fill_locf."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000.0).cast("long").alias("vm"),
+        F.expr(
+            "(unix_micros(lead(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)) - unix_micros(ts)) div 1000"
+        ).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_intervals_d"),
+            F.sum("gap_ms").cast("double").alias("span_ms_d"),
+            F.expr("CAST(sum(vm * gap_ms) div sum(gap_ms) AS DOUBLE)").alias(
+                "twap_milli_d"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -290,3 +290,28 @@ def test_seasonal_decompose_reconstructs_and_centers(spark, sf_small):
     for r in rows:
         byw[int(r["day_idx_d"]) % 7].add(r["seasonal_micro_d"])
     assert all(len(v) == 1 for v in byw.values())
+
+
+def test_twap_weighted_mean_matches_pandas(spark, sf_small):
+    """The TWAP must equal the direct per-user weighted computation."""
+    import math
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = {
+        int(r["user_id"]): (r["n_intervals_d"], r["span_ms_d"], r["twap_milli_d"])
+        for r in _REGISTRY["twap_user_value"].spark(spark, sf_small).collect()
+    }
+    pdf = (
+        io_mod.load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, g in pdf.groupby("user_id"):
+        vs = [int(math.floor(v * 1000.0)) for v in g["value"]]
+        us = [int(t.value // 1000) for t in g["ts"]]
+        gaps = [(us[i + 1] - us[i]) // 1000 for i in range(len(us) - 1)]
+        num = sum(v * w for v, w in zip(vs, gaps))
+        den = sum(gaps)
+        assert out[uid] == (float(len(gaps)), float(den), float(num // den))
