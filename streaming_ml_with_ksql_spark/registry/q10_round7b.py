@@ -693,3 +693,98 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'orders->customer' AS rel,
+           CAST((SELECT count(*) FROM orders) AS DOUBLE) AS n_child_d,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS DOUBLE) AS n_orphan_d
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS DOUBLE),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS DOUBLE)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS DOUBLE),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS DOUBLE)
+    UNION ALL
+    SELECT 'events->user-profile',
+           CAST((SELECT count(*) FROM events) AS DOUBLE),
+           CAST((SELECT count(*) FROM events e
+                 WHERE e.user_id IS NULL) AS DOUBLE)
+    ORDER BY rel
+    """,
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — orphan counts for the
+    star schema's foreign keys plus the event stream's nullable user
+    key: the data-quality gate a 100 TB ingest runs before anything
+    joins (one orphan silently drops rows from every inner join
+    downstream). Each check is an anti-join counted map-side (LeftAnti
+    over the broadcast/shuffled key relation — never a row-by-row
+    lookup); the four 1-row aggregates union into one bounded report.
+    Completes the quality family: events_quality_rules (row-level),
+    k_anonymity/l_diversity (privacy), this (cross-table)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    events = _t(spark, sf_dir, "events")
+
+    def audit(rel, child, orphan_df):
+        return child.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).cast("double").alias("n_child_d"),
+        ).crossJoin(
+            orphan_df.agg(F.count(F.lit(1)).cast("double").alias("n_orphan_d"))
+        )
+
+    checks = [
+        audit(
+            "orders->customer",
+            orders,
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        audit(
+            "lineitem->orders",
+            lineitem,
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        audit(
+            "lineitem->part",
+            lineitem,
+            lineitem.join(
+                part.select(F.col("p_partkey").alias("l_partkey")),
+                "l_partkey",
+                "left_anti",
+            ),
+        ),
+        audit(
+            "events->user-profile",
+            events,
+            events.where(F.col("user_id").isNull()),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rel")
