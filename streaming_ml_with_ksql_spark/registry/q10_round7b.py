@@ -788,3 +788,48 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("rel")
+
+
+@register(
+    "streaming_cdc_incremental_agg",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS n_customers_d,
+           CAST(sum(CAST(floor(
+             (CASE WHEN c_custkey % 7 = 0
+                   THEN c_acctbal + CAST(100 AS DOUBLE)
+                   ELSE c_acctbal END) * CAST(100 AS DOUBLE))
+             AS BIGINT)) AS DOUBLE) AS total_cents_d
+    FROM customer WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_streaming_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-AGGREGATE maintenance over the CDC stream: the
+    Debezium changelog replay drives the per-key delta state machine
+    (streaming/stateful.py cdc_delta_agg_stream — insert +1/+v, update
+    +(new-old) with the old value held in state, delete -1/-old), and
+    summing the drained increments reproduces EXACTLY the count and
+    exact-cents balance total of the post-state customer table (the
+    oracle recomputes it from the snapshot semantics:
+    %13 keys deleted, %7 keys rebalanced +100). This is the O(changes)
+    view-maintenance path — cdc_snapshot is O(table) recompute, this
+    never touches the snapshot after bootstrap. Balance quantized to
+    exact integer cents JVM-side before the Arrow boundary."""
+    from .q04_streamksql import _replay_cdc_changelog
+
+    stream = _replay_cdc_changelog(spark, sf_dir)
+    with_cents = stream.select(
+        "c_custkey",
+        "ts",
+        "__op",
+        F.floor(F.col("c_acctbal") * F.lit(100).cast("double"))
+        .cast("long")
+        .alias("cents"),
+    )
+    inc = stream_stateful.cdc_delta_agg_stream(with_cents)
+    drained = stream_sinks.run_to_memory(
+        inc, f"reg_stream_cdcagg_{next(_STREAM_SEQ)}"
+    )
+    return drained.agg(
+        F.sum("d_n").cast("double").alias("n_customers_d"),
+        F.sum("d_sum").cast("double").alias("total_cents_d"),
+    )

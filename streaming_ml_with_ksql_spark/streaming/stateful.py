@@ -42,6 +42,7 @@ __all__ = [
     "threshold_alert_stream",
     "transition_pairs_stream",
     "wallet_balance_stream",
+    "cdc_delta_agg_stream",
 ]
 
 _US = 1_000_000
@@ -521,6 +522,79 @@ def wallet_balance_stream(
         )
 
     return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cdc_delta_agg_stream(
+    changes: DataFrame,
+    *,
+    key_col: str = "c_custkey",
+    ts_col: str = "ts",
+    op_col: str = "__op",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Incremental AGGREGATE maintenance over a flattened CDC changelog
+    — the materialized-view delta algebra (insert: +1/+v, update:
+    +(new-old), delete: -1/-old) as a per-key state machine. The
+    flattened Debezium replay carries no before-image on updates, so
+    the OLD value lives in state (one BIGINT + liveness per key); each
+    micro-batch folds the key's changes in ts order and emits ONE
+    additive increment row (d_n, d_sum). Summing the drained increments
+    yields exactly the aggregate of the post-state table — which is
+    what the oracle states — without ever re-scanning the snapshot:
+    the O(changes) maintenance path a 100 TB warehouse needs, vs
+    cdc_snapshot's O(table) recompute.
+
+    Scale: state per key is two scalars; emissions are one row per
+    (key, batch) — both additive and order-insensitive ACROSS keys."""
+    key_field = changes.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("d_n", LongType()),
+            StructField("d_sum", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("alive", LongType()), StructField("bal", LongType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, op_col])
+        alive, bal = state.get if state.exists else (0, 0)
+        d_n, d_sum = 0, 0
+        for op, cents in zip(pdf[op_col], pdf[cents_col]):
+            if op == "d":
+                if alive:
+                    d_n -= 1
+                    d_sum -= bal
+                    alive, bal = 0, 0
+            else:
+                v = int(cents)
+                if alive:
+                    d_sum += v - bal
+                else:
+                    d_n += 1
+                    d_sum += v
+                alive, bal = 1, v
+        state.update((int(alive), int(bal)))
+        yield pd.DataFrame(
+            [(key[0], d_n, d_sum)], columns=[key_col, "d_n", "d_sum"]
+        )
+
+    return changes.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

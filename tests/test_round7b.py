@@ -315,3 +315,44 @@ def test_twap_weighted_mean_matches_pandas(spark, sf_small):
         num = sum(v * w for v, w in zip(vs, gaps))
         den = sum(gaps)
         assert out[uid] == (float(len(gaps)), float(den), float(num // den))
+
+
+def test_cdc_delta_agg_full_lifecycle(spark):
+    """insert -> update -> delete -> re-insert folded through the delta
+    machine must net to the final-state aggregate (one live row at its
+    last value), with the old value correctly recovered from state."""
+    from datetime import datetime
+
+    from streaming_ml_with_ksql_spark.streaming import stateful
+
+    rows = [
+        (5, datetime(2024, 1, 1, 0, 0, 1), "r", 1000),
+        (5, datetime(2024, 1, 1, 0, 0, 2), "u", 2500),
+        (5, datetime(2024, 1, 1, 0, 0, 3), "d", 2500),
+        (5, datetime(2024, 1, 1, 0, 0, 4), "c", 400),
+        (9, datetime(2024, 1, 1, 0, 0, 1), "r", 700),
+        (9, datetime(2024, 1, 1, 0, 0, 2), "d", 700),
+    ]
+    src = spark.createDataFrame(
+        rows, "c_custkey long, ts timestamp, __op string, cents long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        srcdir = os.path.join(tmp, "in")
+        src.repartition(1).write.parquet(srcdir)
+        stream = spark.readStream.schema(src.schema).parquet(srcdir)
+        out = stateful.cdc_delta_agg_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cdc_delta_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT sum(d_n) AS n, sum(d_sum) AS s FROM cdc_delta_t"
+        ).collect()[0]
+    assert got["n"] == 1 and got["s"] == 400
