@@ -833,3 +833,84 @@ def q_streaming_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("d_n").cast("double").alias("n_customers_d"),
         F.sum("d_sum").cast("double").alias("total_cents_d"),
     )
+
+
+@register(
+    "snapshot_diff_customers",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS n_pre_d,
+           CAST(sum(CASE WHEN c_custkey % 13 <> 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS n_post_d,
+           CAST(0 AS DOUBLE) AS added_d,
+           CAST(sum(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS removed_d,
+           CAST(sum(CASE WHEN c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS changed_d,
+           CAST(sum(CASE WHEN c_custkey % 13 <> 0 AND c_custkey % 7 <> 0
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS unchanged_d,
+           CAST(sum(CASE WHEN c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS acctbal_changed_d,
+           CAST(0 AS DOUBLE) AS name_changed_d
+    FROM customer
+    """,
+)
+def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation: a GENERIC snapshot diff (full outer join on
+    the key, per-row classification into added / removed / changed /
+    unchanged plus per-column change counts) run between the original
+    customer table and the CDC-materialized post-state — the audit a
+    migration or replication pipeline runs to prove the copy faithful.
+    The oracle states the diff in closed form from the changelog's
+    mutation rules (%13 deleted, %7 rebalanced), so the generic
+    operator's output is fully hash-checked. One shuffle on the key
+    (both sides hash-partitioned); counts map-side combine."""
+    pre = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    post = _REGISTRY["cdc_snapshot_customers"].spark(spark, sf_dir)
+    j = pre.alias("a").join(
+        post.alias("b"),
+        F.col("a.c_custkey") == F.col("b.c_custkey"),
+        "full_outer",
+    )
+    cls = j.select(
+        F.col("a.c_custkey").alias("pre_key"),
+        F.col("b.c_custkey").alias("post_key"),
+        (
+            F.col("a.c_custkey").isNotNull()
+            & F.col("b.c_custkey").isNotNull()
+            & (F.col("a.c_name") != F.col("b.c_name"))
+        ).cast("long").alias("name_chg"),
+        (
+            F.col("a.c_custkey").isNotNull()
+            & F.col("b.c_custkey").isNotNull()
+            & (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+        ).cast("long").alias("bal_chg"),
+    )
+    return cls.agg(
+        F.count("pre_key").cast("double").alias("n_pre_d"),
+        F.count("post_key").cast("double").alias("n_post_d"),
+        F.sum(F.when(F.col("pre_key").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("added_d"),
+        F.sum(F.when(F.col("post_key").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("removed_d"),
+        F.sum(
+            F.when((F.col("name_chg") + F.col("bal_chg")) > 0, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("changed_d"),
+        F.sum(
+            F.when(
+                F.col("pre_key").isNotNull()
+                & F.col("post_key").isNotNull()
+                & ((F.col("name_chg") + F.col("bal_chg")) == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("unchanged_d"),
+        F.sum("bal_chg").cast("double").alias("acctbal_changed_d"),
+        F.sum("name_chg").cast("double").alias("name_changed_d"),
+    )
