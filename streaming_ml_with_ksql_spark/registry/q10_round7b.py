@@ -914,3 +914,129 @@ def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal_chg").cast("double").alias("acctbal_changed_d"),
         F.sum("name_chg").cast("double").alias("name_changed_d"),
     )
+
+
+def _seasonal_anomaly_oracle() -> str:
+    """Composition oracle: the verified seasonal_decompose_daily
+    statement nested as a derived table, then exact integer median/MAD
+    in DOUBLED units (med2 = sum of the two middle order statistics, so
+    odd/even day counts need no fractional division), and the flag
+    2*|2*resid - med2| > 3*mad2  <=>  |resid - med| > 3*MAD — every
+    comparison integer."""
+    dec_sql = _REGISTRY["seasonal_decompose_daily"].oracle
+    return f"""
+    WITH dec AS (
+      SELECT CAST(day_idx_d AS BIGINT) AS t,
+             CAST(y_micro_d AS BIGINT) AS y,
+             CAST(resid_micro_d AS BIGINT) AS resid
+      FROM ({dec_sql}) q),
+    n AS (SELECT count(*) AS n FROM dec),
+    rk AS (
+      SELECT a.t, a.y, a.resid, count(*) AS r
+      FROM dec a JOIN dec b
+        ON b.resid < a.resid OR (b.resid = a.resid AND b.t <= a.t)
+      GROUP BY a.t, a.y, a.resid),
+    med AS (
+      SELECT sum(CASE WHEN r = (n + 1) // 2 THEN resid ELSE 0 END)
+             + sum(CASE WHEN r = (n + 2) // 2 THEN resid ELSE 0 END)
+               AS med2
+      FROM rk CROSS JOIN n),
+    dv AS (SELECT t, y, resid, abs(2 * resid - med2) AS d2
+           FROM rk CROSS JOIN med),
+    rk2 AS (
+      SELECT a.t, count(*) AS r
+      FROM dv a JOIN dv b ON b.d2 < a.d2 OR (b.d2 = a.d2 AND b.t <= a.t)
+      GROUP BY a.t),
+    mad AS (
+      SELECT sum(CASE WHEN rk2.r = (n + 1) // 2 THEN dv.d2 ELSE 0 END)
+             + sum(CASE WHEN rk2.r = (n + 2) // 2 THEN dv.d2 ELSE 0 END)
+               AS mad2
+      FROM dv JOIN rk2 USING (t) CROSS JOIN n)
+    SELECT CAST(dv.t AS DOUBLE) AS day_idx_d,
+           CAST(dv.y AS DOUBLE) AS y_micro_d,
+           CAST(dv.resid AS DOUBLE) AS resid_micro_d,
+           CAST(dv.d2 AS DOUBLE) AS dev2_micro_d,
+           CAST(mad.mad2 AS DOUBLE) AS mad2_micro_d
+    FROM dv CROSS JOIN mad
+    WHERE dv.d2 > mad.mad2
+    ORDER BY 1
+    """
+
+
+@register("seasonal_anomaly_days", _seasonal_anomaly_oracle())
+def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: days whose decomposition
+    RESIDUAL (seasonal_decompose_daily — trend and weekday effects
+    already removed, so a busy Saturday is not an 'anomaly') deviates
+    more than 2 robust MADs from the residual median. Median and MAD
+    are exact integers in DOUBLED units (sum of the two middle order
+    statistics — no fractional midpoint), ranks come from the bounded
+    broadcast self-join idiom (the key_skew_profile discipline — no
+    partition-less window anywhere), and the flag is a pure integer
+    comparison. The composition rule nests the verified decompose
+    oracle verbatim."""
+    ev = _t(spark, sf_dir, "events")
+    dec = (
+        _REGISTRY["seasonal_decompose_daily"]
+        .spark(spark, sf_dir)
+        .select(
+            F.col("day_idx_d").cast("long").alias("t"),
+            F.col("y_micro_d").cast("long").alias("y"),
+            F.col("resid_micro_d").cast("long").alias("resid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = dec.agg(F.count(F.lit(1)).alias("n"))
+    b = dec.select(F.col("resid").alias("r2"), F.col("t").alias("t2"))
+    rk = (
+        dec.join(
+            F.broadcast(b),
+            (F.col("r2") < F.col("resid"))
+            | ((F.col("r2") == F.col("resid")) & (F.col("t2") <= F.col("t"))),
+        )
+        .groupBy("t", "y", "resid")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    med = (
+        rk.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                F.sum(F.when(F.expr("r = (n + 1) div 2"), F.col("resid")).otherwise(0))
+                + F.sum(F.when(F.expr("r = (n + 2) div 2"), F.col("resid")).otherwise(0))
+            ).alias("med2")
+        )
+    )
+    dv = rk.crossJoin(F.broadcast(med)).select(
+        "t", "y", "resid", F.abs(2 * F.col("resid") - F.col("med2")).alias("d2")
+    )
+    b2 = dv.select(F.col("d2").alias("dd2"), F.col("t").alias("t2"))
+    rk2 = (
+        dv.join(
+            F.broadcast(b2),
+            (F.col("dd2") < F.col("d2"))
+            | ((F.col("dd2") == F.col("d2")) & (F.col("t2") <= F.col("t"))),
+        )
+        .groupBy("t", "d2")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    mad = (
+        rk2.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                F.sum(F.when(F.expr("r = (n + 1) div 2"), F.col("d2")).otherwise(0))
+                + F.sum(F.when(F.expr("r = (n + 2) div 2"), F.col("d2")).otherwise(0))
+            ).alias("mad2")
+        )
+    )
+    return (
+        dv.crossJoin(F.broadcast(mad))
+        .where(F.col("d2") > F.col("mad2"))
+        .select(
+            F.col("t").cast("double").alias("day_idx_d"),
+            F.col("y").cast("double").alias("y_micro_d"),
+            F.col("resid").cast("double").alias("resid_micro_d"),
+            F.col("d2").cast("double").alias("dev2_micro_d"),
+            F.col("mad2").cast("double").alias("mad2_micro_d"),
+        )
+        .orderBy("day_idx_d")
+    )

@@ -356,3 +356,21 @@ def test_cdc_delta_agg_full_lifecycle(spark):
             "SELECT sum(d_n) AS n, sum(d_sum) AS s FROM cdc_delta_t"
         ).collect()[0]
     assert got["n"] == 1 and got["s"] == 400
+
+
+def test_seasonal_anomaly_flags_match_mad_rule(spark, sf_small):
+    """Flagged days must be exactly those whose residual deviates more
+    than 2 exact MADs from the residual median (statistics module as
+    the independent reference)."""
+    import statistics
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    dec = _REGISTRY["seasonal_decompose_daily"].spark(spark, sf_small).collect()
+    resid = {int(r["day_idx_d"]): int(r["resid_micro_d"]) for r in dec}
+    med = statistics.median(resid.values())
+    mad = statistics.median(abs(v - med) for v in resid.values())
+    expect = {t for t, v in resid.items() if abs(v - med) > 2 * mad}
+
+    out = _REGISTRY["seasonal_anomaly_days"].spark(spark, sf_small).collect()
+    assert {int(r["day_idx_d"]) for r in out} == expect
