@@ -1040,3 +1040,129 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx_d")
     )
+
+
+@register(
+    "bootstrap_revenue_ci",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS y
+      FROM events GROUP BY 1),
+    d0 AS (SELECT min(day) AS d0, count(*) AS n FROM daily),
+    d AS (SELECT datediff('day', d0, day) AS t, y, n
+          FROM daily CROSS JOIN d0),
+    grid AS (
+      SELECT b.b, i.i,
+             ('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                                 || CAST(i.i AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT AS hv
+      FROM (SELECT unnest(range(0, 200)) AS b) b
+      CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM d0))) AS i) i),
+    res AS (
+      SELECT g.b, sum(d.y) AS s
+      FROM grid g JOIN d ON d.t = g.hv % d.n
+      GROUP BY g.b),
+    rk AS (
+      SELECT a.b, a.s, count(*) AS r
+      FROM res a JOIN res c ON c.s < a.s OR (c.s = a.s AND c.b <= a.b)
+      GROUP BY a.b, a.s),
+    tot AS (SELECT sum(y) AS point FROM d)
+    SELECT CAST((SELECT n FROM d0) AS DOUBLE) AS n_days_d,
+           CAST(200 AS DOUBLE) AS n_resamples_d,
+           CAST(point AS DOUBLE) AS point_micro_d,
+           CAST((SELECT s FROM rk WHERE r = 6) AS DOUBLE) AS ci_lo_micro_d,
+           CAST((SELECT s FROM rk WHERE r = 195) AS DOUBLE) AS ci_hi_micro_d
+    FROM tot
+    """,
+)
+def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for total monthly event value —
+    200 RESAMPLES WITHOUT RNG: resample b draws its i-th day as
+    md5('boot:b:i') mod n_days (a content-free deterministic uniform,
+    the weighted_sample_documents discipline), so both engines replay
+    the identical resamples and the CI is exactly hash-checkable — the
+    bootstrap made oracleable. Resample totals are exact BIGINT sums;
+    the 95% band is DEFINED as order statistics 6 and 195 of the 200
+    totals (ranked by the bounded self-join idiom, ties by resample
+    id — no partition-less window). Scale: the corpus collapses to one
+    row per calendar day first; the resample grid is B x days (6,000
+    cells), independent of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias("y")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"), F.count(F.lit(1)).alias("n"))
+    d = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").alias("t"), "y", "n")
+        .localCheckpoint(eager=True)
+    )
+    n_rows = d.select("n").limit(1)
+    spark_b = spark.range(200).select(F.col("id").alias("b"))
+    # i spans 0..n-1 from the data-derived day count (NOT the t values:
+    # a calendar gap would desync the md5 inputs from the oracle's
+    # range(n) grid). 400 is a safe static upper bound (months <= 36
+    # days by the isotonic contract).
+    spark_i = (
+        spark.range(400)
+        .crossJoin(F.broadcast(d0.select("n")))
+        .where(F.col("id") < F.col("n"))
+        .select(F.col("id").alias("i"))
+    )
+    grid = (
+        spark_b.crossJoin(F.broadcast(spark_i))
+        .select(
+            "b",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+    )
+    res = (
+        grid.join(F.broadcast(d), F.col("t") == F.col("hv") % F.col("n"))
+        .groupBy("b")
+        .agg(F.sum("y").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    c = res.select(F.col("b").alias("b2"), F.col("s").alias("s2"))
+    rk = (
+        res.join(
+            F.broadcast(c),
+            (F.col("s2") < F.col("s"))
+            | ((F.col("s2") == F.col("s")) & (F.col("b2") <= F.col("b"))),
+        )
+        .groupBy("b", "s")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    tot = d.agg(F.sum("y").alias("point"))
+    lo = rk.where(F.col("r") == 6).select(F.col("s").alias("lo"))
+    hi = rk.where(F.col("r") == 195).select(F.col("s").alias("hi"))
+    return (
+        tot.crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").cast("double").alias("n_days_d"),
+            F.lit(200.0).alias("n_resamples_d"),
+            F.col("point").cast("double").alias("point_micro_d"),
+            F.col("lo").cast("double").alias("ci_lo_micro_d"),
+            F.col("hi").cast("double").alias("ci_hi_micro_d"),
+        )
+    )

@@ -374,3 +374,39 @@ def test_seasonal_anomaly_flags_match_mad_rule(spark, sf_small):
 
     out = _REGISTRY["seasonal_anomaly_days"].spark(spark, sf_small).collect()
     assert {int(r["day_idx_d"]) for r in out} == expect
+
+
+def test_bootstrap_ci_brackets_point_and_matches_python(spark, sf_small):
+    """The CI must bracket plausible totals and equal an independent
+    Python replay of the md5 resampling."""
+    import hashlib
+    import math
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    r = _REGISTRY["bootstrap_revenue_ci"].spark(spark, sf_small).collect()[0]
+    assert r["ci_lo_micro_d"] <= r["ci_hi_micro_d"]
+
+    pdf = (
+        io_mod.load_table(spark, sf_small, "events")
+        .select(F.to_date("ts").alias("day"), "value")
+        .toPandas()
+    )
+    pdf["y"] = pdf["value"].map(lambda v: int(math.floor(v * 1000000.0)))
+    daily = pdf.groupby("day")["y"].sum().sort_index()
+    d0 = daily.index.min()
+    by_t = {(day - d0).days: int(v) for day, v in daily.items()}
+    n = len(by_t)
+    sums = []
+    for b in range(200):
+        s = 0
+        for i in range(n):
+            hv = int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:7], 16)
+            t = hv % n
+            s += by_t.get(t, 0)
+        sums.append(s)
+    ranked = sorted(sums)
+    assert r["point_micro_d"] == float(sum(by_t.values()))
+    assert r["ci_lo_micro_d"] == float(ranked[5])
+    assert r["ci_hi_micro_d"] == float(ranked[194])
+    assert r["n_days_d"] == float(n)
