@@ -1166,3 +1166,67 @@ def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hi").cast("double").alias("ci_hi_micro_d"),
         )
     )
+
+
+@register(
+    "streaming_seasonal_ingest",
+    # The daily micro-unit sums are additive, so the drained stream's
+    # day table equals the batch's and the verified decompose oracle
+    # applies verbatim.
+    _REGISTRY["seasonal_decompose_daily"].oracle,
+)
+def q_streaming_seasonal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance path of the seasonal decomposition: the
+    events replay emits stateless (day, value-micro) rows, ONE
+    complete-mode groupBy keeps the additive per-day sums (30 rows of
+    state regardless of stream length — the streaming_cms_cells
+    contract), and the drained day table runs the identical
+    trend/seasonal/residual algebra. This is how the
+    'is today seasonal or anomalous' monitor stays current on an
+    infinite stream: only the bounded day table ever updates."""
+    stream = _replay_events(spark, sf_dir)
+    per_day = (
+        stream.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1000000.0).cast("long").alias("vm"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vm").alias("y"))
+    )
+    daily = stream_sinks.run_to_memory(
+        per_day,
+        f"reg_stream_seasonal_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    d = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").alias("t"), "y"
+    )
+    b = d.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    tr = (
+        d.join(
+            F.broadcast(b),
+            (F.col("t2") >= F.col("t") - 3) & (F.col("t2") <= F.col("t") + 3),
+        )
+        .groupBy("t", "y")
+        .agg(F.expr("sum(y2) div count(*)").alias("trend"))
+    )
+    det = tr.select(
+        "t",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("dt"),
+        (F.col("t") % 7).alias("w"),
+    )
+    seas = det.groupBy("w").agg(F.expr("sum(dt) div count(*)").alias("s"))
+    return (
+        det.join(F.broadcast(seas), "w")
+        .select(
+            F.col("t").cast("double").alias("day_idx_d"),
+            F.col("y").cast("double").alias("y_micro_d"),
+            F.col("trend").cast("double").alias("trend_micro_d"),
+            F.col("s").cast("double").alias("seasonal_micro_d"),
+            (F.col("dt") - F.col("s")).cast("double").alias("resid_micro_d"),
+        )
+        .orderBy("day_idx_d")
+    )
