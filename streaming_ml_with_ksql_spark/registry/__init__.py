@@ -39,6 +39,7 @@ from . import q07_layoutcorpus  # noqa: F401,E402
 from . import q08_tpchfull  # noqa: F401,E402
 from . import q09_round7  # noqa: F401,E402
 from . import q10_round7b  # noqa: F401,E402
+from . import q11_round7c  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.
@@ -146,14 +147,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Confluent framing roundtrip; ORC storage roundtrip
     "avro_source_roundtrip",
     "orc_source_roundtrip",
-    # synthetic traffic/user generators (S6/S7/G1-G3)
-    "synthetic_users_profile",
+    # generators keep ksql_generated_traffic (users-profile holds r06);
+    # the freed slot goes to incremental CDC aggregate maintenance
+    "streaming_cdc_incremental_agg",
     "ksql_generated_traffic",
-    # text analysis family (BPE + hashed embeddings keep their slots;
-    # the C4/Gopher multi-signal quality score takes its first verdict,
-    # in integer micro-units after the r6 round() divergence)
+    # text family keeps BPE (hash-embed holds r06 and yields to the
+    # md5-resampled bootstrap CI — a new statistics family); the
+    # C4/Gopher quality score takes its first verdict
     "bpe_tokenize_fixed",
-    "doc_hash_embed",
+    "bootstrap_revenue_ci",
     "doc_quality_score",
     # stateful-streaming maintenance family (the quantile-sketch twin
     # holds r06 and yields to the wallet state machine, first verdict)
@@ -168,11 +170,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # yield to integer fixed-point k-means, first verdict)
     "kmeans_embedding_clusters",
     "embedding_near_dup_pairs_lsh",
-    # corpus pipeline (fixed-budget chunking + curation composite +
-    # PII scrub keep; the sliding-chunking twin yields its slot to
-    # round 7's ML-evaluation family — distributed exact ROC-AUC, a
-    # new family vs a second chunking variant)
-    "corpus_chunk_tokens",
+    # corpus pipeline (curation composite + PII scrub keep;
+    # fixed-budget chunking holds r06 and yields to the exact seasonal
+    # decomposition — a new time-series family member; the old
+    # sliding-chunking slot stays with round 7's exact ROC-AUC)
+    "seasonal_decompose_daily",
     "roc_auc_purchase",
     "corpus_curation_pipeline",
     "pii_scrub",
@@ -185,12 +187,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
     "multimodal_gif_decode",
-    # streaming family (EMIT CHANGES, custom stateful, the INNER
-    # interval join keeps the family slot — left/right/full hold r06 —
-    # and the out-of-order-hardened alert-once machine)
+    # streaming family (EMIT CHANGES, custom stateful sessionize, the
+    # INNER interval join keep their slots — left/right/full and the
+    # alert-once machine hold r06; the freed slot goes to
+    # resource-allocation link prediction, a new graph-ML family)
     "streaming_late_data_policy",
     "streaming_sessionize",
     "streaming_interval_join",
-    "streaming_threshold_alert",
+    "link_prediction_copurchase",
 )
 
