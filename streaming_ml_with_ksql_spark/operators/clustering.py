@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vectors", "kmeans_fixed_point"]
+__all__ = ["quantize_vectors", "kmeans_fixed_point", "dbscan_from_pairs"]
 
 
 def quantize_vectors(
@@ -151,4 +151,89 @@ def kmeans_cluster_report(
             F.col("cnt").cast("double").alias("majority_n_d"),
         )
         .orderBy("cid_d")
+    )
+
+
+def dbscan_from_pairs(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    min_neighbors: int = 2,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996 — public
+    method, independently implemented) given a PRECOMPUTED
+    eps-neighborhood pair list: (id, role, cluster_id) for EVERY vertex.
+
+    The expensive step of DBSCAN — the eps-range query — is exactly the
+    near-dup pair problem this engine already solves at scale (blocked
+    GEMM / sign-LSH with exact rescoring), so the operator takes the
+    pair list as input and reduces the rest to integer-exact relational
+    algebra:
+
+    - core points: >= ``min_neighbors`` eps-neighbors (the point itself
+      is NOT counted, i.e. classic minPts = min_neighbors + 1);
+    - clusters: connected components over CORE-CORE edges (min-core-id
+      labels via the star-contraction loop — deterministic, engine- and
+      partitioning-independent);
+    - border points: non-core with >= 1 core neighbor, assigned the
+      MINIMUM cluster id among their core neighbors (classic DBSCAN is
+      order-dependent here; the min rule makes it deterministic);
+    - noise: everything else, cluster_id = -1.
+
+    Scale shape: the pair frame is localCheckpointed ONCE (it is an
+    expensive lazy GEMM/LSH DAG used by degree, core-edge, and border
+    branches), every step is a key join / groupBy (no all-pairs), and
+    the components loop partitioning is sized to the measured core-edge
+    count inside ``connected_components``. At 100 TB the plan holds:
+    labels stay proportional to the (sparse) eps-graph, not the corpus.
+
+    Reference parity: no clustering exists in the reference (its ML
+    surface is train-then-score, train.py:288-372); DBSCAN is a
+    north-star training-data operator (semantic outlier screening).
+    """
+    from .graph import connected_components
+
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= min_neighbors).select("u")
+    core_edges = sym.join(core, "u").join(
+        core.select(F.col("u").alias("v")), "v"
+    )
+    comp = connected_components(
+        core_edges,
+        core.select(F.col("u").alias(id_col)),
+        src="u",
+        dst="v",
+        id_col=id_col,
+        algorithm="star",
+    )
+    core_lab = comp.select(
+        F.col(id_col).alias("u"), F.col("component").alias("cluster_id")
+    )
+    border_lab = (
+        sym.join(core_lab.select(F.col("u").alias("v"), "cluster_id"), "v")
+        .join(core, "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = (
+        vertices.select(F.col(id_col).cast("long").alias("u"))
+        .join(core_lab.withColumnRenamed("cluster_id", "core_cid"), "u", "left")
+        .join(border_lab.withColumnRenamed("cluster_id", "border_cid"), "u", "left")
+    )
+    return out.select(
+        F.col("u").alias(id_col),
+        F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+        .when(F.col("border_cid").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce("core_cid", "border_cid", F.lit(-1))
+        .cast("long")
+        .alias("cluster_id"),
     )

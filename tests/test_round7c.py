@@ -1,0 +1,93 @@
+"""Round-7 continuation (third block) tests: DBSCAN semantic properties
+beyond the oracle hash (which scripts/verify_driver.py covers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.operators import clustering, similarity
+
+
+def _dbscan(spark, pairs, n_vertices, min_neighbors=2):
+    verts = spark.range(n_vertices).select(F.col("id").alias("vec_id"))
+    df = spark.createDataFrame(pairs, "vec_a long, vec_b long")
+    return {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in clustering.dbscan_from_pairs(
+            verts, df, min_neighbors=min_neighbors
+        ).collect()
+    }
+
+
+def test_dbscan_core_border_noise_classification(spark):
+    """Triangle 0-1-2 with pendant 3 off vertex 2; 4 and 5 isolated:
+    0/1/2 are core (>=2 neighbors), 3 is border (1 neighbor, which is
+    core), 4/5 are noise. Cluster id = min core id = 0."""
+    out = _dbscan(spark, [(0, 1), (0, 2), (1, 2), (2, 3)], 6)
+    assert out[0] == ("core", 0)
+    assert out[1] == ("core", 0)
+    assert out[2] == ("core", 0)
+    assert out[3] == ("border", 0)
+    assert out[4] == ("noise", -1)
+    assert out[5] == ("noise", -1)
+
+
+def test_dbscan_two_clusters_not_bridged_by_border(spark):
+    """Two triangles {0,1,2} and {10,11,12} joined only through the
+    degree-2 bridge path 2-5, 5-10: vertex 5 has two CORE neighbors in
+    DIFFERENT clusters — it is itself core (2 neighbors) so it merges
+    them? No: 5's neighbors are 2 and 10, so 5 IS core at
+    min_neighbors=2 and the whole graph is one cluster. At
+    min_neighbors=3, 5 drops to border and the clusters stay separate —
+    the classic DBSCAN density-bridge distinction."""
+    pairs = [
+        (0, 1), (0, 2), (1, 2),
+        (10, 11), (10, 12), (11, 12),
+        (2, 5), (5, 10),
+    ]
+    merged = _dbscan(spark, pairs, 13, min_neighbors=2)
+    assert merged[5] == ("core", 0)
+    assert merged[10] == ("core", 0)
+
+    split = _dbscan(spark, pairs, 13, min_neighbors=3)
+    # only 2 and 10 reach 3 neighbors; they are disconnected core-wise
+    assert split[2] == ("core", 2)
+    assert split[10] == ("core", 10)
+    assert split[5][0] == "border" and split[5][1] in (2, 10)
+    # min rule makes the border assignment deterministic
+    assert split[5][1] == 2
+    assert split[0][0] == "border" and split[11][0] == "border"
+
+
+def test_dbscan_partitioning_invariant(spark):
+    """Roles and labels are min-folds over integers — identical under
+    any input partitioning."""
+    pairs = [(a, b) for a in range(15) for b in range(a + 1, 15) if (a + b) % 4 == 1]
+    verts = spark.range(20).select(F.col("id").alias("vec_id"))
+    df1 = spark.createDataFrame(pairs, "vec_a long, vec_b long")
+    df2 = df1.repartition(7)
+    r1 = sorted(map(tuple, clustering.dbscan_from_pairs(verts, df1).collect()))
+    r2 = sorted(map(tuple, clustering.dbscan_from_pairs(verts, df2).collect()))
+    assert r1 == r2
+
+
+def test_dbscan_embeddings_invariants(spark, sf_small):
+    """On the real embeddings table: every vertex is labeled exactly
+    once; core cluster ids are core vertex ids; border points touch a
+    core neighbor's cluster; noise is -1."""
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_blocked(emb)
+    out = clustering.dbscan_from_pairs(emb, pairs, min_neighbors=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    core_ids = {r["vec_id"] for r in rows if r["role"] == "core"}
+    clusters = {r["cluster_id"] for r in rows if r["role"] == "core"}
+    assert clusters <= core_ids  # labels are min CORE ids
+    for r in rows:
+        if r["role"] == "noise":
+            assert r["cluster_id"] == -1
+        else:
+            assert r["cluster_id"] >= 0
+    border = [r for r in rows if r["role"] == "border"]
+    assert all(r["cluster_id"] in clusters for r in border)
