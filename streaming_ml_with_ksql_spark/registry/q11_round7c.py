@@ -72,3 +72,83 @@ def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role",
         F.col("cluster_id").cast("double").alias("cluster_id_d"),
     )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT datediff('day', TIMESTAMP '1995-01-01',
+                  date_trunc('day', o_orderdate)) AS t,
+         (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+  FROM orders GROUP BY 1),
+idx AS (SELECT row_number() OVER (ORDER BY t) AS rn, x FROM daily),
+n AS (SELECT count(*) AS c FROM idx),
+s(i, l, b) AS (
+  SELECT 2,
+         (SELECT x FROM idx WHERE rn = 1) * 1000,
+         ((SELECT x FROM idx WHERE rn = 2)
+          - (SELECT x FROM idx WHERE rn = 1)) * 1000
+  UNION ALL
+  SELECT s.i + 1,
+         (2 * d.x * 1000 + 8 * (s.l + s.b)) // 10,
+         ((((2 * d.x * 1000 + 8 * (s.l + s.b)) // 10) - s.l)
+          + 9 * s.b) // 10
+  FROM s JOIN idx d ON d.rn = s.i
+  WHERE s.i <= (SELECT c FROM n))
+SELECT CAST((SELECT c FROM n) AS DOUBLE) AS n_days_d,
+       CAST(l AS DOUBLE) AS level_milli_d,
+       CAST(b AS DOUBLE) AS trend_milli_d,
+       CAST((l + 7 * b) // 1000 AS DOUBLE) AS forecast7_kusd_d
+FROM s WHERE i = (SELECT c FROM n) + 1
+"""
+
+
+@register("holt_forecast_revenue", _HOLT_ORACLE)
+def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha = 0.2, beta = 0.1) of daily revenue as an INTEGER FIXED-POINT
+    fold — the trend-aware forecaster SES cannot be (SES lags any
+    drifting series by design). State is a BIGINT struct (level, trend)
+    in milli-kilodollar units folded JVM-side by Spark's higher-order
+    ``aggregate`` over the calendar-bounded daily list; each step is
+      l' = (2*x*1000 + 8*(l+b)) div 10
+      b' = ((l' - l) + 9*b) div 10
+    with div truncating toward zero on BOTH engines (verified), so the
+    whole trajectory is engine- and partitioning-exact; DuckDB replays
+    it as a recursive CTE (list_reduce has no struct-init form).
+    Init: l1 = x1, b1 = x2 - x1 (classic Holt). Forecast h=7:
+    l + 7*b. Scale: the fold input is ONE bounded row per calendar
+    day — the same contract as ses_forecast_revenue/revenue_autocorr."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    ser = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(t, x))), e -> e.x)")
+        .alias("xs")
+    )
+    step = (
+        "(acc, v) -> named_struct("
+        "'l', (2 * v * 1000L + 8 * (acc.l + acc.b)) div 10, "
+        "'b', ((((2 * v * 1000L + 8 * (acc.l + acc.b)) div 10) - acc.l)"
+        " + 9 * acc.b) div 10)"
+    )
+    f = ser.select(
+        F.size("xs").alias("n"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), "
+            "named_struct('l', xs[0] * 1000L, 'b', (xs[1] - xs[0]) * 1000L), "
+            + step
+            + ")"
+        ).alias("s"),
+    )
+    return f.select(
+        F.col("n").cast("double").alias("n_days_d"),
+        F.col("s.l").cast("double").alias("level_milli_d"),
+        F.col("s.b").cast("double").alias("trend_milli_d"),
+        F.expr("(s.l + 7 * s.b) div 1000L").cast("double").alias("forecast7_kusd_d"),
+    )

@@ -91,3 +91,49 @@ def test_dbscan_embeddings_invariants(spark, sf_small):
             assert r["cluster_id"] >= 0
     border = [r for r in rows if r["role"] == "border"]
     assert all(r["cluster_id"] in clusters for r in border)
+
+
+def _holt_replay(xs):
+    """Pure-Python replay of the registered Holt recursion."""
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    l, b = xs[0] * 1000, (xs[1] - xs[0]) * 1000
+    for v in xs[1:]:
+        nl = tdiv(2 * v * 1000 + 8 * (l + b), 10)
+        b = tdiv((nl - l) + 9 * b, 10)
+        l = nl
+    return l, b
+
+
+def test_holt_matches_python_replay(spark, sf_small):
+    from streaming_ml_with_ksql_spark import registry
+
+    orders = io_mod.load_table(spark, sf_small, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.date_trunc("day", F.col("o_orderdate")),
+                F.lit("1995-01-01").cast("timestamp"),
+            ).alias("t")
+        )
+        .agg(F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x"))
+        .orderBy("t")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    l, b = _holt_replay(xs)
+    row = registry.queries()["holt_forecast_revenue"](spark, sf_small).collect()[0]
+    assert row["n_days_d"] == float(len(xs))
+    assert row["level_milli_d"] == float(l)
+    assert row["trend_milli_d"] == float(b)
+
+
+def test_holt_tracks_linear_series(spark):
+    """On x_t = 100 + 5t the trend state must converge to ~5 units
+    (5000 milli) and the level must track the series tail."""
+    xs = [100 + 5 * t for t in range(60)]
+    l, b = _holt_replay(xs)
+    assert abs(b - 5000) <= 20
+    assert abs(l - xs[-1] * 1000) <= 2000
