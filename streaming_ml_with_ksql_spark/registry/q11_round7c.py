@@ -152,3 +152,51 @@ def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.b").cast("double").alias("trend_milli_d"),
         F.expr("(s.l + 7 * s.b) div 1000L").cast("double").alias("forecast7_kusd_d"),
     )
+
+
+@register(
+    "bson_source_roundtrip",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_bson_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mongo-side wire format (sources/bson_py.py — pure-Python
+    BSON 1.1 per bsonspec.org, completing the wire family the reference
+    touches through its Kafka-Connect Mongo sink,
+    infra/connect/mongo-sink.json:4-11): events encode into canonical
+    flat BSON documents (0x0A null, minimal-width int32/int64, double,
+    string, length-checked framing) and decode back to typed columns.
+    The parquet table is the oracle, so a hash match proves the
+    round-trip lossless — including nullable user_id null semantics and
+    double bit-exactness through the little-endian IEEE path. Narrow
+    Arrow maps, no shuffle."""
+    from ..sources import bson_py
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts_micros", "user_id", "event_type", "value", "props"]
+    wire_in = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    payloads = bson_py.encode_bson(wire_in, cols)
+    decoded = bson_py.decode_bson(
+        payloads,
+        cols,
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    return decoded.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )

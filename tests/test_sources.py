@@ -436,3 +436,72 @@ def test_msgpack_row_arity_and_trailing_guard(spark):
         mp.decode_msgpack(poisoned, ["a", "b"], "a bigint, b string").collect()
     with pytest.raises(Exception, match="arity mismatch"):
         mp.decode_msgpack(enc, ["a", "b", "c"], "a bigint, b string, c string").collect()
+
+
+def test_bson_boundary_values_roundtrip():
+    """Canonical width selection must round-trip integer width
+    boundaries, null, bool, double specials, UTF-8, and binary."""
+    from streaming_ml_with_ksql_spark.sources import bson_py
+
+    doc = {
+        "n": None, "t": True, "f": False,
+        "i0": 0, "i1": 2**31 - 1, "i2": 2**31, "i3": -2**31,
+        "i4": -2**31 - 1, "i5": 2**63 - 1, "i6": -2**63,
+        "d0": 0.0, "d1": -1.5, "d2": 3.141592653589793,
+        "d3": float("inf"),
+        "s0": "", "s1": "naïve-ütf8", "s2": "x" * 70000,
+        "b0": b"", "b1": b"\x00\xff" * 300,
+    }
+    data = bson_py.encode_document(doc)
+    back = bson_py.decode_document(data)
+    assert back == doc
+    # byte-stable: encode(decode(x)) is identical
+    assert bson_py.encode_document(back) == data
+    # minimal width is canonical: small ints are int32 elements (0x10)
+    small = bson_py.encode_document({"v": 5})
+    assert small[4] == 0x10
+    big = bson_py.encode_document({"v": 2**31})
+    assert big[4] == 0x12
+
+
+def test_bson_poison_fails_loudly():
+    import pytest
+
+    from streaming_ml_with_ksql_spark.sources import bson_py
+
+    good = bson_py.encode_document({"a": 1, "b": "hello", "c": 2.5})
+    with pytest.raises(ValueError, match="length mismatch"):
+        bson_py.decode_document(good[:-3])
+    with pytest.raises(ValueError, match="missing terminator"):
+        bson_py.decode_document(good[:-1] + b"\x01")
+    # corrupt element type byte
+    bad = bytearray(good)
+    bad[4] = 0x7F
+    with pytest.raises(ValueError, match="unsupported BSON element type"):
+        bson_py.decode_document(bytes(bad))
+    # declared string length overrunning the buffer
+    doc = bytearray(bson_py.encode_document({"s": "abc"}))
+    struct_off = 4 + 1 + 2  # header + type + "s\x00"
+    doc[struct_off : struct_off + 4] = (999).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="truncated BSON"):
+        bson_py.decode_document(bytes(doc))
+    with pytest.raises(ValueError, match="out of 64-bit range"):
+        bson_py.encode_document({"v": 2**80})
+    with pytest.raises(ValueError, match="contains NUL"):
+        bson_py.encode_document({"a\x00b": 1})
+
+
+def test_bson_frame_roundtrip_and_field_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.sources import bson_py
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a long, b string")
+    enc = bson_py.encode_bson(df, ["a", "b"])
+    ok = bson_py.decode_bson(enc, ["a", "b"], "a bigint, b string").collect()
+    assert sorted((r["a"], r["b"]) for r in ok) == [(1, "x"), (2, None)]
+    with pytest.raises(Exception, match="field mismatch"):
+        bson_py.decode_bson(
+            enc, ["a", "b", "c"], "a bigint, b string, c string"
+        ).collect()
