@@ -59,7 +59,6 @@ HEADLINE = [
     "rolling_counts",
     "pricing_summary",
     "shipping_priority",
-    "local_supplier_volume",
     "asof_view_attribution",
     "session_window_agg",
     "minhash_near_dup_pairs",
@@ -70,7 +69,6 @@ HEADLINE = [
     "multi_resolution_rollup",
     "bucketed_colocated_join",
     "waiting_suppliers",
-    "heavy_hitters_users",
     "bloom_pruned_join",
     "benchmark_decontaminate",
     "streaming_hopping_window",
@@ -88,7 +86,6 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
     "duplicate_span_coverage",
-    "synthetic_clickstream",
     "tfidf_top_terms",
     "keyword_bm25",
     "ksql_generated_traffic",
@@ -98,8 +95,12 @@ HEADLINE = [
     # pinned by tests/test_bench_record.py). Eight redundant family twins
     # (volume_shipping, hourly_gap_fill_locf, hll_partition_merge,
     # scalar_function_suite, value_outliers_zscore, multimodal_mp4_decode,
-    # and in round-7 continuation dedup_components and mjpg_frame_decode)
-    # yielded their bytes — each family keeps a heavier representative.
+    # and in round-7 continuation dedup_components, mjpg_frame_decode,
+    # local_supplier_volume, heavy_hitters_users, synthetic_clickstream)
+    # yielded their bytes — each family keeps a heavier representative
+    # (pricing_summary/shipping_priority/waiting_suppliers for TPC-H,
+    # cms_heavy_hitters for heavy hitters, ksql_generated_traffic for
+    # generators).
     "touch_attribution",
     "session_event_paths",
     "customer_rfm_segments",
@@ -113,6 +114,10 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "multimodal_gif_decode",
     "isotonic_daily_trend",
+    # round-7 continuation, third block: density clustering (rides the
+    # GEMM pair graph) and the Holt struct fold
+    "dbscan_embedding_clusters",
+    "holt_forecast_revenue",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -136,10 +141,10 @@ PY_AXIS = frozenset(
         "multimodal_jpeg_decode",
         "bpe_tokenize_fixed",
         "duplicate_span_coverage",
-        "synthetic_clickstream",
         "ksql_generated_traffic",
         "corpus_curation_pipeline",
         "image_dedup_groups",
+        "dbscan_embedding_clusters",
     }
 )
 

@@ -87,6 +87,15 @@ QUERIES = [
     "seasonal_decompose_daily",
     "multimodal_gif_decode",
     "msgpack_source_roundtrip",
+    # round-7 continuation (third block)
+    "twap_user_value",
+    "referential_integrity_audit",
+    "snapshot_diff_customers",
+    "seasonal_anomaly_days",
+    "bootstrap_revenue_ci",
+    "dbscan_embedding_clusters",
+    "holt_forecast_revenue",
+    "bson_source_roundtrip",
 ]
 
 

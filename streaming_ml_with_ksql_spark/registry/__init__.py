@@ -105,10 +105,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # PNG codec + banded-Hamming LSH groups (graph metrics hold r06)
     "image_dhash_png",
     "image_dedup_groups",
-    # join family (as-of keeps its slot; multi-touch attribution takes
-    # the enrich-join slot — user-keyed equi-join, windowed credit split)
+    # join family (as-of holds r06 and yields to Holt double-exponential
+    # smoothing — the trend-aware forecaster, first verdict; multi-touch
+    # attribution keeps the enrich-join slot)
     "touch_attribution",
-    "asof_view_attribution",
+    "holt_forecast_revenue",
     # time-series family: streaming rollup keeps its slot; subsequence
     # pattern search (z-normalized distance, TakeOrderedAndProject
     # top-10) takes the z-score slot
@@ -161,11 +162,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # holds r06 and yields to the wallet state machine, first verdict)
     "streaming_wallet_balance",
     # dedup/graph family (exact n-gram jaccard keeps; passage stats
-    # hold r06 and yield to BFS landmark distances — with PageRank the
-    # graph-centrality pair over the same verified near-dup pair graph)
+    # hold r06 and yield to BFS landmark distances; pagerank holds r05
+    # and yields to DBSCAN over the embedding eps-graph — the density
+    # member of the clustering family, first verdict)
     "bfs_hops_near_dup",
     "ngram_jaccard_pairs",
-    "pagerank_near_dup",
+    "dbscan_embedding_clusters",
     # embedding family (LSH near-dup keeps; dedup groups hold r06 and
     # yield to integer fixed-point k-means, first verdict)
     "kmeans_embedding_clusters",
@@ -181,11 +183,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_documents",
     # forecasting (first verdict): seasonal-naive revenue forecast
     "forecast_revenue",
-    # multimodal (mixed-container dispatch + JPEG keep their slots;
-    # PNG/mp4/mjpg hold r06 — the PNG slot goes to the new GIF89a/LZW
-    # codec, first verdict)
+    # multimodal (mixed-container dispatch keeps; JPEG/PNG/mp4/mjpg
+    # hold r06 — the JPEG slot goes to the new BSON Mongo-wire
+    # roundtrip and the PNG slot to the GIF89a/LZW codec, first
+    # verdicts both)
     "multimodal_mixed_container_sample",
-    "multimodal_jpeg_decode",
+    "bson_source_roundtrip",
     "multimodal_gif_decode",
     # streaming family (EMIT CHANGES, custom stateful sessionize, the
     # INNER interval join keep their slots — left/right/full and the

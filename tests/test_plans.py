@@ -564,3 +564,28 @@ def test_kmeans_and_bfs_loop_plan_shapes(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_round7c_plan_shapes(spark):
+    """Third-continuation operators: DBSCAN stays on key joins over the
+    checkpointed pair graph, Holt is one bounded aggregate (no window,
+    no join), BSON is two narrow Arrow maps with no shuffle."""
+    # DBSCAN: no cartesian pair scan; the eps-graph comes from the
+    # checkpointed GEMM frame (Scan ExistingRDD), everything after is
+    # key joins/aggregations
+    plan = _explain(spark, "dbscan_embedding_clusters", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+
+    # Holt: the fold input is ONE collected-list row — a bounded
+    # two-phase aggregate; no window function, no join anywhere
+    plan = _explain(spark, "holt_forecast_revenue", "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+    # BSON roundtrip: two narrow Arrow maps, no shuffle at all (the
+    # msgpack contract)
+    plan = _explain(spark, "bson_source_roundtrip", "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
