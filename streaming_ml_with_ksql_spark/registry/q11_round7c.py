@@ -200,3 +200,136 @@ def q_bson_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "user_trend_velocity",
+    """
+    WITH d AS (
+      SELECT user_id,
+             datediff('day', TIMESTAMP '2024-01-01',
+                      date_trunc('day', ts)) AS x,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, x,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    last AS (
+      SELECT * FROM r
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY x DESC) = 1)
+    SELECT user_id,
+           CAST(x AS DOUBLE) AS last_x_d,
+           CAST(n AS DOUBLE) AS n_obs_d,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST((n * sxy - sx * sy) * 1000000
+                          // (n * sxx - sx * sx) AS DOUBLE) END
+             AS slope_ppm_d
+    FROM last
+    """,
+)
+def q_user_trend_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CURRENT trend velocity: ordinary-least-squares slope of
+    daily spend over each user's trailing 7 OBSERVED days, evaluated at
+    their latest day — the 'is this user accelerating right now' signal
+    that user_value_trend_fit's whole-history OLS smooths away. All
+    four rolling moments (sx, sy, sxy, sxx) are exact BIGINT
+    row-frame window sums in micro-units; the slope is the integer
+    rational (n*sxy - sx*sy)*1e6 div (n*sxx - sx*sx) — shift-invariant
+    in x, truncation identical cross-engine, NULL-guarded for the
+    single-observation window (ANSI discipline). Scale: ONE shuffle on
+    user_id serves the daily rollup, the row-frame window, and the
+    max_by latest-pick — the frame is per-user day-bounded (calendar
+    days, never event rows), and no partition-less window exists."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("x"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")).alias("y")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    roll = daily.select(
+        "user_id",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("x * y")).over(w).alias("sxy"),
+        F.sum(F.expr("x * x")).over(w).alias("sxx"),
+    )
+    last = roll.groupBy("user_id").agg(
+        F.max("x").alias("last_x"),
+        F.max_by(F.struct("n", "sx", "sy", "sxy", "sxx"), "x").alias("s"),
+    )
+    den = F.col("s.n") * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")
+    num = F.col("s.n") * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")
+    return last.select(
+        "user_id",
+        F.col("last_x").cast("double").alias("last_x_d"),
+        F.col("s.n").cast("double").alias("n_obs_d"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.expr(
+            "CAST((s.n * s.sxy - s.sx * s.sy) * 1000000L"
+            " div (s.n * s.sxx - s.sx * s.sx) AS DOUBLE)"
+        ))
+        .alias("slope_ppm_d"),
+    )
+
+
+@register(
+    "thrift_source_roundtrip",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_thrift_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RPC-world wire format (sources/thrift_py.py — pure-Python
+    Apache Thrift COMPACT protocol per the public spec, tenth wire
+    family member): events encode into canonical compact structs
+    (4-bit field-id deltas, zigzag-ULEB128 integers, booleans packed in
+    the header nibble, little-endian doubles, explicit STOP) and decode
+    back to typed columns; nulls travel as omitted fields
+    (field-presence semantics, the proto3 contract). The parquet table
+    is the oracle, so a hash match proves the round-trip lossless.
+    Narrow Arrow maps, no shuffle."""
+    from ..sources import thrift_py
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts_micros", "user_id", "event_type", "value", "props"]
+    wire_in = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    payloads = thrift_py.encode_thrift(wire_in, cols)
+    decoded = thrift_py.decode_thrift(
+        payloads,
+        cols,
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    return decoded.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )

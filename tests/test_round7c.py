@@ -137,3 +137,58 @@ def test_holt_tracks_linear_series(spark):
     l, b = _holt_replay(xs)
     assert abs(b - 5000) <= 20
     assert abs(l - xs[-1] * 1000) <= 2000
+
+
+def test_user_trend_velocity_matches_python_replay(spark, sf_small):
+    """Replay the trailing-7-observation integer OLS per user in pure
+    Python from the same daily aggregates and compare every slope."""
+    import math
+    from collections import defaultdict
+
+    from streaming_ml_with_ksql_spark import registry
+
+    ev = io_mod.load_table(spark, sf_small, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp"),
+            ).alias("x"),
+        )
+        .agg(F.sum(F.expr("CAST(floor(value * 1000000.0) AS BIGINT)")).alias("y"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["user_id"]].append((r["x"], r["y"]))
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    expect = {}
+    for u, pts in series.items():
+        pts.sort()
+        tail = pts[-7:]
+        n = len(tail)
+        sx = sum(x for x, _ in tail)
+        sy = sum(y for _, y in tail)
+        sxy = sum(x * y for x, y in tail)
+        sxx = sum(x * x for x, _ in tail)
+        den = n * sxx - sx * sx
+        slope = None if den == 0 else float(tdiv((n * sxy - sx * sy) * 10**6, den))
+        expect[u] = (pts[-1][0], n, slope)
+
+    out = registry.queries()["user_trend_velocity"](spark, sf_small).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        lx, n, slope = expect[r["user_id"]]
+        assert r["last_x_d"] == float(lx)
+        assert r["n_obs_d"] == float(n)
+        if slope is None:
+            assert r["slope_ppm_d"] is None
+        else:
+            assert r["slope_ppm_d"] == slope

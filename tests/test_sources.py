@@ -505,3 +505,74 @@ def test_bson_frame_roundtrip_and_field_guard(spark):
         bson_py.decode_bson(
             enc, ["a", "b", "c"], "a bigint, b string, c string"
         ).collect()
+
+
+def test_thrift_compact_boundary_values_roundtrip():
+    """Zigzag/varint width boundaries, field-id delta long form, bool
+    packing, little-endian doubles, UTF-8, and raw binary."""
+    from streaming_ml_with_ksql_spark.sources import thrift_py as tp
+
+    doc = {
+        1: True, 2: False,
+        3: 0, 4: -1, 5: 63, 6: 64, 7: -64, 8: -65,
+        9: 2**63 - 1, 10: -2**63,
+        11: 0.0, 12: -1.5, 13: 3.141592653589793, 14: float("inf"),
+        15: "naïve-ütf8".encode(),  # via bytes
+        16: b"",  # empty payload
+        # field id jump > 15 forces the long-form zigzag header
+        40: "x" * 300,
+        4000: 7,
+    }
+    data = tp.encode_struct(doc)
+    back = tp.decode_struct(data)
+    want = {k: (bytes(v.encode()) if isinstance(v, str) else v) for k, v in doc.items()}
+    assert back == want
+    # canonical: re-encode is byte-identical
+    assert tp.encode_struct(back) == data
+    # bools carry no payload byte: two bool fields -> 2 header bytes
+    assert len(tp.encode_struct({1: True, 2: False})) == 3  # + STOP
+    # None fields are omitted entirely
+    assert tp.encode_struct({1: None}) == b"\x00"
+    # short-form delta: consecutive small ids use 1-byte headers
+    two = tp.encode_struct({1: True, 2: True})
+    assert two == bytes([0x11, 0x11, 0x00])
+
+
+def test_thrift_compact_poison_fails_loudly():
+    import pytest
+
+    from streaming_ml_with_ksql_spark.sources import thrift_py as tp
+
+    good = tp.encode_struct({1: 5, 2: "hello", 3: 2.5})
+    with pytest.raises(ValueError, match="no STOP"):
+        tp.decode_struct(good[:-1])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        tp.decode_struct(good + b"\x00")
+    with pytest.raises(ValueError, match="truncated thrift varint"):
+        tp.decode_struct(bytes([0x16, 0x80]))  # unterminated varint
+    with pytest.raises(ValueError, match="truncated thrift double"):
+        tp.decode_struct(bytes([0x17, 0x01, 0x02]))
+    with pytest.raises(ValueError, match="truncated thrift binary"):
+        tp.decode_struct(bytes([0x18, 0x20, 0x41]))
+    with pytest.raises(ValueError, match="unsupported thrift compact type"):
+        tp.decode_struct(bytes([0x1D]))
+    with pytest.raises(ValueError, match="duplicate thrift field id"):
+        # header delta 1 twice from the same base would need id reuse:
+        # long-form header with explicit id 1 after short-form id 1
+        tp.decode_struct(bytes([0x11, 0x01, 0x02, 0x00]))
+    with pytest.raises(ValueError, match="out of 64-bit range"):
+        tp.encode_struct({1: 2**64})
+
+
+def test_thrift_frame_roundtrip_and_schema_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.sources import thrift_py as tp
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a long, b string")
+    enc = tp.encode_thrift(df, ["a", "b"])
+    ok = tp.decode_thrift(enc, ["a", "b"], "a bigint, b string").collect()
+    assert sorted((r["a"], r["b"]) for r in ok) == [(1, "x"), (2, None)]
+    with pytest.raises(Exception, match="beyond schema arity"):
+        tp.decode_thrift(enc, ["a"], "a bigint").collect()
