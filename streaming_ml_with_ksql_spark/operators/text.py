@@ -437,6 +437,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    documents: DataFrame, *, n: int = 3, threshold_ppm: int = 900_000
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs — the ASYMMETRIC dedup signal
+    Jaccard misses: an excerpt or quoted passage has tiny Jaccard
+    against its source (the union is dominated by the source) but
+    containment ~1 of the smaller side (Broder's containment
+    coefficient, |A∩B|/|A| — the resemblance/containment pair from
+    "On the resemblance and containment of documents", SEQUENCES 1997;
+    public method, independently implemented).
+
+    Same inverted-shingle-index shape as ngram_jaccard_pairs (one
+    shuffle keyed by shingle, Σ df(s)² pair cost, no n² cross product;
+    at 100 TB add the same df cap). All three coefficients are emitted
+    as INTEGER ppm (n_inter * 1e6 div size) — the micro-unit
+    discipline; round(x, 6) on small-denominator rationals hits exact
+    decimal halves (e.g. 5/128) where the engines disagree.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, containment of each
+    side, jaccard_ppm, kept when EITHER direction's containment clears
+    ``threshold_ppm``.
+    """
+    ds = _doc_shingles(documents, n)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ds.alias("a")
+        .join(
+            ds.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    with_sizes = (
+        inter.join(
+            sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_a")),
+            F.col("doc_a") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .join(
+            sizes.select(F.col("doc_id"), F.col("n_sh").alias("n_b")),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+    )
+    out = with_sizes.select(
+        "doc_a",
+        "doc_b",
+        F.expr("n_inter * 1000000L div n_a").alias("cont_a_in_b_ppm"),
+        F.expr("n_inter * 1000000L div n_b").alias("cont_b_in_a_ppm"),
+        F.expr("n_inter * 1000000L div (n_a + n_b - n_inter)").alias(
+            "jaccard_ppm"
+        ),
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b_ppm", "cont_b_in_a_ppm") >= F.lit(threshold_ppm)
+    )
+
+
 def dedup_near_minhash(documents: DataFrame, **kwargs) -> DataFrame:
     """Near-dedup: drop every doc that is a near-duplicate of a
     smaller-doc_id doc (min-id survivor policy). Returns surviving doc ids +

@@ -333,3 +333,38 @@ def q_thrift_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+from .q02_textdedup import _SHINGLES_CTE  # noqa: E402
+
+
+@register(
+    "ngram_containment_pairs",
+    _SHINGLES_CTE
+    + """
+    , ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    c AS (
+      SELECT doc_a, doc_b,
+             n_inter * 1000000 // na.n_sh AS cont_a_in_b_ppm,
+             n_inter * 1000000 // nb.n_sh AS cont_b_in_a_ppm,
+             n_inter * 1000000 // (na.n_sh + nb.n_sh - n_inter)
+               AS jaccard_ppm
+      FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b)
+    SELECT * FROM c
+    WHERE greatest(cont_a_in_b_ppm, cont_b_in_a_ppm) >= 900000
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: Broder containment in integer ppm
+    over the exact inverted shingle index (operators/text.py
+    ngram_containment_pairs) — catches the excerpt/quotation dups whose
+    Jaccard stays low because the union is source-dominated. Same
+    one-shuffle index shape as ngram_jaccard_pairs."""
+    return text.ngram_containment_pairs(_t(spark, sf_dir, "documents"))

@@ -192,3 +192,29 @@ def test_user_trend_velocity_matches_python_replay(spark, sf_small):
             assert r["slope_ppm_d"] is None
         else:
             assert r["slope_ppm_d"] == slope
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 10-word excerpt inside a 200-word source: containment of the
+    excerpt ~1e6 ppm while jaccard stays far below the 0.5 near-dup
+    bar — the pair ngram_jaccard_pairs (threshold 0.5) cannot see."""
+    from streaming_ml_with_ksql_spark.operators import text as text_ops
+
+    source_words = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(50, 60))
+    unrelated = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, source_words), (2, excerpt), (3, unrelated)],
+        "doc_id long, text string",
+    )
+    rows = text_ops.ngram_containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # the excerpt (8 shingles, all inside the source) is fully contained
+    assert r["cont_b_in_a_ppm"] == 1_000_000
+    assert r["cont_a_in_b_ppm"] < 100_000
+    assert r["jaccard_ppm"] < 500_000  # invisible to the jaccard query
+
+    jac = text_ops.ngram_jaccard_pairs(docs).collect()
+    assert jac == []  # confirms the asymmetric signal is new information
