@@ -167,3 +167,78 @@ def zorder_index(
             + F.shiftleft(F.shiftright(xb, k).bitwiseAND(F.lit(1)), 2 * k)
         )
     return df.withColumn("zindex", z)
+
+
+def hilbert_index(
+    df: DataFrame,
+    col_a,
+    col_b,
+    *,
+    a_min,
+    a_max,
+    b_min,
+    b_max,
+    bits: int = 16,
+) -> DataFrame:
+    """Hilbert curve index over two dimensions — the better-locality
+    sibling of ``zorder_index`` (public algorithm: the classic xy2d
+    quadrant-rotation recurrence, e.g. Hamilton's compact Hilbert
+    indices / the well-known Wikipedia formulation; independently
+    implemented). Unlike Z-order, the Hilbert curve never makes the
+    long diagonal jumps Morton interleaving takes between quadrant
+    boundaries, so consecutive index ranges map to tighter spatial
+    blocks — at 100 TB that is measurably better min/max file pruning
+    for range predicates on either dimension (Delta added HILBERT
+    clustering over ZORDER for exactly this reason).
+
+    Values scale linearly into ``bits``-bit cells exactly as
+    ``zorder_index`` does; the xy2d loop then runs as ONE higher-order
+    ``aggregate`` fold over the bit levels with a (x, y, d) struct
+    accumulator — a runtime loop, NOT an unrolled expression tree (16
+    levels of inlined swap/reflect CASEs would grow the Catalyst tree
+    exponentially). All integer bit math — engine- and
+    partitioning-exact; the DuckDB oracle replays the identical levels
+    as generated chained CTEs.
+    """
+    from pyspark.sql import Column as _Col
+
+    def scaled(c, lo, hi):
+        lo_l = (lo if isinstance(lo, _Col) else F.lit(lo)).cast("double")
+        hi_l = (hi if isinstance(hi, _Col) else F.lit(hi)).cast("double")
+        x = (c.cast("double") - lo_l) / (hi_l - lo_l)
+        x = F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+        return F.least(
+            F.floor(x * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+
+    n_1 = (1 << bits) - 1
+    step = (
+        "(acc, k) -> named_struct("
+        # ry=0: reflect-if-rx then swap (x' = reflected y); ry=1: keep x
+        f"'x', CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), k)) = 0 THEN "
+        f"(CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), k)) != 0 "
+        f"THEN {n_1}L - acc.y ELSE acc.y END) ELSE acc.x END, "
+        f"'y', CASE WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), k)) = 0 THEN "
+        f"(CASE WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), k)) != 0 "
+        f"THEN {n_1}L - acc.x ELSE acc.x END) ELSE acc.y END, "
+        # d += s*s * ((3*rx) XOR ry), spelled as the 4-way CASE so the
+        # oracle can repeat it verbatim
+        "'d', acc.d + shiftleft(CAST(1 AS BIGINT), 2 * k) * (CASE "
+        "WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), k)) = 0 "
+        " AND (acc.y & shiftleft(CAST(1 AS BIGINT), k)) = 0 THEN 0L "
+        "WHEN (acc.x & shiftleft(CAST(1 AS BIGINT), k)) = 0 THEN 1L "
+        "WHEN (acc.y & shiftleft(CAST(1 AS BIGINT), k)) != 0 THEN 2L "
+        "ELSE 3L END))"
+    )
+    fold = (
+        f"aggregate(sequence({bits - 1}, 0, -1), "
+        "named_struct('x', __ha, 'y', __hb, 'd', CAST(0 AS BIGINT)), "
+        + step
+        + ").d"
+    )
+    return (
+        df.withColumn("__ha", scaled(col_a, a_min, a_max))
+        .withColumn("__hb", scaled(col_b, b_min, b_max))
+        .withColumn("hindex", F.expr(fold))
+        .drop("__ha", "__hb")
+    )

@@ -368,3 +368,81 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard stays low because the union is source-dominated. Same
     one-shuffle index shape as ngram_jaccard_pairs."""
     return text.ngram_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    """DuckDB mirror of the xy2d quadrant-rotation fold: the same
+    scaling CTE as the zorder oracle, then one generated CTE per bit
+    level replaying the identical reflect/swap/step CASEs (chained CTEs
+    grow the SQL linearly; the Spark side is a runtime higher-order
+    fold for the same reason)."""
+    n_1 = (1 << bits) - 1
+    sql = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             epoch_us(l_shipdate) AS t, l_partkey AS p
+      FROM lineitem),
+    rng AS (SELECT min(t) AS tlo, max(t) AS thi,
+                   min(p) AS plo, max(p) AS phi FROM li),
+    h{bits} AS (
+      SELECT l_orderkey, l_linenumber,
+        least(CAST(floor(least(greatest(
+            (CAST(t AS DOUBLE) - tlo) / (thi - tlo), 0.0), 1.0) * {1 << bits})
+          AS BIGINT), {n_1}) AS x,
+        least(CAST(floor(least(greatest(
+            (CAST(p AS DOUBLE) - plo) / (phi - plo), 0.0), 1.0) * {1 << bits})
+          AS BIGINT), {n_1}) AS y,
+        CAST(0 AS BIGINT) AS d
+      FROM li CROSS JOIN rng)"""
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        sql += f""",
+    h{k} AS (
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN (y & {s}) = 0 THEN
+          (CASE WHEN (x & {s}) != 0 THEN {n_1} - y ELSE y END)
+        ELSE x END AS x,
+        CASE WHEN (y & {s}) = 0 THEN
+          (CASE WHEN (x & {s}) != 0 THEN {n_1} - x ELSE x END)
+        ELSE y END AS y,
+        d + CAST({s * s} AS BIGINT) * (CASE
+          WHEN (x & {s}) = 0 AND (y & {s}) = 0 THEN 0
+          WHEN (x & {s}) = 0 THEN 1
+          WHEN (y & {s}) != 0 THEN 2
+          ELSE 3 END) AS d
+      FROM h{k + 1})"""
+    sql += f"""
+    SELECT l_orderkey, l_linenumber, d AS hindex FROM h0"""
+    return sql
+
+
+@register("hilbert_layout", _hilbert_oracle(16))
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (ship time, part key) — the
+    better-locality twin of zorder_layout: no Morton diagonal jumps, so
+    consecutive key ranges map to tighter (t, p) blocks and min/max
+    file stats prune harder on range predicates (the reason Delta grew
+    HILBERT clustering next to ZORDER). Identical deterministic scaling
+    (exact min/max bounds broadcast from a one-row aggregate); the
+    xy2d fold runs as one higher-order aggregate (bucketing.py
+    hilbert_index), replayed level-by-level by the oracle's generated
+    CTEs. Locality vs Z-order is pinned quantitatively in
+    tests/test_round7c.py."""
+    from ..operators import bucketing
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros("l_shipdate").alias("t"),
+        F.col("l_partkey").alias("p"),
+    )
+    rng = li.agg(
+        F.min("t").alias("tlo"), F.max("t").alias("thi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+    )
+    both = li.crossJoin(F.broadcast(rng))
+    return bucketing.hilbert_index(
+        both, F.col("t"), F.col("p"),
+        a_min=F.col("tlo"), a_max=F.col("thi"),
+        b_min=F.col("plo"), b_max=F.col("phi"),
+    ).select("l_orderkey", "l_linenumber", "hindex")

@@ -218,3 +218,67 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
 
     jac = text_ops.ngram_jaccard_pairs(docs).collect()
     assert jac == []  # confirms the asymmetric signal is new information
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_xy2d(spark):
+    """The aggregate-fold must equal the classic xy2d recurrence on a
+    full 16x16 grid (bits=4, identity scaling via [0, 16) bounds)."""
+    from streaming_ml_with_ksql_spark.operators import bucketing
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    out = bucketing.hilbert_index(
+        df, F.col("a"), F.col("b"),
+        a_min=0, a_max=16, b_min=0, b_max=16, bits=4,
+    ).collect()
+    for r in out:
+        assert r["hindex"] == _xy2d(16, r["a"], r["b"]), (r["a"], r["b"])
+    # bijection over the full grid
+    assert sorted(r["hindex"] for r in out) == list(range(256))
+
+
+def test_hilbert_locality_beats_zorder(spark):
+    """Continuity: consecutive Hilbert indexes are ALWAYS spatially
+    adjacent (Manhattan distance 1); Z-order takes longer jumps at
+    quadrant boundaries. This is the file-pruning locality claim,
+    measured."""
+    from streaming_ml_with_ksql_spark.operators import bucketing
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    kw = dict(a_min=0, a_max=16, b_min=0, b_max=16, bits=4)
+    h = {
+        r["hindex"]: (r["a"], r["b"])
+        for r in bucketing.hilbert_index(df, F.col("a"), F.col("b"), **kw).collect()
+    }
+    z = {
+        r["zindex"]: (r["a"], r["b"])
+        for r in bucketing.zorder_index(df, F.col("a"), F.col("b"), **kw).collect()
+    }
+
+    def jumps(ix):
+        cells = [ix[i] for i in sorted(ix)]
+        return [
+            abs(a[0] - b[0]) + abs(a[1] - b[1])
+            for a, b in zip(cells, cells[1:])
+        ]
+
+    hj, zj = jumps(h), jumps(z)
+    assert max(hj) == 1  # the Hilbert curve never tears
+    assert max(zj) > 1  # Morton does (diagonal quadrant jumps)
+    assert sum(hj) < sum(zj)
