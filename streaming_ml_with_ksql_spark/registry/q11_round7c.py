@@ -446,3 +446,83 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_min=F.col("tlo"), a_max=F.col("thi"),
         b_min=F.col("plo"), b_max=F.col("phi"),
     ).select("l_orderkey", "l_linenumber", "hindex")
+
+
+@register(
+    "session_concurrency_profile",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tm
+      FROM events WHERE user_id IS NOT NULL),
+    flags AS (
+      SELECT user_id, tm,
+             CASE WHEN tm - lag(tm) OVER (PARTITION BY user_id ORDER BY tm)
+                    > 1800000000 OR
+                  lag(tm) OVER (PARTITION BY user_id ORDER BY tm) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    sess AS (
+      SELECT user_id, tm,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tm
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags),
+    spans AS (
+      SELECT user_id, sid,
+             min(tm) // 60000000 AS m0, max(tm) // 60000000 AS m1
+      FROM sess GROUP BY 1, 2),
+    mins AS (
+      SELECT unnest(range(m0, m1 + 1)) AS minute FROM spans),
+    per_min AS (
+      SELECT minute, count(*) AS active FROM mins GROUP BY 1)
+    SELECT CAST(minute // 1440 AS DOUBLE) AS day_d,
+           CAST(count(*) AS DOUBLE) AS minutes_active_d,
+           CAST(max(active) AS DOUBLE) AS peak_concurrent_d,
+           CAST(sum(active) AS DOUBLE) AS session_minutes_d
+    FROM per_min GROUP BY 1
+    """,
+)
+def q_session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session concurrency profile — the capacity-planning view
+    (how many users are ACTIVE at once, not how many events arrive):
+    30-minute-gap sessions (exact MICROSECOND gap arithmetic — the
+    session_event_paths discipline) exploded onto a minute grid, then
+    per-minute active counts rolled to day peak/total. This is the
+    sweep-line problem solved WITHOUT a global time sort: the session
+    pass partitions by user, the grid join is an explode bounded by
+    session length in minutes, and the day rollup is an ordinary
+    map-side-combined groupBy — no partition-less window anywhere (the
+    r6-verdict scale rule). Integer micros/minutes end to end."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    e = ev.select("user_id", F.unix_micros("ts").alias("tm"))
+    w = Window.partitionBy("user_id").orderBy("tm")
+    flags = e.select(
+        "user_id",
+        "tm",
+        F.when(
+            (F.col("tm") - F.lag("tm").over(w) > 1_800_000_000)
+            | F.lag("tm").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flags.select(
+        "user_id",
+        "tm",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.expr("min(tm) div 60000000L").alias("m0"),
+        F.expr("max(tm) div 60000000L").alias("m1"),
+    )
+    mins = spans.select(
+        F.explode(F.sequence(F.col("m0"), F.col("m1"))).alias("minute")
+    )
+    per_min = mins.groupBy("minute").agg(F.count(F.lit(1)).alias("active"))
+    return per_min.groupBy(
+        F.expr("minute div 1440L").cast("double").alias("day_d")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("minutes_active_d"),
+        F.max("active").cast("double").alias("peak_concurrent_d"),
+        F.sum("active").cast("double").alias("session_minutes_d"),
+    )

@@ -282,3 +282,37 @@ def test_hilbert_locality_beats_zorder(spark):
     assert max(hj) == 1  # the Hilbert curve never tears
     assert max(zj) > 1  # Morton does (diagonal quadrant jumps)
     assert sum(hj) < sum(zj)
+
+
+def test_session_concurrency_known_overlap(spark, tmp_path):
+    """Three users: A 00:00-00:10, B 00:05-00:20, C 01:00 (isolated
+    single event). Peak concurrency = 2 (A and B overlap 00:05-00:10);
+    C's one-minute session raises the active-minute count only."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark import registry
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, minutes in [(1, [0, 10]), (2, [5, 20]), (3, [60])]:
+        for m in minutes:
+            eid += 1
+            rows.append((eid, base + dt.timedelta(minutes=m), uid, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.write.parquet(f"{sf}/events.parquet")
+    out = registry.queries()["session_concurrency_profile"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # A spans minutes 0-10 (11), B 5-20 (16), C one minute => active
+    # minutes = union {0..20, 60} = 22; session-minutes = 11+16+1 = 28;
+    # peak = 2 during the A∩B overlap
+    assert r["minutes_active_d"] == 22.0
+    assert r["session_minutes_d"] == 28.0
+    assert r["peak_concurrent_d"] == 2.0
