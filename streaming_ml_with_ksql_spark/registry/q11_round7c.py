@@ -526,3 +526,131 @@ def q_session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("active").cast("double").alias("peak_concurrent_d"),
         F.sum("active").cast("double").alias("session_minutes_d"),
     )
+
+
+@register(
+    "decision_stump_embedding",
+    """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, y, i - 1 AS dim,
+             CAST(floor(e[i] * 1000000.0) AS BIGINT) AS v
+      FROM emb CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix),
+    hist AS (
+      SELECT dim, v, count(*) AS cnt, sum(y) AS pos
+      FROM q GROUP BY 1, 2),
+    bounds AS (
+      SELECT dim, min(v) AS lo, max(v) AS hi,
+             sum(cnt) AS n, sum(pos) AS p
+      FROM hist GROUP BY 1),
+    grid AS (
+      SELECT dim, lo, hi, n, p, j,
+             lo + ((hi - lo) * j) // 16 AS thr
+      FROM bounds CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
+    split AS (
+      SELECT g.dim, g.thr, g.n, g.p,
+             sum(CASE WHEN h.v <= g.thr THEN h.cnt ELSE 0 END) AS n_l,
+             sum(CASE WHEN h.v <= g.thr THEN h.pos ELSE 0 END) AS p_l
+      FROM grid g JOIN hist h ON h.dim = g.dim
+      GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT dim, thr, n, n_l,
+             (CASE WHEN n_l = 0 THEN 0
+                   ELSE p_l * (n_l - p_l) * 1000000 // n_l END)
+             + (CASE WHEN n - n_l = 0 THEN 0
+                     ELSE (p - p_l) * ((n - n_l) - (p - p_l)) * 1000000
+                          // (n - n_l) END) AS cost_ppm,
+             greatest(p_l, n_l - p_l)
+               + greatest(p - p_l, (n - n_l) - (p - p_l)) AS correct
+      FROM split),
+    best AS (
+      SELECT * FROM scored
+      ORDER BY cost_ppm, dim, thr LIMIT 1)
+    SELECT CAST(dim AS DOUBLE) AS dim_d,
+           CAST(thr AS DOUBLE) AS thr_micro_d,
+           CAST(cost_ppm AS DOUBLE) AS cost_ppm_d,
+           CAST(n_l AS DOUBLE) AS n_left_d,
+           CAST(correct * 1000000 // n AS DOUBLE) AS train_acc_ppm_d
+    FROM best
+    """,
+)
+def q_decision_stump_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision stump (depth-1 CART) over the embedding corpus,
+    predicting the binary coarse label (label < 5): every candidate
+    split on a 64-dim x 15-threshold grid is scored by EXACT INTEGER
+    weighted Gini (p_l*(n_l-p_l)*1e6 div n_l per side — the 2/n scaling
+    dropped, argmin-invariant), argmin tie-broken on (dim, thr), so the
+    fitted stump is engine- and partitioning-exact — the inductive-ML
+    counterpart of the fixed-point k-means discipline. Thresholds are a
+    deterministic integer grid between each dim's exact min/max (no
+    quantile pass). Scale shape: ONE posexplode pass builds the
+    per-(dim, value) HISTOGRAM (map-side combined; the split scan then
+    touches the histogram, never the corpus), the candidate aggregate
+    is 64 x 15 rows, and selection is a 1-row TakeOrderedAndProject.
+    At petabyte counts the ppm products need DECIMAL(38) — documented,
+    not silently wrong (BIGINT is exact through ~1e6 positives here).
+    Reference parity: train-then-score (train.py:288-372) has no
+    in-engine trainer; this is the north-star extension."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("qv"),
+        F.expr("CASE WHEN label < 5 THEN 1 ELSE 0 END").alias("y"),
+    )
+    q = emb.select("vec_id", "y", F.posexplode("qv").alias("dim", "v"))
+    hist = q.groupBy("dim", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    bounds = hist.groupBy("dim").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("p"),
+    )
+    grid = bounds.crossJoin(
+        spark.range(1, 16).select(F.col("id").alias("j"))
+    ).select(
+        "dim", "n", "p", F.expr("lo + ((hi - lo) * j) div 16").alias("thr")
+    )
+    split = (
+        grid.join(hist, "dim")
+        .groupBy("dim", "thr", "n", "p")
+        .agg(
+            F.sum(F.expr("CASE WHEN v <= thr THEN cnt ELSE 0 END")).alias("n_l"),
+            F.sum(F.expr("CASE WHEN v <= thr THEN pos ELSE 0 END")).alias("p_l"),
+        )
+    )
+    scored = split.select(
+        "dim",
+        "thr",
+        "n",
+        "n_l",
+        (
+            F.expr(
+                "CASE WHEN n_l = 0 THEN 0L"
+                " ELSE p_l * (n_l - p_l) * 1000000L div n_l END"
+            )
+            + F.expr(
+                "CASE WHEN n - n_l = 0 THEN 0L"
+                " ELSE (p - p_l) * ((n - n_l) - (p - p_l)) * 1000000L"
+                " div (n - n_l) END"
+            )
+        ).alias("cost_ppm"),
+        F.expr(
+            "greatest(p_l, n_l - p_l)"
+            " + greatest(p - p_l, (n - n_l) - (p - p_l))"
+        ).alias("correct"),
+    )
+    best = scored.orderBy("cost_ppm", "dim", "thr").limit(1)
+    return best.select(
+        F.col("dim").cast("double").alias("dim_d"),
+        F.col("thr").cast("double").alias("thr_micro_d"),
+        F.col("cost_ppm").cast("double").alias("cost_ppm_d"),
+        F.col("n_l").cast("double").alias("n_left_d"),
+        F.expr("correct * 1000000L div n").cast("double").alias("train_acc_ppm_d"),
+    )

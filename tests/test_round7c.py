@@ -316,3 +316,31 @@ def test_session_concurrency_known_overlap(spark, tmp_path):
     assert r["minutes_active_d"] == 22.0
     assert r["session_minutes_d"] == 28.0
     assert r["peak_concurrent_d"] == 2.0
+
+
+def test_decision_stump_finds_separating_dimension(spark, tmp_path):
+    """Synthetic embeddings where dim 7 perfectly separates the coarse
+    classes (label<5 -> coordinate -1.0, else +1.0; every other dim is a
+    fixed constant): the stump must select dim 7 with zero Gini cost and
+    100% training accuracy."""
+    from streaming_ml_with_ksql_spark import registry
+
+    rows = []
+    for i in range(80):
+        label = i % 10
+        vec = [0.5] * 64
+        vec[7] = -1.0 if label < 5 else 1.0
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = registry.queries()["decision_stump_embedding"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["dim_d"] == 7.0
+    assert r["cost_ppm_d"] == 0.0
+    assert r["train_acc_ppm_d"] == 1_000_000.0
+    assert r["n_left_d"] == 40.0  # the negative-coordinate half
