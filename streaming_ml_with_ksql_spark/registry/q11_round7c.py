@@ -654,3 +654,70 @@ def q_decision_stump_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_l").cast("double").alias("n_left_d"),
         F.expr("correct * 1000000L div n").cast("double").alias("train_acc_ppm_d"),
     )
+
+
+def _perceptron_oracle(epochs: int = 4) -> str:
+    """Unrolled batch-perceptron oracle: epoch k's CTE trio
+    (scores / misclassified / weight update) is generated mechanically;
+    every quantity is an exact BIGINT aggregate, so DuckDB replays
+    Spark's trajectory bit-for-bit (the pagerank/kmeans discipline
+    applied to a linear separator)."""
+    sql = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             CASE WHEN label < 5 THEN 1 ELSE -1 END AS y
+      FROM embeddings),
+    px AS (
+      SELECT vec_id, y, i - 1 AS pos,
+             CASE WHEN i <= 64
+                  THEN CAST(floor(e[i] * 1000000.0) AS BIGINT)
+                  ELSE CAST(1000000 AS BIGINT) END AS xv
+      FROM emb CROSS JOIN (SELECT unnest(generate_series(1, 65)) AS i) ix),
+    nn AS (SELECT count(*) AS c FROM emb),
+    w0 AS (SELECT unnest(generate_series(0, 64)) AS pos,
+                  CAST(0 AS BIGINT) AS wv)"""
+    for k in range(epochs + 1):
+        sql += f""",
+    s{k} AS (
+      SELECT p.vec_id, p.y, sum(p.xv * w.wv) AS s
+      FROM px p JOIN w{k} w USING (pos) GROUP BY 1, 2),
+    m{k} AS (SELECT vec_id FROM s{k} WHERE y * s <= 0)"""
+        if k < epochs:
+            sql += f""",
+    u{k} AS (
+      SELECT p.pos, sum(p.y * p.xv) AS dv
+      FROM px p JOIN m{k} USING (vec_id) GROUP BY 1),
+    w{k + 1} AS (
+      SELECT w.pos, w.wv + coalesce(u.dv, 0) AS wv
+      FROM w{k} w LEFT JOIN u{k} u USING (pos))"""
+    stats = "\n      UNION ALL ".join(
+        f"SELECT {k} AS epoch, (SELECT count(*) FROM m{k}) AS n_mis"
+        for k in range(epochs + 1)
+    )
+    sql += f""",
+    stats AS ({stats})
+    SELECT CAST(epoch AS DOUBLE) AS epoch_d,
+           CAST(n_mis AS DOUBLE) AS n_mis_d,
+           CAST(((c - n_mis) * 1000000) // c AS DOUBLE) AS acc_ppm_d
+    FROM stats CROSS JOIN nn ORDER BY 1"""
+    return sql
+
+
+@register("perceptron_embedding_trajectory", _perceptron_oracle(4))
+def q_perceptron_embedding_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch perceptron trained IN-ENGINE on the embedding corpus
+    (binary coarse label, 4 epochs) with the full per-epoch trajectory
+    hash-checked: order-free integer epoch updates make a linear
+    classifier's training exactly reproducible across engines and
+    partitionings (ml/linear.py batch_perceptron_trajectory) — the
+    third member of the exact-training family next to fixed-point
+    k-means and the integer-Gini stump. Broadcast 65-row weight frame,
+    checkpointed exploded features, two map-side-combined aggregates
+    per epoch."""
+    from ..ml import linear
+
+    return linear.batch_perceptron_trajectory(
+        _t(spark, sf_dir, "embeddings"), epochs=4
+    )

@@ -344,3 +344,45 @@ def test_decision_stump_finds_separating_dimension(spark, tmp_path):
     assert r["cost_ppm_d"] == 0.0
     assert r["train_acc_ppm_d"] == 1_000_000.0
     assert r["n_left_d"] == 40.0  # the negative-coordinate half
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    """On a linearly separable synthetic set (dim 7 carries the class
+    sign, everything else constant) one batch update already separates:
+    epoch 0 reports all-wrong under w=0 (y*s<=0 convention), epochs
+    1..2 report 100% accuracy."""
+    from streaming_ml_with_ksql_spark.ml import linear
+
+    rows = []
+    for i in range(80):
+        label = i % 10
+        vec = [0.5] * 64
+        vec[7] = -1.0 if label < 5 else 1.0
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["epoch_d"]: (r["n_mis_d"], r["acc_ppm_d"])
+        for r in linear.batch_perceptron_trajectory(df, epochs=2).collect()
+    }
+    assert out[0.0] == (80.0, 0.0)
+    assert out[1.0] == (0.0, 1_000_000.0)
+    assert out[2.0] == (0.0, 1_000_000.0)
+
+
+def test_perceptron_partitioning_invariant(spark, sf_small):
+    """Order-free integer epoch updates: the trajectory must be
+    identical under any input partitioning."""
+    from streaming_ml_with_ksql_spark import io as io_mod2
+    from streaming_ml_with_ksql_spark.ml import linear
+
+    emb = io_mod2.load_table(spark, sf_small, "embeddings")
+    r1 = sorted(map(tuple, linear.batch_perceptron_trajectory(emb, epochs=2).collect()))
+    r2 = sorted(
+        map(
+            tuple,
+            linear.batch_perceptron_trajectory(emb.repartition(13), epochs=2).collect(),
+        )
+    )
+    assert r1 == r2
