@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["batch_perceptron_trajectory"]
+__all__ = ["batch_perceptron_trajectory", "fit_stump"]
 
 
 def batch_perceptron_trajectory(
@@ -119,3 +119,83 @@ def batch_perceptron_trajectory(
         .cast("double")
         .alias("acc_ppm_d"),
     ).orderBy("epoch_d")
+
+
+def fit_stump(
+    fv: DataFrame, *, n_thresholds: int = 15, grid_div: int = 16
+) -> DataFrame:
+    """Fit an exact integer-Gini decision stump over a generic
+    (fid, v, y) feature-value frame — the factored core of
+    decision_stump_embedding, reusable by any feature extractor and by
+    the streaming ingest twin (the (fid, v) histogram is an ADDITIVE
+    sufficient statistic, so a drained stream of feature rows fits the
+    identical stump). One-row output:
+    (fid_d, thr_d, cost_ppm_d, n_left_d, train_acc_ppm_d).
+
+    Same determinism/scale contract as the embedding stump: histogram
+    first (map-side combined), deterministic integer threshold grid
+    between each feature's exact min/max, cost in integer ppm with
+    empty-side guards, argmin tie-broken on (fid, thr),
+    TakeOrderedAndProject selection."""
+    hist = fv.groupBy("fid", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    bounds = hist.groupBy("fid").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("p"),
+    )
+    spark = fv.sparkSession
+    grid = bounds.crossJoin(
+        spark.range(1, n_thresholds + 1).select(F.col("id").alias("j"))
+    ).select(
+        "fid",
+        "n",
+        "p",
+        F.expr(f"lo + ((hi - lo) * j) div {grid_div}").alias("thr"),
+    )
+    # rename the join key on the histogram side: grid descends from hist,
+    # and the self-referential join otherwise trips Spark's conflicting-
+    # reference resolution on memory-sink-backed frames
+    h2 = hist.select(
+        F.col("fid").alias("hfid"), "v", "cnt", "pos"
+    )
+    split = (
+        grid.join(h2, F.col("fid") == F.col("hfid"))
+        .drop("hfid")
+        .groupBy("fid", "thr", "n", "p")
+        .agg(
+            F.sum(F.expr("CASE WHEN v <= thr THEN cnt ELSE 0 END")).alias("n_l"),
+            F.sum(F.expr("CASE WHEN v <= thr THEN pos ELSE 0 END")).alias("p_l"),
+        )
+    )
+    scored = split.select(
+        "fid",
+        "thr",
+        "n",
+        "n_l",
+        (
+            F.expr(
+                "CASE WHEN n_l = 0 THEN 0L"
+                " ELSE p_l * (n_l - p_l) * 1000000L div n_l END"
+            )
+            + F.expr(
+                "CASE WHEN n - n_l = 0 THEN 0L"
+                " ELSE (p - p_l) * ((n - n_l) - (p - p_l)) * 1000000L"
+                " div (n - n_l) END"
+            )
+        ).alias("cost_ppm"),
+        F.expr(
+            "greatest(p_l, n_l - p_l)"
+            " + greatest(p - p_l, (n - n_l) - (p - p_l))"
+        ).alias("correct"),
+    )
+    best = scored.orderBy("cost_ppm", "fid", "thr").limit(1)
+    return best.select(
+        F.col("fid").cast("double").alias("fid_d"),
+        F.col("thr").cast("double").alias("thr_d"),
+        F.col("cost_ppm").cast("double").alias("cost_ppm_d"),
+        F.col("n_l").cast("double").alias("n_left_d"),
+        F.expr("correct * 1000000L div n").cast("double").alias("train_acc_ppm_d"),
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from ._core import *  # noqa: F401,F403
 from ._core import _REGISTRY, _t, register  # noqa: F401
 from ..operators import clustering
+from .q04_streamksql import _STREAM_SEQ, _replay_events  # noqa: F401
+from ..streaming import sinks as stream_sinks  # noqa: F401
 
 
 def _dbscan_oracle(min_neighbors: int = 2) -> str:
@@ -721,3 +723,102 @@ def q_perceptron_embedding_trajectory(
     return linear.batch_perceptron_trajectory(
         _t(spark, sf_dir, "embeddings"), epochs=4
     )
+
+
+_EVENT_STUMP_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v0,
+         CAST(hour(ts) AS BIGINT) AS v1,
+         datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS dx
+  FROM events),
+q AS (
+  SELECT 0 AS fid, v0 AS v, y FROM base
+  UNION ALL SELECT 1, v1, y FROM base
+  UNION ALL SELECT 2, CAST(dx % 7 AS BIGINT), y FROM base
+  UNION ALL SELECT 3, CAST(dx AS BIGINT), y FROM base),
+hist AS (SELECT fid, v, count(*) AS cnt, sum(y) AS pos FROM q GROUP BY 1, 2),
+bounds AS (
+  SELECT fid, min(v) AS lo, max(v) AS hi, sum(cnt) AS n, sum(pos) AS p
+  FROM hist GROUP BY 1),
+grid AS (
+  SELECT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
+  FROM bounds CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
+split AS (
+  SELECT g.fid, g.thr, g.n, g.p,
+         sum(CASE WHEN h.v <= g.thr THEN h.cnt ELSE 0 END) AS n_l,
+         sum(CASE WHEN h.v <= g.thr THEN h.pos ELSE 0 END) AS p_l
+  FROM grid g JOIN hist h ON h.fid = g.fid
+  GROUP BY 1, 2, 3, 4),
+scored AS (
+  SELECT fid, thr, n, n_l,
+         (CASE WHEN n_l = 0 THEN 0
+               ELSE p_l * (n_l - p_l) * 1000000 // n_l END)
+         + (CASE WHEN n - n_l = 0 THEN 0
+                 ELSE (p - p_l) * ((n - n_l) - (p - p_l)) * 1000000
+                      // (n - n_l) END) AS cost_ppm,
+         greatest(p_l, n_l - p_l)
+           + greatest(p - p_l, (n - n_l) - (p - p_l)) AS correct
+  FROM split),
+best AS (SELECT * FROM scored ORDER BY cost_ppm, fid, thr LIMIT 1)
+SELECT CAST(fid AS DOUBLE) AS fid_d,
+       CAST(thr AS DOUBLE) AS thr_d,
+       CAST(cost_ppm AS DOUBLE) AS cost_ppm_d,
+       CAST(n_l AS DOUBLE) AS n_left_d,
+       CAST(correct * 1000000 // n AS DOUBLE) AS train_acc_ppm_d
+FROM best
+"""
+
+
+def _event_stump_features(ev: DataFrame) -> DataFrame:
+    """(fid, v, y) feature rows for the purchase-prediction stump:
+    value micro-units, hour of day, day of week as (day index mod 7 —
+    engine-independent, unlike dayofweek()'s origin conventions), and
+    the day index itself."""
+    base = ev.select(
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias("y"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("v0"),
+        F.hour("ts").cast("long").alias("v1"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("dx"),
+    )
+    return base.selectExpr(
+        "stack(4, 0, v0, 1, v1, 2, CAST(dx % 7 AS BIGINT),"
+        " 3, CAST(dx AS BIGINT)) AS (fid, v)",
+        "y",
+    )
+
+
+@register("decision_stump_events", _EVENT_STUMP_ORACLE)
+def q_decision_stump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-prediction stump over behavioral event features (value,
+    hour, weekday, day index) — the factored exact integer-Gini fitter
+    (ml/linear.py fit_stump) applied to a stack()-unpivoted feature
+    frame. Same determinism and histogram-first scale shape as
+    decision_stump_embedding; the weekday feature uses day-index mod 7
+    (dayofweek() origins differ across engines)."""
+    from ..ml import linear
+
+    ev = _t(spark, sf_dir, "events")
+    return linear.fit_stump(_event_stump_features(ev))
+
+
+@register("streaming_stump_ingest", _EVENT_STUMP_ORACLE)
+def q_streaming_stump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance path of the stump: the event replay emits
+    STATELESS (fid, v, y) feature rows — the stump's (fid, v) histogram
+    is an additive sufficient statistic, so the drained feature stream
+    fits EXACTLY the batch stump (oracle identical). This is continuous
+    in-engine model maintenance: the materialized histogram replaces
+    the corpus scan and only ever ADDS (the streaming_auc_ingest
+    contract applied to a trainable model)."""
+    from ..ml import linear
+
+    stream = _replay_events(spark, sf_dir)
+    feats = _event_stump_features(stream)
+    drained = stream_sinks.run_to_memory(
+        feats, f"reg_stream_stump_{next(_STREAM_SEQ)}"
+    )
+    return linear.fit_stump(drained)

@@ -386,3 +386,25 @@ def test_perceptron_partitioning_invariant(spark, sf_small):
         )
     )
     assert r1 == r2
+
+
+def test_fit_stump_batch_equals_scrambled_input(spark, sf_small):
+    """The stump is a pure function of the additive (fid, v) histogram:
+    any input partitioning/order must fit the identical split."""
+    from streaming_ml_with_ksql_spark import registry
+    from streaming_ml_with_ksql_spark.ml import linear
+    from streaming_ml_with_ksql_spark.registry.q11_round7c import (
+        _event_stump_features,
+    )
+
+    ev = io_mod.load_table(spark, sf_small, "events")
+    a = linear.fit_stump(_event_stump_features(ev)).collect()
+    b = linear.fit_stump(
+        _event_stump_features(ev.repartition(17).sortWithinPartitions("value"))
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # and the streaming twin shares the batch oracle by construction
+    assert (
+        registry._REGISTRY["streaming_stump_ingest"].oracle
+        == registry._REGISTRY["decision_stump_events"].oracle
+    )
