@@ -96,6 +96,14 @@ QUERIES = [
     "dbscan_embedding_clusters",
     "holt_forecast_revenue",
     "bson_source_roundtrip",
+    "user_trend_velocity",
+    "thrift_source_roundtrip",
+    "ngram_containment_pairs",
+    "hilbert_layout",
+    "session_concurrency_profile",
+    "decision_stump_embedding",
+    "perceptron_embedding_trajectory",
+    "decision_stump_events",
 ]
 
 

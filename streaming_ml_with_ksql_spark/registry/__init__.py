@@ -110,10 +110,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # attribution keeps the enrich-join slot)
     "touch_attribution",
     "holt_forecast_revenue",
-    # time-series family: streaming rollup keeps its slot; subsequence
-    # pattern search (z-normalized distance, TakeOrderedAndProject
-    # top-10) takes the z-score slot
-    "streaming_multi_resolution_rollup",
+    # time-series family: the streaming rollup holds r06 and yields
+    # to the Hilbert layout key (the first data-layout verdict since
+    # zorder r04); subsequence pattern search keeps the z-score slot
+    "hilbert_layout",
     "series_pattern_match",
     # behavioral analytics family (first verdicts): 7-day attribution
     # funnel, RFM quintile segmentation via distributed NTILE, per-user
@@ -161,17 +161,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stateful-streaming maintenance family (the quantile-sketch twin
     # holds r06 and yields to the wallet state machine, first verdict)
     "streaming_wallet_balance",
-    # dedup/graph family (exact n-gram jaccard keeps; passage stats
-    # hold r06 and yield to BFS landmark distances; pagerank holds r05
-    # and yields to DBSCAN over the embedding eps-graph — the density
-    # member of the clustering family, first verdict)
+    # dedup/graph family (passage stats hold r06 and yield to BFS
+    # landmark distances; exact n-gram jaccard holds r06 and yields to
+    # its asymmetric containment twin — BFS's oracle still nests the
+    # full jaccard statement; pagerank holds r05 and yields to DBSCAN
+    # over the embedding eps-graph, first verdicts all three)
     "bfs_hops_near_dup",
-    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "dbscan_embedding_clusters",
-    # embedding family (LSH near-dup keeps; dedup groups hold r06 and
-    # yield to integer fixed-point k-means, first verdict)
+    # embedding/exact-training family (LSH near-dup holds r06 and
+    # yields to the in-engine batch perceptron; dedup groups hold r06
+    # and yield to integer fixed-point k-means — first verdicts both)
     "kmeans_embedding_clusters",
-    "embedding_near_dup_pairs_lsh",
+    "perceptron_embedding_trajectory",
     # corpus pipeline (curation composite + PII scrub keep;
     # fixed-budget chunking holds r06 and yields to the exact seasonal
     # decomposition — a new time-series family member; the old
@@ -190,11 +192,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_mixed_container_sample",
     "bson_source_roundtrip",
     "multimodal_gif_decode",
-    # streaming family (EMIT CHANGES, custom stateful sessionize, the
-    # INNER interval join keep their slots — left/right/full and the
-    # alert-once machine hold r06; the freed slot goes to
+    # streaming family (custom stateful sessionize and the INNER
+    # interval join keep their slots — left/right/full, the alert-once
+    # machine, and the late-data policy hold r06; the late-data slot
+    # goes to the streaming stump-histogram ingest (continuous
+    # in-engine model maintenance) and the other freed slot to
     # resource-allocation link prediction, a new graph-ML family)
-    "streaming_late_data_policy",
+    "streaming_stump_ingest",
     "streaming_sessionize",
     "streaming_interval_join",
     "link_prediction_copurchase",

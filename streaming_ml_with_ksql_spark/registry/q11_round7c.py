@@ -822,3 +822,139 @@ def q_streaming_stump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, f"reg_stream_stump_{next(_STREAM_SEQ)}"
     )
     return linear.fit_stump(drained)
+
+
+def _stump_chain_sql(sfx: str, where: str) -> str:
+    """The stump CTE chain over the event feature base, name-suffixed
+    and row-filtered — generated once per tree node so the depth-2
+    oracle replays the exact recursive fit (same algebra as
+    _EVENT_STUMP_ORACLE, parameterized)."""
+    return f"""
+    q{sfx} AS (
+      SELECT 0 AS fid, v0 AS v, y FROM base {where}
+      UNION ALL SELECT 1, v1, y FROM base {where}
+      UNION ALL SELECT 2, CAST(dx % 7 AS BIGINT), y FROM base {where}
+      UNION ALL SELECT 3, CAST(dx AS BIGINT), y FROM base {where}),
+    hist{sfx} AS (
+      SELECT fid, v, count(*) AS cnt, sum(y) AS pos
+      FROM q{sfx} GROUP BY 1, 2),
+    bounds{sfx} AS (
+      SELECT fid, min(v) AS lo, max(v) AS hi, sum(cnt) AS n, sum(pos) AS p
+      FROM hist{sfx} GROUP BY 1),
+    grid{sfx} AS (
+      SELECT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
+      FROM bounds{sfx}
+      CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
+    split{sfx} AS (
+      SELECT g.fid, g.thr, g.n, g.p,
+             sum(CASE WHEN h.v <= g.thr THEN h.cnt ELSE 0 END) AS n_l,
+             sum(CASE WHEN h.v <= g.thr THEN h.pos ELSE 0 END) AS p_l
+      FROM grid{sfx} g JOIN hist{sfx} h ON h.fid = g.fid
+      GROUP BY 1, 2, 3, 4),
+    scored{sfx} AS (
+      SELECT fid, thr, n, n_l,
+             (CASE WHEN n_l = 0 THEN 0
+                   ELSE p_l * (n_l - p_l) * 1000000 // n_l END)
+             + (CASE WHEN n - n_l = 0 THEN 0
+                     ELSE (p - p_l) * ((n - n_l) - (p - p_l)) * 1000000
+                          // (n - n_l) END) AS cost_ppm,
+             greatest(p_l, n_l - p_l)
+               + greatest(p - p_l, (n - n_l) - (p - p_l)) AS correct
+      FROM split{sfx}),
+    best{sfx} AS (
+      SELECT * FROM scored{sfx} ORDER BY cost_ppm, fid, thr LIMIT 1)"""
+
+
+_ROOT_FEATURE = """(CASE (SELECT fid FROM best_r)
+      WHEN 0 THEN v0 WHEN 1 THEN v1
+      WHEN 2 THEN CAST(dx % 7 AS BIGINT)
+      ELSE CAST(dx AS BIGINT) END)"""
+
+_TREE2_ORACLE = (
+    """
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v0,
+             CAST(hour(ts) AS BIGINT) AS v1,
+             datediff('day', TIMESTAMP '2024-01-01',
+                      date_trunc('day', ts)) AS dx
+      FROM events),"""
+    + _stump_chain_sql("_r", "")
+    + ","
+    + _stump_chain_sql(
+        "_l", f"WHERE {_ROOT_FEATURE} <= (SELECT thr FROM best_r)"
+    )
+    + ","
+    + _stump_chain_sql(
+        "_rt", f"WHERE {_ROOT_FEATURE} > (SELECT thr FROM best_r)"
+    )
+    + """
+    SELECT node, CAST(fid AS DOUBLE) AS fid_d, CAST(thr AS DOUBLE) AS thr_d,
+           CAST(cost_ppm AS DOUBLE) AS cost_ppm_d,
+           CAST(n_l AS DOUBLE) AS n_left_d,
+           CAST(correct * 1000000 // n AS DOUBLE) AS train_acc_ppm_d
+    FROM (
+      SELECT 'root' AS node, * FROM best_r
+      UNION ALL SELECT 'left', * FROM best_l
+      UNION ALL SELECT 'right', * FROM best_rt)
+    ORDER BY node
+    """
+)
+
+
+def _event_stump_base(ev: DataFrame) -> DataFrame:
+    """Wide (y, v0, v1, dx) feature base shared by the stump and the
+    depth-2 tree (the tree filters it by the fitted root predicate)."""
+    return ev.select(
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias("y"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("v0"),
+        F.hour("ts").cast("long").alias("v1"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("dx"),
+    )
+
+
+def _stack_features(base: DataFrame) -> DataFrame:
+    return base.selectExpr(
+        "stack(4, 0, v0, 1, v1, 2, CAST(dx % 7 AS BIGINT),"
+        " 3, CAST(dx AS BIGINT)) AS (fid, v)",
+        "y",
+    )
+
+
+@register("decision_tree_depth2_events", _TREE2_ORACLE)
+def q_decision_tree_depth2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART over the behavioral features: the exact integer-Gini
+    stump applied RECURSIVELY — fit the root, partition the corpus by
+    its predicate, fit one stump per side. The root split is a 1-row
+    driver-bounded collect (the BPE-argmax discipline: a scalar
+    decision the next distributed stage is parameterized by); children
+    fit in parallel on filtered frames with the identical histogram
+    algebra, so the whole tree is engine- and partitioning-exact and
+    the oracle replays the recursion as three generated stump chains
+    (the children's WHERE clauses reference the root's fitted split).
+    Output: one row per node (root/left/right) with split and
+    per-node training accuracy."""
+    from ..ml import linear
+
+    base = _event_stump_base(_t(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    root = linear.fit_stump(_stack_features(base)).collect()[0]
+    fid, thr = int(root["fid_d"]), int(root["thr_d"])
+    pred = F.expr(
+        f"(CASE {fid} WHEN 0 THEN v0 WHEN 1 THEN v1"
+        f" WHEN 2 THEN CAST(dx % 7 AS BIGINT)"
+        f" ELSE CAST(dx AS BIGINT) END) <= {thr}L"
+    )
+    left = linear.fit_stump(_stack_features(base.where(pred)))
+    right = linear.fit_stump(_stack_features(base.where(~pred)))
+    root_df = linear.fit_stump(_stack_features(base))
+    out = (
+        root_df.select(F.lit("root").alias("node"), "*")
+        .unionByName(left.select(F.lit("left").alias("node"), "*"))
+        .unionByName(right.select(F.lit("right").alias("node"), "*"))
+    )
+    return out.orderBy("node")

@@ -408,3 +408,51 @@ def test_fit_stump_batch_equals_scrambled_input(spark, sf_small):
         registry._REGISTRY["streaming_stump_ingest"].oracle
         == registry._REGISTRY["decision_stump_events"].oracle
     )
+
+
+def test_depth2_tree_solves_xor_the_stump_cannot(spark, tmp_path):
+    """XOR(value-high, hour-high) labels: no single split separates
+    (root accuracy ~50%), but the depth-2 children split on the other
+    feature and reach 100% each."""
+    import datetime as dt
+
+    from streaming_ml_with_ksql_spark import registry
+
+    base = dt.datetime(2024, 1, 5)
+    rows = []
+    eid = 0
+    for vhigh in (0, 1):
+        for hhigh in (0, 1):
+            y = vhigh ^ hhigh
+            for i in range(25):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        base.replace(hour=20 if hhigh else 3, minute=i),
+                        1,
+                        "purchase" if y else "view",
+                        100.0 if vhigh else 1.0,
+                        "{}",
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r["node"]: r
+        for r in registry.queries()["decision_tree_depth2_events"](
+            spark, sf
+        ).collect()
+    }
+    assert out["root"]["train_acc_ppm_d"] == 500_000.0  # XOR blinds depth 1
+    assert out["left"]["train_acc_ppm_d"] == 1_000_000.0
+    assert out["right"]["train_acc_ppm_d"] == 1_000_000.0
+    # children split on the OTHER feature than the root
+    assert out["left"]["fid_d"] != out["root"]["fid_d"]
+    assert out["right"]["fid_d"] != out["root"]["fid_d"]
