@@ -958,3 +958,93 @@ def q_decision_tree_depth2_events(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(right.select(F.lit("right").alias("node"), "*"))
     )
     return out.orderBy("node")
+
+
+@register(
+    "knn_loo_classification",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+                 FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS nb_label,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM emb q JOIN emb c ON c.vec_id != q.vec_id),
+    top5 AS (
+      SELECT * FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+    votes AS (
+      SELECT query_id, true_label, nb_label, count(*) AS cnt
+      FROM top5 GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, nb_label AS pred_label FROM votes
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY cnt DESC, nb_label ASC) = 1)
+    SELECT CAST(true_label AS DOUBLE) AS class_d,
+           CAST(count(*) AS DOUBLE) AS n_d,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) AS correct_d,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS DOUBLE) AS acc_ppm_d
+    FROM pred GROUP BY 1
+    """,
+)
+def q_knn_loo_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN cosine classification report per class — the
+    embedding-quality eval that tells you whether the space clusters by
+    label BEFORE you spend a training run (the kNN-probe standard).
+    Self-exclusion IS the leave-one-out; majority vote ties break to
+    the smallest label, neighbor ranks tie on (cosine 6dp desc, id) —
+    fully deterministic, so the report is exactly hash-checked. Scale:
+    this registration is the all-pairs oracle baseline (corpus
+    broadcast, the embedding_topk_bruteforce contract); the serve-shape
+    twin is the IVF/PQ family — at 100 TB the probe runs on a sample or
+    through the ANN index, trading the documented recall gap. The
+    per-query windows partition by query_id (never global)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nb = similarity.brute_force_topk(emb, n_queries=1 << 60, k=5)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("lbl"))
+    votes = (
+        nb.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("lbl").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    joined = pred.join(
+        labels.select(
+            F.col("vec_id").alias("query_id"), F.col("lbl").alias("true_label")
+        ),
+        "query_id",
+    )
+    return joined.groupBy(
+        F.col("true_label").cast("double").alias("class_d")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        F.sum(
+            F.expr("CASE WHEN pred_label = true_label THEN 1 ELSE 0 END")
+        )
+        .cast("double")
+        .alias("correct_d"),
+        F.expr(
+            "sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
+            " * 1000000L div count(*)"
+        )
+        .cast("double")
+        .alias("acc_ppm_d"),
+    )

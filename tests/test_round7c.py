@@ -456,3 +456,31 @@ def test_depth2_tree_solves_xor_the_stump_cannot(spark, tmp_path):
     # children split on the OTHER feature than the root
     assert out["left"]["fid_d"] != out["root"]["fid_d"]
     assert out["right"]["fid_d"] != out["root"]["fid_d"]
+
+
+def test_knn_loo_perfect_on_separated_clusters(spark, tmp_path):
+    """Three well-separated orthogonal clusters: every point's 5
+    nearest neighbors are same-cluster, so LOO accuracy is 100% for
+    every class."""
+    from streaming_ml_with_ksql_spark import registry
+
+    rows = []
+    vid = 0
+    for label in range(3):
+        for i in range(10):
+            vec = [0.0] * 64
+            vec[label * 20] = 1.0
+            vec[label * 20 + 1] = 0.01 * i  # intra-cluster jitter
+            rows.append((vid, vec, label))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = registry.queries()["knn_loo_classification"](spark, sf).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_d"] == 10.0
+        assert r["acc_ppm_d"] == 1_000_000.0
