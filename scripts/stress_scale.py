@@ -104,6 +104,8 @@ QUERIES = [
     "decision_stump_embedding",
     "perceptron_embedding_trajectory",
     "decision_stump_events",
+    "decision_tree_depth2_events",
+    "knn_loo_classification",
 ]
 
 

@@ -1048,3 +1048,162 @@ def q_knn_loo_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acc_ppm_d"),
     )
+
+
+def _golden_record_oracle() -> str:
+    """Nest the VERIFIED part_entity_groups statement (composition
+    rule) and state survivorship in closed form."""
+    groups_sql = _REGISTRY["part_entity_groups"].oracle
+    return f"""
+    WITH grp AS (
+      SELECT p_name, entity_id FROM ({groups_sql}) q),
+    members AS (
+      SELECT g.entity_id, p.p_partkey, p.p_brand, p.p_type,
+             CAST(floor(p.p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM grp g JOIN part p ON p.p_name = g.p_name),
+    agg AS (
+      SELECT entity_id,
+             count(*) AS n_members,
+             min(p_partkey) AS survivor,
+             min(cents) AS price_min_cents,
+             max(cents) AS price_max_cents,
+             count(DISTINCT p_brand) AS n_brands,
+             count(DISTINCT p_type) AS n_types
+      FROM members GROUP BY 1)
+    SELECT entity_id,
+           CAST(n_members AS DOUBLE) AS n_members_d,
+           CAST(survivor AS DOUBLE) AS survivor_partkey_d,
+           CAST(price_min_cents AS DOUBLE) AS price_min_cents_d,
+           CAST(price_max_cents AS DOUBLE) AS price_max_cents_d,
+           CAST(n_brands AS DOUBLE) AS n_brands_d,
+           CAST(n_types AS DOUBLE) AS n_types_d
+    FROM agg WHERE n_members >= 2
+    """
+
+
+@register("entity_golden_record", _golden_record_oracle())
+def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over the resolved entity groups — the MDM
+    step after entity resolution: every multi-member entity gets ONE
+    golden record with a deterministic survivor (min partkey), exact
+    price spread in cents (same entity priced differently is the
+    classic catalog-quality finding), and brand/type disagreement
+    counts. Composes the VERIFIED part_entity_groups stage (nested
+    whole, per the composition rule); the member join is name-keyed
+    (multiple partkeys share a fuzzy-matched name), aggregation is one
+    map-side-combined groupBy on entity_id."""
+    groups = _REGISTRY["part_entity_groups"].spark(spark, sf_dir).select(
+        "p_name", "entity_id"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_name",
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.expr("CAST(floor(p_retailprice * 100.0) AS BIGINT)").alias("cents"),
+    )
+    members = groups.join(part, "p_name")
+    agg = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("p_partkey").alias("survivor"),
+        F.min("cents").alias("price_min_cents"),
+        F.max("cents").alias("price_max_cents"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+    return agg.where(F.col("n_members") >= 2).select(
+        "entity_id",
+        F.col("n_members").cast("double").alias("n_members_d"),
+        F.col("survivor").cast("double").alias("survivor_partkey_d"),
+        F.col("price_min_cents").cast("double").alias("price_min_cents_d"),
+        F.col("price_max_cents").cast("double").alias("price_max_cents_d"),
+        F.col("n_brands").cast("double").alias("n_brands_d"),
+        F.col("n_types").cast("double").alias("n_types_d"),
+    )
+
+
+def _qsketch_audit_oracle() -> str:
+    """Nest the VERIFIED quantile_sketch_events statement and compare
+    each estimate against the EXACT order statistic from the cents
+    histogram (same rank convention), asserting the bucket-width error
+    bound as a checked column."""
+    from .q07_layoutcorpus import _QSKETCH_WIDTH
+
+    sketch_sql = _REGISTRY["quantile_sketch_events"].oracle
+    return f"""
+    WITH sk AS (
+      SELECT event_type, q, est FROM ({sketch_sql}) s),
+    cells AS (
+      SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, cents, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS n_total
+      FROM cells),
+    qs AS (SELECT DISTINCT q FROM sk),
+    r AS (
+      SELECT c.*, q,
+             CAST(floor(q * (n_total - 1)) + 1 AS BIGINT) AS rnk
+      FROM c CROSS JOIN qs),
+    exact AS (
+      SELECT event_type, q, cents AS exact_cents
+      FROM r WHERE cum - n < rnk AND rnk <= cum)
+    SELECT s.event_type, s.q, s.est,
+           CAST(e.exact_cents AS DOUBLE) AS exact_cents_d,
+           CAST(CASE WHEN abs(s.est * 100.0 - e.exact_cents)
+                     <= {_QSKETCH_WIDTH} * 100.0 + 100.0
+                THEN 1 ELSE 0 END AS DOUBLE) AS within_band_d
+    FROM sk s JOIN exact e USING (event_type, q)
+    """
+
+
+@register("quantile_sketch_accuracy", _qsketch_audit_oracle())
+def q_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the mergeable quantile sketch: every estimate
+    sits next to the EXACT order statistic (cents histogram + the
+    bounded cum-count rank idiom — no global sort) and a checked
+    bucket-width error band. The sketch family's approximation error is
+    itself exactly hash-checked — the audit a 100 TB pipeline runs on a
+    sample before trusting the sketch fleet-wide. Both stages compose
+    verified statements (nested whole, per the composition rule)."""
+    from ..operators import topk as topk_mod
+    from .q07_layoutcorpus import _QSKETCH_QS, _QSKETCH_WIDTH
+
+    sketch = _REGISTRY["quantile_sketch_events"].spark(spark, sf_dir).select(
+        "event_type", "q", "est"
+    )
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.partitionBy("event_type").orderBy("cents")
+    w_tot = Window.partitionBy("event_type")
+    c = cells.select(
+        "event_type",
+        "cents",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("n_total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSKETCH_QS], "q double")
+    r = c.crossJoin(F.broadcast(qs)).withColumn(
+        "rnk", F.expr("CAST(floor(q * (n_total - 1)) + 1 AS BIGINT)")
+    )
+    exact = r.where(
+        (F.col("cum") - F.col("n") < F.col("rnk"))
+        & (F.col("rnk") <= F.col("cum"))
+    ).select("event_type", "q", F.col("cents").alias("exact_cents"))
+    return sketch.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "est",
+        F.col("exact_cents").cast("double").alias("exact_cents_d"),
+        F.expr(
+            f"CAST(CASE WHEN abs(est * 100.0 - exact_cents)"
+            f" <= {_QSKETCH_WIDTH} * 100.0 + 100.0"
+            " THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("within_band_d"),
+    )
