@@ -13,6 +13,7 @@ from ._core import *  # noqa: F401,F403
 from ._core import _REGISTRY, _t, register  # noqa: F401
 from ..operators import clustering
 from .q04_streamksql import _STREAM_SEQ, _replay_events  # noqa: F401
+from .q03_analytics import _customer_envelope  # noqa: F401
 from ..streaming import sinks as stream_sinks  # noqa: F401
 
 
@@ -1206,4 +1207,131 @@ def q_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" <= {_QSKETCH_WIDTH} * 100.0 + 100.0"
             " THEN 1 ELSE 0 END AS DOUBLE)"
         ).alias("within_band_d"),
+    )
+
+
+@register(
+    "cdc_join_view_maintenance",
+    """
+    WITH post AS (
+      SELECT c_custkey,
+             CAST(floor((CASE WHEN c_custkey % 7 = 0
+                              THEN c_acctbal + 100
+                              ELSE c_acctbal END) * 100.0) AS BIGINT)
+               AS bal_cents
+      FROM customer WHERE c_custkey % 13 <> 0),
+    oc AS (
+      SELECT o_custkey, count(*) AS n_ord,
+             sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1),
+    mv AS (
+      SELECT p.c_custkey % 10 AS bucket,
+             sum(o.n_ord) AS n_orders,
+             sum(o.rev_cents) AS rev_cents,
+             sum(p.bal_cents * o.n_ord) AS wbal_cents
+      FROM post p JOIN oc o ON o.o_custkey = p.c_custkey
+      GROUP BY 1)
+    SELECT CAST(bucket AS DOUBLE) AS bucket_d,
+           CAST(n_orders AS DOUBLE) AS n_orders_d,
+           CAST(rev_cents AS DOUBLE) AS rev_cents_d,
+           CAST(wbal_cents AS DOUBLE) AS wbal_cents_d
+    FROM mv
+    """,
+)
+def q_cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a join-aggregate materialization
+    under the CDC changelog — the delta-rule discipline
+    (dMV = dR ⋈ S, never a re-join of the full base): the per-bucket
+    view sum(orders), sum(revenue), sum(balance-weighted orders) over
+    orders ⋈ customer is built ONCE from the snapshot reads, then
+    maintained purely from change rows — updates contribute
+    (0, 0, d_bal x n_orders(key)) and deletes retract the key's full
+    contribution at its CURRENT maintained balance (snapshot + prior
+    update deltas — real IVM trusts its state, not the envelope's
+    before-image, which this synthetic changelog deliberately fabricates
+    for never-updated keys). The maintained result must equal the
+    closed-form post-state join the oracle states — that equality IS
+    incremental-maintenance correctness. All money in exact cents;
+    delta-of-floors telescopes so base + deltas reproduces the
+    post-state floor exactly. Scale: the changelog joins only the
+    per-customer order AGGREGATE (one groupBy of orders, broadcastable
+    delta frames) — the full join never re-executes."""
+    env = _customer_envelope(spark, sf_dir)
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ord"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)")
+            ).alias("rev_cents"),
+        )
+    )
+    snap = env.where(F.col("op") == "r").select(
+        F.col("after.c_custkey").alias("c_custkey"),
+        F.expr(
+            "CAST(floor(after.c_acctbal * 100.0) AS BIGINT)"
+        ).alias("bal_cents"),
+    )
+    upd = env.where(F.col("op") == "u").select(
+        F.col("after.c_custkey").alias("c_custkey"),
+        F.expr(
+            "CAST(floor(after.c_acctbal * 100.0) AS BIGINT)"
+            " - CAST(floor(before.c_acctbal * 100.0) AS BIGINT)"
+        ).alias("d_bal"),
+    )
+    dele = env.where(F.col("op") == "d").select(
+        F.col("before.c_custkey").alias("c_custkey")
+    )
+    # base view contribution per customer (snapshot x order aggregate)
+    base = snap.join(oc, "c_custkey").select(
+        "c_custkey",
+        F.expr("c_custkey % 10").alias("bucket"),
+        "n_ord",
+        "rev_cents",
+        (F.col("bal_cents") * F.col("n_ord")).alias("wbal_cents"),
+        "bal_cents",
+    )
+    # update deltas: only the weighted-balance component moves
+    d_upd = upd.join(oc, "c_custkey").select(
+        F.expr("c_custkey % 10").alias("bucket"),
+        F.lit(0).cast("long").alias("n_ord"),
+        F.lit(0).cast("long").alias("rev_cents"),
+        (F.col("d_bal") * F.col("n_ord")).alias("wbal_cents"),
+    )
+    # delete retractions at the MAINTAINED balance (snapshot + deltas)
+    cur_bal = (
+        snap.join(upd.groupBy("c_custkey").agg(F.sum("d_bal").alias("db")),
+                  "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("bal_cents") + F.coalesce("db", F.lit(0).cast("long")))
+            .alias("cur_cents"),
+        )
+    )
+    d_del = (
+        dele.join(cur_bal, "c_custkey")
+        .join(oc, "c_custkey")
+        .select(
+            F.expr("c_custkey % 10").alias("bucket"),
+            (-F.col("n_ord")).alias("n_ord"),
+            (-F.col("rev_cents")).alias("rev_cents"),
+            (-F.col("cur_cents") * F.col("n_ord")).alias("wbal_cents"),
+        )
+    )
+    all_parts = (
+        base.select("bucket", "n_ord", "rev_cents", "wbal_cents")
+        .unionByName(d_upd)
+        .unionByName(d_del)
+    )
+    mv = all_parts.groupBy("bucket").agg(
+        F.sum("n_ord").alias("n_orders"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.sum("wbal_cents").alias("wbal_cents"),
+    )
+    return mv.select(
+        F.col("bucket").cast("double").alias("bucket_d"),
+        F.col("n_orders").cast("double").alias("n_orders_d"),
+        F.col("rev_cents").cast("double").alias("rev_cents_d"),
+        F.col("wbal_cents").cast("double").alias("wbal_cents_d"),
     )
