@@ -1335,3 +1335,68 @@ def q_cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("double").alias("rev_cents_d"),
         F.col("wbal_cents").cast("double").alias("wbal_cents_d"),
     )
+
+
+@register(
+    "streaming_cdc_join_view",
+    _REGISTRY["cdc_join_view_maintenance"].oracle,
+)
+def q_streaming_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the join-view maintenance: the changelog
+    replay drives the per-key delta machine (cdc_delta_agg_stream —
+    liveness and balance increments with the old value in state), and
+    the drained increments compose with the STATIC per-customer order
+    aggregate through the delta identities
+      d(n_orders) = d_live x n_ord(key)
+      d(revenue)  = d_live x rev(key)
+      d(wbal)     = d_bal  x n_ord(key)
+    so the continuously-maintained view equals the batch IVM result and
+    both equal the closed-form post-state join (oracle identical —
+    batch ≡ stream ≡ recompute, the strongest three-way check in the
+    CDC family). The stream side never touches orders: the O(changes)
+    increments join a bounded per-customer aggregate."""
+    from .q04_streamksql import _replay_cdc_changelog
+
+    stream = _replay_cdc_changelog(spark, sf_dir)
+    with_cents = stream.select(
+        "c_custkey",
+        "ts",
+        "__op",
+        F.floor(F.col("c_acctbal") * F.lit(100).cast("double"))
+        .cast("long")
+        .alias("cents"),
+    )
+    inc = stream_stateful.cdc_delta_agg_stream(with_cents)
+    drained = stream_sinks.run_to_memory(
+        inc, f"reg_stream_cdcjoin_{next(_STREAM_SEQ)}"
+    )
+    per_key = drained.groupBy("c_custkey").agg(
+        F.sum("d_n").alias("d_live"), F.sum("d_sum").alias("d_bal")
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ord"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0) AS BIGINT)")
+            ).alias("rev_cents"),
+        )
+    )
+    contrib = per_key.join(oc, "c_custkey").select(
+        F.expr("c_custkey % 10").alias("bucket"),
+        (F.col("d_live") * F.col("n_ord")).alias("dn"),
+        (F.col("d_live") * F.col("rev_cents")).alias("drev"),
+        (F.col("d_bal") * F.col("n_ord")).alias("dwbal"),
+    )
+    mv = contrib.groupBy("bucket").agg(
+        F.sum("dn").alias("n_orders"),
+        F.sum("drev").alias("rev_cents"),
+        F.sum("dwbal").alias("wbal_cents"),
+    )
+    return mv.select(
+        F.col("bucket").cast("double").alias("bucket_d"),
+        F.col("n_orders").cast("double").alias("n_orders_d"),
+        F.col("rev_cents").cast("double").alias("rev_cents_d"),
+        F.col("wbal_cents").cast("double").alias("wbal_cents_d"),
+    )
