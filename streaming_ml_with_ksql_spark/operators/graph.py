@@ -48,7 +48,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -575,3 +575,65 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def propagate_labels(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "node",
+    label_col: str = "lbl",
+) -> DataFrame:
+    """Semi-supervised label propagation with HARD CLAMPING (Zhu &
+    Ghahramani 2002's propagation idea in its deterministic discrete
+    form — public method, independently implemented): seeds keep their
+    label forever; each round, every still-unlabeled vertex with at
+    least one labeled neighbor adopts the MAJORITY neighbor label, ties
+    to the lexicographically smallest label. Labels only ever ADD
+    (monotone — no oscillation), so ``rounds`` rounds are a
+    deterministic function of the graph + seeds on any engine or
+    partitioning, and an unrolled SQL oracle replays them exactly.
+
+    Returns (id_col, label_col, round) — round 0 for seeds, k for
+    vertices labeled in round k. Vertices never reached are absent.
+
+    Scale shape: per round, one join of the (still small) frontier
+    against the symmetrized edge list + one (vertex, label) majority
+    aggregate; the labels frame is localCheckpointed per round
+    (iterative lineage truncation, the connected_components
+    discipline). Windows partition by vertex — never global.
+    """
+    e = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = seeds.select(
+        F.col(id_col).alias("u"),
+        F.col(label_col).alias("lbl"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), "lbl"),
+                "v",
+            )
+            .join(labels.select("u"), "u", "left_anti")
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        newly = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("u", "lbl", F.lit(k).alias("round"))
+        )
+        labels = labels.unionByName(newly).localCheckpoint(eager=True)
+    return labels.select(
+        F.col("u").alias(id_col), F.col("lbl").alias(label_col), "round"
+    )

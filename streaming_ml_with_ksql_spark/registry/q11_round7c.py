@@ -1400,3 +1400,74 @@ def q_streaming_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("double").alias("rev_cents_d"),
         F.col("wbal_cents").cast("double").alias("wbal_cents_d"),
     )
+
+
+def _label_prop_oracle(rounds: int = 3) -> str:
+    """Unrolled hard-clamped label propagation over the VERIFIED
+    jaccard pair graph (nested whole): labels only add, so each round
+    is a majority aggregate + QUALIFY pick — replayed mechanically."""
+    pairs_sql = _REGISTRY["ngram_jaccard_pairs"].oracle
+    sql = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) q),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    lab0 AS (
+      SELECT doc_id AS u, lang AS lbl, 0 AS round
+      FROM documents WHERE doc_id % 5 = 0)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    new{k} AS (
+      SELECT u, lbl, {k} AS round FROM (
+        SELECT e.u, l.lbl, count(*) AS cnt
+        FROM edges e JOIN lab{k - 1} l ON l.u = e.v
+        WHERE e.u NOT IN (SELECT u FROM lab{k - 1})
+        GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY u
+              ORDER BY cnt DESC, lbl ASC) = 1),
+    lab{k} AS (SELECT * FROM lab{k - 1} UNION ALL SELECT * FROM new{k})"""
+    sql += f"""
+    SELECT d.lang,
+           CAST(sum(CASE WHEN l.round = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS n_seed_d,
+           CAST(sum(CASE WHEN l.round > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS n_prop_d,
+           CAST(sum(CASE WHEN l.round > 0 AND l.lbl = d.lang
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS n_prop_correct_d
+    FROM lab{rounds} l JOIN documents d ON d.doc_id = l.u
+    GROUP BY 1"""
+    return sql
+
+
+@register("label_propagation_lang", _label_prop_oracle(3))
+def q_label_propagation_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised language labeling by propagation over the
+    near-dup graph (operators/graph.py propagate_labels): 20% of
+    documents (doc_id % 5 == 0) keep their known lang as hard-clamped
+    seeds; three majority-vote rounds label their graph neighborhoods —
+    the graph-based alternative to lang_id's content classifier, and
+    the standard trick for stretching scarce labels across a 100 TB
+    corpus (near-dups share provenance). Deterministic ties (smallest
+    label), monotone label growth; per-lang report with propagation
+    accuracy against the withheld truth."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    seeds = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("lbl")
+    )
+    lab = graph.propagate_labels(pairs, seeds, rounds=3, id_col="node")
+    joined = lab.join(
+        docs.select(F.col("doc_id").alias("node"), "lang"), "node"
+    )
+    return joined.groupBy("lang").agg(
+        F.sum(F.expr("CASE WHEN round = 0 THEN 1 ELSE 0 END"))
+        .cast("double")
+        .alias("n_seed_d"),
+        F.sum(F.expr("CASE WHEN round > 0 THEN 1 ELSE 0 END"))
+        .cast("double")
+        .alias("n_prop_d"),
+        F.sum(
+            F.expr("CASE WHEN round > 0 AND lbl = lang THEN 1 ELSE 0 END")
+        )
+        .cast("double")
+        .alias("n_prop_correct_d"),
+    )

@@ -484,3 +484,45 @@ def test_knn_loo_perfect_on_separated_clusters(spark, tmp_path):
     for r in out:
         assert r["n_d"] == 10.0
         assert r["acc_ppm_d"] == 1_000_000.0
+
+
+def test_label_propagation_path_rounds_and_majority(spark):
+    """Path 0-1-2-3-4 with seed 0 labeled 'en': labels spread one hop
+    per round (round field = BFS distance); a contested node with two
+    different-label neighbors takes the majority, tie to the smaller
+    label."""
+    from streaming_ml_with_ksql_spark.operators import graph as graph_ops
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([(0, "en")], "node long, lbl string")
+    out = {
+        r["node"]: (r["lbl"], r["round"])
+        for r in graph_ops.propagate_labels(path, seeds, rounds=3).collect()
+    }
+    assert out == {0: ("en", 0), 1: ("en", 1), 2: ("en", 2), 3: ("en", 3)}
+    # 4 unreached within 3 rounds — absent
+
+    # tie: node 10 adjacent to seeds 'fr' and 'de' -> smallest label
+    tri = spark.createDataFrame([(8, 10), (9, 10)], "doc_a long, doc_b long")
+    seeds2 = spark.createDataFrame(
+        [(8, "fr"), (9, "de")], "node long, lbl string"
+    )
+    out2 = {
+        r["node"]: (r["lbl"], r["round"])
+        for r in graph_ops.propagate_labels(tri, seeds2, rounds=1).collect()
+    }
+    assert out2[10] == ("de", 1)
+    # majority beats the tie rule: two 'fr' neighbors vs one 'de'
+    tri2 = spark.createDataFrame(
+        [(8, 10), (9, 10), (7, 10)], "doc_a long, doc_b long"
+    )
+    seeds3 = spark.createDataFrame(
+        [(7, "fr"), (8, "fr"), (9, "de")], "node long, lbl string"
+    )
+    out3 = {
+        r["node"]: r["lbl"]
+        for r in graph_ops.propagate_labels(tri2, seeds3, rounds=1).collect()
+    }
+    assert out3[10] == "fr"
