@@ -33,6 +33,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -2348,4 +2349,139 @@ def decode_gif(with_gif_payload: DataFrame) -> DataFrame:
     index array. Arrow mapInPandas, narrow map."""
     return with_gif_payload.mapInPandas(
         _gif_decode_batches, schema=GIF_DECODED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXIF APP1 metadata (TIFF 6.0 IFD walk)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+
+
+def exif_app1_bytes(make: str, orientation: int, datetime_s: str) -> bytes:
+    """Build a minimal real EXIF APP1 payload (public specs: JEITA
+    CP-3451 EXIF 2.x over TIFF 6.0): ``Exif\\0\\0`` then a little-endian
+    TIFF header and ONE IFD0 holding Make (ASCII, out-of-line),
+    Orientation (SHORT, inline) and DateTime (ASCII 20 bytes,
+    out-of-line). Deterministic layout: value area immediately follows
+    the IFD in tag order."""
+    mk = make.encode("ascii") + b"\x00"
+    dt = datetime_s.encode("ascii") + b"\x00"
+    if len(dt) != 20:
+        raise ValueError(f"EXIF DateTime must be 19 chars + NUL: {datetime_s!r}")
+    n = 3
+    ifd_start = 8
+    value_area = ifd_start + 2 + n * 12 + 4
+    entries = b""
+    off = value_area
+    # Make: ASCII (type 2), out-of-line
+    entries += struct.pack("<HHII", _EXIF_TAG_MAKE, 2, len(mk), off)
+    off += len(mk)
+    # Orientation: SHORT (type 3), count 1, value inline (left-justified)
+    entries += struct.pack("<HHI", _EXIF_TAG_ORIENTATION, 3, 1)
+    entries += struct.pack("<HH", orientation, 0)
+    # DateTime: ASCII 20 bytes, out-of-line
+    entries += struct.pack("<HHII", _EXIF_TAG_DATETIME, 2, len(dt), off)
+    tiff = (
+        b"II" + struct.pack("<HI", 42, ifd_start)
+        + struct.pack("<H", n) + entries + struct.pack("<I", 0)
+        + mk + dt
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def parse_exif_app1(payload: bytes) -> dict:
+    """Parse an EXIF APP1 payload back: header checks, byte-order
+    dispatch (II/MM), IFD0 entry walk, inline-vs-offset value
+    resolution. Bounds-checked ValueErrors throughout (the codec-family
+    hardening discipline)."""
+    if payload[:6] != b"Exif\x00\x00":
+        raise ValueError("not an EXIF APP1 payload")
+    t = payload[6:]
+    if len(t) < 8:
+        raise ValueError("truncated TIFF header")
+    order = t[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {order!r}")
+    magic, ifd_off = struct.unpack(e + "HI", t[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(t):
+        raise ValueError("truncated IFD offset")
+    (n,) = struct.unpack(e + "H", t[ifd_off : ifd_off + 2])
+    out: dict = {}
+    for i in range(n):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(t):
+            raise ValueError(f"truncated IFD entry {i}")
+        tag, typ, cnt = struct.unpack(e + "HHI", t[base : base + 8])
+        if typ == 2:  # ASCII
+            size = cnt
+            if size <= 4:
+                raw = t[base + 8 : base + 8 + size]
+            else:
+                (off,) = struct.unpack(e + "I", t[base + 8 : base + 12])
+                if off + size > len(t):
+                    raise ValueError(f"ASCII value overruns buffer (tag {tag:#x})")
+                raw = t[off : off + size]
+            out[tag] = raw.rstrip(b"\x00").decode("ascii")
+        elif typ == 3 and cnt == 1:  # SHORT inline
+            (v,) = struct.unpack(e + "H", t[base + 8 : base + 10])
+            out[tag] = v
+        else:
+            raise ValueError(f"unsupported EXIF type {typ} count {cnt}")
+    return out
+
+
+def _exif_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            make = f"cam-{d % 7}"
+            orientation = d % 8 + 1
+            dt = f"2024:01:{d % 28 + 1:02d} 12:00:00"
+            app1 = exif_app1_bytes(make, orientation, dt)
+            # splice into a real marker stream: SOI, APP1, EOI
+            jpeg = b"\xff\xd8" + struct.pack(">HH", 0xFFE1, len(app1) + 2) + app1 + b"\xff\xd9"
+            # parse back via a real marker walk
+            if jpeg[:2] != b"\xff\xd8":
+                raise ValueError("missing SOI")
+            pos = 2
+            fields = None
+            while pos + 4 <= len(jpeg):
+                marker, ln = struct.unpack(">HH", jpeg[pos : pos + 4])
+                if marker == 0xFFE1:
+                    fields = parse_exif_app1(jpeg[pos + 4 : pos + 2 + ln])
+                    break
+                pos += 2 + ln
+            if fields is None:
+                raise ValueError("APP1 not found")
+            rows.append(
+                {
+                    "doc_id": d,
+                    "make": fields[_EXIF_TAG_MAKE],
+                    "orientation": int(fields[_EXIF_TAG_ORIENTATION]),
+                    "shot_at": fields[_EXIF_TAG_DATETIME],
+                }
+            )
+        yield pd.DataFrame(rows).astype({"orientation": "int32"})
+
+
+def exif_metadata_roundtrip(documents: DataFrame) -> DataFrame:
+    """doc_id → deterministic EXIF APP1 written and parsed back through
+    the real TIFF-IFD codec (marker walk + byte-order dispatch +
+    inline/offset value resolution). Narrow Arrow map, no shuffle."""
+    return _fan_out(
+        documents.select("doc_id"), rows_per_task=256, source=documents
+    ).mapInPandas(
+        _exif_roundtrip_batches,
+        schema="doc_id long, make string, orientation int, shot_at string",
     )

@@ -1471,3 +1471,26 @@ def q_label_propagation_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("n_prop_correct_d"),
     )
+
+
+@register(
+    "multimodal_exif_metadata",
+    """
+    SELECT doc_id,
+           'cam-' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS shot_at
+    FROM documents
+    """,
+)
+def q_multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF APP1 metadata round-trip (operators/multimodal.py
+    exif_app1_bytes / parse_exif_app1): deterministic camera fields are
+    written as a REAL little-endian TIFF 6.0 IFD (inline SHORT +
+    out-of-line ASCII values), spliced into a JPEG marker stream, and
+    recovered by a real marker walk + IFD parse — the metadata side of
+    the image family (the pixel side is the T.81 decoder). The oracle
+    states the fields analytically from doc_id, so one wrong byte
+    anywhere in the TIFF layout breaks the hash. Narrow Arrow map."""
+    return multimodal.exif_metadata_roundtrip(_t(spark, sf_dir, "documents"))

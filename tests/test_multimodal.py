@@ -724,3 +724,30 @@ def test_gif_decode_distributed_matches_local(spark, sf_small):
         assert r["palette_size"] == 256
         idx = [mm._gif_index(r["doc_id"], x, y) for y in range(h) for x in range(w)]
         assert abs(r["mean_index_d"] - sum(idx) / len(idx)) < 1e-12
+
+
+def test_exif_app1_roundtrip_and_poison():
+    """Byte-order dispatch, inline vs out-of-line values, and loud
+    failures on corrupt TIFF structures."""
+    import pytest
+
+    from streaming_ml_with_ksql_spark.operators import multimodal as mm
+
+    app1 = mm.exif_app1_bytes("cam-3", 6, "2024:01:15 12:00:00")
+    fields = mm.parse_exif_app1(app1)
+    assert fields[0x010F] == "cam-3"
+    assert fields[0x0112] == 6
+    assert fields[0x0132] == "2024:01:15 12:00:00"
+    with pytest.raises(ValueError, match="not an EXIF"):
+        mm.parse_exif_app1(b"JFIF\x00\x00" + app1[6:])
+    with pytest.raises(ValueError, match="byte order"):
+        mm.parse_exif_app1(b"Exif\x00\x00XX" + app1[8:])
+    bad = bytearray(app1)
+    bad[7] = 0x4D  # II -> IM
+    with pytest.raises(ValueError, match="byte order"):
+        mm.parse_exif_app1(bytes(bad))
+    with pytest.raises(ValueError, match="DateTime"):
+        mm.exif_app1_bytes("x", 1, "short")
+    # truncate into the out-of-line value area
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        mm.parse_exif_app1(app1[:40])
