@@ -106,6 +106,11 @@ QUERIES = [
     "decision_stump_events",
     "decision_tree_depth2_events",
     "knn_loo_classification",
+    "entity_golden_record",
+    "quantile_sketch_accuracy",
+    "cdc_join_view_maintenance",
+    "label_propagation_lang",
+    "multimodal_exif_metadata",
 ]
 
 
