@@ -1494,3 +1494,74 @@ def q_multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the fields analytically from doc_id, so one wrong byte
     anywhere in the TIFF layout breaks the hash. Narrow Arrow map."""
     return multimodal.exif_metadata_roundtrip(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "avro_schema_evolution",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value,
+           'web' AS channel,
+           CAST(event_id % 3 AS BIGINT) AS retries
+    FROM events
+    """,
+)
+def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION end to end (sources/avro_py.py
+    decode_avro_resolved, per the 1.11 spec's resolution rules): the
+    producer writes V1 records (with a deprecated ``props`` field and
+    an INT ``retries``); the consumer reads with V2 — ``props`` dropped
+    (writer-only bytes skipped), ``channel`` added with default 'web'
+    (reader-only), ``retries`` promoted int->long. This is the
+    consumer-keeps-working contract a registry deployment relies on
+    when producers evolve (reference: the AVRO value format + explicit
+    schema registration, README.md:27,39 / generator.py:167-187). The
+    oracle states the evolved view analytically — one wrong byte in the
+    skip/default/promotion walk breaks the hash."""
+    from ..sources import avro_py
+
+    ev = _t(spark, sf_dir, "events")
+    wire_in = ev.select(
+        "event_id",
+        F.col("ts").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.expr("CAST(event_id % 3 AS INT)").alias("retries"),
+    )
+    writer = """
+    {"type": "record", "name": "EventV1", "fields": [
+      {"name": "event_id", "type": "long"},
+      {"name": "ts_micros", "type": {"type": "long",
+        "logicalType": "timestamp-micros"}},
+      {"name": "user_id", "type": ["null", "long"]},
+      {"name": "event_type", "type": "string"},
+      {"name": "value", "type": "double"},
+      {"name": "props", "type": "string"},
+      {"name": "retries", "type": "int"}
+    ]}
+    """
+    reader = """
+    {"type": "record", "name": "EventV2", "fields": [
+      {"name": "event_id", "type": "long"},
+      {"name": "ts_micros", "type": {"type": "long",
+        "logicalType": "timestamp-micros"}},
+      {"name": "user_id", "type": ["null", "long"]},
+      {"name": "event_type", "type": "string"},
+      {"name": "value", "type": "double"},
+      {"name": "channel", "type": "string", "default": "web"},
+      {"name": "retries", "type": "long"}
+    ]}
+    """
+    payloads = avro_py.encode_avro_py(wire_in, writer)
+    decoded = avro_py.decode_avro_resolved(payloads, writer, reader)
+    return decoded.select(
+        "event_id",
+        F.col("ts_micros").alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "channel",
+        "retries",
+    )

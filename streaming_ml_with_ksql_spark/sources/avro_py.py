@@ -41,6 +41,7 @@ __all__ = [
     "avro_schema_for",
     "encode_avro_py",
     "decode_avro_py",
+    "decode_avro_resolved",
     "LocalSchemaRegistry",
     "encode_confluent",
     "decode_confluent",
@@ -355,3 +356,124 @@ def decode_confluent(
     return decode_avro_py(
         df.select("value"), schema_json, expect_prefix=frame
     )
+
+
+# Spec promotions (Avro 1.11 "Schema Resolution"): writer type -> set of
+# reader types it may promote to (identity handled separately).
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def decode_avro_resolved(
+    df: DataFrame,
+    writer_schema_json: str,
+    reader_schema_json: str,
+    *,
+    expect_prefix: bytes | None = None,
+) -> DataFrame:
+    """Decode rows WRITTEN with ``writer_schema_json`` into the columns
+    of ``reader_schema_json`` — Avro SCHEMA RESOLUTION per the 1.11 spec
+    (the consumer-evolution path the reference's registry flow implies:
+    a deployed consumer keeps reading after the producer adds, drops, or
+    widens fields):
+
+    - fields match by NAME (writer order drives the byte walk);
+    - writer-only fields are decoded and DISCARDED (position must
+      advance through their bytes);
+    - reader-only fields take the reader's ``default`` (required — a
+      missing default is a loud resolution error, as the spec demands);
+    - type promotions int->long/float/double, long->float/double,
+      float->double, string<->bytes are applied; any other mismatch
+      raises naming both types.
+
+    Same narrow Arrow map shape as decode_avro_py.
+    """
+    wplan = _field_plan(writer_schema_json)
+    rrec = json.loads(reader_schema_json)
+    rplan = _field_plan(reader_schema_json)
+    rdefaults = {f["name"]: f.get("default") for f in rrec["fields"]}
+    rtypes = {n: (t, nb) for n, t, nb in rplan}
+    wnames = {n for n, _t, _nb in wplan}
+
+    for n, t, _nb in rplan:
+        if n not in wnames:
+            if rdefaults.get(n) is None and t != "null":
+                raise ValueError(
+                    f"reader field {n!r} absent from writer schema and has"
+                    " no default — unresolvable evolution"
+                )
+        else:
+            wt = next(wt for wn, wt, _ in wplan if wn == n)
+            if wt != t and t not in _PROMOTIONS.get(wt, set()):
+                raise ValueError(
+                    f"field {n!r}: writer type {wt!r} does not resolve to"
+                    f" reader type {t!r}"
+                )
+
+    def _promote(v, wt: str, rt: str):
+        if v is None or wt == rt:
+            return v
+        if rt in ("long",):
+            return int(v)
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "bytes":
+            return v.encode("utf-8") if isinstance(v, str) else v
+        if rt == "string":
+            return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
+        return v
+
+    pre = bytes(expect_prefix) if expect_prefix else b""
+    npre = len(pre)
+    spark_types = {
+        "long": "long",
+        "int": "int",
+        "timestamp-micros": "timestamp",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "bytes": "binary",
+        "boolean": "boolean",
+    }
+    out_schema = ", ".join(f"{n} {spark_types[t]}" for n, t, _ in rplan)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["value"]:
+                data = bytes(raw)
+                if npre and data[:npre] != pre:
+                    raise ValueError(
+                        f"frame prefix mismatch: expected {pre.hex()} got "
+                        f"{data[:npre].hex()}"
+                    )
+                pos = npre
+                got: dict = {}
+                for name, wt, nullable in wplan:
+                    if nullable:
+                        idx, pos = _read_long(data, pos)
+                        if idx == 0:
+                            got[name] = None
+                            continue
+                    v, pos = _decode_value(data, pos, wt)
+                    got[name] = v
+                if pos != len(data):
+                    raise ValueError(
+                        f"trailing {len(data) - pos} bytes after record"
+                    )
+                rec = []
+                for name, rt, _nb in rplan:
+                    if name in got:
+                        wt = next(wt for wn, wt, _ in wplan if wn == name)
+                        rec.append(_promote(got[name], wt, rt))
+                    else:
+                        rec.append(rdefaults[name])
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[n for n, _t, _n in rplan])
+
+    return df.select("value").mapInPandas(_decode, schema=out_schema)

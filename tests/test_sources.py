@@ -576,3 +576,54 @@ def test_thrift_frame_roundtrip_and_schema_guard(spark):
     assert sorted((r["a"], r["b"]) for r in ok) == [(1, "x"), (2, None)]
     with pytest.raises(Exception, match="beyond schema arity"):
         tp.decode_thrift(enc, ["a"], "a bigint").collect()
+
+
+def test_avro_schema_resolution_rules(spark):
+    """Spec resolution: writer-only fields skipped byte-exactly,
+    reader defaults applied, int->long and string<->bytes promotions,
+    and loud errors for unresolvable evolutions."""
+    import pytest
+
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    writer = """
+    {"type": "record", "name": "V1", "fields": [
+      {"name": "a", "type": "int"},
+      {"name": "gone", "type": "string"},
+      {"name": "s", "type": "string"}
+    ]}
+    """
+    reader = """
+    {"type": "record", "name": "V2", "fields": [
+      {"name": "a", "type": "long"},
+      {"name": "s", "type": "bytes"},
+      {"name": "added", "type": "string", "default": "dflt"}
+    ]}
+    """
+    df = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "longer-value", "s2")],
+        "a int, gone string, s string",
+    )
+    enc = avro_py.encode_avro_py(df, writer)
+    out = sorted(
+        (r["a"], bytes(r["s"]), r["added"])
+        for r in avro_py.decode_avro_resolved(enc, writer, reader).collect()
+    )
+    assert out == [(1, b"s1", "dflt"), (2, b"s2", "dflt")]
+
+    no_default = """
+    {"type": "record", "name": "V3", "fields": [
+      {"name": "a", "type": "long"},
+      {"name": "brand_new", "type": "string"}
+    ]}
+    """
+    with pytest.raises(ValueError, match="no default"):
+        avro_py.decode_avro_resolved(enc, writer, no_default)
+
+    bad_promo = """
+    {"type": "record", "name": "V4", "fields": [
+      {"name": "a", "type": "string"}
+    ]}
+    """
+    with pytest.raises(ValueError, match="does not resolve"):
+        avro_py.decode_avro_resolved(enc, writer, bad_promo)
