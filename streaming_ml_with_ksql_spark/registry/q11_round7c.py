@@ -1565,3 +1565,92 @@ def q_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel",
         "retries",
     )
+
+
+def _absorption_oracle(k: int = 4, target: str = "purchase") -> str:
+    """Unrolled k-step absorption recursion over the verified
+    transition-matrix algebra: per-term integer ppm products with div
+    BEFORE the order-free sum, so both engines replay identically."""
+    sql = """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    c AS (SELECT prev_type, next_type, count(*) AS n
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1),
+    m AS (SELECT c.prev_type AS s, c.next_type AS nx,
+                 (c.n * 1000000) // t.tot AS p_ppm
+          FROM c JOIN t USING (prev_type)),
+    r0 AS (SELECT DISTINCT s, CAST(0 AS BIGINT) AS ppm FROM m)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT m.s,
+             sum(CASE WHEN m.nx = '{target}' THEN m.p_ppm
+                      ELSE m.p_ppm * coalesce(r.ppm, 0) // 1000000 END)
+               AS ppm
+      FROM m LEFT JOIN r{i - 1} r
+        ON r.s = m.nx AND m.nx != '{target}'
+      GROUP BY 1)"""
+    sql += f"""
+    SELECT s AS state, CAST(ppm AS DOUBLE) AS reach_ppm_d
+    FROM r{k}"""
+    return sql
+
+
+@register("markov_absorption_purchase", _absorption_oracle(4))
+def q_markov_absorption_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption analysis of the behavioral Markov chain: for every
+    state, the probability of reaching 'purchase' within 4 steps —
+    the conversion-potential ranking of states that the raw transition
+    matrix only hints at (Kemeny/Snell absorbing-chain analysis,
+    computed as the k-step recursion instead of a matrix inverse so
+    every quantity stays an exact integer ppm: per-term div BEFORE the
+    order-free sum, the pagerank discipline). The chain is the verified
+    event_transition_matrix algebra; the state space is bounded by
+    |event_type|, so every frame after the corpus pass is tiny and the
+    4 joins are broadcast-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = p.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    m = (
+        c.join(t, "prev_type")
+        .select(
+            F.col("prev_type").alias("s"),
+            F.col("next_type").alias("nx"),
+            F.expr("(n * 1000000L) div tot").alias("p_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reach = m.select("s").distinct().select(
+        "s", F.lit(0).cast("long").alias("ppm")
+    )
+    for _ in range(4):
+        reach = (
+            m.join(
+                reach.select(F.col("s").alias("nx"), F.col("ppm").alias("r_ppm")),
+                "nx",
+                "left",
+            )
+            .select(
+                "s",
+                F.expr(
+                    "CASE WHEN nx = 'purchase' THEN p_ppm"
+                    " ELSE p_ppm * coalesce(CASE WHEN nx != 'purchase'"
+                    " THEN r_ppm END, 0L) div 1000000L END"
+                ).alias("term"),
+            )
+            .groupBy("s")
+            .agg(F.sum("term").alias("ppm"))
+        )
+    return reach.select(
+        F.col("s").alias("state"),
+        F.col("ppm").cast("double").alias("reach_ppm_d"),
+    )

@@ -526,3 +526,20 @@ def test_label_propagation_path_rounds_and_majority(spark):
         for r in graph_ops.propagate_labels(tri2, seeds3, rounds=1).collect()
     }
     assert out3[10] == "fr"
+
+
+def test_markov_absorption_monotone_and_bounded(spark, sf_small):
+    """Reach probabilities are ppm-bounded and non-decreasing in k
+    (adding steps can only add reach mass)."""
+    from streaming_ml_with_ksql_spark import registry
+
+    rows = registry.queries()["markov_absorption_purchase"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["reach_ppm_d"] <= 1_000_000
+    # purchase state reaches itself within 4 steps with high mass on
+    # this data (every state's one-step purchase prob is well above 0)
+    byname = {r["state"]: r["reach_ppm_d"] for r in rows}
+    assert byname.get("purchase", 0) > 0
