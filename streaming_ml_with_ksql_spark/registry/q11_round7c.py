@@ -1654,3 +1654,110 @@ def q_markov_absorption_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("state"),
         F.col("ppm").cast("double").alias("reach_ppm_d"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, min(epoch_us(ts)) AS v_us
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+      GROUP BY 1),
+    fp AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+      GROUP BY 1),
+    d AS (
+      SELECT (fp.p_us - fv.v_us) // 1000000 AS dsec
+      FROM fp JOIN fv USING (user_id)),
+    cells AS (SELECT dsec, count(*) AS n FROM d GROUP BY 1),
+    c AS (
+      SELECT dsec, n,
+             sum(n) OVER (ORDER BY dsec) AS cum,
+             sum(n) OVER () AS n_total
+      FROM cells),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+    r AS (
+      SELECT c.*, q, CAST(floor(q * (n_total - 1)) + 1 AS BIGINT) AS rnk
+      FROM c CROSS JOIN qs),
+    hit AS (
+      SELECT q, dsec FROM r WHERE cum - n < rnk AND rnk <= cum),
+    tot AS (SELECT count(*) AS n_conv, sum(dsec) AS s FROM d)
+    SELECT CAST(t.n_conv AS DOUBLE) AS n_converted_d,
+           CAST(t.s // t.n_conv AS DOUBLE) AS mean_s_d,
+           CAST(max(CASE WHEN q = 0.25 THEN dsec END) AS DOUBLE) AS p25_s_d,
+           CAST(max(CASE WHEN q = 0.5 THEN dsec END) AS DOUBLE) AS p50_s_d,
+           CAST(max(CASE WHEN q = 0.75 THEN dsec END) AS DOUBLE) AS p75_s_d
+    FROM hit CROSS JOIN tot t
+    GROUP BY t.n_conv, t.s
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view->purchase funnel:
+    per-user first view to first subsequent purchase in exact integer
+    seconds, with EXACT quartiles from the delta-second histogram —
+    bounded by the CALENDAR span (max 2.6M distinct seconds over the
+    30-day window), never by the user count, so the one cum-count
+    window runs over a bounded cell frame at any corpus scale (the
+    quantile_sketch/key_skew rank idiom). Mean as integer div. The
+    latency companion to conversion_funnel_windowed's rate view."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(fv, "user_id")
+        .where(F.col("p_us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"), F.first("v_us").alias("v_us"))
+    )
+    d = fp.select(F.expr("(p_us - v_us) div 1000000L").alias("dsec"))
+    cells = d.groupBy("dsec").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("dsec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    c = cells.select(
+        "dsec",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("n_total"),
+    )
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
+    r = c.crossJoin(F.broadcast(qs)).withColumn(
+        "rnk", F.expr("CAST(floor(q * (n_total - 1)) + 1 AS BIGINT)")
+    )
+    hit = r.where(
+        (F.col("cum") - F.col("n") < F.col("rnk"))
+        & (F.col("rnk") <= F.col("cum"))
+    ).select("q", "dsec")
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_conv"), F.sum("dsec").alias("s")
+    )
+    return (
+        hit.crossJoin(F.broadcast(tot))
+        .groupBy("n_conv", "s")
+        .agg(
+            F.max(F.expr("CASE WHEN q = 0.25 THEN dsec END"))
+            .cast("double")
+            .alias("p25_s_d"),
+            F.max(F.expr("CASE WHEN q = 0.5 THEN dsec END"))
+            .cast("double")
+            .alias("p50_s_d"),
+            F.max(F.expr("CASE WHEN q = 0.75 THEN dsec END"))
+            .cast("double")
+            .alias("p75_s_d"),
+        )
+        .select(
+            F.col("n_conv").cast("double").alias("n_converted_d"),
+            F.expr("s div n_conv").cast("double").alias("mean_s_d"),
+            "p25_s_d",
+            "p50_s_d",
+            "p75_s_d",
+        )
+    )
