@@ -1761,3 +1761,92 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_s_d",
         )
     )
+
+
+def _haar_oracle() -> str:
+    """Generated integer-Haar levels over the first 32 daily revenue
+    points: s = (a+b)//2 (truncating, matching Spark div), d = a-b,
+    per-level energy = sum(d*d) — all BIGINT, engine-exact. DuckDB
+    lists are 1-based; the generator keeps the index algebra explicit
+    per level."""
+    sql = """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    first32 AS (
+      SELECT t, x FROM daily QUALIFY row_number() OVER (ORDER BY t) <= 32),
+    l0 AS (SELECT list(x ORDER BY t) AS xs FROM first32)"""
+    m = 32
+    for lvl in range(1, 6):
+        m //= 2
+        sql += f""",
+    l{lvl} AS (
+      SELECT list_transform(range(1, {m + 1}),
+               i -> (xs[2*i - 1] + xs[2*i]) // 2) AS xs,
+             list_transform(range(1, {m + 1}),
+               i -> xs[2*i - 1] - xs[2*i]) AS ds
+      FROM l{lvl - 1})"""
+    energies = ", ".join(
+        f"""CAST((SELECT list_sum(list_transform(ds, d -> d * d))
+            FROM l{lvl}) AS DOUBLE) AS e{lvl}_d"""
+        for lvl in range(1, 6)
+    )
+    sql += f"""
+    SELECT CAST((SELECT xs[1] FROM l5) AS DOUBLE) AS approx_d, {energies}"""
+    return sql
+
+
+@register("haar_wavelet_energy", _haar_oracle())
+def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar wavelet decomposition of the first 32 days of
+    revenue: five levels of pairwise (a+b) div 2 approximations and
+    a-b details, with per-level detail ENERGY — the multiresolution
+    screen that separates day-to-day noise (level-1 energy) from
+    week-scale structure (levels 3-4), complementing the seasonal
+    decomposition's fixed weekly model. The lazy integer Haar transform
+    (truncating average + exact difference) keeps every coefficient a
+    BIGINT, so the whole pyramid is engine- and partitioning-exact.
+    The fold input is one bounded 32-element list (the ses/holt
+    contract); levels are array transforms inside one projection."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    ser = daily.agg(
+        F.expr(
+            "slice(transform(array_sort(collect_list(struct(t, x))),"
+            " e -> e.x), 1, 32)"
+        ).alias("xs")
+    )
+    cur = ser
+    m = 32
+    for lvl in range(1, 6):
+        m //= 2
+        cur = cur.select(
+            "*",
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                " i -> (xs[2*i] + xs[2*i + 1]) div 2)"
+            ).alias(f"s{lvl}"),
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                " i -> xs[2*i] - xs[2*i + 1])"
+            ).alias(f"d{lvl}"),
+        ).drop("xs").withColumnRenamed(f"s{lvl}", "xs")
+    out_cols = [F.expr("xs[0]").cast("double").alias("approx_d")]
+    for lvl in range(1, 6):
+        out_cols.append(
+            F.expr(
+                f"aggregate(d{lvl}, 0L, (acc, d) -> acc + d * d)"
+            )
+            .cast("double")
+            .alias(f"e{lvl}_d")
+        )
+    return cur.select(*out_cols)

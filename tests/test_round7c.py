@@ -543,3 +543,42 @@ def test_markov_absorption_monotone_and_bounded(spark, sf_small):
     # this data (every state's one-step purchase prob is well above 0)
     byname = {r["state"]: r["reach_ppm_d"] for r in rows}
     assert byname.get("purchase", 0) > 0
+
+
+def test_haar_energy_matches_python_replay(spark, sf_small):
+    """The integer Haar pyramid replays exactly in pure Python from the
+    same first-32-day series."""
+    from streaming_ml_with_ksql_spark import registry
+    from streaming_ml_with_ksql_spark import io as io_mod2
+    from pyspark.sql import functions as F2
+
+    orders = io_mod2.load_table(spark, sf_small, "orders")
+    daily = (
+        orders.groupBy(
+            F2.datediff(
+                F2.date_trunc("day", F2.col("o_orderdate")),
+                F2.lit("1995-01-01").cast("timestamp"),
+            ).alias("t")
+        )
+        .agg(F2.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x"))
+        .orderBy("t")
+        .limit(32)
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+
+    def tdiv2(v):
+        q = abs(v) // 2
+        return q if v >= 0 else -q
+
+    levels = []
+    cur = xs
+    for _ in range(5):
+        s = [tdiv2(cur[2 * i] + cur[2 * i + 1]) for i in range(len(cur) // 2)]
+        d = [cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)]
+        levels.append(sum(v * v for v in d))
+        cur = s
+    row = registry.queries()["haar_wavelet_energy"](spark, sf_small).collect()[0]
+    assert row["approx_d"] == float(cur[0])
+    for lvl in range(1, 6):
+        assert row[f"e{lvl}_d"] == float(levels[lvl - 1])
