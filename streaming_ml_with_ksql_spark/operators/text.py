@@ -1710,3 +1710,137 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_hybrid_topk(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("spark", "window", "join"),
+    *,
+    dim: int = 64,
+    k_rrf: int = 60,
+    list_n: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse a LEXICAL ranking and a SEMANTIC
+    ranking of the corpus for one query, the standard first stage of a
+    production RAG serving path (BM25 + dense retriever -> RRF -> k).
+
+    Engine-exactness discipline: both input rankings are PURE-INTEGER
+    orders. The lexical list ranks by total query-term frequency
+    (ties: shorter doc, then doc_id); the semantic list ranks by the
+    integer dot product between the query's signed hash-embedding
+    buckets and each document's UNnormalized signed bucket counts (the
+    hash_embed integer layer, before L2 normalization — same md5 bucket
+    and sign arithmetic, so it composes with the verified hash-embed
+    oracle). RRF itself runs in integer micro-units:
+    1_000_000 div (k_rrf + rank), summed over the lists that contain
+    the document — no float anywhere, so the fusion is bit-exact on any
+    engine and any partitioning.
+
+    Scale shape: per-list candidates are cut with orderBy().limit(n)
+    (TakeOrderedAndProject — per-partition top-n, driver merges n rows;
+    no global sort window), exactly how serving systems truncate
+    retrieval lists. Ranks are then attached on the n-row results and
+    fused with a broadcast-sized full outer join. The only corpus-wide
+    shuffles are the two sparse integer aggregations (term tf, bucket
+    weights)."""
+    toks = tokens_col(F.col("text"))
+    base = documents.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("dl")
+    )
+
+    # lexical: total tf of the query terms per doc
+    per = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.size(
+                F.filter(F.col("t"), lambda x: x == F.col("term"))
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    lex = per.groupBy("doc_id").agg(
+        F.sum("tf").alias("tot"), F.first("dl").alias("dl")
+    )
+    lex_top = lex.orderBy(
+        F.col("tot").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+    ).limit(list_n)
+    w_lex = (
+        lex_top.coalesce(1)
+        .sortWithinPartitions(
+            F.col("tot").desc(), F.col("dl").asc(), F.col("doc_id").asc()
+        )
+        .select(
+            "doc_id",
+            (F.monotonically_increasing_id() + 1).alias("r_lex"),
+        )
+    )
+
+    # semantic: integer signed-bucket dot product with the query tokens
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 8, 1), 16, 10) % 2 == 0, 1
+    ).otherwise(-1)
+    pb = (
+        documents.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", (h % dim).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    q = (
+        documents.sparkSession.createDataFrame(
+            [(t,) for t in terms], "tok string"
+        )
+        .select((h % dim).alias("bucket"), sign.alias("qs"))
+    )
+    sem = (
+        pb.join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qs") * F.col("w")).alias("score"))
+    )
+    sem_top = sem.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(list_n)
+    w_sem = (
+        sem_top.coalesce(1)
+        .sortWithinPartitions(F.col("score").desc(), F.col("doc_id").asc())
+        .select(
+            "doc_id",
+            (F.monotonically_increasing_id() + 1).alias("r_sem"),
+        )
+    )
+
+    fused = w_lex.join(w_sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(
+                F.expr(f"1000000L div ({k_rrf} + r_lex)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr(f"1000000L div ({k_rrf} + r_sem)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("rrf").desc(), F.col("doc_id").asc())
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("double").alias("r_lex_d"),
+            F.col("r_sem").cast("double").alias("r_sem_d"),
+            F.col("rrf").cast("double").alias("rrf_micro_d"),
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Round-7 continuation (fourth block) tests: Arrow IPC wire codec,
+RRF hybrid retrieval, and difference-in-differences — semantic
+properties beyond the oracle hash (scripts/verify_driver.py covers
+those)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark.sources import arrow_ipc
+
+
+DDL = "k bigint, name string, v double"
+
+
+def test_arrow_ipc_roundtrip_preserves_nulls_and_types(spark):
+    rows = [
+        (1, "a", 1.5),
+        (2, None, float("-0.0")),
+        (None, "c", None),
+    ]
+    df = spark.createDataFrame(rows, DDL)
+    out = arrow_ipc.decode_arrow_ipc(arrow_ipc.encode_arrow_ipc(df, DDL), DDL)
+    got = sorted(
+        [(r["k"], r["name"], r["v"]) for r in out.collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got[0] == (1, "a", 1.5)
+    assert got[1][1] is None
+    assert got[2][0] is None and got[2][2] is None
+    # schema is declared, not inferred
+    assert dict(out.dtypes) == {"k": "bigint", "name": "string", "v": "double"}
+
+
+def test_arrow_ipc_encode_is_schema_stable_across_null_batches(spark):
+    """A partition whose nullable-int column is all-null (pandas would
+    infer float64/object) still encodes as int64 under the declared
+    schema — the dtype-inference trap the explicit schema exists for."""
+    df = spark.createDataFrame([(None, "x", 1.0), (None, "y", 2.0)], DDL)
+    payloads = arrow_ipc.encode_arrow_ipc(df, DDL).collect()
+    for p in payloads:
+        with pa.ipc.open_stream(pa.BufferReader(bytes(p["payload"]))) as rd:
+            assert rd.schema == arrow_ipc.arrow_schema(DDL)
+
+
+def test_arrow_ipc_mixed_schema_payload_rejected(spark):
+    other = "k bigint, name string"  # missing column
+    df = spark.createDataFrame([(1, "a")], other)
+    payloads = arrow_ipc.encode_arrow_ipc(df, other)
+    bad = arrow_ipc.decode_arrow_ipc(payloads, DDL)
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.collect()
+
+
+def test_arrow_ipc_unsupported_type_named():
+    with pytest.raises(ValueError, match="unsupported arrow-ipc column type"):
+        arrow_ipc.arrow_schema("a decimal(10,2)")
+
+
+def test_rrf_doc_in_both_lists_beats_single_list(spark):
+    """A document ranked #1 lexically AND semantically must out-fuse any
+    document appearing in only one list (RRF's defining property)."""
+    from streaming_ml_with_ksql_spark.operators.text import rrf_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: the query terms, many times -> top of both lists
+            (0, "spark window join spark window join spark"),
+            # doc 1: lexical-only hit (one term, long doc)
+            (1, "spark " + "filler " * 30),
+            # docs 2+: no query terms at all
+            (2, "completely unrelated words here"),
+            (3, "other text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rrf_hybrid_topk(docs).collect()}
+    assert out[0]["rnk"] == 1
+    assert out[0]["rrf_micro_d"] > out[1]["rrf_micro_d"]
+    # doc 0 holds rank 1 in both constituent lists
+    assert out[0]["r_lex_d"] == 1.0 and out[0]["r_sem_d"] == 1.0
+
+
+def test_rrf_scores_are_exact_integer_micro_units(spark):
+    from streaming_ml_with_ksql_spark.operators.text import rrf_hybrid_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark window join") for i in range(5)],
+        "doc_id long, text string",
+    )
+    for r in rrf_hybrid_topk(docs).collect():
+        v = r["rrf_micro_d"]
+        assert v == int(v)  # integer micro-units, no float residue
+        parts = []
+        for rank_col in ("r_lex_d", "r_sem_d"):
+            if r[rank_col] is not None:
+                parts.append(1_000_000 // (60 + int(r[rank_col])))
+        assert v == sum(parts)
+
+
+def test_did_recovers_planted_treatment_effect(spark):
+    """Treated mean moves by +delta across the cutoff while control is
+    flat -> DiD must equal exactly delta (in micro-units)."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+    import tempfile, os
+
+    # build a miniature lineitem/part pair with a planted effect
+    with tempfile.TemporaryDirectory() as d:
+        part_rows = [(1, "n", "b", "PROMO BRUSHED", 1, 1.0),
+                     (2, "n", "b", "STANDARD TIN", 1, 1.0)]
+        spark.createDataFrame(
+            part_rows,
+            "p_partkey long, p_name string, p_brand string,"
+            " p_type string, p_size int, p_retailprice double",
+        ).write.parquet(os.path.join(d, "part.parquet"))
+        li = []
+        for pk, pre_v, post_v in [(1, 10.0, 25.0), (2, 10.0, 10.0)]:
+            for ship, v in [("1994-01-01", pre_v), ("1996-01-01", post_v)]:
+                li.append(
+                    (1, pk, 1, 1, 1.0, v, 0.0, 0.0, "N", "O", ship)
+                )
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ).withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+
+        row = _REGISTRY["did_promo_effect"].spark(spark, d).collect()[0]
+    assert row["mean_control_pre_d"] == row["mean_control_post_d"]
+    assert row["did_micro_d"] == pytest.approx(15.0 * 1_000_000, abs=0)
