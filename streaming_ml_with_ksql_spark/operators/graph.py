@@ -637,3 +637,60 @@ def propagate_labels(
     return labels.select(
         F.col("u").alias(id_col), F.col("lbl").alias(label_col), "round"
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    *,
+    rounds: int = 2,
+    scale: int = 1_000_000,
+    hub_col: str = "c",
+    auth_col: str = "p",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over a bipartite
+    edge list — hubs on ``hub_col`` (e.g. customers), authorities on
+    ``auth_col`` (e.g. parts) — in EXACT integer fixed-point, the
+    pagerank_near_dup discipline: every score is a BIGINT, every update
+    a sum of BIGINTs, so the result is independent of partitioning and
+    replayable verbatim by an unrolled SQL oracle.
+
+    Normalization (the float step in textbook HITS) is replaced by an
+    integer rescale: after each matrix-vector product, scores divide by
+    d = max(1, ceil(max_score / scale)), keeping every score <= ~scale
+    with NO multiplication — so intermediate sums stay far from int64
+    overflow even with 1e6+ vertices (a raw sum bounds at
+    n_neighbors * scale). Rank order within a round is preserved up to
+    the shared truncation, which both engines apply identically.
+
+    Scale shape: each round is one groupBy-sum shuffled on the target
+    vertex plus a 1-row max aggregate broadcast back; ``rounds`` is a
+    small constant. Returns (hubs, authorities) score frames.
+    """
+    c, p = hub_col, auth_col
+    hubs = edges.select(c).distinct().withColumn(
+        "hs", F.lit(scale).cast("long")
+    )
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(col).alias("m")).select(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(m + {scale - 1}) div {scale}"),
+            ).alias("d")
+        )
+        return df.crossJoin(F.broadcast(m)).select(
+            *[x for x in df.columns if x != col],
+            F.expr(f"{col} div d").alias(col),
+        )
+
+    auths = None
+    for _ in range(rounds):
+        auths = rescale(
+            edges.join(hubs, c).groupBy(p).agg(F.sum("hs").alias("as_")),
+            "as_",
+        ).localCheckpoint(eager=True)
+        hubs = rescale(
+            edges.join(auths, p).groupBy(c).agg(F.sum("as_").alias("hs")),
+            "hs",
+        ).localCheckpoint(eager=True)
+    return hubs, auths

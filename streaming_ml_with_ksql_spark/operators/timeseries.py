@@ -468,3 +468,63 @@ def isotonic_daily_fit(
         )
         .orderBy("day_idx_d")
     )
+
+
+def dtw_cost(
+    series: DataFrame,
+    *,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    m: int = 28,
+) -> DataFrame:
+    """Exact integer Dynamic Time Warping (Sakoe & Chiba, IEEE TASSP
+    1978) between two m-element BIGINT series carried as array columns
+    on a ONE-ROW frame (the ses/holt/haar bounded-fold contract):
+    |x_i - y_j| unit costs, full m x m DP, monotone step set
+    {down, right, diagonal}.
+
+    The DP runs as m chained projections over the one-row frame — row i
+    of the cost matrix is ONE sequential ``aggregate`` fold that builds
+    the row left-to-right (cur[j] = cost + least(prev[j], prev[j-1],
+    cur[j-1])), so every cell is a BIGINT and the whole matrix is
+    engine- and partitioning-exact. No float, no pow/log; the DuckDB
+    oracle replays the identical recurrence through the
+    prefix-sum/prefix-min identity (cur[j] = S[j] + min_{k<=j}(a[k] -
+    S[k-1]), the min-plus-scan form), which is the same integers by
+    construction.
+
+    Returns the input row extended with ``dtw`` (corner cell) and
+    ``l1`` (the diagonal-path cost) — dtw <= l1 always, since the
+    diagonal is one admissible warp path."""
+    big = 1 << 62
+    cur = series.withColumn(
+        "cur",
+        F.expr(
+            f"""aggregate(sequence(1, {m}),
+                 CAST(array() AS array<bigint>),
+                 (acc, j) -> acc || array(
+                   abs(element_at({xs_col}, 1) - element_at({ys_col}, j))
+                   + if(j = 1, 0L, element_at(acc, -1))))"""
+        ),
+    )
+    for i in range(2, m + 1):
+        cur = cur.select(
+            "*",
+            F.expr(
+                f"""aggregate(sequence(1, {m}),
+                     CAST(array() AS array<bigint>),
+                     (acc, j) -> acc || array(
+                       abs(element_at({xs_col}, {i}) - element_at({ys_col}, j))
+                       + least(element_at(cur, j),
+                               if(j = 1, {big}L, element_at(cur, j - 1)),
+                               if(j = 1, {big}L, element_at(acc, -1)))))"""
+            ).alias("nxt"),
+        ).drop("cur").withColumnRenamed("nxt", "cur")
+    return cur.select(
+        "*",
+        F.expr(f"element_at(cur, {m})").alias("dtw"),
+        F.expr(
+            f"""aggregate(zip_with({xs_col}, {ys_col}, (a, b) -> abs(a - b)),
+                 0L, (acc, v) -> acc + v)"""
+        ).alias("l1"),
+    ).drop("cur")

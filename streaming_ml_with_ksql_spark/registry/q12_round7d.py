@@ -247,3 +247,251 @@ def q_did_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_micro_d"
         ),
     )
+
+
+def _hits_oracle(rounds: int = 2) -> str:
+    """Unrolled integer fixed-point HITS (the pagerank-oracle idiom):
+    each round is a sum-aggregate CTE plus a 1-row rescale divisor CTE,
+    generated per round so the oracle replays graph.hits_bipartite's
+    BIGINT arithmetic verbatim."""
+    sql = """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS hs FROM e)"""
+    prev_h = "h0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+    a{k}raw AS (SELECT p, sum(hs) AS s FROM e JOIN {prev_h} USING (c)
+                GROUP BY p),
+    a{k}d AS (SELECT greatest(CAST(1 AS BIGINT),
+                              (max(s) + 999999) // 1000000) AS d
+              FROM a{k}raw),
+    a{k} AS (SELECT p, s // d AS sc FROM a{k}raw, a{k}d),
+    h{k}raw AS (SELECT c, sum(sc) AS s
+                FROM e JOIN a{k} USING (p) GROUP BY c),
+    h{k}d AS (SELECT greatest(CAST(1 AS BIGINT),
+                              (max(s) + 999999) // 1000000) AS d
+              FROM h{k}raw),
+    h{k} AS (SELECT c, s // d AS hs FROM h{k}raw, h{k}d)"""
+        prev_h = f"h{k}"
+    sql += f""",
+    ta AS (
+      SELECT 'authority' AS kind, p AS node_id, sc,
+             CAST(row_number() OVER (ORDER BY sc DESC, p ASC) AS INT) AS rnk
+      FROM a{rounds} QUALIFY rnk <= 10),
+    th AS (
+      SELECT 'hub' AS kind, c AS node_id, hs AS sc,
+             CAST(row_number() OVER (ORDER BY hs DESC, c ASC) AS INT) AS rnk
+      FROM h{rounds} QUALIFY rnk <= 10)
+    SELECT kind, node_id, CAST(sc AS DOUBLE) AS score_d, rnk FROM ta
+    UNION ALL
+    SELECT kind, node_id, CAST(sc AS DOUBLE) AS score_d, rnk FROM th"""
+    return sql
+
+
+@register("hits_customer_part", _hits_oracle(2))
+def q_hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the bipartite customer->part purchase graph
+    (operators/graph.py hits_bipartite): hub customers (broad,
+    authority-heavy baskets) and authority parts (bought by the hubbest
+    customers), two fixed-point rounds, every score a BIGINT — the
+    mutual-reinforcement ranking that complements pagerank_near_dup's
+    single-mode walk. Top-10 per side via TakeOrderedAndProject with
+    rank attached on the 10-row results."""
+    from ..operators import graph as graph_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hubs, auths = graph_ops.hits_bipartite(edges, rounds=2)
+
+    def side(df: DataFrame, id_col: str, score_col: str, kind: str) -> DataFrame:
+        top = df.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        ).limit(10)
+        return (
+            top.coalesce(1)
+            .sortWithinPartitions(F.col(score_col).desc(), F.col(id_col).asc())
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col(id_col).alias("node_id"),
+                F.col(score_col).cast("double").alias("score_d"),
+                (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
+            )
+        )
+
+    return side(auths, "p", "as_", "authority").unionByName(
+        side(hubs, "c", "hs", "hub")
+    )
+
+
+_HALFLIFE_ORACLE = """
+    WITH mx AS (SELECT date_trunc('day', max(ts)) AS m FROM events),
+    x AS (
+      SELECT user_id,
+             CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS micro,
+             CAST(datediff('day', date_trunc('day', ts), m) AS BIGINT) // 7
+               AS w
+      FROM events, mx
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND value >= 0),
+    d AS (
+      SELECT user_id, sum(micro) AS raw,
+             sum(CASE WHEN w < 63
+                      THEN micro // (CAST(1 AS BIGINT) << CAST(w AS INT))
+                      ELSE 0 END) AS decayed
+      FROM x GROUP BY 1)
+    SELECT user_id, CAST(raw AS DOUBLE) AS raw_micro_d,
+           CAST(decayed AS DOUBLE) AS decayed_micro_d
+    FROM d
+"""
+
+
+@register("halflife_decayed_value", _HALFLIFE_ORACLE)
+def q_halflife_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement with a one-week half-life, EXACTLY:
+    each event's value (integer micro-units) is divided by 2^age_weeks
+    via a power-of-two integer division (a bit shift both engines
+    evaluate identically), then summed per user — the decayed-count
+    feature of every churn/propensity model, with zero pow()/exp() so
+    the decay is bit-exact on any engine and partitioning. Ages beyond
+    63 half-lives clamp to 0 (shift-width guard); values are pinned
+    non-negative so floor-division semantics never diverge. Scale
+    shape: one 1-row max broadcast, one map-side-combinable per-user
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("m"))
+    x = (
+        ev.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("value") >= 0)
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("micro"),
+            F.expr(
+                "CAST(datediff(date_trunc('day', m),"
+                " date_trunc('day', ts)) AS BIGINT) div 7"
+            ).alias("w"),
+        )
+    )
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.sum("micro").alias("raw"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN w < 63"
+                    " THEN micro div shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(w AS INT)) ELSE 0 END"
+                )
+            ).alias("decayed"),
+        )
+        .select(
+            "user_id",
+            F.col("raw").cast("double").alias("raw_micro_d"),
+            F.col("decayed").cast("double").alias("decayed_micro_d"),
+        )
+    )
+
+
+def _dtw_oracle(m: int = 28) -> str:
+    """Unrolled min-plus-scan DTW (timeseries.dtw_cost docstring): row i
+    is three generated CTEs — cost prefix sums S, the shifted-min term
+    b[k] = min(prev[k], prev[k-1]) - S[k-1], and the scan
+    cur[j] = S[j] + min(b[1..j]) — all BIGINT list arithmetic, so the
+    oracle replays the Spark fold's integers verbatim."""
+    sql = f"""
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             (sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000) AS x
+      FROM orders GROUP BY 1),
+    first2m AS (
+      SELECT t, x FROM daily QUALIFY row_number() OVER (ORDER BY t) <= {2 * m}),
+    l0 AS (SELECT list(x ORDER BY t) AS zs FROM first2m),
+    s AS (SELECT zs[1:{m}] AS xs, zs[{m + 1}:{2 * m}] AS ys FROM l0),
+    d1 AS (
+      SELECT xs, ys,
+             list_transform(range(1, {m + 1}), j ->
+               list_sum(list_transform(range(1, j + 1),
+                 k -> abs(xs[1] - ys[k])))) AS cur
+      FROM s)"""
+    for i in range(2, m + 1):
+        sql += f""",
+    e{i} AS (
+      SELECT xs, ys, cur,
+             list_transform(range(1, {m + 1}), j ->
+               list_sum(list_transform(range(1, j + 1),
+                 k -> abs(xs[{i}] - ys[k])))) AS S
+      FROM d{i - 1}),
+    f{i} AS (
+      SELECT xs, ys, S,
+             list_transform(range(1, {m + 1}), k ->
+               (CASE WHEN k = 1 THEN cur[1]
+                     ELSE least(cur[k], cur[k - 1]) END)
+               - CASE WHEN k > 1 THEN S[k - 1] ELSE 0 END) AS bv
+      FROM e{i}),
+    d{i} AS (
+      SELECT xs, ys,
+             list_transform(range(1, {m + 1}), j ->
+               S[j] + list_aggregate(bv[1:j], 'min')) AS cur
+      FROM f{i})"""
+    sql += f"""
+    SELECT CAST(cur[{m}] AS DOUBLE) AS dtw_cost_d,
+           CAST(list_sum(list_transform(range(1, {m + 1}),
+                  j -> abs(xs[j] - ys[j]))) AS DOUBLE) AS l1_cost_d,
+           CAST(list_sum(list_transform(range(1, {m + 1}),
+                  j -> abs(xs[j] - ys[j]))) - cur[{m}] AS DOUBLE)
+             AS warp_gain_d
+    FROM d{m}"""
+    return sql
+
+
+@register("dtw_revenue_align", _dtw_oracle(28))
+def q_dtw_revenue_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer DTW alignment (timeseries.dtw_cost) of two
+    consecutive 28-day daily-revenue windows — "how much does this
+    month's shape match last month's, allowing tempo warp?" — the
+    alignment-distance family member next to the fixed-lag
+    autocorrelation and the pattern z-match: dtw_cost_d is the DP
+    corner, l1_cost_d the no-warp diagonal baseline, warp_gain_d their
+    gap (always >= 0; how much alignment the warp buys). The series
+    fold input is one bounded 56-element list (the ses/holt/haar
+    contract); the DP is m chained one-row projections, each a
+    sequential BIGINT fold."""
+    from ..operators import timeseries as ts_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    m = 28
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1992-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 1000L").alias("x")
+    )
+    ser = daily.agg(
+        F.expr(
+            f"slice(transform(array_sort(collect_list(struct(t, x))),"
+            f" e -> e.x), 1, {2 * m})"
+        ).alias("zs")
+    ).select(
+        F.expr(f"slice(zs, 1, {m})").alias("xs"),
+        F.expr(f"slice(zs, {m + 1}, {m})").alias("ys"),
+    )
+    out = ts_ops.dtw_cost(ser, m=m)
+    return out.select(
+        F.col("dtw").cast("double").alias("dtw_cost_d"),
+        F.col("l1").cast("double").alias("l1_cost_d"),
+        (F.col("l1") - F.col("dtw")).cast("double").alias("warp_gain_d"),
+    )

@@ -134,3 +134,103 @@ def test_did_recovers_planted_treatment_effect(spark):
         row = _REGISTRY["did_promo_effect"].spark(spark, d).collect()[0]
     assert row["mean_control_pre_d"] == row["mean_control_post_d"]
     assert row["did_micro_d"] == pytest.approx(15.0 * 1_000_000, abs=0)
+
+
+def test_hits_hub_and_authority_ordering(spark):
+    """c1 buys all three parts, c2 buys only part 10: c1 is the top
+    hub, part 10 (bought by both) the top authority."""
+    from streaming_ml_with_ksql_spark.operators.graph import hits_bipartite
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "c long, p long"
+    )
+    hubs, auths = hits_bipartite(edges, rounds=2)
+    h = {r["c"]: r["hs"] for r in hubs.collect()}
+    a = {r["p"]: r["as_"] for r in auths.collect()}
+    assert h[1] > h[2]
+    assert a[10] > a[11] == a[12]
+    # fixed-point rescale keeps every score bounded by ~scale
+    assert all(0 <= v <= 1_000_000 for v in list(h.values()) + list(a.values()))
+
+
+def test_hits_scores_partitioning_invariant(spark):
+    from streaming_ml_with_ksql_spark.operators.graph import hits_bipartite
+
+    rows = [(c, p) for c in range(6) for p in range(20) if (c * 7 + p) % 3]
+    one = spark.createDataFrame(rows, "c long, p long").repartition(1)
+    many = spark.createDataFrame(rows, "c long, p long").repartition(7)
+    h1, a1 = hits_bipartite(one, rounds=2)
+    h2, a2 = hits_bipartite(many, rounds=2)
+    assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_halflife_decay_exact_shifts(spark):
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            # (event_id, ts, value): ages 0w, 3w, 70w (clamped) from max ts
+            (1, "2024-06-30 12:00:00", 8.0),
+            (2, "2024-06-09 12:00:00", 8.0),
+            (3, "2023-02-26 12:00:00", 8.0),
+        ]
+        spark.createDataFrame(
+            [(i, ts, 1, "purchase", v, "{}") for i, ts, v in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = _REGISTRY["halflife_decayed_value"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["raw_micro_d"] == 24_000_000.0
+    # 8e6 (age 0) + 8e6 >> 3 (age 21d = 3w) + 8e6 >> 70 -> 0
+    assert r["decayed_micro_d"] == 8_000_000.0 + 1_000_000.0
+
+
+def _py_dtw(xs, ys):
+    import math
+
+    m, n = len(xs), len(ys)
+    d = [[math.inf] * n for _ in range(m)]
+    for i in range(m):
+        for j in range(n):
+            c = abs(xs[i] - ys[j])
+            if i == 0 and j == 0:
+                d[i][j] = c
+            else:
+                best = min(
+                    d[i - 1][j] if i else math.inf,
+                    d[i][j - 1] if j else math.inf,
+                    d[i - 1][j - 1] if i and j else math.inf,
+                )
+                d[i][j] = c + best
+    return d[m - 1][n - 1]
+
+
+def test_dtw_matches_reference_dp_and_bounds(spark):
+    from streaming_ml_with_ksql_spark.operators.timeseries import dtw_cost
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8]
+    ser = spark.createDataFrame(
+        [(xs, ys)], "xs array<bigint>, ys array<bigint>"
+    )
+    r = dtw_cost(ser, m=8).collect()[0]
+    assert r["dtw"] == _py_dtw(xs, ys)
+    assert r["l1"] == sum(abs(a - b) for a, b in zip(xs, ys))
+    assert r["dtw"] <= r["l1"]
+
+
+def test_dtw_zero_on_identical_series(spark):
+    from streaming_ml_with_ksql_spark.operators.timeseries import dtw_cost
+
+    xs = [5, 5, 7, 2]
+    ser = spark.createDataFrame(
+        [(xs, xs)], "xs array<bigint>, ys array<bigint>"
+    )
+    r = dtw_cost(ser, m=4).collect()[0]
+    assert r["dtw"] == 0 and r["l1"] == 0
