@@ -1545,3 +1545,115 @@ def cluster_quality(
         F.col("nearest_lbl").cast("double").alias("nearest_label_d"),
         F.col("nearest_dist_nano").cast("double").alias("nearest_dist_nano_d"),
     )
+
+
+def mmr_diverse_topk(
+    embeddings: DataFrame,
+    *,
+    query_id: int = 0,
+    cand_n: int = 20,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity stage between candidate retrieval and
+    the context window: greedily pick k of the top-``cand_n`` semantic
+    candidates, each pick maximizing relevance MINUS its worst
+    redundancy against the already-picked set (lambda = 1/2, scaled by
+    2 so the objective is rel - max_sim — pure integers).
+
+    Engine-exactness: vectors are GLOBALLY-scaled int8 codes (one
+    corpus-wide scale broadcast from a 1-row aggregate, the
+    jl_projection discipline), so relevance and pairwise redundancy
+    are BIGINT dot products and every greedy argmax (ties: smaller
+    vec_id) is bit-deterministic. The DuckDB oracle unrolls the greedy
+    loop relationally and replays the identical integers.
+
+    Scale shape: candidate generation is a corpus-wide narrow dot
+    product cut with orderBy().limit(cand_n) (TakeOrderedAndProject);
+    the greedy loop then runs on a localCheckpointed ``cand_n``-row
+    frame — k-1 iterations of (cand_n x picked) joins on bounded
+    frames, never touching the corpus again."""
+    gs = embeddings.agg(
+        (
+            F.max(
+                F.array_max(
+                    F.transform(
+                        F.col("embedding"), lambda x: F.abs(x.cast("double"))
+                    )
+                )
+            )
+            / F.lit(127)
+        ).alias("gscale")
+    )
+    q8 = embeddings.crossJoin(F.broadcast(gs)).select(
+        "vec_id",
+        F.when(
+            F.col("gscale") == 0,
+            F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") / F.col("gscale") + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        .alias("q"),
+    )
+    qv = q8.where(F.col("vec_id") == query_id).select(
+        F.col("q").alias("qq")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    rel = (
+        q8.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "q",
+            F.expr(dot.format(a="q", b="qq")).alias("rel"),
+        )
+    )
+    cand = (
+        rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(cand_n)
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            "vec_id", "q", "rel",
+            F.col("rel").alias("score"),
+            F.lit(1).alias("pick_order"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        pen = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(sel.select(F.col("q").alias("sq")))
+            .select(
+                "vec_id",
+                F.expr(dot.format(a="q", b="sq")).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("d").alias("pen"))
+        )
+        pick = (
+            cand.join(pen, "vec_id")
+            .select(
+                "vec_id", "q", "rel",
+                (F.col("rel") - F.col("pen")).alias("score"),
+                F.lit(t).alias("pick_order"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "pick_order",
+        "vec_id",
+        F.col("rel").cast("double").alias("rel_d"),
+        F.col("score").cast("double").alias("score_d"),
+    )

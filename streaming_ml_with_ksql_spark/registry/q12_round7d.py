@@ -495,3 +495,261 @@ def q_dtw_revenue_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1").cast("double").alias("l1_cost_d"),
         (F.col("l1") - F.col("dtw")).cast("double").alias("warp_gain_d"),
     )
+
+
+_KMV_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL),
+    dh AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 268435456 AS h
+      FROM du),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh QUALIFY rn <= 64),
+    sk AS (SELECT event_type, max(h) AS kth, count(*) AS m FROM rk GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT e.event_type,
+           CAST(CASE WHEN s.m < 64 THEN s.m
+                     ELSE (CAST(63 AS BIGINT) * 268435456) // greatest(s.kth, 1) END
+                AS DOUBLE) AS kmv_estimate_d,
+           CAST(e.exact_n AS DOUBLE) AS exact_distinct_d,
+           CAST(s.kth AS DOUBLE) AS kth_hash_d
+    FROM ex e JOIN sk s USING (event_type)
+"""
+
+
+@register("kmv_distinct_users", _KMV_ORACLE)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type
+    (Bar-Yossef et al., RANDOM 2002) — the mergeable cardinality sketch
+    family member next to hll_registers_exact, made EXACTLY oracle-able
+    because the 'random' hash is the deterministic md5-bucket idiom:
+    estimate = (k-1) * 2^28 div h_(k) over the k=64 smallest distinct
+    28-bit hashes (exact count when a group has fewer than k). The
+    exact distinct count rides along, so the sketch's error is itself
+    hash-checked. Scale shape: two sparse distincts shuffled on
+    (type, key), then a PARTITIONED rank window (per-group, never
+    global) over at most |distinct hashes| rows; the div is guarded
+    against a zero k-th hash (ANSI)."""
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 268435456
+    )
+    dh = du.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    rk = dh.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 64)
+    sk = rk.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("m")
+    )
+    ex = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_n"))
+    )
+    return ex.join(sk, "event_type").select(
+        "event_type",
+        F.expr(
+            "CAST(CASE WHEN m < 64 THEN m"
+            " ELSE (63 * 268435456L) div greatest(kth, 1L) END AS DOUBLE)"
+        ).alias("kmv_estimate_d"),
+        F.col("exact_n").cast("double").alias("exact_distinct_d"),
+        F.col("kth").cast("double").alias("kth_hash_d"),
+    )
+
+
+def _jl_signs(out_dim: int = 16, in_dim: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher (+-1) JL projection matrix: sign(j,i)
+    from the first md5 nibble of 'jl:{j}:{i}' — the content-free
+    md5-randomness idiom (no RNG in any plan; both engines consume the
+    identical literal matrix)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0] in "01234567"
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    signs_sql = (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL_SIGNS)
+        + "]"
+    )
+    return f"""
+    WITH gs AS (
+      SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS gscale
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, label,
+             CASE WHEN gscale = 0
+               THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) / gscale + 0.5)
+                                AS BIGINT))
+             END AS q
+      FROM embeddings, gs),
+    m AS (SELECT {signs_sql}::BIGINT[][] AS signs)
+    SELECT vec_id, label,
+           array_to_string(
+             list_transform(range(1, 17), j ->
+               list_sum(list_transform(range(1, 65),
+                 i -> signs[j][i] * q[i]))), ',') AS jl_codes
+    FROM q8, m
+"""
+
+
+@register("jl_projection_embed", _jl_oracle())
+def q_jl_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 16d (Achlioptas,
+    JCSS 2003: Rademacher +-1 entries suffice) over GLOBALLY-scaled
+    int8 codes: one corpus-wide scale (a 1-row broadcast, unlike
+    embedding_quantize_int8's per-vector scale) keeps every projected
+    coordinate an exact BIGINT sum of signed codes, so the 4x
+    dimensionality reduction — the cheap pre-filter in front of exact
+    cosine rerank at 100 TB — is bit-exact on any engine and
+    partitioning. The +-1 matrix is a deterministic md5 literal shared
+    by both plans; distance distortion vs the unprojected codes is
+    pinned in tests. Narrow per-row array arithmetic; no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    gs = emb.agg(
+        (
+            F.max(
+                F.array_max(
+                    F.transform(
+                        F.col("embedding"), lambda x: F.abs(x.cast("double"))
+                    )
+                )
+            )
+            / F.lit(127)
+        ).alias("gscale")
+    )
+    q8 = emb.crossJoin(F.broadcast(gs)).select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("gscale") == 0,
+            F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") / F.col("gscale") + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        .alias("q"),
+    )
+    signs_expr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in _JL_SIGNS
+        )
+        + ")"
+    )
+    proj = F.expr(
+        f"""transform(sequence(1, 16), j ->
+              aggregate(sequence(1, 64), 0L,
+                (acc, i) -> acc + element_at(element_at({signs_expr}, j), i)
+                            * element_at(q, i)))"""
+    )
+    return q8.select(
+        "vec_id",
+        "label",
+        F.array_join(proj, ",").alias("jl_codes"),
+    )
+
+
+def _mmr_oracle(cand_n: int = 20, k: int = 8) -> str:
+    """Relationally-unrolled greedy MMR (similarity.mmr_diverse_topk):
+    per pick, a (cand x picked) max-redundancy aggregate and a
+    QUALIFY-argmax — all BIGINT dot products over globally-scaled int8
+    codes, replaying the Spark loop's integers verbatim. The chain
+    CTEs are AS MATERIALIZED: each s{{t}} is referenced three times by
+    round t+1, so inlining re-evaluates the whole prefix exponentially
+    (~3^k scans — measured minutes at k=8; materialized: 0.08 s)."""
+    idot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    sql = f"""
+    WITH gs AS (
+      SELECT max(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))))) / 127 AS gscale
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             CASE WHEN gscale = 0
+               THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) / gscale + 0.5)
+                                AS BIGINT))
+             END AS q
+      FROM embeddings, gs),
+    qv AS (SELECT q AS qq FROM q8 WHERE vec_id = 0),
+    rel AS (
+      SELECT vec_id, q, {idot.format(a='q', b='qq')} AS rel
+      FROM q8, qv WHERE vec_id != 0),
+    cand AS MATERIALIZED (
+      SELECT vec_id, q, rel FROM rel
+      QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {cand_n}),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, q, rel, rel AS score, 1 AS pick_order FROM cand
+      QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+    p{t} AS (
+      SELECT c.vec_id, max({idot.format(a='c.q', b='s.q')}) AS pen
+      FROM cand c, s{t - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s{t - 1})
+      GROUP BY 1),
+    n{t} AS (
+      SELECT c.vec_id, c.q, c.rel, c.rel - p.pen AS score,
+             {t} AS pick_order
+      FROM cand c JOIN p{t} p USING (vec_id)
+      QUALIFY row_number() OVER (ORDER BY score DESC, c.vec_id) = 1),
+    s{t} AS MATERIALIZED (SELECT * FROM s{t - 1} UNION ALL SELECT * FROM n{t})"""
+    sql += f"""
+    SELECT pick_order, vec_id, CAST(rel AS DOUBLE) AS rel_d,
+           CAST(score AS DOUBLE) AS score_d
+    FROM s{k}"""
+    return sql
+
+
+@register("mmr_diverse_retrieval", _mmr_oracle())
+def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the top-20 integer-cosine candidates
+    for query vector 0 (similarity.mmr_diverse_topk): eight greedy
+    picks, each maximizing relevance minus worst redundancy against the
+    picked set — the context-diversification stage of a RAG pipeline,
+    exactly oracle-able because every score is a BIGINT dot product
+    over globally-scaled int8 codes."""
+    from ..operators import similarity as sim_ops
+
+    return sim_ops.mmr_diverse_topk(_t(spark, sf_dir, "embeddings"))

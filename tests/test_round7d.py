@@ -234,3 +234,113 @@ def test_dtw_zero_on_identical_series(spark):
     )
     r = dtw_cost(ser, m=4).collect()[0]
     assert r["dtw"] == 0 and r["l1"] == 0
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark, sf_small, sf_medium):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    q = _REGISTRY["kmv_distinct_users"].spark
+    for sf_dir in (sf_small, sf_medium):
+        for r in q(spark, sf_dir).collect():
+            exact, est = r["exact_distinct_d"], r["kmv_estimate_d"]
+            if exact <= 64:
+                # fewer distinct hashes than k -> the sketch IS exact
+                # (up to hash collisions, absent at these cardinalities)
+                assert est == exact
+            else:
+                assert abs(est - exact) / exact < 0.5
+
+
+def test_jl_projection_preserves_norms_in_expectation(spark, sf_medium):
+    import numpy as np
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["jl_projection_embed"].spark(spark, sf_medium).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    q8 = {
+        r[0]: np.array(r[1], dtype=np.int64)
+        for r in con.execute(
+            f"""WITH gs AS (SELECT max(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))))) / 127 AS g
+                FROM '/root/testdata/sf0.01/embeddings.parquet')
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / g + 0.5) AS BIGINT))
+              FROM '/root/testdata/sf0.01/embeddings.parquet', gs"""
+        ).fetchall()
+    }
+    ratios = []
+    for r in rows:
+        p = np.array([int(v) for v in r["jl_codes"].split(",")], dtype=np.int64)
+        orig = q8[r["vec_id"]]
+        if orig @ orig:
+            # E[||Px||^2] = m * ||x||^2 for +-1 entries (m=16 output dims)
+            ratios.append((p @ p) / 16 / (orig @ orig))
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 1.6
+
+
+def _py_mmr(q8: dict, query_id: int, cand_n: int, k: int):
+    rel = {
+        v: int(sum(a * b for a, b in zip(c, q8[query_id])))
+        for v, c in q8.items()
+        if v != query_id
+    }
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:cand_n]
+    sel, out = [], []
+    for t in range(1, k + 1):
+        best = None
+        for v in cand:
+            if v in sel:
+                continue
+            pen = max(
+                (int(sum(a * b for a, b in zip(q8[v], q8[s]))) for s in sel),
+                default=0,
+            )
+            score = rel[v] - pen
+            if best is None or score > best[0] or (score == best[0] and v < best[1]):
+                best = (score, v)
+        sel.append(best[1])
+        out.append((t, best[1], float(rel[best[1]]), float(best[0])))
+    return out
+
+
+def test_mmr_matches_python_reference_greedy(spark):
+    from streaming_ml_with_ksql_spark.operators.similarity import mmr_diverse_topk
+
+    # deterministic integer-ish embeddings, 30 vectors x 8 dims
+    vecs = {
+        v: [float(((v * 7 + i * 13) % 11) - 5) for i in range(8)]
+        for v in range(30)
+    }
+    emb = spark.createDataFrame(
+        [(v, vecs[v], 0) for v in sorted(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = sorted(
+        (r["pick_order"], r["vec_id"], r["rel_d"], r["score_d"])
+        for r in mmr_diverse_topk(emb, query_id=0, cand_n=12, k=5).collect()
+    )
+    # replicate the global-scale int8 quantization, then greedy MMR
+    gmax = max(abs(x) for c in vecs.values() for x in c)
+    gscale = gmax / 127
+    import math
+
+    q8 = {
+        v: [int(math.floor(x / gscale + 0.5)) for x in c]
+        for v, c in vecs.items()
+    }
+    assert out == _py_mmr(q8, 0, 12, 5)
+
+
+def test_mmr_first_pick_is_pure_relevance_and_picks_distinct(spark, sf_medium):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["mmr_diverse_retrieval"].spark(spark, sf_medium).collect()
+    by_order = {int(r["pick_order"]): r for r in rows}
+    assert len(by_order) == 8
+    assert by_order[1]["score_d"] == by_order[1]["rel_d"]
+    assert len({r["vec_id"] for r in rows}) == 8
+    # relevance of pick 1 dominates every candidate's relevance
+    assert by_order[1]["rel_d"] == max(r["rel_d"] for r in rows)
