@@ -1844,3 +1844,93 @@ def rrf_hybrid_topk(
             (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "of", "in", "to", "is", "for", "on",
+    "with", "at", "by", "it", "as", "be", "are", "was", "that", "this",
+)
+
+
+def rake_keyphrases(
+    documents: DataFrame,
+    *,
+    top_n: int = 3,
+    max_words: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are the maximal stopword-delimited token runs (up
+    to ``max_words`` words); each word scores deg/freq where freq is
+    its occurrence count across the document's phrase occurrences and
+    deg additionally credits the length of every phrase it appears in;
+    a phrase scores the sum of its word scores. The classic zero-model
+    keyword extractor of a curation pipeline (alongside tf-idf and
+    BM25), here per document.
+
+    Engine-exactness: word scores run in integer micro-units —
+    (deg * 1e6) div freq, both positive BIGINTs — and phrase scores are
+    sums of those integers, so ranking ties break identically and the
+    whole extraction is bit-exact cross-engine (the doc_quality_score
+    lesson: never sum 6dp-rounded floats).
+
+    Scale shape: phrase segmentation is a narrow per-row regex split;
+    the two aggregates shuffle on (doc, word) / (doc, phrase) — sparse
+    and key-partitioned; the top-``top_n`` rank window partitions BY
+    DOCUMENT (never global)."""
+    pat = r"\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b"
+    ph = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), pat)).alias(
+                "rawseg"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace(F.trim(F.col("rawseg")), r"\s+", " ").alias(
+                "phrase"
+            ),
+        )
+        .where(F.length("phrase") > 0)
+        .withColumn("plen", F.size(F.split(F.col("phrase"), " ")))
+        .where(F.col("plen") <= max_words)
+    )
+    pw = ph.select(
+        "doc_id",
+        "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    wsc = (
+        pw.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            "doc_id",
+            "word",
+            F.expr("(deg * 1000000L) div freq").alias("wscore"),
+        )
+    )
+    dp = ph.select("doc_id", "phrase", "plen").distinct()
+    dpw = dp.select(
+        "doc_id",
+        "phrase",
+        "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    ps = dpw.join(wsc, ["doc_id", "word"]).groupBy("doc_id", "phrase").agg(
+        F.first("plen").alias("n_words"),
+        F.sum("wscore").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        ps.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_n)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("score_micro").cast("double").alias("score_micro_d"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

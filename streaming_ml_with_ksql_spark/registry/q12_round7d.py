@@ -11,6 +11,7 @@ from __future__ import annotations
 from ._core import *  # noqa: F401,F403
 from ._core import _REGISTRY, _t, register  # noqa: F401
 from ..operators import text as text_ops
+from .q04_streamksql import _STREAM_SEQ, _replay_events  # noqa: F401
 
 
 @register(
@@ -753,3 +754,206 @@ def q_mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim_ops
 
     return sim_ops.mmr_diverse_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _rake_oracle() -> str:
+    from ..operators.text import RAKE_STOPWORDS
+
+    pat = r"\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b"
+    return rf"""
+    WITH seg AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '{pat}')) AS rawseg
+      FROM documents),
+    ph AS (
+      SELECT doc_id,
+             regexp_replace(trim(rawseg), '\s+', ' ', 'g') AS phrase
+      FROM seg),
+    phl AS (
+      SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen
+      FROM ph WHERE len(phrase) > 0),
+    cand AS (SELECT * FROM phl WHERE plen <= 4),
+    pw AS (
+      SELECT doc_id, plen, unnest(string_split(phrase, ' ')) AS word
+      FROM cand),
+    wsc AS (
+      SELECT doc_id, word,
+             (sum(plen) * CAST(1000000 AS BIGINT)) // count(*) AS wscore
+      FROM pw GROUP BY 1, 2),
+    dp AS (SELECT DISTINCT doc_id, phrase, plen FROM cand),
+    dpw AS (
+      SELECT doc_id, phrase, plen,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM dp),
+    ps AS (
+      SELECT d.doc_id, d.phrase, any_value(d.plen) AS n_words,
+             sum(w.wscore) AS score_micro
+      FROM dpw d JOIN wsc w USING (doc_id, word)
+      GROUP BY 1, 2)
+    SELECT doc_id, phrase, CAST(n_words AS INT) AS n_words,
+           CAST(score_micro AS DOUBLE) AS score_micro_d,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, phrase ASC) AS INT) AS rnk
+    FROM ps
+    QUALIFY rnk <= 3
+"""
+
+
+@register("rake_keyphrases", _rake_oracle())
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 RAKE keyphrases per document (text.rake_keyphrases):
+    stopword-delimited candidate phrases, deg/freq word scores in
+    integer micro-units, phrase score = sum of word scores — the
+    zero-model keyword extractor beside tf-idf/BM25. Integer scoring
+    end-to-end; per-document rank windows only."""
+    from ..operators import text as t_ops
+
+    return t_ops.rake_keyphrases(_t(spark, sf_dir, "documents"))
+
+
+_FIFO_ORACLE = """
+    WITH rcpt AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum
+      FROM lineitem WHERE l_returnflag != 'R'),
+    ret AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum
+      FROM lineitem WHERE l_returnflag = 'R'),
+    alloc AS (
+      SELECT r.l_partkey,
+             t.l_orderkey AS ret_orderkey, t.l_linenumber AS ret_linenumber,
+             r.l_orderkey AS rcpt_orderkey, r.l_linenumber AS rcpt_linenumber,
+             least(r.cum, t.cum)
+               - greatest(r.cum - r.qty, t.cum - t.qty) AS alloc_qty
+      FROM rcpt r JOIN ret t ON r.l_partkey = t.l_partkey
+        AND r.cum > t.cum - t.qty AND t.cum > r.cum - r.qty)
+    SELECT l_partkey, ret_orderkey, ret_linenumber,
+           rcpt_orderkey, rcpt_linenumber,
+           CAST(alloc_qty AS DOUBLE) AS alloc_qty_d
+    FROM alloc WHERE alloc_qty > 0
+"""
+
+
+@register("fifo_lot_allocation", _FIFO_ORACLE)
+def q_fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation — the inventory-accounting matcher: every
+    returned lineitem ('R' flag) consumes the part's earliest receipts
+    first, expressed as the INTERVAL-OVERLAP identity on per-part
+    cumulative-quantity axes (receipt lot [cum-qty, cum) x return
+    demand [cum-qty, cum): the overlap length IS the FIFO-allocated
+    quantity — no loop, no state machine). Quantities are integral
+    doubles cast to BIGINT, so every boundary and allocation is exact.
+
+    Scale shape: the cumulative windows partition BY PART (no global
+    sort); the overlap join is equi on l_partkey with range predicates
+    AQE can treat as a co-partitioned join — per-part row counts are
+    bounded (TPC-H ~30 lineitems/part at any SF), so the per-key
+    overlap fan-out is a small constant."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cum(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.sum(F.col("l_quantity").cast("long")).over(w).alias("cum"),
+        )
+
+    rcpt = cum(li.where(F.col("l_returnflag") != "R")).alias("r")
+    ret = cum(li.where(F.col("l_returnflag") == "R")).alias("t")
+    joined = rcpt.join(
+        ret,
+        (F.col("r.l_partkey") == F.col("t.l_partkey"))
+        & (F.col("r.cum") > F.col("t.cum") - F.col("t.qty"))
+        & (F.col("t.cum") > F.col("r.cum") - F.col("r.qty")),
+    )
+    alloc = joined.select(
+        F.col("r.l_partkey").alias("l_partkey"),
+        F.col("t.l_orderkey").alias("ret_orderkey"),
+        F.col("t.l_linenumber").alias("ret_linenumber"),
+        F.col("r.l_orderkey").alias("rcpt_orderkey"),
+        F.col("r.l_linenumber").alias("rcpt_linenumber"),
+        (
+            F.least(F.col("r.cum"), F.col("t.cum"))
+            - F.greatest(
+                F.col("r.cum") - F.col("r.qty"),
+                F.col("t.cum") - F.col("t.qty"),
+            )
+        ).alias("alloc_qty"),
+    )
+    return alloc.where(F.col("alloc_qty") > 0).select(
+        "l_partkey",
+        "ret_orderkey",
+        "ret_linenumber",
+        "rcpt_orderkey",
+        "rcpt_linenumber",
+        F.col("alloc_qty").cast("double").alias("alloc_qty_d"),
+    )
+
+
+_KMV_STREAM_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL),
+    dh AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 268435456 AS h
+      FROM du),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh QUALIFY rn <= 64),
+    sk AS (SELECT event_type, max(h) AS kth, count(*) AS m FROM rk GROUP BY 1)
+    SELECT event_type,
+           CAST(m AS DOUBLE) AS m_d,
+           CAST(kth AS DOUBLE) AS kth_hash_d,
+           CAST(CASE WHEN m < 64 THEN m
+                     ELSE (CAST(63 AS BIGINT) * 268435456)
+                          // greatest(kth, 1) END
+                AS DOUBLE) AS kmv_estimate_d
+    FROM sk
+"""
+
+
+@register("streaming_kmv_ingest", _KMV_STREAM_ORACLE)
+def q_streaming_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch maintained CONTINUOUSLY
+    (streaming/stateful.py kmv_stream): per event type, an
+    applyInPandasWithState machine keeps the k=64 smallest distinct
+    md5 hashes (O(k) state per key, the sketch's whole point), emits
+    its updated estimate every micro-batch through the file-replay
+    harness, and the LAST emission per key — min-k of a union is
+    batching-insensitive — equals the batch sketch EXACTLY, so the
+    batch oracle applies verbatim. Streaming twin #10, completing the
+    cardinality family (HLL registers hold the register view; KMV the
+    mergeable-sample view)."""
+    stream = _replay_events(spark, sf_dir)
+    drained = stream_sinks.run_to_memory(
+        stream_stateful.kmv_stream(stream),
+        f"kmv_stream_{next(_STREAM_SEQ)}",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("m").cast("double").alias("m_d"),
+            F.col("kth").cast("double").alias("kth_hash_d"),
+            F.col("est").cast("double").alias("kmv_estimate_d"),
+        )
+    )

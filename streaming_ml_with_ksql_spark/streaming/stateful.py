@@ -601,3 +601,80 @@ def cdc_delta_agg_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Continuously-maintained KMV distinct-count sketch per key — the
+    streaming twin of the batch kmv_distinct_users query (registry q12):
+    state per key is the sorted set of the k smallest 28-bit md5 hashes
+    seen so far (stored as one comma-joined string — O(k) bytes per key,
+    independent of cardinality, the mergeability that makes KMV a
+    sketch). Each micro-batch unions its new hashes in, truncates to k,
+    and emits the key's updated (m, kth, estimate) with a monotone
+    update sequence so the drained stream's LAST emission per key is the
+    final sketch — which equals the batch sketch EXACTLY, because min-k
+    of a union is order- and batching-insensitive.
+
+    Hash contract: int(md5('kmv:' || id)[:7 hex], 16) % 2^28 — the same
+    content-free md5 idiom as the batch side, evaluated here in Python
+    (hashlib) and there in Catalyst (conv(substring(md5(..)))), equal by
+    construction on the decimal string form of the id."""
+    import hashlib
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("seq", LongType()),
+            StructField("m", LongType()),
+            StructField("kth", LongType()),
+            StructField("est", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("seq", LongType()), StructField("mins", StringType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        ids = pdf[id_col].dropna()
+        if ids.empty and not state.exists:
+            return
+        seq, mins = (state.get if state.exists else (0, ""))
+        cur = set(int(v) for v in mins.split(",") if v != "")
+        for uid in ids:
+            h = (
+                int(
+                    hashlib.md5(f"kmv:{int(uid)}".encode()).hexdigest()[:7],
+                    16,
+                )
+                % 268435456
+            )
+            cur.add(h)
+        lo = sorted(cur)[:k]
+        seq += 1
+        state.update((seq, ",".join(str(v) for v in lo)))
+        m = len(lo)
+        kth = lo[-1] if lo else 0
+        est = m if m < k else (k - 1) * 268435456 // max(kth, 1)
+        yield pd.DataFrame(
+            [(key[0], seq, m, kth, est)],
+            columns=[key_col, "seq", "m", "kth", "est"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

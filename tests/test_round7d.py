@@ -344,3 +344,76 @@ def test_mmr_first_pick_is_pure_relevance_and_picks_distinct(spark, sf_medium):
     assert len({r["vec_id"] for r in rows}) == 8
     # relevance of pick 1 dominates every candidate's relevance
     assert by_order[1]["rel_d"] == max(r["rel_d"] for r in rows)
+
+
+def test_rake_scores_known_document(spark):
+    """'red apple and red berry' -> phrases {'red apple','red berry'}:
+    freq(red)=2 deg(red)=4 -> 2e6; apple/berry freq 1 deg 2 -> 2e6;
+    both phrases score 4e6 and rank by phrase text."""
+    from streaming_ml_with_ksql_spark.operators.text import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "red apple and red berry")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["rnk"], r["phrase"], r["score_micro_d"], r["n_words"])
+        for r in rake_keyphrases(docs).collect()
+    )
+    assert rows == [
+        (1, "red apple", 4_000_000.0, 2),
+        (2, "red berry", 4_000_000.0, 2),
+    ]
+
+
+def test_rake_stopword_only_text_yields_nothing(spark):
+    from streaming_ml_with_ksql_spark.operators.text import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "the of and to in")], "doc_id long, text string"
+    )
+    assert rake_keyphrases(docs).count() == 0
+
+
+def test_fifo_allocation_conserves_and_orders(spark, sf_small):
+    """Every return's allocations sum to min(return qty, available
+    receipts at its cumulative position); receipts are consumed in
+    shipdate order (FIFO: a later receipt is only touched when earlier
+    ones are exhausted)."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+    import duckdb
+
+    out = _REGISTRY["fifo_lot_allocation"].spark(spark, sf_small)
+    pdf = out.toPandas()
+    con = duckdb.connect()
+    chk = con.execute(
+        f"""
+        WITH r AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS rq
+                   FROM '{sf_small}/lineitem.parquet'
+                   WHERE l_returnflag = 'R' GROUP BY 1),
+        s AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+              FROM '{sf_small}/lineitem.parquet'
+              WHERE l_returnflag != 'R' GROUP BY 1)
+        SELECT r.l_partkey, least(rq, coalesce(sq, 0)) AS matchable
+        FROM r LEFT JOIN s USING (l_partkey)"""
+    ).fetchall()
+    per_part = pdf.groupby("l_partkey")["alloc_qty_d"].sum().to_dict()
+    for pk, matchable in chk:
+        assert per_part.get(pk, 0) == matchable
+    assert (pdf["alloc_qty_d"] > 0).all()
+
+
+def test_streaming_kmv_final_state_equals_batch_sketch(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    stream_rows = {
+        r["event_type"]: (r["m_d"], r["kth_hash_d"], r["kmv_estimate_d"])
+        for r in _REGISTRY["streaming_kmv_ingest"].spark(spark, sf_small).collect()
+    }
+    batch_rows = {
+        r["event_type"]: (r["kmv_estimate_d"], r["kth_hash_d"])
+        for r in _REGISTRY["kmv_distinct_users"].spark(spark, sf_small).collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    for et, (est, kth) in batch_rows.items():
+        assert stream_rows[et][1] == kth
+        assert stream_rows[et][2] == est
