@@ -957,3 +957,220 @@ def q_streaming_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est").cast("double").alias("kmv_estimate_d"),
         )
     )
+
+
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+# |S|!(n-1-|S|)! for n=4 players: denominator 4! = 24
+_SHAPLEY_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shapley_exprs() -> tuple[list[str], list[str]]:
+    """Generated integer Shapley arithmetic over the 16 touchset-mask
+    counts: v(S) = sum of subset-mask counts; phi_c x 24 = sum over
+    coalitions S not containing c of w(|S|) * (v(S+c) - v(S)).
+    Returns (per-channel phi expressions, per-channel touched-count
+    expressions), each in terms of columns cnt_0..cnt_15."""
+    def v(s: int) -> str:
+        return "(" + " + ".join(
+            f"cnt_{m}" for m in range(16) if (m & s) == m
+        ) + ")"
+
+    phis, touched = [], []
+    for c in range(4):
+        bit = 1 << c
+        terms = []
+        for s in range(16):
+            if s & bit:
+                continue
+            w = _SHAPLEY_W[bin(s).count("1")]
+            terms.append(f"{w} * ({v(s | bit)} - {v(s)})")
+        phis.append(" + ".join(terms))
+        touched.append(
+            "(" + " + ".join(f"cnt_{m}" for m in range(16) if m & bit) + ")"
+        )
+    return phis, touched
+
+
+def _shapley_oracle() -> str:
+    chans = _SHAPLEY_CHANNELS
+    bits = " + ".join(
+        f"max(CASE WHEN e.event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(chans)
+    )
+    cnts = ", ".join(
+        f"sum(CASE WHEN mask = {m} THEN 1 ELSE 0 END) AS cnt_{m}"
+        for m in range(16)
+    )
+    phis, touched = _shapley_exprs()
+    rows = ", ".join(
+        f"('{ch}', CAST({phis[i]} AS DOUBLE), CAST({touched[i]} AS DOUBLE))"
+        for i, ch in enumerate(chans)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS pts FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
+    tmask AS (
+      SELECT f.user_id, coalesce({bits}, 0) AS mask
+      FROM fp f LEFT JOIN events e
+        ON e.user_id = f.user_id AND e.ts < f.pts
+        AND e.event_type IN ('click', 'error', 'signup', 'view')
+      GROUP BY 1),
+    cnt AS (SELECT {cnts} FROM tmask),
+    out AS (
+      SELECT unnest([{rows}], recursive := false) AS r FROM cnt)
+    SELECT r[1]::VARCHAR AS channel,
+           r[2]::DOUBLE AS shapley_x24_d,
+           r[3]::DOUBLE AS touched_conversions_d
+    FROM out
+"""
+
+
+@register("shapley_channel_attribution", _shapley_oracle())
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (Shapley 1953; the
+    marketing formulation of Zhao et al. 2018) over the four
+    pre-purchase channels: the population characteristic function
+    v(S) = conversions whose touchset is covered by coalition S, and
+    each channel's Shapley value enumerated over all 16 coalitions with
+    the 4-player factorial weights — kept integer by scaling by 4! = 24
+    (phi x 24 is a BIGINT; no division anywhere), so the 'fair' credit
+    split that last-touch/linear attribution (touch_attribution)
+    approximates is itself bit-exact and oracle-checked.
+
+    Scale shape: one first-purchase aggregate, one pre-purchase
+    interval semi-join shuffled on user, a 16-cell mask histogram, and
+    then pure literal arithmetic on ONE row — the coalition enumeration
+    costs nothing at any corpus size because it happens after the
+    16-cell collapse."""
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    chans = _SHAPLEY_CHANNELS
+    touch = ev.where(F.col("event_type").isin(*chans)).select(
+        F.col("user_id").alias("tu"), "ts", "event_type"
+    )
+    bits = sum(
+        (
+            F.max(
+                F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0)
+            )
+            for i, ch in enumerate(chans)
+        ),
+        start=F.lit(0),
+    )
+    tmask = (
+        fp.join(
+            touch,
+            (F.col("tu") == F.col("user_id")) & (F.col("ts") < F.col("pts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.coalesce(bits, F.lit(0)).alias("mask"))
+    )
+    cnt = tmask.agg(
+        *[
+            F.sum(F.when(F.col("mask") == m, 1).otherwise(0)).alias(f"cnt_{m}")
+            for m in range(16)
+        ]
+    )
+    phis, touched = _shapley_exprs()
+    stack = ", ".join(
+        f"'{ch}', CAST({phis[i]} AS DOUBLE), CAST({touched[i]} AS DOUBLE)"
+        for i, ch in enumerate(chans)
+    )
+    return cnt.select(
+        F.expr(
+            f"stack(4, {stack}) AS"
+            " (channel, shapley_x24_d, touched_conversions_d)"
+        )
+    )
+
+
+_TCLOSE_ORACLE = """
+    WITH gall AS (
+      SELECT lang, count(*) AS b FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents),
+    grp AS (
+      SELECT source, count(*) AS ng FROM documents GROUP BY 1),
+    cell AS (
+      SELECT source, lang, count(*) AS a FROM documents GROUP BY 1, 2),
+    diff AS (
+      SELECT g.source,
+             abs(coalesce(c.a, 0) * t.n - gl.b * g.ng) AS num_v
+      FROM grp g
+      CROSS JOIN gall gl
+      CROSS JOIN tot t
+      LEFT JOIN cell c ON c.source = g.source AND c.lang = gl.lang),
+    agg AS (
+      SELECT d.source, any_value(g.ng) AS ng, any_value(t.n) AS n,
+             sum(d.num_v) AS num
+      FROM diff d JOIN grp g USING (source) CROSS JOIN tot t
+      GROUP BY 1)
+    SELECT source,
+           CAST(ng AS DOUBLE) AS n_group_d,
+           CAST(num AS DOUBLE) AS tvd_num_d,
+           CAST(num AS DOUBLE)
+             / (2 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd_d,
+           CAST(CASE WHEN CAST(num AS DOUBLE)
+                  / (2 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE))
+                  > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS breach
+    FROM agg
+"""
+
+
+@register("t_closeness_report", _TCLOSE_ORACLE)
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — the third
+    member of the privacy-screen trio (k_anonymity_report,
+    l_diversity_report): per quasi-identifier group (source), the total
+    variation distance between the group's sensitive-attribute (lang)
+    distribution and the global one. The EMD-for-categorical TVD is
+    computed by INTEGER cross-multiplication — num = sum over values of
+    |a_v * N - b_v * n_g| (a BIGINT, partitioning-free) — and the final
+    tvd = num / (2 n_g N) is ONE correctly-rounded division, so the
+    screen and its breach flag (t = 0.3) are bit-exact. Scale shape:
+    three small aggregates; the per-(group x value) grid is
+    |QI| x |values| — dictionary-sized, broadcast-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    glob = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("b"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    grp = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ng"))
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("a"))
+    diff = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["source", "lang"], "left")
+        .select(
+            "source",
+            "ng",
+            "n",
+            F.abs(
+                F.coalesce(F.col("a"), F.lit(0)) * F.col("n")
+                - F.col("b") * F.col("ng")
+            ).alias("num_v"),
+        )
+    )
+    agg = diff.groupBy("source").agg(
+        F.first("ng").alias("ng"),
+        F.first("n").alias("n"),
+        F.sum("num_v").alias("num"),
+    )
+    tvd = F.col("num").cast("double") / (
+        F.lit(2) * F.col("ng").cast("double") * F.col("n").cast("double")
+    )
+    return agg.select(
+        "source",
+        F.col("ng").cast("double").alias("n_group_d"),
+        F.col("num").cast("double").alias("tvd_num_d"),
+        tvd.alias("tvd_d"),
+        F.when(tvd > F.lit(0.3).cast("double"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    )

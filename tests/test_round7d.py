@@ -417,3 +417,82 @@ def test_streaming_kmv_final_state_equals_batch_sketch(spark, sf_small):
     for et, (est, kth) in batch_rows.items():
         assert stream_rows[et][1] == kth
         assert stream_rows[et][2] == est
+
+
+def _write_events(spark, d, rows):
+    import os
+
+    spark.createDataFrame(
+        [
+            (i, ts, uid, et, 1.0, "{}")
+            for i, (ts, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+def test_shapley_symmetry_and_efficiency(spark):
+    """Users 1/2 touch {click,view} then purchase; user 3 touches
+    {signup}; user 4 purchases untouched. Symmetric channels get equal
+    credit; credits sum to 24 x (conversions - untouched)."""
+    import tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = []
+    for uid in (1, 2):
+        rows += [
+            ("2024-01-01 00:00:00", uid, "click"),
+            ("2024-01-01 00:01:00", uid, "view"),
+            ("2024-01-01 00:02:00", uid, "purchase"),
+        ]
+    rows += [
+        ("2024-01-01 00:00:00", 3, "signup"),
+        ("2024-01-01 00:01:00", 3, "purchase"),
+        ("2024-01-01 00:00:30", 4, "purchase"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, d, rows)
+        out = {
+            r["channel"]: (r["shapley_x24_d"], r["touched_conversions_d"])
+            for r in _REGISTRY["shapley_channel_attribution"]
+            .spark(spark, d)
+            .collect()
+        }
+    assert out["click"] == out["view"]  # symmetric players
+    assert out["error"][0] == 0.0  # null player
+    total = sum(v[0] for v in out.values())
+    assert total == 24.0 * 3  # 4 conversions, 1 untouched
+    assert out["signup"][0] == 24.0  # sole channel of its conversion
+
+
+def test_t_closeness_flags_concentrated_group(spark):
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    docs = []
+    # global: 50/50 en/fr across two balanced sources + one skewed
+    for i in range(10):
+        docs.append((i, "t", "en" if i % 2 else "fr", "balanced", 1))
+    for i in range(10, 20):
+        docs.append((i, "t", "en", "skewed", 1))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in _REGISTRY["t_closeness_report"].spark(spark, d).collect()
+        }
+    # global: en 15/20, fr 5/20. skewed group: en 1.0 -> tvd = 0.25
+    assert out["skewed"]["tvd_d"] == 0.25
+    assert out["skewed"]["breach"] == 0
+    # balanced group: en 5/10 vs 0.75 -> tvd = 0.25 as well
+    assert out["balanced"]["tvd_d"] == 0.25
+    # exactness: integer numerator = 2 * ng * N * tvd
+    for r in out.values():
+        assert r["tvd_num_d"] == 2 * r["n_group_d"] * 20 * r["tvd_d"]
