@@ -2485,3 +2485,81 @@ def exif_metadata_roundtrip(documents: DataFrame) -> DataFrame:
         _exif_roundtrip_batches,
         schema="doc_id long, make string, orientation int, shot_at string",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codec path: G.711 mu-law companding (ITU-T G.711, public spec).
+# The telephony 2:1 audio compander: 16-bit PCM -> 8-bit code via the
+# segmented quasi-log curve (bias 0x84, 8 exponent segments, 4-bit
+# mantissa, ones' complement) and back. Pure integer arithmetic end to
+# end, so the DuckDB oracle replays the exact same samples, codes, and
+# reconstruction errors analytically from the deterministic PCM pattern.
+# --------------------------------------------------------------------------
+
+MULAW_DECODED_SCHEMA = (
+    "doc_id long, n_samples int, sum_abs_err long, max_err int, "
+    "sum_code long, decoder string"
+)
+
+
+def mulaw_encode_sample(s: int) -> int:
+    """16-bit signed PCM -> 8-bit mu-law code (G.711)."""
+    sign = 0x80 if s < 0 else 0
+    m = min(abs(s), 32635) + 0x84
+    e = m.bit_length() - 8  # m in [132, 32767] -> e in [0, 7]
+    man = (m >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | man)) & 0xFF
+
+
+def mulaw_decode_sample(c: int) -> int:
+    """8-bit mu-law code -> reconstructed 16-bit PCM (G.711 inverse)."""
+    c = (~c) & 0xFF
+    e, man = (c >> 4) & 0x7, c & 0x0F
+    mag = (((man << 3) | 0x84) << e) - 0x84
+    return -mag if c & 0x80 else mag
+
+
+def _mulaw_pcm(doc_id: int, i: int) -> int:
+    return ((doc_id * 37 + i * 101) % 65536) - 32768
+
+
+def _mulaw_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            doc_id = int(d)
+            n = 160 + doc_id % 241  # >= one 20 ms G.711 frame at 8 kHz
+            sum_err = max_err = sum_code = 0
+            for i in range(n):
+                s = _mulaw_pcm(doc_id, i)
+                code = mulaw_encode_sample(s)
+                rec = mulaw_decode_sample(code)
+                err = abs(s - rec)
+                sum_err += err
+                sum_code += code
+                if err > max_err:
+                    max_err = err
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_samples": n,
+                    "sum_abs_err": sum_err,
+                    "max_err": max_err,
+                    "sum_code": sum_code,
+                    "decoder": "g711-mulaw",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {"n_samples": "int32", "max_err": "int32"}
+        )
+
+
+def mulaw_transcode(documents: DataFrame) -> DataFrame:
+    """Per document: synthesize the deterministic 16-bit PCM frame,
+    compand through the REAL G.711 mu-law encoder, reconstruct, and
+    report exact integer error statistics (sum/max absolute error, code
+    checksum). Arrow mapInPandas with size-aware fan-out; narrow map —
+    the transcode kernel shape for audio at 100 TB."""
+    return _fan_out(
+        documents.select("doc_id"), rows_per_task=1024, source=documents
+    ).mapInPandas(_mulaw_batches, schema=MULAW_DECODED_SCHEMA)

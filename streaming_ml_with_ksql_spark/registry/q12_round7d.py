@@ -1174,3 +1174,74 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breach"),
     )
+
+
+_MULAW_ORACLE = """
+    WITH n AS (
+      SELECT doc_id, CAST(160 + doc_id % 241 AS INT) AS n_samples
+      FROM documents),
+    g AS (
+      SELECT doc_id, n_samples,
+             unnest(generate_series(0, n_samples - 1)) AS i
+      FROM n),
+    pcm AS (
+      SELECT doc_id, n_samples,
+             ((doc_id * 37 + i * 101) % 65536) - 32768 AS s
+      FROM g),
+    enc AS (
+      SELECT doc_id, n_samples, s,
+             CASE WHEN s < 0 THEN 128 ELSE 0 END AS sgn,
+             least(abs(s), 32635) + 132 AS m
+      FROM pcm),
+    seg AS (
+      SELECT *, CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+                     WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+                     WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+                     WHEN m < 16384 THEN 6 ELSE 7 END AS e
+      FROM enc),
+    cod AS (
+      SELECT doc_id, n_samples, s, e,
+             (m // (CAST(1 AS BIGINT) << CAST(e + 3 AS INT))) % 16 AS man,
+             255 - (sgn + e * 16
+                    + (m // (CAST(1 AS BIGINT) << CAST(e + 3 AS INT))) % 16)
+               AS code,
+             sgn
+      FROM seg),
+    rec AS (
+      SELECT doc_id, n_samples, s, code,
+             CASE WHEN sgn = 128 THEN -((man * 8 + 132)
+                    * (CAST(1 AS BIGINT) << CAST(e AS INT)) - 132)
+                  ELSE (man * 8 + 132)
+                    * (CAST(1 AS BIGINT) << CAST(e AS INT)) - 132
+             END AS r
+      FROM cod)
+    SELECT doc_id, any_value(n_samples) AS n_samples,
+           CAST(sum(abs(s - r)) AS DOUBLE) AS sum_abs_err_d,
+           CAST(max(abs(s - r)) AS DOUBLE) AS max_err_d,
+           CAST(sum(code) AS DOUBLE) AS sum_code_d,
+           'g711-mulaw' AS decoder
+    FROM rec GROUP BY doc_id
+"""
+
+
+@register("multimodal_mulaw_transcode", _MULAW_ORACLE)
+def q_multimodal_mulaw_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law companding round-trip over per-document PCM frames
+    (operators/multimodal.py mulaw_transcode — the telephony 2:1 audio
+    codec, joining WAV/BMP/PNG/JPEG/GIF/MP4/MJPG as a REAL in-repo
+    codec): the oracle replays the segmented quasi-log curve
+    analytically (bias 0x84, exponent CASE ladder, 4-bit mantissa, ones'
+    complement as 255-x), so ONE wrong code or reconstruction anywhere
+    in the frame breaks the hash. Everything is integer; errors are
+    exact."""
+    from ..operators import multimodal as mm
+
+    out = mm.mulaw_transcode(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_samples",
+        F.col("sum_abs_err").cast("double").alias("sum_abs_err_d"),
+        F.col("max_err").cast("double").alias("max_err_d"),
+        F.col("sum_code").cast("double").alias("sum_code_d"),
+        "decoder",
+    )

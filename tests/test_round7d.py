@@ -496,3 +496,35 @@ def test_t_closeness_flags_concentrated_group(spark):
     # exactness: integer numerator = 2 * ng * N * tvd
     for r in out.values():
         assert r["tvd_num_d"] == 2 * r["n_group_d"] * 20 * r["tvd_d"]
+
+
+def test_mulaw_known_codec_vectors():
+    from streaming_ml_with_ksql_spark.operators.multimodal import (
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    # silence encodes to 0xFF and reconstructs exactly
+    assert mulaw_encode_sample(0) == 0xFF
+    assert mulaw_decode_sample(0xFF) == 0
+    # positive full-scale: segment 7, mantissa 15 -> code 0x80
+    assert mulaw_encode_sample(32767) == 0x80
+    assert mulaw_decode_sample(0x80) == 32124
+    # sign symmetry of the compander
+    for s in (1, 100, 5000, 32000):
+        assert mulaw_decode_sample(
+            mulaw_encode_sample(-s)
+        ) == -mulaw_decode_sample(mulaw_encode_sample(s))
+    # quasi-log error bound: relative error <= ~1/16 + bias slack
+    for s in range(-32768, 32768, 257):
+        rec = mulaw_decode_sample(mulaw_encode_sample(s))
+        assert abs(s - rec) <= abs(s) / 16 + 132
+
+
+def test_mulaw_codes_cover_all_segments():
+    from streaming_ml_with_ksql_spark.operators.multimodal import (
+        mulaw_encode_sample,
+    )
+
+    segs = {(255 - mulaw_encode_sample(s)) >> 4 & 7 for s in range(0, 32768, 64)}
+    assert segs == set(range(8))
