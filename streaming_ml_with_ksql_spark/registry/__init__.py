@@ -127,12 +127,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the full RAG composite (BM25/fuzzy hold r05/r06)
     "text_semantic_search",
     "corpus_rag_pipeline",
-    # relational/TPC-H family (top-k Q3 and NOT-EXISTS-chain Q21 keep
-    # their slots; GROUPING SETS and unpivot hold r06 and yield to the
-    # l-diversity privacy screen and the exact isotonic trend fit —
-    # both first verdicts)
+    # relational/TPC-H family (top-k Q3 keeps its slot; the
+    # NOT-EXISTS-chain Q21 holds r06 and yields to FIFO lot allocation
+    # — the interval-overlap inventory matcher, a new relational
+    # family; GROUPING SETS and unpivot hold r06 and yield to the
+    # l-diversity privacy screen and the exact isotonic trend fit)
     "shipping_priority",
-    "waiting_suppliers",
+    "fifo_lot_allocation",
     "l_diversity_report",
     "isotonic_daily_trend",
     "gdpr_purge_audit",
@@ -149,14 +150,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Confluent framing roundtrip; ORC storage roundtrip
     "avro_source_roundtrip",
     "orc_source_roundtrip",
-    # generators keep ksql_generated_traffic (users-profile holds r06);
-    # the freed slot goes to incremental CDC aggregate maintenance
+    # generator family's two r06 verdicts both stand aside: the slots
+    # go to incremental CDC aggregate maintenance and the exact Shapley
+    # channel attribution (the causal/attribution family, first verdict)
     "streaming_cdc_incremental_agg",
-    "ksql_generated_traffic",
-    # text family keeps BPE (hash-embed holds r06 and yields to the
-    # md5-resampled bootstrap CI — a new statistics family); the
+    "shapley_channel_attribution",
+    # text/retrieval: BPE holds r06 and yields to RRF hybrid rank
+    # fusion (the BM25+dense serving stage, first verdict); hash-embed
+    # holds r06 and yields to the md5-resampled bootstrap CI; the
     # C4/Gopher quality score takes its first verdict
-    "bpe_tokenize_fixed",
+    "rrf_hybrid_retrieval",
     "bootstrap_revenue_ci",
     "doc_quality_score",
     # stateful-streaming maintenance family (the quantile-sketch twin
@@ -175,33 +178,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # and yield to integer fixed-point k-means — first verdicts both)
     "kmeans_embedding_clusters",
     "perceptron_embedding_trajectory",
-    # corpus pipeline (curation composite + PII scrub keep;
-    # fixed-budget chunking holds r06 and yields to the exact seasonal
-    # decomposition — a new time-series family member; the old
-    # sliding-chunking slot stays with round 7's exact ROC-AUC)
+    # corpus pipeline (curation composite keeps; PII scrub holds r05
+    # and yields to greedy MMR diversification — the RAG context stage,
+    # first verdict; fixed-budget chunking holds r06 and yields to the
+    # exact seasonal decomposition; the old sliding-chunking slot stays
+    # with round 7's exact ROC-AUC)
     "seasonal_decompose_daily",
     "roc_auc_purchase",
     "corpus_curation_pipeline",
-    "pii_scrub",
+    "mmr_diverse_retrieval",
     "stratified_sample_documents",
     # forecasting (first verdict): seasonal-naive revenue forecast
     "forecast_revenue",
-    # multimodal (mixed-container dispatch keeps; JPEG/PNG/mp4/mjpg
-    # hold r06 — the JPEG slot goes to the new BSON Mongo-wire
-    # roundtrip and the PNG slot to the GIF89a/LZW codec, first
-    # verdicts both)
-    "multimodal_mixed_container_sample",
+    # multimodal (mixed-container dispatch holds r06 and yields to the
+    # G.711 mu-law compander — a new REAL codec; the JPEG slot goes to
+    # the BSON Mongo-wire roundtrip and the PNG slot to the GIF89a/LZW
+    # codec, first verdicts all three)
+    "multimodal_mulaw_transcode",
     "bson_source_roundtrip",
     "multimodal_gif_decode",
-    # streaming family (custom stateful sessionize and the INNER
-    # interval join keep their slots — left/right/full, the alert-once
-    # machine, and the late-data policy hold r06; the late-data slot
-    # goes to the streaming stump-histogram ingest (continuous
-    # in-engine model maintenance) and the other freed slot to
-    # resource-allocation link prediction, a new graph-ML family)
+    # streaming family (custom stateful sessionize keeps; the INNER
+    # interval join holds r06 and yields to the streaming KMV sketch
+    # twin; the late-data slot goes to the streaming stump-histogram
+    # ingest and the other freed slot to resource-allocation link
+    # prediction, new families all three)
     "streaming_stump_ingest",
     "streaming_sessionize",
-    "streaming_interval_join",
+    "streaming_kmv_ingest",
     "link_prediction_copurchase",
 )
 

@@ -589,3 +589,75 @@ def test_round7c_plan_shapes(spark):
     plan = _explain(spark, "bson_source_roundtrip", "simple")
     assert plan.count("MapInPandas") == 2
     assert "Exchange" not in plan
+
+
+def test_round7d_plan_shapes(spark):
+    """Fourth-continuation operators keep the 100 TB shapes: wire codecs
+    are narrow Arrow maps, every global top-N is TakeOrderedAndProject
+    (never a partition-less sort window), loops run on checkpointed
+    bounded frames, and per-key rank windows never single-partition."""
+    # Arrow IPC roundtrip: two narrow Arrow maps, zero shuffle
+    plan = _explain(spark, "arrow_ipc_source_roundtrip", "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+    # mu-law transcode: one kernel behind the round-robin fan-out only
+    plan = _explain(spark, "multimodal_mulaw_transcode", "simple")
+    assert "MapInPandas" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    # at sf0.001 the size-aware fan-out computes a single task, planned
+    # as REPARTITION_BY_NUM; at real SFs it is the RoundRobin fan-out —
+    # either way a repartition, never a hash/broadcast shuffle
+    assert len(exchanges) == 1 and (
+        "RoundRobin" in exchanges[0] or "REPARTITION_BY_NUM" in exchanges[0]
+    ), exchanges
+
+    # RRF: list cuts and the fused top-k are TakeOrderedAndProject;
+    # no window function anywhere (ranks attach on the k-row results)
+    plan = _explain(spark, "rrf_hybrid_retrieval", "simple")
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "Window" not in plan
+
+    # HITS: per-round frames are checkpointed (Scan ExistingRDD), the
+    # two side rankings are TakeOrderedAndProject, no global sort window
+    plan = _explain(spark, "hits_customer_part", "simple")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Window" not in plan
+
+    # DTW: a bounded one-row fold chain — no join, no window
+    plan = _explain(spark, "dtw_revenue_align", "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+    # KMV: the rank window partitions BY KEY — no single-partition
+    # exchange anywhere
+    plan = _explain(spark, "kmv_distinct_users", "simple")
+    assert "SinglePartition" not in plan
+
+    # RAKE: per-(doc,word)/(doc,phrase) aggregates and a per-doc rank
+    # window — never a global sort
+    plan = _explain(spark, "rake_keyphrases", "simple")
+    assert "SinglePartition" not in plan
+
+    # FIFO allocation: the overlap join rides the l_partkey equi-key —
+    # no nested loop, no cartesian
+    plan = _explain(spark, "fifo_lot_allocation", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Shapley: the pre-purchase touch join is keyed on user_id
+    plan = _explain(spark, "shapley_channel_attribution", "simple")
+    assert "CartesianProduct" not in plan
+
+    # MMR: greedy loop runs on the checkpointed candidate frame
+    plan = _explain(spark, "mmr_diverse_retrieval", "simple")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+    # half-life decay: map-side partial aggregation before the per-user
+    # shuffle
+    plan = _explain(spark, "halflife_decayed_value", "simple")
+    assert "partial_sum" in plan
