@@ -64,10 +64,8 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "pagerank_near_dup",
     "embedding_topk_bruteforce",
-    "embedding_near_dup_pairs",
     "corpus_clean_pipeline",
     "multi_resolution_rollup",
-    "bucketed_colocated_join",
     "waiting_suppliers",
     "bloom_pruned_join",
     "benchmark_decontaminate",
@@ -75,7 +73,6 @@ HEADLINE = [
     "product_profit",
     "ngram_lm_score",
     "embedding_dedup_groups",
-    "multimodal_audio_decode",
     "streaming_corpus_ingest",
     "cms_heavy_hitters",
     "zorder_layout",
@@ -85,7 +82,6 @@ HEADLINE = [
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
-    "duplicate_span_coverage",
     "tfidf_top_terms",
     "keyword_bm25",
     "ksql_generated_traffic",
@@ -118,6 +114,17 @@ HEADLINE = [
     # GEMM pair graph) and the Holt struct fold
     "dbscan_embedding_clusters",
     "holt_forecast_revenue",
+    # round-7 continuation, fourth block: the two RAG serving stages,
+    # FIFO interval matching, fixed-point HITS, and the mu-law kernel.
+    # Four more twins yielded bytes (audio_decode -> mulaw for the audio
+    # kernel, embedding_near_dup_pairs -> dedup_groups/dbscan,
+    # duplicate_span_coverage -> minhash/decontaminate,
+    # bucketed_colocated_join -> enrich/bloom joins).
+    "rrf_hybrid_retrieval",
+    "mmr_diverse_retrieval",
+    "fifo_lot_allocation",
+    "hits_customer_part",
+    "multimodal_mulaw_transcode",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -130,21 +137,19 @@ PY_AXIS = frozenset(
         "minhash_near_dup_pairs",
         "pagerank_near_dup",
         "embedding_topk_bruteforce",
-        "embedding_near_dup_pairs",
         "embedding_dedup_groups",
         "corpus_clean_pipeline",
         "benchmark_decontaminate",
         "ngram_lm_score",
-        "multimodal_audio_decode",
         "multimodal_gif_decode",
         "multimodal_mixed_container_sample",
         "multimodal_jpeg_decode",
         "bpe_tokenize_fixed",
-        "duplicate_span_coverage",
         "ksql_generated_traffic",
         "corpus_curation_pipeline",
         "image_dedup_groups",
         "dbscan_embedding_clusters",
+        "multimodal_mulaw_transcode",
     }
 )
 

@@ -111,6 +111,21 @@ QUERIES = [
     "cdc_join_view_maintenance",
     "label_propagation_lang",
     "multimodal_exif_metadata",
+    # round-7 continuation (fourth block)
+    "arrow_ipc_source_roundtrip",
+    "rrf_hybrid_retrieval",
+    "did_promo_effect",
+    "hits_customer_part",
+    "halflife_decayed_value",
+    "dtw_revenue_align",
+    "kmv_distinct_users",
+    "jl_projection_embed",
+    "mmr_diverse_retrieval",
+    "rake_keyphrases",
+    "fifo_lot_allocation",
+    "shapley_channel_attribution",
+    "t_closeness_report",
+    "multimodal_mulaw_transcode",
 ]
 
 
