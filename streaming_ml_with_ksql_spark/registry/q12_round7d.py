@@ -1245,3 +1245,228 @@ def q_multimodal_mulaw_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_code").cast("double").alias("sum_code_d"),
         "decoder",
     )
+
+
+_CONFORMAL_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    f AS (
+      SELECT a.t, abs(a.y - b.y) AS resid
+      FROM daily a JOIN daily b ON a.t = b.t + 7),
+    t0 AS (SELECT min(t) AS t0 FROM daily),
+    cal AS (SELECT resid, t FROM f, t0 WHERE t < t0 + 365),
+    hold AS (SELECT resid FROM f, t0 WHERE t >= t0 + 365),
+    n AS (SELECT count(*) AS n FROM cal),
+    k AS (SELECT n, least(((n + 1) * 9 + 9) // 10, n) AS k FROM n),
+    q AS (
+      SELECT max(resid) AS qhat FROM (
+        SELECT resid FROM cal, k
+        QUALIFY row_number() OVER (ORDER BY resid, t) <= k)),
+    cov AS (
+      SELECT count(*) AS n_hold,
+             sum(CASE WHEN resid <= (SELECT qhat FROM q)
+                      THEN 1 ELSE 0 END) AS covered
+      FROM hold)
+    SELECT CAST(n.n AS DOUBLE) AS n_cal_d,
+           CAST(k.k AS DOUBLE) AS k_d,
+           CAST(q.qhat AS DOUBLE) AS qhat_d,
+           CAST(cov.n_hold AS DOUBLE) AS n_holdout_d,
+           CAST(cov.covered AS DOUBLE) AS covered_d
+    FROM n, k, q, cov
+"""
+
+
+@register("conformal_forecast_interval", _CONFORMAL_ORACLE)
+def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Lei et al., JASA 2018)
+    for the seasonal-naive daily-revenue forecast: the 90% interval
+    half-width is the ceil((n+1)*0.9)-th smallest calibration residual
+    |y_t - y_(t-7)| — an EXACT order statistic selected with
+    orderBy().limit(k) (TakeOrderedAndProject, no global sort window)
+    over the series' FIRST 365 observed days (anchored at min(t), not a
+    fixed date — testdata date ranges move between rounds, and a fixed
+    split once made this whole query silently degenerate: n_cal = 0
+    passed the oracle vacuously because both engines agreed on nothing),
+    and the holdout coverage count rides along so the conformal
+    guarantee itself is hash-checked. The lag-7 'model' is a calendar
+    self-join (gap days simply drop out), so there is no sequence
+    window anywhere. Everything is BIGINT."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1992-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(F.expr("sum(CAST(floor(o_totalprice) AS BIGINT))").alias("y"))
+    b = daily.select((F.col("t") + 7).alias("t"), F.col("y").alias("y7"))
+    f = daily.join(b, "t").select(
+        "t", F.abs(F.col("y") - F.col("y7")).alias("resid")
+    )
+    t0 = daily.agg(F.min("t").alias("t0"))
+    f = f.crossJoin(F.broadcast(t0))
+    cal = f.where(F.col("t") < F.col("t0") + 365).localCheckpoint(eager=True)
+    hold = f.where(F.col("t") >= F.col("t0") + 365)
+    nk = cal.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.expr("least(((n + 1) * 9 + 9) div 10, n)").alias("k"),
+    )
+    k = nk.collect()[0]["k"]  # 1-row driver-bounded scalar (stump-root idiom)
+    qhat = (
+        cal.orderBy(F.col("resid").asc(), F.col("t").asc())
+        .limit(int(k))
+        .agg(F.max("resid").alias("qhat"))
+    )
+    cov = hold.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).alias("n_hold"),
+        F.sum(
+            F.when(F.col("resid") <= F.col("qhat"), 1).otherwise(0)
+        ).alias("covered"),
+        F.first("qhat").alias("qhat"),
+    )
+    return nk.crossJoin(F.broadcast(cov)).select(
+        F.col("n").cast("double").alias("n_cal_d"),
+        F.col("k").cast("double").alias("k_d"),
+        F.col("qhat").cast("double").alias("qhat_d"),
+        F.col("n_hold").cast("double").alias("n_holdout_d"),
+        F.col("covered").cast("double").alias("covered_d"),
+    )
+
+
+_CUPED_ORACLE = """
+    WITH d0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+    ux AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 2 AS variant,
+             sum(CASE WHEN ts < d0 + INTERVAL 15 DAY
+                 THEN CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)
+                 ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= d0 + INTERVAL 15 DAY
+                 THEN CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)
+                 ELSE 0 END) AS y
+      FROM events, d0 WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    g AS (SELECT count(*) AS n, sum(x) AS sx FROM ux),
+    mx AS (SELECT n, sx, sx // n AS mx FROM g),
+    dev AS (
+      SELECT u.variant, u.x, u.y, u.x - m.mx AS dx
+      FROM ux u, mx m),
+    pool AS (
+      SELECT sum(CAST(dx * (y) AS HUGEINT)) AS sdxy,
+             sum(CAST(dx * dx AS HUGEINT)) AS sdxx
+      FROM dev),
+    th AS (
+      SELECT CASE WHEN CAST(sdxx AS DOUBLE) > 0
+                  THEN CAST(sdxy AS DOUBLE) / CAST(sdxx AS DOUBLE)
+                  ELSE 0 END AS theta
+      FROM pool),
+    pv AS (
+      SELECT variant, count(*) AS nv, sum(x) AS sxv, sum(y) AS syv
+      FROM dev GROUP BY 1)
+    SELECT pv.variant,
+           CAST(pv.nv AS DOUBLE) AS n_d,
+           CAST(pv.syv AS DOUBLE) / pv.nv AS mean_post_centi_d,
+           CAST(pv.syv AS DOUBLE) / pv.nv
+             - th.theta * (CAST(pv.sxv AS DOUBLE) / pv.nv
+                           - CAST(m.sx AS DOUBLE) / m.n)
+             AS mean_adj_centi_d,
+           th.theta AS theta_d
+    FROM pv, th, mx m
+"""
+
+
+@register("cuped_adjusted_lift", _CUPED_ORACLE)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    for the md5-split A/B experiment: each user's pre-period value (the
+    covariate) adjusts their post-period metric by the pooled
+    theta = sum(dx*y)/sum(dx*dx), with deviations anchored at the
+    INTEGER floor-mean (both engines floor identically; any common
+    anchor yields the same deterministic estimator). Per-user products
+    stay BIGINT (a user's 30-day deviation is corpus-size-independent);
+    the pooled product SUMS alone grow with user count, so they
+    accumulate in DECIMAL(38,0)/HUGEINT and cast to DOUBLE once —
+    overflow-safe at any SF. theta, the variant means, and the
+    adjustment are each ONE correctly-rounded double op, so the
+    adjusted lift is bit-exact cross-engine. ANSI-guard on zero
+    covariate variance."""
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    centi = "CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)"
+    ux = (
+        ev.crossJoin(F.broadcast(d0))
+        .where(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab:"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < d0 + INTERVAL 15 DAY THEN {centi}"
+                    " ELSE 0L END"
+                )
+            ).alias("x"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts >= d0 + INTERVAL 15 DAY THEN {centi}"
+                    " ELSE 0L END"
+                )
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = ux.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    ).select("n", "sx", F.expr("sx div n").alias("mx"))
+    dev = ux.crossJoin(F.broadcast(g)).select(
+        "variant", "x", "y", (F.col("x") - F.col("mx")).alias("dx"), "n", "sx"
+    )
+    pool = dev.agg(
+        F.sum(F.expr("CAST(dx * y AS DECIMAL(38,0))")).alias("sdxy"),
+        F.sum(F.expr("CAST(dx * dx AS DECIMAL(38,0))")).alias("sdxx"),
+        F.first("n").alias("n"),
+        F.first("sx").alias("sx"),
+    ).select(
+        F.expr(
+            "CASE WHEN CAST(sdxx AS DOUBLE) > 0"
+            " THEN CAST(sdxy AS DOUBLE) / CAST(sdxx AS DOUBLE)"
+            " ELSE CAST(0 AS DOUBLE) END"
+        ).alias("theta"),
+        "n",
+        "sx",
+    )
+    pv = dev.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    mean_post = F.col("syv").cast("double") / F.col("nv")
+    adj = mean_post - F.col("theta") * (
+        F.col("sxv").cast("double") / F.col("nv")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    return pv.crossJoin(F.broadcast(pool)).select(
+        "variant",
+        F.col("nv").cast("double").alias("n_d"),
+        mean_post.alias("mean_post_centi_d"),
+        adj.alias("mean_adj_centi_d"),
+        F.col("theta").alias("theta_d"),
+    )

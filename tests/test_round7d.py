@@ -528,3 +528,71 @@ def test_mulaw_codes_cover_all_segments():
 
     segs = {(255 - mulaw_encode_sample(s)) >> 4 & 7 for s in range(0, 32768, 64)}
     assert segs == set(range(8))
+
+
+def test_conformal_interval_structural_identities(spark, sf_medium):
+    import duckdb
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    r = (
+        _REGISTRY["conformal_forecast_interval"]
+        .spark(spark, sf_medium)
+        .collect()[0]
+    )
+    n, k = int(r["n_cal_d"]), int(r["k_d"])
+    assert n > 100 and r["n_holdout_d"] > 0  # the split must be non-degenerate
+    assert k == min(-(-((n + 1) * 9) // 10), n)  # ceil(0.9(n+1)) capped
+    assert 0 <= r["covered_d"] <= r["n_holdout_d"]
+    # qhat is exactly the k-th smallest calibration residual
+    con = duckdb.connect()
+    kth = con.execute(
+        f"""WITH daily AS (
+             SELECT datediff('day', TIMESTAMP '1992-01-01',
+                             date_trunc('day', o_orderdate)) AS t,
+                    sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+             FROM '{sf_medium}/orders.parquet' GROUP BY 1),
+           f AS (SELECT a.t, abs(a.y - b.y) AS resid
+                 FROM daily a JOIN daily b ON a.t = b.t + 7),
+           t0 AS (SELECT min(t) AS t0 FROM daily)
+           SELECT resid FROM f, t0 WHERE t < t0 + 365
+           ORDER BY resid, t LIMIT 1 OFFSET {k - 1}"""
+    ).fetchone()[0]
+    assert r["qhat_d"] == float(kth)
+
+
+def test_cuped_planted_linear_covariate_kills_lift(spark):
+    """y = 2x exactly and x integer-centered -> theta = 2 and both
+    variants' adjusted means collapse to 2 x the global pre mean."""
+    import tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = []
+    for uid in range(1, 20):  # n=19, sum(x) divisible by n
+        rows.append(("2024-01-02 00:00:00", uid, "view"))
+    with tempfile.TemporaryDirectory() as d:
+        import os
+
+        data = []
+        eid = 0
+        for uid in range(1, 20):
+            data.append((eid, "2024-01-02 00:00:00", uid, "view",
+                         float(uid), "{}"))
+            eid += 1
+            data.append((eid, "2024-01-25 00:00:00", uid, "purchase",
+                         float(2 * uid), "{}"))
+            eid += 1
+        spark.createDataFrame(
+            data,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = _REGISTRY["cuped_adjusted_lift"].spark(spark, d).collect()
+    assert len(out) == 2
+    gmx_centi = sum(100 * u for u in range(1, 20)) / 19
+    for r in out:
+        assert r["theta_d"] == 2.0
+        assert r["mean_adj_centi_d"] == 2.0 * gmx_centi
+    # raw post means differ across variants; CUPED collapsed that gap
+    assert out[0]["mean_post_centi_d"] != out[1]["mean_post_centi_d"]
