@@ -2563,3 +2563,187 @@ def mulaw_transcode(documents: DataFrame) -> DataFrame:
     return _fan_out(
         documents.select("doc_id"), rows_per_task=1024, source=documents
     ).mapInPandas(_mulaw_batches, schema=MULAW_DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL codec path: baseline TIFF 6.0 (big-endian, multi-strip grayscale).
+# The EXIF APP1 path above already walks TIFF IFDs for metadata; this is
+# the full IMAGE codec: an 8-bit grayscale bilevel-free baseline TIFF
+# written with multiple pixel strips (RowsPerStrip < height, so the
+# strip-offset/byte-count LONG arrays go out-of-line — the part of TIFF
+# readers that actually breaks), then parsed back with byte-order
+# dispatch, ascending-tag IFD walk, inline-vs-offset value resolution,
+# and strip reassembly with exact pixel statistics.
+# --------------------------------------------------------------------------
+
+TIFF_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_strips int, byte_order string, "
+    "sum_px long, mean_px_d double, decoder string"
+)
+
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def _tiff_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 17, 10 + (doc_id * 3) % 13
+
+
+def _tiff_pixel(doc_id: int, x: int, y: int) -> int:
+    return (doc_id + 3 * y + 7 * x) % 256
+
+
+def tiff_bytes(doc_id: int) -> bytes:
+    """Big-endian (MM) baseline TIFF 6.0: grayscale 8-bit, uncompressed,
+    strip-organized with RowsPerStrip=4. Ascending tag order; the strip
+    offset/count LONG arrays live out-of-line when n_strips > 1."""
+    w, h = _tiff_dims(doc_id)
+    rps = _TIFF_ROWS_PER_STRIP
+    n_strips = (h + rps - 1) // rps
+    strips = []
+    for s in range(n_strips):
+        rows = range(s * rps, min((s + 1) * rps, h))
+        strips.append(
+            bytes(_tiff_pixel(doc_id, x, y) for y in rows for x in range(w))
+        )
+    n_tags = 8
+    ifd_off = 8
+    value_area = ifd_off + 2 + n_tags * 12 + 4
+    # out-of-line arrays (only when multi-strip)
+    arr_off = value_area
+    arrays = b""
+    if n_strips > 1:
+        offsets_off = arr_off
+        counts_off = arr_off + 4 * n_strips
+        data_off = counts_off + 4 * n_strips
+    else:
+        offsets_off = counts_off = 0  # inline
+        data_off = arr_off
+    strip_offsets, pos = [], data_off
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st)
+
+    def tag(tid: int, typ: int, cnt: int, value: int) -> bytes:
+        e = struct.pack(">HHI", tid, typ, cnt)
+        if typ == 3:  # SHORT inline, left-justified in big-endian
+            return e + struct.pack(">HH", value, 0)
+        return e + struct.pack(">I", value)
+
+    entries = b""
+    entries += tag(256, 4, 1, w)  # ImageWidth LONG
+    entries += tag(257, 4, 1, h)  # ImageLength LONG
+    entries += tag(258, 3, 1, 8)  # BitsPerSample SHORT
+    entries += tag(259, 3, 1, 1)  # Compression: none
+    entries += tag(262, 3, 1, 1)  # Photometric: BlackIsZero
+    if n_strips > 1:
+        entries += tag(273, 4, n_strips, offsets_off)
+        arrays += struct.pack(f">{n_strips}I", *strip_offsets)
+    else:
+        entries += tag(273, 4, 1, strip_offsets[0])
+    entries += tag(278, 3, 1, rps)  # RowsPerStrip
+    if n_strips > 1:
+        entries += tag(279, 4, n_strips, counts_off)
+        arrays += struct.pack(f">{n_strips}I", *[len(s) for s in strips])
+    else:
+        entries += tag(279, 4, 1, len(strips[0]))
+    return (
+        b"MM" + struct.pack(">HI", 42, ifd_off)
+        + struct.pack(">H", n_tags) + entries + struct.pack(">I", 0)
+        + arrays + b"".join(strips)
+    )
+
+
+def tiff_parse(payload: bytes) -> dict:
+    """Parse a baseline TIFF: byte-order dispatch, IFD walk, strip
+    reassembly, exact pixel statistics. Bounds-checked ValueErrors
+    throughout (the codec-family hardening discipline)."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {order!r}")
+    magic, ifd_off = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated IFD")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(payload):
+            raise ValueError(f"truncated IFD entry {i}")
+        tid, typ, cnt = struct.unpack(e + "HHI", payload[base : base + 8])
+        if typ == 3:  # SHORT
+            unit, fmt = 2, "H"
+        elif typ == 4:  # LONG
+            unit, fmt = 4, "I"
+        else:
+            raise ValueError(f"unsupported TIFF type {typ} (tag {tid:#x})")
+        size = unit * cnt
+        if size <= 4:
+            raw = payload[base + 8 : base + 8 + size]
+        else:
+            (off,) = struct.unpack(e + "I", payload[base + 8 : base + 12])
+            if off + size > len(payload):
+                raise ValueError(f"value overruns buffer (tag {tid:#x})")
+            raw = payload[off : off + size]
+        tags[tid] = list(struct.unpack(f"{e}{cnt}{fmt}", raw))
+    for req in (256, 257, 259, 273, 279):
+        if req not in tags:
+            raise ValueError(f"missing required TIFF tag {req:#x}")
+    if tags[259][0] != 1:
+        raise ValueError(f"unsupported TIFF compression {tags[259][0]}")
+    w, h = tags[256][0], tags[257][0]
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    px = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("strip overruns buffer")
+        px += payload[off : off + cnt]
+    if len(px) != w * h:
+        raise ValueError(f"strip bytes {len(px)} != {w}x{h}")
+    return {
+        "width": w,
+        "height": h,
+        "n_strips": len(offsets),
+        "byte_order": order.decode("ascii"),
+        "sum_px": sum(px),
+    }
+
+
+def _tiff_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            doc_id = int(d)
+            meta = tiff_parse(tiff_bytes(doc_id))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    **meta,
+                    "mean_px_d": meta["sum_px"]
+                    / (meta["width"] * meta["height"]),
+                    "decoder": "tiff6-strips",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {"width": "int32", "height": "int32", "n_strips": "int32"}
+        )
+
+
+def tiff_roundtrip(documents: DataFrame) -> DataFrame:
+    """documents -> write + parse a REAL multi-strip baseline TIFF per
+    doc; exact integer pixel sums out. Arrow mapInPandas with size-aware
+    fan-out; narrow map."""
+    return _fan_out(
+        documents.select("doc_id"), rows_per_task=1024, source=documents
+    ).mapInPandas(_tiff_roundtrip_batches, schema=TIFF_DECODED_SCHEMA)

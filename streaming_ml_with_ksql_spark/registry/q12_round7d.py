@@ -1470,3 +1470,52 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.alias("mean_adj_centi_d"),
         F.col("theta").alias("theta_d"),
     )
+
+
+_TIFF_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 17 AS INT) AS width,
+             CAST(10 + (doc_id * 3) % 13 AS INT) AS height
+      FROM documents),
+    xs AS (SELECT doc_id, width, height,
+                  unnest(generate_series(0, width - 1)) AS x FROM dims),
+    xy AS (SELECT doc_id, height, x,
+                  unnest(generate_series(0, height - 1)) AS y FROM xs),
+    m AS (
+      SELECT doc_id, sum((doc_id + 3 * y + 7 * x) % 256) AS sum_px
+      FROM xy GROUP BY 1)
+    SELECT d.doc_id, d.width, d.height,
+           CAST((d.height + 3) // 4 AS INT) AS n_strips,
+           'MM' AS byte_order,
+           CAST(m.sum_px AS DOUBLE) AS sum_px_d,
+           CAST(m.sum_px AS DOUBLE) / (d.width * d.height) AS mean_px_d,
+           'tiff6-strips' AS decoder
+    FROM dims d JOIN m USING (doc_id)
+"""
+
+
+@register("multimodal_tiff_decode", _TIFF_ORACLE)
+def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF 6.0 image round-trip (multimodal.tiff_roundtrip):
+    big-endian multi-strip grayscale payloads written and parsed by the
+    in-repo codec — byte-order dispatch, ascending-tag IFD walk,
+    OUT-OF-LINE strip offset/count LONG arrays (the layout wrinkle that
+    distinguishes full TIFF from the EXIF metadata walk), strip
+    reassembly, exact pixel sums. The oracle replays the deterministic
+    pixel pattern analytically, so one wrong strip boundary or
+    byte-order mistake anywhere breaks the hash. Ninth REAL in-repo
+    codec (WAV, BMP, PNG, JPEG, GIF, MP4, MJPG, mu-law, TIFF)."""
+    from ..operators import multimodal as mm
+
+    out = mm.tiff_roundtrip(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_strips",
+        "byte_order",
+        F.col("sum_px").cast("double").alias("sum_px_d"),
+        "mean_px_d",
+        "decoder",
+    )

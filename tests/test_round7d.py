@@ -596,3 +596,38 @@ def test_cuped_planted_linear_covariate_kills_lift(spark):
         assert r["mean_adj_centi_d"] == 2.0 * gmx_centi
     # raw post means differ across variants; CUPED collapsed that gap
     assert out[0]["mean_post_centi_d"] != out[1]["mean_post_centi_d"]
+
+
+def test_tiff_codec_poison_payloads():
+    import pytest as _pytest
+    from streaming_ml_with_ksql_spark.operators.multimodal import (
+        tiff_bytes,
+        tiff_parse,
+    )
+
+    good = tiff_bytes(42)
+    with _pytest.raises(ValueError, match="byte order"):
+        tiff_parse(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="magic"):
+        tiff_parse(good[:2] + b"\x00\x00" + good[4:])
+    with _pytest.raises(ValueError, match="truncated TIFF header"):
+        tiff_parse(good[:6])
+    # chop the last strip -> overrun detected, not silently short
+    with _pytest.raises(ValueError, match="overruns|strip bytes"):
+        tiff_parse(good[:-5])
+
+
+def test_tiff_multi_strip_layout_is_exercised():
+    from streaming_ml_with_ksql_spark.operators.multimodal import (
+        tiff_bytes,
+        tiff_parse,
+        _tiff_dims,
+    )
+
+    # every synthetic doc has height >= 10 -> >= 3 strips at rps=4,
+    # so the out-of-line LONG arrays are always on the parse path
+    for d in range(20):
+        meta = tiff_parse(tiff_bytes(d))
+        _, h = _tiff_dims(d)
+        assert meta["n_strips"] == (h + 3) // 4 >= 3
+        assert meta["byte_order"] == "MM"
