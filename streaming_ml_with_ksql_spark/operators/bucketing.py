@@ -242,3 +242,78 @@ def hilbert_index(
         .withColumn("hindex", F.expr(fold))
         .drop("__ha", "__hb")
     )
+
+
+def compaction_plan_nfd(
+    sizes: DataFrame,
+    *,
+    size_col: str = "s",
+    key_col: str = "day",
+    capacity_factor: int = 2,
+) -> DataFrame:
+    """Compaction planning for a file-per-partition table (the Iceberg/
+    Delta `rewriteDataFiles` decision): pack per-partition file sizes
+    into target files of capacity C = capacity_factor * max(size) using
+    Next-Fit-Decreasing — items sorted (size DESC, key ASC), each
+    appended to the current target file until it would overflow, then a
+    new file opens. NFD is the one classical bin-packing heuristic
+    whose state is a single (bin, load) pair, which makes the whole
+    plan ONE sequential integer fold — bit-exact on any engine — while
+    staying within 2x optimal (Johnson 1973). The DuckDB oracle replays
+    the identical fold as a linear recursive CTE.
+
+    Scale shape: the input collapses to one row per PARTITION (file)
+    before planning — bounded by the partition count, not the corpus —
+    so the bounded-fold contract (ses/holt/haar) applies; the plan
+    itself is a driver-bounded artifact by nature (it is a list of
+    rewrite tasks). Returns one row per planned target file:
+    (bin, n_files, load, fill_ppm)."""
+    items = sizes.agg(
+        F.expr(
+            f"array_sort(collect_list(struct({size_col} AS s,"
+            f" {key_col} AS k)), (a, b) -> CASE"
+            " WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1"
+            " WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1 ELSE 0 END)"
+        ).alias("items"),
+        F.expr(f"{capacity_factor} * max({size_col})").alias("cap"),
+    )
+    folded = items.select(
+        "items",
+        "cap",
+        F.expr(
+            """aggregate(items,
+                 struct(CAST(1 AS INT) AS bin, CAST(0 AS BIGINT) AS load,
+                        CAST(array() AS array<int>) AS assigns),
+                 (acc, it) -> if(acc.load + it.s <= cap,
+                   struct(acc.bin AS bin,
+                          acc.load + it.s AS load,
+                          acc.assigns || array(acc.bin) AS assigns),
+                   struct(CAST(acc.bin + 1 AS INT) AS bin,
+                          CAST(it.s AS BIGINT) AS load,
+                          acc.assigns || array(acc.bin + 1) AS assigns)))"""
+        ).alias("st"),
+    )
+    per_item = folded.select(
+        "cap",
+        F.explode(F.arrays_zip(F.col("items"), F.col("st.assigns"))).alias("z"),
+    ).select(
+        "cap",
+        F.col("z.items.s").alias("s"),
+        F.col("z.assigns").alias("bin"),
+    )
+    return (
+        per_item.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("s").alias("load"),
+            F.first("cap").alias("cap"),
+        )
+        .select(
+            "bin",
+            F.col("n_files").cast("double").alias("n_files_d"),
+            F.col("load").cast("double").alias("load_d"),
+            F.expr("CAST(load * 1000000L div cap AS DOUBLE)").alias(
+                "fill_ppm_d"
+            ),
+        )
+    )

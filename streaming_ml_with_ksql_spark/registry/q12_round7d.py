@@ -1519,3 +1519,48 @@ def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_px_d",
         "decoder",
     )
+
+
+_COMPACTION_ORACLE = """
+    WITH RECURSIVE f AS (
+      SELECT date_trunc('day', l_shipdate) AS k, count(*) AS s
+      FROM lineitem GROUP BY 1),
+    cap AS (SELECT 2 * max(s) AS c FROM f),
+    it AS (
+      SELECT s, row_number() OVER (ORDER BY s DESC, k ASC) AS rn
+      FROM f),
+    r AS (
+      SELECT 1 AS rn, 1 AS bin, i.s AS load
+      FROM it i WHERE i.rn = 1
+      UNION ALL
+      SELECT i.rn,
+             CASE WHEN r.load + i.s <= (SELECT c FROM cap)
+                  THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.load + i.s <= (SELECT c FROM cap)
+                  THEN r.load + i.s ELSE i.s END
+      FROM r JOIN it i ON i.rn = r.rn + 1)
+    SELECT r.bin,
+           CAST(count(*) AS DOUBLE) AS n_files_d,
+           CAST(sum(i.s) AS DOUBLE) AS load_d,
+           CAST(sum(i.s) * 1000000 // (SELECT c FROM cap) AS DOUBLE)
+             AS fill_ppm_d
+    FROM r JOIN it i USING (rn)
+    GROUP BY r.bin
+"""
+
+
+@register("compaction_bin_packing", _COMPACTION_ORACLE)
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance planning (bucketing.compaction_plan_nfd): pack
+    the per-day lineitem 'files' into compaction targets of capacity
+    2 x max by Next-Fit-Decreasing — the rewriteDataFiles decision every
+    100 TB lake runs nightly, here as ONE bounded integer fold whose
+    DuckDB twin is a linear recursive CTE, so the entire plan (bin
+    membership, loads, fill ppm) hash-checks exactly."""
+    from ..operators import bucketing as bk
+
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("s"))
+    return bk.compaction_plan_nfd(sizes)

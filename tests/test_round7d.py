@@ -631,3 +631,32 @@ def test_tiff_multi_strip_layout_is_exercised():
         _, h = _tiff_dims(d)
         assert meta["n_strips"] == (h + 3) // 4 >= 3
         assert meta["byte_order"] == "MM"
+
+
+def test_compaction_nfd_matches_python_reference(spark):
+    from streaming_ml_with_ksql_spark.operators.bucketing import (
+        compaction_plan_nfd,
+    )
+
+    sizes = [(d, s) for d, s in enumerate([7, 3, 9, 4, 4, 2, 8, 1, 6, 5])]
+    df = spark.createDataFrame(sizes, "day long, s long")
+    out = {
+        int(r["bin"]): (r["n_files_d"], r["load_d"], r["fill_ppm_d"])
+        for r in compaction_plan_nfd(df).collect()
+    }
+    # python reference: NFD with capacity 2*max=18
+    items = sorted(sizes, key=lambda t: (-t[1], t[0]))
+    cap, bins, load = 18, [[]], 0
+    for _, s in items:
+        if load + s <= cap:
+            bins[-1].append(s)
+            load += s
+        else:
+            bins.append([s])
+            load = s
+    ref = {
+        i + 1: (float(len(b)), float(sum(b)), float(sum(b) * 1_000_000 // cap))
+        for i, b in enumerate(bins)
+    }
+    assert out == ref
+    assert all(v[1] <= cap for v in out.values())
