@@ -1564,3 +1564,212 @@ def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("l_shipdate")).alias("day")
     ).agg(F.count(F.lit(1)).alias("s"))
     return bk.compaction_plan_nfd(sizes)
+
+
+_HLL_INV2_DUCK = """CASE WHEN {r} <= 60
+      THEN CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {r} AS DOUBLE)
+      ELSE (CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 60 AS DOUBLE))
+           / CAST(CAST(1 AS BIGINT) << ({r} - 60) AS DOUBLE) END"""
+
+_HLL_ALPHA_MM = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))"
+    " * CAST(65536 AS DOUBLE)"
+)
+
+
+def _hll_estimate_oracle() -> str:
+    regs_sql = _REGISTRY["hll_registers_exact"].oracle
+    inv2 = _HLL_INV2_DUCK.format(r="r")
+    return f"""
+    WITH regs AS (SELECT * FROM ({regs_sql}) q),
+    g AS (
+      SELECT event_type,
+             list(register ORDER BY bucket) AS rl,
+             count(*) AS nb
+      FROM regs GROUP BY 1),
+    s AS (
+      SELECT event_type, 256 - nb AS v_zeros,
+             list_reduce(
+               [CAST(256 - nb AS DOUBLE)]
+                 || list_transform(rl, r -> {inv2}),
+               (a, b) -> a + b) AS ssum
+      FROM g),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    est AS (
+      SELECT s.event_type, s.v_zeros, s.ssum,
+             {_HLL_ALPHA_MM} / s.ssum AS e_raw, ex.exact_n
+      FROM s JOIN ex USING (event_type))
+    SELECT event_type,
+           CAST(v_zeros AS DOUBLE) AS v_zeros_d,
+           ssum AS s_sum_d,
+           e_raw AS est_raw_d,
+           CAST(exact_n AS DOUBLE) AS exact_d,
+           e_raw / exact_n - CAST(1.0 AS DOUBLE) AS err_ratio_d,
+           CAST(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * CAST(256 AS DOUBLE)
+                      AND v_zeros > 0 THEN 1 ELSE 0 END AS INT) AS lc_flag
+    FROM est
+"""
+
+
+@register("hll_estimate_accuracy", _hll_estimate_oracle())
+def q_hll_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full HyperLogLog ESTIMATOR (Flajolet et al. 2007) made
+    engine-exact and hash-checked — upgrading hll_registers_exact's
+    'the float estimator stays outside the oracle' caveat: the harmonic
+    power sum folds the registers IN BUCKET ORDER (a sequential
+    aggregate/list_reduce, so the float rounding sequence is identical
+    on both engines), each 2^-register term is built from exact
+    power-of-two divisions (no pow(), which is not correctly-rounded
+    cross-engine; registers can exceed 62, so the shift splits at 60),
+    and alpha_m m^2 is the same literal arithmetic on both sides. The
+    exact distinct count and the relative error ride along; the
+    small-range-correction branch condition is emitted as a flag (the
+    ln() inside linear counting is exactly the op the integer
+    discipline forbids — the flag tells the consumer when the raw
+    estimate needs it)."""
+    from ..operators import topk as topk_ops
+
+    ev = _t(spark, sf_dir, "events")
+    regs = topk_ops.hll_registers(ev, "user_id", group_cols=["event_type"])
+    inv2 = (
+        "CASE WHEN e <= 60"
+        " THEN CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), e)"
+        " AS DOUBLE)"
+        " ELSE (CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), 60)"
+        " AS DOUBLE))"
+        " / CAST(shiftleft(CAST(1 AS BIGINT), e - 60) AS DOUBLE) END"
+    )
+    g = regs.groupBy("event_type").agg(
+        F.expr(
+            "aggregate("
+            " transform(array_sort(collect_list(struct(bucket, register))),"
+            "           p -> p.register),"
+            " CAST(256 - count(1) AS DOUBLE),"
+            f" (a, e) -> a + ({inv2}))"
+        ).alias("ssum"),
+        (F.lit(256) - F.count(F.lit(1))).alias("v_zeros"),
+    )
+    ex = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_n"))
+    )
+    est = g.join(ex, "event_type").withColumn(
+        "e_raw", F.expr(f"({_HLL_ALPHA_MM}) / ssum")
+    )
+    return est.select(
+        "event_type",
+        F.col("v_zeros").cast("double").alias("v_zeros_d"),
+        F.col("ssum").alias("s_sum_d"),
+        F.col("e_raw").alias("est_raw_d"),
+        F.col("exact_n").cast("double").alias("exact_d"),
+        (F.col("e_raw") / F.col("exact_n") - F.lit(1.0)).alias("err_ratio_d"),
+        F.expr(
+            "CAST(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE)"
+            " * CAST(256 AS DOUBLE) AND v_zeros > 0"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("lc_flag"),
+    )
+
+
+_NB_ORACLE = """
+    WITH d0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+    x AS (
+      SELECT event_type AS c,
+             CAST(extract(hour FROM ts) AS INT) // 6 AS hb,
+             CAST(datediff('day', d0, date_trunc('day', ts)) AS INT) % 7 AS wd
+      FROM events, d0),
+    nc AS (SELECT c, count(*) AS n FROM x GROUP BY 1),
+    ch AS (SELECT c, hb, count(*) AS cnt FROM x GROUP BY 1, 2),
+    cw AS (SELECT c, wd, count(*) AS cnt FROM x GROUP BY 1, 2),
+    grid AS (
+      SELECT hb, wd, c, n
+      FROM (SELECT unnest(range(0, 4)) AS hb),
+           (SELECT unnest(range(0, 7)) AS wd),
+           nc),
+    sc AS (
+      SELECT g.hb, g.wd, g.c,
+             CAST(g.n AS DOUBLE)
+               * (coalesce(h.cnt, 0) + 1)
+               * (coalesce(w.cnt, 0) + 1)
+               / ((g.n + 4) * (g.n + 7)) AS score
+      FROM grid g
+      LEFT JOIN ch h ON h.c = g.c AND h.hb = g.hb
+      LEFT JOIN cw w ON w.c = g.c AND w.wd = g.wd),
+    win AS (
+      SELECT hb, wd, c AS predicted_type, score,
+             row_number() OVER (PARTITION BY hb, wd
+                                ORDER BY score DESC, c ASC) AS rn
+      FROM sc),
+    cell AS (SELECT hb, wd, count(*) AS n_cell FROM x GROUP BY 1, 2)
+    SELECT w.hb, w.wd, w.predicted_type, w.score AS score_d,
+           CAST(coalesce(cl.n_cell, 0) AS DOUBLE) AS n_cell_d
+    FROM win w LEFT JOIN cell cl ON cl.hb = w.hb AND cl.wd = w.wd
+    WHERE w.rn = 1
+"""
+
+
+@register("naive_bayes_event_type", _NB_ORACLE)
+def q_naive_bayes_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine Naive Bayes (the probabilistic family member next to
+    the Gini stumps, depth-2 CART, perceptron and kNN): P(class) x
+    P(hour-bucket|class) x P(weekday|class) with +1 Laplace smoothing,
+    trained by three count aggregates and scored on the full 4x7
+    feature grid. Weekday is day-index mod 7 anchored at min(ts) (the
+    stump discipline — dayofweek() origins differ across engines).
+    Engine-exactness: the posterior numerator is THREE multiplications
+    and ONE division over exact integer counts, evaluated in the same
+    order on both engines — identical doubles, so the per-cell argmax
+    (ties: class name) is bit-deterministic. Scale shape: three
+    map-side-combinable count aggregates; scoring happens on the
+    28-cell grid x |classes| — dictionary-sized, broadcast; per-cell
+    rank windows only."""
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    x = ev.crossJoin(F.broadcast(d0)).select(
+        F.col("event_type").alias("c"),
+        F.expr("CAST(hour(ts) AS INT) div 6").alias("hb"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), d0) AS INT) % 7"
+        ).alias("wd"),
+    ).localCheckpoint(eager=True)
+    nc = x.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    ch = x.groupBy("c", "hb").agg(F.count(F.lit(1)).alias("hcnt"))
+    cw = x.groupBy("c", "wd").agg(F.count(F.lit(1)).alias("wcnt"))
+    spark_ = ev.sparkSession
+    hbs = spark_.range(4).select(F.col("id").cast("int").alias("hb"))
+    wds = spark_.range(7).select(F.col("id").cast("int").alias("wd"))
+    grid = hbs.crossJoin(wds).crossJoin(F.broadcast(nc))
+    sc = (
+        grid.join(F.broadcast(ch), ["c", "hb"], "left")
+        .join(F.broadcast(cw), ["c", "wd"], "left")
+        .select(
+            "hb",
+            "wd",
+            "c",
+            (
+                F.col("n").cast("double")
+                * (F.coalesce(F.col("hcnt"), F.lit(0)) + 1)
+                * (F.coalesce(F.col("wcnt"), F.lit(0)) + 1)
+                / ((F.col("n") + 4) * (F.col("n") + 7))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("hb", "wd").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    win = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("hb", "wd", F.col("c").alias("predicted_type"), "score")
+    )
+    cell = x.groupBy("hb", "wd").agg(F.count(F.lit(1)).alias("n_cell"))
+    return win.join(cell, ["hb", "wd"], "left").select(
+        "hb",
+        "wd",
+        "predicted_type",
+        F.col("score").alias("score_d"),
+        F.coalesce(F.col("n_cell"), F.lit(0)).cast("double").alias("n_cell_d"),
+    )

@@ -660,3 +660,52 @@ def test_compaction_nfd_matches_python_reference(spark):
     }
     assert out == ref
     assert all(v[1] <= cap for v in out.values())
+
+
+def test_hll_estimate_within_standard_error(spark, sf_medium):
+    """HLL with m=256 has ~6.5% standard error; assert the raw estimate
+    lands within 4 sigma of exact for every event type (deterministic
+    data, so this is a fixed check, not a flaky statistical one)."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["hll_estimate_accuracy"].spark(spark, sf_medium).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["err_ratio_d"]) < 4 * 1.04 / (256 ** 0.5)
+        # power sum is bounded: at most m (all-zero registers), > 0
+        assert 0 < r["s_sum_d"] <= 256.0
+        if r["lc_flag"]:
+            assert r["v_zeros_d"] > 0
+
+
+def test_naive_bayes_recovers_planted_feature_dependence(spark):
+    """Class A dominates mornings (hb 0-1), class B evenings (hb 2-3):
+    NB must predict A in morning cells and B in evening cells."""
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    data, eid = [], 0
+    for day in range(1, 8):
+        for h, et, k in ((3, "alpha", 30), (21, "beta", 30),
+                         (3, "beta", 3), (21, "alpha", 3)):
+            for _ in range(k):
+                data.append(
+                    (eid, f"2024-01-{day:02d} {h:02d}:00:00", 1, et, 1.0, "{}")
+                )
+                eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {
+            (r["hb"], r["wd"]): r["predicted_type"]
+            for r in _REGISTRY["naive_bayes_event_type"].spark(spark, d).collect()
+        }
+    assert len(out) == 28
+    for wd in range(7):
+        assert out[(0, wd)] == "alpha"  # hour 3 -> bucket 0
+        assert out[(3, wd)] == "beta"   # hour 21 -> bucket 3
