@@ -1773,3 +1773,152 @@ def q_naive_bayes_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("score_d"),
         F.coalesce(F.col("n_cell"), F.lit(0)).cast("double").alias("n_cell_d"),
     )
+
+
+_TARGET_ENCODE_ORACLE = """
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS micro
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT event_type, sum(micro) AS s, count(*) AS n
+          FROM x GROUP BY 1)
+    SELECT x.event_id, x.event_type,
+           CASE WHEN g.n > 1
+                THEN CAST(g.s - x.micro AS DOUBLE) / (g.n - 1) END
+             AS loo_mean_micro_d,
+           CAST(g.n AS DOUBLE) AS n_category_d
+    FROM x JOIN g USING (event_type)
+"""
+
+
+@register("target_encode_loo", _TARGET_ENCODE_ORACLE)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the event-type category against
+    the event value — the leakage-safe categorical encoder of a
+    training-data pipeline (each row's own label is excluded from its
+    category mean, so the feature never memorizes the row): encode_i =
+    (sum(category) - micro_i) / (n - 1), with the sums exact BIGINT
+    micro-units and ONE correctly-rounded division per row. ANSI-guard:
+    singleton categories encode NULL (n - 1 = 0). Scale shape: one
+    map-side-combinable category aggregate broadcast back onto the fact
+    rows — no window, no per-row shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)").alias(
+            "micro"
+        ),
+    )
+    g = x.groupBy("event_type").agg(
+        F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = x.join(F.broadcast(g), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("micro")).cast("double") / (F.col("n") - 1),
+        ).alias("loo_mean_micro_d"),
+        F.col("n").cast("double").alias("n_category_d"),
+    )
+
+
+_MAHAL_ORACLE = """
+    WITH feat AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice) AS BIGINT) AS p,
+             count(*) AS q
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    g AS (SELECT count(*) AS n, sum(p) AS sp, sum(q) AS sq FROM feat),
+    m AS (SELECT n, sp // n AS mp, sq // n AS mq FROM g),
+    dev AS (
+      SELECT f.o_orderkey, f.p - m.mp AS dx, f.q - m.mq AS dy
+      FROM feat f, m),
+    cov AS (
+      SELECT sum(dx * dx) AS sxx, sum(dx * dy) AS sxy, sum(dy * dy) AS syy
+      FROM dev),
+    det AS (
+      SELECT CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE) AS det
+      FROM cov),
+    qf AS (
+      SELECT d.o_orderkey, d.dx, d.dy,
+             CAST(c.syy AS DOUBLE) * d.dx * d.dx
+               - CAST(2 AS DOUBLE) * CAST(c.sxy AS DOUBLE) * d.dx * d.dy
+               + CAST(c.sxx AS DOUBLE) * d.dy * d.dy AS qform
+      FROM dev d, cov c),
+    top AS (
+      SELECT o_orderkey, dx, dy, qform,
+             CAST(row_number() OVER (ORDER BY qform DESC, o_orderkey ASC)
+                  AS INT) AS rnk
+      FROM qf QUALIFY rnk <= 20)
+    SELECT t.o_orderkey, CAST(t.dx AS DOUBLE) AS dx_d,
+           CAST(t.dy AS DOUBLE) AS dy_d,
+           t.qform / dd.det AS d2_scaled_d, t.rnk
+    FROM top t, det dd
+"""
+
+
+@register("mahalanobis_order_outliers", _MAHAL_ORACLE)
+def q_mahalanobis_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 multivariate outlier orders by EXACT Mahalanobis distance
+    over (order price, item count) — the correlation-aware screen the
+    univariate z-score/MAD monitors miss: the 2x2 covariance inverse is
+    eliminated by cross-multiplication, d^2 * det * n = syy*dx^2 -
+    2*sxy*dx*dy + sxx*dy^2, a fixed-order product of exact BIGINT
+    moments (deviations anchor at the integer floor-mean, the CUPED
+    discipline) evaluated identically on both engines; the selection is
+    orderBy().limit(20) (TakeOrderedAndProject), ranks attached on the
+    20-row result by the same deterministic key. One division at the
+    very end scales by the determinant for display."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    feat = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("p"))
+        .agg(F.count(F.lit(1)).alias("q"))
+    )
+    g = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("q").alias("sq"),
+    ).select(F.expr("sp div n").alias("mp"), F.expr("sq div n").alias("mq"))
+    dev = feat.crossJoin(F.broadcast(g)).select(
+        "o_orderkey",
+        (F.col("p") - F.col("mp")).alias("dx"),
+        (F.col("q") - F.col("mq")).alias("dy"),
+    ).localCheckpoint(eager=True)
+    cov = dev.agg(
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+    )
+    qf = dev.crossJoin(F.broadcast(cov)).select(
+        "o_orderkey",
+        "dx",
+        "dy",
+        F.expr(
+            "CAST(syy AS DOUBLE) * dx * dx"
+            " - CAST(2 AS DOUBLE) * CAST(sxy AS DOUBLE) * dx * dy"
+            " + CAST(sxx AS DOUBLE) * dy * dy"
+        ).alias("qform"),
+        F.expr(
+            "CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        ).alias("det"),
+    )
+    top = qf.orderBy(F.col("qform").desc(), F.col("o_orderkey").asc()).limit(20)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.col("qform").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey",
+            F.col("dx").cast("double").alias("dx_d"),
+            F.col("dy").cast("double").alias("dy_d"),
+            (F.col("qform") / F.col("det")).alias("d2_scaled_d"),
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
+        )
+    )

@@ -716,3 +716,47 @@ def test_naive_bayes_recovers_planted_feature_dependence(spark):
     for wd in range(7):
         assert out[(0, wd)] == "alpha"  # hour 3 -> bucket 0
         assert out[(3, wd)] == "beta"   # hour 21 -> bucket 3
+
+
+def test_target_encode_loo_excludes_own_label(spark):
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    data = [
+        (1, "2024-01-01 00:00:00", 1, "a", 10.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "a", 20.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "a", 30.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "b", 5.0, "{}"),  # singleton
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {
+            r["event_id"]: r
+            for r in _REGISTRY["target_encode_loo"].spark(spark, d).collect()
+        }
+    assert out[1]["loo_mean_micro_d"] == 25_000_000.0  # mean of 20,30
+    assert out[2]["loo_mean_micro_d"] == 20_000_000.0  # mean of 10,30
+    assert out[3]["loo_mean_micro_d"] == 15_000_000.0  # mean of 10,20
+    assert out[4]["loo_mean_micro_d"] is None  # singleton -> NULL, no crash
+
+
+def test_mahalanobis_is_correlation_aware(spark, sf_medium):
+    """The flagged orders must have extreme quadratic form relative to
+    the population: every top-20 d2 exceeds the population d2 median by
+    construction; and the top-1 deviates in at least one axis."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["mahalanobis_order_outliers"].spark(spark, sf_medium).collect()
+    assert len(rows) == 20
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: -r["d2_scaled_d"])] == list(
+        range(1, 21)
+    )
+    top = rows[0]
+    assert abs(top["dx_d"]) > 0 or abs(top["dy_d"]) > 0
+    assert all(r["d2_scaled_d"] > 0 for r in rows)
