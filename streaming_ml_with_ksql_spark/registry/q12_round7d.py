@@ -1922,3 +1922,157 @@ def q_mahalanobis_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
         )
     )
+
+
+_WILSON_ORACLE = """
+    WITH s AS (
+      SELECT l_partkey, count(*) AS n,
+             sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT l_partkey, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+      FROM s),
+    lb AS (
+      SELECT l_partkey, n, k,
+             (p + z2 / (2 * n)
+              - CAST(1.96 AS DOUBLE)
+                * sqrt((p * (CAST(1 AS DOUBLE) - p) + z2 / (4 * n)) / n))
+             / (CAST(1 AS DOUBLE) + z2 / n) AS wilson_lb
+      FROM w),
+    top AS (
+      SELECT l_partkey, n, k, wilson_lb,
+             CAST(row_number() OVER (ORDER BY wilson_lb DESC, l_partkey ASC)
+                  AS INT) AS rnk
+      FROM lb QUALIFY rnk <= 20)
+    SELECT l_partkey, CAST(n AS DOUBLE) AS n_d, CAST(k AS DOUBLE) AS kept_d,
+           wilson_lb AS wilson_lb_d, rnk
+    FROM top
+"""
+
+
+@register("wilson_topk_parts", _WILSON_ORACLE)
+def q_wilson_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by the Wilson score lower bound of their keep rate
+    (share of lineitems NOT returned) — the canonical fix for 'sort by
+    average rating' that a naive rate ranking gets wrong on small n
+    (Wilson 1927; the standard how-not-to-sort-by-rating result). The
+    bound uses only +,-,*,/ and sqrt — ALL correctly-rounded IEEE ops —
+    over exact integer counts with a fixed evaluation order, so the
+    doubles are bit-identical cross-engine and the ranking (ties:
+    partkey) is deterministic without any integer trick. Selection via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("k"),
+    )
+    lb = s.select(
+        "l_partkey",
+        "n",
+        "k",
+        F.expr(
+            "(CAST(k AS DOUBLE) / n"
+            " + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2 * n)"
+            " - CAST(1.96 AS DOUBLE) * sqrt(((CAST(k AS DOUBLE) / n)"
+            "   * (CAST(1 AS DOUBLE) - CAST(k AS DOUBLE) / n)"
+            "   + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4 * n))"
+            "   / n))"
+            " / (CAST(1 AS DOUBLE)"
+            "    + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n)"
+        ).alias("wilson_lb"),
+    )
+    top = lb.orderBy(F.col("wilson_lb").desc(), F.col("l_partkey").asc()).limit(
+        20
+    )
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(
+            F.col("wilson_lb").desc(), F.col("l_partkey").asc()
+        )
+        .select(
+            "l_partkey",
+            F.col("n").cast("double").alias("n_d"),
+            F.col("k").cast("double").alias("kept_d"),
+            F.col("wilson_lb").alias("wilson_lb_d"),
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rnk"),
+        )
+    )
+
+
+def _markov_acc_oracle() -> str:
+    """Model-evaluation composite: nest the VERIFIED transition-matrix
+    statement (the corpus_curation composition rule), pick each prev
+    type's argmax next (ties: type name), score every bigram."""
+    tm_sql = _REGISTRY["event_transition_matrix"].oracle
+    return f"""
+    WITH tm AS (SELECT * FROM ({tm_sql}) q),
+    best AS (
+      SELECT prev_type, next_type AS predicted
+      FROM tm
+      QUALIFY row_number() OVER (PARTITION BY prev_type
+               ORDER BY n_d DESC, next_type ASC) = 1),
+    p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    b AS (SELECT prev_type, next_type FROM p WHERE prev_type IS NOT NULL)
+    SELECT b.prev_type, any_value(bs.predicted) AS predicted,
+           CAST(count(*) AS DOUBLE) AS n_bigrams_d,
+           CAST(sum(CASE WHEN b.next_type = bs.predicted
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS n_correct_d,
+           CAST((sum(CASE WHEN b.next_type = bs.predicted THEN 1 ELSE 0 END)
+                 * CAST(1000000 AS BIGINT)) // count(*) AS DOUBLE)
+             AS acc_ppm_d
+    FROM b JOIN best bs USING (prev_type)
+    GROUP BY 1
+"""
+
+
+@register("markov_next_event_accuracy", _markov_acc_oracle())
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluating the in-engine Markov model: per previous event type,
+    the top-1 next-event prediction (argmax transition count, ties by
+    name) and its empirical accuracy over all bigrams — the
+    train-and-score loop closed entirely inside the engine, with
+    accuracy in exact integer ppm. Composes the verified
+    event_transition_matrix statement as the model; the scorer re-lags
+    the corpus with the same user-partitioned window and broadcast-joins
+    the 5-row argmax table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    c = p.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    bw = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    best = (
+        c.withColumn("rn", F.row_number().over(bw))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    return (
+        p.join(F.broadcast(best), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.first("predicted").alias("predicted"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+            ).alias("nc"),
+        )
+        .select(
+            "prev_type",
+            "predicted",
+            F.col("nb").cast("double").alias("n_bigrams_d"),
+            F.col("nc").cast("double").alias("n_correct_d"),
+            F.expr(
+                "CAST(nc * CAST(1000000 AS BIGINT) div nb AS DOUBLE)"
+            ).alias("acc_ppm_d"),
+        )
+    )

@@ -760,3 +760,49 @@ def test_mahalanobis_is_correlation_aware(spark, sf_medium):
     top = rows[0]
     assert abs(top["dx_d"]) > 0 or abs(top["dy_d"]) > 0
     assert all(r["d2_scaled_d"] > 0 for r in rows)
+
+
+def test_wilson_lower_bound_properties(spark, sf_medium):
+    """0 <= LB < p-hat always (the bound is a strict shrink toward 1/2
+    from above for p>0), and a perfect keep-rate with larger n must
+    outrank a perfect keep-rate with smaller n — the exact failure of
+    naive rate sorting that Wilson fixes."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["wilson_topk_parts"].spark(spark, sf_medium).collect()
+    assert len(rows) == 20
+    for r in rows:
+        p = r["kept_d"] / r["n_d"]
+        assert 0.0 <= r["wilson_lb_d"] < p or (p == 0.0 and r["wilson_lb_d"] <= 0)
+    perfect = [(r["n_d"], r["wilson_lb_d"]) for r in rows
+               if r["kept_d"] == r["n_d"]]
+    for (n1, w1) in perfect:
+        for (n2, w2) in perfect:
+            if n1 > n2:
+                assert w1 > w2
+
+
+def test_markov_accuracy_bigrams_partition(spark, sf_medium):
+    """Per-prev accuracies are consistent: n_correct <= n_bigrams, the
+    predicted type is the argmax of the verified transition matrix,
+    and the bigram total matches the transition-matrix total."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    acc = {
+        r["prev_type"]: r
+        for r in _REGISTRY["markov_next_event_accuracy"]
+        .spark(spark, sf_medium)
+        .collect()
+    }
+    tm = _REGISTRY["event_transition_matrix"].spark(spark, sf_medium).collect()
+    from collections import defaultdict
+
+    by_prev = defaultdict(list)
+    for r in tm:
+        by_prev[r["prev_type"]].append((r["next_type"], r["n_d"]))
+    for prev, r in acc.items():
+        assert r["n_correct_d"] <= r["n_bigrams_d"]
+        best = sorted(by_prev[prev], key=lambda t: (-t[1], t[0]))[0]
+        assert r["predicted"] == best[0]
+        assert r["n_correct_d"] == best[1]
+        assert r["n_bigrams_d"] == sum(n for _, n in by_prev[prev])
