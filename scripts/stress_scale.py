@@ -126,6 +126,16 @@ QUERIES = [
     "shapley_channel_attribution",
     "t_closeness_report",
     "multimodal_mulaw_transcode",
+    "conformal_forecast_interval",
+    "cuped_adjusted_lift",
+    "multimodal_tiff_decode",
+    "compaction_bin_packing",
+    "hll_estimate_accuracy",
+    "naive_bayes_event_type",
+    "target_encode_loo",
+    "mahalanobis_order_outliers",
+    "wilson_topk_parts",
+    "markov_next_event_accuracy",
 ]
 
 

@@ -661,3 +661,35 @@ def test_round7d_plan_shapes(spark):
     # shuffle
     plan = _explain(spark, "halflife_decayed_value", "simple")
     assert "partial_sum" in plan
+
+
+def test_round7d_second_wave_plan_shapes(spark):
+    """Second-wave operators: top-Ns stay TakeOrderedAndProject, the
+    encoders broadcast their dictionary aggregates, the compaction fold
+    and conformal split have no sort windows."""
+    for name in (
+        "mahalanobis_order_outliers",
+        "wilson_topk_parts",
+        "conformal_forecast_interval",
+    ):
+        plan = _explain(spark, name, "simple")
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+    plan = _explain(spark, "target_encode_loo", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+    plan = _explain(spark, "compaction_bin_packing", "simple")
+    assert "Join" not in plan and "Window" not in plan
+
+    # Naive Bayes: scoring happens on broadcast-joined dictionary
+    # frames; the only sort window partitions by the 28-cell grid
+    plan = _explain(spark, "naive_bayes_event_type", "simple")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+    # HLL estimator: the register fold adds no join beyond the exact
+    # count; no global sort anywhere
+    plan = _explain(spark, "hll_estimate_accuracy", "simple")
+    assert "Window" not in plan
