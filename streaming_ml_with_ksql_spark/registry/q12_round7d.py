@@ -2076,3 +2076,174 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_ppm_d"),
         )
     )
+
+
+_RANSAC_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1992-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT a.t, a.y, count(*) - 1 AS r
+      FROM daily a JOIN daily b ON b.t <= a.t
+      GROUP BY a.t, a.y),
+    meta AS (
+      SELECT count(*) AS d,
+             (max(y) - min(y)) // 10 AS tol
+      FROM daily),
+    cand AS (
+      SELECT c,
+        ('0x' || substr(md5('ransac:a:' || CAST(c AS VARCHAR)), 1, 7))
+          ::UBIGINT::BIGINT % (SELECT d FROM meta) AS i1,
+        ('0x' || substr(md5('ransac:b:' || CAST(c AS VARCHAR)), 1, 7))
+          ::UBIGINT::BIGINT % (SELECT d FROM meta) AS i2
+      FROM (SELECT unnest(range(0, 100)) AS c)
+      WHERE ('0x' || substr(md5('ransac:a:' || CAST(c AS VARCHAR)), 1, 7))
+          ::UBIGINT::BIGINT % (SELECT d FROM meta)
+        != ('0x' || substr(md5('ransac:b:' || CAST(c AS VARCHAR)), 1, 7))
+          ::UBIGINT::BIGINT % (SELECT d FROM meta)),
+    model AS (
+      SELECT cand.c, p1.t AS t1, p1.y AS y1, p2.t AS t2, p2.y AS y2
+      FROM cand JOIN rk p1 ON p1.r = cand.i1
+                JOIN rk p2 ON p2.r = cand.i2),
+    scored AS (
+      SELECT m.c, count(*) AS n_in
+      FROM model m JOIN daily d
+        ON abs((d.y - m.y1) * (m.t2 - m.t1)
+               - (m.y2 - m.y1) * (d.t - m.t1))
+           <= (SELECT tol FROM meta) * abs(m.t2 - m.t1)
+      GROUP BY 1),
+    best AS (
+      SELECT m.c, m.t1, m.y1, m.t2, m.y2, s.n_in
+      FROM model m JOIN scored s USING (c)
+      QUALIFY row_number() OVER (ORDER BY s.n_in DESC, m.c ASC) = 1),
+    inl AS (
+      SELECT d.t, d.y
+      FROM daily d, best b
+      WHERE abs((d.y - b.y1) * (b.t2 - b.t1)
+                - (b.y2 - b.y1) * (d.t - b.t1))
+            <= (SELECT tol FROM meta) * abs(b.t2 - b.t1)),
+    fit AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(t * t) AS stt, sum(t * y) AS sty
+      FROM inl)
+    SELECT b.c AS best_candidate,
+           CAST(b.n_in AS DOUBLE) AS n_inliers_d,
+           CAST((SELECT count(*) FROM daily) AS DOUBLE) AS n_days_d,
+           CAST(f.n * f.sty - f.st * f.sy AS DOUBLE)
+             * CAST(1000000 AS DOUBLE)
+             / CAST(f.n * f.stt - f.st * f.st AS DOUBLE) AS slope_ppm_d,
+           CAST(b.n_in * CAST(1000000 AS BIGINT)
+                // (SELECT count(*) FROM daily) AS DOUBLE)
+             AS inlier_frac_ppm_d
+    FROM best b, fit f
+"""
+
+
+@register("ransac_daily_trend", _RANSAC_ORACLE)
+def q_ransac_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of the daily revenue trend (Fischler &
+    Bolles 1981) with ZERO RNG: the 100 candidate point-pairs come from
+    the content-free md5 index idiom, the inlier test is the
+    DIVISION-FREE cross-multiplied residual |(y-y1)(t2-t1) -
+    (y2-y1)(t-t1)| <= tol*|t2-t1| (pure BIGINT — no slope is ever
+    materialized during scoring), the consensus argmax ties on the
+    candidate id, and the final refit on the inlier set is the exact
+    integer OLS moments with ONE double expression at the end — so the
+    entire robust fit is bit-exact and hash-checked. The sampling
+    alternative to Theil-Sen's O(n^2) pair median. Scale shape: the
+    corpus collapses to the calendar-bounded daily frame first; ranks
+    come from the O(C^2) bounded self-join idiom (no partition-less
+    window); scoring is a 100 x days broadcast join."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1992-01-01").cast("timestamp"),
+        ).alias("t")
+    ).agg(
+        F.expr("sum(CAST(floor(o_totalprice) AS BIGINT))").alias("y")
+    ).localCheckpoint(eager=True)
+    b = daily.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    rk = (
+        daily.join(b, F.col("t2") <= F.col("t"))
+        .groupBy("t", "y")
+        .agg((F.count(F.lit(1)) - 1).alias("r"))
+    )
+    meta = daily.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.expr("(max(y) - min(y)) div 10").alias("tol"),
+    )
+    h = (
+        lambda salt: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ransac:{salt}:"), F.col("c").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    spark_ = orders.sparkSession
+    cand = (
+        spark_.range(100)
+        .select(F.col("id").cast("int").alias("c"))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "c",
+            "tol",
+            (h("a") % F.col("d")).alias("i1"),
+            (h("b") % F.col("d")).alias("i2"),
+        )
+        .where(F.col("i1") != F.col("i2"))
+    )
+    p1 = rk.select(
+        F.col("r").alias("i1"), F.col("t").alias("t1"), F.col("y").alias("y1")
+    )
+    p2 = rk.select(
+        F.col("r").alias("i2"), F.col("t").alias("t2"), F.col("y").alias("y2")
+    )
+    model = cand.join(F.broadcast(p1), "i1").join(F.broadcast(p2), "i2")
+    resid_ok = (
+        "abs((y - y1) * (t2 - t1) - (y2 - y1) * (t - t1))"
+        " <= tol * abs(t2 - t1)"
+    )
+    scored = (
+        F.broadcast(model)
+        .join(daily, F.expr(resid_ok))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    best = (
+        model.join(scored, "c")
+        .orderBy(F.col("n_in").desc(), F.col("c").asc())
+        .limit(1)
+    )
+    inl = daily.crossJoin(F.broadcast(best)).where(F.expr(resid_ok))
+    fit = inl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("t * t")).alias("stt"),
+        F.sum(F.expr("t * y")).alias("sty"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        best.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("c").alias("best_candidate"),
+            F.col("n_in").cast("double").alias("n_inliers_d"),
+            F.col("nd").cast("double").alias("n_days_d"),
+            F.expr(
+                "CAST(n * sty - st * sy AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE)"
+                " / CAST(n * stt - st * st AS DOUBLE)"
+            ).alias("slope_ppm_d"),
+            F.expr(
+                "CAST(n_in * CAST(1000000 AS BIGINT) div nd AS DOUBLE)"
+            ).alias("inlier_frac_ppm_d"),
+        )
+    )

@@ -806,3 +806,38 @@ def test_markov_accuracy_bigrams_partition(spark, sf_medium):
         assert r["predicted"] == best[0]
         assert r["n_correct_d"] == best[1]
         assert r["n_bigrams_d"] == sum(n for _, n in by_prev[prev])
+
+
+def test_ransac_ignores_planted_outlier_days(spark):
+    """60 days of exactly-linear revenue plus 3 massive outlier days:
+    the consensus line must recover the true slope (inliers >= 60) —
+    the exact case where plain OLS is dragged off."""
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    import datetime
+
+    rows, ok = [], 0
+    base = datetime.date(1992, 1, 1)
+    for d in range(60):
+        day = (base + datetime.timedelta(days=d)).isoformat()
+        # daily revenue 1000 + 10*d on CONSECUTIVE calendar days
+        rows.append((ok, 1, "O", float(1000 + 10 * d), day, "1-URGENT"))
+        ok += 1
+    for d, spike in ((5, 9e5), (20, 8e5), (40, 7e5)):
+        day = (base + datetime.timedelta(days=d)).isoformat()
+        # spikes land ON linear days: those 3 days become outliers
+        rows.append((ok, 1, "O", float(spike), day, "1-URGENT"))
+        ok += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        r = _REGISTRY["ransac_daily_trend"].spark(spark, tmp).collect()[0]
+    assert r["n_inliers_d"] == 57  # 60 linear days minus the 3 corrupted
+    # slope 10/day = 10_000_000 ppm, recovered EXACTLY on pure inliers
+    assert r["slope_ppm_d"] == 10_000_000.0
