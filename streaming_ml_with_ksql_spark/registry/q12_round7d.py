@@ -2247,3 +2247,199 @@ def q_ransac_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inlier_frac_ppm_d"),
         )
     )
+
+
+_VARINT_BYTES = """CASE WHEN {g} < 128 THEN 1
+        WHEN {g} < 16384 THEN 2
+        WHEN {g} < 2097152 THEN 3
+        WHEN {g} < 268435456 THEN 4
+        ELSE 5 END"""
+
+_POSTINGS_VARINT_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    hit AS (
+      SELECT DISTINCT doc_id, term
+      FROM d, unnest(['spark', 'window', 'join']) AS u(term)
+      WHERE list_contains(t, term)),
+    gaps AS (
+      SELECT term, CAST(doc_id % 4 AS INT) AS shard,
+             doc_id - coalesce(lag(doc_id) OVER (
+               PARTITION BY term, doc_id % 4 ORDER BY doc_id), -1) AS g
+      FROM hit),
+    b AS (
+      SELECT term, shard, count(*) AS n_docs,
+             sum({_VARINT_BYTES.format(g='g')}) AS vbytes
+      FROM gaps GROUP BY 1, 2)
+    SELECT term, shard,
+           CAST(n_docs AS DOUBLE) AS n_docs_d,
+           CAST(vbytes AS DOUBLE) AS varint_bytes_d,
+           CAST(n_docs * 8 AS DOUBLE) AS raw_bytes_d,
+           CAST((n_docs * 8 - vbytes) * CAST(1000000 AS BIGINT)
+                // (n_docs * 8) AS DOUBLE) AS savings_ppm_d
+    FROM b
+"""
+
+
+@register("postings_delta_varint", _POSTINGS_VARINT_ORACLE)
+def q_postings_delta_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta + varint compression sizing of the inverted index — the
+    IR-engineering arithmetic behind every postings format (gap-encode
+    the sorted doc ids, LEB128-size each gap): per (term, shard), the
+    exact compressed byte count from a CASE ladder (no log()), the raw
+    8-byte-per-doc baseline, and the savings in integer ppm. The gap
+    window partitions BY (term, shard) — the same per-key shape as the
+    index build itself. First doc id gap-encodes against -1 so an
+    id of 0 still costs >= 1 byte."""
+    ev = _t(spark, sf_dir, "documents")
+    from ..operators.text import tokens_col
+
+    hit = (
+        ev.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens_col(F.col("text")))).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term").isin("spark", "window", "join"))
+        .distinct()
+    )
+    w = Window.partitionBy("term", (F.col("doc_id") % 4)).orderBy("doc_id")
+    gaps = hit.select(
+        "term",
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("g"),
+    )
+    b = gaps.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(_VARINT_BYTES.format(g="g"))).alias("vbytes"),
+    )
+    return b.select(
+        "term",
+        "shard",
+        F.col("n_docs").cast("double").alias("n_docs_d"),
+        F.col("vbytes").cast("double").alias("varint_bytes_d"),
+        (F.col("n_docs") * 8).cast("double").alias("raw_bytes_d"),
+        F.expr(
+            "CAST((n_docs * 8 - vbytes) * CAST(1000000 AS BIGINT)"
+            " div (n_docs * 8) AS DOUBLE)"
+        ).alias("savings_ppm_d"),
+    )
+
+
+_REUSE_DIST_ORACLE = """
+    WITH op AS (
+      SELECT DISTINCT o.o_custkey AS c, o.o_orderkey AS ok,
+             o.o_orderdate AS od, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    ordpos AS (
+      SELECT c, ok,
+             row_number() OVER (PARTITION BY c ORDER BY od, ok) AS pos
+      FROM (SELECT DISTINCT c, ok, od FROM op) q),
+    seq AS (
+      SELECT op.c, op.part, p.pos
+      FROM op JOIN ordpos p ON p.c = op.c AND p.ok = op.ok),
+    pr AS (
+      SELECT c, part, pos,
+             lag(pos) OVER (PARTITION BY c, part ORDER BY pos) AS prev
+      FROM seq),
+    re AS (SELECT c, part, pos, prev FROM pr WHERE prev IS NOT NULL),
+    dist AS (
+      SELECT r.c, r.pos, r.part, count(DISTINCT s.part) AS d
+      FROM re r JOIN seq s
+        ON s.c = r.c AND s.pos > r.prev AND s.pos < r.pos
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT c, pos, part, 0 AS d FROM re
+      WHERE prev = pos - 1),
+    h AS (
+      SELECT least(d, 10) AS bucket, count(*) AS n FROM dist GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM h)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n AS DOUBLE) AS n_d,
+           CAST(n * CAST(1000000 AS BIGINT) // t AS DOUBLE) AS share_ppm_d
+    FROM h, tot
+"""
+
+
+@register("reuse_distance_histogram", _REUSE_DIST_ORACLE)
+def q_reuse_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuse-distance (stack-distance) histogram of part re-purchases
+    per customer — the canonical cache-engineering artifact (Mattson et
+    al., 1970): for every re-accessed part, the number of DISTINCT
+    other parts bought in the orders strictly between its consecutive
+    occurrences; the histogram yields the hit rate of an LRU of ANY
+    capacity k (hits = mass with distance < k) without simulating a
+    particular cache. The access sequence is defined at the ORDER
+    level — (c, order) positions via a key-partitioned row_number over
+    the UNIQUE (o_orderdate, o_orderkey) pair — because this testdata's
+    (l_orderkey, l_linenumber) is NOT unique, so any lineitem-level
+    ordering would be nondeterministic (found the hard way: DuckDB
+    returned different histograms across runs of the same query).
+    Exact integers; the between-orders distinct count is a
+    per-customer range self-join bounded by the per-customer order
+    count (the O(L^2)-per-key idiom); positions are dense per customer,
+    so zero distance is exactly order-adjacency. Shares in integer
+    ppm; distances clamp at 10+."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    op = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("od"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    wo = Window.partitionBy("c").orderBy("od", "ok")
+    ordpos = (
+        op.select("c", "ok", "od")
+        .distinct()
+        .withColumn("pos", F.row_number().over(wo))
+        .select("c", "ok", "pos")
+    )
+    seq = op.join(ordpos, ["c", "ok"]).select(
+        "c", "part", "pos"
+    ).localCheckpoint(eager=True)
+    wp = Window.partitionBy("c", "part").orderBy("pos")
+    re = (
+        seq.withColumn("prev", F.lag("pos").over(wp))
+        .where(F.col("prev").isNotNull())
+        .select("c", "part", "pos", "prev")
+    )
+    s2 = seq.select(
+        F.col("c").alias("c2"),
+        F.col("part").alias("p2"),
+        F.col("pos").alias("pos2"),
+    )
+    matched = (
+        re.join(
+            s2,
+            (F.col("c2") == F.col("c"))
+            & (F.col("pos2") > F.col("prev"))
+            & (F.col("pos2") < F.col("pos")),
+        )
+        .groupBy("c", "pos", "part")
+        .agg(F.countDistinct("p2").alias("d"))
+    )
+    zeros = re.where(F.col("prev") == F.col("pos") - 1).select(
+        "c", "pos", "part", F.lit(0).alias("d")
+    )
+    dist = matched.select("c", "pos", "part", "d").unionByName(zeros)
+    h = dist.groupBy(
+        F.least(F.col("d"), F.lit(10)).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.agg(F.sum("n").alias("t"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n").cast("double").alias("n_d"),
+        F.expr(
+            "CAST(n * CAST(1000000 AS BIGINT) div t AS DOUBLE)"
+        ).alias("share_ppm_d"),
+    )

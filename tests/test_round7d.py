@@ -841,3 +841,76 @@ def test_ransac_ignores_planted_outlier_days(spark):
     assert r["n_inliers_d"] == 57  # 60 linear days minus the 3 corrupted
     # slope 10/day = 10_000_000 ppm, recovered EXACTLY on pure inliers
     assert r["slope_ppm_d"] == 10_000_000.0
+
+
+def test_postings_varint_sizes_exact(spark, sf_medium):
+    """varint bytes recompute exactly from the posting doc-id gaps, and
+    delta+varint never exceeds the raw 8-byte encoding."""
+    import duckdb
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["postings_delta_varint"].spark(spark, sf_medium).collect()
+    assert rows
+    con = duckdb.connect()
+    for r in rows:
+        assert r["varint_bytes_d"] <= r["raw_bytes_d"]
+        assert r["varint_bytes_d"] >= r["n_docs_d"]  # >= 1 byte per doc
+        got = con.execute(
+            f"""WITH d AS (
+                 SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM '{sf_medium}/documents.parquet'),
+               hit AS (SELECT DISTINCT doc_id FROM d
+                       WHERE list_contains(t, '{r["term"]}')
+                         AND doc_id % 4 = {r["shard"]}),
+               g AS (SELECT doc_id - coalesce(lag(doc_id)
+                       OVER (ORDER BY doc_id), -1) AS g FROM hit)
+               SELECT sum(CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                               WHEN g < 2097152 THEN 3
+                               WHEN g < 268435456 THEN 4 ELSE 5 END) FROM g"""
+        ).fetchone()[0]
+        assert float(got) == r["varint_bytes_d"]
+
+
+def test_reuse_distance_known_sequence(spark):
+    """Customer buys part A in orders 1,2,4 and part B in order 3 with
+    C in 1..4: A's re-accesses have distances 0 (orders 1->2) and 2
+    (orders 2->4 span B and C); C's are 0,0,0."""
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    orders, lines, lid = [], [], 0
+    for ok, day, parts in [
+        (1, "1995-01-01", [100, 300]),
+        (2, "1995-01-02", [100, 300]),
+        (3, "1995-01-03", [200, 300]),
+        (4, "1995-01-04", [100, 300]),
+    ]:
+        orders.append((ok, 7, "O", 1.0, day, "1-URGENT"))
+        for p in parts:
+            lines.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day))
+            lid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        spark.createDataFrame(
+            lines,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        out = {
+            int(r["bucket"]): int(r["n_d"])
+            for r in _REGISTRY["reuse_distance_histogram"].spark(spark, d).collect()
+        }
+    # re-accesses: A: 1->2 (d=0), 2->4 (between = order 3 = {B,C} -> d=2)
+    # C (300): 1->2, 2->3, 3->4 all adjacent (d=0)
+    assert out == {0: 4, 2: 1}
