@@ -2443,3 +2443,85 @@ def q_reuse_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * CAST(1000000 AS BIGINT) div t AS DOUBLE)"
         ).alias("share_ppm_d"),
     )
+
+
+_ASSORT_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM de)
+    SELECT CAST(n AS DOUBLE) AS n_directed_edges_d,
+           CAST(sx AS DOUBLE) / n AS mean_deg_at_edge_d,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS assortativity_d
+    FROM m
+"""
+
+
+@register("degree_assortativity", _ASSORT_ORACLE)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman, PRL 2002):
+    the Pearson correlation of endpoint degrees over all directed edges
+    — do popular parts co-sell with popular parts (r > 0, social-style)
+    or with niche ones (r < 0, hub-and-spoke)? Complements the local
+    clustering/triangle metrics with the global mixing view. Exact
+    BIGINT moments over the edge list; the final r is cross-multiplied
+    n*Sxy - Sx*Sy over sqrt products — +,-,*,/ and sqrt only, fixed
+    order, ANSI-guarded on degenerate variance. By symmetry of the
+    directed edge list, x and y moments coincide — kept separate so the
+    formula is the general one."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok").where(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    de = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src"
+        ).join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst"
+        )
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("double").alias("n_directed_edges_d"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_deg_at_edge_d"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+            " THEN CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END"
+        ).alias("assortativity_d"),
+    )

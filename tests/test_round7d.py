@@ -914,3 +914,50 @@ def test_reuse_distance_known_sequence(spark):
     # re-accesses: A: 1->2 (d=0), 2->4 (between = order 3 = {B,C} -> d=2)
     # C (300): 1->2, 2->3, 3->4 all adjacent (d=0)
     assert out == {0: 4, 2: 1}
+
+
+def test_assortativity_sign_on_constructed_graphs(spark):
+    """A star (hub to leaves) is maximally disassortative (r = -1 for a
+    double edge set of a star with equal leaves); a clique has zero
+    degree variance -> NULL guard."""
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    def run(order_parts):
+        with tempfile.TemporaryDirectory() as d:
+            orders, lines = [], []
+            for ok, parts in order_parts:
+                orders.append((ok, 1, "O", 1.0, "1995-01-01", "1-URGENT"))
+                for p in parts:
+                    lines.append(
+                        (ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01")
+                    )
+            spark.createDataFrame(
+                orders,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_totalprice double, o_orderdate string,"
+                " o_orderpriority string",
+            ).withColumn(
+                "o_orderdate", F.col("o_orderdate").cast("timestamp")
+            ).write.parquet(os.path.join(d, "orders.parquet"))
+            spark.createDataFrame(
+                lines,
+                "l_orderkey long, l_partkey long, l_suppkey long,"
+                " l_linenumber int, l_quantity double,"
+                " l_extendedprice double, l_discount double, l_tax double,"
+                " l_returnflag string, l_linestatus string,"
+                " l_shipdate string",
+            ).withColumn(
+                "l_shipdate", F.col("l_shipdate").cast("timestamp")
+            ).write.parquet(os.path.join(d, "lineitem.parquet"))
+            return (
+                _REGISTRY["degree_assortativity"].spark(spark, d).collect()[0]
+            )
+
+    # star: orders {hub, leaf_i} -> hub degree 4, leaves degree 1
+    star = run([(i, [1, 10 + i]) for i in range(4)])
+    assert star["assortativity_d"] == -1.0
+    # clique: one order with 4 parts -> all degrees equal -> zero
+    # variance -> ANSI-guarded NULL
+    clique = run([(1, [1, 2, 3, 4])])
+    assert clique["assortativity_d"] is None
