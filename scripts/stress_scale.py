@@ -136,6 +136,10 @@ QUERIES = [
     "mahalanobis_order_outliers",
     "wilson_topk_parts",
     "markov_next_event_accuracy",
+    "ransac_daily_trend",
+    "postings_delta_varint",
+    "reuse_distance_histogram",
+    "degree_assortativity",
 ]
 
 

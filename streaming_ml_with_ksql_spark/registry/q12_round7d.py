@@ -1,6 +1,15 @@
 """Round-7 continuation (fourth block): the columnar Arrow IPC wire
-codec, hybrid-retrieval rank fusion, and the causal-inference family
-opener (difference-in-differences).
+codec; hybrid retrieval (RRF fusion + greedy MMR diversification); the
+causal/attribution family (difference-in-differences, exact Shapley,
+CUPED); integer fixed-point HITS; exact DTW alignment; the KMV
+cardinality sketch with its streaming twin and the engine-exact HLL
+estimator; half-life decay; JL projection; RAKE keyphrases; FIFO lot
+allocation; the t-closeness privacy screen; the G.711 mu-law and
+baseline-TIFF codecs; split conformal intervals; NFD compaction
+planning; Naive Bayes; leave-one-out target encoding; Mahalanobis
+outliers; Wilson lower-bound ranking; Markov next-event accuracy;
+RNG-free RANSAC; postings delta-varint sizing; the reuse-distance
+histogram; and degree assortativity.
 
 Imported LAST from ``registry/__init__.py`` so the registration tail
 order of all earlier queries is untouched.
