@@ -821,20 +821,23 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FIFO_ORACLE = """
-    WITH rcpt AS (
-      SELECT l_partkey, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT) AS qty,
-             sum(CAST(l_quantity AS BIGINT)) OVER (
+    WITH rl AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             l_returnflag = 'R' AS is_ret,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2, 3, 4, 5),
+    rcpt AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, qty,
+             sum(qty) OVER (
                PARTITION BY l_partkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum
-      FROM lineitem WHERE l_returnflag != 'R'),
+      FROM rl WHERE NOT is_ret),
     ret AS (
-      SELECT l_partkey, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT) AS qty,
-             sum(CAST(l_quantity AS BIGINT)) OVER (
+      SELECT l_partkey, l_orderkey, l_linenumber, qty,
+             sum(qty) OVER (
                PARTITION BY l_partkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum
-      FROM lineitem WHERE l_returnflag = 'R'),
+      FROM rl WHERE is_ret),
     alloc AS (
       SELECT r.l_partkey,
              t.l_orderkey AS ret_orderkey, t.l_linenumber AS ret_linenumber,
@@ -867,6 +870,21 @@ def q_fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap fan-out is a small constant."""
     li = _t(spark, sf_dir, "lineitem")
 
+    # Pre-aggregate duplicate (part, order, line, date) rows into ONE
+    # lot: this testdata's (l_orderkey, l_linenumber) is NOT unique
+    # across rounds (reuse_distance_histogram found that the hard way),
+    # and a tie in the cumulative window's ordering keys would make the
+    # per-row cums nondeterministic (Spark ROWS frame) AND diverge from
+    # DuckDB's RANGE default. After grouping, the ordering key is
+    # unique by construction on both sides.
+    rl = li.groupBy(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        (F.col("l_returnflag") == "R").alias("is_ret"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+
     def cum(df: DataFrame) -> DataFrame:
         w = (
             Window.partitionBy("l_partkey")
@@ -877,12 +895,12 @@ def q_fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "l_orderkey",
             "l_linenumber",
-            F.col("l_quantity").cast("long").alias("qty"),
-            F.sum(F.col("l_quantity").cast("long")).over(w).alias("cum"),
+            "qty",
+            F.sum("qty").over(w).alias("cum"),
         )
 
-    rcpt = cum(li.where(F.col("l_returnflag") != "R")).alias("r")
-    ret = cum(li.where(F.col("l_returnflag") == "R")).alias("t")
+    rcpt = cum(rl.where(~F.col("is_ret"))).alias("r")
+    ret = cum(rl.where(F.col("is_ret"))).alias("t")
     joined = rcpt.join(
         ret,
         (F.col("r.l_partkey") == F.col("t.l_partkey"))
