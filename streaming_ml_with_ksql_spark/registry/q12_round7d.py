@@ -2552,3 +2552,59 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END"
         ).alias("assortativity_d"),
     )
+
+
+@register(
+    "wire_format_gauntlet",
+    """
+    SELECT event_id, ts, CAST(user_id AS DOUBLE) AS user_id_d,
+           event_type, value, props
+    FROM events
+    """,
+)
+def q_wire_format_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec composability end-to-end: every event row rides through
+    FOUR wire formats back-to-back — Avro binary (schema-ful,
+    timestamp-micros logical type) -> MessagePack (schemaless rows) ->
+    BSON (Mongo wire) -> Arrow IPC (columnar) — decode following each
+    encode, with the parquet table as the oracle, so ONE bit lost
+    anywhere in any codec (null handling, integer widths, IEEE doubles,
+    timestamp micros) breaks the hash. This is the conversion gauntlet
+    a heterogeneous pipeline actually performs (Kafka Avro in, Mongo
+    out, Arrow on every Python hop). Eight narrow Arrow map stages; no
+    shuffle anywhere."""
+    from ..sources import arrow_ipc, avro_py, bson_py, msgpack_py
+
+    ev = _t(spark, sf_dir, "events")
+    schema_json = avro_py.avro_schema_for(ev.schema)
+    leg1 = avro_py.decode_avro_py(
+        avro_py.encode_avro_py(ev, schema_json), schema_json
+    )
+    cols = ["event_id", "ts_micros", "user_id", "event_type", "value", "props"]
+    ddl = (
+        "event_id bigint, ts_micros bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    wire = leg1.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_micros"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    leg2 = msgpack_py.decode_msgpack(
+        msgpack_py.encode_msgpack(wire, cols), cols, ddl
+    )
+    leg3 = bson_py.decode_bson(bson_py.encode_bson(leg2, cols), cols, ddl)
+    leg4 = arrow_ipc.decode_arrow_ipc(
+        arrow_ipc.encode_arrow_ipc(leg3, ddl), ddl
+    )
+    return leg4.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros")).alias("ts"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        "event_type",
+        "value",
+        "props",
+    )

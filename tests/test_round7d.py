@@ -961,3 +961,33 @@ def test_assortativity_sign_on_constructed_graphs(spark):
     # variance -> ANSI-guarded NULL
     clique = run([(1, [1, 2, 3, 4])])
     assert clique["assortativity_d"] is None
+
+
+def test_wire_gauntlet_preserves_corner_values(spark):
+    """Chain all four codecs over rows with nulls, negative zero, large
+    ids, and microsecond timestamps — the gauntlet must be lossless."""
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = [
+        (2**53, "2024-02-29 23:59:59.999999", None, "x", -0.0, None),
+        (1, "1970-01-01 00:00:00.000001", 7, "y", 1e308, "{\"a\":1}"),
+        (2, "2024-01-01 12:00:00", None, "z", None, ""),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {
+            r["event_id"]: r
+            for r in _REGISTRY["wire_format_gauntlet"].spark(spark, d).collect()
+        }
+    assert out[2**53]["user_id_d"] is None and out[2**53]["props"] is None
+    assert str(out[2**53]["ts"]) == "2024-02-29 23:59:59.999999"
+    assert out[1]["value"] == 1e308
+    assert str(out[1]["ts"]) == "1970-01-01 00:00:00.000001"
+    assert out[2]["props"] == "" and out[2]["value"] is None
