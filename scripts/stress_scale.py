@@ -140,6 +140,7 @@ QUERIES = [
     "postings_delta_varint",
     "reuse_distance_histogram",
     "degree_assortativity",
+    "wire_format_gauntlet",
 ]
 
 
