@@ -672,6 +672,10 @@ def hits_bipartite(
     )
 
     def rescale(df: DataFrame, col: str) -> DataFrame:
+        # materialize the summed frame ONCE: it feeds both the max
+        # aggregate and the rescaled projection — without this the
+        # edge-join aggregation would execute twice per call
+        df = df.localCheckpoint(eager=True)
         m = df.agg(F.max(col).alias("m")).select(
             F.greatest(
                 F.lit(1).cast("long"),
@@ -688,9 +692,9 @@ def hits_bipartite(
         auths = rescale(
             edges.join(hubs, c).groupBy(p).agg(F.sum("hs").alias("as_")),
             "as_",
-        ).localCheckpoint(eager=True)
+        )
         hubs = rescale(
             edges.join(auths, p).groupBy(c).agg(F.sum("as_").alias("hs")),
             "hs",
-        ).localCheckpoint(eager=True)
+        )
     return hubs, auths

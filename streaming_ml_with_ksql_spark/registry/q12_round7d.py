@@ -317,6 +317,9 @@ def q_hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # materialized once: every HITS round joins the edge list twice,
+        # and without this the orders-lineitem join re-executes per round
+        .localCheckpoint(eager=True)
     )
     hubs, auths = graph_ops.hits_bipartite(edges, rounds=2)
 
