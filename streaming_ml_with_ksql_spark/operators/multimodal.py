@@ -2747,3 +2747,63 @@ def tiff_roundtrip(documents: DataFrame) -> DataFrame:
     return _fan_out(
         documents.select("doc_id"), rows_per_task=1024, source=documents
     ).mapInPandas(_tiff_roundtrip_batches, schema=TIFF_DECODED_SCHEMA)
+
+
+HIST_EQ_SCHEMA = (
+    "doc_id long, width int, height int, n_levels int, "
+    "sum_eq long, min_eq int, max_eq int, decoder string"
+)
+
+
+def _hist_eq_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL enhancement kernel: decode the BMP payload, build the gray
+    histogram, equalize eq(v) = (cdf(v) * 255) // total (integer floor
+    — the cross-engine-exact variant of the classic remap), and report
+    exact integer statistics of the equalized image."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, bpp, rows_bgr = _bmp_px(bytes(p))  # rows: (h, 3w) BGR
+            gray = (
+                np.asarray(rows_bgr)
+                .reshape(h, w, bpp // 8)[:, :, 0]
+                .astype(np.int64)
+            )
+            total = h * w
+            vals, counts = np.unique(gray, return_counts=True)
+            cdf = np.cumsum(counts)
+            remap = {
+                int(v): int(c) * 255 // total for v, c in zip(vals, cdf)
+            }
+            eq = np.vectorize(remap.__getitem__)(gray)
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "width": w,
+                    "height": h,
+                    "n_levels": len(vals),
+                    "sum_eq": int(eq.sum()),
+                    "min_eq": int(eq.min()),
+                    "max_eq": int(eq.max()),
+                    "decoder": "bmp-hist-eq",
+                }
+            )
+        yield pd.DataFrame(rows).astype(
+            {
+                "width": "int32",
+                "height": "int32",
+                "n_levels": "int32",
+                "min_eq": "int32",
+                "max_eq": "int32",
+            }
+        )
+
+
+def hist_equalize(with_bmp_payload: DataFrame) -> DataFrame:
+    """BMP payload -> histogram-equalized image statistics via a REAL
+    decode + remap kernel (Arrow mapInPandas, narrow map)."""
+    return with_bmp_payload.mapInPandas(
+        _hist_eq_batches, schema=HIST_EQ_SCHEMA
+    )

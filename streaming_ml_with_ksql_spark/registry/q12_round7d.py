@@ -2611,3 +2611,59 @@ def q_wire_format_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+_HIST_EQ_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 25 AS INT) AS width,
+             CAST(8 + (doc_id * 3) % 17 AS INT) AS height
+      FROM documents),
+    rows_ AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, height - 1)) AS y
+      FROM dims),
+    v AS (SELECT doc_id, width, height, (doc_id + y) % 256 AS val
+          FROM rows_),
+    r AS (
+      SELECT doc_id, width, height, val,
+             rank() OVER (PARTITION BY doc_id ORDER BY val) AS rk
+      FROM v),
+    eqv AS (
+      SELECT doc_id, width, height,
+             (rk * width * 255) // (width * height) AS eq
+      FROM r)
+    SELECT doc_id, any_value(width) AS width, any_value(height) AS height,
+           CAST(count(*) AS INT) AS n_levels,
+           CAST(sum(width * eq) AS DOUBLE) AS sum_eq_d,
+           CAST(min(eq) AS DOUBLE) AS min_eq_d,
+           CAST(max(eq) AS DOUBLE) AS max_eq_d,
+           'bmp-hist-eq' AS decoder
+    FROM eqv GROUP BY doc_id
+"""
+
+
+@register("multimodal_hist_equalize", _HIST_EQ_ORACLE)
+def q_multimodal_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization over the REAL decoded BMP images
+    (multimodal.hist_equalize): gray histogram -> integer-floor CDF
+    remap eq(v) = cdf(v)*255 div total -> exact equalized statistics.
+    The first image ENHANCEMENT kernel (decode/resize/fingerprint
+    existed; this transforms pixel VALUES), and the oracle replays the
+    remap analytically from the deterministic row pattern — each image
+    row is one gray level of width pixels, so cdf(row value) = rank *
+    width and the whole equalization collapses to rank arithmetic. A
+    single wrong pixel or a biased CDF breaks the hash."""
+    from ..operators import multimodal as mm
+
+    out = mm.hist_equalize(mm.synthesize_bmp_payload(_t(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_levels",
+        F.col("sum_eq").cast("double").alias("sum_eq_d"),
+        F.col("min_eq").cast("double").alias("min_eq_d"),
+        F.col("max_eq").cast("double").alias("max_eq_d"),
+        "decoder",
+    )

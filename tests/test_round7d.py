@@ -991,3 +991,19 @@ def test_wire_gauntlet_preserves_corner_values(spark):
     assert out[1]["value"] == 1e308
     assert str(out[1]["ts"]) == "1970-01-01 00:00:00.000001"
     assert out[2]["props"] == "" and out[2]["value"] is None
+
+
+def test_hist_equalize_flattens_uniform_histogram(spark, sf_small):
+    """The synthetic BMP rows form a uniform gray histogram (each of h
+    levels has width pixels), so equalization must spread levels evenly:
+    max_eq = 255 * h*w // (h*w) ... the top level always maps to 255
+    exactly (cdf = total), and the equalized mean sits near 127."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["multimodal_hist_equalize"].spark(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["max_eq_d"] == 255.0  # cdf(top) == total -> 255*total//total
+        assert r["n_levels"] == r["height"]  # one level per image row
+        mean_eq = r["sum_eq_d"] / (r["width"] * r["height"])
+        assert 100 <= mean_eq <= 160  # uniform histogram -> flat remap
