@@ -2667,3 +2667,50 @@ def q_multimodal_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_eq").cast("double").alias("max_eq_d"),
         "decoder",
     )
+
+
+_WINNOW_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                      i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END AS s
+      FROM d),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, g ->
+               ('0x' || substr(md5(g), 1, 7))::UBIGINT::BIGINT % 268435456)
+               AS h
+      FROM sh WHERE len(s) >= 4),
+    fp AS (
+      SELECT DISTINCT doc_id, unnest(
+               list_distinct(list_transform(range(1, len(h) - 2),
+                 i -> list_aggregate(h[i:i+3], 'min')))) AS fp
+      FROM hs),
+    dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+    kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfq USING (fp)
+             WHERE dfq.df <= 50),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(n_shared AS DOUBLE) AS n_shared_d
+    FROM pairs WHERE n_shared >= 3
+"""
+
+
+@register("winnowing_fingerprint_pairs", _WINNOW_ORACLE)
+def q_winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-duplicate pairs (text.winnowing_pairs):
+    k=3 shingle hashes, sliding-window-4 minima as fingerprints, pairs
+    sharing >= 3 after hub-fingerprint removal — the guaranteed
+    shared-substring detector joining MinHash (resemblance), PPJoin
+    (exact Jaccard), containment (excerpts), SimHash and dHash in the
+    dedup family."""
+    from ..operators import text as t_ops
+
+    return t_ops.winnowing_pairs(_t(spark, sf_dir, "documents"))

@@ -1007,3 +1007,27 @@ def test_hist_equalize_flattens_uniform_histogram(spark, sf_small):
         assert r["n_levels"] == r["height"]  # one level per image row
         mean_eq = r["sum_eq_d"] / (r["width"] * r["height"])
         assert 100 <= mean_eq <= 160  # uniform histogram -> flat remap
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """The winnowing guarantee: any shared token run of length >=
+    k + w - 1 (= 6) leaves at least one shared fingerprint — even at
+    DIFFERENT offsets in the two documents (the position-robustness
+    MinHash k-min sketches lack)."""
+    from streaming_ml_with_ksql_spark.operators.text import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz ww uu vv"),
+            (2, "aa bb cc dd ee " + shared + " ff"),
+            (3, "completely different words here nothing matches at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_d"]
+        for r in winnowing_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
