@@ -2714,3 +2714,160 @@ def q_winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators import text as t_ops
 
     return t_ops.winnowing_pairs(_t(spark, sf_dir, "documents"))
+
+
+_PERM_TEST_ORACLE = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(datediff('day', DATE '1970-01-01',
+                           date_trunc('day', ts)) AS BIGINT) AS epd,
+             sum(CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT))
+               AS y,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    obs AS (
+      SELECT
+        CASE WHEN sum(CASE WHEN (epd + 3) % 7 >= 5 THEN n ELSE 0 END) > 0
+              AND sum(CASE WHEN (epd + 3) % 7 < 5 THEN n ELSE 0 END) > 0
+          THEN abs(
+            CAST(sum(CASE WHEN (epd + 3) % 7 >= 5 THEN y ELSE 0 END)
+                 AS DOUBLE)
+              / sum(CASE WHEN (epd + 3) % 7 >= 5 THEN n ELSE 0 END)
+            - CAST(sum(CASE WHEN (epd + 3) % 7 < 5 THEN y ELSE 0 END)
+                   AS DOUBLE)
+              / sum(CASE WHEN (epd + 3) % 7 < 5 THEN n ELSE 0 END))
+        END AS t_obs
+      FROM daily),
+    perms AS (SELECT unnest(range(0, 200)) AS b),
+    lab AS (
+      SELECT p.b, d.y, d.n,
+             ('0x' || substr(md5('perm:' || CAST(p.b AS VARCHAR) || ':'
+                                 || CAST(d.epd AS VARCHAR)), 1, 7))
+               ::UBIGINT::BIGINT % 7 >= 5 AS grp
+      FROM daily d CROSS JOIN perms p),
+    stat AS (
+      SELECT b,
+        CASE WHEN sum(CASE WHEN grp THEN n ELSE 0 END) > 0
+              AND sum(CASE WHEN NOT grp THEN n ELSE 0 END) > 0
+          THEN abs(
+            CAST(sum(CASE WHEN grp THEN y ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN grp THEN n ELSE 0 END)
+            - CAST(sum(CASE WHEN NOT grp THEN y ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN NOT grp THEN n ELSE 0 END))
+        END AS t_b
+      FROM lab GROUP BY 1)
+    SELECT (SELECT t_obs FROM obs) AS t_obs_micro_d,
+           CAST(count(*) AS DOUBLE) AS n_perms_d,
+           CAST(sum(CASE WHEN t_b >= (SELECT t_obs FROM obs)
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS n_extreme_d,
+           CAST(((1 + sum(CASE WHEN t_b >= (SELECT t_obs FROM obs)
+                               THEN 1 ELSE 0 END))
+                 * CAST(1000000 AS BIGINT)) // (count(*) + 1) AS DOUBLE)
+             AS p_value_ppm_d
+    FROM stat WHERE t_b IS NOT NULL
+"""
+
+
+@register("randomization_test_weekend_value", _PERM_TEST_ORACLE)
+def q_randomization_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test of the weekend effect on
+    mean event value with ZERO RNG: 200 md5 relabelings of the DAYS
+    (each day re-drawn weekend with probability 5/7 via the content-free
+    hash idiom — a randomization test over the calendar-bounded daily
+    aggregate, so the 200x fan-out costs nothing at any corpus size),
+    statistic = |weekend mean - weekday mean| in exact micro-unit
+    sums with ONE division per group, p = (1 + #extreme)/(B + 1) in
+    integer ppm. The distribution-free sibling of ks_weekend_value_drift
+    (which tests shape) and ab_test_lift (which assumes normality).
+    Weekday anchors at epoch-day + 3 (1970-01-01 was a Thursday, index 3 Monday-based, so Sat/Sun land on 5/6), the
+    engine-origin-free weekday idiom. Empty-group relabelings are
+    ANSI-guarded NULL and excluded."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("epd"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+        ).alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+
+    def meandiff(grp_col: str):
+        wy = F.sum(F.when(F.expr(grp_col), F.col("y")).otherwise(0))
+        wn = F.sum(F.when(F.expr(grp_col), F.col("n")).otherwise(0))
+        dy = F.sum(F.when(~F.expr(grp_col), F.col("y")).otherwise(0))
+        dn = F.sum(F.when(~F.expr(grp_col), F.col("n")).otherwise(0))
+        return F.when(
+            (wn > 0) & (dn > 0),
+            F.abs(
+                wy.cast("double") / wn - dy.cast("double") / dn
+            ),
+        )
+
+    obs = daily.agg(meandiff("(epd + 3) % 7 >= 5").alias("t_obs"))
+    perms = ev.sparkSession.range(200).select(F.col("id").alias("b"))
+    lab = daily.crossJoin(F.broadcast(perms)).select(
+        "b",
+        "y",
+        "n",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("perm:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("epd").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 7
+            >= 5
+        ).alias("grp"),
+    )
+    stat = lab.groupBy("b").agg(
+        F.when(
+            (F.sum(F.when(F.col("grp"), F.col("n")).otherwise(0)) > 0)
+            & (F.sum(F.when(~F.col("grp"), F.col("n")).otherwise(0)) > 0),
+            F.abs(
+                F.sum(F.when(F.col("grp"), F.col("y")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("grp"), F.col("n")).otherwise(0))
+                - F.sum(
+                    F.when(~F.col("grp"), F.col("y")).otherwise(0)
+                ).cast("double")
+                / F.sum(F.when(~F.col("grp"), F.col("n")).otherwise(0))
+            ),
+        ).alias("t_b")
+    )
+    agg = (
+        stat.where(F.col("t_b").isNotNull())
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("t_obs").alias("t_obs"),
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
+            ).alias("ne"),
+        )
+    )
+    return agg.select(
+        F.col("t_obs").alias("t_obs_micro_d"),
+        F.col("np").cast("double").alias("n_perms_d"),
+        F.col("ne").cast("double").alias("n_extreme_d"),
+        F.expr(
+            "CAST(((1 + ne) * CAST(1000000 AS BIGINT)) div (np + 1)"
+            " AS DOUBLE)"
+        ).alias("p_value_ppm_d"),
+    )

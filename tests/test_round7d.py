@@ -1031,3 +1031,42 @@ def test_winnowing_guarantee_on_shared_substring(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_randomization_test_detects_planted_weekend_effect(spark):
+    import datetime, os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    def build(effect):
+        rows, eid = [], 0
+        base = datetime.date(2024, 1, 1)  # a Monday
+        for d in range(28):
+            day = base + datetime.timedelta(days=d)
+            is_we = day.weekday() >= 5
+            v = 100.0 + (effect if is_we else 0.0) + (d % 3)
+            for _ in range(5):
+                rows.append(
+                    (eid, f"{day.isoformat()} 12:00:00", 1, "view", v, "{}")
+                )
+                eid += 1
+        return rows
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+                os.path.join(d, "events.parquet")
+            )
+            return (
+                _REGISTRY["randomization_test_weekend_value"]
+                .spark(spark, d)
+                .collect()[0]
+            )
+
+    strong = run(build(effect=500.0))
+    assert strong["p_value_ppm_d"] < 60_000  # < 0.06: effect detected
+    null = run(build(effect=0.0))
+    assert null["p_value_ppm_d"] > 100_000  # > 0.1: no false alarm
