@@ -2871,3 +2871,166 @@ def q_randomization_test_weekend_value(spark: SparkSession, sf_dir: str) -> Data
             " AS DOUBLE)"
         ).alias("p_value_ppm_d"),
     )
+
+
+_WASSERSTEIN_ORACLE = """
+    WITH lab AS (
+      SELECT CAST(floor(value) AS BIGINT) AS v,
+             CAST(datediff('day', DATE '1970-01-01',
+                           date_trunc('day', ts)) + 3 AS BIGINT) % 7 >= 5
+               AS we
+      FROM events WHERE value IS NOT NULL AND value >= 0),
+    h AS (SELECT v, sum(CASE WHEN we THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS b
+          FROM lab GROUP BY 1),
+    n AS (SELECT sum(a) AS na, sum(b) AS nb FROM h),
+    cum AS (
+      SELECT x.v, sum(y.a) AS ca, sum(y.b) AS cb
+      FROM h x JOIN h y ON y.v <= x.v
+      GROUP BY x.v),
+    nxt AS (
+      SELECT c.v, c.ca, c.cb,
+             min(o.v) - c.v AS gap
+      FROM cum c JOIN cum o ON o.v > c.v
+      GROUP BY c.v, c.ca, c.cb),
+    w AS (
+      SELECT sum(abs(x.ca * n.nb - x.cb * n.na) * x.gap) AS num
+      FROM nxt x, n)
+    SELECT CAST((SELECT na FROM n) AS DOUBLE) AS n_weekend_d,
+           CAST((SELECT nb FROM n) AS DOUBLE) AS n_weekday_d,
+           CAST(w.num AS DOUBLE) AS w1_num_d,
+           CAST(w.num AS DOUBLE)
+             / ((SELECT na FROM n) * CAST((SELECT nb FROM n) AS DOUBLE))
+             AS w1_dollars_d
+    FROM w
+"""
+
+
+@register("wasserstein_weekend_value", _WASSERSTEIN_ORACLE)
+def q_wasserstein_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the weekend and
+    weekday event-value distributions — the drift metric that weighs
+    HOW FAR mass moved (KS caps at the worst gap, TVD ignores
+    geometry): W1 = integral |F_a - F_b| dx, computed EXACTLY over the
+    dollar-bucketed histogram by cross-multiplication — num =
+    sum over consecutive buckets of |cum_a*n_b - cum_b*n_a| * gap,
+    a BIGINT, with ONE division for display. The histogram-of-values
+    idiom bounds the O(C^2) prefix join by the ~500 distinct dollar
+    buckets, never the corpus. Weekday anchors at epoch-day + 3
+    (Monday-based). The last bucket contributes nothing (both CDFs
+    are complete there), so the gap join over successors drops it."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), DATE '1970-01-01') + 3"
+            " AS BIGINT) % 7 >= 5"
+        ).alias("we"),
+    )
+    h = lab.groupBy("v").agg(
+        F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("b"),
+    ).localCheckpoint(eager=True)
+    n = h.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    y = h.select(
+        F.col("v").alias("v2"), F.col("a").alias("a2"), F.col("b").alias("b2")
+    )
+    cum = (
+        h.join(y, F.col("v2") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("a2").alias("ca"), F.sum("b2").alias("cb"))
+    )
+    o = cum.select(F.col("v").alias("vn"))
+    nxt = (
+        cum.join(o, F.col("vn") > F.col("v"))
+        .groupBy("v", "ca", "cb")
+        .agg((F.min("vn") - F.col("v")).alias("gap"))
+    )
+    w = nxt.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            * F.col("gap")
+        ).alias("num"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return w.select(
+        F.col("na").cast("double").alias("n_weekend_d"),
+        F.col("nb").cast("double").alias("n_weekday_d"),
+        F.col("num").cast("double").alias("w1_num_d"),
+        (
+            F.col("num").cast("double")
+            / (F.col("na") * F.col("nb").cast("double"))
+        ).alias("w1_dollars_d"),
+    )
+
+
+def _hdr_oracle() -> str:
+    """log2 bucketing without log(): bucket = position of the highest
+    set bit of (gap seconds + 1), a CASE ladder over powers of two —
+    exact integers on both engines."""
+    ladder = " ".join(
+        f"WHEN gs < {1 << (i + 1)} THEN {i}" for i in range(21)
+    )
+    return f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (SELECT (gap_us // 1000000) + 1 AS gs FROM g
+          WHERE gap_us IS NOT NULL),
+    b AS (SELECT CASE {ladder} ELSE 21 END AS bucket FROM s),
+    h AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM h)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST((CAST(1 AS BIGINT) << bucket) - 1 AS DOUBLE)
+             AS bucket_floor_s_d,
+           CAST(n AS DOUBLE) AS n_d,
+           CAST(n * CAST(1000000 AS BIGINT) // tot AS DOUBLE) AS share_ppm_d
+    FROM h, t
+"""
+
+
+@register("latency_hdr_histogram", _hdr_oracle())
+def q_latency_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style exponential bucketing of per-user inter-event
+    gaps — the latency-observability artifact (log2 buckets hold
+    relative error under 100% at every magnitude, the reason HDR/DDSketch
+    bucket exponentially): bucket = floor(log2(gap_s + 1)) computed as a
+    CASE ladder over power-of-two literals (no log(), the
+    postings-varint discipline), shares in integer ppm. The lag window
+    partitions BY USER; the histogram is ~22 cells. bucket_floor_s_d is
+    display-only, built from an exact integer shift (pow() is
+    banned by the correctly-rounded discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            ).alias("gap_us")
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select(F.expr("(gap_us div 1000000) + 1").alias("gs"))
+    )
+    ladder = " ".join(
+        f"WHEN gs < {1 << (i + 1)} THEN {i}" for i in range(21)
+    )
+    b = g.select(F.expr(f"CASE {ladder} ELSE 21 END").alias("bucket"))
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("tot"))
+    return h.crossJoin(F.broadcast(t)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), bucket) - 1 AS DOUBLE)"
+        ).alias("bucket_floor_s_d"),
+        F.col("n").cast("double").alias("n_d"),
+        F.expr(
+            "CAST(n * CAST(1000000 AS BIGINT) div tot AS DOUBLE)"
+        ).alias("share_ppm_d"),
+    )

@@ -1070,3 +1070,49 @@ def test_randomization_test_detects_planted_weekend_effect(spark):
     assert strong["p_value_ppm_d"] < 60_000  # < 0.06: effect detected
     null = run(build(effect=0.0))
     assert null["p_value_ppm_d"] > 100_000  # > 0.1: no false alarm
+
+
+def test_wasserstein_zero_on_identical_and_scales_with_shift(spark):
+    import datetime, os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    def run(weekend_offset):
+        rows, eid = [], 0
+        base = datetime.date(2024, 1, 1)
+        for d in range(14):
+            day = base + datetime.timedelta(days=d)
+            off = weekend_offset if day.weekday() >= 5 else 0.0
+            for v in (10.0, 20.0, 30.0):
+                rows.append(
+                    (eid, f"{day.isoformat()} 10:00:00", 1, "view",
+                     v + off, "{}")
+                )
+                eid += 1
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+                os.path.join(d, "events.parquet")
+            )
+            return (
+                _REGISTRY["wasserstein_weekend_value"].spark(spark, d).collect()[0]
+            )
+
+    same = run(0.0)
+    assert same["w1_dollars_d"] == 0.0  # identical distributions
+    shifted = run(7.0)
+    # a pure +7 location shift has W1 exactly 7
+    assert shifted["w1_dollars_d"] == 7.0
+
+
+def test_hdr_histogram_bucket_arithmetic(spark, sf_medium):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["latency_hdr_histogram"].spark(spark, sf_medium).collect()
+    assert rows
+    total_ppm = sum(r["share_ppm_d"] for r in rows)
+    assert 999_000 <= total_ppm <= 1_000_000  # floor-div rounding only
+    for r in rows:
+        assert r["bucket_floor_s_d"] == float((1 << int(r["bucket"])) - 1)
