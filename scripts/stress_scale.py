@@ -141,6 +141,11 @@ QUERIES = [
     "reuse_distance_histogram",
     "degree_assortativity",
     "wire_format_gauntlet",
+    "winnowing_fingerprint_pairs",
+    "multimodal_hist_equalize",
+    "randomization_test_weekend_value",
+    "wasserstein_weekend_value",
+    "latency_hdr_histogram",
 ]
 
 
