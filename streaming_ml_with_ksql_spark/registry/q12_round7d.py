@@ -3034,3 +3034,57 @@ def q_latency_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * CAST(1000000 AS BIGINT) div tot AS DOUBLE)"
         ).alias("share_ppm_d"),
     )
+
+
+_RAPID_REPEAT_ORACLE = """
+    WITH g AS (
+      SELECT user_id, event_type, event_id, ts,
+             lag(event_id) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT user_id, event_type,
+           prev_id AS first_event_id, event_id AS second_event_id,
+           CAST(gap_us // 1000000 AS DOUBLE) AS gap_s_d
+    FROM g
+    WHERE gap_us IS NOT NULL AND gap_us <= 600 * 1000000
+"""
+
+
+@register("rapid_repeat_screen", _RAPID_REPEAT_ORACLE)
+def q_rapid_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-ingestion / double-submit audit: consecutive events of
+    the SAME type by the SAME user within 10 minutes — the screen that
+    catches retry storms, double-clicks and at-least-once ingestion
+    replays (the audit-rule sibling of streaming_dedup_exact, which
+    REMOVES byte-identical dupes; this FLAGS suspicious near-repeats
+    that are not byte-identical). One lag window partitioned by
+    (user, type); gaps compare in exact integer microseconds, reported
+    in whole seconds (floor — both engines' integer div)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    return (
+        g.where(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") <= 600 * 1_000_000)
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("prev_id").alias("first_event_id"),
+            F.col("event_id").alias("second_event_id"),
+            F.expr("CAST(gap_us div 1000000 AS DOUBLE)").alias("gap_s_d"),
+        )
+    )

@@ -1116,3 +1116,29 @@ def test_hdr_histogram_bucket_arithmetic(spark, sf_medium):
     assert 999_000 <= total_ppm <= 1_000_000  # floor-div rounding only
     for r in rows:
         assert r["bucket_floor_s_d"] == float((1 << int(r["bucket"])) - 1)
+
+
+def test_rapid_repeat_flags_only_close_same_type_pairs(spark):
+    import os, tempfile
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:03:00", 7, "click", 2.0, "{}"),   # 180s: flag
+        (3, "2024-01-01 10:05:00", 7, "view", 3.0, "{}"),    # other type
+        (4, "2024-01-01 11:00:00", 7, "click", 4.0, "{}"),   # 57min: no
+        (5, "2024-01-01 10:04:00", 8, "click", 5.0, "{}"),   # other user
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = _REGISTRY["rapid_repeat_screen"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["first_event_id"], r["second_event_id"]) == (1, 2)
+    assert r["gap_s_d"] == 180.0
