@@ -3088,3 +3088,125 @@ def q_rapid_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(gap_us div 1000000 AS DOUBLE)").alias("gap_s_d"),
         )
     )
+
+
+def _ktruss_oracle(rounds: int = 2, k: int = 4) -> str:
+    """Bounded-round 4-truss peeling, each round one MATERIALIZED CTE
+    pair (support computation + filter) — the mmr-oracle inlining
+    lesson applies: e{r} is referenced by three successors."""
+    sup = """
+    s{r} AS MATERIALIZED (
+      SELECT e.a, e.b, count(*) AS sup
+      FROM e{r} e
+      JOIN e{r} x ON x.a = e.a
+      JOIN e{r} y ON y.a = e.b AND y.b = x.b
+      GROUP BY e.a, e.b)"""
+    sql = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs) q
+      GROUP BY 1),
+    avgd AS (SELECT sum(d) // count(*) AS cap FROM deg),
+    keep AS (SELECT node FROM deg, avgd WHERE d <= cap),
+    e0 AS MATERIALIZED (
+      SELECT pa AS a, pb AS b FROM pairs
+      JOIN keep ka ON ka.node = pa JOIN keep kb ON kb.node = pb)"""
+    for r in range(rounds):
+        sql += "," + sup.format(r=r) + f""",
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r} e
+      JOIN s{r} s ON s.a = e.a AND s.b = e.b
+      WHERE s.sup >= {k - 2})"""
+    sql += f""",
+    h AS (
+      SELECT s.sup, count(*) AS n
+      FROM e{rounds} e JOIN s{rounds - 1} s ON s.a = e.a AND s.b = e.b
+      GROUP BY 1),
+    c AS (SELECT (SELECT count(*) FROM e0) AS n0,
+                 (SELECT count(*) FROM e{rounds}) AS nf)
+    SELECT CAST(h.sup AS DOUBLE) AS support_d,
+           CAST(h.n AS DOUBLE) AS n_edges_d,
+           CAST(c.n0 AS DOUBLE) AS n_start_d,
+           CAST(c.nf AS DOUBLE) AS n_survivors_d
+    FROM h, c"""
+    return sql
+
+
+@register("ktruss_copurchase_peel", _ktruss_oracle())
+def q_ktruss_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round 4-truss peeling of the (degree-capped) co-purchase
+    graph (Cohen 2008): support(edge) = triangles through it, edges
+    with support < k-2 peel away, two rounds — the cohesion filter that
+    separates genuinely clustered product communities from incidental
+    co-occurrence (triangle counts give the local view; the truss is
+    the edge-wise community core). Wedge enumeration uses the canonical
+    a<b edge orientation, so each triangle is counted once per edge
+    without direction bookkeeping; above-average-degree hubs are
+    removed first — a DATA-ADAPTIVE cap (the fixed-50 cap emptied this
+    dense graph entirely: min co-purchase degree is 42 at sf0.01 and
+    grows with SF, so any constant would eventually keep nothing or
+    everything), keeping the wedge join O(n * cap^2). Output: the post-peel support histogram plus
+    start/survivor edge counts. All integer."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    aa = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    bb = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        aa.join(bb, "ok").where(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    cap = deg.agg(F.expr("sum(d) div count(1)").alias("cap"))
+    keep = (
+        deg.crossJoin(F.broadcast(cap))
+        .where(F.col("d") <= F.col("cap"))
+        .select("node")
+    )
+    e = (
+        pairs.join(keep.withColumnRenamed("node", "pa"), "pa")
+        .join(keep.withColumnRenamed("node", "pb"), "pb")
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    n0 = e.count()  # driver-bounded scalar (edge count)
+    sup = None
+    for _ in range(2):
+        x = e.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+        y = e.select(F.col("a").alias("ya"), F.col("b").alias("yb"))
+        sup = (
+            e.join(x, F.col("xa") == F.col("a"))
+            .join(y, (F.col("ya") == F.col("b")) & (F.col("yb") == F.col("xb")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(sup, ["a", "b"])
+            .where(F.col("sup") >= 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    nf = e.count()
+    h = (
+        e.join(sup, ["a", "b"])
+        .groupBy("sup")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return h.select(
+        F.col("sup").cast("double").alias("support_d"),
+        F.col("n").cast("double").alias("n_edges_d"),
+        F.lit(float(n0)).alias("n_start_d"),
+        F.lit(float(nf)).alias("n_survivors_d"),
+    )

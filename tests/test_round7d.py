@@ -1142,3 +1142,16 @@ def test_rapid_repeat_flags_only_close_same_type_pairs(spark):
     r = out[0]
     assert (r["first_event_id"], r["second_event_id"]) == (1, 2)
     assert r["gap_s_d"] == 180.0
+
+
+def test_ktruss_peel_monotone_and_supported(spark, sf_medium):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = _REGISTRY["ktruss_copurchase_peel"].spark(spark, sf_medium).collect()
+    assert rows
+    n0 = rows[0]["n_start_d"]
+    nf = rows[0]["n_survivors_d"]
+    assert 0 < nf < n0  # the peel removed something, kept something
+    # every surviving edge's (post-peel-measured) support >= k-2 = 2
+    assert all(r["support_d"] >= 2 for r in rows)
+    assert sum(r["n_edges_d"] for r in rows) == nf
