@@ -146,6 +146,8 @@ QUERIES = [
     "randomization_test_weekend_value",
     "wasserstein_weekend_value",
     "latency_hdr_histogram",
+    "rapid_repeat_screen",
+    "ktruss_copurchase_peel",
 ]
 
 

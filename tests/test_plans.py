@@ -693,3 +693,34 @@ def test_round7d_second_wave_plan_shapes(spark):
     # count; no global sort anywhere
     plan = _explain(spark, "hll_estimate_accuracy", "simple")
     assert "Window" not in plan
+
+
+def test_round7d_third_wave_plan_shapes(spark):
+    """Later-wave operators: fingerprint joins stay keyed, per-key
+    windows never single-partition, loops run on checkpointed frames."""
+    plan = _explain(spark, "winnowing_fingerprint_pairs", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # the lag windows partition BY KEY (hash exchange feeds Window);
+    # the only single-partition exchange allowed is the ~22-cell
+    # histogram-total aggregate in the HDR query
+    for name in ("latency_hdr_histogram", "rapid_repeat_screen"):
+        plan = _explain(spark, name, "simple")
+        assert "Window" in plan and "Exchange hashpartitioning" in plan, name
+    assert "SinglePartition" not in _explain(spark, "rapid_repeat_screen", "simple")
+
+    plan = _explain(spark, "ktruss_copurchase_peel", "simple")
+    assert "Scan ExistingRDD" in plan  # peeled frames are checkpointed
+    assert "CartesianProduct" not in plan
+
+    # randomization test: the 200-perm fan-out rides a broadcast of the
+    # calendar-bounded daily aggregate — no corpus-wide cross join
+    plan = _explain(spark, "randomization_test_weekend_value", "simple")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+    # gauntlet: eight narrow Arrow maps, zero shuffle
+    plan = _explain(spark, "wire_format_gauntlet", "simple")
+    assert plan.count("MapInPandas") == 8
+    assert "Exchange" not in plan
