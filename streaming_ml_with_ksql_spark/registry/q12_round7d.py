@@ -3210,3 +3210,66 @@ def q_ktruss_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(n0)).alias("n_start_d"),
         F.lit(float(nf)).alias("n_survivors_d"),
     )
+
+
+@register("streaming_wasserstein_ingest", _WASSERSTEIN_ORACLE)
+def q_streaming_wasserstein_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Wasserstein drift monitor maintained CONTINUOUSLY: the
+    events replay emits stateless (dollar-bucket, weekend-flag) rows,
+    ONE complete-mode groupBy keeps the additive 2 x ~500-cell
+    histogram (bounded state — the streaming_seasonal_ingest
+    contract), and the drained histogram runs the identical
+    cross-multiplied CDF-gap arithmetic, so the batch oracle applies
+    verbatim. Streaming twin #12 — the drift dashboard that updates
+    per micro-batch without rescanning history."""
+    stream = _replay_events(spark, sf_dir)
+    lab = stream.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), DATE '1970-01-01') + 3"
+            " AS BIGINT) % 7 >= 5"
+        ).alias("we"),
+    )
+    per_cell = lab.groupBy("v").agg(
+        F.sum(F.when(F.col("we"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("we"), 1).otherwise(0)).alias("b"),
+    )
+    h = stream_sinks.run_to_memory(
+        per_cell,
+        f"reg_stream_wasser_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).localCheckpoint(eager=True)
+    n = h.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    y = h.select(
+        F.col("v").alias("v2"), F.col("a").alias("a2"), F.col("b").alias("b2")
+    )
+    cum = (
+        h.join(y, F.col("v2") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("a2").alias("ca"), F.sum("b2").alias("cb"))
+    )
+    o = cum.select(F.col("v").alias("vn"))
+    nxt = (
+        cum.join(o, F.col("vn") > F.col("v"))
+        .groupBy("v", "ca", "cb")
+        .agg((F.min("vn") - F.col("v")).alias("gap"))
+    )
+    w = nxt.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            * F.col("gap")
+        ).alias("num"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return w.select(
+        F.col("na").cast("double").alias("n_weekend_d"),
+        F.col("nb").cast("double").alias("n_weekday_d"),
+        F.col("num").cast("double").alias("w1_num_d"),
+        (
+            F.col("num").cast("double")
+            / (F.col("na") * F.col("nb").cast("double"))
+        ).alias("w1_dollars_d"),
+    )

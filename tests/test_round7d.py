@@ -1155,3 +1155,13 @@ def test_ktruss_peel_monotone_and_supported(spark, sf_medium):
     # every surviving edge's (post-peel-measured) support >= k-2 = 2
     assert all(r["support_d"] >= 2 for r in rows)
     assert sum(r["n_edges_d"] for r in rows) == nf
+
+
+def test_streaming_wasserstein_equals_batch(spark, sf_small):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    batch = _REGISTRY["wasserstein_weekend_value"].spark(spark, sf_small).collect()[0]
+    stream = (
+        _REGISTRY["streaming_wasserstein_ingest"].spark(spark, sf_small).collect()[0]
+    )
+    assert tuple(batch) == tuple(stream)  # additive histogram -> identical
