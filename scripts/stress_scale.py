@@ -148,6 +148,7 @@ QUERIES = [
     "latency_hdr_histogram",
     "rapid_repeat_screen",
     "ktruss_copurchase_peel",
+    "streaming_wasserstein_ingest",
 ]
 
 
