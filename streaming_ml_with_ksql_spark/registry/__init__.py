@@ -41,6 +41,7 @@ from . import q09_round7  # noqa: F401,E402
 from . import q10_round7b  # noqa: F401,E402
 from . import q11_round7c  # noqa: F401,E402
 from . import q12_round7d  # noqa: F401,E402
+from . import q13_round7e  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.
