@@ -1983,6 +1983,9 @@ def winnowing_pairs(
         .where(F.size(F.col("hs")) >= w)
         .select("doc_id", fps.alias("fps"))
         .select("doc_id", F.explode("fps").alias("fp"))
+        # read twice below (df_tbl + kept): materialize so the md5
+        # shingle-hash + window-min fingerprinting runs once
+        .localCheckpoint(eager=True)
     )
     df_tbl = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     kept = per_doc.join(

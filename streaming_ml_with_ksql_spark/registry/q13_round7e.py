@@ -1514,7 +1514,8 @@ _PERM_TEST_ORACLE = """
 def q_randomization_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization (permutation-style) test of the weekend effect on
     mean event value with ZERO RNG: 200 md5 relabelings of the DAYS
-    (each day re-drawn weekend with probability 5/7 via the content-free
+    (each day re-drawn weekend with probability 2/7 — the weekend share;
+    ``md5 % 7 >= 5`` selects {5, 6} — via the content-free
     hash idiom — a randomization test over the calendar-bounded daily
     aggregate, so the 200x fan-out costs nothing at any corpus size),
     statistic = |weekend mean - weekday mean| in exact micro-unit
@@ -1834,15 +1835,23 @@ def q_rapid_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ktruss_oracle(rounds: int = 2, k: int = 4) -> str:
     """Bounded-round 4-truss peeling, each round one MATERIALIZED CTE
-    pair (support computation + filter) — the mmr-oracle inlining
-    lesson applies: e{r} is referenced by three successors."""
+    triple (triangle enumeration + support aggregation + filter) — the
+    mmr-oracle inlining lesson applies: e{r} / tri{r} are referenced by
+    multiple successors. Each triangle a<b<c is enumerated ONCE and its
+    support credited to ALL THREE edges (r7 ADVICE: the old wedge join
+    credited only the lexicographically-smallest edge)."""
     sup = """
+    tri{r} AS MATERIALIZED (
+      SELECT ab.a, ab.b, ac.b AS c
+      FROM e{r} ab
+      JOIN e{r} ac ON ac.a = ab.a AND ac.b > ab.b
+      JOIN e{r} bc ON bc.a = ab.b AND bc.b = ac.b),
     s{r} AS MATERIALIZED (
-      SELECT e.a, e.b, count(*) AS sup
-      FROM e{r} e
-      JOIN e{r} x ON x.a = e.a
-      JOIN e{r} y ON y.a = e.b AND y.b = x.b
-      GROUP BY e.a, e.b)"""
+      SELECT a, b, count(*) AS sup FROM (
+        SELECT a, b FROM tri{r}
+        UNION ALL SELECT a, c FROM tri{r}
+        UNION ALL SELECT b, c FROM tri{r}) q
+      GROUP BY 1, 2)"""
     sql = f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
@@ -1886,9 +1895,11 @@ def q_ktruss_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with support < k-2 peel away, two rounds — the cohesion filter that
     separates genuinely clustered product communities from incidental
     co-occurrence (triangle counts give the local view; the truss is
-    the edge-wise community core). Wedge enumeration uses the canonical
-    a<b edge orientation, so each triangle is counted once per edge
-    without direction bookkeeping; above-average-degree hubs are
+    the edge-wise community core). Each triangle {a<b<c} is enumerated
+    ONCE via the canonical-orientation 3-way join and its count is
+    aggregated back to ALL THREE edges (a,b), (a,c), (b,c) — so support
+    is Cohen's true per-edge triangle count, invariant under node
+    relabeling (r7 ADVICE fix); above-average-degree hubs are
     removed first — a DATA-ADAPTIVE cap (the fixed-50 cap emptied this
     dense graph entirely: min co-purchase degree is 42 at sf0.01 and
     grows with SF, so any constant would eventually keep nothing or
@@ -1925,11 +1936,23 @@ def q_ktruss_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = e.count()  # driver-bounded scalar (edge count)
     sup = None
     for _ in range(2):
-        x = e.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
-        y = e.select(F.col("a").alias("ya"), F.col("b").alias("yb"))
+        ac = e.select(F.col("a"), F.col("b").alias("c"))
+        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        tri = e.join(ac, "a").where(F.col("c") > F.col("b")).join(bc, ["b", "c"])
+        # each triangle a<b<c appears once; credit all three of its
+        # edges in ONE pass (explode, not a 3-way union that would
+        # re-execute the triangle join)
         sup = (
-            e.join(x, F.col("xa") == F.col("a"))
-            .join(y, (F.col("ya") == F.col("b")) & (F.col("yb") == F.col("xb")))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                        F.struct(F.col("a").alias("a"), F.col("c").alias("b")),
+                        F.struct(F.col("b").alias("a"), F.col("c").alias("b")),
+                    )
+                ).alias("ed")
+            )
+            .select("ed.a", "ed.b")
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("sup"))
             .localCheckpoint(eager=True)
