@@ -14,15 +14,16 @@ Record discipline (VERDICT r5 #1/#8 — BENCH_r05.json shipped unparseable):
   calibration axes, no derived per-query block) and self-checked against
   the driver's ~2 KB capture budget before printing — an oversized or
   unparseable record raises instead of shipping silently.
-- Calibration is median-of-3 on BOTH axes. The JVM and Python-kernel axes
-  drift INDEPENDENTLY across rounds (r5 measured the JVM calib 15% faster
-  while Python kernels ran ~2x slower on identical code), so each query
-  must be normalized by ITS axis — ``PY_AXIS`` names the headline queries
-  whose wall-clock is dominated by Arrow/Pandas kernels (codecs, BPE,
-  generators, dense-embedding scans); everything else is JVM-codegen
-  dominated. Per-query normalized values are derivable from the raw line
-  (divide by calib_sec/CALIB_REF or calib_py_sec/CALIB_PY_REF per axis);
-  the line carries the two normalized axis TOTALS so cross-round drift is
+- Calibration is median-of-3 on ALL THREE axes. The axes drift
+  INDEPENDENTLY across rounds (r5: JVM 15% faster while Python kernels ran
+  ~2x slower on identical code; r7: byte-walking codec kernels drifted
+  2-4x while the md5 Python axis moved 1.2x), so each query must be
+  normalized by ITS axis — ``PY_AXIS`` names the headline queries
+  dominated by Arrow/Pandas hashing/numeric kernels, ``CODEC_AXIS`` those
+  dominated by pure-Python byte-walking (struct/zlib container parsers);
+  everything else is JVM-codegen dominated. Per-query normalized values
+  are derivable from the raw line (divide by calib/REF per axis); the
+  line carries the three normalized axis TOTALS so cross-round drift is
   visible at a glance without blowing the capture budget.
 """
 
@@ -65,16 +66,12 @@ HEADLINE = [
     "pagerank_near_dup",
     "embedding_topk_bruteforce",
     "corpus_clean_pipeline",
-    "multi_resolution_rollup",
-    "waiting_suppliers",
     "bloom_pruned_join",
     "benchmark_decontaminate",
     "streaming_hopping_window",
     "product_profit",
     "ngram_lm_score",
     "embedding_dedup_groups",
-    "streaming_corpus_ingest",
-    "cms_heavy_hitters",
     "zorder_layout",
     "feature_drift",
     "dedup_components_star",
@@ -88,20 +85,15 @@ HEADLINE = [
     "quantile_sketch_events",
     "corpus_curation_pipeline",
     # round-6/7 additions (worst-case line stays under LINE_BUDGET_BYTES —
-    # pinned by tests/test_bench_record.py). Eight redundant family twins
-    # (volume_shipping, hourly_gap_fill_locf, hll_partition_merge,
-    # scalar_function_suite, value_outliers_zscore, multimodal_mp4_decode,
-    # and in round-7 continuation dedup_components, mjpg_frame_decode,
-    # local_supplier_volume, heavy_hitters_users, synthetic_clickstream)
-    # yielded their bytes — each family keeps a heavier representative
-    # (pricing_summary/shipping_priority/waiting_suppliers for TPC-H,
-    # cms_heavy_hitters for heavy hitters, ksql_generated_traffic for
-    # generators).
-    "touch_attribution",
-    "session_event_paths",
+    # pinned by tests/test_bench_record.py). r8 trimmed ten more cheap
+    # family twins to buy the third calib axis + >=15% headroom
+    # (holt/conversion-funnel/session-paths/trend-fit/isotonic/touch/
+    # waiting_suppliers/multi_resolution_rollup/streaming_corpus_ingest/
+    # cms_heavy_hitters) — each family keeps a heavier representative
+    # (pricing_summary/shipping_priority/product_profit for TPC-H,
+    # quantile_sketch_events for sketches, asof_view_attribution for
+    # attribution joins, customer_rfm_segments for behavioral).
     "customer_rfm_segments",
-    "conversion_funnel_windowed",
-    "user_value_trend_fit",
     "doc_quality_score",
     "image_dedup_groups",
     "corpus_rag_pipeline",
@@ -109,11 +101,9 @@ HEADLINE = [
     # isotonic minimax fit
     "kmeans_embedding_clusters",
     "multimodal_gif_decode",
-    "isotonic_daily_trend",
     # round-7 continuation, third block: density clustering (rides the
     # GEMM pair graph) and the Holt struct fold
     "dbscan_embedding_clusters",
-    "holt_forecast_revenue",
     # round-7 continuation, fourth block: the two RAG serving stages,
     # FIFO interval matching, fixed-point HITS, and the mu-law kernel.
     # Four more twins yielded bytes (audio_decode -> mulaw for the audio
@@ -132,6 +122,11 @@ HEADLINE = [
 # calibration axis. Everything else is JVM-codegen dominated (ADVICE r5:
 # scaling Python-heavy queries by the JVM axis misattributes host drift
 # as plan regressions).
+#
+# r8: image_dedup_groups moved OFF this axis — its measured (post-warm)
+# run now reads the memoized dHash parquet artifact and is band-join +
+# star-contraction, i.e. JVM-dominated (the PNG codec runs once in the
+# warm-up that builds the artifact).
 PY_AXIS = frozenset(
     {
         "minhash_near_dup_pairs",
@@ -141,14 +136,24 @@ PY_AXIS = frozenset(
         "corpus_clean_pipeline",
         "benchmark_decontaminate",
         "ngram_lm_score",
-        "multimodal_gif_decode",
-        "multimodal_mixed_container_sample",
-        "multimodal_jpeg_decode",
         "bpe_tokenize_fixed",
         "ksql_generated_traffic",
         "corpus_curation_pipeline",
-        "image_dedup_groups",
         "dbscan_embedding_clusters",
+    }
+)
+
+# Third axis (VERDICT r7 #1): CODEC queries — pure-Python byte-walking
+# (struct parsing, zlib, marker scans) inside Arrow kernels. r7 measured
+# these drifting up to 4.1x while calib_py (md5-hashing kernel) moved
+# only 1.2x: per-byte interpreter work and hashlib C calls drift
+# INDEPENDENTLY on this fleet's hosts, so codec-kernel queries get their
+# own fixed container-walk/zlib calibration workload.
+CODEC_AXIS = frozenset(
+    {
+        "multimodal_gif_decode",
+        "multimodal_mixed_container_sample",
+        "multimodal_jpeg_decode",
         "multimodal_mulaw_transcode",
     }
 )
@@ -167,6 +172,9 @@ PY_AXIS = frozenset(
 # calibs remain the ground truth either way.
 CALIB_REF = 0.782
 CALIB_PY_REF = 0.528
+# CALIB_CODEC_REF: the axis was introduced in r8, so the r8 build host is
+# its first reference point (measured median-of-3 at introduction).
+CALIB_CODEC_REF = 0.71
 CALIB_PROTOCOL = "median3"
 
 # The driver captures ~2 KB of stdout; leave headroom so the record can
@@ -234,19 +242,61 @@ def _calibrate_python(spark) -> float:
     return _median3(_work)
 
 
+def _calibrate_codec(spark) -> float:
+    """Codec axis: a fixed pure-Python container-walk workload — struct
+    packing/unpacking byte-by-byte plus zlib round-trips inside an Arrow
+    kernel, the exact shape of the in-repo PNG/JPEG/GIF/container
+    parsers. r7 showed this class drifting 2-4x while the md5-kernel
+    Python axis moved 1.2x, so it calibrates separately."""
+    import pandas as pd
+
+    def _kernel(batches):
+        import struct
+        import zlib
+
+        for pdf in batches:
+            outs = []
+            for v in pdf["id"]:
+                base = int(v) % 251
+                raw = struct.pack("<256I", *range(base, base + 256)) * 4
+                comp = zlib.compress(raw, 6)
+                dec = zlib.decompress(comp)
+                s = 0
+                for off in range(0, len(dec), 4):
+                    s += dec[off] + (dec[off + 1] << 8)
+                outs.append(s & 0x7FFFFFFF)
+            yield pd.DataFrame({"id": pdf["id"], "s": outs})
+
+    def _work() -> None:
+        spark.range(6_000).repartition(32).mapInPandas(
+            _kernel, schema="id long, s long"
+        ).write.format("noop").mode("overwrite").save()
+
+    return _median3(_work)
+
+
 def build_line(
     timings: dict[str, float],
     sf: float | None,
     calib: float,
     calib_py: float,
+    calib_codec: float,
 ) -> str:
     """Assemble + self-check the one-line record. Raises if the line
     fails to round-trip or exceeds the driver's capture budget — a
     broken bench record must fail the run, not ship silently."""
     jvm_scale = CALIB_REF / calib if calib > 0 else 1.0
     py_scale = CALIB_PY_REF / calib_py if calib_py > 0 else 1.0
-    norm_jvm = sum(t * jvm_scale for n, t in timings.items() if n not in PY_AXIS)
+    codec_scale = CALIB_CODEC_REF / calib_codec if calib_codec > 0 else 1.0
+    norm_jvm = sum(
+        t * jvm_scale
+        for n, t in timings.items()
+        if n not in PY_AXIS and n not in CODEC_AXIS
+    )
     norm_py = sum(t * py_scale for n, t in timings.items() if n in PY_AXIS)
+    norm_codec = sum(
+        t * codec_scale for n, t in timings.items() if n in CODEC_AXIS
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 2),
@@ -255,9 +305,11 @@ def build_line(
         "sf": sf,
         "calib_sec": calib,
         "calib_py_sec": calib_py,
+        "calib_codec_sec": calib_codec,
         "calib_protocol": CALIB_PROTOCOL,
         "value_norm_jvm": round(norm_jvm, 2),
         "value_norm_py": round(norm_py, 2),
+        "value_norm_codec": round(norm_codec, 2),
     }
     line = json.dumps(payload, separators=(",", ":"))
     parsed = json.loads(line)
@@ -296,7 +348,15 @@ def main() -> None:
         _run(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(build_line(timings, sf, _calibrate(spark), _calibrate_python(spark)))
+    print(
+        build_line(
+            timings,
+            sf,
+            _calibrate(spark),
+            _calibrate_python(spark),
+            _calibrate_codec(spark),
+        )
+    )
     spark.stop()
 
 

@@ -22,7 +22,13 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import CALIB_PY_REF, CALIB_REF, PY_AXIS  # noqa: E402
+from bench import (  # noqa: E402
+    CALIB_CODEC_REF,
+    CALIB_PY_REF,
+    CALIB_REF,
+    CODEC_AXIS,
+    PY_AXIS,
+)
 
 
 def load(path: str) -> dict:
@@ -36,15 +42,29 @@ def load(path: str) -> dict:
     raise SystemExit(f"{path}: no usable queries record")
 
 
+def _axis(name: str) -> str:
+    if name in CODEC_AXIS:
+        return "cdc"
+    return "py " if name in PY_AXIS else "jvm"
+
+
 def norm(rec: dict) -> dict[str, float]:
     calib = rec.get("calib_sec") or CALIB_REF
     calib_py = rec.get("calib_py_sec") or CALIB_PY_REF
-    jvm_scale = CALIB_REF / calib
-    py_scale = CALIB_PY_REF / calib_py
-    return {
-        n: t * (py_scale if n in PY_AXIS else jvm_scale)
-        for n, t in rec["queries"].items()
+    # records before r8 carry no codec calib: fall back to the Python
+    # axis for codec queries (the pre-r8 normalization), keeping old
+    # records comparable to themselves.
+    calib_codec = rec.get("calib_codec_sec")
+    scale = {
+        "jvm": CALIB_REF / calib,
+        "py ": CALIB_PY_REF / calib_py,
+        "cdc": (
+            CALIB_CODEC_REF / calib_codec
+            if calib_codec
+            else CALIB_PY_REF / calib_py
+        ),
     }
+    return {n: t * scale[_axis(n)] for n, t in rec["queries"].items()}
 
 
 def main() -> None:
@@ -69,8 +89,7 @@ def main() -> None:
         if r > threshold or r < 1 / threshold:
             moved.append((r, n))
     for r, n in sorted(moved, reverse=True):
-        axis = "py " if n in PY_AXIS else "jvm"
-        print(f"{r:6.2f}x  [{axis}]  {n}  ({a[n]:.2f}s -> {b[n]:.2f}s norm)")
+        print(f"{r:6.2f}x  [{_axis(n)}]  {n}  ({a[n]:.2f}s -> {b[n]:.2f}s norm)")
     if not moved:
         print(f"no per-axis normalized movement beyond {threshold}x "
               f"({len(both)} shared queries)")

@@ -42,6 +42,7 @@ from . import q10_round7b  # noqa: F401,E402
 from . import q11_round7c  # noqa: F401,E402
 from . import q12_round7d  # noqa: F401,E402
 from . import q13_round7e  # noqa: F401,E402
+from . import q14_round8  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.
@@ -80,129 +81,107 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (the fifth): twenty-one slots whose occupants hold
-    # fresh r06 verdicts (triangles + clustering coefficient, enrich
-    # join, z-score screen, funnel, cohorts, trend, fuzzy matching, sink
-    # prune, TPC-H Q7/Q15, CDC snapshot, lang-id, span coverage, int8
-    # quantize, hash split, mp4/mjpg decodes, left/right/full interval
-    # joins) yield to twenty-one exact-oracled queries that had NEVER
-    # held a driver verdict — all of round 6's own work (doc quality,
-    # RFM after the r6-verdict de-globalization, windowed funnel,
-    # trend-fit, avro/orc/CDC-wire roundtrips, the perceptual image-dedup
-    # family, RAG composite, GDPR audit, pattern match after its
-    # TakeOrderedAndProject fix, classification report, semantic search,
-    # postings index, touch attribution, session paths after the
-    # microsecond-gap fix) plus the older never-verdicted tail
-    # (stratified sample, sliding chunking, revenue forecast, simhash).
-    # Historical verdicts stand in the r03-r06 records; displaced
-    # queries remain fully supported + exactly oracled in
-    # verify_driver's full sweep.
+    # Round-8 rotation (the sixth): twenty slots whose occupants all
+    # hold fresh r07 verdicts (running balance, dHash, Holt, Hilbert,
+    # pattern match, funnel, RFM, trend fit, session paths, semantic
+    # search, FIFO, l-diversity, isotonic, GDPR, postings, lang-id
+    # report, Avro/ORC roundtrips, Shapley, bootstrap CI) yield to
+    # twenty exact-oracled queries that had NEVER held a driver verdict
+    # — the round-7d/7e wire/stats/graph/multimodal waves plus the two
+    # stale-ledger entries whose only driver records are r01/r02 errors
+    # (predict_arrays_events, enriched_window_join_salted — sweep-green
+    # since r03). Historical verdicts stand in the r03-r07 records;
+    # displaced queries remain fully supported + exactly oracled in
+    # verify_driver's full sweep and the pytest oracle sweeps.
     #
-    # flagship + window family (W1/W2; session windows hold r06) — the
-    # second slot goes to the clamped-balance prefix-min identity (a
-    # non-associative fold made window-expressible, first verdict)
+    # flagship window family (W1/W2)
     "hopping_window_agg",
-    "clamped_running_balance",
-    # perceptual image-dedup family (first verdicts): dHash over the real
-    # PNG codec + banded-Hamming LSH groups (graph metrics hold r06)
-    "image_dhash_png",
+    # perceptual image-dedup family (dHash+LSH groups hold the slot)
     "image_dedup_groups",
-    # join family (as-of holds r06 and yields to Holt double-exponential
-    # smoothing — the trend-aware forecaster, first verdict; multi-touch
-    # attribution keeps the enrich-join slot)
+    # join family: multi-touch attribution (enrich join) + the two
+    # stale-ledger retirements — positional-error predict() scoring and
+    # the salted skew join (first CLEAN verdicts, r01/r02 errs retired)
     "touch_attribution",
-    "holt_forecast_revenue",
-    # time-series family: the streaming rollup holds r06 and yields
-    # to the Hilbert layout key (the first data-layout verdict since
-    # zorder r04); subsequence pattern search keeps the z-score slot
-    "hilbert_layout",
-    "series_pattern_match",
-    # behavioral analytics family (first verdicts): 7-day attribution
-    # funnel, RFM quintile segmentation via distributed NTILE, per-user
-    # least-squares trend fit, sessionized trigram paths
-    "conversion_funnel_windowed",
-    "customer_rfm_segments",
-    "user_value_trend_fit",
-    "session_event_paths",
-    # retrieval family (first verdicts): embedding semantic search +
-    # the full RAG composite (BM25/fuzzy hold r05/r06)
-    "text_semantic_search",
+    "predict_arrays_events",
+    "enriched_window_join_salted",
+    # wire/format family: the gauntlet exercises BSON + MessagePack +
+    # Thrift compact + proto3/Confluent + Arrow IPC together (first
+    # verdict; the individual Avro/ORC roundtrips hold r07)
+    "wire_format_gauntlet",
+    # sketch family: HyperLogLog estimate with hash-checked error bound
+    # (first verdict; KMV holds r07)
+    "hll_estimate_accuracy",
+    # forecasting/uncertainty family (first verdicts): split-conformal
+    # prediction interval; CUPED variance-reduced A/B lift and the
+    # difference-in-differences panel estimator hold the causal slots
+    "conformal_forecast_interval",
+    "cuped_adjusted_lift",
+    # multimodal: TIFF + EXIF/APP1 decode and histogram equalization
+    # (first verdicts; GIF/mu-law hold r07)
+    "multimodal_tiff_decode",
+    "multimodal_exif_metadata",
+    "multimodal_hist_equalize",
+    # robust statistics family (first verdicts): RANSAC consensus trend,
+    # exact Wasserstein-1 drift distance + its streaming histogram twin,
+    # the md5-relabeled randomization test stands aside (bootstrap's r07
+    # verdict covers the resampling idiom)
+    "ransac_daily_trend",
+    "wasserstein_weekend_value",
+    "streaming_wasserstein_ingest",
+    # graph cohesion family (first verdicts): 4-truss peel — freshly
+    # re-verified after the r7-ADVICE triangle-credit fix — plus degree
+    # assortativity; reuse-distance histogram takes the locality slot
+    "ktruss_copurchase_peel",
+    "degree_assortativity",
+    "reuse_distance_histogram",
+    # in-engine exact ML training (first verdicts): depth-2 decision
+    # tree, leave-one-out kNN, label propagation over the near-dup graph
+    "decision_tree_depth2_events",
+    "knn_loo_classification",
+    "label_propagation_lang",
+    # CDC source (S3): Debezium JSON wire + incremental view maintenance
+    "cdc_wire_snapshot_customers",
+    "streaming_cdc_incremental_agg",
+    "cdc_join_view_maintenance",
+    # entity resolution (first verdict): golden-record survivorship
+    "entity_golden_record",
+    # retrieval family: RAG composite + RRF fusion keep; MMR (r07) yields
+    # to the ANN serve pair whose only driver records are r01/r02 errors
+    # (rows-only by design — recall-tested in pytest; the ledger's last
+    # four error rows retire this round)
     "corpus_rag_pipeline",
-    # relational/TPC-H family (top-k Q3 keeps its slot; the
-    # NOT-EXISTS-chain Q21 holds r06 and yields to FIFO lot allocation
-    # — the interval-overlap inventory matcher, a new relational
-    # family; GROUPING SETS and unpivot hold r06 and yield to the
-    # l-diversity privacy screen and the exact isotonic trend fit)
+    "rrf_hybrid_retrieval",
+    "embedding_topk_lsh",
+    "embedding_topk_ivf",
+    # relational/TPC-H family: top-k Q3 keeps its slot
     "shipping_priority",
-    "fifo_lot_allocation",
-    "l_diversity_report",
-    "isotonic_daily_trend",
-    "gdpr_purge_audit",
-    "term_postings_index",
-    # ML scoring + runbook (U1-U3, W4) + per-class metrics (first
-    # verdict for the classification report over the lang-id labels)
+    # ML scoring + runbook (U1-U3, W4); the runbook predictions leg and
+    # the multimodal dispatch stub retire their r01/r02 error records
+    # (rows-only: streaming score drain / gated-codec dispatch)
     "score_events",
     "ksql_runbook_hopping",
-    "langid_classification_report",
-    # CDC source (S3): the Debezium JSON WIRE path takes the family slot
-    # (the object-form snapshot holds r06)
-    "cdc_wire_snapshot_customers",
-    # wire/format family (first verdicts): executable Avro binary +
-    # Confluent framing roundtrip; ORC storage roundtrip
-    "avro_source_roundtrip",
-    "orc_source_roundtrip",
-    # generator family's two r06 verdicts both stand aside: the slots
-    # go to incremental CDC aggregate maintenance and the exact Shapley
-    # channel attribution (the causal/attribution family, first verdict)
-    "streaming_cdc_incremental_agg",
-    "shapley_channel_attribution",
-    # text/retrieval: BPE holds r06 and yields to RRF hybrid rank
-    # fusion (the BM25+dense serving stage, first verdict); hash-embed
-    # holds r06 and yields to the md5-resampled bootstrap CI; the
-    # C4/Gopher quality score takes its first verdict
-    "rrf_hybrid_retrieval",
-    "bootstrap_revenue_ci",
+    "ksql_runbook_predictions",
+    "multimodal_decode",
+    # text quality + curation composites keep
     "doc_quality_score",
-    # stateful-streaming maintenance family (the quantile-sketch twin
-    # holds r06 and yields to the wallet state machine, first verdict)
+    "corpus_curation_pipeline",
+    # stateful-streaming maintenance family
     "streaming_wallet_balance",
-    # dedup/graph family (passage stats hold r06 and yield to BFS
-    # landmark distances; exact n-gram jaccard holds r06 and yields to
-    # its asymmetric containment twin — BFS's oracle still nests the
-    # full jaccard statement; pagerank holds r05 and yields to DBSCAN
-    # over the embedding eps-graph, first verdicts all three)
+    # dedup/graph family keeps
     "bfs_hops_near_dup",
     "ngram_containment_pairs",
     "dbscan_embedding_clusters",
-    # embedding/exact-training family (LSH near-dup holds r06 and
-    # yields to the in-engine batch perceptron; dedup groups hold r06
-    # and yield to integer fixed-point k-means — first verdicts both)
+    # embedding/exact-training family keeps
     "kmeans_embedding_clusters",
     "perceptron_embedding_trajectory",
-    # corpus pipeline (curation composite keeps; PII scrub holds r05
-    # and yields to greedy MMR diversification — the RAG context stage,
-    # first verdict; fixed-budget chunking holds r06 and yields to the
-    # exact seasonal decomposition; the old sliding-chunking slot stays
-    # with round 7's exact ROC-AUC)
+    # time-series keeps (forecast_revenue r07 yields — conformal covers
+    # the seasonal-naive forecast as a composing superset)
     "seasonal_decompose_daily",
     "roc_auc_purchase",
-    "corpus_curation_pipeline",
-    "mmr_diverse_retrieval",
-    "stratified_sample_documents",
-    # forecasting (first verdict): seasonal-naive revenue forecast
-    "forecast_revenue",
-    # multimodal (mixed-container dispatch holds r06 and yields to the
-    # G.711 mu-law compander — a new REAL codec; the JPEG slot goes to
-    # the BSON Mongo-wire roundtrip and the PNG slot to the GIF89a/LZW
-    # codec, first verdicts all three)
+    # multimodal keeps (bson r07 yields — the gauntlet exercises BSON)
     "multimodal_mulaw_transcode",
-    "bson_source_roundtrip",
     "multimodal_gif_decode",
-    # streaming family (custom stateful sessionize keeps; the INNER
-    # interval join holds r06 and yields to the streaming KMV sketch
-    # twin; the late-data slot goes to the streaming stump-histogram
-    # ingest and the other freed slot to resource-allocation link
-    # prediction, new families all three)
+    # streaming family keeps
     "streaming_stump_ingest",
     "streaming_sessionize",
     "streaming_kmv_ingest",

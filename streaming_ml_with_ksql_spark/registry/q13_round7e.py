@@ -1680,14 +1680,17 @@ def q_wasserstein_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = h.select(
         F.col("v").alias("v2"), F.col("a").alias("a2"), F.col("b").alias("b2")
     )
+    # prefix/successor range joins over the ~500-cell histogram: broadcast
+    # the bounded side explicitly or Spark's stats-blind planner picks
+    # CartesianProduct (caught by tests/test_plan_lint.py)
     cum = (
-        h.join(y, F.col("v2") <= F.col("v"))
+        h.join(F.broadcast(y), F.col("v2") <= F.col("v"))
         .groupBy("v")
         .agg(F.sum("a2").alias("ca"), F.sum("b2").alias("cb"))
     )
     o = cum.select(F.col("v").alias("vn"))
     nxt = (
-        cum.join(o, F.col("vn") > F.col("v"))
+        cum.join(F.broadcast(o), F.col("vn") > F.col("v"))
         .groupBy("v", "ca", "cb")
         .agg((F.min("vn") - F.col("v")).alias("gap"))
     )
@@ -2010,14 +2013,17 @@ def q_streaming_wasserstein_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     y = h.select(
         F.col("v").alias("v2"), F.col("a").alias("a2"), F.col("b").alias("b2")
     )
+    # prefix/successor range joins over the ~500-cell histogram: broadcast
+    # the bounded side explicitly or Spark's stats-blind planner picks
+    # CartesianProduct (caught by tests/test_plan_lint.py)
     cum = (
-        h.join(y, F.col("v2") <= F.col("v"))
+        h.join(F.broadcast(y), F.col("v2") <= F.col("v"))
         .groupBy("v")
         .agg(F.sum("a2").alias("ca"), F.sum("b2").alias("cb"))
     )
     o = cum.select(F.col("v").alias("vn"))
     nxt = (
-        cum.join(o, F.col("vn") > F.col("v"))
+        cum.join(F.broadcast(o), F.col("vn") > F.col("v"))
         .groupBy("v", "ca", "cb")
         .agg((F.min("vn") - F.col("v")).alias("gap"))
     )

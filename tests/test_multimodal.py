@@ -751,3 +751,36 @@ def test_exif_app1_roundtrip_and_poison():
     # truncate into the out-of-line value area
     with pytest.raises(ValueError, match="overruns|truncated"):
         mm.parse_exif_app1(app1[:40])
+
+
+def test_dhash_table_memoized_and_invalidated_by_sf_dir(spark, sf_small, sf_medium):
+    """VERDICT r7 #4: the dHash artifact is computed once per sf_dir and
+    persisted (hash-once-store — the 100 TB shape); a different sf_dir
+    gets its own artifact; a deleted artifact dir recomputes; and the
+    memoized table is bit-identical to a fresh decode chain."""
+    import os
+    import shutil
+
+    from streaming_ml_with_ksql_spark.registry import q08_tpchfull as q08
+
+    q08._DHASH_DIRS.clear()
+    t1 = sorted(map(tuple, q08._dhash_table(spark, sf_small).collect()))
+    d1 = q08._DHASH_DIRS[sf_small]
+    q08._dhash_table(spark, sf_small)
+    assert q08._DHASH_DIRS[sf_small] == d1  # memo hit, no new dir
+
+    q08._dhash_table(spark, sf_medium)
+    d2 = q08._DHASH_DIRS[sf_medium]
+    assert d2 != d1  # per-sf_dir artifact
+
+    fresh = multimodal.image_dhash(
+        multimodal.synthesize_png_payload(
+            io_mod.load_table(spark, sf_small, "documents")
+        )
+    )
+    assert t1 == sorted(map(tuple, fresh.collect()))
+
+    shutil.rmtree(d1)  # stale artifact -> recompute into a new dir
+    q08._dhash_table(spark, sf_small)
+    assert q08._DHASH_DIRS[sf_small] != d1
+    assert os.path.isdir(q08._DHASH_DIRS[sf_small])

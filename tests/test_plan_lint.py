@@ -1,0 +1,182 @@
+"""Global plan lint (VERDICT r7 #3): ONE gate over EVERY registered query.
+
+The per-wave plan-pin suites in test_plans.py protect ~40 queries; this
+test walks the physical plan of ALL registry entries at sf0.001 and
+rejects the scale-killer shapes outright:
+
+- ``CartesianProduct`` — an unkeyed all-pairs join is quadratic at any SF
+  (zero occurrences today; none may enter);
+- a ``Window`` running directly on ``Exchange SinglePartition`` — a global
+  sort-window funnels the whole table through one task (the r6 RFM
+  lesson; operators/rank.py exists so nothing needs this);
+- ``BroadcastNestedLoopJoin`` whose build side is not PROVABLY bounded:
+  benign when the broadcast frame's logical ``maxRows`` is a driver-scale
+  constant (global aggregates -> 1 row, literal grids), otherwise the
+  query must appear in exactly one documented bounded-frame idiom below.
+
+A new query that introduces a BNLJ over an unbounded frame — the thing
+that OOMs the broadcast at 100 TB — fails this test until its bound is
+argued in an idiom entry.
+"""
+
+from __future__ import annotations
+
+from streaming_ml_with_ksql_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+# Build sides whose logical maxRows is defined and at most this are
+# driver-bounded by construction (1-row global aggregates, literal
+# threshold grids, the 200-resample index frame).
+MAX_BOUNDED_BUILD_ROWS = 1000
+
+# Window-on-SinglePartition whitelist: tiny-frame loops only.
+WINDOW_SINGLE_PARTITION_WHITELIST: dict[str, str] = {
+    "mmr_diverse_retrieval": "20-row candidate frame (top-k serving cutoff)",
+    "corpus_rag_pipeline": "composes mmr_diverse_retrieval's 20-row loop",
+}
+
+# BNLJ idiom whitelist: queries whose broadcast build side has no logical
+# maxRows but is bounded by a data-independent (or sublinear) quantity the
+# design documents. Grouped by idiom; every entry names its row bound.
+BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
+    "calendar-bounded series frame": (
+        "one row per day/week in the retention window (<= ~3.7k rows per "
+        "decade) — daily aggregates joined by range conditions",
+        frozenset(
+            {
+                "ransac_daily_trend",
+                "seasonal_decompose_daily",
+                "seasonal_anomaly_days",
+                "theil_sen_revenue_trend",
+                "mann_kendall_revenue",
+                "isotonic_daily_trend",
+                "bootstrap_revenue_ci",
+                "user_life_table",
+                "revenue_autocorr",
+            }
+        ),
+    ),
+    "histogram-of-counts / value-cell frame": (
+        "bounded by distinct bucketed values (cents cells, dollar buckets, "
+        "integer gap cells — ~1e4 cells regardless of row count; the "
+        "documented O(C^2) broadcast self-join idiom)",
+        frozenset(
+            {
+                "quantile_sketch_events",
+                "quantile_sketch_accuracy",
+                "key_skew_profile",
+                "roc_auc_purchase",
+                "wasserstein_weekend_value",
+                "ks_weekend_value_drift",
+                "value_drift_spearman",
+                "funnel_time_to_convert",
+                "t_closeness_report",
+            }
+        ),
+    ),
+    "k-bounded model artifact": (
+        "broadcast side is the model, not the data: k centroids, 15-row "
+        "threshold grids, per-class stats (<= a few hundred rows by "
+        "hyperparameter)",
+        frozenset(
+            {
+                "kmeans_embedding_clusters",
+                "naive_bayes_event_type",
+                "customer_rfm_segments",
+            }
+        ),
+    ),
+    "bounded probe/query set": (
+        "ANN/classification serve path: the corpus side streams, the "
+        "broadcast side is the <= 100-row probe set (serving contract)",
+        frozenset(
+            {
+                "knn_loo_classification",
+                "text_semantic_search",
+                "embedding_topk_bruteforce",
+                "embedding_topk_ivf",
+            }
+        ),
+    ),
+}
+
+_IDIOM_NAMES = frozenset().union(*(s for _, s in BNLJ_BOUNDED_IDIOMS.values()))
+
+# Streaming replay twins execute their micro-batch drain during
+# construction and return a memory-sink scan — their physical stream
+# shapes are pinned in tests/test_streaming.py; explaining the drained
+# result here would lint a LocalTableScan, not the operator.
+SKIP_PREFIXES = ("streaming_",)
+
+
+def _walk(jnode):
+    yield jnode
+    it = jnode.children().iterator()
+    while it.hasNext():
+        yield from _walk(it.next())
+
+
+def _lint_one(df) -> str | None:
+    jplan = df._jdf.queryExecution().sparkPlan()
+    unbounded_bnlj = False
+    nodes = list(_walk(jplan))
+    for i, n in enumerate(nodes):
+        cls = n.getClass().getSimpleName()
+        if cls == "CartesianProductExec":
+            return "CartesianProduct"
+        if cls == "BroadcastNestedLoopJoinExec":
+            side = n.buildSide().toString()
+            child = n.children().apply(1 if side == "BuildRight" else 0)
+            ll = child.logicalLink()
+            mr = ll.get().maxRows() if ll.isDefined() else None
+            bound = mr.get() if (mr is not None and mr.isDefined()) else None
+            if bound is None or bound > MAX_BOUNDED_BUILD_ROWS:
+                unbounded_bnlj = True
+        if cls == "WindowExec":
+            child = n.children().apply(0)
+            for sub in _walk(child):
+                scls = sub.getClass().getSimpleName()
+                if scls == "ShuffleExchangeExec":
+                    if "SinglePartition" in sub.outputPartitioning().toString():
+                        return "Window on SinglePartition"
+                    break
+                if scls in ("SortExec", "ProjectExec", "FilterExec"):
+                    continue
+                break
+    return "unbounded BNLJ build side" if unbounded_bnlj else None
+
+
+def test_no_scale_killer_plans_anywhere(spark):
+    offenders: dict[str, str] = {}
+    for name in registry.queries():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        df = registry._REGISTRY[name].spark(spark, SF)
+        verdict = _lint_one(df)
+        if verdict is None:
+            continue
+        if verdict == "Window on SinglePartition" and (
+            name in WINDOW_SINGLE_PARTITION_WHITELIST
+        ):
+            continue
+        if verdict == "unbounded BNLJ build side" and name in _IDIOM_NAMES:
+            continue
+        offenders[name] = verdict
+    assert not offenders, offenders
+
+
+def test_whitelists_are_small_and_justified():
+    assert len(WINDOW_SINGLE_PARTITION_WHITELIST) <= 10
+    assert len(BNLJ_BOUNDED_IDIOMS) <= 10
+    registered = set(registry._REGISTRY)
+    for name, why in WINDOW_SINGLE_PARTITION_WHITELIST.items():
+        assert name in registered, name
+        assert any(ch.isdigit() for ch in why), name
+    for idiom, (why, names) in BNLJ_BOUNDED_IDIOMS.items():
+        assert any(ch.isdigit() for ch in why), idiom
+        missing = names - registered
+        assert not missing, (idiom, missing)
+    # idiom groups must be disjoint (exactly one justification per query)
+    all_names = [n for _, s in BNLJ_BOUNDED_IDIOMS.values() for n in s]
+    assert len(all_names) == len(set(all_names))

