@@ -69,18 +69,14 @@ HEADLINE = [
     "bloom_pruned_join",
     "benchmark_decontaminate",
     "streaming_hopping_window",
-    "product_profit",
     "ngram_lm_score",
     "embedding_dedup_groups",
-    "zorder_layout",
     "feature_drift",
-    "dedup_components_star",
     "streaming_late_data_policy",
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
     "tfidf_top_terms",
-    "keyword_bm25",
     "ksql_generated_traffic",
     "quantile_sketch_events",
     "corpus_curation_pipeline",
@@ -115,6 +111,13 @@ HEADLINE = [
     "fifo_lot_allocation",
     "hits_customer_part",
     "multimodal_mulaw_transcode",
+    # round-8: the two archive-ingestion wires (codec axis) and the
+    # zone-map pruning audit; product_profit/keyword_bm25/zorder_layout/
+    # dedup_components_star yielded bytes (TPC-H keeps two reps, rrf
+    # composes BM25, image/embedding dedup groups carry components)
+    "warc_gz_source_roundtrip",
+    "zip_archive_roundtrip",
+    "zonemap_prune_stats",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -155,6 +158,8 @@ CODEC_AXIS = frozenset(
         "multimodal_mixed_container_sample",
         "multimodal_jpeg_decode",
         "multimodal_mulaw_transcode",
+        "warc_gz_source_roundtrip",
+        "zip_archive_roundtrip",
     }
 )
 
@@ -173,8 +178,11 @@ CODEC_AXIS = frozenset(
 CALIB_REF = 0.782
 CALIB_PY_REF = 0.528
 # CALIB_CODEC_REF: the axis was introduced in r8, so the r8 build host is
-# its first reference point (measured median-of-3 at introduction).
-CALIB_CODEC_REF = 0.71
+# its first reference point (measured median-of-3 at introduction; the
+# same session's worktree A/B showed r6-code and r8-code timing the codec
+# trio identically on this host, so r7's 2-4x codec 'regressions' were
+# host drift this axis now measures).
+CALIB_CODEC_REF = 0.827
 CALIB_PROTOCOL = "median3"
 
 # The driver captures ~2 KB of stdout; leave headroom so the record can

@@ -149,6 +149,12 @@ QUERIES = [
     "rapid_repeat_screen",
     "ktruss_copurchase_peel",
     "streaming_wasserstein_ingest",
+    # round-8 additions
+    "warc_gz_source_roundtrip",
+    "zip_archive_roundtrip",
+    "zonemap_prune_stats",
+    "ols_two_factor_revenue",
+    "hard_negative_mining",
 ]
 
 
@@ -174,14 +180,21 @@ def build(spark, mult: int) -> None:
 
 
 def main() -> None:
+    """python scripts/stress_scale.py [multiplier] [query ...]
+
+    With explicit query names, runs ONLY those (the 100x deep-stress
+    mode, VERDICT r7 #6 — full-list runs at 100x would take hours; the
+    point there is the handful of operators whose candidate volume can
+    go superlinear)."""
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]
     spark = get_spark(app_name="stress_scale")
     t0 = time.perf_counter()
     build(spark, mult)
     print(f"built {mult}x tables in {time.perf_counter()-t0:.1f}s -> {OUT}")
 
     qs = registry.queries()
-    for name in QUERIES:
+    for name in only or QUERIES:
         # Construction INSIDE the timed region: operators with eager
         # checkpoints (connected components) do real work at build time.
         t0 = time.perf_counter()

@@ -1657,3 +1657,75 @@ def mmr_diverse_topk(
         F.col("rel").cast("double").alias("rel_d"),
         F.col("score").cast("double").alias("score_d"),
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 32,
+    k: int = 3,
+    dup_threshold: float = 0.4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor (the first ``n_queries`` vec_ids), the ``k`` most-similar
+    corpus vectors strictly BELOW the near-duplicate threshold —
+    semantically close but provably not duplicates, the negatives that
+    make an InfoNCE/SimCLR batch informative. Vectors at or above
+    ``dup_threshold`` (the verified embedding_near_dup_pairs contract)
+    are excluded as false negatives; the ``label_match`` flag marks
+    negatives sharing the anchor's label (candidate false negatives a
+    curator reviews before training).
+
+    Scale shape: the anchor side is the bounded probe set (broadcast is
+    of the CORPUS here only because brute-force is the oracle baseline —
+    the serving path swaps the candidate generator for the LSH/IVF
+    bucketed form exactly like embedding_topk_*); the rank window is
+    keyed by anchor, never global."""
+    emb = _as_double(embeddings).select("vec_id", "label", "embedding")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("alabel"),
+            F.col("embedding").alias("q_emb"),
+        ),
+        "q_emb",
+        "q_norm",
+    )
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("nlabel"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        "c_emb",
+        "c_norm",
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            _cosine_prenormed(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+            F.when(F.col("nlabel") == F.col("alabel"), 1)
+            .otherwise(0)
+            .alias("label_match"),
+        )
+    )
+    neg = scored.filter(F.col("cosine") < dup_threshold)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "cosine",
+            F.col("label_match").cast("double").alias("label_match_d"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -167,24 +167,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",
     # stateful-streaming maintenance family
     "streaming_wallet_balance",
-    # dedup/graph family keeps
+    # dedup/graph family keeps (containment r07 yields to the round-8
+    # corpus-archive wire — WARC/1.0 over RFC-1952 gzip members)
     "bfs_hops_near_dup",
-    "ngram_containment_pairs",
+    "warc_gz_source_roundtrip",
     "dbscan_embedding_clusters",
-    # embedding/exact-training family keeps
+    # embedding/exact-training family keeps; the contrastive
+    # hard-negative miner (round 8) takes roc_auc's r07 slot
     "kmeans_embedding_clusters",
     "perceptron_embedding_trajectory",
-    # time-series keeps (forecast_revenue r07 yields — conformal covers
-    # the seasonal-naive forecast as a composing superset)
-    "seasonal_decompose_daily",
-    "roc_auc_purchase",
-    # multimodal keeps (bson r07 yields — the gauntlet exercises BSON)
+    "hard_negative_mining",
+    # time-series: seasonal decomposition (r07) yields to the exact
+    # Cramer multi-factor OLS; forecast_revenue r07 yields — conformal
+    # covers the seasonal-naive forecast as a composing superset
+    "ols_two_factor_revenue",
+    # multimodal keeps (bson r07 yields — the gauntlet exercises BSON;
+    # gif r07 yields to the ZIP archive codec, mu-law keeps the
+    # transcode slot)
     "multimodal_mulaw_transcode",
-    "multimodal_gif_decode",
-    # streaming family keeps
+    "zip_archive_roundtrip",
+    # streaming family keeps; the KMV twin (r07) yields to the
+    # zone-map pruning audit (the lakehouse-layout family's first
+    # driver candidate since zorder r04)
     "streaming_stump_ingest",
     "streaming_sessionize",
-    "streaming_kmv_ingest",
+    "zonemap_prune_stats",
     "link_prediction_copurchase",
 )
 

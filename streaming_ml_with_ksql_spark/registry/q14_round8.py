@@ -129,3 +129,253 @@ def q_zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("m").cast("double").alias("rows_matched_d"),
     )
+
+
+_OLS2_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             CAST((datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', o_orderdate)) + 3) % 7 >= 5
+               AS BIGINT) AS w,
+             sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE)) AS BIGINT))
+               AS y
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(t) AS HUGEINT) AS st,
+             CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(t * t) AS HUGEINT) AS stt,
+             CAST(sum(t * w) AS HUGEINT) AS stw,
+             CAST(sum(w * w) AS HUGEINT) AS sww,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(t * y) AS HUGEINT) AS sty,
+             CAST(sum(w * y) AS HUGEINT) AS swy
+      FROM daily),
+    d AS (
+      SELECT n,
+        n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)
+          + sw*(st*stw - stt*sw) AS det,
+        sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)
+          + sw*(sty*stw - stt*swy) AS det0,
+        n*(sty*sww - swy*stw) - sy*(st*sww - stw*sw)
+          + sw*(st*swy - sty*sw) AS det1,
+        n*(stt*swy - stw*sty) - st*(st*swy - sty*sw)
+          + sy*(st*stw - stt*sw) AS det2
+      FROM m)
+    SELECT CAST(n AS DOUBLE) AS n_days_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det0 >= 0 THEN (det0 * 1000) // det
+                  ELSE -((-det0 * 1000) // det) END AS DOUBLE) END
+             AS b0_microd_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det1 >= 0 THEN (det1 * 1000) // det
+                  ELSE -((-det1 * 1000) // det) END AS DOUBLE) END
+             AS b1_microd_per_day_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det2 >= 0 THEN (det2 * 1000) // det
+                  ELSE -((-det2 * 1000) // det) END AS DOUBLE) END
+             AS b2_microd_weekend_d
+    FROM d
+"""
+
+
+@register("ols_two_factor_revenue", _OLS2_ORACLE)
+def q_ols_two_factor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT multiple linear regression in-engine: daily revenue (milli-
+    dollar BIGINT) on intercept + day-index trend + weekend flag, solved
+    by Cramer's rule on the 3x3 normal equations with every determinant
+    a 128-bit integer (DECIMAL(38,0) / HUGEINT — the CUPED overflow
+    discipline; Gram moments fit BIGINT through sf10, determinant terms
+    peak ~1e32 << 1e38). No matrix library, no float accumulation
+    anywhere: the only divisions are the final coefficient ratios,
+    emitted as micro-dollar integers with an explicit truncate-toward-
+    zero form (DuckDB's // floors where Spark's div truncates — they
+    agree only through the ABS trick; det > 0 because X'X is positive
+    definite). Extends the exact-trainer family (perceptron, stumps,
+    k-means) to closed-form multi-factor OLS — the per-user simple-OLS
+    twin is user_value_trend_fit. One day-level aggregate, one 1-row
+    moment fold; nothing scales with row count past the first groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t"),
+        F.expr(
+            "CAST((datediff(date_trunc('day', o_orderdate),"
+            " DATE '1970-01-01') + 3) % 7 >= 5 AS BIGINT)"
+        ).alias("w"),
+    ).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE)) AS BIGINT))"
+        ).alias("y")
+    )
+    m = daily.agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("sw"),
+        F.expr("CAST(sum(t * t) AS DECIMAL(38,0))").alias("stt"),
+        F.expr("CAST(sum(t * w) AS DECIMAL(38,0))").alias("stw"),
+        F.expr("CAST(sum(w * w) AS DECIMAL(38,0))").alias("sww"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(t * y) AS DECIMAL(38,0))").alias("sty"),
+        F.expr("CAST(sum(w * y) AS DECIMAL(38,0))").alias("swy"),
+    )
+    d = m.select(
+        "n",
+        F.expr(
+            "n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)"
+            " + sw*(st*stw - stt*sw)"
+        ).alias("det"),
+        F.expr(
+            "sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)"
+            " + sw*(sty*stw - stt*swy)"
+        ).alias("det0"),
+        F.expr(
+            "n*(sty*sww - swy*stw) - sy*(st*sww - stw*sw)"
+            " + sw*(st*swy - sty*sw)"
+        ).alias("det1"),
+        F.expr(
+            "n*(stt*swy - stw*sty) - st*(st*swy - sty*sw)"
+            " + sy*(st*stw - stt*sw)"
+        ).alias("det2"),
+    )
+
+    def coef(num: str) -> str:
+        return (
+            f"CASE WHEN det <= 0 THEN NULL ELSE CAST("
+            f"CASE WHEN {num} >= 0 THEN ({num} * 1000) div det "
+            f"ELSE -((-{num} * 1000) div det) END AS DOUBLE) END"
+        )
+
+    return d.select(
+        F.col("n").cast("double").alias("n_days_d"),
+        F.expr(coef("det0")).alias("b0_microd_d"),
+        F.expr(coef("det1")).alias("b1_microd_per_day_d"),
+        F.expr(coef("det2")).alias("b2_microd_weekend_d"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id AS anchor_id, label AS alabel, e AS qe
+      FROM emb WHERE vec_id < 32),
+    scored AS (
+      SELECT anchor_id, c.vec_id AS negative_id,
+             round(list_dot_product(qe, c.e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine,
+             CASE WHEN c.label = alabel THEN 1 ELSE 0 END AS label_match
+      FROM q CROSS JOIN emb c WHERE c.vec_id != anchor_id),
+    neg AS (SELECT * FROM scored WHERE cosine < 0.4),
+    ranked AS (
+      SELECT anchor_id, negative_id, cosine, label_match,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, negative_id ASC) AS INT) AS rnk
+      FROM neg)
+    SELECT anchor_id, negative_id, cosine,
+           CAST(label_match AS DOUBLE) AS label_match_d, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data curation (similarity.hard_negative_topk):
+    per anchor, the 3 hardest negatives — highest cosine strictly below
+    the verified near-duplicate threshold (0.4, the
+    embedding_near_dup_pairs contract) — with the label-collision flag
+    for false-negative review. The dedup screen and the retrieval
+    ranking compose into the training-batch miner; the oracle restates
+    both stages over the same double-cast embeddings, so the mined
+    pairs hash-check exactly."""
+    return similarity.hard_negative_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "zip_archive_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 2 = 1 AS INT) * 8 AS method,
+           CAST(octet_length(encode(text)) AS DOUBLE) AS n_bytes_d,
+           text
+    FROM documents
+    """,
+)
+def q_zip_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER bulk-corpus archive wire (sources/zip_py.py): documents
+    packed into per-shard ZIP archives — local headers, central
+    directory, EOCD locator per PKWARE's public APPNOTE.TXT, members
+    alternating STORED/DEFLATE by doc_id parity so both code paths run
+    on real data — then located, cross-checked (central vs local
+    header), CRC-32-verified, and extracted back to typed columns. The
+    parquet table is the oracle; a hash match proves the whole archive
+    chain lossless including UTF-8 byte counts. Scale shape mirrors
+    warc_gz_source_roundtrip: one shard shuffle, narrow Arrow maps."""
+    from ..sources import zip_py
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zip_py.decode_zip(zip_py.encode_zip(docs, shards=16))
+    return out.select(
+        "doc_id",
+        "method",
+        F.col("n_bytes").cast("double").alias("n_bytes_d"),
+        "text",
+    )
+
+
+_EVENT_ZONEMAP_ORACLE = """
+    WITH f AS (
+      SELECT event_id // 256 AS file_id,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value >= 0)
+    SELECT file_id,
+           CAST(min(v) AS DOUBLE) AS lo_d,
+           CAST(max(v) AS DOUBLE) AS hi_d,
+           CAST(count(*) AS DOUBLE) AS n_rows_d,
+           CAST(max(v) >= 300 AS INT) AS scanned
+    FROM f GROUP BY 1
+"""
+
+
+@register("streaming_zonemap_ingest", _EVENT_ZONEMAP_ORACLE)
+def q_streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps maintained CONTINUOUSLY — how a real lakehouse keeps
+    its manifests: the events replay emits stateless (file-id, value)
+    rows (file = ingest batch of 256 event ids), ONE complete-mode
+    groupBy keeps each file's min/max/count (all mergeable — bounded
+    state, one row per file), and the drained table carries the
+    scanned flag for a high-value scan (v >= 300 — chosen to SPLIT the
+    files: per-file maxima span ~190..560, so the flag is
+    non-degenerate at every SF, the r7 vacuous-oracle lesson). Streaming twin #13: the pruning statistics update
+    per micro-batch without rescanning history, so planner decisions
+    stay current while data lands."""
+    from .q04_streamksql import _STREAM_SEQ, _replay_events
+
+    stream = _replay_events(spark, sf_dir)
+    f = stream.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.expr("event_id div 256").alias("file_id"),
+        F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+    )
+    zm = f.groupBy("file_id").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    h = stream_sinks.run_to_memory(
+        zm,
+        f"reg_stream_zonemap_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    )
+    return h.select(
+        "file_id",
+        F.col("lo").cast("double").alias("lo_d"),
+        F.col("hi").cast("double").alias("hi_d"),
+        F.col("n").cast("double").alias("n_rows_d"),
+        (F.col("hi") >= 300).cast("int").alias("scanned"),
+    )

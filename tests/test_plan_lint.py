@@ -89,13 +89,17 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
     ),
     "bounded probe/query set": (
         "ANN/classification serve path: the corpus side streams, the "
-        "broadcast side is the <= 100-row probe set (serving contract)",
+        "broadcast side is the <= 100-row probe set (serving contract); "
+        "the brute-force oracle baselines broadcast the byte-small "
+        "embeddings table instead — the serve twins (lsh/ivf) swap in "
+        "the bucketed candidate generator",
         frozenset(
             {
                 "knn_loo_classification",
                 "text_semantic_search",
                 "embedding_topk_bruteforce",
                 "embedding_topk_ivf",
+                "hard_negative_mining",
             }
         ),
     ),

@@ -1,0 +1,316 @@
+"""Round-8 operators: WARC/gzip corpus wire, zone-map pruning, exact
+Cramer OLS, hard-negative mining."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.sources import warc_py
+from tests.oracle import assert_query_matches
+
+ROUND8 = [
+    "warc_gz_source_roundtrip",
+    "zip_archive_roundtrip",
+    "zonemap_prune_stats",
+    "ols_two_factor_revenue",
+    "hard_negative_mining",
+]
+
+ROUND8_STREAMING = ["streaming_zonemap_ingest"]
+
+
+@pytest.mark.parametrize("name", ROUND8)
+def test_round8_query_matches_oracle(spark, sf_medium, name):
+    assert_query_matches(spark, name, sf_medium)
+
+
+@pytest.mark.parametrize("name", ROUND8_STREAMING)
+def test_round8_streaming_matches_oracle(spark, sf_small, name):
+    assert_query_matches(spark, name, sf_small)
+
+
+# --------------------------------------------------------------------------
+# gzip member codec (RFC 1952)
+# --------------------------------------------------------------------------
+
+
+def test_gzip_member_roundtrip_and_stdlib_compat():
+    import gzip as stdlib_gzip
+
+    payloads = [b"", b"a", b"hello world" * 100, bytes(range(256)) * 7]
+    blob = b"".join(warc_py.gzip_member(p) for p in payloads)
+    assert warc_py.gunzip_members(blob) == payloads
+    # our members are REAL gzip: the stdlib reads them too
+    assert stdlib_gzip.decompress(warc_py.gzip_member(payloads[2])) == payloads[2]
+    # byte-stable encode (MTIME pinned)
+    assert warc_py.gzip_member(b"x") == warc_py.gzip_member(b"x")
+
+
+def test_gunzip_parses_foreign_flag_fields():
+    """A foreign writer may set FNAME/FEXTRA/FCOMMENT/FHCRC — the parser
+    must skip them and still verify the trailer (the stdlib writes FNAME
+    when given a filename)."""
+    data = b"payload from a foreign writer"
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = co.compress(data) + co.flush()
+    extra = b"ab" + struct.pack("<H", 4) + b";;;;"
+    header = (
+        b"\x1f\x8b\x08"
+        + bytes([warc_py._FEXTRA | warc_py._FNAME | warc_py._FCOMMENT])
+        + b"\x00\x00\x00\x00\x02\x03"
+        + struct.pack("<H", len(extra))
+        + extra
+        + b"somefile.warc\x00"
+        + b"a comment\x00"
+    )
+    trailer = struct.pack("<II", zlib.crc32(data), len(data))
+    assert warc_py.gunzip_members(header + deflated + trailer) == [data]
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda b: b[:5], "truncated gzip header"),
+        (lambda b: b"XX" + b[2:], "bad gzip magic"),
+        (lambda b: b[:2] + b"\x07" + b[3:], "unsupported gzip CM"),
+        (lambda b: b[:-9], "truncated"),
+        (
+            lambda b: b[:-8] + struct.pack("<I", 0xDEADBEEF) + b[-4:],
+            "CRC mismatch",
+        ),
+        (lambda b: b[:-4] + struct.pack("<I", 12345), "ISIZE mismatch"),
+        # a bit-flip inside the DEFLATE stream surfaces as whichever
+        # check it reaches first: stream corruption, a short stream, or
+        # the CRC of wrongly-inflated bytes
+        (
+            lambda b: b[:12] + bytes([b[12] ^ 0xFF]) + b[13:],
+            "corrupt DEFLATE|truncated DEFLATE|CRC mismatch|ISIZE mismatch",
+        ),
+    ],
+)
+def test_gunzip_rejects_poisoned_members(mutate, msg):
+    good = warc_py.gzip_member(b"the quick brown fox" * 20)
+    with pytest.raises(ValueError, match=msg):
+        warc_py.gunzip_members(mutate(good))
+
+
+# --------------------------------------------------------------------------
+# WARC record framing
+# --------------------------------------------------------------------------
+
+
+def test_warc_record_roundtrip_and_poison():
+    payload = "héllo wörld".encode("utf-8")
+    rec = warc_py.warc_record(
+        {"WARC-Type": "response", "WARC-Target-URI": "http://x/1"}, payload
+    )
+    headers, body = warc_py.parse_warc(rec)
+    assert body == payload
+    assert headers["Content-Length"] == str(len(payload))
+    assert headers["WARC-Type"] == "response"
+
+    with pytest.raises(ValueError, match="no header terminator"):
+        warc_py.parse_warc(rec[:20])
+    with pytest.raises(ValueError, match="bad WARC version"):
+        warc_py.parse_warc(b"WARC/9.9" + rec[8:])
+    with pytest.raises(ValueError, match="length mismatch"):
+        warc_py.parse_warc(rec[:-6] + rec[-4:])
+    with pytest.raises(ValueError, match="CRLF"):
+        warc_py.warc_record({"K": "a\nb"}, b"")
+
+
+def test_warc_gz_shards_split_at_member_boundaries(spark, sf_small):
+    """Each shard blob must parse standalone (the boundary-parallel
+    property), and shard count bounds the blobs."""
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    blobs = warc_py.encode_warc_gz(docs, shards=8).collect()
+    assert 0 < len(blobs) <= 8
+    seen = 0
+    for row in blobs:
+        members = warc_py.gunzip_members(bytes(row.blob))
+        assert members
+        for m in members:
+            h, _ = warc_py.parse_warc(m)
+            assert int(h["Content-Length"]) >= 0
+        seen += len(members)
+    assert seen == docs.count()
+
+
+# --------------------------------------------------------------------------
+# exact OLS via Cramer
+# --------------------------------------------------------------------------
+
+
+def test_ols_two_factor_matches_float_reference(spark, sf_medium):
+    """The integer Cramer solution must agree with a float least-squares
+    reference (numpy lstsq) to within the micro-dollar truncation."""
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    row = _REGISTRY["ols_two_factor_revenue"].spark(
+        spark, sf_medium
+    ).collect()[0]
+
+    orders = io_mod.load_table(spark, sf_medium, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.date_trunc("day", F.col("o_orderdate")),
+                F.lit("1995-01-01").cast("timestamp"),
+            ).alias("t")
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE))"
+                " AS BIGINT))"
+            ).alias("y")
+        )
+        .collect()
+    )
+    t = np.array([r.t for r in daily], dtype=float)
+    w = (((t + (np.datetime64("1995-01-01") - np.datetime64("1970-01-01"))
+          / np.timedelta64(1, "D")) + 3) % 7 >= 5).astype(float)
+    y = np.array([r.y for r in daily], dtype=float)
+    X = np.column_stack([np.ones_like(t), t, w])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    # engine output is milli-dollar coefficients scaled 1000 (micro-d)
+    assert abs(row.b0_microd_d / 1000.0 - beta[0]) <= max(1.0, abs(beta[0]) * 1e-9)
+    assert abs(row.b1_microd_per_day_d / 1000.0 - beta[1]) <= max(
+        1.0, abs(beta[1]) * 1e-9
+    )
+    assert abs(row.b2_microd_weekend_d / 1000.0 - beta[2]) <= max(
+        1.0, abs(beta[2]) * 1e-9
+    )
+    assert row.n_days_d == len(daily)
+
+
+# --------------------------------------------------------------------------
+# zone-map pruning
+# --------------------------------------------------------------------------
+
+
+def test_zonemap_clustered_layout_prunes(spark, sf_medium):
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    rows = {
+        r.layout: r
+        for r in _REGISTRY["zonemap_prune_stats"].spark(
+            spark, sf_medium
+        ).collect()
+    }
+    ins, dc = rows["insert_order"], rows["date_clustered"]
+    # same ground truth under both layouts
+    assert ins.rows_matched_d == dc.rows_matched_d > 0
+    assert ins.rows_total_d == dc.rows_total_d
+    # pruning is never allowed to lose matches: scanned >= matched
+    for r in (ins, dc):
+        assert r.rows_scanned_d >= r.rows_matched_d
+        assert r.files_scanned_d <= r.n_files_d
+    # the clustered layout actually prunes; insert-order cannot
+    assert dc.rows_scanned_d < ins.rows_scanned_d / 10
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining
+# --------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_near_duplicates(spark, sf_medium):
+    """No mined negative may be a near-duplicate of its anchor (the
+    false-negative screen), every anchor gets exactly k rows, and ranks
+    order by cosine descending."""
+    from streaming_ml_with_ksql_spark.operators import similarity
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["hard_negative_mining"].spark(spark, sf_medium).collect()
+    assert out
+    per_anchor: dict[int, list] = {}
+    for r in out:
+        assert r.cosine < 0.4
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+    for rows in per_anchor.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+    dup = {
+        (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+        for r in similarity.embedding_near_dup_pairs(
+            io_mod.load_table(spark, sf_medium, "embeddings")
+        ).collect()
+    }
+    for r in out:
+        key = (min(r.anchor_id, r.negative_id), max(r.anchor_id, r.negative_id))
+        assert key not in dup
+
+
+# --------------------------------------------------------------------------
+# ZIP archive codec
+# --------------------------------------------------------------------------
+
+
+def test_zip_roundtrip_and_stdlib_compat():
+    import io
+    import zipfile
+
+    from streaming_ml_with_ksql_spark.sources import zip_py
+
+    members = [
+        ("1.txt", b"hello", zip_py.DEFLATED),
+        ("2.txt", b"world" * 100, zip_py.STORED),
+        ("3.txt", b"", zip_py.STORED),
+        ("uñicode.txt", "héllo".encode(), zip_py.DEFLATED),
+    ]
+    blob = zip_py.zip_archive(members)
+    assert zip_py.unzip_archive(blob) == members
+    assert zip_py.zip_archive(members) == blob  # byte-stable
+    # our archives are REAL zips: the stdlib reads every member
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    for name, data, _m in members:
+        assert zf.read(name) == data
+    # and we read stdlib-written archives (both methods)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr("a.txt", b"stored stuff", zipfile.ZIP_STORED)
+        out.writestr("b.txt", b"deflated stuff" * 50, zipfile.ZIP_DEFLATED)
+    got = {n: d for n, d, _m in zip_py.unzip_archive(buf.getvalue())}
+    assert got == {
+        "a.txt": b"stored stuff",
+        "b.txt": b"deflated stuff" * 50,
+    }
+
+
+def test_zip_rejects_poisoned_archives():
+    import struct as _s
+
+    from streaming_ml_with_ksql_spark.sources import zip_py
+
+    good = zip_py.zip_archive([("1.txt", b"payload" * 30, zip_py.DEFLATED)])
+    with pytest.raises(ValueError, match="no ZIP end-of-central"):
+        zip_py.unzip_archive(good.replace(b"PK\x05\x06", b"PK\x07\x07"))
+    # flip a bit in the stored CRC (local + central both, else the
+    # cross-check fires first)
+    crc_at = good.index(b"PK\x03\x04") + 14
+    bad = bytearray(good)
+    bad[crc_at] ^= 0xFF
+    with pytest.raises(ValueError, match="mismatch"):
+        zip_py.unzip_archive(bytes(bad))
+    # truncate the member data region
+    with pytest.raises(ValueError, match="overruns|truncated|bad"):
+        zip_py.unzip_archive(good[:40] + good[60:])
+    # unsupported method in both headers
+    m_local = good.index(b"PK\x03\x04") + 8
+    m_central = good.index(b"PK\x01\x02") + 10
+    bad = bytearray(good)
+    bad[m_local : m_local + 2] = _s.pack("<H", 99)
+    bad[m_central : m_central + 2] = _s.pack("<H", 99)
+    with pytest.raises(ValueError, match="unsupported ZIP method"):
+        zip_py.unzip_archive(bytes(bad))
