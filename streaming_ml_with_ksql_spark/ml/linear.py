@@ -147,6 +147,11 @@ def fit_stump(
         F.sum("pos").alias("p"),
     )
     spark = fv.sparkSession
+    # DISTINCT: for features narrower than the grid (hour, weekday) the
+    # integer thresholds repeat across j — without dedup the split
+    # aggregation would sum the histogram once PER duplicate, inflating
+    # n_l/p_l k-fold and corrupting the right-side cost (r8 bug fix,
+    # found by the GBDT's monotone-MSE invariant).
     grid = bounds.crossJoin(
         spark.range(1, n_thresholds + 1).select(F.col("id").alias("j"))
     ).select(
@@ -154,7 +159,7 @@ def fit_stump(
         "n",
         "p",
         F.expr(f"lo + ((hi - lo) * j) div {grid_div}").alias("thr"),
-    )
+    ).distinct()
     # rename the join key on the histogram side: grid descends from hist,
     # and the self-referential join otherwise trips Spark's conflicting-
     # reference resolution on memory-sink-backed frames
@@ -198,4 +203,148 @@ def fit_stump(
         F.col("cost_ppm").cast("double").alias("cost_ppm_d"),
         F.col("n_l").cast("double").alias("n_left_d"),
         F.expr("correct * 1000000L div n").cast("double").alias("train_acc_ppm_d"),
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Python // floors; Spark's
+    div truncates; DuckDB // floors — every emitted quotient uses this
+    form, mirrored in oracles by the ABS CASE idiom)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def gbdt_stump_rounds(
+    wide: DataFrame,
+    *,
+    feature_cols: list[str],
+    y_col: str = "y",
+    rounds: int = 2,
+    n_thresholds: int = 15,
+    grid_div: int = 16,
+) -> DataFrame:
+    """Gradient-boosted REGRESSION stumps trained in-engine, exactly —
+    forward-stagewise additive modeling (Friedman 2001) with squared
+    loss, learning rate 1 and depth-1 base learners:
+
+      F0 = trunc(mean(y));  round m: fit the stump minimizing SSE on the
+      residuals, F += leaf value (trunc'd residual mean per side).
+
+    Determinism: y and all leaf values are integers (cents), residuals
+    stay integers through every round, and split SELECTION uses the
+    variance-reduction gain S_L²/n_L + S_R²/n_R computed in DOUBLE from
+    exactly-representable integers (|S| < 2^53 through sf10 with cents
+    units) — cast, *, / and + are correctly rounded identically on both
+    engines, and ties break on (fid, thr). Leaf means use
+    truncate-toward-zero so negative residual sums agree across engines
+    (Spark div truncates, DuckDB // floors — the OLS ABS idiom).
+
+    Train MSE is emitted for every stage; with learning rate 1 the
+    truncated leaf value a = trunc(m) satisfies n·a·(a − 2m) ≤ 0, so the
+    sequence is provably non-increasing (pinned in tests).
+
+    Scale shape: each round is ONE stack + groupBy histogram over the
+    corpus (map-side combined), a 45-row candidate frame, and a
+    TakeOrderedAndProject; the chosen split is a 1-row driver-bounded
+    scalar (the decision_tree_depth2 contract). Per-round passes are
+    O(rows); nothing is quadratic.
+    """
+    wide = wide.localCheckpoint(eager=True)
+    head = wide.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y_col).alias("sy")
+    ).collect()[0]
+    n_rows, sy = int(head["n"]), int(head["sy"])
+    f0 = _trunc_div(sy, n_rows)
+
+    k = len(feature_cols)
+    stack_expr = (
+        f"stack({k}, "
+        + ", ".join(f"{i + 1}, {c}" for i, c in enumerate(feature_cols))
+        + ") AS (fid, v)"
+    )
+    pred = F.lit(f0)
+    stages: list[tuple[int, int, int, int]] = []
+    mses: list[int] = []
+    for m in range(rounds + 1):
+        r = (F.col(y_col) - pred).alias("r")
+        sse = int(
+            wide.select(r).agg(F.sum(F.col("r") * F.col("r")).alias("s"))
+            .collect()[0]["s"]
+        )
+        mses.append(sse // n_rows)  # sse >= 0: floor == trunc
+        if m == rounds:
+            break
+        long = wide.select(r, *feature_cols).selectExpr(stack_expr, "r")
+        hist = long.groupBy("fid", "v").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("r").alias("s")
+        )
+        bounds = hist.groupBy("fid").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n"),
+            F.sum("s").alias("st"),
+        )
+        spark = wide.sparkSession
+        grid = bounds.crossJoin(
+            spark.range(1, n_thresholds + 1).select(F.col("id").alias("j"))
+        ).select(
+            "fid",
+            "n",
+            "st",
+            F.expr(f"lo + ((hi - lo) * j) div {grid_div}").alias("thr"),
+        ).distinct()  # narrow features repeat thresholds (see fit_stump)
+        h2 = hist.select(F.col("fid").alias("hfid"), "v", "cnt", "s")
+        split = (
+            grid.join(h2, F.col("fid") == F.col("hfid"))
+            .drop("hfid")
+            .groupBy("fid", "thr", "n", "st")
+            .agg(
+                F.sum(F.expr("CASE WHEN v <= thr THEN cnt ELSE 0 END")).alias(
+                    "n_l"
+                ),
+                F.sum(F.expr("CASE WHEN v <= thr THEN s ELSE 0 END")).alias(
+                    "s_l"
+                ),
+            )
+        )
+        scored = split.select(
+            "fid",
+            "thr",
+            "n",
+            "n_l",
+            "s_l",
+            (F.col("st") - F.col("s_l")).alias("s_r"),
+            F.expr(
+                "CASE WHEN n_l = 0 OR n - n_l = 0 THEN CAST(-1 AS DOUBLE)"
+                " ELSE CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l"
+                " + CAST(st - s_l AS DOUBLE) * CAST(st - s_l AS DOUBLE)"
+                " / (n - n_l) END"
+            ).alias("gain"),
+        )
+        best = scored.orderBy(
+            F.col("gain").desc(), F.col("fid").asc(), F.col("thr").asc()
+        ).limit(1).collect()[0]
+        fid, thr = int(best["fid"]), int(best["thr"])
+        lv = _trunc_div(int(best["s_l"]), int(best["n_l"]))
+        rv = _trunc_div(int(best["s_r"]), int(best["n"]) - int(best["n_l"]))
+        stages.append((fid, thr, lv, rv))
+        fcol = F.col(feature_cols[fid - 1])
+        pred = pred + F.when(fcol <= thr, F.lit(lv)).otherwise(F.lit(rv))
+
+    spark = wide.sparkSession
+    out = [
+        ("n_d", float(n_rows)),
+        ("f0_cents_d", float(f0)),
+    ]
+    for i, (fid, thr, lv, rv) in enumerate(stages, start=1):
+        out += [
+            (f"fid{i}_d", float(fid)),
+            (f"thr{i}_d", float(thr)),
+            (f"lv{i}_cents_d", float(lv)),
+            (f"rv{i}_cents_d", float(rv)),
+        ]
+    for i, mse in enumerate(mses):
+        out.append((f"mse{i}_centi2_d", float(mse)))
+    return spark.range(1).select(
+        *[F.lit(v).alias(name) for name, v in out]
     )

@@ -237,3 +237,98 @@ def dbscan_from_pairs(
         .cast("long")
         .alias("cluster_id"),
     )
+
+
+def dbscan_from_weighted_pairs(
+    members: DataFrame,
+    rep_pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    rep_col: str = "rep",
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    min_neighbors: int = 2,
+) -> DataFrame:
+    """dbscan_from_pairs with EXACT-duplICATE points collapsed to
+    weighted representatives — the scale fix for duplicate-heavy
+    corpora, where the expanded eps-graph carries a clique per
+    duplicate group (quadratic in multiplicity: the r8 100x stress
+    killed the JVM on exactly this — 5k originals x 100 replicas =
+    24.7M intra-clique edges before a single informative pair).
+
+    ``members``: (id, rep) with rep = MIN id among copies of the same
+    point; ``rep_pairs``: the eps pair list over DISTINCT points only.
+    Output is IDENTICAL to dbscan_from_pairs over the expanded pair
+    list (pinned by test):
+
+    - every copy of rep r has the same eps-neighborhood, of weighted
+      size (m_r - 1) + sum(m) over r's distinct eps-neighbors
+      (self-similarity puts same-point copies inside any eps ball), so
+      core status is per-rep;
+    - rep-level components of core-core edges label clusters by min
+      rep, which IS the min member id (rep = min of its copies);
+    - border/noise per rep, inherited by every copy.
+
+    Every step is a key join/groupBy on O(distinct pairs) edges.
+    """
+    from .graph import connected_components
+
+    members = members.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(rep_col).cast("long").alias("u"),
+    ).localCheckpoint(eager=True)
+    mw = members.groupBy("u").agg(F.count(F.lit(1)).alias("m"))
+    e = rep_pairs.select(
+        F.col(a_col).cast("long").alias("u"),
+        F.col(b_col).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr_w = (
+        sym.join(mw.select(F.col("u").alias("v"), F.col("m").alias("mv")), "v")
+        .groupBy("u")
+        .agg(F.sum("mv").alias("w_out"))
+    )
+    deg = mw.join(nbr_w, "u", "left").select(
+        "u",
+        (F.col("m") - 1 + F.coalesce("w_out", F.lit(0))).alias("d"),
+    )
+    core = deg.where(F.col("d") >= min_neighbors).select("u")
+    core_edges = sym.join(core, "u").join(
+        core.select(F.col("u").alias("v")), "v"
+    )
+    comp = connected_components(
+        core_edges,
+        core.select(F.col("u").alias("id")),
+        src="u",
+        dst="v",
+        id_col="id",
+        algorithm="star",
+    )
+    core_lab = comp.select(
+        F.col("id").alias("u"), F.col("component").alias("cluster_id")
+    )
+    border_lab = (
+        sym.join(core_lab.select(F.col("u").alias("v"), "cluster_id"), "v")
+        .join(core, "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = (
+        members.join(
+            core_lab.withColumnRenamed("cluster_id", "core_cid"), "u", "left"
+        ).join(
+            border_lab.withColumnRenamed("cluster_id", "border_cid"),
+            "u",
+            "left",
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("core_cid").isNotNull(), F.lit("core"))
+        .when(F.col("border_cid").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce("core_cid", "border_cid", F.lit(-1))
+        .cast("long")
+        .alias("cluster_id"),
+    )

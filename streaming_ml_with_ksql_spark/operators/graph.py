@@ -698,3 +698,90 @@ def hits_bipartite(
             "hs",
         )
     return hubs, auths
+
+
+def propagate_labels_weighted(
+    rep_pairs: DataFrame,
+    seed_groups: DataFrame,
+    unlabeled: DataFrame,
+    *,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "node",
+    label_col: str = "lbl",
+    weight_col: str = "w",
+) -> DataFrame:
+    """propagate_labels over a corpus whose EXACT-duplICATE vertices are
+    collapsed to weighted representatives — the r8 scale fix for
+    duplicate-heavy graphs (the 100x stress filled the disk with the
+    expanded jaccard pair shuffle before a single propagation round).
+
+    Model: each rep carries labeled VOTER groups (``seed_groups``:
+    (node, lbl, w) — per-label seed member counts; labels may conflict
+    within a rep, each group votes its own label) and one unlabeled
+    block (``unlabeled``: (node, w) — the non-seed member count).
+    ``rep_pairs`` are edges between DISTINCT points; a self-loop is
+    implied (siblings of the same rep are mutual neighbors at
+    similarity 1). Every unlabeled copy of a rep sees the IDENTICAL
+    vote multiset — labeled siblings plus labeled members of
+    neighboring reps, each weighted by member count — so the whole
+    block labels in one decision, exactly reproducing per-copy
+    propagate_labels over the expanded graph (pinned by test).
+
+    Returns (id_col, label_col, round, weight_col): seeds at round 0
+    (one row per rep-label group), unlabeled blocks at the round they
+    label. Blocks never reached are absent.
+    """
+    e = rep_pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # sibling votes: same-rep labeled groups reach the rep's block
+        .unionByName(
+            seed_groups.select(F.col(id_col).alias("u"))
+            .unionByName(unlabeled.select(F.col(id_col).alias("u")))
+            .distinct()
+            .select("u", F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    voters = seed_groups.select(
+        F.col(id_col).alias("u"),
+        F.col(label_col).alias("lbl"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=True)
+    pending = unlabeled.select(
+        F.col(id_col).alias("u"), F.col(weight_col).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    for k in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                voters.select(F.col("u").alias("v"), "lbl", "w"), "v"
+            )
+            .join(pending.select("u"), "u", "left_semi")
+            .groupBy("u", "lbl")
+            .agg(F.sum("w").alias("cnt"))
+        )
+        wnd = Window.partitionBy("u").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        newly = (
+            votes.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") == 1)
+            .select("u", "lbl")
+        )
+        newly_w = newly.join(pending, "u").select(
+            "u", "lbl", "w", F.lit(k).alias("round")
+        ).localCheckpoint(eager=True)
+        voters = voters.unionByName(newly_w).localCheckpoint(eager=True)
+        pending = pending.join(newly_w.select("u"), "u", "left_anti")
+        pending = pending.localCheckpoint(eager=True)
+    return voters.select(
+        F.col("u").alias(id_col),
+        F.col("lbl").alias(label_col),
+        "round",
+        F.col("w").alias(weight_col),
+    )

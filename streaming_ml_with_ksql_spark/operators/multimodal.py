@@ -2055,14 +2055,35 @@ def image_near_dup_pairs_dhash(
             f"(got {max_hamming}); raise the band count for larger radii"
         )
     cols = ["doc_id", "b0", "b1", "b2", "b3"]
-    a = hashes.select([F.col(c).alias(f"{c}_a") for c in cols])
-    b = hashes.select([F.col(c).alias(f"{c}_b") for c in cols])
-    cand = None
-    for k in range(4):
-        j = a.join(b, F.col(f"b{k}_a") == F.col(f"b{k}_b")).filter(
-            F.col("doc_id_a") < F.col("doc_id_b")
+    # ONE (band-index, band-value)-keyed equi-join over the 4x-exploded
+    # hash table instead of a union of four separate joins: identical
+    # candidate set (a pair collides on band k iff it joins at bi = k),
+    # but a single join stage — the 4-join union paid ~4x fixed
+    # job-scheduling overhead on byte-small hash tables (r8 measured
+    # 2.7 s of it at sf0.1).
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("bi"), F.col(f"b{k}").alias("bv")
+                )
+                for k in range(4)
+            ]
         )
-        cand = j if cand is None else cand.unionByName(j)
+    )
+    def _banded(df, suffix: str):
+        return df.select(
+            *[F.col(c).alias(f"{c}_{suffix}") for c in cols],
+            bands.alias("band"),
+        ).select(
+            *[f"{c}_{suffix}" for c in cols], "band.bi", "band.bv"
+        )
+
+    a = _banded(hashes, "a")
+    b = _banded(hashes, "b")
+    cand = a.join(b, ["bi", "bv"]).filter(
+        F.col("doc_id_a") < F.col("doc_id_b")
+    )
     hamming = sum(
         F.bit_count(
             F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")).cast("bigint")

@@ -174,8 +174,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dbscan_embedding_clusters",
     # embedding/exact-training family keeps; the contrastive
     # hard-negative miner (round 8) takes roc_auc's r07 slot
+    # (perceptron r07 yields to round-8's gradient-boosted stumps —
+    # k-means keeps the exact-trainer anchor)
     "kmeans_embedding_clusters",
-    "perceptron_embedding_trajectory",
+    "gbdt_stump_boost",
     "hard_negative_mining",
     # time-series: seasonal decomposition (r07) yields to the exact
     # Cramer multi-factor OLS; forecast_revenue r07 yields — conformal

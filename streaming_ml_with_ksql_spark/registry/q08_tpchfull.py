@@ -884,11 +884,34 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → hash → band-join → components chain hash-checks as one
     statement."""
     docs = _t(spark, sf_dir, "documents")
-    hashes = _dhash_table(spark, sf_dir)
-    pairs = multimodal.image_near_dup_pairs_dhash(hashes, max_hamming=3)
+    hashes = _dhash_table(spark, sf_dir).localCheckpoint(eager=True)
+    # Collapse EXACT-duplicate hashes to one representative before the
+    # banded join: members of a rep share its hash bit-for-bit, so
+    # hamming(d1, d2) == hamming(rep1, rep2) and the connectivity
+    # relation — hence the output — is exactly the all-pairs one the
+    # recursive-CTE oracle states. Without this the pair volume is
+    # quadratic in clique size (sf0.1: 3.4M pairs from 5k images, ~7 s
+    # of star-contraction on edges that carry no extra information);
+    # with it the join runs over distinct hashes only and members
+    # attach by ONE equi-join edge each. This is also the 100 TB shape:
+    # canonicalize exact dupes first, band-join the survivors.
+    reps = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("doc_id").alias("rep")
+    )
+    rep_hashes = reps.select(
+        F.col("rep").alias("doc_id"), "b0", "b1", "b2", "b3"
+    )
+    rep_pairs = multimodal.image_near_dup_pairs_dhash(
+        rep_hashes, max_hamming=3
+    ).select("doc_a", "doc_b")
+    members = (
+        hashes.join(reps, ["b0", "b1", "b2", "b3"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
     return graph.dedup_groups(
         docs,
-        pairs,
+        rep_pairs.unionByName(members),
         id_col="doc_id",
         a_col="doc_a",
         b_col="doc_b",

@@ -66,10 +66,26 @@ def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the dedup components' transitive closure both miss (a sparse
     bridge point is 'noise' here but merges components there).
     Per-vertex output over ALL vec_ids; deterministic at any
-    partitioning (operators/clustering.py dbscan_from_pairs)."""
+    partitioning.
+
+    r8: bit-identical vectors collapse to a weighted representative
+    BEFORE the GEMM (copies share neighborhoods; rep = min vec_id makes
+    rep-level component minima the member minima, so the output — and
+    the unchanged oracle — is exactly dbscan_from_pairs over the
+    expanded graph, pinned by test). On duplicate-free testdata this is
+    a no-op groupBy; under the 100x replicated stress it is the
+    difference between 24.7M clique edges (JVM death) and a linear
+    member join (operators/clustering.py dbscan_from_weighted_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs_blocked(emb)
-    out = clustering.dbscan_from_pairs(emb, pairs, min_neighbors=2)
+    em = emb.select("vec_id", "embedding")
+    reps = em.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    members = em.join(reps, "embedding").select("vec_id", "rep")
+    rep_pairs = similarity.embedding_near_dup_pairs_blocked(
+        reps.select(F.col("rep").alias("vec_id"), "embedding")
+    )
+    out = clustering.dbscan_from_weighted_pairs(
+        members, rep_pairs, min_neighbors=2
+    )
     return out.select(
         "vec_id",
         "role",
@@ -550,7 +566,7 @@ def q_session_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
              sum(cnt) AS n, sum(pos) AS p
       FROM hist GROUP BY 1),
     grid AS (
-      SELECT dim, lo, hi, n, p, j,
+      SELECT DISTINCT dim, n, p,
              lo + ((hi - lo) * j) // 16 AS thr
       FROM bounds CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
     split AS (
@@ -619,7 +635,7 @@ def q_decision_stump_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1, 16).select(F.col("id").alias("j"))
     ).select(
         "dim", "n", "p", F.expr("lo + ((hi - lo) * j) div 16").alias("thr")
-    )
+    ).distinct()  # narrow dims repeat thresholds (see ml/linear.py fix)
     split = (
         grid.join(hist, "dim")
         .groupBy("dim", "thr", "n", "p")
@@ -743,7 +759,7 @@ bounds AS (
   SELECT fid, min(v) AS lo, max(v) AS hi, sum(cnt) AS n, sum(pos) AS p
   FROM hist GROUP BY 1),
 grid AS (
-  SELECT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
+  SELECT DISTINCT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
   FROM bounds CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
 split AS (
   SELECT g.fid, g.thr, g.n, g.p,
@@ -843,7 +859,7 @@ def _stump_chain_sql(sfx: str, where: str) -> str:
       SELECT fid, min(v) AS lo, max(v) AS hi, sum(cnt) AS n, sum(pos) AS p
       FROM hist{sfx} GROUP BY 1),
     grid{sfx} AS (
-      SELECT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
+      SELECT DISTINCT fid, n, p, lo + ((hi - lo) * j) // 16 AS thr
       FROM bounds{sfx}
       CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
     split{sfx} AS (
@@ -1448,17 +1464,55 @@ def q_label_propagation_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard trick for stretching scarce labels across a 100 TB
     corpus (near-dups share provenance). Deterministic ties (smallest
     label), monotone label growth; per-lang report with propagation
-    accuracy against the withheld truth."""
+    accuracy against the withheld truth.
+
+    r8: identical TEXTS collapse to a weighted representative before
+    the jaccard pair join (the 100x stress filled the disk with the
+    expanded pair shuffle — exact-replica cliques share ALL shingles).
+    Every unlabeled copy of a rep sees the identical vote multiset
+    (labeled siblings + labeled members of neighbor reps, weighted by
+    member count), so the weighted rep-level rounds reproduce per-copy
+    propagate_labels exactly (graph.propagate_labels_weighted; pinned
+    by a planted-duplicate equality test) and the unchanged expanded
+    oracle still verifies the report."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = text.ngram_jaccard_pairs(docs)
-    seeds = docs.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("node"), F.col("lang").alias("lbl")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    members = docs.join(reps, "text").select(
+        "doc_id",
+        "rep",
+        "lang",
+        (F.col("doc_id") % 5 == 0).alias("is_seed"),
+    ).localCheckpoint(eager=True)
+    rep_pairs = text.ngram_jaccard_pairs(
+        docs.join(
+            reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
     )
-    lab = graph.propagate_labels(pairs, seeds, rounds=3, id_col="node")
-    joined = lab.join(
-        docs.select(F.col("doc_id").alias("node"), "lang"), "node"
+    seed_groups = (
+        members.where(F.col("is_seed"))
+        .groupBy(F.col("rep").alias("node"), F.col("lang").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    return joined.groupBy("lang").agg(
+    unlabeled = (
+        members.where(~F.col("is_seed"))
+        .groupBy(F.col("rep").alias("node"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    lab = graph.propagate_labels_weighted(
+        rep_pairs, seed_groups, unlabeled, rounds=3, id_col="node"
+    )
+    prop = lab.where(F.col("round") > 0).select(
+        F.col("node").alias("rep"), "lbl"
+    )
+    seed_part = members.where(F.col("is_seed")).select(
+        "lang", F.lit(0).alias("round"), F.col("lang").alias("lbl")
+    )
+    prop_part = (
+        members.where(~F.col("is_seed"))
+        .join(prop, "rep")
+        .select("lang", F.lit(1).alias("round"), "lbl")
+    )
+    return seed_part.unionByName(prop_part).groupBy("lang").agg(
         F.sum(F.expr("CASE WHEN round = 0 THEN 1 ELSE 0 END"))
         .cast("double")
         .alias("n_seed_d"),

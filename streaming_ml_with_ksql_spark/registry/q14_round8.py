@@ -379,3 +379,124 @@ def q_streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("n_rows_d"),
         (F.col("hi") >= 300).cast("int").alias("scanned"),
     )
+
+
+def _gbdt_oracle(rounds: int = 2) -> str:
+    """Generated forward-stagewise CTE chain: per round one
+    histogram/grid/split/best/leaf block plus the residual update, every
+    reused frame MATERIALIZED (the mmr inlining lesson — rK feeds qK,
+    the next residual AND an mse scalar)."""
+    tz = "CASE WHEN {a} >= 0 THEN ({a}) // ({b}) ELSE -((-({a})) // ({b})) END"
+    sql = f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS y,
+             CAST(extract(hour FROM ts) AS BIGINT) AS f1,
+             CAST(datediff('day', TIMESTAMP '2024-01-01',
+                           date_trunc('day', ts)) % 7 AS BIGINT) AS f2,
+             CAST(datediff('day', TIMESTAMP '2024-01-01',
+                           date_trunc('day', ts)) AS BIGINT) AS f3
+      FROM events WHERE value IS NOT NULL),
+    c0 AS MATERIALIZED (
+      SELECT count(*) AS n, sum(y) AS sy,
+             {tz.format(a="sum(y)", b="count(*)")} AS f0
+      FROM base),
+    r1 AS MATERIALIZED (
+      SELECT f1, f2, f3, y - (SELECT f0 FROM c0) AS r FROM base)"""
+    for m in range(1, rounds + 1):
+        step = (
+            f"CASE WHEN (CASE (SELECT fid FROM leaf{m})"
+            f" WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END)"
+            f" <= (SELECT thr FROM leaf{m})"
+            f" THEN (SELECT lv FROM leaf{m})"
+            f" ELSE (SELECT rv FROM leaf{m}) END"
+        )
+        sql += f""",
+    q{m} AS (
+      SELECT 1 AS fid, f1 AS v, r FROM r{m}
+      UNION ALL SELECT 2, f2, r FROM r{m}
+      UNION ALL SELECT 3, f3, r FROM r{m}),
+    hist{m} AS (
+      SELECT fid, v, count(*) AS cnt, sum(r) AS s FROM q{m} GROUP BY 1, 2),
+    bounds{m} AS (
+      SELECT fid, min(v) AS lo, max(v) AS hi,
+             sum(cnt) AS n, sum(s) AS st
+      FROM hist{m} GROUP BY 1),
+    grid{m} AS (
+      SELECT DISTINCT fid, n, st, lo + ((hi - lo) * j) // 16 AS thr
+      FROM bounds{m}
+      CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js),
+    split{m} AS (
+      SELECT g.fid, g.thr, g.n, g.st,
+             sum(CASE WHEN h.v <= g.thr THEN h.cnt ELSE 0 END) AS n_l,
+             sum(CASE WHEN h.v <= g.thr THEN h.s ELSE 0 END) AS s_l
+      FROM grid{m} g JOIN hist{m} h ON h.fid = g.fid
+      GROUP BY 1, 2, 3, 4),
+    best{m} AS MATERIALIZED (
+      SELECT fid, thr, n, n_l, s_l, st - s_l AS s_r,
+             CASE WHEN n_l = 0 OR n - n_l = 0 THEN CAST(-1 AS DOUBLE)
+                  ELSE CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                     + CAST(st - s_l AS DOUBLE) * CAST(st - s_l AS DOUBLE)
+                       / (n - n_l) END AS gain
+      FROM split{m} ORDER BY gain DESC, fid, thr LIMIT 1),
+    leaf{m} AS MATERIALIZED (
+      SELECT fid, thr,
+             {tz.format(a="s_l", b="n_l")} AS lv,
+             {tz.format(a="s_r", b="n - n_l")} AS rv
+      FROM best{m}),
+    r{m + 1} AS MATERIALIZED (
+      SELECT f1, f2, f3, r - ({step}) AS r FROM r{m})"""
+    mse_cols = ", ".join(
+        f"CAST((SELECT sum(r * r) FROM r{m + 1}) // (SELECT n FROM c0)"
+        f" AS DOUBLE) AS mse{m}_centi2_d"
+        for m in range(rounds + 1)
+    )
+    leaf_cols = ", ".join(
+        f"CAST((SELECT fid FROM leaf{m}) AS DOUBLE) AS fid{m}_d, "
+        f"CAST((SELECT thr FROM leaf{m}) AS DOUBLE) AS thr{m}_d, "
+        f"CAST((SELECT lv FROM leaf{m}) AS DOUBLE) AS lv{m}_cents_d, "
+        f"CAST((SELECT rv FROM leaf{m}) AS DOUBLE) AS rv{m}_cents_d"
+        for m in range(1, rounds + 1)
+    )
+    sql += f"""
+    SELECT CAST((SELECT n FROM c0) AS DOUBLE) AS n_d,
+           CAST((SELECT f0 FROM c0) AS DOUBLE) AS f0_cents_d,
+           {leaf_cols},
+           {mse_cols}
+    """
+    return sql
+
+
+@register("gbdt_stump_boost", _gbdt_oracle())
+def q_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting trained IN-ENGINE, exactly (ml/linear.py
+    gbdt_stump_rounds): two forward-stagewise regression stumps on the
+    integer-cents event value over (hour, weekday, day-index) features —
+    the additive-model sibling of decision_tree_depth2 (which partitions
+    data hierarchically; boosting reweights the WHOLE population by
+    residuals each round). Residuals and leaf values stay integers
+    through every round (truncate-toward-zero via the ABS idiom on both
+    engines); split selection uses the variance-reduction gain in DOUBLE
+    from exactly-representable integers (correctly-rounded identical
+    cross-engine); train MSE is emitted per stage and is provably
+    non-increasing at learning rate 1. The oracle unrolls both rounds as
+    MATERIALIZED CTE chains with scalar-subquery split parameters."""
+    from ..ml import linear
+
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)").alias(
+            "y"
+        ),
+        F.hour("ts").cast("long").alias("f1"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') % 7 AS BIGINT)"
+        ).alias("f2"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT)"
+        ).alias("f3"),
+    )
+    return linear.gbdt_stump_rounds(
+        wide, feature_cols=["f1", "f2", "f3"], rounds=2
+    )

@@ -20,6 +20,7 @@ ROUND8 = [
     "zonemap_prune_stats",
     "ols_two_factor_revenue",
     "hard_negative_mining",
+    "gbdt_stump_boost",
 ]
 
 ROUND8_STREAMING = ["streaming_zonemap_ingest"]
@@ -314,3 +315,223 @@ def test_zip_rejects_poisoned_archives():
     bad[m_central : m_central + 2] = _s.pack("<H", 99)
     with pytest.raises(ValueError, match="unsupported ZIP method"):
         zip_py.unzip_archive(bytes(bad))
+
+
+# --------------------------------------------------------------------------
+# weighted (duplicate-collapsed) DBSCAN
+# --------------------------------------------------------------------------
+
+
+def test_weighted_dbscan_equals_expanded_under_duplicates(spark, sf_small):
+    """The r8 100x stress killed the JVM on DBSCAN's expanded eps-graph
+    (exact-replica cliques are quadratic in multiplicity). The collapsed
+    path must produce IDENTICAL (id, role, cluster) output to
+    dbscan_from_pairs over the fully expanded pair list — on a corpus
+    where duplicates actually exist."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import clustering, similarity
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # plant duplicates: 3 copies of every 7th vector, ids shifted high
+    dup = emb.where(F.col("vec_id") % 7 == 0)
+    planted = emb.unionByName(
+        dup.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    ).unionByName(
+        dup.select((F.col("vec_id") + 200_000).alias("vec_id"), "embedding")
+    ).localCheckpoint(eager=True)
+
+    # expanded reference path
+    pairs = similarity.embedding_near_dup_pairs_blocked(planted)
+    ref = sorted(
+        map(
+            tuple,
+            clustering.dbscan_from_pairs(
+                planted, pairs, min_neighbors=2
+            ).collect(),
+        )
+    )
+
+    # collapsed path
+    reps = planted.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    members = planted.join(reps, "embedding").select("vec_id", "rep")
+    rep_pairs = similarity.embedding_near_dup_pairs_blocked(
+        reps.select(F.col("rep").alias("vec_id"), "embedding")
+    )
+    got = sorted(
+        map(
+            tuple,
+            clustering.dbscan_from_weighted_pairs(
+                members, rep_pairs, min_neighbors=2
+            ).collect(),
+        )
+    )
+    assert got == ref
+    # the planted copies actually exercised the weighted path: every
+    # duplicated vector must be core (m=3 -> 2 same-point neighbors)
+    dup_ids = {r.vec_id for r in dup.collect()}
+    roles = {t[0]: t[1] for t in got}
+    assert all(roles[i] == "core" for i in dup_ids)
+
+
+# --------------------------------------------------------------------------
+# gradient-boosted stumps
+# --------------------------------------------------------------------------
+
+
+def test_gbdt_boost_mse_non_increasing_and_matches_python(spark, sf_medium):
+    """Train MSE must be non-increasing stage over stage (lr=1 with
+    truncated leaf means: n*a*(a-2m) <= 0), and the whole trajectory
+    must match an independent plain-Python replay of the algorithm on
+    the collected rows."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    row = _REGISTRY["gbdt_stump_boost"].spark(spark, sf_medium).collect()[0]
+    assert row.mse0_centi2_d >= row.mse1_centi2_d >= row.mse2_centi2_d
+
+    ev = io_mod.load_table(spark, sf_medium, "events")
+    rows = (
+        ev.where(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) AS y",
+            "CAST(hour(ts) AS BIGINT) AS f1",
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') % 7 AS BIGINT) AS f2",
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT) AS f3",
+        )
+        .collect()
+    )
+    ys = [r.y for r in rows]
+    feats = [(r.f1, r.f2, r.f3) for r in rows]
+    n = len(ys)
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    f0 = trunc_div(sum(ys), n)
+    resid = [y - f0 for y in ys]
+    stages = []
+    for _ in range(2):
+        best = None
+        for fid in (1, 2, 3):
+            vals = [f[fid - 1] for f in feats]
+            lo, hi = min(vals), max(vals)
+            thrs = sorted({lo + ((hi - lo) * j) // 16 for j in range(1, 16)})
+            for thr in thrs:
+                n_l = sum(1 for v in vals if v <= thr)
+                if n_l == 0 or n_l == n:
+                    continue
+                s_l = sum(r for v, r in zip(vals, resid) if v <= thr)
+                s_r = sum(resid) - s_l
+                gain = float(s_l) * float(s_l) / n_l + float(s_r) * float(
+                    s_r
+                ) / (n - n_l)
+                key = (-gain, fid, thr)
+                if best is None or key < best[0]:
+                    best = (key, fid, thr, s_l, n_l, s_r)
+        _, fid, thr, s_l, n_l, s_r = best
+        lv = trunc_div(s_l, n_l)
+        rv = trunc_div(s_r, n - n_l)
+        stages.append((fid, thr, lv, rv))
+        resid = [
+            r - (lv if f[fid - 1] <= thr else rv)
+            for f, r in zip(feats, resid)
+        ]
+    assert (row.fid1_d, row.thr1_d, row.lv1_cents_d, row.rv1_cents_d) == tuple(
+        map(float, stages[0])
+    )
+    assert (row.fid2_d, row.thr2_d, row.lv2_cents_d, row.rv2_cents_d) == tuple(
+        map(float, stages[1])
+    )
+    assert row.mse2_centi2_d == float(
+        sum(r * r for r in resid) // n
+    )
+
+
+def test_weighted_label_prop_equals_expanded_under_duplicates(spark, sf_small):
+    """Weighted rep-level propagation must reproduce per-copy
+    propagate_labels exactly on a corpus with duplicated texts whose
+    copies MIX seed and non-seed status (the subtle case: labeled
+    siblings vote into unlabeled siblings at similarity 1)."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import graph, text
+
+    docs = io_mod.load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    dup = docs.where(F.col("doc_id") % 9 == 0)
+    planted = docs.unionByName(
+        dup.select(
+            (F.col("doc_id") + 50_000).alias("doc_id"), "text", "lang"
+        )
+    ).unionByName(
+        dup.select(
+            (F.col("doc_id") + 100_001).alias("doc_id"), "text", "lang"
+        )  # +100_001 flips parity/mod-5 so copies mix seed status
+    ).localCheckpoint(eager=True)
+
+    # expanded reference
+    pairs = text.ngram_jaccard_pairs(planted)
+    seeds = planted.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("lbl")
+    )
+    lab = graph.propagate_labels(pairs, seeds, rounds=3, id_col="node")
+    ref = sorted(map(tuple, lab.collect()))
+
+    # collapsed weighted path, expanded back to per-copy rows
+    reps = planted.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    members = planted.join(reps, "text").select(
+        "doc_id", "rep", "lang", (F.col("doc_id") % 5 == 0).alias("is_seed")
+    ).localCheckpoint(eager=True)
+    rep_pairs = text.ngram_jaccard_pairs(
+        planted.join(
+            reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
+    )
+    seed_groups = (
+        members.where(F.col("is_seed"))
+        .groupBy(F.col("rep").alias("node"), F.col("lang").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    unlabeled = (
+        members.where(~F.col("is_seed"))
+        .groupBy(F.col("rep").alias("node"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wlab = graph.propagate_labels_weighted(
+        rep_pairs, seed_groups, unlabeled, rounds=3, id_col="node"
+    )
+    expanded = (
+        members.where(F.col("is_seed"))
+        .select(
+            F.col("doc_id").alias("node"),
+            F.col("lang").alias("lbl"),
+            F.lit(0).alias("round"),
+        )
+        .unionByName(
+            members.where(~F.col("is_seed"))
+            .join(
+                wlab.where(F.col("round") > 0).select(
+                    F.col("node").alias("rep"), "lbl", "round"
+                ),
+                "rep",
+            )
+            .select(F.col("doc_id").alias("node"), "lbl", "round")
+        )
+    )
+    got = sorted(map(tuple, expanded.collect()))
+    assert got == ref
+    # the planted copies actually exercised sibling voting: at least one
+    # non-seed member of a multi-copy rep must be labeled in round 1
+    m = {r.doc_id: r for r in members.collect()}
+    multi = {r.rep for r in m.values() if r.doc_id != r.rep}
+    r1 = {t[0] for t in got if t[2] == 1}
+    assert any(
+        (not r.is_seed) and r.rep in multi and r.doc_id in r1
+        for r in m.values()
+    )
