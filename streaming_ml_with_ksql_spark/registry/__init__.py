@@ -168,8 +168,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stateful-streaming maintenance family
     "streaming_wallet_balance",
     # dedup/graph family keeps (containment r07 yields to the round-8
-    # corpus-archive wire — WARC/1.0 over RFC-1952 gzip members)
-    "bfs_hops_near_dup",
+    # corpus-archive wire — WARC/1.0 over RFC-1952 gzip members; BFS
+    # r07 yields to the exact NDCG@5 ranking-quality metric)
+    "ndcg_retrieval_eval",
     "warc_gz_source_roundtrip",
     "dbscan_embedding_clusters",
     # embedding/exact-training family keeps; the contrastive

@@ -500,3 +500,163 @@ def q_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear.gbdt_stump_rounds(
         wide, feature_cols=["f1", "f2", "f3"], rounds=2
     )
+
+
+_NDCG_ORACLE = """
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id AS anchor_id, label AS alabel, e AS qe
+      FROM emb WHERE vec_id < 32),
+    scored AS (
+      SELECT anchor_id, alabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+             round(list_dot_product(qe, c.e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q CROSS JOIN emb c WHERE c.vec_id != anchor_id),
+    ranked AS (
+      SELECT anchor_id, alabel,
+             CASE WHEN nlabel = alabel THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    disc AS (
+      SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+                            (4, 430677), (5, 386853)) d(rnk, w)),
+    dcg AS (
+      SELECT r.anchor_id, r.alabel,
+             sum(r.rel * d.w) AS dcg,
+             sum(r.rel) AS n_rel_at5
+      FROM ranked r JOIN disc d ON d.rnk = r.rnk
+      WHERE r.rnk <= 5 GROUP BY 1, 2),
+    rtot AS (
+      SELECT q.anchor_id, count(*) AS n_rel
+      FROM q JOIN emb c
+        ON c.label = q.alabel AND c.vec_id != q.anchor_id
+      GROUP BY 1),
+    idcg AS (
+      SELECT r.anchor_id,
+             sum(CASE WHEN d.rnk <= least(r.n_rel, 5) THEN d.w
+                      ELSE 0 END) AS idcg
+      FROM rtot r CROSS JOIN disc d GROUP BY 1)
+    SELECT g.anchor_id,
+           CAST(g.n_rel_at5 AS DOUBLE) AS n_rel_at5_d,
+           CAST(g.dcg AS DOUBLE) AS dcg_d,
+           CAST(i.idcg AS DOUBLE) AS idcg_d,
+           CASE WHEN i.idcg = 0 THEN NULL
+                ELSE CAST(g.dcg * 1000000 // i.idcg AS DOUBLE) END
+             AS ndcg_ppm_d
+    FROM dcg g JOIN idcg i USING (anchor_id)
+"""
+
+
+@register("ndcg_retrieval_eval", _NDCG_ORACLE)
+def q_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDCG@5 for the embedding retrieval ranking — the
+    ranking-quality metric that closes the retrieval-eval loop
+    (ROC-AUC scores the classifier; this scores the SERVING order):
+    per anchor, the cosine top-5's label-match relevances against the
+    ideal ordering, with the 1/log2(i+1) discounts as INTEGER LITERAL
+    constants (1000000, 630930, 500000, 430677, 386853 — computed
+    offline; log() at query time is exactly what the cross-engine
+    discipline forbids). IDCG caps at min(5, corpus relevant count), so
+    ndcg = 1.0 is achievable and meaningful; everything is integer
+    sums + one guarded integer division in ppm. Scale shape mirrors
+    hard_negative_mining: bounded 32-anchor probe side, keyed rank
+    windows, broadcast corpus only in the brute-force oracle baseline."""
+    from ..operators.similarity import (
+        _as_double,
+        _cosine_prenormed,
+        _with_norm,
+    )
+
+    emb = _as_double(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("alabel"),
+            F.col("embedding").alias("q_emb"),
+        ),
+        "q_emb",
+        "q_norm",
+    )
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        "c_emb",
+        "c_norm",
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            "neighbor_id",
+            F.when(F.col("nlabel") == F.col("alabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            _cosine_prenormed(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    disc = F.create_map(
+        F.lit(1), F.lit(1000000),
+        F.lit(2), F.lit(630930),
+        F.lit(3), F.lit(500000),
+        F.lit(4), F.lit(430677),
+        F.lit(5), F.lit(386853),
+    )
+    top5 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "anchor_id",
+            "rel",
+            (F.col("rel") * disc[F.col("rnk")]).alias("g"),
+        )
+    )
+    dcg = top5.groupBy("anchor_id").agg(
+        F.sum("g").alias("dcg"), F.sum("rel").alias("n_rel_at5")
+    )
+    rtot = (
+        q.select("anchor_id", "alabel")
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("label").alias("alabel"),
+                    F.col("vec_id").alias("neighbor_id"),
+                )
+            ),
+            "alabel",
+        )
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    dvals = [1000000, 630930, 500000, 430677, 386853]
+    prefix = F.array(*[F.lit(sum(dvals[:i])) for i in range(1, 6)])
+    idcg = rtot.select(
+        "anchor_id",
+        prefix[F.least(F.col("n_rel"), F.lit(5)) - 1].alias("idcg"),
+    )
+    return dcg.join(idcg, "anchor_id").select(
+        "anchor_id",
+        F.col("n_rel_at5").cast("double").alias("n_rel_at5_d"),
+        F.col("dcg").cast("double").alias("dcg_d"),
+        F.col("idcg").cast("double").alias("idcg_d"),
+        F.when(F.col("idcg") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.expr("CAST(dcg * 1000000L div idcg AS DOUBLE)")
+        )
+        .alias("ndcg_ppm_d"),
+    )

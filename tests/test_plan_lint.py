@@ -100,6 +100,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "embedding_topk_bruteforce",
                 "embedding_topk_ivf",
                 "hard_negative_mining",
+                "ndcg_retrieval_eval",
             }
         ),
     ),

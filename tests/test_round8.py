@@ -21,6 +21,7 @@ ROUND8 = [
     "ols_two_factor_revenue",
     "hard_negative_mining",
     "gbdt_stump_boost",
+    "ndcg_retrieval_eval",
 ]
 
 ROUND8_STREAMING = ["streaming_zonemap_ingest"]
@@ -535,3 +536,24 @@ def test_weighted_label_prop_equals_expanded_under_duplicates(spark, sf_small):
         (not r.is_seed) and r.rep in multi and r.doc_id in r1
         for r in m.values()
     )
+
+
+def test_ndcg_discounts_and_bounds(spark, sf_medium):
+    """The integer discount literals must be round(1e6/log2(i+1))
+    (checked against math.log2 here, so no engine ever computes a log),
+    and every anchor's DCG <= IDCG (ndcg_ppm <= 1e6) with equality
+    reachable only when the top-5 is all-relevant."""
+    import math
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    assert [1000000, 630930, 500000, 430677, 386853] == [
+        round(1e6 / math.log2(i + 1)) for i in range(1, 6)
+    ]
+    rows = _REGISTRY["ndcg_retrieval_eval"].spark(spark, sf_medium).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert 0 <= r.dcg_d <= r.idcg_d
+        assert r.ndcg_ppm_d is None or 0 <= r.ndcg_ppm_d <= 1_000_000
+        if r.ndcg_ppm_d == 1_000_000:
+            assert r.n_rel_at5_d == 5
