@@ -98,10 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hopping_window_agg",
     # perceptual image-dedup family (dHash+LSH groups hold the slot)
     "image_dedup_groups",
-    # join family: multi-touch attribution (enrich join) + the two
-    # stale-ledger retirements — positional-error predict() scoring and
-    # the salted skew join (first CLEAN verdicts, r01/r02 errs retired)
-    "touch_attribution",
+    # join family: the two stale-ledger retirements (positional-error
+    # predict() scoring and the salted skew join — first CLEAN verdicts,
+    # r01/r02 errs retired); touch_attribution's r07 verdict stands and
+    # its slot goes to round-8's item-CF recommendation serving
+    "item_item_recommendations",
     "predict_arrays_events",
     "enriched_window_join_salted",
     # wire/format family: the gauntlet exercises BSON + MessagePack +

@@ -660,3 +660,132 @@ def q_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_ppm_d"),
     )
+
+
+_ITEM_RECS_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT pa, pb,
+             (n_ab * n_orders * 1000000) // (na.n_p * nb.n_p) AS lift_ppm
+      FROM pairs JOIN pc na ON na.l_partkey = pa
+                 JOIN pc nb ON nb.l_partkey = pb
+      CROSS JOIN n WHERE n_ab >= 2),
+    sym AS (SELECT pa AS p, pb AS q, lift_ppm FROM sc
+            UNION ALL SELECT pb, pa, lift_ppm FROM sc),
+    up AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cand AS (
+      SELECT up.u, s.q, sum(s.lift_ppm) AS score, count(*) AS n_src
+      FROM up JOIN sym s ON s.p = up.p
+      WHERE up.u % 50 = 0
+      GROUP BY 1, 2),
+    rec AS (
+      SELECT c.* FROM cand c LEFT JOIN up o ON o.u = c.u AND o.p = c.q
+      WHERE o.p IS NULL),
+    ranked AS (
+      SELECT u, q, score, n_src,
+             row_number() OVER (PARTITION BY u
+                 ORDER BY score DESC, q ASC) AS rnk
+      FROM rec)
+    SELECT u AS custkey, q AS partkey,
+           CAST(score AS DOUBLE) AS score_ppm_d,
+           CAST(n_src AS DOUBLE) AS n_src_d,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("item_item_recommendations", _ITEM_RECS_ORACLE)
+def q_item_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative-filtering SERVING — the recsys workload
+    the market-basket analytics feed: per probe user (custkey % 50 = 0,
+    a bounded cohort at every SF), top-5 not-yet-purchased parts by the
+    SUM of co-purchase lifts against the user's basket. Lift is scored
+    in integer ppm ((n_ab * n_orders * 1e6) div (n_a * n_b) — all
+    positive, so // and div agree), making the per-candidate SUM
+    order-free where a double sum would be partitioning-dependent;
+    already-owned parts anti-join out; ranking is a keyed window over
+    the probe cohort. Composes the verified copurchase_lift pair stage
+    (same within-order join, no catalog cross product). Envelope: the
+    ppm product peaks ~7.5e14 at sf1 (BIGINT-safe through sf10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    b = op.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("__ok"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sc = (
+        pairs.filter(F.col("n_ab") >= 2)
+        .join(
+            pc.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a")),
+            "pa",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.expr(
+                "(n_ab * n_orders * 1000000L) div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+    sym = sc.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "lift_ppm"
+    ).unionByName(
+        sc.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "lift_ppm")
+    )
+    up = (
+        orders.select(F.col("o_custkey").alias("u"), "o_orderkey")
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("p")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("u", "p")
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice: candidates + ownership
+    )
+    cand = (
+        up.where(F.col("u") % 50 == 0)
+        .join(sym, "p")
+        .groupBy("u", "q")
+        .agg(
+            F.sum("lift_ppm").alias("score"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+    )
+    owned = up.select("u", F.col("p").alias("q"))
+    rec = cand.join(owned, ["u", "q"], "left_anti")
+    w = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("q").asc())
+    return (
+        rec.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("q").alias("partkey"),
+            F.col("score").cast("double").alias("score_ppm_d"),
+            F.col("n_src").cast("double").alias("n_src_d"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

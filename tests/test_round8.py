@@ -22,6 +22,7 @@ ROUND8 = [
     "hard_negative_mining",
     "gbdt_stump_boost",
     "ndcg_retrieval_eval",
+    "item_item_recommendations",
 ]
 
 ROUND8_STREAMING = ["streaming_zonemap_ingest"]
@@ -557,3 +558,36 @@ def test_ndcg_discounts_and_bounds(spark, sf_medium):
         assert r.ndcg_ppm_d is None or 0 <= r.ndcg_ppm_d <= 1_000_000
         if r.ndcg_ppm_d == 1_000_000:
             assert r.n_rel_at5_d == 5
+
+
+def test_item_recommendations_exclude_owned_and_rank(spark, sf_medium):
+    """No recommended part may already be in the user's baskets, ranks
+    are 1..k per user ordered by score, and every score is a positive
+    integer ppm sum."""
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    out = _REGISTRY["item_item_recommendations"].spark(
+        spark, sf_medium
+    ).collect()
+    assert out
+    owned = {
+        (r.u, r.p)
+        for r in io_mod.load_table(spark, sf_medium, "orders")
+        .join(
+            io_mod.load_table(spark, sf_medium, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    }
+    per_user: dict[int, list] = {}
+    for r in out:
+        assert (r.custkey, r.partkey) not in owned
+        assert r.score_ppm_d > 0 and r.score_ppm_d == int(r.score_ppm_d)
+        per_user.setdefault(r.custkey, []).append(r)
+    for rows in per_user.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score_ppm_d for r in rows]
+        assert scores == sorted(scores, reverse=True)
