@@ -155,6 +155,9 @@ QUERIES = [
     "zonemap_prune_stats",
     "ols_two_factor_revenue",
     "hard_negative_mining",
+    "gbdt_stump_boost",
+    "ndcg_retrieval_eval",
+    "item_item_recommendations",
 ]
 
 
