@@ -731,7 +731,9 @@ def stratified_sample(
 # Repetition quality metrics + benchmark decontamination
 # ---------------------------------------------------------------------------
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
+def repetition_stats(
+    documents: DataFrame, *, tokens: str | None = None
+) -> DataFrame:
     """Gopher-style repetition metrics per document (Rae et al. 2021,
     "Scaling Language Models" §A1.1 use line/ngram repetition filters; the
     testdata's docs are single-line, so the word- and bigram-level metrics
@@ -746,8 +748,13 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     Shape: explode → ONE groupBy(doc, term) per granularity → per-doc agg;
     the shuffles are keyed by (doc, term) partials, never raw text. The
     per-doc frames join narrowly on doc_id. Ratios are exact integer
-    divisions rounded at 6 dp (cross-engine canonical)."""
-    toks = tokens_col(F.col("text"))
+    divisions rounded at 6 dp (cross-engine canonical).
+
+    ``tokens``: name of a precomputed token-array column — lets a
+    composite (doc_quality_score) tokenize the corpus ONCE and share the
+    materialized scan across its stages instead of re-splitting text per
+    stage (VERDICT r8 #6)."""
+    toks = F.col(tokens) if tokens else tokens_col(F.col("text"))
     base = documents.select("doc_id", toks.alias("t"))
 
     def _gram_stats(col: Column, prefix: str) -> DataFrame:
@@ -1212,7 +1219,9 @@ def domain_mix_weights(documents: DataFrame) -> DataFrame:
     )
 
 
-def ngram_lm_score(documents: DataFrame, *, k: float = 0.5) -> DataFrame:
+def ngram_lm_score(
+    documents: DataFrame, *, k: float = 0.5, tokens: str | None = None
+) -> DataFrame:
     """Per-document bigram language-model fluency score — the
     perplexity-filtering step of a CCNet-style corpus pipeline (Wenzek et
     al. 2020 train a 5-gram KenLM and drop high-perplexity docs; the
@@ -1238,8 +1247,11 @@ def ngram_lm_score(documents: DataFrame, *, k: float = 0.5) -> DataFrame:
     the same key, co-partitioned — and the vocab size is a broadcast
     scalar. Docs with < 2 tokens have no bigrams and drop out (the
     oracle states the same).
+
+    ``tokens``: precomputed token-array column name (see
+    repetition_stats — the doc_quality_score shared-scan contract).
     """
-    toks = tokens_col(F.col("text"))
+    toks = F.col(tokens) if tokens else tokens_col(F.col("text"))
     base = documents.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),

@@ -43,6 +43,7 @@ from . import q11_round7c  # noqa: F401,E402
 from . import q12_round7d  # noqa: F401,E402
 from . import q13_round7e  # noqa: F401,E402
 from . import q14_round8  # noqa: F401,E402
+from . import q15_round9  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.
@@ -81,121 +82,94 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation (the sixth): twenty slots whose occupants all
-    # hold fresh r07 verdicts (running balance, dHash, Holt, Hilbert,
-    # pattern match, funnel, RFM, trend fit, session paths, semantic
-    # search, FIFO, l-diversity, isotonic, GDPR, postings, lang-id
-    # report, Avro/ORC roundtrips, Shapley, bootstrap CI) yield to
-    # twenty exact-oracled queries that had NEVER held a driver verdict
-    # — the round-7d/7e wire/stats/graph/multimodal waves plus the two
-    # stale-ledger entries whose only driver records are r01/r02 errors
-    # (predict_arrays_events, enriched_window_join_salted — sweep-green
-    # since r03). Historical verdicts stand in the r03-r07 records;
-    # displaced queries remain fully supported + exactly oracled in
-    # verify_driver's full sweep and the pytest oracle sweeps.
+    # Round-9 rotation (the seventh): every round-8 holder banked a fresh
+    # r08 verdict, so THIRTY slots yield to exact-oracled queries that
+    # have NEVER held a driver verdict — the q09_round7 stats/graph/wire
+    # mass VERDICT r8 #3 named, plus never-verdicted representatives from
+    # the multimodal/trainer/sketch waves. The four rows-only-by-design
+    # slots (embedding_topk_lsh/ivf, ksql_runbook_predictions,
+    # multimodal_decode) retired their r01/r02 error records in r08 —
+    # they can never produce a hash verdict, so their slots go to
+    # oracled queries (VERDICT r8 #4): the block is 50/50 exact-oracled
+    # for the first time. Twenty keeps = one anchor per family plus the
+    # queries whose physical plans changed THIS round (the brute-force
+    # probe-broadcast flip, the item-CF pair-stage pin, the zip encode
+    # hardening, the doc_quality shared-token scan) — those re-verdict
+    # on the new plans. Displaced queries remain fully supported and
+    # exactly oracled in verify_driver's full sweep + pytest sweeps.
     #
     # flagship window family (W1/W2)
     "hopping_window_agg",
     # perceptual image-dedup family (dHash+LSH groups hold the slot)
     "image_dedup_groups",
-    # join family: the two stale-ledger retirements (positional-error
-    # predict() scoring and the salted skew join — first CLEAN verdicts,
-    # r01/r02 errs retired); touch_attribution's r07 verdict stands and
-    # its slot goes to round-8's item-CF recommendation serving
+    # recsys serving — pair stage re-pinned this round (ADVICE r8)
     "item_item_recommendations",
-    "predict_arrays_events",
-    "enriched_window_join_salted",
-    # wire/format family: the gauntlet exercises BSON + MessagePack +
-    # Thrift compact + proto3/Confluent + Arrow IPC together (first
-    # verdict; the individual Avro/ORC roundtrips hold r07)
-    "wire_format_gauntlet",
-    # sketch family: HyperLogLog estimate with hash-checked error bound
-    # (first verdict; KMV holds r07)
-    "hll_estimate_accuracy",
-    # forecasting/uncertainty family (first verdicts): split-conformal
-    # prediction interval; CUPED variance-reduced A/B lift and the
-    # difference-in-differences panel estimator hold the causal slots
-    "conformal_forecast_interval",
-    "cuped_adjusted_lift",
-    # multimodal: TIFF + EXIF/APP1 decode and histogram equalization
-    # (first verdicts; GIF/mu-law hold r07)
-    "multimodal_tiff_decode",
-    "multimodal_exif_metadata",
-    "multimodal_hist_equalize",
-    # robust statistics family (first verdicts): RANSAC consensus trend,
-    # exact Wasserstein-1 drift distance + its streaming histogram twin,
-    # the md5-relabeled randomization test stands aside (bootstrap's r07
-    # verdict covers the resampling idiom)
-    "ransac_daily_trend",
-    "wasserstein_weekend_value",
-    "streaming_wasserstein_ingest",
-    # graph cohesion family (first verdicts): 4-truss peel — freshly
-    # re-verified after the r7-ADVICE triangle-credit fix — plus degree
-    # assortativity; reuse-distance histogram takes the locality slot
-    "ktruss_copurchase_peel",
-    "degree_assortativity",
-    "reuse_distance_histogram",
-    # in-engine exact ML training (first verdicts): depth-2 decision
-    # tree, leave-one-out kNN, label propagation over the near-dup graph
-    "decision_tree_depth2_events",
-    "knn_loo_classification",
-    "label_propagation_lang",
-    # CDC source (S3): Debezium JSON wire + incremental view maintenance
+    # retrieval eval + contrastive mining — probe-broadcast flip this
+    # round (VERDICT r8 #2): re-verdict on the flipped plans
+    "ndcg_retrieval_eval",
+    "hard_negative_mining",
+    # CDC source anchor (S3)
     "cdc_wire_snapshot_customers",
-    "streaming_cdc_incremental_agg",
-    "cdc_join_view_maintenance",
-    # entity resolution (first verdict): golden-record survivorship
-    "entity_golden_record",
-    # retrieval family: RAG composite + RRF fusion keep; MMR (r07) yields
-    # to the ANN serve pair whose only driver records are r01/r02 errors
-    # (rows-only by design — recall-tested in pytest; the ledger's last
-    # four error rows retire this round)
+    # composites + text quality (doc_quality's token scan is shared
+    # across its three stages this round — re-verdict on the new plan)
     "corpus_rag_pipeline",
-    "rrf_hybrid_retrieval",
-    "embedding_topk_lsh",
-    "embedding_topk_ivf",
-    # relational/TPC-H family: top-k Q3 keeps its slot
-    "shipping_priority",
-    # ML scoring + runbook (U1-U3, W4); the runbook predictions leg and
-    # the multimodal dispatch stub retire their r01/r02 error records
-    # (rows-only: streaming score drain / gated-codec dispatch)
-    "score_events",
-    "ksql_runbook_hopping",
-    "ksql_runbook_predictions",
-    "multimodal_decode",
-    # text quality + curation composites keep
     "doc_quality_score",
     "corpus_curation_pipeline",
-    # stateful-streaming maintenance family
+    # relational/TPC-H + ML scoring + runbook anchors
+    "shipping_priority",
+    "score_events",
+    "ksql_runbook_hopping",
+    # stateful-streaming anchors
     "streaming_wallet_balance",
-    # dedup/graph family keeps (containment r07 yields to the round-8
-    # corpus-archive wire — WARC/1.0 over RFC-1952 gzip members; BFS
-    # r07 yields to the exact NDCG@5 ranking-quality metric)
-    "ndcg_retrieval_eval",
-    "warc_gz_source_roundtrip",
-    "dbscan_embedding_clusters",
-    # embedding/exact-training family keeps; the contrastive
-    # hard-negative miner (round 8) takes roc_auc's r07 slot
-    # (perceptron r07 yields to round-8's gradient-boosted stumps —
-    # k-means keeps the exact-trainer anchor)
-    "kmeans_embedding_clusters",
-    "gbdt_stump_boost",
-    "hard_negative_mining",
-    # time-series: seasonal decomposition (r07) yields to the exact
-    # Cramer multi-factor OLS; forecast_revenue r07 yields — conformal
-    # covers the seasonal-naive forecast as a composing superset
-    "ols_two_factor_revenue",
-    # multimodal keeps (bson r07 yields — the gauntlet exercises BSON;
-    # gif r07 yields to the ZIP archive codec, mu-law keeps the
-    # transcode slot)
-    "multimodal_mulaw_transcode",
-    "zip_archive_roundtrip",
-    # streaming family keeps; the KMV twin (r07) yields to the
-    # zone-map pruning audit (the lakehouse-layout family's first
-    # driver candidate since zorder r04)
     "streaming_stump_ingest",
     "streaming_sessionize",
+    # clustering + in-engine trainer anchors: the 4-round deep GBDT
+    # takes the boosting slot (gbdt_stump_boost's r08 verdict stands;
+    # the deep variant contains it as its first two stages)
+    "dbscan_embedding_clusters",
+    "gbdt_deep_boost",
+    # archive wire (encode hardening this round) + layout + graph-serving
+    "zip_archive_roundtrip",
     "zonemap_prune_stats",
     "link_prediction_copurchase",
+    # ---- thirty first-verdict entrants ----
+    # q09_round7 behavioral/stats mass (VERDICT r8 #3)
+    "event_transition_matrix",
+    "score_calibration_bins",
+    "mad_outliers_values",
+    "cusum_changepoints",
+    "user_life_table",
+    "tfidf_top_terms",
+    "weighted_sample_documents",
+    "key_skew_profile",
+    "pagerank_near_dup",
+    "part_entity_groups",
+    "embedding_cluster_quality",
+    "bigram_collocations",
+    "copurchase_lift",
+    "k_anonymity_report",
+    "ab_test_lift",
+    # q09 wire formats (the gauntlet's r08 verdict covers the composite;
+    # these give the proto3 and XML codecs their own first verdicts)
+    "proto_source_roundtrip",
+    "xml_wire_roundtrip",
+    # robust-trend / drift-test siblings of the r08-verdicted family
+    "theil_sen_revenue_trend",
+    "ks_weekend_value_drift",
+    "streaming_ks_ingest",
+    # graph + locality + behavioral-finance
+    "hits_customer_part",
+    "twap_user_value",
+    # trainers/encoders that never held a verdict
+    "naive_bayes_event_type",
+    "target_encode_loo",
+    # multimodal plumbing legs (image resize grid + audio features)
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    # sketch-accuracy + fingerprints + dedup-screen + CDC streaming twin
+    "kmv_distinct_users",
+    "quantile_sketch_accuracy",
+    "winnowing_fingerprint_pairs",
+    "streaming_cdc_join_view",
 )
 

@@ -63,13 +63,26 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lang-ID agreement, weighted into one number. Each signal is an
     independently-oracled operator whose ROUNDED outputs join narrowly
     on doc_id, so the weighted sum is identical cross-engine and the
-    stitched oracle hash-checks the whole composition."""
-    docs = _t(spark, sf_dir, "documents")
-    rep = text.repetition_stats(docs).select(
+    stitched oracle hash-checks the whole composition.
+
+    Shared-scan shape (VERDICT r8 #6): the corpus is tokenized ONCE and
+    the (doc_id, lang, text, tokens) frame localCheckpoints eagerly —
+    the repetition and LM stages read the materialized tokens instead of
+    re-scanning parquet and re-splitting text per stage; lang-ID reads
+    the materialized text (its unit is char trigrams, not words)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shared = docs.withColumn(
+        "t", text.tokens_col(F.col("text"))
+    ).localCheckpoint(eager=True)
+    rep = text.repetition_stats(shared, tokens="t").select(
         "doc_id", "distinct_word_frac", "top_word_frac", "dup_bigram_frac"
     )
-    lm = text.ngram_lm_score(docs).select("doc_id", "avg_cond_prob")
-    lid = text.lang_id_ngram(docs).select("doc_id", "lang", "predicted_lang")
+    lm = text.ngram_lm_score(shared, tokens="t").select(
+        "doc_id", "avg_cond_prob"
+    )
+    lid = text.lang_id_ngram(shared.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "predicted_lang"
+    )
     joined = rep.join(lm, "doc_id").join(lid, "doc_id")
     agree = F.col("predicted_lang") == F.col("lang")
 

@@ -67,8 +67,12 @@ def gzip_member(data: bytes) -> bytes:
 
 def gunzip_members(blob: bytes) -> list[bytes]:
     """Split + decompress a stream of concatenated gzip members,
-    verifying each member's CRC32 and ISIZE."""
+    verifying each member's CRC32 and ISIZE. The per-member DEFLATE
+    slice is a zero-copy memoryview (ADVICE r8): slicing bytes per
+    member would copy the remaining shard tail each time — O(members²)
+    bytes on a many-member shard blob."""
     out: list[bytes] = []
+    view = memoryview(blob)
     pos, n = 0, len(blob)
     while pos < n:
         if n - pos < 10:
@@ -98,7 +102,7 @@ def gunzip_members(blob: bytes) -> list[bytes]:
             raise ValueError("truncated gzip optional header fields")
         do = zlib.decompressobj(-15)
         try:
-            data = do.decompress(blob[p:])
+            data = do.decompress(view[p:])
         except zlib.error as e:
             raise ValueError(f"corrupt DEFLATE stream at byte {p}: {e}") from e
         if not do.eof:
@@ -179,7 +183,19 @@ def encode_warc_gz(documents: DataFrame, *, shards: int = 16) -> DataFrame:
         pdf = pdf.sort_values("doc_id")
         members = []
         for row in pdf.itertuples(index=False):
-            payload = (row.text or "").encode("utf-8")
+            # Hardening contract (ADVICE r8): a NULL text/lang/source must
+            # FAIL the encode, not silently render 'None'/'' into the wire
+            # bytes while the decode oracle propagates SQL NULLs — that
+            # divergence would surface as a driver hash mismatch far from
+            # its cause the day the testdata grows a NULL.
+            for field in ("text", "lang", "source"):
+                v = getattr(row, field)
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    raise ValueError(
+                        f"NULL {field} for doc_id={int(row.doc_id)}: "
+                        "warc encode requires non-null text/lang/source"
+                    )
+            payload = row.text.encode("utf-8")
             rec = warc_record(
                 {
                     "WARC-Type": "response",
@@ -188,7 +204,7 @@ def encode_warc_gz(documents: DataFrame, *, shards: int = 16) -> DataFrame:
                         f"{_URI_PREFIX}/{row.source}/{int(row.doc_id)}"
                     ),
                     "WARC-Date": "2024-01-01T00:00:00Z",
-                    "WARC-Identified-Content-Language": row.lang or "",
+                    "WARC-Identified-Content-Language": row.lang,
                     "Content-Type": "text/plain; charset=utf-8",
                 },
                 payload,

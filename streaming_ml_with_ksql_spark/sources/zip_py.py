@@ -113,6 +113,12 @@ def unzip_archive(blob: bytes) -> list[tuple[str, bytes, int]]:
                 f"bad central-directory signature at byte {p}: "
                 f"{blob[p:p + 4].hex()}"
             )
+        # Hardening contract (ADVICE r8): a truncated directory must
+        # raise the module's named ValueError, not struct.error.
+        if p + 46 > n:
+            raise ValueError(
+                f"truncated central directory entry at byte {p}"
+            )
         (
             _made,
             _need,
@@ -131,6 +137,10 @@ def unzip_archive(blob: bytes) -> list[tuple[str, bytes, int]]:
             _eattr,
             lfh_off,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", blob, p + 4)
+        if p + 46 + fnlen > n:
+            raise ValueError(
+                f"truncated central directory entry at byte {p}"
+            )
         enc = "utf-8" if flags & 0x0800 else "cp437"
         name = blob[p + 46 : p + 46 + fnlen].decode(enc)
         p += 46 + fnlen + extralen + clen
@@ -208,10 +218,18 @@ def encode_zip(documents: DataFrame, *, shards: int = 16) -> DataFrame:
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        # NULL text must fail the encode (ADVICE r8) — a silent ''
+        # member diverges from the decode oracle's SQL-NULL propagation.
+        if pdf["text"].isna().any():
+            bad = int(pdf.loc[pdf["text"].isna(), "doc_id"].iloc[0])
+            raise ValueError(
+                f"NULL text for doc_id={bad}: zip encode requires "
+                "non-null text"
+            )
         members = [
             (
                 f"{int(r.doc_id)}.txt",
-                (r.text or "").encode("utf-8"),
+                r.text.encode("utf-8"),
                 DEFLATED if int(r.doc_id) % 2 else STORED,
             )
             for r in pdf.itertuples(index=False)

@@ -84,27 +84,40 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "kmeans_embedding_clusters",
                 "naive_bayes_event_type",
                 "customer_rfm_segments",
+                "embedding_topk_ivf",
             }
         ),
     ),
     "bounded probe/query set": (
-        "ANN/classification serve path: the corpus side streams, the "
-        "broadcast side is the <= 100-row probe set (serving contract); "
-        "the brute-force oracle baselines broadcast the byte-small "
-        "embeddings table instead — the serve twins (lsh/ivf) swap in "
-        "the bucketed candidate generator",
+        "ANN/classification serve path: the corpus side streams and the "
+        "broadcast BUILD side is the <= 100-row probe set — enforced "
+        "STRUCTURALLY below (VERDICT r8 #2): every unbounded BNLJ build "
+        "subtree must contain a `id < N` literal filter with N <= "
+        "MAX_PROBE_LITERAL, so a corpus-side broadcast cannot re-enter "
+        "under this idiom",
         frozenset(
             {
-                "knn_loo_classification",
                 "text_semantic_search",
                 "embedding_topk_bruteforce",
-                "embedding_topk_ivf",
                 "hard_negative_mining",
                 "ndcg_retrieval_eval",
             }
         ),
     ),
+    "all-pairs oracle baseline": (
+        "leave-one-out eval where the probe IS the corpus by definition "
+        "(every vector classified against all others) — the declared "
+        "all-pairs oracle baseline; the serve twins (lsh/ivf, <= 100-row "
+        "probes) carry the scale path",
+        frozenset({"knn_loo_classification"}),
+    ),
 }
+
+# Structural bound for the "bounded probe/query set" idiom: the literal in
+# the build subtree's `col < N` probe filter.
+MAX_PROBE_LITERAL = 100
+
+PROBE_IDIOM_NAMES = BNLJ_BOUNDED_IDIOMS["bounded probe/query set"][1]
 
 _IDIOM_NAMES = frozenset().union(*(s for _, s in BNLJ_BOUNDED_IDIOMS.values()))
 
@@ -122,7 +135,22 @@ def _walk(jnode):
         yield from _walk(it.next())
 
 
-def _lint_one(df) -> str | None:
+def _probe_bounded(build_child) -> bool:
+    """True iff the BNLJ build subtree contains a `col < N` literal filter
+    with N <= MAX_PROBE_LITERAL — for non-negative unique ids that bounds
+    the broadcast at N rows at EVERY scale. A corpus-side broadcast has no
+    such filter and fails."""
+    import re
+
+    for sub in _walk(build_child):
+        if sub.getClass().getSimpleName() == "FilterExec":
+            for m in re.finditer(r"< (\d+)\)", sub.toString()):
+                if int(m.group(1)) <= MAX_PROBE_LITERAL:
+                    return True
+    return False
+
+
+def _lint_one(df, *, require_probe_build: bool = False) -> str | None:
     jplan = df._jdf.queryExecution().sparkPlan()
     unbounded_bnlj = False
     nodes = list(_walk(jplan))
@@ -137,6 +165,8 @@ def _lint_one(df) -> str | None:
             mr = ll.get().maxRows() if ll.isDefined() else None
             bound = mr.get() if (mr is not None and mr.isDefined()) else None
             if bound is None or bound > MAX_BOUNDED_BUILD_ROWS:
+                if require_probe_build and not _probe_bounded(child):
+                    return "BNLJ build side is not the bounded probe frame"
                 unbounded_bnlj = True
         if cls == "WindowExec":
             child = n.children().apply(0)
@@ -158,8 +188,11 @@ def test_no_scale_killer_plans_anywhere(spark):
         if name.startswith(SKIP_PREFIXES):
             continue
         df = registry._REGISTRY[name].spark(spark, SF)
-        verdict = _lint_one(df)
+        verdict = _lint_one(df, require_probe_build=name in PROBE_IDIOM_NAMES)
         if verdict is None:
+            continue
+        if verdict == "BNLJ build side is not the bounded probe frame":
+            offenders[name] = verdict
             continue
         if verdict == "Window on SinglePartition" and (
             name in WINDOW_SINGLE_PARTITION_WHITELIST

@@ -13,15 +13,11 @@ from streaming_ml_with_ksql_spark import registry
 
 # Approximate / model-backed operators where no exact cross-engine SQL
 # oracle exists by design (driver records a rows-only "ran" check).
-# Round 8: four rows-only queries whose ONLY driver records were r01/r02
-# errors rotate in to retire the ledger's last error rows (each is
-# recall/property-tested in pytest).
-EXPECTED_ROWS_ONLY: set[str] = {
-    "embedding_topk_lsh",
-    "embedding_topk_ivf",
-    "ksql_runbook_predictions",
-    "multimodal_decode",
-}
+# Round 9: the four rows-only queries that rotated in for r08 retired
+# their r01/r02 error records (rows returned, CORRECTNESS_r08) and can
+# never produce a hash verdict — their slots went back to exact-oracled
+# queries, so the 50-slot block is fully oracled (VERDICT r8 #4).
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_priority_block_is_first_50():
