@@ -77,7 +77,6 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "bpe_tokenize_fixed",
     "tfidf_top_terms",
-    "ksql_generated_traffic",
     "quantile_sketch_events",
     "corpus_curation_pipeline",
     # round-6/7 additions (worst-case line stays under LINE_BUDGET_BYTES —
@@ -118,6 +117,14 @@ HEADLINE = [
     "warc_gz_source_roundtrip",
     "zip_archive_roundtrip",
     "zonemap_prune_stats",
+    # round-9: the binary-quantized ANN serve stage (rides the flipped
+    # probe-broadcast orientation; embedding_topk_bruteforce keeps the
+    # float-cosine rep, and semantic_decontaminate's probe-scan shape is
+    # the same signal — line budget keeps it out of the headline).
+    # ksql_generated_traffic yielded its bytes (cheapest entry, 0.42 s;
+    # the md5-walk generator kernel signal rides synthetic oracles and
+    # corpus_curation's Python stages).
+    "binary_hamming_topk",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow
@@ -140,7 +147,6 @@ PY_AXIS = frozenset(
         "benchmark_decontaminate",
         "ngram_lm_score",
         "bpe_tokenize_fixed",
-        "ksql_generated_traffic",
         "corpus_curation_pipeline",
         "dbscan_embedding_clusters",
     }

@@ -158,6 +158,16 @@ QUERIES = [
     "gbdt_stump_boost",
     "ndcg_retrieval_eval",
     "item_item_recommendations",
+    # round-9 additions
+    "binary_hamming_topk",
+    "binary_vs_float_recall",
+    "semantic_decontaminate",
+    "mrr_retrieval_eval",
+    "ar2_forecast_revenue",
+    "gbdt_deep_boost",
+    "gbdt_tree2_boost",
+    "column_profile_events",
+    "binary_rerank_pipeline",
 ]
 
 

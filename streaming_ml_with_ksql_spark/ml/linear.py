@@ -348,3 +348,170 @@ def gbdt_stump_rounds(
     return spark.range(1).select(
         *[F.lit(v).alias(name) for name, v in out]
     )
+
+
+def gbdt_tree2_rounds(
+    wide: DataFrame,
+    *,
+    feature_cols: list[str],
+    y_col: str = "y",
+    rounds: int = 2,
+    n_thresholds: int = 15,
+    grid_div: int = 16,
+) -> DataFrame:
+    """Gradient boosting with DEPTH-2 regression trees as the weak
+    learner (VERDICT r8 #7 — the depth-2 chain algebra of
+    decision_tree_depth2 lifted into the forward-stagewise loop): per
+    round, fit the SSE-optimal root stump on the residuals, then the
+    SSE-optimal stump on each side of the root split; the tree predicts
+    the truncated residual mean of its four cells. Residuals stay BIGINT
+    through every round (learning rate 1, truncate-toward-zero leaf
+    means), so every stage is exactly oracle-able by the same unrolled
+    CTE algebra with two child chains per round.
+
+    Un-splittable cells (a constant-valued child partition, or an empty
+    side of a degenerate best split) guard their leaf mean to the cell
+    mean / 0 with explicit CASEs mirrored in the oracle — no division
+    whose denominator can be zero executes on either engine (the ANSI
+    discipline).
+
+    Scale shape: three stack+histogram passes per round (root + two
+    children — the child passes scan disjoint row subsets, so the total
+    per-round volume is TWO corpus scans), split params are 1-row driver
+    scalars, nothing quadratic. MSE per stage is non-increasing: each
+    child stump's cells refine the root partition, and truncated cell
+    means never increase SSE at lr=1 (n·a·(a − 2m) ≤ 0 per cell)."""
+    wide = wide.localCheckpoint(eager=True)
+    head = wide.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y_col).alias("sy")
+    ).collect()[0]
+    n_rows, sy = int(head["n"]), int(head["sy"])
+    f0 = _trunc_div(sy, n_rows)
+
+    k = len(feature_cols)
+    stack_expr = (
+        f"stack({k}, "
+        + ", ".join(f"{i + 1}, {c}" for i, c in enumerate(feature_cols))
+        + ") AS (fid, v)"
+    )
+    spark = wide.sparkSession
+
+    def best_split(frame: DataFrame):
+        """SSE-optimal (fid, thr) over ``frame`` (r + features); returns
+        the 1-row best dict or None when the frame is empty."""
+        long = frame.selectExpr(stack_expr, "r")
+        hist = long.groupBy("fid", "v").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("r").alias("s")
+        )
+        bounds = hist.groupBy("fid").agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").alias("n"),
+            F.sum("s").alias("st"),
+        )
+        grid = bounds.crossJoin(
+            spark.range(1, n_thresholds + 1).select(F.col("id").alias("j"))
+        ).select(
+            "fid",
+            "n",
+            "st",
+            F.expr(f"lo + ((hi - lo) * j) div {grid_div}").alias("thr"),
+        ).distinct()
+        h2 = hist.select(F.col("fid").alias("hfid"), "v", "cnt", "s")
+        split = (
+            grid.join(h2, F.col("fid") == F.col("hfid"))
+            .drop("hfid")
+            .groupBy("fid", "thr", "n", "st")
+            .agg(
+                F.sum(F.expr("CASE WHEN v <= thr THEN cnt ELSE 0 END")).alias(
+                    "n_l"
+                ),
+                F.sum(F.expr("CASE WHEN v <= thr THEN s ELSE 0 END")).alias(
+                    "s_l"
+                ),
+            )
+        )
+        scored = split.select(
+            "fid",
+            "thr",
+            "n",
+            "st",
+            "n_l",
+            "s_l",
+            F.expr(
+                "CASE WHEN n_l = 0 OR n - n_l = 0 THEN CAST(-1 AS DOUBLE)"
+                " ELSE CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l"
+                " + CAST(st - s_l AS DOUBLE) * CAST(st - s_l AS DOUBLE)"
+                " / (n - n_l) END"
+            ).alias("gain"),
+        )
+        rows = scored.orderBy(
+            F.col("gain").desc(), F.col("fid").asc(), F.col("thr").asc()
+        ).limit(1).collect()
+        return rows[0] if rows else None
+
+    def leaf(s: int, n: int) -> int:
+        return _trunc_div(s, n) if n > 0 else 0
+
+    pred = F.lit(f0)
+    trees: list[dict] = []
+    mses: list[int] = []
+    for m in range(rounds + 1):
+        r = (F.col(y_col) - pred).alias("r")
+        sse = int(
+            wide.select(r).agg(F.sum(F.col("r") * F.col("r")).alias("s"))
+            .collect()[0]["s"]
+        )
+        mses.append(sse // n_rows)
+        if m == rounds:
+            break
+        resid = wide.select(r, *feature_cols).localCheckpoint(eager=True)
+        root = best_split(resid)
+        rfid, rthr = int(root["fid"]), int(root["thr"])
+        rcol = F.col(feature_cols[rfid - 1])
+        node = {"root": (rfid, rthr)}
+        sides = {}
+        for side, cond in (("l", rcol <= rthr), ("r", rcol > rthr)):
+            part = resid.filter(cond)
+            b = best_split(part)
+            if b is None:  # empty side of a degenerate root split
+                sides[side] = (1, 0, 0, 0)
+                continue
+            cfid, cthr = int(b["fid"]), int(b["thr"])
+            lv = leaf(int(b["s_l"]), int(b["n_l"]))
+            rv = leaf(
+                int(b["st"]) - int(b["s_l"]), int(b["n"]) - int(b["n_l"])
+            )
+            sides[side] = (cfid, cthr, lv, rv)
+        node["l"], node["r"] = sides["l"], sides["r"]
+        trees.append(node)
+
+        def tree_pred(nd: dict):
+            rf, rt = nd["root"]
+            rc = F.col(feature_cols[rf - 1])
+            out = {}
+            for side in ("l", "r"):
+                cf, ct, lv, rv = nd[side]
+                cc = F.col(feature_cols[cf - 1])
+                out[side] = F.when(cc <= ct, F.lit(lv)).otherwise(F.lit(rv))
+            return F.when(rc <= rt, out["l"]).otherwise(out["r"])
+
+        pred = pred + tree_pred(node)
+
+    out = [("n_d", float(n_rows)), ("f0_cents_d", float(f0))]
+    for i, nd in enumerate(trees, start=1):
+        rf, rt = nd["root"]
+        out += [(f"t{i}_root_fid_d", float(rf)), (f"t{i}_root_thr_d", float(rt))]
+        for side in ("l", "r"):
+            cf, ct, lv, rv = nd[side]
+            out += [
+                (f"t{i}_{side}_fid_d", float(cf)),
+                (f"t{i}_{side}_thr_d", float(ct)),
+                (f"t{i}_{side}_lv_cents_d", float(lv)),
+                (f"t{i}_{side}_rv_cents_d", float(rv)),
+            ]
+    for i, mse in enumerate(mses):
+        out.append((f"mse{i}_centi2_d", float(mse)))
+    return spark.range(1).select(
+        *[F.lit(v).alias(name) for name, v in out]
+    )

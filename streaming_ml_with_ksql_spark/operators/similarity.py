@@ -210,17 +210,12 @@ def binary_quantize(
     emb = _as_double(embeddings)
 
     def word(first_dim: int) -> Column:
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda i: F.when(
-                    F.element_at(F.col("embedding"), (i + first_dim + 1))
-                    > 0.0,
-                    F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # SQL shiftleft accepts a column shift (the DataFrame-API
+        # F.shiftleft does not); bits are disjoint so sum == OR.
+        return F.expr(
+            "aggregate(transform(sequence(0, 31), i ->"
+            f" IF(element_at(embedding, i + {first_dim + 1}) > 0.0D,"
+            " shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
         )
 
     return emb.select(

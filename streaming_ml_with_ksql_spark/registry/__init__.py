@@ -111,27 +111,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CDC source anchor (S3)
     "cdc_wire_snapshot_customers",
     # composites + text quality (doc_quality's token scan is shared
-    # across its three stages this round — re-verdict on the new plan)
-    "corpus_rag_pipeline",
+    # across its three stages this round — re-verdict on the new plan;
+    # corpus_rag_pipeline's r08 verdict stands, its slot goes to the
+    # round-9 column profiler)
     "doc_quality_score",
     "corpus_curation_pipeline",
-    # relational/TPC-H + ML scoring + runbook anchors
-    "shipping_priority",
-    "score_events",
-    "ksql_runbook_hopping",
-    # stateful-streaming anchors
+    "column_profile_events",
+    # stateful-streaming anchor
     "streaming_wallet_balance",
-    "streaming_stump_ingest",
-    "streaming_sessionize",
-    # clustering + in-engine trainer anchors: the 4-round deep GBDT
-    # takes the boosting slot (gbdt_stump_boost's r08 verdict stands;
-    # the deep variant contains it as its first two stages)
+    # clustering + in-engine trainer anchors: the 4-round deep GBDT and
+    # the depth-2 boosted trees take the trainer slots (gbdt_stump_boost
+    # r08 stands; the deep variant contains it as its first two stages)
     "dbscan_embedding_clusters",
     "gbdt_deep_boost",
-    # archive wire (encode hardening this round) + layout + graph-serving
+    "gbdt_tree2_boost",
+    # archive wire (encode hardening this round) + graph-serving
     "zip_archive_roundtrip",
-    "zonemap_prune_stats",
     "link_prediction_copurchase",
+    # ---- round-9 new operators (first verdicts; displaced six fresh-r08
+    # holders: shipping_priority, score_events, ksql_runbook_hopping,
+    # streaming_stump_ingest, streaming_sessionize, zonemap_prune_stats —
+    # their r08 verdicts stand) ----
+    "binary_hamming_topk",
+    "binary_vs_float_recall",
+    "semantic_decontaminate",
+    "ar2_forecast_revenue",
+    "mrr_retrieval_eval",
     # ---- thirty first-verdict entrants ----
     # q09_round7 behavioral/stats mass (VERDICT r8 #3)
     "event_transition_matrix",

@@ -78,10 +78,19 @@ def q_dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     member join (operators/clustering.py dbscan_from_weighted_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
     em = emb.select("vec_id", "embedding")
-    reps = em.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
-    members = em.join(reps, "embedding").select("vec_id", "rep")
+    # ONE array-keyed shuffle (window over embedding) instead of the r8
+    # groupBy + join-back pair — the collapse's no-op cost on
+    # duplicate-free data is halved; semantics identical (rep = min
+    # vec_id among bit-identical vectors).
+    wemb = Window.partitionBy("embedding")
+    tagged = em.select(
+        "vec_id", "embedding", F.min("vec_id").over(wemb).alias("rep")
+    ).localCheckpoint(eager=True)
+    members = tagged.select("vec_id", "rep")
     rep_pairs = similarity.embedding_near_dup_pairs_blocked(
-        reps.select(F.col("rep").alias("vec_id"), "embedding")
+        tagged.filter(F.col("vec_id") == F.col("rep")).select(
+            F.col("rep").alias("vec_id"), "embedding"
+        )
     )
     out = clustering.dbscan_from_weighted_pairs(
         members, rep_pairs, min_neighbors=2

@@ -101,6 +101,10 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "embedding_topk_bruteforce",
                 "hard_negative_mining",
                 "ndcg_retrieval_eval",
+                "binary_hamming_topk",
+                "binary_vs_float_recall",
+                "semantic_decontaminate",
+                "mrr_retrieval_eval",
             }
         ),
     ),
