@@ -168,6 +168,12 @@ QUERIES = [
     "gbdt_tree2_boost",
     "column_profile_events",
     "binary_rerank_pipeline",
+    "gopher_quality_filter",
+    "char_simpson_concentration",
+    "contrastive_triplets",
+    "textrank_keywords",
+    "ece_calibration_error",
+    "dedup_span_rewrite",
 ]
 
 
@@ -210,9 +216,19 @@ def main() -> None:
     for name in only or QUERIES:
         # Construction INSIDE the timed region: operators with eager
         # checkpoints (connected components) do real work at build time.
+        # Force FULL-WIDTH evaluation: a bare .count() lets Catalyst
+        # prune expensive output columns (dedup_span_rewrite's whole
+        # rewrite was skipped — 0.9 s pruned vs 42.7 s real at 100x), so
+        # hash every output column into the aggregate.
         t0 = time.perf_counter()
-        n = qs[name](spark, OUT).count()
-        print(f"{name}: {n} rows in {time.perf_counter()-t0:.1f}s")
+        df = qs[name](spark, OUT)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a BIGINT sum of 64-bit hashes overflows under
+            # the session's ANSI mode
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        print(f"{name}: {row['n']} rows in {time.perf_counter()-t0:.1f}s")
     spark.stop()
 
 

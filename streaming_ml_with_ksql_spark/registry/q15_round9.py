@@ -117,6 +117,563 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ECE_ORACLE = """
+    WITH g AS (
+      SELECT least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS npos,
+             sum(CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)) AS sc
+      FROM events GROUP BY 1),
+    per AS (
+      SELECT bin, n,
+             (npos * 1000000) // n AS acc_ppm,
+             (sc * 20) // n AS conf_ppm
+      FROM g)
+    SELECT CAST(sum(n) AS DOUBLE) AS n_total_d,
+           CAST(sum(n * abs(acc_ppm - conf_ppm)) // sum(n) AS DOUBLE)
+             AS ece_ppm_d,
+           CAST(max(abs(acc_ppm - conf_ppm)) AS DOUBLE) AS mce_ppm_d
+    FROM per
+"""
+
+
+@register("ece_calibration_error", _ECE_ORACLE)
+def q_ece_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error for the value-as-score screen — the
+    single number the reliability diagram (score_calibration_bins)
+    summarizes to: per fixed-width bin the |observed positive rate −
+    mean normalized score| gap, n-weighted. All integer: accuracy in
+    ppm via the verified calibration-bin division; confidence in ppm as
+    sum(score cents)·20 div n (value spans [0, 500] → cents·1e6 div
+    (n·50000) = cents·20 div n); ECE = Σ n·|gap| div N; MCE = max gap.
+    One map-side-combined aggregation + a 10-row fold."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("npos"),
+        F.sum(
+            F.expr("CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)")
+        ).alias("sc"),
+    )
+    per = g.select(
+        "n",
+        F.expr("(npos * 1000000L) div n").alias("acc_ppm"),
+        F.expr("(sc * 20) div n").alias("conf_ppm"),
+    )
+    return per.agg(
+        F.sum("n").cast("double").alias("n_total_d"),
+        F.expr(
+            "CAST(sum(n * abs(acc_ppm - conf_ppm)) div sum(n) AS DOUBLE)"
+        ).alias("ece_ppm_d"),
+        F.max(F.abs(F.col("acc_ppm") - F.col("conf_ppm")))
+        .cast("double")
+        .alias("mce_ppm_d"),
+    )
+
+
+_SPAN_REWRITE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             md5(array_to_string(list_slice(t, CAST(u.i AS INT),
+                 CAST(u.i AS INT) + 7), ' ')) AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+      WHERE len(t) >= 8),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2),
+    starts AS (
+      SELECT DISTINCT gr.doc_id, gr.pos
+      FROM grams gr JOIN dup d ON d.g = gr.g),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+      FROM starts, LATERAL (SELECT unnest(range(pos, pos + 8)) AS p) u),
+    covlist AS (
+      SELECT doc_id, list(p ORDER BY p) AS cov FROM covered GROUP BY 1),
+    rewritten AS (
+      SELECT tk.doc_id,
+             len(tk.t) AS n_tokens,
+             coalesce(len(cl.cov), 0) AS n_removed,
+             list_filter(tk.t,
+               (x, i) -> cl.cov IS NULL
+                 OR NOT list_contains(cl.cov, CAST(i AS BIGINT) - 1))
+               AS kept
+      FROM toks tk LEFT JOIN covlist cl ON cl.doc_id = tk.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS DOUBLE) AS n_tokens_d,
+           CAST(n_removed AS DOUBLE) AS n_removed_d,
+           -- DuckDB's array_to_string([]) is NULL where Spark's
+           -- concat_ws over an empty array is '' — coalesce so a
+           -- fully-removed document hashes identically (md5(''))
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM rewritten
+"""
+
+
+@register("dedup_span_rewrite", _SPAN_REWRITE_ORACLE)
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-substring REMOVAL (Lee et al. ACL'22 — the
+    transform duplicate_span_positions only measures): every 8-token
+    gram occurring in >= 2 distinct documents marks its 8 positions
+    covered; the rewrite keeps the uncovered tokens in order. Output is
+    hash-pinned — md5 of the space-joined cleaned token stream on both
+    engines — so the driver verifies the REWRITTEN BYTES, not just
+    counts. Composes the verified span-position operator for the
+    covered set; reconstruction is a narrow per-row filter over an
+    indexed transform (docs are row-local; no token ever shuffles for
+    the rewrite itself — only the 16-byte gram digests shuffle, the
+    duplicate_span_positions discipline)."""
+    from ..operators.text import duplicate_span_positions, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_span_positions(docs, k=8, min_docs=2)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(CAST(pos AS BIGINT), pos + 7)")).alias(
+            "p"
+        ),
+    ).distinct()
+    covlist = covered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("cov")
+    )
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    joined = base.join(covlist, "doc_id", "left")
+    kept = F.filter(
+        F.expr(
+            "transform(t, (x, i) -> CASE WHEN cov IS NULL"
+            " OR NOT array_contains(cov, CAST(i AS BIGINT))"
+            " THEN x END)"
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("double").alias("n_tokens_d"),
+        F.coalesce(F.size("cov"), F.lit(0))
+        .cast("double")
+        .alias("n_removed_d"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    )
+
+
+def _textrank_oracle(iters: int = 6) -> str:
+    """Unrolled fixed-point PageRank over the word-adjacency graph —
+    the q09 _pagerank_oracle algebra with a word-bigram edge CTE."""
+    sql = f"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    adj AS (
+      SELECT u.x[1] AS w1, u.x[2] AS w2
+      FROM toks, LATERAL (SELECT unnest(list_transform(
+        range(1, len(t)),
+        i -> [t[CAST(i AS INT)], t[CAST(i AS INT) + 1]])) AS x) u),
+    und AS (
+      SELECT w1, w2 FROM adj
+      WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 != w2),
+    edges AS (SELECT DISTINCT src, dst FROM (
+                SELECT w1 AS src, w2 AS dst FROM und
+                UNION ALL SELECT w2, w1 FROM und) u),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, (1000000000000 // n_nodes) AS pr
+           FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n.node,
+             (15 * (1000000000000 // nn.n_nodes)) // 100
+               + (85 * coalesce(s.acc, 0)) // 100 AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // d.outdeg) AS acc
+        FROM edges e
+        JOIN r{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = n.node)"""
+    sql += f"""
+    SELECT node AS word, CAST(pr AS DOUBLE) AS pr_d
+    FROM r{iters} ORDER BY pr DESC, node LIMIT 20"""
+    return sql
+
+
+@register("textrank_keywords", _textrank_oracle(6))
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    method independently implemented): PageRank over the corpus-wide
+    word-adjacency graph — words of length >= 4 co-occurring as
+    neighbors become undirected edges, and the top-20 by centrality are
+    the corpus keywords. Runs the SAME integer fixed-point pagerank
+    operator the near-dup hub query verified (graph.pagerank — BIGINT
+    ranks, div updates, order/partitioning-free), on string vertices;
+    the oracle swaps the edge CTE under the identical unrolled loop.
+    The graph-algebra reuse is the point: one verified iterative kernel
+    serves documents, products, and now vocabulary."""
+    from ..operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens_col(F.col("text"))
+    base = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    und = pairs.filter(
+        (F.length("w1") >= 4)
+        & (F.length("w2") >= 4)
+        & (F.col("w1") != F.col("w2"))
+    )
+    pr = graph.pagerank(und, a_col="w1", b_col="w2", iters=6)
+    return (
+        pr.select(
+            F.col("node").alias("word"),
+            F.col("pr").cast("double").alias("pr_d"),
+        )
+        .orderBy(F.col("pr_d").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+_TRIPLET_ORACLE = """
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id AS anchor_id, label AS alabel, e AS qe
+      FROM emb WHERE vec_id < 32),
+    scored AS (
+      SELECT anchor_id, c.vec_id AS cand_id,
+             CASE WHEN c.label = alabel THEN 1 ELSE 0 END AS rel,
+             round(list_dot_product(qe, c.e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q CROSS JOIN emb c WHERE c.vec_id != anchor_id),
+    pos AS (
+      SELECT anchor_id, cand_id AS positive_id, cosine AS pos_cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cosine DESC, cand_id ASC) AS rn
+            FROM scored WHERE rel = 1) x WHERE rn = 1),
+    neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cosine AS neg_cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cosine DESC, cand_id ASC) AS rn
+            FROM scored WHERE rel = 0 AND cosine < 0.4) x WHERE rn = 1)
+    SELECT p.anchor_id, p.positive_id, p.pos_cosine,
+           n.negative_id, n.neg_cosine,
+           p.pos_cosine - n.neg_cosine AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
+@register("contrastive_triplets", _TRIPLET_ORACLE)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-TRIPLET construction for contrastive/metric learning —
+    the step after hard_negative_mining in a real pipeline: per anchor
+    (vec_id < 32) the hardest positive is the most-similar SAME-label
+    vector and the hardest admissible negative is the most-similar
+    different-label vector strictly below the near-dup threshold (the
+    false-negative exclusion hard_negative_mining verified). Emits the
+    (anchor, positive, negative) triple with both cosines and the
+    margin — the quantity a triplet loss drives positive. One probe-
+    broadcast scan scores the corpus once; both picks are keyed top-1s
+    over the same scored frame (localCheckpoint'd — two readers).
+    Margin is a difference of two 6dp-rounded doubles: exact-identical
+    cross-engine."""
+    from ..operators.similarity import (
+        _as_double,
+        _cosine_prenormed,
+        _keyed_topk,
+        _probe_scan,
+        _with_norm,
+    )
+
+    emb = _as_double(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("alabel"),
+            F.col("embedding").alias("qe"),
+        ),
+        "qe",
+        "qn",
+    )
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("ce"),
+        ),
+        "ce",
+        "cn",
+    )
+    scored = (
+        _probe_scan(c, q)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.when(F.col("clabel") == F.col("alabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            _cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)  # two readers: positive + negative
+    )
+    pos = _keyed_topk(
+        scored.filter(F.col("rel") == 1), "anchor_id", "cosine", "cand_id", 1
+    ).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = _keyed_topk(
+        scored.filter((F.col("rel") == 0) & (F.col("cosine") < 0.4)),
+        "anchor_id",
+        "cosine",
+        "cand_id",
+        1,
+    ).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "pos_cosine",
+        "negative_id",
+        "neg_cosine",
+        (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+    )
+
+
+_GOPHER_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t,
+             lower(trim(text)) AS lt
+      FROM documents),
+    stats AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha_words,
+             length(lt) - length(replace(lt, '#', ''))
+               + 3 * ((length(lt) - length(replace(lt, '...', '')))
+                      // 3) AS n_symbols,
+             len(list_distinct(list_filter(t, x -> x IN
+               ('the','be','to','of','and','that','have','with'))))
+               AS n_req_stop
+      FROM toks),
+    flags AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words >= 50 AND n_words <= 100000
+                  THEN 1 ELSE 0 END AS r_word_count,
+             CASE WHEN sum_len >= 3 * n_words
+                   AND sum_len <= 10 * n_words
+                  THEN 1 ELSE 0 END AS r_mean_word_len,
+             CASE WHEN 10 * n_symbols < n_words
+                  THEN 1 ELSE 0 END AS r_symbol_ratio,
+             CASE WHEN 5 * n_alpha_words >= 4 * n_words
+                  THEN 1 ELSE 0 END AS r_alpha_words,
+             CASE WHEN n_req_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+      FROM stats)
+    SELECT doc_id,
+           CAST(n_words AS DOUBLE) AS n_words_d,
+           CAST(r_word_count AS DOUBLE) AS r_word_count_d,
+           CAST(r_mean_word_len AS DOUBLE) AS r_mean_word_len_d,
+           CAST(r_symbol_ratio AS DOUBLE) AS r_symbol_ratio_d,
+           CAST(r_alpha_words AS DOUBLE) AS r_alpha_words_d,
+           CAST(r_stopwords AS DOUBLE) AS r_stopwords_d,
+           CAST(r_word_count * r_mean_word_len * r_symbol_ratio
+                * r_alpha_words * r_stopwords AS DOUBLE) AS passes_d
+    FROM flags
+"""
+
+
+@register("gopher_quality_filter", _GOPHER_ORACLE)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality RULES (Rae et al. 2021 §A1.1, public
+    method independently implemented) as an exact per-document screen
+    with per-rule flags — the doc_quality_score composite scores, this
+    FILTERS, and curation pipelines want the reasons, not just the
+    verdict: word count in [50, 100000]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' and '...') below 0.1; ≥ 80% of words
+    contain an alphabetic character; ≥ 2 distinct required English stop
+    words. Every threshold evaluates as INTEGER cross-multiplication
+    (sum_len >= 3·n_words, 10·n_symbols < n_words, 5·n_alpha >= 4·n) —
+    no float touches the plan, so the flags are engine-exact by
+    construction. One narrow pass, no shuffle at all (the oracle's only
+    GROUP BY-free screen)."""
+    return _gopher_flags(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """The stateless Gopher rule expressions — shared by the batch
+    screen and the streaming ingest twin (batch ≡ stream for stateless
+    stages, so one oracle serves both)."""
+    from ..operators.text import tokens_col
+
+    t = tokens_col(F.col("text"))
+    lt = F.lower(F.trim(F.col("text")))
+    stats = docs.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).alias(
+            "n_alpha_words"
+        ),
+        (
+            (F.length(lt) - F.length(F.regexp_replace(lt, "#", "")))
+            + 3
+            * F.floor(
+                (
+                    F.length(lt)
+                    - F.length(F.regexp_replace(lt, r"\.\.\.", ""))
+                )
+                / 3
+            ).cast("long")
+        ).alias("n_symbols"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    t,
+                    lambda x: x.isin(
+                        "the", "be", "to", "of", "and", "that", "have",
+                        "with",
+                    ),
+                )
+            )
+        ).alias("n_req_stop"),
+    )
+    r = {
+        "r_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000),
+        "r_mean_word_len": (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words")),
+        "r_symbol_ratio": 10 * F.col("n_symbols") < F.col("n_words"),
+        "r_alpha_words": 5 * F.col("n_alpha_words") >= 4 * F.col("n_words"),
+        "r_stopwords": F.col("n_req_stop") >= 2,
+    }
+    flags = stats.select(
+        "doc_id",
+        "n_words",
+        *[
+            F.when(cond, 1).otherwise(0).alias(name)
+            for name, cond in r.items()
+        ],
+    )
+    passes = (
+        F.col("r_word_count")
+        * F.col("r_mean_word_len")
+        * F.col("r_symbol_ratio")
+        * F.col("r_alpha_words")
+        * F.col("r_stopwords")
+    )
+    return flags.select(
+        "doc_id",
+        F.col("n_words").cast("double").alias("n_words_d"),
+        *[F.col(n).cast("double").alias(f"{n}_d") for n in r],
+        passes.cast("double").alias("passes_d"),
+    )
+
+
+_SIMPSON_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS lt FROM documents
+      WHERE length(trim(text)) >= 2),
+    grams AS (
+      SELECT doc_id, g
+      FROM base,
+           LATERAL (SELECT unnest(list_transform(
+             range(1, length(lt)), i -> substring(lt, CAST(i AS INT), 2)
+           )) AS g) u),
+    cells AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             sum(c) AS n,
+             sum(c * (c - 1)) AS coll
+      FROM cells GROUP BY 1)
+    SELECT doc_id,
+           CAST(n AS DOUBLE) AS n_bigrams_d,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(coll * 1000000 // (n * (n - 1)) AS DOUBLE) END
+             AS simpson_ppm_d
+    FROM agg
+"""
+
+
+@register("char_simpson_concentration", _SIMPSON_ORACLE)
+def q_char_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram SIMPSON concentration per document — the
+    log-free gibberish/repetition signal: Σ c·(c−1) / (N·(N−1)), the
+    probability two random bigram draws collide. Natural text sits in a
+    band; keyboard mash scores low (flat distribution), 'aaaa…' spam
+    scores near 1. Entropy would need log() — the cross-engine
+    discipline forbids it — and Simpson's index is the standard rational
+    substitute carrying the same ordering signal. Integer ppm end to
+    end; docs shorter than 2 chars drop (stated on both sides). Shape:
+    bigrams build inside the row, ONE (doc, gram) groupBy with map-side
+    combine, per-doc fold — the repetition_stats discipline at char
+    granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.trim(F.col("text")))
+    base = docs.select("doc_id", lt.alias("lt")).filter(
+        F.length("lt") >= 2
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lt) - 1),"
+                " i -> substring(lt, i, 2))"
+            )
+        ).alias("g"),
+    )
+    cells = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("double").alias("n_bigrams_d"),
+            F.expr(
+                "CASE WHEN n < 2 THEN NULL"
+                " ELSE CAST(coll * 1000000L div (n * (n - 1)) AS DOUBLE)"
+                " END"
+            ).alias("simpson_ppm_d"),
+        )
+    )
+
+
 _BIN_RERANK_ORACLE = (
     _BINCODE_CTE
     + """
@@ -899,4 +1456,25 @@ def q_gbdt_deep_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return linear.gbdt_stump_rounds(
         wide, feature_cols=["f1", "f2", "f3"], rounds=4
+    )
+
+
+@register("streaming_gopher_filter", _GOPHER_ORACLE)
+def q_streaming_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule screen applied AT INGEST: documents replayed as a
+    file stream, every rule evaluated by the same stateless integer
+    cross-multiplication expressions as the batch screen — quality
+    filtering is the first stage of a production ingest DAG, and a
+    stateless screen's append-mode emission set equals the batch answer
+    EXACTLY, so the batch oracle applies verbatim (the
+    streaming_corpus_ingest idiom)."""
+    from .q04_streamksql import _STREAM_SEQ
+    from .q06_sketchseries import _replay_documents
+
+    stream = _replay_documents(spark, sf_dir)
+    flags = _gopher_flags(stream)
+    return stream_sinks.run_to_memory(
+        flags,
+        f"reg_stream_gopher_{next(_STREAM_SEQ)}",
+        output_mode="append",
     )

@@ -103,8 +103,10 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "ndcg_retrieval_eval",
                 "binary_hamming_topk",
                 "binary_vs_float_recall",
+                "binary_rerank_pipeline",
                 "semantic_decontaminate",
                 "mrr_retrieval_eval",
+                "contrastive_triplets",
             }
         ),
     ),

@@ -25,9 +25,15 @@ ROUND9 = [
     "ar2_forecast_revenue",
     "mrr_retrieval_eval",
     "column_profile_events",
+    "gopher_quality_filter",
+    "char_simpson_concentration",
+    "contrastive_triplets",
+    "textrank_keywords",
+    "ece_calibration_error",
+    "dedup_span_rewrite",
 ]
 
-ROUND9_STREAMING = ["streaming_column_profile"]
+ROUND9_STREAMING = ["streaming_column_profile", "streaming_gopher_filter"]
 
 
 @pytest.mark.parametrize("name", ROUND9)
@@ -244,6 +250,8 @@ def test_model_backed_queries_partitioning_invariant(spark, sf_small):
         "item_item_recommendations",
         "gbdt_deep_boost",
         "column_profile_events",
+        "textrank_keywords",
+        "dedup_span_rewrite",
     )
     base = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -429,6 +437,66 @@ def test_column_profile_consistency(spark, sf_small):
         assert r.mode_n_d <= r.n_rows_d - r.n_null_d
         if r.mode_s is not None:
             assert r.min_s <= r.mode_s <= r.max_s
+
+
+def test_dedup_span_rewrite_planted(spark):
+    """Planted-duplicate rewrite: two documents sharing an 8-token span
+    lose EXACTLY that span's positions; a document with no shared gram
+    is byte-identical after the rewrite (md5 of its own token stream)."""
+    import hashlib
+
+    from streaming_ml_with_ksql_spark.operators.text import (
+        duplicate_span_positions,
+        tokens_col,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine"),
+            (3, "lone wolf text with nothing shared at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_span_positions(docs, k=8, min_docs=2)
+    got = {
+        (r.doc_id, r.pos) for r in spans.select("doc_id", "pos").collect()
+    }
+    assert got == {(1, 2), (2, 0)}
+
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(CAST(pos AS BIGINT), pos + 7)")).alias(
+            "p"
+        ),
+    ).distinct()
+    covlist = covered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("cov")
+    )
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    kept_expr = F.filter(
+        F.expr(
+            "transform(t, (x, i) -> CASE WHEN cov IS NULL"
+            " OR NOT array_contains(cov, CAST(i AS BIGINT))"
+            " THEN x END)"
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = {
+        r.doc_id: r.cleaned
+        for r in base.join(covlist, "doc_id", "left")
+        .select("doc_id", F.concat_ws(" ", kept_expr).alias("cleaned"))
+        .collect()
+    }
+    assert out[1] == "one two three four"
+    assert out[2] == "five six seven eight nine"
+    assert out[3] == "lone wolf text with nothing shared at all here ok"
+    # and the registered query's md5 convention matches hashlib
+    assert (
+        hashlib.md5(out[3].encode()).hexdigest()
+        == hashlib.md5(b"lone wolf text with nothing shared at all here ok").hexdigest()
+    )
 
 
 def test_item_cf_lift_symmetry(spark, sf_small):
