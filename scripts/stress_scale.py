@@ -174,6 +174,8 @@ QUERIES = [
     "textrank_keywords",
     "ece_calibration_error",
     "dedup_span_rewrite",
+    "group_aware_split",
+    "split_leakage_audit",
 ]
 
 

@@ -117,6 +117,146 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _group_split_oracle() -> str:
+    """Compose the verified dedup-components statement (derived table)
+    with the corpus_hash_split bucket formula keyed on GROUP id."""
+    comp_sql = _REGISTRY["dedup_components"].oracle
+    b = (
+        "('0x' || substr(md5('gsplit:' || CAST(group_id AS VARCHAR)), 1, 7))"
+        "::UBIGINT::BIGINT % 100"
+    )
+    return f"""
+    WITH comp AS (SELECT doc_id, group_id FROM ({comp_sql}) c)
+    SELECT doc_id, group_id,
+           CAST({b} AS DOUBLE) AS bucket_d,
+           CASE WHEN {b} < 80 THEN 'train'
+                WHEN {b} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """
+
+
+@register("group_aware_split", _group_split_oracle())
+def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-PROOF train/val/test split: the assignment hashes the
+    near-dup GROUP id (dedup component min-id), not the document id — so
+    a document and its near-duplicates land in the SAME split by
+    construction, the property that keeps eval sets honest
+    (corpus_hash_split is per-doc and can put two near-identical texts
+    on opposite sides of the train/test wall). Composes the verified
+    components operator; the split itself is the same md5-bucket
+    formula salted 'gsplit'. Scale: the components cost dominates; the
+    assignment is one narrow expression on its output."""
+    from ..operators.text import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    groups = graph.dedup_groups(docs, pairs).select("doc_id", "group_id")
+    bucket = _hash_bucket(F.col("group_id"), salt="gsplit", mod=100)
+    return groups.select(
+        "doc_id",
+        "group_id",
+        bucket.cast("double").alias("bucket_d"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_oracle() -> str:
+    """Cross-split near-dup pair counts under the naive per-doc split vs
+    the group-aware split — both splits and the pair list are the
+    verified statements, nested whole (the composition rule)."""
+    pairs_sql = _REGISTRY["ngram_jaccard_pairs"].oracle
+    naive_sql = _REGISTRY["corpus_hash_split"].oracle
+    group_sql = _REGISTRY["group_aware_split"].oracle
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+    naive AS (SELECT doc_id, split FROM ({naive_sql}) n),
+    grp AS (SELECT doc_id, split FROM ({group_sql}) g),
+    n_leak AS (
+      SELECT count(*) AS c FROM pairs
+      JOIN naive a ON a.doc_id = doc_a
+      JOIN naive b ON b.doc_id = doc_b
+      WHERE a.split != b.split),
+    g_leak AS (
+      SELECT count(*) AS c FROM pairs
+      JOIN grp a ON a.doc_id = doc_a
+      JOIN grp b ON b.doc_id = doc_b
+      WHERE a.split != b.split)
+    SELECT CAST((SELECT count(*) FROM pairs) AS DOUBLE) AS n_pairs_d,
+           CAST((SELECT c FROM n_leak) AS DOUBLE) AS naive_leaked_d,
+           CAST((SELECT c FROM g_leak) AS DOUBLE) AS group_leaked_d
+    """
+
+
+@register("split_leakage_audit", _leakage_oracle())
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-contamination AUDIT: how many near-dup pairs straddle a
+    split boundary under the naive per-doc hash split vs the group-aware
+    split. group_leaked is ZERO BY CONSTRUCTION (both members share a
+    component, components share a split) — and the audit still computes
+    it from the data rather than asserting it, because the invariant is
+    only as good as the components feeding it. Two broadcast-sized joins
+    of the pair list against the assignments."""
+    from ..operators.text import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    naive = text.hash_split(docs).select("doc_id", "split")
+    # Derive the group split from the AUDIT'S OWN checkpointed pair
+    # frame (calling q_group_aware_split would re-run the heaviest
+    # stage — the exact jaccard pair generator — a second time; the
+    # materialization rule).
+    groups = graph.dedup_groups(docs, pairs).select("doc_id", "group_id")
+    gbucket = _hash_bucket(F.col("group_id"), salt="gsplit", mod=100)
+    grp = groups.select(
+        "doc_id",
+        F.when(gbucket < 80, "train")
+        .when(gbucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    def leaked(assign: DataFrame) -> DataFrame:
+        return (
+            pairs.join(
+                assign.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                assign.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("sb"),
+                ),
+                "doc_b",
+            )
+            .filter(F.col("sa") != F.col("sb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        n_pairs.crossJoin(
+            F.broadcast(leaked(naive).select(F.col("c").alias("naive_c")))
+        )
+        .crossJoin(
+            F.broadcast(leaked(grp).select(F.col("c").alias("group_c")))
+        )
+        .select(
+            F.col("n_pairs").cast("double").alias("n_pairs_d"),
+            F.col("naive_c").cast("double").alias("naive_leaked_d"),
+            F.col("group_c").cast("double").alias("group_leaked_d"),
+        )
+    )
+
+
 _ECE_ORACLE = """
     WITH g AS (
       SELECT least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bin,

@@ -31,6 +31,8 @@ ROUND9 = [
     "textrank_keywords",
     "ece_calibration_error",
     "dedup_span_rewrite",
+    "group_aware_split",
+    "split_leakage_audit",
 ]
 
 ROUND9_STREAMING = ["streaming_column_profile", "streaming_gopher_filter"]
