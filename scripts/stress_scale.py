@@ -176,6 +176,8 @@ QUERIES = [
     "dedup_span_rewrite",
     "group_aware_split",
     "split_leakage_audit",
+    "map_retrieval_eval",
+    "incremental_near_dup_ingest",
 ]
 
 

@@ -310,6 +310,41 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs_between(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    *,
+    bands: int = 4,
+    rows: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC banded LSH: candidates between an arriving batch and a
+    persisted signature index — the incremental-ingest shape (the new
+    batch's bands equi-join the index's bands; the corpus never
+    self-joins). Returns distinct (new_doc, old_doc)."""
+
+    def banded(sig: DataFrame, out: str) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            members = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws("|", *members).alias("band_hash"),
+                )
+            )
+        return sig.select(
+            F.col("doc_id").alias(out),
+            F.explode(F.array(*band_cols)).alias("band"),
+        ).select(out, "band.band_id", "band.band_hash")
+
+    return (
+        banded(sig_new, "new_doc")
+        .join(banded(sig_old, "old_doc"), ["band_id", "band_hash"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+
+
 def near_dup_pairs_minhash(
     documents: DataFrame,
     *,

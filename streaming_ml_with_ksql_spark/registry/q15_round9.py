@@ -117,6 +117,94 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_oracle() -> str:
+    """The verified minhash banding reproduced in SQL, restricted to
+    pairs with exactly one member in the arriving batch (doc_id % 10 ==
+    0) — band agreement is symmetric, so the asymmetric join's candidate
+    set equals the symmetric candidates filtered to one-new."""
+    from .q02_textdedup import _MINHASH_COLS, _MINHASH_SQL_BODY
+
+    return _MINHASH_SQL_BODY.format(minhash_cols=_MINHASH_COLS) + """
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+           CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS old_doc,
+           jaccard
+    FROM pairs
+    WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) != (doc_b % 10 = 0))
+    """
+
+
+@register("incremental_near_dup_ingest", _incremental_dedup_oracle())
+def q_incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup screening — the shape a production ingest
+    actually runs: the arriving batch (doc_id % 10 == 0 stands in for
+    today's crawl) checks against the PERSISTED signature index of the
+    existing corpus, never against itself and never all-pairs. The
+    batch's bands equi-join the index's bands
+    (text.minhash_candidate_pairs_between — asymmetric, so at 100 TB the
+    join cost is |batch| x band collision rate, independent of corpus
+    self-join volume); candidates verify with exact n-gram Jaccard >=
+    0.8. Output (new_doc, old_doc, jaccard): the duplicates to reject
+    at the door. The oracle replays the banding symmetrically and
+    filters to exactly-one-new — band agreement is symmetric, so the
+    sets coincide."""
+    from ..operators.text import (
+        _doc_shingles,
+        minhash_candidate_pairs_between,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    cands = minhash_candidate_pairs_between(
+        sig.filter(is_new), sig.filter(~is_new)
+    ).localCheckpoint(eager=True)
+    ds = _doc_shingles(docs, 3)
+    cand_docs = (
+        cands.select(F.col("new_doc").alias("doc_id"))
+        .unionByName(cands.select(F.col("old_doc").alias("doc_id")))
+        .distinct()
+    )
+    ds_c = ds.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(
+            ds_c.select(F.col("doc_id").alias("new_doc"), "shingle"),
+            "new_doc",
+        )
+        .join(
+            ds_c.select(
+                F.col("doc_id").alias("od2"),
+                F.col("shingle").alias("shingle_b"),
+            ),
+            (F.col("old_doc") == F.col("od2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_a")
+            ),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("n_b")
+            ),
+            "old_doc",
+        )
+        .select("new_doc", "old_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 def _group_split_oracle() -> str:
     """Compose the verified dedup-components statement (derived table)
     with the corpus_hash_split bucket formula keyed on GROUP id."""
@@ -1269,6 +1357,127 @@ def q_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rr_ppm_d"
             ),
         )
+    )
+
+
+_MAP_ORACLE = """
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id AS anchor_id, label AS alabel, e AS qe
+      FROM emb WHERE vec_id < 32),
+    scored AS (
+      SELECT anchor_id, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = alabel THEN 1 ELSE 0 END AS rel,
+             round(list_dot_product(qe, c.e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q CROSS JOIN emb c WHERE c.vec_id != anchor_id),
+    ranked AS (
+      SELECT anchor_id, rel,
+             row_number() OVER w AS rnk,
+             sum(rel) OVER w AS cum_rel
+      FROM scored
+      WINDOW w AS (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    per AS (
+      SELECT anchor_id,
+             sum(CASE WHEN rel = 1
+                      THEN (cum_rel * 1000000) // rnk ELSE 0 END) AS s,
+             sum(rel) AS n_rel
+      FROM ranked GROUP BY 1)
+    SELECT anchor_id,
+           CAST(n_rel AS DOUBLE) AS n_rel_d,
+           CAST(CASE WHEN n_rel = 0 THEN NULL
+                     ELSE s // n_rel END AS DOUBLE) AS ap_ppm_d
+    FROM per
+"""
+
+
+@register("map_retrieval_eval", _MAP_ORACLE)
+def q_map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Average Precision per anchor — the third leg of the
+    retrieval-eval family (NDCG grades graded-relevance order, MRR the
+    first hit, AP the WHOLE precision-recall tradeoff): over the full
+    (cosine 6dp desc, id) ranking, AP = Σ_{relevant k} precision@k /
+    n_rel, every term an integer division in ppm so the defined
+    truncation IS the metric and any engine agrees. One window per
+    anchor computes rank and cumulative-relevant together (the probe
+    set bounds the reducer count; each reducer streams its corpus
+    partition — the documented probe-eval shape). Probe broadcasts,
+    corpus streams."""
+    from ..operators.similarity import (
+        _as_double,
+        _cosine_prenormed,
+        _probe_scan,
+        _with_norm,
+    )
+
+    emb = _as_double(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
+    )
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("alabel"),
+            F.col("embedding").alias("qe"),
+        ),
+        "qe",
+        "qn",
+    )
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.col("embedding").alias("ce"),
+        ),
+        "ce",
+        "cn",
+    )
+    scored = (
+        _probe_scan(c, q)
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            F.when(F.col("nlabel") == F.col("alabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            _cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        "anchor_id",
+        "rel",
+        F.row_number().over(
+            Window.partitionBy("anchor_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id").asc()
+            )
+        ).alias("rnk"),
+        F.sum("rel").over(w).alias("cum_rel"),
+    )
+    per = ranked.groupBy("anchor_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("(cum_rel * 1000000L) div rnk"),
+            ).otherwise(0)
+        ).alias("s"),
+        F.sum("rel").alias("n_rel"),
+    )
+    return per.select(
+        "anchor_id",
+        F.col("n_rel").cast("double").alias("n_rel_d"),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN NULL"
+            " ELSE CAST(s div n_rel AS DOUBLE) END"
+        ).alias("ap_ppm_d"),
     )
 
 

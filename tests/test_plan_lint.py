@@ -106,6 +106,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "binary_rerank_pipeline",
                 "semantic_decontaminate",
                 "mrr_retrieval_eval",
+                "map_retrieval_eval",
                 "contrastive_triplets",
             }
         ),

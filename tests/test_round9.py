@@ -33,6 +33,8 @@ ROUND9 = [
     "dedup_span_rewrite",
     "group_aware_split",
     "split_leakage_audit",
+    "map_retrieval_eval",
+    "incremental_near_dup_ingest",
 ]
 
 ROUND9_STREAMING = ["streaming_column_profile", "streaming_gopher_filter"]
