@@ -316,11 +316,14 @@ def minhash_candidate_pairs_between(
     *,
     bands: int = 4,
     rows: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC banded LSH: candidates between an arriving batch and a
     persisted signature index — the incremental-ingest shape (the new
     batch's bands equi-join the index's bands; the corpus never
-    self-joins). Returns distinct (new_doc, old_doc)."""
+    self-joins). Returns distinct (new_doc, old_doc); pass
+    ``distinct=False`` from a STREAMING caller (distinct is a stateful
+    aggregate — the streaming twin dedups after the drain instead)."""
 
     def banded(sig: DataFrame, out: str) -> DataFrame:
         band_cols = []
@@ -337,12 +340,12 @@ def minhash_candidate_pairs_between(
             F.explode(F.array(*band_cols)).alias("band"),
         ).select(out, "band.band_id", "band.band_hash")
 
-    return (
+    out = (
         banded(sig_new, "new_doc")
         .join(banded(sig_old, "old_doc"), ["band_id", "band_hash"])
         .select("new_doc", "old_doc")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def near_dup_pairs_minhash(

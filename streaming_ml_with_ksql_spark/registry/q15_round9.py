@@ -205,6 +205,109 @@ def q_incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("streaming_incremental_dedup", _incremental_dedup_oracle())
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup gate AT THE STREAM BOUNDARY: arriving
+    documents (the doc_id % 10 == 0 batch, replayed as a file stream)
+    compute their minhash signature ROW-LOCALLY (JVM array fold over the
+    row's own shingles — no shuffle, so the stage is stateless) and
+    band-equi-join the STATIC persisted index per micro-batch — a
+    stream-static join, append mode, zero streaming state. The drained
+    candidate stream is the STATELESS emission (batch ≡ stream, the
+    streaming_corpus_ingest idiom); exact-Jaccard verification runs in
+    batch on the drained candidates against the static corpus, so the
+    incremental batch oracle applies verbatim: each arrival's verdict
+    depends only on the static index, never on its fellow arrivals."""
+    from .q04_streamksql import _STREAM_SEQ
+    from .q06_sketchseries import _replay_documents
+    from ..operators.text import (
+        MINHASH_P,
+        _doc_shingles,
+        _shingle_h,
+        minhash_candidate_pairs_between,
+        minhash_signatures,
+        shingles,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    old_sig = minhash_signatures(old).localCheckpoint(eager=True)
+
+    from ..operators.text import minhash_coeffs
+
+    sh = shingles(tokens_col(F.col("text")), 3)
+    hs = F.transform(sh, lambda s: _shingle_h(s))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(12))
+    ]
+    stream = _replay_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    stream_sig = stream.filter(F.size(sh) > 0).select("doc_id", *sig_cols)
+    cands_stream = minhash_candidate_pairs_between(
+        stream_sig, old_sig, distinct=False
+    )
+    drained = stream_sinks.run_to_memory(
+        cands_stream,
+        f"reg_stream_incdedup_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    cands = drained.select("new_doc", "old_doc").distinct().localCheckpoint(
+        eager=True
+    )
+
+    ds = _doc_shingles(docs, 3)
+    cand_docs = (
+        cands.select(F.col("new_doc").alias("doc_id"))
+        .unionByName(cands.select(F.col("old_doc").alias("doc_id")))
+        .distinct()
+    )
+    ds_c = ds.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(
+            ds_c.select(F.col("doc_id").alias("new_doc"), "shingle"),
+            "new_doc",
+        )
+        .join(
+            ds_c.select(
+                F.col("doc_id").alias("od2"),
+                F.col("shingle").alias("shingle_b"),
+            ),
+            (F.col("old_doc") == F.col("od2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_a")
+            ),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("n_b")
+            ),
+            "old_doc",
+        )
+        .select("new_doc", "old_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 def _group_split_oracle() -> str:
     """Compose the verified dedup-components statement (derived table)
     with the corpus_hash_split bucket formula keyed on GROUP id."""

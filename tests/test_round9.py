@@ -37,7 +37,11 @@ ROUND9 = [
     "incremental_near_dup_ingest",
 ]
 
-ROUND9_STREAMING = ["streaming_column_profile", "streaming_gopher_filter"]
+ROUND9_STREAMING = [
+    "streaming_column_profile",
+    "streaming_gopher_filter",
+    "streaming_incremental_dedup",
+]
 
 
 @pytest.mark.parametrize("name", ROUND9)
