@@ -178,6 +178,7 @@ QUERIES = [
     "split_leakage_audit",
     "map_retrieval_eval",
     "incremental_near_dup_ingest",
+    "join_cardinality_estimate",
 ]
 
 

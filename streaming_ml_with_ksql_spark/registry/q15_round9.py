@@ -117,6 +117,104 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_card_oracle() -> str:
+    """Both sides' CMS grids rebuilt in SQL (the q06 _cms_oracle
+    machinery), inner-producted per row, MIN over rows — vs the exact
+    Σ f_a(k)·f_b(k)."""
+    from ..operators.text import MINHASH_P
+    from ..operators.topk import CMS_WIDTH
+    from .q06_sketchseries import _CMS_HASH_SQL, _cms_coef_rows
+
+    coef_rows = _cms_coef_rows()
+    h = _CMS_HASH_SQL.format(key="k")
+    lhs = f"""
+    l_keys AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS n
+      FROM lineitem GROUP BY 1),
+    l_cells AS (
+      SELECT i, (a * hh + b) % {MINHASH_P} % {CMS_WIDTH} AS col,
+             sum(n) AS cnt
+      FROM (SELECT k, n, {h} AS hh FROM l_keys) x
+      CROSS JOIN coef GROUP BY 1, 2),
+    p_keys AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS k, count(*) AS n
+      FROM part WHERE p_size < 15 GROUP BY 1),
+    p_cells AS (
+      SELECT i, (a * hh + b) % {MINHASH_P} % {CMS_WIDTH} AS col,
+             sum(n) AS cnt
+      FROM (SELECT k, n, {h} AS hh FROM p_keys) x
+      CROSS JOIN coef GROUP BY 1, 2)"""
+    return f"""
+    WITH coef(i, a, b) AS (VALUES {coef_rows}),{lhs},
+    est_rows AS (
+      SELECT l.i, sum(l.cnt * p.cnt) AS est
+      FROM l_cells l JOIN p_cells p ON p.i = l.i AND p.col = l.col
+      GROUP BY 1),
+    exact AS (
+      SELECT sum(l.n * p.n) AS x
+      FROM l_keys l JOIN p_keys p ON p.k = l.k)
+    SELECT CAST((SELECT x FROM exact) AS DOUBLE) AS exact_rows_d,
+           CAST((SELECT min(est) FROM est_rows) AS DOUBLE)
+             AS est_rows_d,
+           CAST((SELECT min(est) FROM est_rows) * 1000000
+                // (SELECT x FROM exact) AS DOUBLE) AS est_ratio_ppm_d
+    """
+
+
+@register("join_cardinality_estimate", _join_card_oracle())
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min JOIN-SIZE estimation (the AMS/CMS inner-product
+    estimator, Alon-Matias-Szegedy '96 / Cormode-Muthukrishnan '05 —
+    what a cost-based planner consults before choosing a join strategy
+    at 100 TB, where exact key histograms are themselves a full shuffle):
+    |A ⋈ B| is estimated by the per-row inner product of the two sides'
+    CMS grids, MIN over depth rows (upper-bound-biased, like the point
+    estimate), and compared against the exact Σ f_A(k)·f_B(k). Sides:
+    lineitem.l_partkey vs part filtered p_size < 15 — selective enough
+    that the estimate is non-trivial. Everything integer (the verified
+    md5/affine grid), so estimate AND exact hash-check cross-engine;
+    est >= exact by construction (pinned in pytest). The sketch build is
+    one map-combined groupBy per side; the comparison joins two
+    4x1024-cell grids."""
+    from ..operators import topk as topk_ops
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("key")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") < 15)
+        .select(F.col("p_partkey").alias("key"))
+    )
+    lc = topk_ops.cms_cells(li, "key")
+    pc = topk_ops.cms_cells(pt, "key")
+    est = (
+        lc.join(
+            pc.select(
+                F.col("row_i"),
+                F.col("col"),
+                F.col("cnt").alias("cnt_b"),
+            ),
+            ["row_i", "col"],
+        )
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est"))
+        .agg(F.min("est").alias("est_rows"))
+    )
+    lk = li.groupBy("key").agg(F.count(F.lit(1)).alias("n_a"))
+    pk = pt.groupBy("key").agg(F.count(F.lit(1)).alias("n_b"))
+    exact = lk.join(pk, "key").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).alias("exact_rows")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_rows").cast("double").alias("exact_rows_d"),
+        F.col("est_rows").cast("double").alias("est_rows_d"),
+        F.expr("CAST(est_rows * 1000000L div exact_rows AS DOUBLE)").alias(
+            "est_ratio_ppm_d"
+        ),
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     """The verified minhash banding reproduced in SQL, restricted to
     pairs with exactly one member in the arriving batch (doc_id % 10 ==

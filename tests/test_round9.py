@@ -35,6 +35,7 @@ ROUND9 = [
     "split_leakage_audit",
     "map_retrieval_eval",
     "incremental_near_dup_ingest",
+    "join_cardinality_estimate",
 ]
 
 ROUND9_STREAMING = [
@@ -540,3 +541,14 @@ def test_item_cf_lift_symmetry(spark, sf_small):
         ab = (r.n_ab * n_orders * 1_000_000) // (pc[r.pa] * pc[r.pb])
         ba = (r.n_ab * n_orders * 1_000_000) // (pc[r.pb] * pc[r.pa])
         assert ab == ba
+
+
+def test_cms_join_estimate_upper_bounds_exact(spark, sf_small):
+    """CMS inner-product join-size estimate must upper-bound the exact
+    join size (every cell count upper-bounds its keys' frequency sum, so
+    the per-row inner product upper-bounds Σ f_a·f_b; min preserves it)."""
+    row = _REGISTRY["join_cardinality_estimate"].spark(
+        spark, sf_small
+    ).collect()[0]
+    assert row.est_rows_d >= row.exact_rows_d > 0
+    assert row.est_ratio_ppm_d >= 1_000_000
