@@ -179,6 +179,8 @@ QUERIES = [
     "map_retrieval_eval",
     "incremental_near_dup_ingest",
     "join_cardinality_estimate",
+    "canonical_representative_pick",
+    "lang_budget_temperature",
 ]
 
 

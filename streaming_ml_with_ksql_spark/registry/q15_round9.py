@@ -117,6 +117,135 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_BUDGET_ORACLE = """
+    WITH per AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM per),
+    one AS (
+      SELECT list_sort(list(struct_pack(lang := lang, n := n))) AS ls
+      FROM per),
+    tw AS (
+      SELECT list_sum(list_transform(o.ls,
+               x -> sqrt(CAST(x.n AS DOUBLE)))) AS w_total
+      FROM one o)
+    SELECT p.lang,
+           CAST(p.n AS DOUBLE) AS n_docs_d,
+           CAST((p.n * 1000000) // (SELECT t FROM tot) AS DOUBLE)
+             AS share_ppm_d,
+           sqrt(CAST(p.n AS DOUBLE)) AS w_sqrt,
+           CAST(CAST(floor(1000000 * sqrt(CAST(p.n AS DOUBLE))
+                           / (SELECT w_total FROM tw)) AS BIGINT)
+             AS DOUBLE) AS alloc_tokens_d
+    FROM per p
+"""
+
+
+@register("lang_budget_temperature", _LANG_BUDGET_ORACLE)
+def q_lang_budget_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling budget (the UniMax /
+    mT5-style upsampling recipe at τ = 2: sampling weight ∝ share^(1/2),
+    lifting low-resource languages without letting any language
+    dominate): per language the doc count, exact share in ppm, the
+    sqrt weight, and the allocated slice of a 1M-token budget.
+
+    Float discipline: sqrt is correctly-rounded IDENTICALLY on both
+    engines, and the weight-sum folds over the SORTED language list in
+    a defined sequential order (Spark F.aggregate over sort_array;
+    DuckDB list_sum over list_sort) — a groupBy sum of doubles would be
+    partitioning-ordered and diverge in the last ulp. τ = 2 is the
+    rational-exponent member of the temperature family (arbitrary τ
+    needs pow(), which the cross-engine discipline forbids); the
+    monotone ordering of allocations is τ-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    one = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lang"), F.col("n")))
+        ).alias("ls"),
+        F.sum("n").alias("t"),
+    )
+    w_total = F.aggregate(
+        F.transform(F.col("ls"), lambda x: F.sqrt(x["n"].cast("double"))),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        one.select(
+            F.explode("ls").alias("x"),
+            "t",
+            w_total.alias("w_total"),
+        )
+        .select(
+            F.col("x.lang").alias("lang"),
+            F.col("x.n").cast("double").alias("n_docs_d"),
+            F.expr("CAST((x.n * 1000000L) div t AS DOUBLE)").alias(
+                "share_ppm_d"
+            ),
+            F.sqrt(F.col("x.n").cast("double")).alias("w_sqrt"),
+            F.expr(
+                "CAST(CAST(floor(1000000 * sqrt(CAST(x.n AS DOUBLE))"
+                " / w_total) AS BIGINT) AS DOUBLE)"
+            ).alias("alloc_tokens_d"),
+        )
+    )
+
+
+def _canonical_pick_oracle() -> str:
+    """Compose the verified components and doc-quality statements; pick
+    per group by (quality desc, doc_id asc)."""
+    comp_sql = _REGISTRY["dedup_components"].oracle
+    dq_sql = _REGISTRY["doc_quality_score"].oracle
+    return f"""
+    WITH comp AS (SELECT doc_id, group_id, group_size
+                  FROM ({comp_sql}) c),
+    dq AS (SELECT doc_id, quality_score FROM ({dq_sql}) q),
+    ranked AS (
+      SELECT c.group_id, c.group_size, c.doc_id, d.quality_score,
+             row_number() OVER (PARTITION BY c.group_id
+                 ORDER BY d.quality_score DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN dq d USING (doc_id))
+    SELECT group_id,
+           CAST(group_size AS DOUBLE) AS group_size_d,
+           doc_id AS keep_doc_id,
+           quality_score AS keep_quality
+    FROM ranked WHERE rn = 1 AND group_size >= 2
+    """
+
+
+@register("canonical_representative_pick", _canonical_pick_oracle())
+def q_canonical_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'keep WHICH copy' decision dedup pipelines actually need:
+    per near-dup group (>= 2 members), keep the HIGHEST-QUALITY member
+    by the verified doc_quality_score (ties to the smallest doc_id) —
+    min-id survivorship (dedup_components' group label) is arbitrary;
+    quality-ranked survivorship preserves the best text, the step
+    between 'groups found' and 'corpus written'. Composes two verified
+    operators; the pick is a keyed top-1 over group-sized frames. The
+    only corpus-scale work is the two inputs' own verified plans."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text.ngram_jaccard_pairs(docs)
+    comp = graph.dedup_groups(docs, pairs).select(
+        "doc_id", "group_id", "group_size"
+    )
+    dq = _REGISTRY["doc_quality_score"].spark(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(dq, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("group_size") >= 2))
+        .select(
+            "group_id",
+            F.col("group_size").cast("double").alias("group_size_d"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality_score").alias("keep_quality"),
+        )
+    )
+
+
 def _join_card_oracle() -> str:
     """Both sides' CMS grids rebuilt in SQL (the q06 _cms_oracle
     machinery), inner-producted per row, MIN over rows — vs the exact

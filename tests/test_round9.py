@@ -36,6 +36,8 @@ ROUND9 = [
     "map_retrieval_eval",
     "incremental_near_dup_ingest",
     "join_cardinality_estimate",
+    "canonical_representative_pick",
+    "lang_budget_temperature",
 ]
 
 ROUND9_STREAMING = [
