@@ -181,6 +181,7 @@ QUERIES = [
     "join_cardinality_estimate",
     "canonical_representative_pick",
     "lang_budget_temperature",
+    "frequent_triples",
 ]
 
 

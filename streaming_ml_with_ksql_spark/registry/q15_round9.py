@@ -117,6 +117,60 @@ def q_binary_vs_float_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIPLES_ORACLE = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tri AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             count(*) AS support
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+                AND b.l_partkey > a.l_partkey
+      JOIN op c ON c.l_orderkey = a.l_orderkey
+                AND c.l_partkey > b.l_partkey
+      GROUP BY 1, 2, 3)
+    SELECT p1, p2, p3, CAST(support AS DOUBLE) AS support_d
+    FROM tri WHERE support >= 2
+"""
+
+
+@register("frequent_triples", _TRIPLES_ORACLE)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over market baskets (the next rung above
+    copurchase_lift's pairs): ordered triples p1 < p2 < p3 co-occurring
+    in >= 2 distinct orders. Scale shape: the within-order double
+    self-join is BASKET-bounded — TPC-H orders carry <= 7 lines, so an
+    order emits <= C(7,3)=35 triples and the stage is linear in
+    lineitem; on hub-prone data the same data-adaptive degree cap as
+    link_prediction applies before the second join. The support
+    aggregation is one map-combined groupBy on the triple key."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    b = op.select(
+        F.col("l_orderkey").alias("__ok1"), F.col("l_partkey").alias("p2")
+    )
+    c = op.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_partkey").alias("p3")
+    )
+    tri = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("__ok1"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .join(
+            c,
+            (F.col("l_orderkey") == F.col("__ok2"))
+            & (F.col("p2") < F.col("p3")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return tri.where(F.col("support") >= 2).select(
+        "p1", "p2", "p3", F.col("support").cast("double").alias("support_d")
+    )
+
+
 _LANG_BUDGET_ORACLE = """
     WITH per AS (
       SELECT lang, count(*) AS n FROM documents GROUP BY 1),

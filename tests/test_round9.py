@@ -38,6 +38,7 @@ ROUND9 = [
     "join_cardinality_estimate",
     "canonical_representative_pick",
     "lang_budget_temperature",
+    "frequent_triples",
 ]
 
 ROUND9_STREAMING = [
