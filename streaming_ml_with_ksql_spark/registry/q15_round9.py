@@ -736,7 +736,7 @@ _ECE_ORACLE = """
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS npos,
              sum(CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)) AS sc
-      FROM events GROUP BY 1),
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
     per AS (
       SELECT bin, n,
              (npos * 1000000) // n AS acc_ppm,
@@ -759,8 +759,11 @@ def q_ece_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm via the verified calibration-bin division; confidence in ppm as
     sum(score cents)·20 div n (value spans [0, 500] → cents·1e6 div
     (n·50000) = cents·20 div n); ECE = Σ n·|gap| div N; MCE = max gap.
-    One map-side-combined aggregation + a 10-row fold."""
-    ev = _t(spark, sf_dir, "events")
+    One map-side-combined aggregation + a 10-row fold. NULL scores are
+    excluded up front on both sides (ADVICE r9: floor(NULL/50) is NULL
+    and least() null-skip would silently file them under bin 9,
+    inflating its n while contributing nothing to npos/sc)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy(
         F.least(F.lit(9), F.floor(F.col("value") / 50.0))
         .cast("long")
@@ -2090,17 +2093,29 @@ def _gbdt_tree2_oracle(rounds: int = 2) -> str:
         sql += f""",
     r{m + 1} AS MATERIALIZED (
       SELECT f1, f2, f3, r - ({child}) AS r FROM r{m})"""
+    # coalesce mirrors the engine's (fid=1, thr=0, lv=0, rv=0) sentinel
+    # for an empty root-split side (ml/linear.py gbdt_tree2_rounds): the
+    # child chain's best/leaf CTEs are empty there, so the bare scalar
+    # subqueries would return NULL and hash-diverge (ADVICE r9).
     tree_cols = ", ".join(
         f"CAST((SELECT fid FROM best_r{m}) AS DOUBLE) AS t{m}_root_fid_d, "
         f"CAST((SELECT thr FROM best_r{m}) AS DOUBLE) AS t{m}_root_thr_d, "
-        f"CAST((SELECT fid FROM leaf_l{m}) AS DOUBLE) AS t{m}_l_fid_d, "
-        f"CAST((SELECT thr FROM leaf_l{m}) AS DOUBLE) AS t{m}_l_thr_d, "
-        f"CAST((SELECT lv FROM leaf_l{m}) AS DOUBLE) AS t{m}_l_lv_cents_d, "
-        f"CAST((SELECT rv FROM leaf_l{m}) AS DOUBLE) AS t{m}_l_rv_cents_d, "
-        f"CAST((SELECT fid FROM leaf_rt{m}) AS DOUBLE) AS t{m}_r_fid_d, "
-        f"CAST((SELECT thr FROM leaf_rt{m}) AS DOUBLE) AS t{m}_r_thr_d, "
-        f"CAST((SELECT lv FROM leaf_rt{m}) AS DOUBLE) AS t{m}_r_lv_cents_d, "
-        f"CAST((SELECT rv FROM leaf_rt{m}) AS DOUBLE) AS t{m}_r_rv_cents_d"
+        f"CAST(coalesce((SELECT fid FROM leaf_l{m}), 1) AS DOUBLE)"
+        f" AS t{m}_l_fid_d, "
+        f"CAST(coalesce((SELECT thr FROM leaf_l{m}), 0) AS DOUBLE)"
+        f" AS t{m}_l_thr_d, "
+        f"CAST(coalesce((SELECT lv FROM leaf_l{m}), 0) AS DOUBLE)"
+        f" AS t{m}_l_lv_cents_d, "
+        f"CAST(coalesce((SELECT rv FROM leaf_l{m}), 0) AS DOUBLE)"
+        f" AS t{m}_l_rv_cents_d, "
+        f"CAST(coalesce((SELECT fid FROM leaf_rt{m}), 1) AS DOUBLE)"
+        f" AS t{m}_r_fid_d, "
+        f"CAST(coalesce((SELECT thr FROM leaf_rt{m}), 0) AS DOUBLE)"
+        f" AS t{m}_r_thr_d, "
+        f"CAST(coalesce((SELECT lv FROM leaf_rt{m}), 0) AS DOUBLE)"
+        f" AS t{m}_r_lv_cents_d, "
+        f"CAST(coalesce((SELECT rv FROM leaf_rt{m}), 0) AS DOUBLE)"
+        f" AS t{m}_r_rv_cents_d"
         for m in range(1, rounds + 1)
     )
     mse_cols = ", ".join(

@@ -13,36 +13,68 @@ import pathlib
 
 import streaming_ml_with_ksql_spark as pkg
 
-# function (or method) name -> why its collect is driver-bounded
-COLLECT_WHITELIST: dict[str, str] = {
+# (relative path, function name) -> why its collect is driver-bounded.
+# Keyed by file+function (ADVICE r9: a bare-name whitelist let any future
+# same-named function in any module inherit e.g. "load"'s exemption).
+COLLECT_WHITELIST: dict[tuple[str, str], str] = {
     # broadcast bitmap build: 64-bit words of a fixed-size bloom bitmap
     # (num_bits/64 rows, hyperparameter-bounded)
-    "build_bloom_words": "num_bits/64 bitmap words",
+    ("operators/bloom.py", "build_bloom_words"): "num_bits/64 bitmap words",
     # BPE merge loop: limit(1) best pair per round (n_merges rounds)
-    "train_bpe": "limit(1) best-pair scalar per merge round",
+    ("operators/bpe.py", "train_bpe"): (
+        "limit(1) best-pair scalar per merge round"
+    ),
     # PQ/IVF artifacts: codebook tiles and train samples are
     # hyperparameter-bounded (train_sample rows, ksub x m centroids)
-    "build_pq_index": "train_sample-row sample + ksub x m codebook",
-    "build_ivfpq_index": "train_sample-row sample + ksub x m codebook",
-    "load": "persisted codebook relation (ksub x m x d_sub rows)",
-    "pca_project": "train_sample-row sample for the fit",
+    ("operators/similarity.py", "build_pq_index"): (
+        "train_sample-row sample + ksub x m codebook"
+    ),
+    ("operators/similarity.py", "build_ivfpq_index"): (
+        "train_sample-row sample + ksub x m codebook"
+    ),
+    ("operators/similarity.py", "load"): (
+        "persisted codebook relation (ksub x m x d_sub rows)"
+    ),
+    ("operators/similarity.py", "pca_project"): (
+        "train_sample-row sample for the fit"
+    ),
     # wire codecs: schema/registry binds and capability probes (1 row);
     # decode reads a declared-bounded payload frame for cross-checks
-    "avro_available": "1-row capability probe",
-    "decode_confluent": "schema-registry bind (schemas, not data)",
-    "decode_confluent_proto": "schema bind (descriptors, not data)",
+    ("sources/avro.py", "avro_available"): "1-row capability probe",
+    ("sources/avro_py.py", "decode_confluent"): (
+        "schema-registry bind (schemas, not data)"
+    ),
+    ("sources/proto_py.py", "decode_confluent_proto"): (
+        "schema bind (descriptors, not data)"
+    ),
     # exact in-engine trainers: 1-row split/moment scalars per round,
     # dim-bounded weight vectors
-    "gbdt_stump_rounds": "1-row moment + per-round best-split scalars",
-    "gbdt_tree2_rounds": "1-row moment + per-node best-split scalars",
-    "batch_perceptron_trajectory": "1-row dims scalar + dim-bounded w",
-    "best_split": "1-row best-split scalar (gbdt inner search)",
+    ("ml/linear.py", "gbdt_stump_rounds"): (
+        "1-row moment + per-round best-split scalars"
+    ),
+    ("ml/linear.py", "gbdt_tree2_rounds"): (
+        "1-row moment + per-node best-split scalars"
+    ),
+    ("ml/linear.py", "batch_perceptron_trajectory"): (
+        "1-row dims scalar + dim-bounded w"
+    ),
+    ("ml/linear.py", "best_split"): (
+        "1-row best-split scalar (gbdt inner search)"
+    ),
     # registry queries (the full package is scanned, registry included)
-    "q_decision_tree_depth2_events": "1-row fitted-root scalar",
-    "q_conformal_forecast_interval": "1-row split-date scalar",
-    "_replay_events_with_late": "limit(2) late-event sample",
+    ("registry/q11_round7c.py", "q_decision_tree_depth2_events"): (
+        "1-row fitted-root scalar"
+    ),
+    ("registry/q13_round7e.py", "q_conformal_forecast_interval"): (
+        "1-row split-date scalar"
+    ),
+    ("registry/q04_streamksql.py", "_replay_events_with_late"): (
+        "limit(2) late-event sample"
+    ),
     # the package's single toPandas (VERDICT r8 audit): GEMM tile build
-    "embedding_near_dup_pairs_blocked": "tile-budget-bounded toPandas",
+    ("operators/similarity.py", "embedding_near_dup_pairs_blocked"): (
+        "tile-budget-bounded toPandas"
+    ),
 }
 
 
@@ -80,7 +112,7 @@ def _collect_sites() -> dict[str, set[str]]:
 def test_every_collect_site_is_whitelisted():
     offenders = {}
     for f, fns in _collect_sites().items():
-        bad = {fn for fn in fns if fn not in COLLECT_WHITELIST}
+        bad = {fn for fn in fns if (f, fn) not in COLLECT_WHITELIST}
         if bad:
             offenders[f] = bad
     assert not offenders, (
@@ -90,6 +122,8 @@ def test_every_collect_site_is_whitelisted():
 
 
 def test_whitelist_entries_are_live():
-    live = {fn for fns in _collect_sites().values() for fn in fns}
-    stale = {fn for fn in COLLECT_WHITELIST if fn not in live}
+    live = {
+        (f, fn) for f, fns in _collect_sites().items() for fn in fns
+    }
+    stale = {key for key in COLLECT_WHITELIST if key not in live}
     assert not stale, f"whitelist entries with no collect site: {stale}"

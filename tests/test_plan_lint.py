@@ -143,16 +143,21 @@ def _walk(jnode):
 
 
 def _probe_bounded(build_child) -> bool:
-    """True iff the BNLJ build subtree contains a `col < N` literal filter
-    with N <= MAX_PROBE_LITERAL — for non-negative unique ids that bounds
-    the broadcast at N rows at EVERY scale. A corpus-side broadcast has no
-    such filter and fails."""
+    """True iff the BNLJ build subtree contains an `<id col> < N` literal
+    filter with N <= MAX_PROBE_LITERAL — for non-negative unique ids that
+    bounds the broadcast at N rows at EVERY scale. Anchored to id-named
+    columns (ADVICE r9: a bare `< N)` regex would false-pass a corpus-side
+    build whose plan merely contains e.g. `rel < 1` or `rnk < 6`); every
+    probe idiom filters its unique id column (vec_id/doc_id/query_id)."""
     import re
 
     for sub in _walk(build_child):
         if sub.getClass().getSimpleName() == "FilterExec":
-            for m in re.finditer(r"< (\d+)\)", sub.toString()):
-                if int(m.group(1)) <= MAX_PROBE_LITERAL:
+            for m in re.finditer(r"(\w+)#\d+L? < (\d+)\)", sub.toString()):
+                if (
+                    m.group(1).endswith("id")
+                    and int(m.group(2)) <= MAX_PROBE_LITERAL
+                ):
                     return True
     return False
 
