@@ -58,10 +58,8 @@ HEADLINE = [
     "hopping_window_agg",
     "enriched_window_join",
     "rolling_counts",
-    "pricing_summary",
     "shipping_priority",
     "asof_view_attribution",
-    "session_window_agg",
     "minhash_near_dup_pairs",
     "pagerank_near_dup",
     "embedding_topk_bruteforce",
@@ -125,6 +123,16 @@ HEADLINE = [
     # the md5-walk generator kernel signal rides synthetic oracles and
     # corpus_curation's Python stages).
     "binary_hamming_topk",
+    # round-10: the PRF retrieval round-trip (two BM25 passes + feedback
+    # term mining over the shared checkpointed token scan) and ordered
+    # sequential-pattern support (three user-keyed min-chains) — the
+    # round's two heaviest new shapes; kendall/brier/heaps are sub-second
+    # cell-histogram folds whose signal rides the existing stats reps.
+    # pricing_summary and session_window_agg yielded their bytes (0.38 /
+    # 0.40 s cheapest entries; TPC-H keeps shipping_priority, windows
+    # keep hopping_window_agg + streaming_hopping_window).
+    "prf_query_expansion",
+    "sequential_pattern_support",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow

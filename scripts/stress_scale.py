@@ -182,6 +182,14 @@ QUERIES = [
     "canonical_representative_pick",
     "lang_budget_temperature",
     "frequent_triples",
+    # round-10 additions
+    "prf_query_expansion",
+    "prf_expansion_terms",
+    "sequential_pattern_support",
+    "kendall_tau_hour_value",
+    "brier_score_decomposition",
+    "heaps_vocab_growth",
+    "stump_cv_events",
 ]
 
 

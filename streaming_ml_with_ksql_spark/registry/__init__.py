@@ -44,6 +44,7 @@ from . import q12_round7d  # noqa: F401,E402
 from . import q13_round7e  # noqa: F401,E402
 from . import q14_round8  # noqa: F401,E402
 from . import q15_round9  # noqa: F401,E402
+from . import q16_round10  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.
@@ -82,99 +83,83 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (the seventh): every round-8 holder banked a fresh
-    # r08 verdict, so THIRTY slots yield to exact-oracled queries that
-    # have NEVER held a driver verdict — the q09_round7 stats/graph/wire
-    # mass VERDICT r8 #3 named, plus never-verdicted representatives from
-    # the multimodal/trainer/sketch waves. The four rows-only-by-design
-    # slots (embedding_topk_lsh/ivf, ksql_runbook_predictions,
-    # multimodal_decode) retired their r01/r02 error records in r08 —
-    # they can never produce a hash verdict, so their slots go to
-    # oracled queries (VERDICT r8 #4): the block is 50/50 exact-oracled
-    # for the first time. Twenty keeps = one anchor per family plus the
-    # queries whose physical plans changed THIS round (the brute-force
-    # probe-broadcast flip, the item-CF pair-stage pin, the zip encode
-    # hardening, the doc_quality shared-token scan) — those re-verdict
-    # on the new plans. Displaced queries remain fully supported and
-    # exactly oracled in verify_driver's full sweep + pytest sweeps.
+    # Round-10 rotation (the eighth): every round-9 holder banked a fresh
+    # r09 verdict (50/50 exact-oracle pass), so THIRTY-TWO slots yield
+    # to exact-oracled queries that have never held a driver verdict,
+    # drawn across every wave (q05 relational shapes through the q15
+    # LLM-pipeline mass), and EIGHT slots go to the round-10 new operators
+    # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
+    # decomposition + its streaming ingest twin, Heaps growth, 5-fold
+    # stump CV). Ten keeps = one anchor per core
+    # family plus the two queries whose oracle/plan changed THIS round
+    # (gbdt_tree2_boost's degenerate-sentinel oracle mirror and
+    # ece_calibration_error's NULL-score guard — ADVICE r9) so they
+    # (re-)verdict on the new definitions. Displaced queries remain
+    # fully supported and exactly oracled in verify_driver's full sweep
+    # + pytest sweeps.
     #
-    # flagship window family (W1/W2)
+    # ---- keeps: family anchors + this round's changed definitions ----
     "hopping_window_agg",
-    # perceptual image-dedup family (dHash+LSH groups hold the slot)
     "image_dedup_groups",
-    # recsys serving — pair stage re-pinned this round (ADVICE r8)
-    "item_item_recommendations",
-    # retrieval eval + contrastive mining — probe-broadcast flip this
-    # round (VERDICT r8 #2): re-verdict on the flipped plans
-    "ndcg_retrieval_eval",
-    "hard_negative_mining",
-    # CDC source anchor (S3)
     "cdc_wire_snapshot_customers",
-    # composites + text quality (doc_quality's token scan is shared
-    # across its three stages this round — re-verdict on the new plan;
-    # corpus_rag_pipeline's r08 verdict stands, its slot goes to the
-    # round-9 column profiler)
     "doc_quality_score",
     "corpus_curation_pipeline",
-    "column_profile_events",
-    # stateful-streaming anchor
     "streaming_wallet_balance",
-    # clustering + in-engine trainer anchors: the 4-round deep GBDT and
-    # the depth-2 boosted trees take the trainer slots (gbdt_stump_boost
-    # r08 stands; the deep variant contains it as its first two stages)
     "dbscan_embedding_clusters",
-    "gbdt_deep_boost",
+    "item_item_recommendations",
     "gbdt_tree2_boost",
-    # archive wire (encode hardening this round) + graph-serving
-    "zip_archive_roundtrip",
-    "link_prediction_copurchase",
-    # ---- round-9 new operators (first verdicts; displaced six fresh-r08
-    # holders: shipping_priority, score_events, ksql_runbook_hopping,
-    # streaming_stump_ingest, streaming_sessionize, zonemap_prune_stats —
-    # their r08 verdicts stand) ----
-    "binary_hamming_topk",
-    "binary_vs_float_recall",
-    "semantic_decontaminate",
-    "ar2_forecast_revenue",
-    "mrr_retrieval_eval",
-    # ---- thirty first-verdict entrants ----
-    # q09_round7 behavioral/stats mass (VERDICT r8 #3)
-    "event_transition_matrix",
-    "score_calibration_bins",
-    "mad_outliers_values",
-    "cusum_changepoints",
-    "user_life_table",
-    "tfidf_top_terms",
-    "weighted_sample_documents",
-    "key_skew_profile",
-    "pagerank_near_dup",
-    "part_entity_groups",
-    "embedding_cluster_quality",
-    "bigram_collocations",
-    "copurchase_lift",
-    "k_anonymity_report",
-    "ab_test_lift",
-    # q09 wire formats (the gauntlet's r08 verdict covers the composite;
-    # these give the proto3 and XML codecs their own first verdicts)
-    "proto_source_roundtrip",
-    "xml_wire_roundtrip",
-    # robust-trend / drift-test siblings of the r08-verdicted family
-    "theil_sen_revenue_trend",
-    "ks_weekend_value_drift",
-    "streaming_ks_ingest",
-    # graph + locality + behavioral-finance
-    "hits_customer_part",
-    "twap_user_value",
-    # trainers/encoders that never held a verdict
-    "naive_bayes_event_type",
-    "target_encode_loo",
-    # multimodal plumbing legs (image resize grid + audio features)
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    # sketch-accuracy + fingerprints + dedup-screen + CDC streaming twin
-    "kmv_distinct_users",
-    "quantile_sketch_accuracy",
-    "winnowing_fingerprint_pairs",
-    "streaming_cdc_join_view",
+    "ece_calibration_error",
+    # ---- round-10 new operators (first verdicts) ----
+    "prf_query_expansion",
+    "prf_expansion_terms",
+    "sequential_pattern_support",
+    "kendall_tau_hour_value",
+    "brier_score_decomposition",
+    "heaps_vocab_growth",
+    "stump_cv_events",
+    "streaming_calibration_ingest",
+    # ---- thirty-two first-verdict entrants ----
+    # q05 relational shapes + fingerprints
+    "late_shipment_priority",
+    "top_supplier_per_nation",
+    "value_rank_suite",
+    "simhash_fingerprints",
+    # q06 wire sources + streaming twins
+    "json_source_roundtrip",
+    "csv_source_roundtrip",
+    "streaming_dedup_exact",
+    "streaming_events_quality",
+    # q07 corpus layout/plumbing
+    "bucketed_colocated_join",
+    "corpus_shuffle_shard",
+    "duplicate_span_positions",
+    "corpus_domain_mix",
+    # q08 TPC-H shapes + quality rules + perceptual pairs
+    "market_share",
+    "returned_item_topk",
+    "events_quality_rules",
+    "image_near_dup_pairs_dhash",
+    # q09 stats/drift battery
+    "benford_first_digit",
+    "value_drift_spearman",
+    "hbos_outlier_events",
+    "chi2_type_weekday",
+    # q10 audits
+    "referential_integrity_audit",
+    "snapshot_diff_customers",
+    # q11 behavioral/wire
+    "funnel_time_to_convert",
+    "markov_absorption_purchase",
+    "avro_schema_evolution",
+    # q12 privacy/text/decay
+    "t_closeness_report",
+    "halflife_decayed_value",
+    # q13 ops/stats
+    "compaction_bin_packing",
+    "latency_hdr_histogram",
+    # q15 round-9 LLM-pipeline mass
+    "dedup_span_rewrite",
+    "gopher_quality_filter",
+    "map_retrieval_eval",
 )
 

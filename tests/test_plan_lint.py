@@ -72,6 +72,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "value_drift_spearman",
                 "funnel_time_to_convert",
                 "t_closeness_report",
+                "kendall_tau_hour_value",
             }
         ),
     ),

@@ -1,0 +1,242 @@
+"""Round-10 tests: PRF query expansion, sequential patterns, Kendall
+tau-b, Brier decomposition, Heaps growth — each oracle-checked, plus
+independent third-vote replays and invariants (the r8 lesson:
+cross-engine agreement proves consistency, not correctness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.registry import _REGISTRY
+from tests.oracle import assert_query_matches
+
+ROUND10 = [
+    "prf_expansion_terms",
+    "prf_query_expansion",
+    "sequential_pattern_support",
+    "kendall_tau_hour_value",
+    "brier_score_decomposition",
+    "heaps_vocab_growth",
+    "stump_cv_events",
+]
+
+ROUND10_STREAMING = [
+    "streaming_calibration_ingest",
+]
+
+
+@pytest.mark.parametrize("name", ROUND10)
+def test_round10_query_matches_oracle(spark, sf_medium, name):
+    assert_query_matches(spark, name, sf_medium)
+
+
+@pytest.mark.parametrize("name", ROUND10_STREAMING)
+def test_round10_streaming_matches_oracle(spark, sf_small, name):
+    assert_query_matches(spark, name, sf_small)
+
+
+def test_stump_cv_beats_constant_model_on_train(spark, sf_small):
+    """The fitted stump's train MSE can exceed the exact-mean constant
+    model's only by the truncated-leaf penalty (< 2*sqrt(MSE0)+1 in
+    centi^2 — each leaf's truncated mean is within 1 cent of exact).
+    Also pins the output contract: one row per fold, fid in 1..3,
+    test set sizes partition the corpus."""
+    rows = _REGISTRY["stump_cv_events"].spark(spark, sf_small).collect()
+    assert sorted(r.fold_d for r in rows) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    ev = io_mod.load_table(spark, sf_small, "events")
+    n_all = ev.filter(F.col("value").isNotNull()).count()
+    assert sum(r.n_test_d for r in rows) == float(n_all)
+    from streaming_ml_with_ksql_spark.operators.text import _hash_bucket
+
+    recs = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            _hash_bucket(F.col("event_id"), salt="cv", mod=5).alias(
+                "fold"
+            ),
+            F.expr(
+                "CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)"
+            ).alias("y"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.fid_d in (1.0, 2.0, 3.0)
+        train = [x.y for x in recs if x.fold != int(r.fold_d)]
+        m = sum(train) / len(train)
+        mse0 = sum((y - m) ** 2 for y in train) / len(train)
+        assert r.train_mse_centi2_d <= mse0 + 2 * mse0 ** 0.5 + 1
+
+
+def test_kendall_tau_python_replay(spark, sf_small):
+    """Third vote: plain-Python O(n^2) Kendall tau-b over the raw
+    (hour, bucket) pairs must equal the cell-histogram computation —
+    the histogram contraction is the part both engines share."""
+    row = (
+        _REGISTRY["kendall_tau_hour_value"].spark(spark, sf_small).collect()
+    )[0]
+    ev = io_mod.load_table(spark, sf_small, "events")
+    pairs = [
+        (r.x, r.y)
+        for r in ev.filter(F.col("value").isNotNull())
+        .select(
+            F.hour("ts").cast("long").alias("x"),
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    ]
+    nc = nd = 0
+    n = len(pairs)
+    for i in range(n):
+        xi, yi = pairs[i]
+        for j in range(i + 1, n):
+            xj, yj = pairs[j]
+            if xi == xj or yi == yj:
+                continue
+            if (xi < xj) == (yi < yj):
+                nc += 1
+            else:
+                nd += 1
+    assert row.nc_d == float(nc)
+    assert row.nd_d == float(nd)
+    n0 = n * (n - 1) // 2
+    assert row.n0_d == float(n0)
+    assert row.tau_b_d is None or -1.0 <= row.tau_b_d <= 1.0
+    if row.tau_b_d is not None:
+        import math
+
+        expect = (nc - nd) / math.sqrt(
+            (n0 - int(row.n1_d)) * (n0 - int(row.n2_d))
+        )
+        assert abs(row.tau_b_d - expect) < 1e-12
+
+
+def test_brier_murphy_identity(spark, sf_small):
+    """Third vote, plain-Python floats: with non-constant forecasts per
+    bin the generalized Murphy identity is Brier = REL - RES + UNC
+    + WBV - 2*WBC (within-bin forecast variance and forecast-outcome
+    covariance). Verify the float identity holds exactly, then that the
+    operator's integer-ppm REL/RES/UNC/Brier match the float values up
+    to division truncation (<= 1 ppm per bin mean -> ~2e6 ppm^2)."""
+    row = (
+        _REGISTRY["brier_score_decomposition"].spark(spark, sf_small)
+    ).collect()[0]
+    ev = io_mod.load_table(spark, sf_small, "events")
+    recs = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+            .cast("long")
+            .alias("bin"),
+            (F.col("event_type") == "purchase").cast("long").alias("o"),
+            F.expr(
+                "CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT) * 20"
+            ).alias("f"),
+        )
+        .collect()
+    )
+    n = len(recs)
+    obar = sum(r.o for r in recs) / n
+    bins: dict[int, list] = {}
+    for r in recs:
+        bins.setdefault(r.bin, []).append(r)
+    brier = sum((r.f - r.o * 1e6) ** 2 for r in recs) / n
+    rel = res = wbv = wbc = 0.0
+    for rows_k in bins.values():
+        nk = len(rows_k)
+        fbar = sum(r.f for r in rows_k) / nk
+        ok = sum(r.o for r in rows_k) / nk
+        rel += nk * (fbar - ok * 1e6) ** 2
+        res += nk * ((ok - obar) * 1e6) ** 2
+        wbv += sum((r.f - fbar) ** 2 for r in rows_k)
+        wbc += sum((r.f - fbar) * (r.o - ok) * 1e6 for r in rows_k)
+    rel, res, wbv, wbc = rel / n, res / n, wbv / n, wbc / n
+    unc = obar * (1 - obar) * 1e12
+    # the float identity itself (sanity of the decomposition algebra)
+    assert abs(brier - (rel - res + unc + wbv - 2 * wbc)) < 1e-3 * brier
+    # the operator's truncated-integer outputs track the float values
+    tol = 2e6
+    assert abs(row.brier_ppm2_d - brier) <= tol
+    assert abs(row.rel_ppm2_d - rel) <= tol
+    assert abs(row.res_ppm2_d - res) <= tol
+    assert abs(row.unc_ppm2_d - unc) <= tol
+    assert 0 <= row.base_ppm_d <= 1_000_000
+    assert row.unc_ppm2_d == row.base_ppm_d * (1_000_000 - row.base_ppm_d)
+
+
+def test_sequential_pattern_prefix_monotone(spark, sf_small):
+    """Containment monotonicity: support(a->b->c) <= support(a->b),
+    computed independently by the two-step version of the same greedy
+    earliest-occurrence chain."""
+    sup3 = {
+        (r.step_a, r.step_b, r.step_c): r.support_d
+        for r in _REGISTRY["sequential_pattern_support"]
+        .spark(spark, sf_small)
+        .collect()
+    }
+    ev = io_mod.load_table(spark, sf_small, "events")
+    e = ev.select("user_id", "event_type", "ts").distinct()
+    a = e.groupBy("user_id", F.col("event_type").alias("step_a")).agg(
+        F.min("ts").alias("t1")
+    )
+    sup2 = {
+        (r.step_a, r.step_b): r.s
+        for r in e.join(a, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .select("user_id", "step_a", F.col("event_type").alias("step_b"))
+        .distinct()
+        .groupBy("step_a", "step_b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    }
+    assert sup3, "no supported triples at sf_small"
+    for (sa, sb, _sc), s in sup3.items():
+        assert s <= sup2[(sa, sb)]
+
+
+def test_heaps_growth_monotone_and_final_totals(spark, sf_small):
+    """Vocabulary and token counts are non-decreasing in the prefix
+    fraction, and the k=16 row equals independently-computed corpus
+    totals."""
+    rows = sorted(
+        _REGISTRY["heaps_vocab_growth"].spark(spark, sf_small).collect(),
+        key=lambda r: r.k_frac16_d,
+    )
+    assert [r.k_frac16_d for r in rows] == [1.0, 2.0, 4.0, 8.0, 16.0]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_tokens_d >= prev.n_tokens_d
+        assert cur.vocab_uni_d >= prev.vocab_uni_d
+        assert cur.vocab_bi_d >= prev.vocab_bi_d
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    total = docs.select(F.sum(F.size(toks)).alias("s")).collect()[0].s
+    vocab = (
+        docs.select(F.explode(toks).alias("t")).distinct().count()
+    )
+    assert rows[-1].n_tokens_d == float(total)
+    assert rows[-1].vocab_uni_d == float(vocab)
+
+
+def test_prf_expansion_contract(spark, sf_small):
+    """Expansion terms exclude the seeds, are at most five, and the
+    final top-10 docs all carry positive integer micro scores."""
+    terms = (
+        _REGISTRY["prf_expansion_terms"].spark(spark, sf_small).collect()
+    )
+    assert 1 <= len(terms) <= 5
+    for t in terms:
+        assert t.term not in ("stream", "window")
+        assert len(t.term) >= 3
+        assert t.w_micro_d > 0
+    docs = (
+        _REGISTRY["prf_query_expansion"].spark(spark, sf_small).collect()
+    )
+    assert len(docs) == 10
+    assert all(d.prf_score_micro_d > 0 for d in docs)
+    scores = [d.prf_score_micro_d for d in docs]
+    assert all(s == int(s) for s in scores), "scores must be integer micros"
