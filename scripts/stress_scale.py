@@ -190,6 +190,8 @@ QUERIES = [
     "brier_score_decomposition",
     "heaps_vocab_growth",
     "stump_cv_events",
+    "association_rules_copurchase",
+    "retention_cohort_matrix",
 ]
 
 

@@ -84,13 +84,13 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so THIRTY-TWO slots yield
+    # r09 verdict (50/50 exact-oracle pass), so THIRTY slots yield
     # to exact-oracled queries that have never held a driver verdict,
     # drawn across every wave (q05 relational shapes through the q15
-    # LLM-pipeline mass), and EIGHT slots go to the round-10 new operators
+    # LLM-pipeline mass), and TEN slots go to the round-10 new operators
     # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
     # decomposition + its streaming ingest twin, Heaps growth, 5-fold
-    # stump CV). Ten keeps = one anchor per core
+    # stump CV, association rules, retention cohorts). Ten keeps = one anchor per core
     # family plus the two queries whose oracle/plan changed THIS round
     # (gbdt_tree2_boost's degenerate-sentinel oracle mirror and
     # ece_calibration_error's NULL-score guard — ADVICE r9) so they
@@ -118,7 +118,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "heaps_vocab_growth",
     "stump_cv_events",
     "streaming_calibration_ingest",
-    # ---- thirty-two first-verdict entrants ----
+    "association_rules_copurchase",
+    "retention_cohort_matrix",
+    # ---- thirty first-verdict entrants ----
     # q05 relational shapes + fingerprints
     "late_shipment_priority",
     "top_supplier_per_nation",
@@ -133,7 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bucketed_colocated_join",
     "corpus_shuffle_shard",
     "duplicate_span_positions",
-    "corpus_domain_mix",
     # q08 TPC-H shapes + quality rules + perceptual pairs
     "market_share",
     "returned_item_topk",
@@ -146,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chi2_type_weekday",
     # q10 audits
     "referential_integrity_audit",
-    "snapshot_diff_customers",
     # q11 behavioral/wire
     "funnel_time_to_convert",
     "markov_absorption_purchase",

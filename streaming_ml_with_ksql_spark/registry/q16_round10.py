@@ -989,3 +989,218 @@ def q_stump_cv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules over market baskets (confidence + lift, integer ppm)
+# --------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS MATERIALIZED (
+      SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+      FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+                         AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2),
+    tri AS MATERIALIZED (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             count(*) AS n_abc
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+                AND b.l_partkey > a.l_partkey
+      JOIN op c ON c.l_orderkey = a.l_orderkey
+                AND c.l_partkey > b.l_partkey
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+    rules AS (
+      SELECT p1 AS ant_a, p2 AS ant_b, p3 AS cons, n_abc FROM tri
+      UNION ALL SELECT p1, p3, p2, n_abc FROM tri
+      UNION ALL SELECT p2, p3, p1, n_abc FROM tri),
+    scored AS (
+      SELECT r.ant_a, r.ant_b, r.cons, r.n_abc, p.n_ab,
+             (r.n_abc * 1000000) // p.n_ab AS conf_ppm,
+             (((r.n_abc * 1000000) // p.n_ab) * n_orders) // pc.n_p
+               AS lift_ppm
+      FROM rules r
+      JOIN pairs p ON p.pa = r.ant_a AND p.pb = r.ant_b
+      JOIN pc ON pc.l_partkey = r.cons
+      CROSS JOIN n)
+    SELECT ant_a, ant_b, cons,
+           CAST(n_abc AS DOUBLE) AS n_abc_d,
+           CAST(n_ab AS DOUBLE) AS n_ab_d,
+           CAST(conf_ppm AS DOUBLE) AS conf_ppm_d,
+           CAST(lift_ppm AS DOUBLE) AS lift_ppm_d
+    FROM scored
+    ORDER BY conf_ppm DESC, lift_ppm DESC, ant_a, ant_b, cons LIMIT 20
+"""
+
+
+@register("association_rules_copurchase", _RULES_ORACLE)
+def q_association_rules_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules {a,b} -> c mined from the frequent 3-itemsets
+    (Agrawal & Srikant 1994, the rung above frequent_triples): each
+    support>=2 triple emits its three antecedent-pair orientations;
+    confidence = sup(abc)/sup(ab) and lift = confidence·N/sup(c), both
+    as two-step integer ppm divisions (conf_ppm first — keeps every
+    intermediate <= n_orders·1e6, overflow-safe at any SF — then
+    lift_ppm from it; identical truncation order on both engines).
+    Scale shape: the triple/pair stages are basket-bounded within-order
+    self-joins (<= C(7,2|3) per order), rules are 3x the triple count,
+    and the supports attach by broadcast-size equi-joins; top-20 via
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy(F.col("l_partkey").alias("cons")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("__ok1"), F.col("l_partkey").alias("p2")
+    )
+    c = op.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_partkey").alias("p3")
+    )
+    pairs = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("__ok1"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), F.col("p2").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tri = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("__ok1"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .join(
+            c,
+            (F.col("l_orderkey") == F.col("__ok2"))
+            & (F.col("p2") < F.col("p3")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .where(F.col("n_abc") >= 2)
+    )
+    rules = (
+        tri.select(
+            F.col("p1").alias("ant_a"), F.col("p2").alias("ant_b"),
+            F.col("p3").alias("cons"), "n_abc",
+        )
+        .unionAll(
+            tri.select(
+                F.col("p1").alias("ant_a"), F.col("p3").alias("ant_b"),
+                F.col("p2").alias("cons"), "n_abc",
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.col("p2").alias("ant_a"), F.col("p3").alias("ant_b"),
+                F.col("p1").alias("cons"), "n_abc",
+            )
+        )
+    )
+    scored = (
+        rules.join(
+            pairs,
+            (F.col("ant_a") == F.col("pa"))
+            & (F.col("ant_b") == F.col("pb")),
+        )
+        .join(pc, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ant_a", "ant_b", "cons", "n_abc", "n_ab",
+            F.expr("(n_abc * 1000000L) div n_ab").alias("conf_ppm"),
+            F.expr(
+                "(((n_abc * 1000000L) div n_ab) * n_orders) div n_p"
+            ).alias("lift_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("conf_ppm").desc(), F.col("lift_ppm").desc(),
+            "ant_a", "ant_b", "cons",
+        )
+        .limit(20)
+        .select(
+            "ant_a", "ant_b", "cons",
+            F.col("n_abc").cast("double").alias("n_abc_d"),
+            F.col("n_ab").cast("double").alias("n_ab_d"),
+            F.col("conf_ppm").cast("double").alias("conf_ppm_d"),
+            F.col("lift_ppm").cast("double").alias("lift_ppm_d"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# User-retention cohort matrix
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+    WITH base AS MATERIALIZED (
+      SELECT user_id,
+             datediff('day', TIMESTAMP '2024-01-01',
+                      date_trunc('day', ts)) // 7 AS wk
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2),
+    coh AS MATERIALIZED (
+      SELECT user_id, min(wk) AS cwk FROM base GROUP BY 1),
+    sz AS (SELECT cwk, count(*) AS n0 FROM coh GROUP BY 1),
+    act AS (
+      SELECT c.cwk, b.wk - c.cwk AS offs, count(*) AS n_active
+      FROM base b JOIN coh c USING (user_id) GROUP BY 1, 2)
+    SELECT CAST(a.cwk AS DOUBLE) AS cohort_week_d,
+           CAST(a.offs AS DOUBLE) AS week_offset_d,
+           CAST(a.n_active AS DOUBLE) AS n_active_d,
+           CAST(s.n0 AS DOUBLE) AS cohort_size_d,
+           CAST((a.n_active * 1000000) // s.n0 AS DOUBLE)
+             AS retention_ppm_d
+    FROM act a JOIN sz s ON s.cwk = a.cwk
+"""
+
+
+@register("retention_cohort_matrix", _RETENTION_ORACLE)
+def q_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — the product-analytics triangle:
+    users cohorted by their FIRST active week, each later active week
+    counted into (cohort_week, week_offset) cells, retention as the
+    integer-ppm share of the cohort still active. Offset 0 is the
+    cohort size itself (retention_ppm = 1e6), a built-in self-check.
+    Scale shape: distinct (user, week) is one user-keyed groupBy, the
+    cohort attaches by a co-partitioned equi-join on user_id, and the
+    matrix is calendar-bounded (weeks^2/2 cells) at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(date_trunc('day', ts),"
+                " TIMESTAMP '2024-01-01') AS BIGINT) div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    coh = base.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    sz = coh.groupBy("cwk").agg(F.count(F.lit(1)).alias("n0"))
+    act = (
+        base.join(coh, "user_id")
+        .groupBy("cwk", (F.col("wk") - F.col("cwk")).alias("offs"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return act.join(sz, "cwk").select(
+        F.col("cwk").cast("double").alias("cohort_week_d"),
+        F.col("offs").cast("double").alias("week_offset_d"),
+        F.col("n_active").cast("double").alias("n_active_d"),
+        F.col("n0").cast("double").alias("cohort_size_d"),
+        F.expr("CAST((n_active * 1000000L) div n0 AS DOUBLE)").alias(
+            "retention_ppm_d"
+        ),
+    )

