@@ -192,6 +192,8 @@ QUERIES = [
     "stump_cv_events",
     "association_rules_copurchase",
     "retention_cohort_matrix",
+    "int8_quantized_topk",
+    "event_type_week_pivot",
 ]
 
 

@@ -1839,3 +1839,88 @@ def hard_negative_topk(
         F.col("label_match").cast("double").alias("label_match_d"),
         "rnk",
     )
+
+
+def int8_quantize(
+    embeddings: DataFrame, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric max-abs int8 quantization of a 64-dim embedding: per
+    vector scale = max|e_i|, code_i = floor(e_i * 127 / scale) — the
+    4x memory/bandwidth member of the quantization spectrum between the
+    sign-bit binary codes (32x, Hamming) and full float32 (cosine).
+    floor (not round) keeps the code deterministic on both engines for
+    every representable double; an all-zero vector quantizes to zeros
+    with scale 0 (CASE-guarded — ANSI division discipline). Narrow map,
+    no shuffle, no Python."""
+    emb = _as_double(embeddings)
+    scale = F.array_max(F.transform(F.col("embedding"), F.abs))
+    code = F.when(F.col("scale") == 0.0, F.expr(
+        "transform(embedding, x -> 0L)"
+    )).otherwise(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(x * CAST(127 AS DOUBLE) / scale) AS BIGINT))"
+        )
+    )
+    return (
+        emb.select(id_col, "embedding", scale.alias("scale"))
+        .select(id_col, F.col("scale"), code.alias("q"))
+    )
+
+
+def int8_dot_topk(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Int8 first-stage retrieval: exact integer dot products over the
+    quantized codes (64 int8 terms -> |dot| <= 64*127^2, comfortably
+    BIGINT), de-quantized per pair by ONE double chain
+    dot * (qs/127) * (cs/127) for ranking — the integer dot is
+    engine-order-free, the de-quantization is two correctly-rounded
+    multiplies. Probe side broadcasts, corpus streams (_probe_scan),
+    rank is the salted two-level exact top-k. Output: (query_id,
+    neighbor_id, int_dot_d, score_d, rnk)."""
+    codes = int8_quantize(embeddings)
+    q = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("q").alias("qq"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("cs"),
+        F.col("q").alias("cq"),
+    )
+    scored = (
+        _probe_scan(c, q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (x, y) -> x * y),"
+                " 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "qs",
+            "cs",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                * (F.col("qs") / F.lit(127.0))
+                * (F.col("cs") / F.lit(127.0))
+            ).alias("score"),
+        )
+    )
+    return _keyed_topk(scored, "query_id", "score", "neighbor_id", k).select(
+        "query_id",
+        "neighbor_id",
+        F.col("dot").cast("double").alias("int_dot_d"),
+        F.col("score").alias("score_d"),
+        "rnk",
+    )

@@ -84,13 +84,14 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so THIRTY slots yield
+    # r09 verdict (50/50 exact-oracle pass), so TWENTY-EIGHT slots yield
     # to exact-oracled queries that have never held a driver verdict,
     # drawn across every wave (q05 relational shapes through the q15
-    # LLM-pipeline mass), and TEN slots go to the round-10 new operators
+    # LLM-pipeline mass), and TWELVE slots go to the round-10 new operators
     # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
     # decomposition + its streaming ingest twin, Heaps growth, 5-fold
-    # stump CV, association rules, retention cohorts). Ten keeps = one anchor per core
+    # stump CV, association rules, retention cohorts, int8 retrieval,
+    # the pivot surface). Ten keeps = one anchor per core
     # family plus the two queries whose oracle/plan changed THIS round
     # (gbdt_tree2_boost's degenerate-sentinel oracle mirror and
     # ece_calibration_error's NULL-score guard — ADVICE r9) so they
@@ -120,7 +121,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_calibration_ingest",
     "association_rules_copurchase",
     "retention_cohort_matrix",
-    # ---- thirty first-verdict entrants ----
+    "int8_quantized_topk",
+    "event_type_week_pivot",
+    # ---- twenty-eight first-verdict entrants ----
     # q05 relational shapes + fingerprints
     "late_shipment_priority",
     "top_supplier_per_nation",
@@ -130,10 +133,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_source_roundtrip",
     "csv_source_roundtrip",
     "streaming_dedup_exact",
-    "streaming_events_quality",
     # q07 corpus layout/plumbing
     "bucketed_colocated_join",
-    "corpus_shuffle_shard",
     "duplicate_span_positions",
     # q08 TPC-H shapes + quality rules + perceptual pairs
     "market_share",

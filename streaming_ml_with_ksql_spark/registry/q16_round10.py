@@ -1204,3 +1204,110 @@ def q_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_ppm_d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8-quantized retrieval (the 4x member of the quantization spectrum)
+# --------------------------------------------------------------------------
+
+_INT8_ORACLE = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sc AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS s
+           FROM emb),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s,
+             CASE WHEN s = 0
+                  THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e, x ->
+                    CAST(floor(x * CAST(127 AS DOUBLE) / s) AS BIGINT))
+             END AS q
+      FROM sc),
+    qp AS (SELECT vec_id AS query_id, s AS qs, q AS qq
+           FROM codes WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(qq, (x, i) -> x * c.q[i])) AS dot,
+             qs, c.s AS cs
+      FROM qp CROSS JOIN codes c WHERE c.vec_id != query_id),
+    sc2 AS (
+      SELECT query_id, neighbor_id, dot,
+             CAST(dot AS DOUBLE) * (qs / CAST(127 AS DOUBLE))
+               * (cs / CAST(127 AS DOUBLE)) AS score
+      FROM scored),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS INT) AS rnk
+      FROM sc2)
+    SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) AS int_dot_d,
+           score AS score_d, rnk
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("int8_quantized_topk", _INT8_ORACLE)
+def q_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 max-abs quantized retrieval (similarity.int8_quantize +
+    int8_dot_topk) — the 4x-compression middle rung between the binary
+    sign-bit codes (32x, Hamming) and full float cosine: integer dot
+    products (order-free BIGINT), ONE two-multiply double chain
+    de-quantizes per pair for ranking. Probe side broadcasts, corpus
+    streams, salted two-level exact top-k — the serve shape shared by
+    the whole retrieval family."""
+    from ..operators import similarity
+
+    return similarity.int8_dot_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# PIVOT surface: weekly event-type crosstab
+# --------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+    SELECT CAST(datediff('day', TIMESTAMP '2024-01-01',
+                 date_trunc('day', ts)) // 7 AS DOUBLE) AS week_d,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS click_d,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS view_d,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS purchase_d,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS signup_d,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS error_d
+    FROM events GROUP BY 1
+"""
+
+
+@register("event_type_week_pivot", _PIVOT_ORACLE)
+def q_event_type_week_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIVOT/crosstab relational surface: weekly event counts
+    pivoted one column per event type. The pivot VALUES are an explicit
+    literal list — Spark's two-phase value-discovery pivot would add a
+    driver round-trip and a nondeterministic column order; with pinned
+    values the plan is a single map-side-combined aggregation whose
+    schema is static at any scale. Absent (week, type) cells coalesce
+    to 0 to match the SQL conditional-sum semantics."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy(
+            F.expr(
+                "CAST(CAST(datediff(date_trunc('day', ts),"
+                " TIMESTAMP '2024-01-01') AS BIGINT) div 7 AS DOUBLE)"
+            ).alias("week_d")
+        )
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "week_d",
+        *[
+            F.coalesce(F.col(t), F.lit(0))
+            .cast("double")
+            .alias(f"{t}_d")
+            for t in types
+        ],
+    )

@@ -105,6 +105,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "binary_hamming_topk",
                 "binary_vs_float_recall",
                 "binary_rerank_pipeline",
+                "int8_quantized_topk",
                 "semantic_decontaminate",
                 "mrr_retrieval_eval",
                 "map_retrieval_eval",

@@ -23,6 +23,8 @@ ROUND10 = [
     "stump_cv_events",
     "association_rules_copurchase",
     "retention_cohort_matrix",
+    "int8_quantized_topk",
+    "event_type_week_pivot",
 ]
 
 ROUND10_STREAMING = [
@@ -283,3 +285,28 @@ def test_retention_cohort_triangle(spark, sf_small):
         .count()
     )
     assert sum(r.cohort_size_d for r in zero) == float(n_users)
+
+
+def test_int8_recall_vs_float_bruteforce(spark, sf_small):
+    """The int8 de-quantized ranking must stay close to the float
+    cosine ordering it approximates: mean top-5 overlap >= 3/5 across
+    the 20 probes (the quantization-fidelity bound the binary family
+    pins at 1/5 granularity)."""
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    f = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    q = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.int8_dot_topk(emb)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    n_queries = len({a for a, _ in f})
+    overlap = len(f & q) / (5 * n_queries)
+    assert overlap >= 0.6, f"int8 top-5 recall {overlap:.2f} < 0.6"
