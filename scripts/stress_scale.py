@@ -194,6 +194,7 @@ QUERIES = [
     "retention_cohort_matrix",
     "int8_quantized_topk",
     "event_type_week_pivot",
+    "isotonic_recalibration_bins",
 ]
 
 

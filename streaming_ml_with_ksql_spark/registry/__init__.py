@@ -84,14 +84,14 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so TWENTY-EIGHT slots yield
+    # r09 verdict (50/50 exact-oracle pass), so TWENTY-SEVEN slots yield
     # to exact-oracled queries that have never held a driver verdict,
     # drawn across every wave (q05 relational shapes through the q15
-    # LLM-pipeline mass), and TWELVE slots go to the round-10 new operators
+    # LLM-pipeline mass), and THIRTEEN slots go to the round-10 new operators
     # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
     # decomposition + its streaming ingest twin, Heaps growth, 5-fold
     # stump CV, association rules, retention cohorts, int8 retrieval,
-    # the pivot surface). Ten keeps = one anchor per core
+    # the pivot surface, isotonic recalibration). Ten keeps = one anchor per core
     # family plus the two queries whose oracle/plan changed THIS round
     # (gbdt_tree2_boost's degenerate-sentinel oracle mirror and
     # ece_calibration_error's NULL-score guard — ADVICE r9) so they
@@ -123,7 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "retention_cohort_matrix",
     "int8_quantized_topk",
     "event_type_week_pivot",
-    # ---- twenty-eight first-verdict entrants ----
+    "isotonic_recalibration_bins",
+    # ---- twenty-seven first-verdict entrants ----
     # q05 relational shapes + fingerprints
     "late_shipment_priority",
     "top_supplier_per_nation",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "referential_integrity_audit",
     # q11 behavioral/wire
     "funnel_time_to_convert",
-    "markov_absorption_purchase",
     "avro_schema_evolution",
     # q12 privacy/text/decay
     "t_closeness_report",

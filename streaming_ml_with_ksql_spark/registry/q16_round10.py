@@ -1311,3 +1311,92 @@ def q_event_type_week_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in types
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic recalibration of the score bins (minimax PAV, integer ppm)
+# --------------------------------------------------------------------------
+
+_ISO_RECAL_ORACLE = """
+    WITH g AS MATERIALIZED (
+      SELECT least(9, CAST(floor(value / 50.0) AS BIGINT)) AS b,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    segs AS MATERIALIZED (
+      SELECT a.b AS i, c.b AS j,
+             (sum(m.p) * 1000000) // sum(m.n) AS pooled_ppm
+      FROM g a JOIN g c ON c.b >= a.b
+      JOIN g m ON m.b >= a.b AND m.b <= c.b
+      GROUP BY 1, 2),
+    mk AS (
+      SELECT k.b AS k, s.i, min(s.pooled_ppm) AS m
+      FROM segs s JOIN g k ON s.i <= k.b AND s.j >= k.b
+      GROUP BY 1, 2),
+    fit AS (SELECT k, max(m) AS fitted_ppm FROM mk GROUP BY 1)
+    SELECT CAST(g.b AS DOUBLE) AS bin_d,
+           CAST(g.n AS DOUBLE) AS n_d,
+           CAST((g.p * 1000000) // g.n AS DOUBLE) AS acc_ppm_d,
+           CAST(f.fitted_ppm AS DOUBLE) AS fitted_ppm_d
+    FROM g JOIN fit f ON f.k = g.b
+"""
+
+
+@register("isotonic_recalibration_bins", _ISO_RECAL_ORACLE)
+def q_isotonic_recalibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of the value-as-score reliability
+    bins — the calibration-family capstone above ECE/Brier: the
+    monotone step function closest to the observed per-bin positive
+    rates, via the minimax characterization fitted(k) = max_{i<=k}
+    min_{j>=k} pooled(i..j) (Ayer et al. 1955) instead of the
+    sequential pool-adjacent-violators sweep. Pooled rates are floored
+    integer ppm of exact BIGINT segment sums, and the minimax of ANY
+    fixed matrix is monotone in k, so flooring preserves monotonicity
+    and both engines compute the identical fit. Scale shape: one
+    map-combined aggregation to <= 10 bins, then O(B^3) pure cell
+    algebra on broadcast frames — data-size-independent (the
+    histogram-of-counts discipline). Absent bins are absent on both
+    sides (the fit runs over present bins in score order)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+        .cast("long")
+        .alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("p"),
+    )
+    a = g.select(F.col("b").alias("i"))
+    c = g.select(F.col("b").alias("j"))
+    m = g.select(F.col("b").alias("mb"), "n", "p")
+    segs = (
+        a.join(F.broadcast(c), F.col("j") >= F.col("i"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("i")) & (F.col("mb") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.expr("(sum(p) * 1000000L) div sum(n)").alias("pooled_ppm")
+        )
+    )
+    k = g.select(F.col("b").alias("k"))
+    mk = (
+        segs.join(
+            F.broadcast(k),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("pooled_ppm").alias("m"))
+    )
+    fit = mk.groupBy("k").agg(F.max("m").alias("fitted_ppm"))
+    return g.join(fit, F.col("k") == F.col("b")).select(
+        F.col("b").cast("double").alias("bin_d"),
+        F.col("n").cast("double").alias("n_d"),
+        F.expr("CAST((p * 1000000L) div n AS DOUBLE)").alias("acc_ppm_d"),
+        F.col("fitted_ppm").cast("double").alias("fitted_ppm_d"),
+    )

@@ -73,6 +73,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "funnel_time_to_convert",
                 "t_closeness_report",
                 "kendall_tau_hour_value",
+                "isotonic_recalibration_bins",
             }
         ),
     ),

@@ -25,6 +25,7 @@ ROUND10 = [
     "retention_cohort_matrix",
     "int8_quantized_topk",
     "event_type_week_pivot",
+    "isotonic_recalibration_bins",
 ]
 
 ROUND10_STREAMING = [
@@ -310,3 +311,53 @@ def test_int8_recall_vs_float_bruteforce(spark, sf_small):
     n_queries = len({a for a, _ in f})
     overlap = len(f & q) / (5 * n_queries)
     assert overlap >= 0.6, f"int8 top-5 recall {overlap:.2f} < 0.6"
+
+
+def test_isotonic_recalibration_pava_replay(spark, sf_small):
+    """Third vote: a plain-Python minimax PAV over the same integer
+    bins must reproduce the fitted values exactly, and the fit must be
+    monotone non-decreasing in the bin order (true for the minimax of
+    ANY matrix, flooring included)."""
+    rows = sorted(
+        _REGISTRY["isotonic_recalibration_bins"]
+        .spark(spark, sf_small)
+        .collect(),
+        key=lambda r: r.bin_d,
+    )
+    ev = io_mod.load_table(spark, sf_small, "events")
+    g = {
+        int(r.b): (r.n, r.p)
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("p"),
+        )
+        .collect()
+    }
+    bins = sorted(g)
+
+    def pooled(i, j):
+        n = sum(g[b][0] for b in bins if i <= b <= j)
+        p = sum(g[b][1] for b in bins if i <= b <= j)
+        return (p * 1_000_000) // n
+
+    fitted = {
+        k: max(
+            min(pooled(i, j) for j in bins if j >= k)
+            for i in bins
+            if i <= k
+        )
+        for k in bins
+    }
+    assert [int(r.bin_d) for r in rows] == bins
+    for r in rows:
+        assert r.fitted_ppm_d == float(fitted[int(r.bin_d)])
+    vals = [r.fitted_ppm_d for r in rows]
+    assert vals == sorted(vals), "isotonic fit must be monotone"
