@@ -195,6 +195,7 @@ QUERIES = [
     "int8_quantized_topk",
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
+    "ece_after_isotonic_recalibration",
 ]
 
 

@@ -84,10 +84,10 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so TWENTY-SEVEN slots yield
+    # r09 verdict (50/50 exact-oracle pass), so TWENTY-SIX slots yield
     # to exact-oracled queries that have never held a driver verdict,
     # drawn across every wave (q05 relational shapes through the q15
-    # LLM-pipeline mass), and THIRTEEN slots go to the round-10 new operators
+    # LLM-pipeline mass), and FOURTEEN slots go to the round-10 new operators
     # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
     # decomposition + its streaming ingest twin, Heaps growth, 5-fold
     # stump CV, association rules, retention cohorts, int8 retrieval,
@@ -124,11 +124,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "int8_quantized_topk",
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
-    # ---- twenty-seven first-verdict entrants ----
+    "ece_after_isotonic_recalibration",
+    # ---- twenty-six first-verdict entrants ----
     # q05 relational shapes + fingerprints
     "late_shipment_priority",
     "top_supplier_per_nation",
-    "value_rank_suite",
     "simhash_fingerprints",
     # q06 wire sources + streaming twins
     "json_source_roundtrip",

@@ -1342,23 +1342,12 @@ _ISO_RECAL_ORACLE = """
 """
 
 
-@register("isotonic_recalibration_bins", _ISO_RECAL_ORACLE)
-def q_isotonic_recalibration_bins(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Isotonic (PAV) recalibration of the value-as-score reliability
-    bins — the calibration-family capstone above ECE/Brier: the
-    monotone step function closest to the observed per-bin positive
-    rates, via the minimax characterization fitted(k) = max_{i<=k}
-    min_{j>=k} pooled(i..j) (Ayer et al. 1955) instead of the
-    sequential pool-adjacent-violators sweep. Pooled rates are floored
-    integer ppm of exact BIGINT segment sums, and the minimax of ANY
-    fixed matrix is monotone in k, so flooring preserves monotonicity
-    and both engines compute the identical fit. Scale shape: one
-    map-combined aggregation to <= 10 bins, then O(B^3) pure cell
-    algebra on broadcast frames — data-size-independent (the
-    histogram-of-counts discipline). Absent bins are absent on both
-    sides (the fit runs over present bins in score order)."""
+
+
+def _isotonic_fit_frames(spark: SparkSession, sf_dir: str):
+    """Shared isotonic-fit frames: the <= 10 bin cells (b, n, p) and the
+    minimax-PAV fitted ppm per bin (k, fitted_ppm) — reused by the
+    per-bin recalibration query and the before/after ECE summary."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy(
         F.least(F.lit(9), F.floor(F.col("value") / 50.0))
@@ -1394,9 +1383,115 @@ def q_isotonic_recalibration_bins(
         .agg(F.min("pooled_ppm").alias("m"))
     )
     fit = mk.groupBy("k").agg(F.max("m").alias("fitted_ppm"))
+    return g, fit
+
+
+@register("isotonic_recalibration_bins", _ISO_RECAL_ORACLE)
+def q_isotonic_recalibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of the value-as-score reliability
+    bins — the calibration-family capstone above ECE/Brier: the
+    monotone step function closest to the observed per-bin positive
+    rates, via the minimax characterization fitted(k) = max_{i<=k}
+    min_{j>=k} pooled(i..j) (Ayer et al. 1955) instead of the
+    sequential pool-adjacent-violators sweep. Pooled rates are floored
+    integer ppm of exact BIGINT segment sums, and the minimax of ANY
+    fixed matrix is monotone in k, so flooring preserves monotonicity
+    and both engines compute the identical fit. Scale shape: one
+    map-combined aggregation to <= 10 bins, then O(B^3) pure cell
+    algebra on broadcast frames — data-size-independent (the
+    histogram-of-counts discipline). Absent bins are absent on both
+    sides (the fit runs over present bins in score order)."""
+    g, fit = _isotonic_fit_frames(spark, sf_dir)
     return g.join(fit, F.col("k") == F.col("b")).select(
         F.col("b").cast("double").alias("bin_d"),
         F.col("n").cast("double").alias("n_d"),
         F.expr("CAST((p * 1000000L) div n AS DOUBLE)").alias("acc_ppm_d"),
         F.col("fitted_ppm").cast("double").alias("fitted_ppm_d"),
+    )
+
+
+_ECE_RECAL_ORACLE = """
+    WITH g AS MATERIALIZED (
+      SELECT least(9, CAST(floor(value / 50.0) AS BIGINT)) AS b,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+             sum(CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)) AS sc
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    segs AS MATERIALIZED (
+      SELECT a.b AS i, c.b AS j,
+             (sum(m.p) * 1000000) // sum(m.n) AS pooled_ppm
+      FROM g a JOIN g c ON c.b >= a.b
+      JOIN g m ON m.b >= a.b AND m.b <= c.b
+      GROUP BY 1, 2),
+    mk AS (
+      SELECT k.b AS k, s.i, min(s.pooled_ppm) AS m
+      FROM segs s JOIN g k ON s.i <= k.b AND s.j >= k.b
+      GROUP BY 1, 2),
+    fit AS (SELECT k, max(m) AS fitted_ppm FROM mk GROUP BY 1),
+    per AS (
+      SELECT g.n,
+             (g.p * 1000000) // g.n AS acc_ppm,
+             (g.sc * 20) // g.n AS conf_ppm,
+             f.fitted_ppm
+      FROM g JOIN fit f ON f.k = g.b)
+    SELECT CAST(sum(n) AS DOUBLE) AS n_total_d,
+           CAST(sum(n * abs(acc_ppm - conf_ppm)) // sum(n) AS DOUBLE)
+             AS ece_before_ppm_d,
+           CAST(sum(n * abs(acc_ppm - fitted_ppm)) // sum(n) AS DOUBLE)
+             AS ece_after_ppm_d,
+           CAST(max(abs(acc_ppm - conf_ppm)) AS DOUBLE) AS mce_before_ppm_d,
+           CAST(max(abs(acc_ppm - fitted_ppm)) AS DOUBLE) AS mce_after_ppm_d
+    FROM per
+"""
+
+
+@register("ece_after_isotonic_recalibration", _ECE_RECAL_ORACLE)
+def q_ece_after_isotonic_recalibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The payoff number for the isotonic recalibration: expected and
+    max calibration error BEFORE (raw mean-score confidence, the
+    verified ece_calibration_error arithmetic) vs AFTER replacing each
+    bin's confidence with its monotone PAV fit — all integer ppm over
+    the same <= 10 cells, one summary row. The isotonic fit minimizes
+    the n-weighted squared gap to the observed rates among monotone
+    functions, so ece_after <= ece_before on any data where the raw
+    scores are mis-calibrated (pytest pins the inequality)."""
+    g, fit = _isotonic_fit_frames(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    gs = ev.groupBy(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+        .cast("long")
+        .alias("b2")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(value * CAST(100 AS DOUBLE)) AS BIGINT)")
+        ).alias("sc")
+    )
+    per = (
+        g.join(fit, F.col("k") == F.col("b"))
+        .join(F.broadcast(gs), F.col("b2") == F.col("b"))
+        .select(
+            "n",
+            F.expr("(p * 1000000L) div n").alias("acc_ppm"),
+            F.expr("(sc * 20) div n").alias("conf_ppm"),
+            "fitted_ppm",
+        )
+    )
+    return per.agg(
+        F.sum("n").cast("double").alias("n_total_d"),
+        F.expr(
+            "CAST(sum(n * abs(acc_ppm - conf_ppm)) div sum(n) AS DOUBLE)"
+        ).alias("ece_before_ppm_d"),
+        F.expr(
+            "CAST(sum(n * abs(acc_ppm - fitted_ppm)) div sum(n) AS DOUBLE)"
+        ).alias("ece_after_ppm_d"),
+        F.max(F.abs(F.col("acc_ppm") - F.col("conf_ppm")))
+        .cast("double")
+        .alias("mce_before_ppm_d"),
+        F.max(F.abs(F.col("acc_ppm") - F.col("fitted_ppm")))
+        .cast("double")
+        .alias("mce_after_ppm_d"),
     )

@@ -74,6 +74,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "t_closeness_report",
                 "kendall_tau_hour_value",
                 "isotonic_recalibration_bins",
+                "ece_after_isotonic_recalibration",
             }
         ),
     ),

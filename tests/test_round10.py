@@ -26,6 +26,7 @@ ROUND10 = [
     "int8_quantized_topk",
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
+    "ece_after_isotonic_recalibration",
 ]
 
 ROUND10_STREAMING = [
@@ -361,3 +362,16 @@ def test_isotonic_recalibration_pava_replay(spark, sf_small):
         assert r.fitted_ppm_d == float(fitted[int(r.bin_d)])
     vals = [r.fitted_ppm_d for r in rows]
     assert vals == sorted(vals), "isotonic fit must be monotone"
+
+
+def test_isotonic_recalibration_improves_ece(spark, sf_small):
+    """The monotone fit can only tighten the n-weighted calibration gap
+    on mis-calibrated scores; pin ece_after <= ece_before and both
+    within [0, 1e6]."""
+    row = (
+        _REGISTRY["ece_after_isotonic_recalibration"]
+        .spark(spark, sf_small)
+        .collect()
+    )[0]
+    assert 0 <= row.ece_after_ppm_d <= row.ece_before_ppm_d <= 1_000_000
+    assert row.mce_after_ppm_d <= 1_000_000
