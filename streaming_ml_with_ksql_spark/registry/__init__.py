@@ -84,7 +84,7 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so TWENTY-SIX slots yield
+    # r09 verdict (50/50 exact-oracle pass), so TWENTY-FIVE slots yield
     # to exact-oracled queries that have never held a driver verdict,
     # drawn across every wave (q05 relational shapes through the q15
     # LLM-pipeline mass), and FOURTEEN slots go to the round-10 new operators
@@ -125,9 +125,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
     "ece_after_isotonic_recalibration",
-    # ---- twenty-six first-verdict entrants ----
+    # re-verdict: AR(2) gained adaptive unit scaling this round (the 10x
+    # stress overflow fix) — u=1 at sf0.01 so outputs are unchanged, but
+    # the definition changed on both sides
+    "ar2_forecast_revenue",
+    # ---- twenty-five first-verdict entrants ----
     # q05 relational shapes + fingerprints
-    "late_shipment_priority",
     "top_supplier_per_nation",
     "simhash_fingerprints",
     # q06 wire sources + streaming twins
