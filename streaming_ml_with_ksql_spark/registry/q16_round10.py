@@ -1495,3 +1495,42 @@ def q_ece_after_isotonic_recalibration(
         .cast("double")
         .alias("mce_after_ppm_d"),
     )
+
+
+@register("streaming_pivot_ingest", _PIVOT_ORACLE)
+def q_streaming_pivot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly event-type crosstab maintained CONTINUOUSLY at ingest:
+    the pivot's conditional counts are plain additive sums, so the
+    whole crosstab is ONE complete-mode streaming aggregation keyed by
+    week (state = weeks x 5 integers, calendar-bounded at any corpus
+    size) and the batch oracle applies verbatim. Uses the CASE-sum
+    formulation directly — Spark's relational pivot() is unsupported on
+    streaming frames, and with pinned literal values the two forms are
+    the same plan shape anyway."""
+    from .q04_streamksql import _STREAM_SEQ, _replay_events
+
+    stream = _replay_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = stream.groupBy(
+        F.expr(
+            "CAST(CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') AS BIGINT) div 7 AS DOUBLE)"
+        ).alias("week_d")
+    ).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(t)
+            for t in types
+        ]
+    )
+    drained = stream_sinks.run_to_memory(
+        wide,
+        f"reg_stream_pivot_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).localCheckpoint(eager=True)
+    return drained.select(
+        "week_d",
+        *[
+            F.col(t).cast("double").alias(f"{t}_d")
+            for t in types
+        ],
+    )

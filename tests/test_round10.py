@@ -31,6 +31,7 @@ ROUND10 = [
 
 ROUND10_STREAMING = [
     "streaming_calibration_ingest",
+    "streaming_pivot_ingest",
 ]
 
 
