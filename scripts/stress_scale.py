@@ -196,6 +196,7 @@ QUERIES = [
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
     "ece_after_isotonic_recalibration",
+    "ridge_two_factor_revenue",
 ]
 
 

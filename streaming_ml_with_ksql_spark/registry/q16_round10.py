@@ -1534,3 +1534,138 @@ def q_streaming_pivot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in types
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Exact ridge regression (L2 member of the closed-form trainer family)
+# --------------------------------------------------------------------------
+
+_RIDGE_ORACLE = """
+    WITH daily AS (
+      SELECT datediff('day', TIMESTAMP '1995-01-01',
+                      date_trunc('day', o_orderdate)) AS t,
+             CAST((datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', o_orderdate)) + 3) % 7 >= 5
+               AS BIGINT) AS w,
+             sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE)) AS BIGINT))
+               AS y
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(t) AS HUGEINT) AS st,
+             CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(t * t) AS HUGEINT) + CAST(count(*) AS HUGEINT)
+               AS stt,
+             CAST(sum(t * w) AS HUGEINT) AS stw,
+             CAST(sum(w * w) AS HUGEINT) + CAST(count(*) AS HUGEINT)
+               AS sww,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(t * y) AS HUGEINT) AS sty,
+             CAST(sum(w * y) AS HUGEINT) AS swy
+      FROM daily),
+    d AS (
+      SELECT n,
+        n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)
+          + sw*(st*stw - stt*sw) AS det,
+        sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)
+          + sw*(sty*stw - stt*swy) AS det0,
+        n*(sty*sww - swy*stw) - sy*(st*sww - stw*sw)
+          + sw*(st*swy - sty*sw) AS det1,
+        n*(stt*swy - stw*sty) - st*(st*swy - sty*sw)
+          + sy*(st*stw - stt*sw) AS det2
+      FROM m)
+    SELECT CAST(n AS DOUBLE) AS n_days_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det0 >= 0 THEN (det0 * 1000) // det
+                  ELSE -((-det0 * 1000) // det) END AS DOUBLE) END
+             AS b0_microd_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det1 >= 0 THEN (det1 * 1000) // det
+                  ELSE -((-det1 * 1000) // det) END AS DOUBLE) END
+             AS b1_microd_per_day_d,
+           CASE WHEN det <= 0 THEN NULL ELSE CAST(
+             CASE WHEN det2 >= 0 THEN (det2 * 1000) // det
+                  ELSE -((-det2 * 1000) // det) END AS DOUBLE) END
+             AS b2_microd_weekend_d
+    FROM d
+"""
+
+
+@register("ridge_two_factor_revenue", _RIDGE_ORACLE)
+def q_ridge_two_factor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ridge regression (Hoerl & Kennard 1970) — the L2-regularized
+    member of the closed-form trainer family: ols_two_factor_revenue's
+    3x3 Cramer algebra with lambda = n_days added to the two regressor
+    diagonal entries (X'X + lambda*diag(0,1,1); the intercept is
+    unpenalized, the standard convention). Folding the data-adaptive
+    lambda INTO the stt/sww moments keeps the determinant expressions
+    byte-identical to the verified OLS forms, every term a 128-bit
+    integer, coefficients exact micro-dollar truncations. One day-level
+    aggregate + a 1-row moment fold — nothing scales with row count
+    past the first groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("o_orderdate")),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("t"),
+        F.expr(
+            "CAST((datediff(date_trunc('day', o_orderdate),"
+            " DATE '1970-01-01') + 3) % 7 >= 5 AS BIGINT)"
+        ).alias("w"),
+    ).agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("y")
+    )
+    m = daily.agg(
+        F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(t) AS DECIMAL(38,0))").alias("st"),
+        F.expr("CAST(sum(w) AS DECIMAL(38,0))").alias("sw"),
+        F.expr(
+            "CAST(sum(t * t) AS DECIMAL(38,0))"
+            " + CAST(count(*) AS DECIMAL(38,0))"
+        ).alias("stt"),
+        F.expr("CAST(sum(t * w) AS DECIMAL(38,0))").alias("stw"),
+        F.expr(
+            "CAST(sum(w * w) AS DECIMAL(38,0))"
+            " + CAST(count(*) AS DECIMAL(38,0))"
+        ).alias("sww"),
+        F.expr("CAST(sum(y) AS DECIMAL(38,0))").alias("sy"),
+        F.expr("CAST(sum(t * y) AS DECIMAL(38,0))").alias("sty"),
+        F.expr("CAST(sum(w * y) AS DECIMAL(38,0))").alias("swy"),
+    )
+    d = m.select(
+        "n",
+        F.expr(
+            "n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)"
+            " + sw*(st*stw - stt*sw)"
+        ).alias("det"),
+        F.expr(
+            "sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)"
+            " + sw*(sty*stw - stt*swy)"
+        ).alias("det0"),
+        F.expr(
+            "n*(sty*sww - swy*stw) - sy*(st*sww - stw*sw)"
+            " + sw*(st*swy - sty*sw)"
+        ).alias("det1"),
+        F.expr(
+            "n*(stt*swy - stw*sty) - st*(st*swy - sty*sw)"
+            " + sy*(st*stw - stt*sw)"
+        ).alias("det2"),
+    )
+
+    def coef(num: str) -> str:
+        return (
+            f"CASE WHEN det <= 0 THEN NULL ELSE CAST("
+            f"CASE WHEN {num} >= 0 THEN ({num} * 1000) div det "
+            f"ELSE -((-{num} * 1000) div det) END AS DOUBLE) END"
+        )
+
+    return d.select(
+        F.col("n").cast("double").alias("n_days_d"),
+        F.expr(coef("det0")).alias("b0_microd_d"),
+        F.expr(coef("det1")).alias("b1_microd_per_day_d"),
+        F.expr(coef("det2")).alias("b2_microd_weekend_d"),
+    )

@@ -27,6 +27,7 @@ ROUND10 = [
     "event_type_week_pivot",
     "isotonic_recalibration_bins",
     "ece_after_isotonic_recalibration",
+    "ridge_two_factor_revenue",
 ]
 
 ROUND10_STREAMING = [
@@ -376,3 +377,70 @@ def test_isotonic_recalibration_improves_ece(spark, sf_small):
     )[0]
     assert 0 <= row.ece_after_ppm_d <= row.ece_before_ppm_d <= 1_000_000
     assert row.mce_after_ppm_d <= 1_000_000
+
+
+def test_ridge_python_replay(spark, sf_small):
+    """Third vote: exact Cramer replay in plain-Python ints (no float
+    anywhere) must reproduce the ridge coefficients bit-for-bit."""
+    row = (
+        _REGISTRY["ridge_two_factor_revenue"].spark(spark, sf_small)
+    ).collect()[0]
+    ev = io_mod.load_table(spark, sf_small, "orders")
+    daily = (
+        ev.groupBy(
+            F.datediff(
+                F.date_trunc("day", F.col("o_orderdate")),
+                F.lit("1995-01-01").cast("timestamp"),
+            ).alias("t"),
+            F.expr(
+                "CAST((datediff(date_trunc('day', o_orderdate),"
+                " DATE '1970-01-01') + 3) % 7 >= 5 AS BIGINT)"
+            ).alias("w"),
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * CAST(1000 AS DOUBLE))"
+                " AS BIGINT))"
+            ).alias("y")
+        )
+        .collect()
+    )
+    n = len(daily)
+    st = sum(r.t for r in daily)
+    sw = sum(r.w for r in daily)
+    stt = sum(r.t * r.t for r in daily) + n
+    stw = sum(r.t * r.w for r in daily)
+    sww = sum(r.w * r.w for r in daily) + n
+    sy = sum(r.y for r in daily)
+    sty = sum(r.t * r.y for r in daily)
+    swy = sum(r.w * r.y for r in daily)
+    det = (
+        n * (stt * sww - stw * stw)
+        - st * (st * sww - stw * sw)
+        + sw * (st * stw - stt * sw)
+    )
+    det0 = (
+        sy * (stt * sww - stw * stw)
+        - st * (sty * sww - stw * swy)
+        + sw * (sty * stw - stt * swy)
+    )
+    det1 = (
+        n * (sty * sww - swy * stw)
+        - sy * (st * sww - stw * sw)
+        + sw * (st * swy - sty * sw)
+    )
+    det2 = (
+        n * (stt * swy - stw * sty)
+        - st * (st * swy - sty * sw)
+        + sy * (st * stw - stt * sw)
+    )
+    assert det > 0
+
+    def trunc(num):
+        q = abs(num) * 1000 // det
+        return float(q if num >= 0 else -q)
+
+    assert row.n_days_d == float(n)
+    assert row.b0_microd_d == trunc(det0)
+    assert row.b1_microd_per_day_d == trunc(det1)
+    assert row.b2_microd_weekend_d == trunc(det2)
