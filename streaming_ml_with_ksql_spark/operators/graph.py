@@ -429,6 +429,7 @@ def pagerank(
     iters: int = 6,
     scale: int = 10**12,
     loop_parts: int | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph in INTEGER
     fixed-point — centrality for the near-dup graph (which document is
@@ -503,12 +504,17 @@ def pagerank(
             )
             .repartition(loop_parts, "node")
         )
-        # Checkpoint every SECOND round (and the last): integer
-        # fixed-point is exact regardless of materialization cadence, so
-        # batching two rounds per eager job halves the per-iteration job
-        # overhead that dominates this loop at bench scale while still
-        # truncating the iterative lineage before it compounds.
-        if i % 2 == 1 or i == iters - 1:
+        # Checkpoint every `checkpoint_every` rounds (and the last):
+        # integer fixed-point is exact regardless of materialization
+        # cadence, so batching rounds per eager job cuts the
+        # per-iteration job overhead that dominates this loop at bench
+        # scale while still truncating the iterative lineage before it
+        # compounds. Un-checkpointed rounds re-execute inside the next
+        # round's lineage, so on DATA-dominated graphs (where the
+        # duplicated shuffle exceeds the saved job overhead) callers
+        # should pass checkpoint_every=1 to restore per-round
+        # materialization (ADVICE r10).
+        if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
             pr = pr.localCheckpoint(eager=True)
     return pr
 
@@ -521,6 +527,7 @@ def bfs_hops(
     seed_mod: int = 10,
     iters: int = 4,
     loop_parts: int | None = None,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Multi-source BFS hop distances over an undirected pair graph —
     landmark distance labeling (seeds = vertices with id % seed_mod == 0,
@@ -579,10 +586,11 @@ def bfs_hops(
             .select("node", F.least("d", "nd").alias("d"))
             .repartition(loop_parts, "node")
         )
-        # Every-second-round checkpoint (pagerank cadence): integer min
-        # labels are materialization-independent, so batching two rounds
-        # per eager job halves the loop's fixed job overhead.
-        if i % 2 == 1 or i == iters - 1:
+        # `checkpoint_every`-round checkpoint (pagerank cadence):
+        # integer min labels are materialization-independent, so
+        # batching rounds per eager job cuts the loop's fixed job
+        # overhead; data-dominated callers pass 1 (ADVICE r10).
+        if i % checkpoint_every == checkpoint_every - 1 or i == iters - 1:
             dist = dist.localCheckpoint(eager=True)
     return dist
 

@@ -125,7 +125,14 @@ def _prf_bm25_micro(base, stats, dftbl, terms):
     the term's integer Rocchio weight. The float chain (rational
     Robertson idf x saturated tf / length norm) keeps the exact operand
     order of the oracle SQL — correctly-rounded ops on both engines —
-    and the floor makes every later sum order-free BIGINT arithmetic."""
+    and the floor makes every later sum order-free BIGINT arithmetic.
+
+    dftbl grows with corpus vocabulary (Heaps law), so it is NEVER
+    broadcast whole (ADVICE r10): it is first semi-reduced to the <=7
+    seed/expansion terms via an equi-join against the bounded term
+    list, and only that <=7-row slice is broadcast into the scoring
+    join -- the broadcast envelope is O(|terms|), corpus-independent."""
+    df_small = dftbl.join(F.broadcast(terms.select("term")), "term")
     per = (
         base.crossJoin(F.broadcast(terms))
         .select(
@@ -139,7 +146,7 @@ def _prf_bm25_micro(base, stats, dftbl, terms):
         )
         .filter(F.col("tf") > 0)
     )
-    scored = per.join(F.broadcast(dftbl), "term").crossJoin(
+    scored = per.join(F.broadcast(df_small), "term").crossJoin(
         F.broadcast(stats)
     )
     n_docs_d = F.col("n_docs").cast("double")
@@ -737,7 +744,8 @@ _STUMP_CV_ORACLE = """
                            date_trunc('day', ts)) % 7 AS BIGINT) AS f2,
              CAST(datediff('day', TIMESTAMP '2024-01-01',
                            date_trunc('day', ts)) AS BIGINT) AS f3
-      FROM events WHERE value IS NOT NULL),
+      FROM events
+      WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-01'),
     feat AS (
       SELECT fold, y, fid,
              CASE fid WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS v
@@ -836,7 +844,12 @@ def q_stump_cv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY (gain DESC, fid, thr) (DuckDB)."""
     ev = _t(spark, sf_dir, "events")
     base = (
-        ev.where(F.col("value").isNotNull())
+        # ts guard: f2/f3 divide a datediff from the 2024-01-01 epoch;
+        # div/% diverge cross-engine on negatives (ADVICE r10)
+        ev.where(
+            F.col("value").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        )
         .select(
             text._hash_bucket(
                 F.col("event_id"), salt="cv", mod=5
@@ -1148,7 +1161,8 @@ _RETENTION_ORACLE = """
       SELECT user_id,
              datediff('day', TIMESTAMP '2024-01-01',
                       date_trunc('day', ts)) // 7 AS wk
-      FROM events WHERE user_id IS NOT NULL
+      FROM events
+      WHERE user_id IS NOT NULL AND ts >= TIMESTAMP '2024-01-01'
       GROUP BY 1, 2),
     coh AS MATERIALIZED (
       SELECT user_id, min(wk) AS cwk FROM base GROUP BY 1),
@@ -1175,10 +1189,17 @@ def q_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort size itself (retention_ppm = 1e6), a built-in self-check.
     Scale shape: distinct (user, week) is one user-keyed groupBy, the
     cohort attaches by a co-partitioned equi-join on user_id, and the
-    matrix is calendar-bounded (weeks^2/2 cells) at any corpus size."""
+    matrix is calendar-bounded (weeks^2/2 cells) at any corpus size.
+    The ts >= 2024-01-01 guard pins the week-epoch assumption: Spark's
+    `div` truncates toward zero while DuckDB's `//` floors, so a
+    NEGATIVE datediff would silently assign weeks differently per
+    engine (ADVICE r10) — non-negative operands make them identical."""
     ev = _t(spark, sf_dir, "events")
     base = (
-        ev.where(F.col("user_id").isNotNull())
+        ev.where(
+            F.col("user_id").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        )
         .select(
             "user_id",
             F.expr(
@@ -1277,7 +1298,7 @@ _PIVOT_ORACLE = """
                 AS DOUBLE) AS signup_d,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS DOUBLE) AS error_d
-    FROM events GROUP BY 1
+    FROM events WHERE ts >= TIMESTAMP '2024-01-01' GROUP BY 1
 """
 
 
@@ -1290,7 +1311,10 @@ def q_event_type_week_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values the plan is a single map-side-combined aggregation whose
     schema is static at any scale. Absent (week, type) cells coalesce
     to 0 to match the SQL conditional-sum semantics."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(
+        # week epoch guard: div vs // diverge on negatives (ADVICE r10)
+        F.col("ts") >= F.lit("2024-01-01").cast("timestamp")
+    )
     types = ["click", "view", "purchase", "signup", "error"]
     wide = (
         ev.groupBy(
@@ -1509,7 +1533,10 @@ def q_streaming_pivot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan shape anyway."""
     from .q04_streamksql import _STREAM_SEQ, _replay_events
 
-    stream = _replay_events(spark, sf_dir)
+    stream = _replay_events(spark, sf_dir).where(
+        # same week-epoch guard as the batch pivot (stateless filter)
+        F.col("ts") >= F.lit("2024-01-01").cast("timestamp")
+    )
     types = ["click", "view", "purchase", "signup", "error"]
     wide = stream.groupBy(
         F.expr(

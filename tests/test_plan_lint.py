@@ -146,20 +146,29 @@ def _walk(jnode):
         yield from _walk(it.next())
 
 
+# The exact id columns the probe frames filter on — resolved from the
+# probe idiom implementations (operators/similarity.py `vec_id < n`
+# filters; text/doc probes use doc_id/query_id). A bare endswith("id")
+# would bless `valid < 5` or `band_id < 3` on a corpus-side build
+# (ADVICE r10) — membership in this set is required, not a suffix.
+PROBE_ID_COLUMNS = frozenset({"vec_id", "doc_id", "query_id"})
+
+
 def _probe_bounded(build_child) -> bool:
-    """True iff the BNLJ build subtree contains an `<id col> < N` literal
-    filter with N <= MAX_PROBE_LITERAL — for non-negative unique ids that
-    bounds the broadcast at N rows at EVERY scale. Anchored to id-named
-    columns (ADVICE r9: a bare `< N)` regex would false-pass a corpus-side
-    build whose plan merely contains e.g. `rel < 1` or `rnk < 6`); every
-    probe idiom filters its unique id column (vec_id/doc_id/query_id)."""
+    """True iff the BNLJ build subtree contains a `<probe id col> < N`
+    literal filter with N <= MAX_PROBE_LITERAL — for non-negative unique
+    ids that bounds the broadcast at N rows at EVERY scale. Anchored to
+    the resolved PROBE_ID_COLUMNS allowlist (ADVICE r9/r10: a bare
+    `< N)` regex false-passes `rel < 1`; an endswith("id") heuristic
+    false-passes `valid < 5`); every probe idiom filters exactly one of
+    these unique id columns."""
     import re
 
     for sub in _walk(build_child):
         if sub.getClass().getSimpleName() == "FilterExec":
             for m in re.finditer(r"(\w+)#\d+L? < (\d+)\)", sub.toString()):
                 if (
-                    m.group(1).endswith("id")
+                    m.group(1) in PROBE_ID_COLUMNS
                     and int(m.group(2)) <= MAX_PROBE_LITERAL
                 ):
                     return True
@@ -234,3 +243,44 @@ def test_whitelists_are_small_and_justified():
     # idiom groups must be disjoint (exactly one justification per query)
     all_names = [n for _, s in BNLJ_BOUNDED_IDIOMS.values() for n in s]
     assert len(all_names) == len(set(all_names))
+
+
+def test_probe_anchor_rejects_mislabeled_id_suffix(spark):
+    """Negative control for the probe-bound anchor (ADVICE r10 /
+    VERDICT r10 #4): a corpus-side BNLJ build whose only `< N` filter is
+    on a column merely ENDING in 'id' (`valid < 5`) must FAIL the lint;
+    the identical plan filtered on the real probe id column (vec_id)
+    must pass. This pins the allowlist semantics — an endswith('id')
+    heuristic would bless the first plan."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("cid"))
+    # createDataFrame: RDD-backed scan, NO logical maxRows (round-10
+    # note), and the column is genuinely named `valid` — an aliased
+    # parquet column would be rewritten back to vec_id by pushdown.
+    probe_like = spark.createDataFrame(
+        [(i,) for i in range(10)], "valid long"
+    ).filter(F.col("valid") < 5)
+    bad = corpus.join(
+        F.broadcast(probe_like), corpus.cid > probe_like.valid
+    )
+    assert (
+        _lint_one(bad, require_probe_build=True)
+        == "BNLJ build side is not the bounded probe frame"
+    )
+    good_build = spark.createDataFrame(
+        [(i,) for i in range(10)], "vec_id long"
+    ).filter(F.col("vec_id") < 5)
+    good = corpus.join(
+        F.broadcast(good_build), corpus.cid > good_build.vec_id
+    )
+    # probe anchor passes -> falls through to the generic unbounded-BNLJ
+    # verdict, which the registry test waives per documented idiom (the
+    # probe-specific rejection above must NOT fire here)
+    assert (
+        _lint_one(good, require_probe_build=True)
+        == "unbounded BNLJ build side"
+    )
