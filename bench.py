@@ -203,6 +203,24 @@ CALIB_PROTOCOL = "median3"
 # never ship truncated/unparseable again (VERDICT r5 #8).
 LINE_BUDGET_BYTES = 1800
 
+# Round-11 A/B adjudication of the two un-adjudicated r10 readings
+# (VERDICT r10 #2, CLAUDE.md drift protocol): same-host back-to-back
+# median-of-3 vs the r9-close commit 2851a0d on a quiet host —
+# dbscan_embedding_clusters 12.12 s (r9 code) vs 12.39 s (current),
+# ratio 1.02x; multimodal_jpeg_decode 2.77 s vs 1.86 s, ratio 0.67x
+# (current code FASTER). Both r10 regressions-vs-r9 (9.65/5.78 and
+# 1.66/1.26) were pure host drift — no code regression on either path.
+# (That session's absolute numbers are not comparable to any BENCH_r*
+# record: the host ran 1.4-2x slower than the r10 bench on all three
+# calibration axes.)
+AB_NOTE = "r11 A/B vs 2851a0d: dbscan 1.02x, jpeg 0.67x (host drift)"
+
+def _print_ab_note() -> None:
+    """Emit the adjudication into the bench record's captured tail as a
+    non-JSON stderr line — the parsed one-line JSON stays untouched and
+    inside LINE_BUDGET_BYTES."""
+    print(f"# {AB_NOTE}", file=sys.stderr)
+
 
 def _median3(work) -> float:
     """Warm once (JIT / Python-worker spin-up), then median of 3 timed
@@ -370,6 +388,7 @@ def main() -> None:
         _run(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    _print_ab_note()
     print(
         build_line(
             timings,
