@@ -115,6 +115,16 @@ def _replay_events_with_late(spark: SparkSession, sf_dir: str):
             .limit(2)
             .collect()
         ]
+        # Replay-batching pin (r11, VERDICT r10 #6): collapsing the
+        # three bulk shards to one (6 -> 4 micro-batches) keeps the
+        # oracle green at sf0.001/0.01 — the append-mode emission set
+        # depends only on the final watermark — but a same-host
+        # median-of-3 A/B at sf0.1 measured NO win (1-shard 11.65 s vs
+        # 3-shard 10.78 s, per-run spread 8.9-11.7 s in both configs):
+        # the bulk micro-batches are DATA-dominated at bench scale, so
+        # the per-trigger fixed overhead the merge removes is noise.
+        # The 3-shard shape is kept — the cost is the semantics
+        # (stateful replay of a genuinely multi-batch arrival).
         stream_source.shard_table_to_dir(
             on_time.filter(~F.col("event_id").isin(tail_ids)),
             d,
