@@ -197,6 +197,10 @@ QUERIES = [
     "isotonic_recalibration_bins",
     "ece_after_isotonic_recalibration",
     "ridge_two_factor_revenue",
+    # post-sweep r10 twins (VERDICT r10 #3): the streaming pivot replays
+    # the full events table through the file stream, so its envelope is
+    # the replay shard-write + ONE complete-mode 5-counter aggregation
+    "streaming_pivot_ingest",
 ]
 
 
