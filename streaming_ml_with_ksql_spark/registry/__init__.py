@@ -45,6 +45,7 @@ from . import q13_round7e  # noqa: F401,E402
 from . import q14_round8  # noqa: F401,E402
 from . import q15_round9  # noqa: F401,E402
 from . import q16_round10  # noqa: F401,E402
+from . import q17_round11  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.

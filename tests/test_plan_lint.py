@@ -50,6 +50,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "seasonal_anomaly_days",
                 "theil_sen_revenue_trend",
                 "mann_kendall_revenue",
+                "cusum_daily_revenue",
                 "isotonic_daily_trend",
                 "bootstrap_revenue_ci",
                 "user_life_table",
