@@ -201,6 +201,12 @@ QUERIES = [
     # the full events table through the file stream, so its envelope is
     # the replay shard-write + ONE complete-mode 5-counter aggregation
     "streaming_pivot_ingest",
+    # round-11 additions
+    "cusum_daily_revenue",
+    "cohens_kappa_raters",
+    "ngram_novelty_ppm",
+    "name_edit_near_dup_pairs",
+    "hll_user_days_estimate",
 ]
 
 
