@@ -84,87 +84,83 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (the eighth): every round-9 holder banked a fresh
-    # r09 verdict (50/50 exact-oracle pass), so TWENTY-FIVE slots yield
-    # to exact-oracled queries that have never held a driver verdict,
-    # drawn across every wave (q05 relational shapes through the q15
-    # LLM-pipeline mass), and FOURTEEN slots go to the round-10 new operators
-    # (PRF query expansion x2, sequential patterns, Kendall tau-b, Brier
-    # decomposition + its streaming ingest twin, Heaps growth, 5-fold
-    # stump CV, association rules, retention cohorts, int8 retrieval,
-    # the pivot surface, isotonic recalibration). Ten keeps = one anchor per core
-    # family plus the two queries whose oracle/plan changed THIS round
-    # (gbdt_tree2_boost's degenerate-sentinel oracle mirror and
-    # ece_calibration_error's NULL-score guard — ADVICE r9) so they
-    # (re-)verdict on the new definitions. Displaced queries remain
-    # fully supported and exactly oracled in verify_driver's full sweep
-    # + pytest sweeps.
+    # Round-11 rotation (the ninth): every round-10 holder banked a fresh
+    # r10 verdict (50/50 exact-oracle pass), so the block yields hard to
+    # the never-verdicted queue. FOUR keeps = the flagship + the bench
+    # anchors whose numbers were A/B-adjudicated this round. FIVE
+    # re-verdicts = queries whose definitions changed this round (the
+    # PRF broadcast fix changed both prf plans; the week-epoch ts guard
+    # changed retention/stump-CV/pivot on both sides). FORTY-ONE first
+    # verdicts: the five round-11 new operators, near_dup_kcore (first
+    # EXACT verdict on its new unrolled-peel oracle), the two post-sweep
+    # r10 ops (streaming_pivot_ingest, ridge_two_factor_revenue), the
+    # nine entrants deferred from r10, and twenty-four more drawn across
+    # the never-verdicted waves (stats/trainer/text/eval mass). Block
+    # stays 100% exact-oracled for the third consecutive round.
+    # Displaced queries remain fully supported and exactly oracled in
+    # verify_driver's full sweep + pytest sweeps.
     #
-    # ---- keeps: family anchors + this round's changed definitions ----
+    # ---- keeps: flagship + A/B-adjudicated bench anchors ----
     "hopping_window_agg",
-    "image_dedup_groups",
-    "cdc_wire_snapshot_customers",
-    "doc_quality_score",
-    "corpus_curation_pipeline",
-    "streaming_wallet_balance",
     "dbscan_embedding_clusters",
-    "item_item_recommendations",
-    "gbdt_tree2_boost",
-    "ece_calibration_error",
-    # ---- round-10 new operators (first verdicts) ----
+    "image_dedup_groups",
+    "corpus_curation_pipeline",
+    # ---- re-verdicts: definitions changed this round ----
     "prf_query_expansion",
     "prf_expansion_terms",
-    "sequential_pattern_support",
-    "kendall_tau_hour_value",
-    "brier_score_decomposition",
-    "heaps_vocab_growth",
-    "stump_cv_events",
-    "streaming_calibration_ingest",
-    "association_rules_copurchase",
     "retention_cohort_matrix",
-    "int8_quantized_topk",
+    "stump_cv_events",
     "event_type_week_pivot",
-    "isotonic_recalibration_bins",
-    "ece_after_isotonic_recalibration",
-    # re-verdict: AR(2) gained adaptive unit scaling this round (the 10x
-    # stress overflow fix) — u=1 at sf0.01 so outputs are unchanged, but
-    # the definition changed on both sides
-    "ar2_forecast_revenue",
-    # ---- twenty-five first-verdict entrants ----
-    # q05 relational shapes + fingerprints
-    "top_supplier_per_nation",
-    "simhash_fingerprints",
-    # q06 wire sources + streaming twins
-    "json_source_roundtrip",
-    "csv_source_roundtrip",
-    "streaming_dedup_exact",
-    # q07 corpus layout/plumbing
-    "bucketed_colocated_join",
-    "duplicate_span_positions",
-    # q08 TPC-H shapes + quality rules + perceptual pairs
-    "market_share",
-    "returned_item_topk",
-    "events_quality_rules",
-    "image_near_dup_pairs_dhash",
-    # q09 stats/drift battery
-    "benford_first_digit",
-    "value_drift_spearman",
-    "hbos_outlier_events",
-    "chi2_type_weekday",
-    # q10 audits
-    "referential_integrity_audit",
-    # q11 behavioral/wire
-    "funnel_time_to_convert",
-    "avro_schema_evolution",
-    # q12 privacy/text/decay
-    "t_closeness_report",
-    "halflife_decayed_value",
-    # q13 ops/stats
-    "compaction_bin_packing",
-    "latency_hdr_histogram",
-    # q15 round-9 LLM-pipeline mass
-    "dedup_span_rewrite",
-    "gopher_quality_filter",
-    "map_retrieval_eval",
+    # ---- round-11 new operators (first verdicts) ----
+    "cusum_daily_revenue",
+    "cohens_kappa_raters",
+    "ngram_novelty_ppm",
+    "name_edit_near_dup_pairs",
+    "hll_user_days_estimate",
+    # ---- first exact verdict on the r11 redefinition ----
+    "near_dup_kcore",
+    # ---- post-sweep r10 ops ----
+    "streaming_pivot_ingest",
+    "ridge_two_factor_revenue",
+    # ---- deferred-from-r10 entrants ----
+    "snapshot_diff_customers",
+    "corpus_domain_mix",
+    "corpus_shuffle_shard",
+    "streaming_events_quality",
+    "rake_keyphrases",
+    "wilson_topk_parts",
+    "markov_absorption_purchase",
+    "value_rank_suite",
+    "late_shipment_priority",
+    # ---- twenty-four more first-verdict entrants ----
+    # timeseries/stats battery
+    "frequent_triples",
+    "mann_kendall_revenue",
+    "revenue_autocorr",
+    "winsorized_value_stats",
+    "ses_forecast_revenue",
+    "seasonal_anomaly_days",
+    "haar_wavelet_energy",
+    "dtw_revenue_align",
+    # causal/outlier/eval
+    "did_promo_effect",
+    "randomization_test_weekend_value",
+    "mahalanobis_order_outliers",
+    "markov_next_event_accuracy",
+    # in-engine trainers
+    "decision_stump_events",
+    "decision_stump_embedding",
+    # text/retrieval mass
+    "textrank_keywords",
+    "contrastive_triplets",
+    "char_simpson_concentration",
+    "binary_rerank_pipeline",
+    # corpus plumbing / audits
+    "group_aware_split",
+    "split_leakage_audit",
+    "canonical_representative_pick",
+    "join_cardinality_estimate",
+    "lang_budget_temperature",
+    "postings_delta_varint",
 )
 
