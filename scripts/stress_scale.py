@@ -207,6 +207,8 @@ QUERIES = [
     "ngram_novelty_ppm",
     "name_edit_near_dup_pairs",
     "hll_user_days_estimate",
+    "anova_value_by_type",
+    "gains_decile_lift",
 ]
 
 

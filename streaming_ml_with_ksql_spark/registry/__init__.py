@@ -160,7 +160,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "split_leakage_audit",
     "canonical_representative_pick",
     "join_cardinality_estimate",
-    "lang_budget_temperature",
-    "postings_delta_varint",
+    # wave-2 round-11 ops (ANOVA F, decile gains) take the last two
+    # slots; lang_budget_temperature and postings_delta_varint return
+    # to the queue for r12
+    "anova_value_by_type",
+    "gains_decile_lift",
 )
 

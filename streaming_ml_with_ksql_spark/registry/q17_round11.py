@@ -425,3 +425,223 @@ def q_hll_user_days_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_centi_user_days_d"),
         F.col("exact_ud").cast("double").alias("exact_user_days_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F statistic (value ~ event_type)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _anova_exprs() -> tuple[str, str, str, str, str]:
+    """Generate the conditional-aggregation and the double-chain
+    expressions ONCE, shared verbatim by both engines: the group set is
+    the five literal event types, so the grand mean / SSB / SSW chains
+    unroll in a FIXED literal order (the lang_budget_temperature
+    lesson: a groupBy double-sum is partitioning-ordered; a literal
+    chain is not) — every double op is then correctly rounded
+    identically on exact integer operands."""
+
+    def cond(t: str, expr: str) -> str:
+        return f"sum(CASE WHEN event_type = '{t}' THEN {expr} ELSE 0 END)"
+
+    aggs = ", ".join(
+        f"{cond(t, '1')} AS n_{t}, {cond(t, 'y')} AS s_{t},"
+        f" CAST({cond(t, 'y*y')} AS DECIMAL(38,0)) AS q_{t}"
+        for t in _EVENT_TYPES
+    )
+    nexp = " + ".join(f"CAST(n_{t} AS DOUBLE)" for t in _EVENT_TYPES)
+    mexp = " + ".join(f"CAST(s_{t} AS DOUBLE)" for t in _EVENT_TYPES)
+    ssb = " + ".join(
+        f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE CAST(n_{t} AS DOUBLE)"
+        f" * (CAST(s_{t} AS DOUBLE)/CAST(n_{t} AS DOUBLE) - gm)"
+        f" * (CAST(s_{t} AS DOUBLE)/CAST(n_{t} AS DOUBLE) - gm) END)"
+        for t in _EVENT_TYPES
+    )
+    ssw = " + ".join(
+        f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE CAST(q_{t} AS DOUBLE)"
+        f" - CAST(s_{t} AS DOUBLE)*CAST(s_{t} AS DOUBLE)"
+        f"/CAST(n_{t} AS DOUBLE) END)"
+        for t in _EVENT_TYPES
+    )
+    return aggs, nexp, mexp, ssb, ssw
+
+
+_ANOVA_AGGS, _ANOVA_N, _ANOVA_S, _ANOVA_SSB, _ANOVA_SSW = _anova_exprs()
+
+_ANOVA_ORACLE = f"""
+    WITH base AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT {_ANOVA_AGGS} FROM base),
+    m AS (SELECT *, ({_ANOVA_N}) AS nn,
+                 ({_ANOVA_S}) / ({_ANOVA_N}) AS gm FROM g),
+    s AS (SELECT nn, ({_ANOVA_SSB}) AS ssb, ({_ANOVA_SSW}) AS ssw FROM m)
+    SELECT CAST(nn AS DOUBLE) AS n_d, ssb AS ssb_d, ssw AS ssw_d,
+           CASE WHEN ssw <= 0 OR nn <= 5 THEN NULL
+                ELSE (ssb / 4.0) / (ssw / (nn - 5.0)) END AS f_d
+    FROM s
+"""
+
+
+@register("anova_value_by_type", _ANOVA_ORACLE)
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of event value (integer cents) across
+    the five event types (Fisher 1925) — the does-this-feature-matter
+    screen a feature-selection pass runs before training. Group sums
+    (n, sum-y, sum-y^2) are exact integers (y^2 sums in DECIMAL(38,0) —
+    the brier discipline); the grand mean, between/within sums of
+    squares, and F unroll over the FIVE LITERAL event types in a fixed
+    textual order shared verbatim with the oracle (both sides run the
+    same generated expression string), so every double op is correctly
+    rounded identically — no partition-ordered float summation
+    anywhere. ANSI guards: absent groups contribute 0, ssw <= 0 and
+    n <= k CASE to NULL. Scale shape: ONE map-side-combined aggregation
+    to a single 15-column row, then scalar algebra."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.selectExpr(
+        "event_type", "CAST(floor(value * 100) AS BIGINT) AS y"
+    )
+    g = base.selectExpr(*[e.strip() for e in _split_top_level(_ANOVA_AGGS)])
+    m = g.selectExpr(
+        "*", f"({_ANOVA_N}) AS nn", f"({_ANOVA_S}) / ({_ANOVA_N}) AS gm"
+    )
+    s = m.selectExpr(
+        "nn", f"({_ANOVA_SSB}) AS ssb", f"({_ANOVA_SSW}) AS ssw"
+    )
+    return s.selectExpr(
+        "CAST(nn AS DOUBLE) AS n_d",
+        "ssb AS ssb_d",
+        "ssw AS ssw_d",
+        "CASE WHEN ssw <= 0 OR nn <= 5 THEN NULL"
+        " ELSE (ssb / 4.0) / (ssw / (nn - 5.0)) END AS f_d",
+    )
+
+
+def _split_top_level(exprs: str) -> list[str]:
+    """Split a generated comma-joined SELECT list at top-level commas
+    (commas inside CASE/CAST parens stay put) — selectExpr takes one
+    string per output column."""
+    out, depth, cur = [], 0, []
+    for ch in exprs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / decile lift table
+# --------------------------------------------------------------------------
+
+_GAINS_ORACLE = """
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS npos
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn, sum(npos) AS pp FROM cells),
+    rk AS MATERIALIZED (
+      SELECT c.v, c.n, c.npos, sum(c2.n) AS end_rank
+      FROM cells c JOIN cells c2 ON c2.v >= c.v
+      GROUP BY 1, 2, 3),
+    dc AS (
+      SELECT ((end_rank - 1) * 10) // (SELECT nn FROM tot) + 1 AS decile,
+             sum(n) AS n, sum(npos) AS npos
+      FROM rk GROUP BY 1),
+    cum AS (
+      SELECT d.decile, sum(d2.n) AS cum_n, sum(d2.npos) AS cum_pos
+      FROM dc d JOIN dc d2 ON d2.decile <= d.decile
+      GROUP BY 1)
+    SELECT CAST(decile AS DOUBLE) AS decile_d,
+           CAST(cum_n AS DOUBLE) AS cum_n_d,
+           CAST(cum_pos AS DOUBLE) AS cum_pos_d,
+           CAST(CASE WHEN (SELECT pp FROM tot) = 0 THEN NULL
+                ELSE (cum_pos * 1000000) // (SELECT pp FROM tot) END
+                AS DOUBLE) AS capture_ppm_d,
+           CAST((cum_n * 1000000) // (SELECT nn FROM tot) AS DOUBLE)
+             AS volume_ppm_d,
+           CASE WHEN (SELECT pp FROM tot) = 0
+                  OR (cum_n * 1000000) // (SELECT nn FROM tot) = 0
+                THEN NULL
+                ELSE CAST((cum_pos * 1000000) // (SELECT pp FROM tot)
+                          AS DOUBLE)
+                   / CAST((cum_n * 1000000) // (SELECT nn FROM tot)
+                          AS DOUBLE) END AS lift_d
+    FROM cum
+"""
+
+
+@register("gains_decile_lift", _GAINS_ORACLE)
+def q_gains_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / decile lift table (the marketing-analytics
+    model-eval staple next to roc_auc_purchase): events ranked by value
+    DESCENDING, cut into 10 exact-rank deciles, each reporting the
+    cumulative share of purchases captured (integer ppm) and the lift
+    vs random targeting (one correctly-rounded double division of two
+    exact ppm ints). Exact order statistics WITHOUT a global sort: the
+    corpus collapses to the HISTOGRAM OF COUNTS (value cells), end
+    ranks come from the documented O(C^2) broadcast self-join prefix
+    idiom, and a cell joins the decile containing its END rank (ties
+    stay together — deterministic on both engines). Decile 10 is a
+    built-in self-check (capture_ppm = volume_ppm = 1e6). ANSI guards:
+    zero positives and zero volume-ppm CASE to NULL on both sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        ev.selectExpr(
+            "CAST(floor(value * 100) AS BIGINT) AS v",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos",
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"), F.sum("npos").alias("pp")
+    )
+    c2 = cells.select(F.col("v").alias("v2"), F.col("n").alias("n2"))
+    rk = (
+        cells.join(F.broadcast(c2), F.col("v2") >= F.col("v"))
+        .groupBy("v", "n", "npos")
+        .agg(F.sum("n2").alias("end_rank"))
+    )
+    dc = (
+        rk.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("((end_rank - 1) * 10) div nn + 1").alias("decile")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("npos").alias("npos"))
+    )
+    d2 = dc.select(
+        F.col("decile").alias("decile2"),
+        F.col("n").alias("n2"),
+        F.col("npos").alias("npos2"),
+    )
+    cum = (
+        dc.join(F.broadcast(d2), F.col("decile2") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.sum("n2").alias("cum_n"), F.sum("npos2").alias("cum_pos")
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(decile AS DOUBLE) AS decile_d",
+        "CAST(cum_n AS DOUBLE) AS cum_n_d",
+        "CAST(cum_pos AS DOUBLE) AS cum_pos_d",
+        "CAST(CASE WHEN pp = 0 THEN NULL"
+        " ELSE (cum_pos * 1000000L) div pp END AS DOUBLE)"
+        " AS capture_ppm_d",
+        "CAST((cum_n * 1000000L) div nn AS DOUBLE) AS volume_ppm_d",
+        "CASE WHEN pp = 0 OR (cum_n * 1000000L) div nn = 0 THEN NULL"
+        " ELSE CAST((cum_pos * 1000000L) div pp AS DOUBLE)"
+        "    / CAST((cum_n * 1000000L) div nn AS DOUBLE) END AS lift_d",
+    )

@@ -76,6 +76,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "kendall_tau_hour_value",
                 "isotonic_recalibration_bins",
                 "ece_after_isotonic_recalibration",
+                "gains_decile_lift",
             }
         ),
     ),

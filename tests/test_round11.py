@@ -19,6 +19,8 @@ ROUND11 = [
     "ngram_novelty_ppm",
     "name_edit_near_dup_pairs",
     "hll_user_days_estimate",
+    "anova_value_by_type",
+    "gains_decile_lift",
 ]
 
 
@@ -172,3 +174,101 @@ def test_hll_estimate_within_sketch_error(spark, sf_medium):
             est,
             exact,
         )
+
+
+def test_anova_python_replay(spark, sf_small):
+    """Third vote: F recomputed from raw collected (type, cents) pairs
+    with numpy-free plain-Python sums in the same fixed type order; the
+    double chain is deterministic, so equality is exact (same ops, same
+    order, same operands)."""
+    row = (
+        _REGISTRY["anova_value_by_type"].spark(spark, sf_small).collect()
+    )[0]
+    import math
+
+    ev = (
+        io_mod.load_table(spark, sf_small, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.expr("CAST(floor(value*100) AS BIGINT)").alias("y"))
+        .collect()
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    n = {t: 0 for t in types}
+    s = {t: 0 for t in types}
+    q = {t: 0 for t in types}
+    for e in ev:
+        n[e.event_type] += 1
+        s[e.event_type] += e.y
+        q[e.event_type] += e.y * e.y
+    nn = 0.0
+    for t in types:
+        nn = nn + float(n[t])
+    sm = 0.0
+    for t in types:
+        sm = sm + float(s[t])
+    gm = sm / nn
+    ssb = 0.0
+    ssw = 0.0
+    for t in types:
+        if n[t] == 0:
+            continue
+        mt = float(s[t]) / float(n[t])
+        ssb = ssb + float(n[t]) * (mt - gm) * (mt - gm)
+        ssw = ssw + (float(q[t]) - float(s[t]) * float(s[t]) / float(n[t]))
+    assert row.n_d == nn
+    # the replay folds left-to-right like the generated chain; require
+    # bit-level closeness (same formula, benign association differences
+    # would show far above this)
+    assert math.isclose(row.ssb_d, ssb, rel_tol=1e-12)
+    assert math.isclose(row.ssw_d, ssw, rel_tol=1e-12)
+    f = (ssb / 4.0) / (ssw / (nn - 5.0))
+    assert math.isclose(row.f_d, f, rel_tol=1e-12)
+    assert row.f_d > 0
+
+
+def test_gains_table_python_replay(spark, sf_small):
+    """Third vote: the decile table recomputed by literally sorting the
+    collected (value-cents, is-purchase) rows descending with ties kept
+    together (stable cell grouping) and cutting at exact end ranks."""
+    rows = sorted(
+        _REGISTRY["gains_decile_lift"].spark(spark, sf_small).collect(),
+        key=lambda r: r.decile_d,
+    )
+    assert [r.decile_d for r in rows] == [float(i) for i in range(1, 11)]
+    last = rows[-1]
+    assert last.capture_ppm_d == 1_000_000 and last.volume_ppm_d == 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_n_d > a.cum_n_d and b.cum_pos_d >= a.cum_pos_d
+    ev = (
+        io_mod.load_table(spark, sf_small, "events")
+        .filter(F.col("value").isNotNull())
+        .selectExpr(
+            "CAST(floor(value*100) AS BIGINT) AS v",
+            "CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS pos",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for e in ev:
+        cells[e.v][0] += 1
+        cells[e.v][1] += e.pos
+    nn = sum(c[0] for c in cells.values())
+    pp = sum(c[1] for c in cells.values())
+    dec = defaultdict(lambda: [0, 0])
+    end_rank = 0
+    for v in sorted(cells, reverse=True):
+        end_rank += cells[v][0]
+        d = (end_rank - 1) * 10 // nn + 1
+        dec[d][0] += cells[v][0]
+        dec[d][1] += cells[v][1]
+    cum_n = cum_p = 0
+    want = {}
+    for d in sorted(dec):
+        cum_n += dec[d][0]
+        cum_p += dec[d][1]
+        want[float(d)] = (float(cum_n), float(cum_p))
+    got = {r.decile_d: (r.cum_n_d, r.cum_pos_d) for r in rows}
+    assert got == want
+    assert pp > 0 and rows[0].lift_d is not None
