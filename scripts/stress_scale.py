@@ -264,6 +264,16 @@ def main() -> None:
             F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         print(f"{name}: {row['n']} rows in {time.perf_counter()-t0:.1f}s")
+        # localCheckpoint blocks accumulate across queries in this
+        # single long-lived session — 133 queries of them OOMed the
+        # r11 full sweep at query 134. The prior query's result is
+        # already forced, so dropping every persistent RDD between
+        # queries is safe and bounds block-manager memory at one
+        # query's working set.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
     spark.stop()
 
 

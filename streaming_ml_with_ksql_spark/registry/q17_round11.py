@@ -52,7 +52,10 @@ def q_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on <= ~3.7k day rows per decade, data-size-independent after the
     one daily groupBy). All arithmetic BIGINT — the series hash-matches
     cross-engine exactly; a sustained revenue upshift shows as a rising
-    cusum_cents run (2325 of 2399 days positive at sf0.01)."""
+    cusum_cents run (2325 of 2399 days positive at sf0.01). Complements
+    q09's cusum_changepoints (two-sided |CUSUM| argmax of the daily
+    COUNT series per event type) with the classic one-sided Page
+    statistic over the revenue series itself."""
     o = _t(spark, sf_dir, "orders")
     d = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").alias(
