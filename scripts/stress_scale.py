@@ -209,6 +209,7 @@ QUERIES = [
     "hll_user_days_estimate",
     "anova_value_by_type",
     "gains_decile_lift",
+    "hll_merge_registers_exact",
 ]
 
 

@@ -648,3 +648,90 @@ def q_gains_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST((cum_pos * 1000000L) div pp AS DOUBLE)"
         "    / CAST((cum_n * 1000000L) div nn AS DOUBLE) END AS lift_d",
     )
+
+
+# --------------------------------------------------------------------------
+# Two-level HLL register merge — the 100 TB sketch-merge identity, exact
+# --------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             md5(CAST(user_id AS VARCHAR) || '|'
+                 || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
+               AS hx
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             CAST((strpos('0123456789abcdef', hx[1:1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[2:2]) - 1) AS INT)
+               AS bucket,
+             hx[3:32] AS rest
+      FROM h),
+    r AS (
+      SELECT event_type, bucket, ltrim(rest, '0') AS stripped,
+             len(rest) - len(ltrim(rest, '0')) AS nz
+      FROM b),
+    v AS (
+      SELECT event_type, bucket,
+             CASE WHEN stripped = '' THEN 121
+                  ELSE 4 * nz + (4 - CASE
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 8
+                      THEN 4
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 4
+                      THEN 3
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 2
+                      THEN 2
+                    ELSE 1 END) + 1
+             END AS rho
+      FROM v_src(r))
+    SELECT event_type, bucket, CAST(max(rho) AS INT) AS register
+    FROM v GROUP BY 1, 2
+"""
+# DuckDB has no v_src(); inline the alias
+_HLL_MERGE_ORACLE = _HLL_MERGE_ORACLE.replace("FROM v_src(r)", "FROM r")
+
+
+@register("hll_merge_registers_exact", _HLL_MERGE_ORACLE)
+def q_hll_merge_registers_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB sketch-merge identity made EXACT: per-day HLL register
+    partials (the per-partition sketches a petabyte pipeline stores
+    instead of raw keys) max-merged upward must equal the single-pass
+    register table bit-for-bit, because max is associative and
+    commutative. The Spark side REALLY materializes the daily partials
+    (eager localCheckpoint between the two aggregations, so the plan is
+    genuinely two-level — partial sketch build, then merge); the oracle
+    computes the direct single-pass registers, so the driver hash-check
+    IS the merge≡direct proof on this round's testdata. Exact
+    counterpart to hll_partition_merge (rows-only by design — Spark's
+    native DataSketches estimates have no DuckDB equivalent); same
+    user-day key and md5-nibble registers as hll_user_days_estimate
+    (topk.hll_hash_cols, the shared hash definition). Scale shape: two
+    map-side-combined max-aggregations; state is |days|x|types|x256
+    then |types|x256 registers regardless of corpus size."""
+    from ..operators.topk import hll_hash_cols
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    key = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.date_trunc("day", "ts").cast("date").cast("string"),
+    )
+    bucket, rho = hll_hash_cols(key)
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        daily.groupBy("event_type", "bucket")
+        .agg(F.max("r").cast("int").alias("register"))
+    )

@@ -21,6 +21,7 @@ ROUND11 = [
     "hll_user_days_estimate",
     "anova_value_by_type",
     "gains_decile_lift",
+    "hll_merge_registers_exact",
 ]
 
 
@@ -272,3 +273,39 @@ def test_gains_table_python_replay(spark, sf_small):
     got = {r.decile_d: (r.cum_n_d, r.cum_pos_d) for r in rows}
     assert got == want
     assert pp > 0 and rows[0].lift_d is not None
+
+
+def test_hll_merge_equals_direct_single_pass(spark, sf_small):
+    """The merge identity stated in Spark itself (the oracle states the
+    other side): max-merging per-day register partials must equal the
+    direct single-pass register table bit-for-bit."""
+    from pyspark.sql import functions as FF
+
+    from streaming_ml_with_ksql_spark.operators.topk import hll_hash_cols
+
+    merged = {
+        (r.event_type, r.bucket): r.register
+        for r in _REGISTRY["hll_merge_registers_exact"]
+        .spark(spark, sf_small)
+        .collect()
+    }
+    ev = io_mod.load_table(spark, sf_small, "events").filter(
+        FF.col("user_id").isNotNull()
+    )
+    key = FF.concat_ws(
+        "|",
+        FF.col("user_id").cast("string"),
+        FF.date_trunc("day", "ts").cast("date").cast("string"),
+    )
+    bucket, rho = hll_hash_cols(key)
+    direct = {
+        (r.event_type, r.bucket): r.register
+        for r in ev.select(
+            "event_type", bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(FF.max("rho").cast("int").alias("register"))
+        .collect()
+    }
+    assert merged == direct
+    assert len(merged) > 100
