@@ -46,6 +46,7 @@ from . import q14_round8  # noqa: F401,E402
 from . import q15_round9  # noqa: F401,E402
 from . import q16_round10  # noqa: F401,E402
 from . import q17_round11  # noqa: F401,E402
+from . import q18_round11b  # noqa: F401,E402
 
 def _ordered_names() -> list[str]:
     """Registry names with the driver-priority block first.

@@ -77,6 +77,8 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "isotonic_recalibration_bins",
                 "ece_after_isotonic_recalibration",
                 "gains_decile_lift",
+                "mann_whitney_weekend_value",
+                "kaplan_meier_conversion",
             }
         ),
     ),

@@ -1,0 +1,187 @@
+"""Round-11 wave-3 tests: Mann-Whitney U, skip-gram pairs, Kaplan-Meier
+survival, event-type user Jaccard, streaming CUSUM — each oracle-checked
+plus an independent third vote (the r8 lesson: cross-engine agreement
+proves consistency, not correctness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_ml_with_ksql_spark import io as io_mod
+from streaming_ml_with_ksql_spark.registry import _REGISTRY
+from tests.oracle import assert_query_matches
+
+ROUND11B = [
+    "mann_whitney_weekend_value",
+    "skipgram_training_pairs",
+    "kaplan_meier_conversion",
+    "event_type_user_jaccard",
+    "streaming_cusum_ingest",
+]
+
+
+@pytest.mark.parametrize("name", ROUND11B)
+def test_round11b_query_matches_oracle(spark, sf_medium, name):
+    assert_query_matches(spark, name, sf_medium)
+
+
+def test_mann_whitney_python_replay(spark, sf_small):
+    """Third vote: U, rank-biserial and the tie-corrected z recomputed
+    from the raw collected (cell, group) rows with plain-Python average
+    ranks. Integer parts must match EXACTLY; the float chain within
+    1e-12 relative (the replay multiplies in a different order)."""
+    import math
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * 10).cast("long").alias("s"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    ).collect()
+    vals = sorted((r.s, r.wk) for r in rows)
+    n = len(vals)
+    # average ranks over the sorted list
+    ranks = {}
+    i = 0
+    tie3 = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        t = j - i
+        ranks[vals[i][0]] = (i + 1 + j) / 2.0  # avg of ranks i+1..j
+        tie3 += t * t * t - t
+        i = j
+    n1 = sum(wk for _, wk in vals)
+    n0 = n - n1
+    r1 = sum(ranks[s] for s, wk in vals if wk == 1)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    var_u = n1 * n0 / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u - n1 * n0 / 2.0) / math.sqrt(var_u)
+    rb = 2.0 * u / (n1 * n0) - 1.0
+
+    got = _REGISTRY["mann_whitney_weekend_value"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_weekend_d == float(n1) and got.n_weekday_d == float(n0)
+    assert got.u2_d == 2.0 * u
+    assert abs(got.rank_biserial - rb) <= 1e-12 * max(1.0, abs(rb))
+    assert abs(got.z_value - z) <= 1e-9 * max(1.0, abs(z))
+    assert -1.0 <= got.rank_biserial <= 1.0
+
+
+def test_skipgram_python_replay(spark, sf_small):
+    """Third vote: the full top-100 pair histogram recomputed by a
+    plain-Python sliding window over the same whitespace tokenization
+    must match the query EXACTLY (set equality including counts) —
+    and the pair relation must be symmetric in the full multiset."""
+    from collections import Counter
+
+    docs = io_mod.load_table(spark, "/root/testdata/sf0.001", "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    c = Counter()
+    for tx in texts:
+        toks = (tx or "").strip().lower().split()
+        # match split(lower(trim), '\s+'): empty text -> ['']
+        if tx is None or tx.strip() == "":
+            toks = [""]
+        for i, w in enumerate(toks):
+            for o in (-2, -1, 1, 2):
+                j = i + o
+                if 0 <= j < len(toks):
+                    c[(w, toks[j])] += 1
+    # symmetric multiset
+    for (a, b), v in c.items():
+        assert c[(b, a)] == v
+    want = sorted(
+        ((-v, a, b) for (a, b), v in c.items())
+    )[:100]
+    want = {(a, b, float(-nv)) for nv, a, b in want}
+
+    got = {
+        (r.center, r.context, r.n_d)
+        for r in _REGISTRY["skipgram_training_pairs"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+
+
+def test_kaplan_meier_python_replay(spark, sf_small):
+    """Third vote: KM curve replayed sequentially in plain Python from
+    the collected (dur, n_risk, d) table — survival must be the
+    left-to-right running product (exact float equality: same ops,
+    same order), monotone nonincreasing, 1.0 before the first event,
+    and the at-risk counts must telescope: n_risk(next) =
+    n_risk(cur) - n_total(cur)."""
+    rows = sorted(
+        _REGISTRY["kaplan_meier_conversion"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.dur_d,
+    )
+    assert len(rows) >= 5
+    s = 1.0
+    prev = None
+    for r in rows:
+        s = s * ((r.n_risk_d - r.d_conv_d) / r.n_risk_d)
+        assert r.survival == s, (r.dur_d, r.survival, s)
+        if prev is not None:
+            assert r.survival <= prev.survival + 1e-15
+            assert r.n_risk_d == prev.n_risk_d - (
+                prev.d_conv_d + prev.c_cens_d
+            )
+        prev = r
+    assert rows[0].n_risk_d == sum(r.d_conv_d + r.c_cens_d for r in rows)
+    assert any(r.c_cens_d > 0 for r in rows) or rows[-1].dur_d == 72.0
+
+
+def test_event_type_jaccard_python_replay(spark, sf_small):
+    """Third vote: Jaccard ppm recomputed from raw distinct user sets
+    in plain Python set algebra — exact equality on all 10 pairs."""
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    pairs = ev.select("event_type", "user_id").distinct().collect()
+    sets: dict[str, set] = {}
+    for r in pairs:
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    got = _REGISTRY["event_type_user_jaccard"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    types = sorted(sets)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for r in got:
+        a, b = sets[r.type_a], sets[r.type_b]
+        inter = len(a & b)
+        assert r.type_a < r.type_b
+        assert (r.n_a_d, r.n_b_d, r.n_inter_d) == (
+            float(len(a)), float(len(b)), float(inter)
+        )
+        assert r.jaccard_ppm_d == float(inter * 1000000 // len(a | b))
+
+
+def test_streaming_cusum_matches_batch(spark, sf_small):
+    """The drained streaming CUSUM must equal the same closed-form
+    computed directly over the batch daily aggregate (complete-mode
+    sums are replay-order invariant)."""
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = {
+        r.day: int(r.cents)
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.expr("sum(CAST(floor(value * 100) AS BIGINT))").alias("cents"))
+        .collect()
+    }
+    rows = sorted(
+        _REGISTRY["streaming_cusum_ingest"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.day,
+    )
+    assert {r.day for r in rows} == set(daily)
+    target = sum(daily.values()) // len(daily)
+    s = 0
+    for r in rows:
+        assert int(r.cents_d) == daily[r.day]
+        s = max(0, s + daily[r.day] - target)
+        assert float(s) == r.cusum_cents_d
