@@ -465,3 +465,372 @@ def q_streaming_cusum_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("double").alias("cents_d"),
         F.col("cusum").cast("double").alias("cusum_cents_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch t-test (weekend vs weekday value) — unequal-variance location test
+# --------------------------------------------------------------------------
+
+# Staged verbatim chains (CTE stages in the oracle mirror selectExpr
+# stages in the Spark query; every op is a correctly-rounded double op
+# on exact integer operands).
+_WELCH_STAGE1 = [
+    "CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1",
+    "CAST(sv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0",
+    "(CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS s21",
+    "(CAST(svv0 AS DOUBLE) - CAST(sv0 AS DOUBLE) * CAST(sv0 AS DOUBLE)"
+    " / CAST(n0 AS DOUBLE)) / CAST(n0 - 1 AS DOUBLE) AS s20",
+]
+_WELCH_STAGE2 = (
+    "s21 / CAST(n1 AS DOUBLE) + s20 / CAST(n0 AS DOUBLE) AS se2"
+)
+_WELCH_T = (
+    "CASE WHEN se2 > CAST(0 AS DOUBLE)"
+    " THEN (m1 - m0) / sqrt(se2) ELSE NULL END AS t_welch"
+)
+_WELCH_DF = (
+    "CASE WHEN se2 > CAST(0 AS DOUBLE) THEN se2 * se2 /"
+    " ((s21 / CAST(n1 AS DOUBLE)) * (s21 / CAST(n1 AS DOUBLE))"
+    "  / CAST(n1 - 1 AS DOUBLE)"
+    "  + (s20 / CAST(n0 AS DOUBLE)) * (s20 / CAST(n0 AS DOUBLE))"
+    "  / CAST(n0 - 1 AS DOUBLE)) ELSE NULL END AS df_welch"
+)
+
+_WELCH_ORACLE = f"""
+    WITH t AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT wk, count(*) AS n, sum(v) AS sv,
+             sum(CAST(v * v AS DECIMAL(38,0))) AS svv
+      FROM t GROUP BY wk),
+    p AS (
+      SELECT max(CASE WHEN wk = 1 THEN n END) AS n1,
+             max(CASE WHEN wk = 0 THEN n END) AS n0,
+             max(CASE WHEN wk = 1 THEN sv END) AS sv1,
+             max(CASE WHEN wk = 0 THEN sv END) AS sv0,
+             max(CASE WHEN wk = 1 THEN svv END) AS svv1,
+             max(CASE WHEN wk = 0 THEN svv END) AS svv0
+      FROM g),
+    s1 AS (
+      SELECT n1, n0, {", ".join(_WELCH_STAGE1)} FROM p
+      WHERE n1 > 1 AND n0 > 1),
+    s2 AS (SELECT n1, n0, m1, m0, s21, s20, {_WELCH_STAGE2} FROM s1)
+    SELECT CAST(n1 AS DOUBLE) AS n_weekend_d,
+           CAST(n0 AS DOUBLE) AS n_weekday_d,
+           m1 - m0 AS mean_diff_cents,
+           {_WELCH_T},
+           {_WELCH_DF}
+    FROM s2
+"""
+
+
+@register("welch_ttest_weekend_value", _WELCH_ORACLE)
+def q_welch_ttest_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of the weekend effect on event
+    value — the parametric companion to mann_whitney_weekend_value on
+    the same split (rank test robust to shape; Welch efficient under
+    normality; divergent verdicts flag heavy tails). Group moments are
+    EXACT integers from one scan (cent sums in BIGINT, squared-cent
+    sums in DECIMAL(38,0) so a 1000x corpus cannot overflow under
+    ANSI); means, pooled-free variances, the Welch statistic and the
+    Welch-Satterthwaite df are staged verbatim-shared chains of
+    correctly-rounded double ops, so the floats hash-match
+    cross-engine. No window, no join — one aggregation and a 2-row
+    conditional pivot."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    )
+    g = t.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.expr("CAST(v * v AS DECIMAL(38,0))")).alias("svv"),
+    )
+    p = g.agg(
+        F.expr("max(CASE WHEN wk = 1 THEN n END)").alias("n1"),
+        F.expr("max(CASE WHEN wk = 0 THEN n END)").alias("n0"),
+        F.expr("max(CASE WHEN wk = 1 THEN sv END)").alias("sv1"),
+        F.expr("max(CASE WHEN wk = 0 THEN sv END)").alias("sv0"),
+        F.expr("max(CASE WHEN wk = 1 THEN svv END)").alias("svv1"),
+        F.expr("max(CASE WHEN wk = 0 THEN svv END)").alias("svv0"),
+    )
+    s1 = p.filter("n1 > 1 AND n0 > 1").selectExpr(
+        "n1", "n0", *_WELCH_STAGE1
+    )
+    s2 = s1.selectExpr("n1", "n0", "m1", "m0", "s21", "s20", _WELCH_STAGE2)
+    return s2.selectExpr(
+        "CAST(n1 AS DOUBLE) AS n_weekend_d",
+        "CAST(n0 AS DOUBLE) AS n_weekday_d",
+        "m1 - m0 AS mean_diff_cents",
+        _WELCH_T,
+        _WELCH_DF,
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: conversion survival, signup-first vs other-first cohorts
+# --------------------------------------------------------------------------
+
+_LOGRANK_TERMS = [
+    "CAST(dk AS DOUBLE) * (CAST(n1k AS DOUBLE) / CAST(nk AS DOUBLE))"
+    " AS e1_term",
+    "CASE WHEN nk > 1 THEN"
+    " CAST(dk AS DOUBLE) * (CAST(n1k AS DOUBLE) / CAST(nk AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE) - CAST(n1k AS DOUBLE) / CAST(nk AS DOUBLE))"
+    " * (CAST(nk - dk AS DOUBLE) / CAST(nk - 1 AS DOUBLE))"
+    " ELSE CAST(0 AS DOUBLE) END AS v_term",
+]
+_LOGRANK_Z = (
+    "CASE WHEN v > CAST(0 AS DOUBLE)"
+    " THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) ELSE NULL END AS z_value"
+)
+
+_LOGRANK_ORACLE = f"""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+    fid AS (
+      SELECT e.user_id, min(e.event_id) AS fe
+      FROM events e JOIN first_seen f
+        ON e.user_id = f.user_id AND e.ts = f.t0
+      GROUP BY e.user_id),
+    cohort AS (
+      SELECT fi.user_id,
+             CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END AS g
+      FROM fid fi JOIN events e ON e.event_id = fi.fe),
+    first_buy AS (
+      SELECT user_id, min(ts) AS tb FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    lab AS (
+      SELECT f.user_id, c.g,
+             CASE WHEN b.tb IS NOT NULL AND
+                  (epoch_us(date_trunc('hour', b.tb))
+                   - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  <= 72
+                  THEN (epoch_us(date_trunc('hour', b.tb))
+                        - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  ELSE 72 END AS dur,
+             CASE WHEN b.tb IS NOT NULL AND
+                  (epoch_us(date_trunc('hour', b.tb))
+                   - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  <= 72
+                  THEN 1 ELSE 0 END AS ev
+      FROM first_seen f
+      JOIN cohort c ON c.user_id = f.user_id
+      LEFT JOIN first_buy b ON b.user_id = f.user_id),
+    gcell AS (
+      SELECT dur, g, count(*) AS n_total, sum(ev) AS d FROM lab
+      GROUP BY 1, 2),
+    cell AS (
+      SELECT c.dur,
+             sum(c2.n_total) AS nk,
+             sum(CASE WHEN c2.g = 1 THEN c2.n_total ELSE 0 END) AS n1k,
+             sum(CASE WHEN c2.dur = c.dur THEN c2.d ELSE 0 END) AS dk,
+             sum(CASE WHEN c2.dur = c.dur AND c2.g = 1 THEN c2.d ELSE 0 END)
+               AS d1k
+      FROM (SELECT DISTINCT dur FROM gcell) c
+      JOIN gcell c2 ON c2.dur >= c.dur
+      GROUP BY c.dur),
+    terms AS (
+      SELECT dur, d1k, {", ".join(_LOGRANK_TERMS)}
+      FROM cell WHERE dk > 0),
+    ls AS (
+      SELECT list_sort(list(struct_pack(dur := dur, e1 := e1_term,
+                                        v := v_term))) AS l,
+             sum(d1k) AS o1
+      FROM terms),
+    zz AS (
+      SELECT o1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l, x -> x.e1)), (a, b) -> a + b) AS e1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l, x -> x.v)), (a, b) -> a + b) AS v
+      FROM ls)
+    SELECT CAST(o1 AS DOUBLE) AS o1_d, e1, v, {_LOGRANK_Z}
+    FROM zz
+"""
+
+
+@register("logrank_conversion_cohorts", _LOGRANK_ORACLE)
+def q_logrank_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing conversion-survival between
+    the signup-first and other-first user cohorts — the inferential
+    companion to kaplan_meier_conversion's curve (did organic signups
+    convert faster, beyond what censoring explains?). Cohort assignment
+    is fully deterministic: first event = min (ts, event_id) resolved
+    via the provably-unique event_id (the r7 non-unique-key lesson).
+    Per duration cell the at-risk counts are bounded suffix sums
+    (O(C^2) broadcast self-join over <= 73 x 2 group cells); the
+    hypergeometric E/V terms are per-cell verbatim double chains on
+    exact integers, and their sums fold over the SORTED cell list in a
+    defined order (Spark F.aggregate, DuckDB list_reduce with prepended
+    zero — the lang_budget fixed-order discipline, since the cell set
+    is data-dependent). z = (O1 - E1)/sqrt(V). Non-degenerate at
+    sf0.01: cohorts 20/130, O1 = 18, z = 0.47."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    fid = (
+        ev.join(first_seen, "user_id")
+        .filter(F.col("ts") == F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("fe"))
+    )
+    cohort = fid.join(
+        ev.select("event_id", "event_type"),
+        fid.fe == F.col("event_id"),
+    ).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("g"),
+    )
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    hour_delta = (
+        "(unix_micros(date_trunc('hour', tb))"
+        " - unix_micros(date_trunc('hour', t0))) div 3600000000"
+    )
+    lab = (
+        first_seen.join(cohort, "user_id")
+        .join(first_buy, "user_id", "left")
+        .selectExpr(
+            "g",
+            f"CASE WHEN tb IS NOT NULL AND {hour_delta} <= 72"
+            f" THEN {hour_delta} ELSE 72 END AS dur",
+            f"CASE WHEN tb IS NOT NULL AND {hour_delta} <= 72"
+            " THEN 1 ELSE 0 END AS ev",
+        )
+    )
+    gcell = lab.groupBy("dur", "g").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("ev").alias("d")
+    )
+    durs = gcell.select("dur").distinct()
+    c2 = gcell.select(
+        F.col("dur").alias("dur2"), F.col("g").alias("g2"),
+        F.col("n_total").alias("nt2"), F.col("d").alias("d2"),
+    )
+    cell = (
+        durs.join(F.broadcast(c2), F.col("dur2") >= F.col("dur"))
+        .groupBy("dur")
+        .agg(
+            F.sum("nt2").alias("nk"),
+            F.sum(F.expr("CASE WHEN g2 = 1 THEN nt2 ELSE 0 END")).alias(
+                "n1k"
+            ),
+            F.sum(F.expr("CASE WHEN dur2 = dur THEN d2 ELSE 0 END")).alias(
+                "dk"
+            ),
+            F.sum(
+                F.expr("CASE WHEN dur2 = dur AND g2 = 1 THEN d2 ELSE 0 END")
+            ).alias("d1k"),
+        )
+    )
+    terms = cell.filter("dk > 0").selectExpr(
+        "dur", "d1k", *_LOGRANK_TERMS
+    )
+    ls = terms.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("dur"),
+                    F.col("e1_term").alias("e1"),
+                    F.col("v_term").alias("v"),
+                )
+            )
+        ).alias("l"),
+        F.sum("d1k").alias("o1"),
+    )
+    zz = ls.selectExpr(
+        "o1",
+        "aggregate(transform(l, x -> x.e1), CAST(0 AS DOUBLE),"
+        " (a, x) -> a + x) AS e1",
+        "aggregate(transform(l, x -> x.v), CAST(0 AS DOUBLE),"
+        " (a, x) -> a + x) AS v",
+    )
+    return zz.selectExpr(
+        "CAST(o1 AS DOUBLE) AS o1_d", "e1", "v", _LOGRANK_Z
+    )
+
+
+# --------------------------------------------------------------------------
+# word2vec negative-sampling table (unigram^(3/4) allocation)
+# --------------------------------------------------------------------------
+
+_NEGSAMPLE_ORACLE = r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    w AS (SELECT unnest(t) AS word FROM toks),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    topv AS (
+      SELECT word, n FROM c
+      QUALIFY row_number() OVER (ORDER BY n DESC, word ASC) <= 1000),
+    ls AS (
+      SELECT list_sort(list(struct_pack(word := word,
+               w := sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))))))
+             AS l
+      FROM topv),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l, x -> x.w)), (a, b) -> a + b) AS wt
+      FROM ls)
+    SELECT word, CAST(n AS DOUBLE) AS n_d,
+           sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) AS w34,
+           CAST(CAST(floor(CAST(1000000 AS DOUBLE)
+                * sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))
+                / (SELECT wt FROM tot)) AS BIGINT) AS DOUBLE) AS alloc_d
+    FROM topv
+"""
+
+
+@register("negative_sampling_table", _NEGSAMPLE_ORACLE)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: each vocabulary word's slice
+    of a 1M-slot sampling table proportional to count^(3/4) — the
+    Mikolov smoothing that damps stopword dominance while keeping rare
+    words reachable (the data-side companion to
+    skipgram_training_pairs). The 3/4 power needs NO pow() (which the
+    cross-engine float discipline forbids): n^(3/4) = sqrt(n * sqrt(n))
+    — two correctly-rounded sqrts and one multiply, bit-identical on
+    both engines (pinned in pytest against Python's pow). Vocabulary is
+    truncated to the deterministic top-1000 by (count desc, word) —
+    bounded at any corpus size, as word2vec tables are in practice —
+    and the weight total folds over the SORTED word list in a defined
+    order (the lang_budget discipline). Allocations floor to integer
+    slots, so every emitted number is hash-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens_col(F.col("text"))
+    c = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topv = c.orderBy(F.col("n").desc(), F.col("word").asc()).limit(1000)
+    ls = topv.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("word"),
+                    F.expr(
+                        "sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))"
+                    ).alias("w"),
+                )
+            )
+        ).alias("l")
+    )
+    tot = ls.selectExpr(
+        "aggregate(transform(l, x -> x.w), CAST(0 AS DOUBLE),"
+        " (a, x) -> a + x) AS wt"
+    )
+    return topv.crossJoin(F.broadcast(tot)).selectExpr(
+        "word",
+        "CAST(n AS DOUBLE) AS n_d",
+        "sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) AS w34",
+        "CAST(CAST(floor(CAST(1000000 AS DOUBLE)"
+        " * sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))"
+        " / wt) AS BIGINT) AS DOUBLE) AS alloc_d",
+    )

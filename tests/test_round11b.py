@@ -185,3 +185,121 @@ def test_streaming_cusum_matches_batch(spark, sf_small):
         assert int(r.cents_d) == daily[r.day]
         s = max(0, s + daily[r.day] - target)
         assert float(s) == r.cusum_cents_d
+
+
+def test_welch_python_replay(spark, sf_small):
+    """Third vote: Welch t and Satterthwaite df recomputed from raw
+    cents with plain-Python float moments (different op order) must
+    land within 1e-9 relative; integer group counts exact."""
+    import math
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.filter(F.col("value").isNotNull()).select(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wk"),
+    ).collect()
+    g1 = [r.v for r in rows if r.wk == 1]
+    g0 = [r.v for r in rows if r.wk == 0]
+    n1, n0 = len(g1), len(g0)
+    m1, m0 = sum(g1) / n1, sum(g0) / n0
+    s21 = (sum(v * v for v in g1) - sum(g1) ** 2 / n1) / (n1 - 1)
+    s20 = (sum(v * v for v in g0) - sum(g0) ** 2 / n0) / (n0 - 1)
+    se2 = s21 / n1 + s20 / n0
+    t = (m1 - m0) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (s21 / n1) ** 2 / (n1 - 1) + (s20 / n0) ** 2 / (n0 - 1)
+    )
+    got = _REGISTRY["welch_ttest_weekend_value"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (got.n_weekend_d, got.n_weekday_d) == (float(n1), float(n0))
+    assert abs(got.mean_diff_cents - (m1 - m0)) <= 1e-9 * max(
+        1.0, abs(m1 - m0)
+    )
+    assert abs(got.t_welch - t) <= 1e-9 * max(1.0, abs(t))
+    assert abs(got.df_welch - df) <= 1e-9 * df
+    assert df > 1.0
+
+
+def test_logrank_python_replay(spark, sf_small):
+    """Third vote: O1/E1/V recomputed sequentially in plain Python from
+    an independently-derived (dur, group, event) labeling — exact
+    integer O1, floats within 1e-12 relative."""
+    import math
+    from collections import defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r.user_id].append(r)
+    labs = []
+    for uid, rs in by_user.items():
+        first = min(rs, key=lambda r: (r.ts, r.event_id))
+        g = 1 if first.event_type == "signup" else 0
+        t0 = min(r.ts for r in rs)
+        buys = [r.ts for r in rs if r.event_type == "purchase"]
+        t0h = t0.replace(minute=0, second=0, microsecond=0)
+        if buys:
+            tbh = min(buys).replace(minute=0, second=0, microsecond=0)
+            dh = int((tbh - t0h).total_seconds()) // 3600
+        else:
+            dh = None
+        if dh is not None and dh <= 72:
+            labs.append((dh, g, 1))
+        else:
+            labs.append((72, g, 0))
+    # cells
+    durs = sorted({d for d, _, _ in labs})
+    o1 = e1 = v = 0.0
+    for t in durs:
+        nk = sum(1 for d, _, _ in labs if d >= t)
+        n1k = sum(1 for d, g, _ in labs if d >= t and g == 1)
+        dk = sum(e for d, _, e in labs if d == t)
+        d1k = sum(e for d, g, e in labs if d == t and g == 1)
+        if dk == 0:
+            continue
+        o1 += d1k
+        e1 += dk * n1k / nk
+        if nk > 1:
+            v += dk * (n1k / nk) * (1 - n1k / nk) * (nk - dk) / (nk - 1)
+    z = (o1 - e1) / math.sqrt(v)
+    got = _REGISTRY["logrank_conversion_cohorts"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.o1_d == o1
+    assert abs(got.e1 - e1) <= 1e-12 * max(1.0, abs(e1))
+    assert abs(got.v - v) <= 1e-12 * max(1.0, abs(v))
+    assert abs(got.z_value - z) <= 1e-9 * max(1.0, abs(z))
+
+
+def test_negative_sampling_python_replay(spark, sf_small):
+    """Third vote: the whole table recomputed in plain Python — the
+    nested-sqrt 3/4 power must equal Python's pow EXACTLY on these
+    counts, the top-1000 selection must match, and flooring loss is
+    bounded by the vocabulary size."""
+    import math
+    from collections import Counter
+
+    docs = io_mod.load_table(spark, "/root/testdata/sf0.001", "documents")
+    c = Counter()
+    for r in docs.select("text").collect():
+        toks = (r.text or "").strip().lower().split() or [""]
+        c.update(toks)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    wsum = 0.0
+    for word, _n in sorted(top):
+        wsum += math.sqrt(c[word] * math.sqrt(c[word]))
+    got = _REGISTRY["negative_sampling_table"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.word for r in got} == {w for w, _ in top}
+    total_alloc = 0
+    for r in got:
+        n = c[r.word]
+        w34 = math.sqrt(n * math.sqrt(n))
+        assert r.w34 == w34  # nested sqrt == n^(3/4), bit-exact
+        assert r.w34 == n ** 0.75 or abs(r.w34 - n ** 0.75) < 1e-12 * w34
+        assert r.alloc_d == float(math.floor(1000000 * w34 / wsum))
+        total_alloc += int(r.alloc_d)
+    assert 1000000 - len(got) < total_alloc <= 1000000
