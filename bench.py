@@ -69,7 +69,6 @@ HEADLINE = [
     "streaming_hopping_window",
     "ngram_lm_score",
     "embedding_dedup_groups",
-    "feature_drift",
     "streaming_late_data_policy",
     "multimodal_mixed_container_sample",
     "multimodal_jpeg_decode",
@@ -133,6 +132,15 @@ HEADLINE = [
     # keep hopping_window_agg + streaming_hopping_window).
     "prf_query_expansion",
     "sequential_pattern_support",
+    # round-11 wave-3: the skip-gram pair generator — the round's
+    # heaviest new JVM shape (nested array-lambda pair explosion over
+    # the corpus token scan; 8.1 s at 100x). feature_drift yielded its
+    # bytes (0.52 s cheapest entry; its drift signal is carried by the
+    # histogram stats reps plus the new Mann-Whitney/Welch tests). The
+    # stats/survival waves are sub-second bounded-cell folds whose
+    # signal rides the existing histogram reps; jaccard/negsample ride
+    # the token/distinct reps.
+    "skipgram_training_pairs",
 ]
 
 # Headline queries whose wall-clock is dominated by Python (Arrow

@@ -210,6 +210,18 @@ QUERIES = [
     "anova_value_by_type",
     "gains_decile_lift",
     "hll_merge_registers_exact",
+    # round-11 wave-3/4
+    "mann_whitney_weekend_value",
+    "welch_ttest_weekend_value",
+    "logrank_conversion_cohorts",
+    "kaplan_meier_conversion",
+    "skipgram_training_pairs",
+    "negative_sampling_table",
+    "event_type_user_jaccard",
+    "streaming_cusum_ingest",
+    # round-11 wave-5
+    "cmh_discount_return_by_weekday",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -133,38 +133,43 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "markov_absorption_purchase",
     "value_rank_suite",
     "late_shipment_priority",
-    # ---- twenty-four more first-verdict entrants ----
+    # ---- fifteen more first-verdict queue entrants ----
     # timeseries/stats battery
     "frequent_triples",
     "mann_kendall_revenue",
-    "revenue_autocorr",
-    "winsorized_value_stats",
-    "ses_forecast_revenue",
     "seasonal_anomaly_days",
-    "haar_wavelet_energy",
-    "dtw_revenue_align",
     # causal/outlier/eval
     "did_promo_effect",
     "randomization_test_weekend_value",
     "mahalanobis_order_outliers",
-    "markov_next_event_accuracy",
     # in-engine trainers
     "decision_stump_events",
-    "decision_stump_embedding",
     # text/retrieval mass
     "textrank_keywords",
     "contrastive_triplets",
-    "char_simpson_concentration",
     "binary_rerank_pipeline",
     # corpus plumbing / audits
     "group_aware_split",
     "split_leakage_audit",
     "canonical_representative_pick",
-    "join_cardinality_estimate",
-    # wave-2 round-11 ops (ANOVA F, decile gains) take the last two
-    # slots; lang_budget_temperature and postings_delta_varint return
-    # to the queue for r12
+    # wave-2 round-11 ops (ANOVA F, decile gains)
     "anova_value_by_type",
     "gains_decile_lift",
+    # ---- round-11 wave-3/4 operators (first verdicts; displaced nine
+    # queue entrants — revenue_autocorr, winsorized_value_stats,
+    # ses_forecast_revenue, haar_wavelet_energy, dtw_revenue_align,
+    # markov_next_event_accuracy, decision_stump_embedding,
+    # char_simpson_concentration, join_cardinality_estimate — return
+    # to the queue for r12 alongside lang_budget_temperature and
+    # postings_delta_varint) ----
+    "hll_merge_registers_exact",
+    "mann_whitney_weekend_value",
+    "welch_ttest_weekend_value",
+    "logrank_conversion_cohorts",
+    "kaplan_meier_conversion",
+    "skipgram_training_pairs",
+    "negative_sampling_table",
+    "event_type_user_jaccard",
+    "streaming_cusum_ingest",
 )
 

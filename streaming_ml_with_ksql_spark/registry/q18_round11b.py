@@ -834,3 +834,177 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE)))"
         " / wt) AS BIGINT) AS DOUBLE) AS alloc_d",
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 association (7 literal strata)
+# --------------------------------------------------------------------------
+
+# Per-stratum 2x2 margins as exact integers; the CMH chi-square and the
+# Mantel-Haenszel common odds ratio unroll over the SEVEN LITERAL
+# weekday strata in fixed-order generated expression strings shared
+# VERBATIM by both engines (the anova_value_by_type lesson: when the
+# group set is literal, the whole chain can be one expression — no
+# sorted-list fold needed). Each summand guards n_k > 1 for ANSI.
+_CMH_K = range(7)
+_CMH_NUM = " + ".join(
+    f"(CASE WHEN n{k} > 1 THEN CAST(a{k} AS DOUBLE)"
+    f" - CAST((a{k} + b{k}) * (a{k} + c{k}) AS DOUBLE) / CAST(n{k} AS DOUBLE)"
+    f" ELSE CAST(0 AS DOUBLE) END)"
+    for k in _CMH_K
+)
+_CMH_DEN = " + ".join(
+    f"(CASE WHEN n{k} > 1 THEN"
+    f" (CAST(a{k} + b{k} AS DOUBLE) / CAST(n{k} AS DOUBLE))"
+    f" * CAST(c{k} + d{k} AS DOUBLE)"
+    f" * (CAST(a{k} + c{k} AS DOUBLE) / CAST(n{k} AS DOUBLE))"
+    f" * (CAST(b{k} + d{k} AS DOUBLE) / CAST(n{k} - 1 AS DOUBLE))"
+    f" ELSE CAST(0 AS DOUBLE) END)"
+    for k in _CMH_K
+)
+_CMH_ORN = " + ".join(
+    f"(CASE WHEN n{k} > 1 THEN CAST(a{k} AS DOUBLE) * CAST(d{k} AS DOUBLE)"
+    f" / CAST(n{k} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+    for k in _CMH_K
+)
+_CMH_ORD = " + ".join(
+    f"(CASE WHEN n{k} > 1 THEN CAST(b{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+    f" / CAST(n{k} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+    for k in _CMH_K
+)
+_CMH_NS = ", ".join(f"a{k} + b{k} + c{k} + d{k} AS n{k}" for k in _CMH_K)
+_CMH_COLS = ", ".join(f"a{k}, b{k}, c{k}, d{k}" for k in _CMH_K)
+_CMH_CHI2 = (
+    "CASE WHEN den > CAST(0 AS DOUBLE) THEN num * num / den"
+    " ELSE NULL END AS chi2_cmh"
+)
+_CMH_OR = (
+    "CASE WHEN ord_ > CAST(0 AS DOUBLE) THEN orn / ord_"
+    " ELSE NULL END AS or_mh"
+)
+
+
+def _cmh_sums(dow_expr: str) -> str:
+    """The 28 conditional cell sums; dow_expr is the per-engine weekday
+    expression normalized to 0 = Sunday."""
+    return ", ".join(
+        f"sum(CASE WHEN {dow_expr} = {k} AND l_discount > 0.05"
+        f" AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS a{k}, "
+        f"sum(CASE WHEN {dow_expr} = {k} AND l_discount > 0.05"
+        f" AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS b{k}, "
+        f"sum(CASE WHEN {dow_expr} = {k} AND l_discount <= 0.05"
+        f" AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS c{k}, "
+        f"sum(CASE WHEN {dow_expr} = {k} AND l_discount <= 0.05"
+        f" AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS d{k}"
+        for k in _CMH_K
+    )
+
+
+_CMH_ORACLE = f"""
+    WITH s AS (SELECT {_cmh_sums("dayofweek(l_shipdate)")} FROM lineitem),
+    t AS (SELECT {_CMH_COLS}, {_CMH_NS} FROM s),
+    u AS (SELECT {_CMH_NUM} AS num, {_CMH_DEN} AS den,
+                 {_CMH_ORN} AS orn, {_CMH_ORD} AS ord_,
+                 {" + ".join(f"n{k}" for k in _CMH_K)} AS n_rows
+          FROM t)
+    SELECT CAST(n_rows AS DOUBLE) AS n_rows_d, {_CMH_CHI2}, {_CMH_OR}
+    FROM u
+"""
+
+
+@register("cmh_discount_return_by_weekday", _CMH_ORACLE)
+def q_cmh_discount_return_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the (deep discount -> return)
+    association stratified by ship weekday — the confounder-adjusted
+    2x2 test that belongs next to chi2/ab_test in any experimentation
+    stack (does the discount-return link survive controlling for
+    day-of-week mix?). One corpus scan produces the 28 exact integer
+    cell margins (7 literal strata x 2x2, map-side conditional sums);
+    the CMH chi-square (uncorrected) and the Mantel-Haenszel common
+    odds ratio unroll over the literal strata in ONE fixed-order
+    verbatim expression chain — every division is a correctly-rounded
+    double op on exact integers, so the statistics hash-match
+    cross-engine. The denominator's quartic product is grouped as
+    ((a+b)/n)*(c+d)*((a+c)/n)*((b+d)/(n-1)) so it can never overflow
+    at ANY scale (the BIGINT quartic would pass 1e38 at ~1000x).
+    Weekday stated per engine (DuckDB dayofweek 0-based;
+    Spark dayofweek - 1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        *[
+            F.expr(e)
+            for e in _split_agg_exprs(
+                _cmh_sums("(dayofweek(l_shipdate) - 1)")
+            )
+        ]
+    )
+    t = s.selectExpr(_CMH_COLS.split(", ") + _CMH_NS.split(", "))
+    u = t.selectExpr(
+        f"{_CMH_NUM} AS num",
+        f"{_CMH_DEN} AS den",
+        f"{_CMH_ORN} AS orn",
+        f"{_CMH_ORD} AS ord_",
+        f"{' + '.join(f'n{k}' for k in _CMH_K)} AS n_rows",
+    )
+    return u.selectExpr(
+        "CAST(n_rows AS DOUBLE) AS n_rows_d", _CMH_CHI2, _CMH_OR
+    )
+
+
+def _split_agg_exprs(sums: str) -> list[str]:
+    """Split the generated comma-joined aggregate list on the ', sum('
+    boundaries (cell expressions contain commas only inside CASE—none—
+    so a top-level split on ', sum' is exact)."""
+    parts = sums.split(", sum(")
+    out = [parts[0]]
+    out.extend("sum(" + p for p in parts[1:])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Near-dup threshold sweep (dedup planning over the exact Jaccard pairs)
+# --------------------------------------------------------------------------
+
+def _threshold_sweep_oracle() -> str:
+    pairs_sql = _REGISTRY["ngram_jaccard_pairs"].oracle
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN jaccard >= 0.{t} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS pairs_{t}_d, "
+        f"CAST(count(DISTINCT CASE WHEN jaccard >= 0.{t} THEN doc_b END)"
+        f" AS DOUBLE) AS removed_{t}_d"
+        for t in (5, 6, 7, 8, 9)
+    )
+    return f"""
+    WITH p AS (SELECT doc_a, doc_b, jaccard FROM ({pairs_sql}) q)
+    SELECT {cells} FROM p
+    """
+
+
+@register("dedup_threshold_sweep", _threshold_sweep_oracle())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy planning table: for the literal Jaccard thresholds
+    0.5-0.9, the surviving near-dup pair count and the number of
+    documents a keep-lowest-id policy would drop (distinct greater-side
+    docs) — the sweep a data engineer runs before committing a corpus
+    dedup threshold at 100 TB. Composes the VERIFIED exact
+    ngram_jaccard_pairs stage (same 6-dp-rounded coefficient, so the
+    threshold comparisons are engine-stable) and reduces it in ONE
+    aggregation with literal conditional cells — no threshold join, no
+    re-scan per threshold; Spark's EXPAND handles the five distinct
+    counts in one pass."""
+    pairs = text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    aggs = []
+    for t in (5, 6, 7, 8, 9):
+        aggs.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN jaccard >= 0.{t} THEN 1 ELSE 0 END)"
+                f" AS DOUBLE)"
+            ).alias(f"pairs_{t}_d")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(count(DISTINCT CASE WHEN jaccard >= 0.{t}"
+                f" THEN doc_b END) AS DOUBLE)"
+            ).alias(f"removed_{t}_d")
+        )
+    return pairs.agg(*aggs)

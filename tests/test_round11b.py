@@ -19,6 +19,11 @@ ROUND11B = [
     "kaplan_meier_conversion",
     "event_type_user_jaccard",
     "streaming_cusum_ingest",
+    "welch_ttest_weekend_value",
+    "logrank_conversion_cohorts",
+    "negative_sampling_table",
+    "cmh_discount_return_by_weekday",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -303,3 +308,67 @@ def test_negative_sampling_python_replay(spark, sf_small):
         assert r.alloc_d == float(math.floor(1000000 * w34 / wsum))
         total_alloc += int(r.alloc_d)
     assert 1000000 - len(got) < total_alloc <= 1000000
+
+
+def test_cmh_python_replay(spark, sf_small):
+    """Third vote: CMH chi2 and the MH odds ratio recomputed from the
+    raw 2x2xK table in plain Python (different op order) — within 1e-9
+    relative; also the no-association sanity bound chi2 >= 0."""
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = ev.selectExpr(
+        "dayofweek(l_shipdate) - 1 AS k",
+        "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS e",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o",
+    ).collect()
+    from collections import defaultdict
+
+    cell = defaultdict(int)
+    for r in rows:
+        cell[(r.k, r.e, r.o)] += 1
+    num = den = orn = ordd = 0.0
+    n_rows = 0
+    for k in range(7):
+        a = cell[(k, 1, 1)]
+        b = cell[(k, 1, 0)]
+        c = cell[(k, 0, 1)]
+        d = cell[(k, 0, 0)]
+        n = a + b + c + d
+        n_rows += n
+        if n <= 1:
+            continue
+        num += a - (a + b) * (a + c) / n
+        den += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        orn += a * d / n
+        ordd += b * c / n
+    chi2 = num * num / den if den > 0 else None
+    ormh = orn / ordd if ordd > 0 else None
+    got = _REGISTRY["cmh_discount_return_by_weekday"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_rows_d == float(n_rows)
+    assert chi2 is not None and got.chi2_cmh >= 0.0
+    assert abs(got.chi2_cmh - chi2) <= 1e-9 * max(1.0, chi2)
+    assert abs(got.or_mh - ormh) <= 1e-9 * max(1.0, ormh)
+
+
+def test_dedup_threshold_sweep_python_replay(spark, sf_small):
+    """Third vote: the sweep recomputed from the collected exact pair
+    list — exact equality per threshold, plus monotonicity (raising
+    the threshold can only shrink both counts)."""
+    from streaming_ml_with_ksql_spark.operators import text as text_ops
+
+    docs = io_mod.load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = text_ops.ngram_jaccard_pairs(docs).collect()
+    got = _REGISTRY["dedup_threshold_sweep"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    prev_pairs = prev_rm = float("inf")
+    for t in (5, 6, 7, 8, 9):
+        thr = t / 10.0
+        np_ = sum(1 for r in pairs if r.jaccard >= thr)
+        nr = len({r.doc_b for r in pairs if r.jaccard >= thr})
+        assert got[f"pairs_{t}_d"] == float(np_)
+        assert got[f"removed_{t}_d"] == float(nr)
+        assert np_ <= prev_pairs and nr <= prev_rm
+        prev_pairs, prev_rm = np_, nr
+    assert got["pairs_5_d"] > 0, "degenerate sweep (no pairs at 0.5)"
