@@ -222,6 +222,8 @@ QUERIES = [
     # round-11 wave-5
     "cmh_discount_return_by_weekday",
     "dedup_threshold_sweep",
+    "streaming_mann_whitney_ingest",
+    "streaming_welch_ingest",
 ]
 
 

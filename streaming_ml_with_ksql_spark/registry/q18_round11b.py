@@ -1008,3 +1008,120 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"removed_{t}_d")
         )
     return pairs.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Streaming twins: the two-sample tests maintained at ingest
+# --------------------------------------------------------------------------
+
+@register("streaming_mann_whitney_ingest", _MW_ORACLE)
+def q_streaming_mann_whitney_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U maintained CONTINUOUSLY at ingest: the only
+    stateful stage is the (cell, group) histogram — ONE complete-mode
+    streaming aggregation whose state is bounded by distinct
+    deci-quantized values regardless of stream length — drained via
+    availableNow; the rank algebra, tie correction and z finish in
+    batch over the bounded cell frame exactly as the batch query. The
+    batch oracle applies verbatim because complete-mode counts are
+    append-order invariant. The streaming drift monitor pairing:
+    a live two-sample location test next to streaming_ks_ingest's
+    distribution test."""
+    from .q04_streamksql import _STREAM_SEQ, _replay_events
+
+    stream = _replay_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    hist = stream.groupBy(
+        F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s"),
+        F.expr(
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END"
+        ).alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    drained = stream_sinks.run_to_memory(
+        hist,
+        f"reg_stream_mw_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).localCheckpoint(eager=True)
+    cells = drained.groupBy("s").agg(
+        F.sum(F.expr("CASE WHEN wk = 1 THEN c ELSE 0 END")).alias("n1c"),
+        F.sum("c").alias("tc"),
+    )
+    c2 = cells.select(F.col("s").alias("s2"), F.col("tc").alias("tc2"))
+    wb = (
+        cells.join(F.broadcast(c2), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", "n1c", "tc")
+        .agg(F.coalesce(F.sum("tc2"), F.lit(0)).alias("before"))
+    )
+    agg = wb.agg(
+        F.sum("n1c").alias("n1"),
+        F.sum(F.col("tc") - F.col("n1c")).alias("n0"),
+        F.sum("tc").alias("n"),
+        F.sum(
+            F.col("n1c") * (2 * F.col("before") + F.col("tc") + 1)
+        ).alias("ranksum2"),
+        F.sum(
+            F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")
+        ).alias("tie3"),
+    )
+    u = agg.selectExpr(
+        "n1", "n0", "n", "tie3",
+        "ranksum2 - n1 * (n1 + 1) AS u2",
+        f"{_MW_VARD} AS vard",
+    )
+    return u.selectExpr(
+        "CAST(n1 AS DOUBLE) AS n_weekend_d",
+        "CAST(n0 AS DOUBLE) AS n_weekday_d",
+        "CAST(u2 AS DOUBLE) AS u2_d",
+        f"{_MW_RB} AS rank_biserial",
+        f"{_MW_Z} AS z_value",
+    )
+
+
+@register("streaming_welch_ingest", _WELCH_ORACLE)
+def q_streaming_welch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t maintained at ingest: the sufficient statistics are
+    three additive sums per group (n, cent sum, squared-cent sum in
+    DECIMAL(38,0)) — state is exactly TWO rows no matter the stream
+    length; the verbatim Welch/Satterthwaite chains finish in batch on
+    the drained 2-row frame. The batch oracle applies verbatim."""
+    from .q04_streamksql import _STREAM_SEQ, _replay_events
+
+    stream = _replay_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    g = stream.groupBy(
+        F.expr(
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END"
+        ).alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(CAST(floor(value * 100) AS BIGINT))").alias("sv"),
+        F.expr(
+            "sum(CAST(CAST(floor(value * 100) AS BIGINT)"
+            " * CAST(floor(value * 100) AS BIGINT) AS DECIMAL(38,0)))"
+        ).alias("svv"),
+    )
+    drained = stream_sinks.run_to_memory(
+        g,
+        f"reg_stream_welch_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).localCheckpoint(eager=True)
+    p = drained.agg(
+        F.expr("max(CASE WHEN wk = 1 THEN n END)").alias("n1"),
+        F.expr("max(CASE WHEN wk = 0 THEN n END)").alias("n0"),
+        F.expr("max(CASE WHEN wk = 1 THEN sv END)").alias("sv1"),
+        F.expr("max(CASE WHEN wk = 0 THEN sv END)").alias("sv0"),
+        F.expr("max(CASE WHEN wk = 1 THEN svv END)").alias("svv1"),
+        F.expr("max(CASE WHEN wk = 0 THEN svv END)").alias("svv0"),
+    )
+    s1 = p.filter("n1 > 1 AND n0 > 1").selectExpr(
+        "n1", "n0", *_WELCH_STAGE1
+    )
+    s2 = s1.selectExpr("n1", "n0", "m1", "m0", "s21", "s20", _WELCH_STAGE2)
+    return s2.selectExpr(
+        "CAST(n1 AS DOUBLE) AS n_weekend_d",
+        "CAST(n0 AS DOUBLE) AS n_weekday_d",
+        "m1 - m0 AS mean_diff_cents",
+        _WELCH_T,
+        _WELCH_DF,
+    )

@@ -78,6 +78,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "ece_after_isotonic_recalibration",
                 "gains_decile_lift",
                 "mann_whitney_weekend_value",
+                "streaming_mann_whitney_ingest",
                 "kaplan_meier_conversion",
                 "logrank_conversion_cohorts",
             }

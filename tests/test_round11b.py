@@ -24,6 +24,8 @@ ROUND11B = [
     "negative_sampling_table",
     "cmh_discount_return_by_weekday",
     "dedup_threshold_sweep",
+    "streaming_mann_whitney_ingest",
+    "streaming_welch_ingest",
 ]
 
 
