@@ -224,6 +224,8 @@ QUERIES = [
     "dedup_threshold_sweep",
     "streaming_mann_whitney_ingest",
     "streaming_welch_ingest",
+    "wilcoxon_signed_rank_user_value",
+    "mcnemar_purchase_weekend",
 ]
 
 

@@ -1125,3 +1125,205 @@ def q_streaming_welch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WELCH_T,
         _WELCH_DF,
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired per-user weekend vs weekday mean value)
+# --------------------------------------------------------------------------
+
+_WSR_NUM = (
+    "CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)"
+    " - CAST(n * (n + 1) AS DOUBLE) / CAST(4 AS DOUBLE)"
+)
+_WSR_VAR = (
+    "(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
+    " * CAST(2 * n + 1 AS DOUBLE)) / CAST(24 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE) / CAST(48 AS DOUBLE)"
+)
+_WSR_Z = (
+    "CASE WHEN vard > CAST(0 AS DOUBLE) THEN num / sqrt(vard)"
+    " ELSE NULL END"
+)
+
+_WSR_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6)
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS ws,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS wc,
+         sum(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS ys,
+         sum(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS yc
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    p AS (
+      SELECT (ws * 1000000) // wc - (ys * 1000000) // yc AS dppm
+      FROM d WHERE wc > 0 AND yc > 0),
+    q AS (
+      SELECT abs(dppm) // 100000000 AS cell,
+             CASE WHEN dppm > 0 THEN 1 ELSE 0 END AS pos
+      FROM p WHERE dppm <> 0),
+    cells AS (
+      SELECT cell, sum(pos) AS pc, count(*) AS tc FROM q GROUP BY 1),
+    wb AS (
+      SELECT c.cell, c.pc, c.tc, coalesce(sum(c2.tc), 0) AS before
+      FROM cells c LEFT JOIN cells c2 ON c2.cell < c.cell
+      GROUP BY c.cell, c.pc, c.tc),
+    agg AS (
+      SELECT sum(tc) AS n, sum(pc) AS npos,
+             sum(pc * (2 * before + tc + 1)) AS w2,
+             sum(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie3
+      FROM wb),
+    u AS (
+      SELECT n, npos, w2, tie3, {_WSR_NUM} AS num, {_WSR_VAR} AS vard
+      FROM agg)
+    SELECT CAST(n AS DOUBLE) AS n_pairs_d,
+           CAST(npos AS DOUBLE) AS n_pos_d,
+           CAST(w2 AS DOUBLE) AS w2_d,
+           {_WSR_Z} AS z_value
+    FROM u
+"""
+
+
+@register("wilcoxon_signed_rank_user_value", _WSR_ORACLE)
+def q_wilcoxon_signed_rank_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of the PAIRED per-user weekend-vs-
+    weekday mean value difference — the within-subject companion to the
+    unpaired Mann-Whitney/Welch tests (each user is their own control,
+    so between-user spread cancels). Per user the mean difference is an
+    exact integer in ppm-cents ((ws*1e6) div wc - (ys*1e6) div yc, both
+    numerators positive so div == floor on both engines); zero
+    differences are dropped (the standard Wilcoxon policy), signs split
+    75/75 at sf0.01. |d| quantizes to dollar cells (bounded by the
+    value range — 32 cells at sf0.01), and the doubled positive-rank
+    sum W2 = 2W+ with average-rank ties computes by the same integer
+    rank algebra as roc_auc/mann_whitney; tie term in DECIMAL(38,0);
+    the normal approximation z uses the all-double product form of
+    n(n+1)(2n+1)/24 so the variance cannot overflow at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.expr(
+            "sum(CASE WHEN dayofweek(ts) IN (1, 7)"
+            " THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)"
+        ).alias("ws"),
+        F.expr(
+            "sum(CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END)"
+        ).alias("wc"),
+        F.expr(
+            "sum(CASE WHEN dayofweek(ts) NOT IN (1, 7)"
+            " THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)"
+        ).alias("ys"),
+        F.expr(
+            "sum(CASE WHEN dayofweek(ts) NOT IN (1, 7) THEN 1 ELSE 0 END)"
+        ).alias("yc"),
+    )
+    p = d.filter("wc > 0 AND yc > 0").selectExpr(
+        "(ws * 1000000L) div wc - (ys * 1000000L) div yc AS dppm"
+    )
+    q = p.filter("dppm <> 0").selectExpr(
+        "abs(dppm) div 100000000L AS cell",
+        "CASE WHEN dppm > 0 THEN 1 ELSE 0 END AS pos",
+    )
+    cells = q.groupBy("cell").agg(
+        F.sum("pos").alias("pc"), F.count(F.lit(1)).alias("tc")
+    )
+    c2 = cells.select(F.col("cell").alias("cell2"), F.col("tc").alias("tc2"))
+    wb = (
+        cells.join(F.broadcast(c2), F.col("cell2") < F.col("cell"), "left")
+        .groupBy("cell", "pc", "tc")
+        .agg(F.coalesce(F.sum("tc2"), F.lit(0)).alias("before"))
+    )
+    agg = wb.agg(
+        F.sum("tc").alias("n"),
+        F.sum("pc").alias("npos"),
+        F.sum(F.col("pc") * (2 * F.col("before") + F.col("tc") + 1)).alias(
+            "w2"
+        ),
+        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+            "tie3"
+        ),
+    )
+    u = agg.selectExpr(
+        "n", "npos", "w2", "tie3",
+        f"{_WSR_NUM} AS num",
+        f"{_WSR_VAR} AS vard",
+    )
+    return u.selectExpr(
+        "CAST(n AS DOUBLE) AS n_pairs_d",
+        "CAST(npos AS DOUBLE) AS n_pos_d",
+        "CAST(w2 AS DOUBLE) AS w2_d",
+        f"{_WSR_Z} AS z_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired-binary test (weekend vs weekday purchase per user)
+# --------------------------------------------------------------------------
+
+_MCNEMAR_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN dayofweek(ts) IN (0, 6)
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS w,
+             max(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+                      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN w = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN w = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN w = 1 AND y = 1 THEN 1 ELSE 0 END) AS wy
+      FROM u)
+    SELECT CAST(n AS DOUBLE) AS n_users_d,
+           CAST(b AS DOUBLE) AS b_d,
+           CAST(c AS DOUBLE) AS c_d,
+           CAST(wy AS DOUBLE) AS both_d,
+           CASE WHEN b + c > 0
+                THEN CAST((b - c) * (b - c) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE)
+                ELSE NULL END AS chi2_mcnemar
+    FROM c
+"""
+
+
+@register("mcnemar_purchase_weekend", _MCNEMAR_ORACLE)
+def q_mcnemar_purchase_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the paired binary outcome (did the user
+    purchase on a weekend? on a weekday?) — the discordant-pair test
+    for marginal homogeneity that ab_test/chi2 cannot answer when the
+    same user sits in both conditions. One scan to the per-user 2x2
+    indicators, four exact integer cells, chi-square (uncorrected) as
+    ONE correctly-rounded division — guarded for the all-concordant
+    corpus under ANSI. Discordant counts 0/9 at sf0.01 (every
+    weekend-purchaser also purchases on weekdays — the asymmetry IS
+    the signal)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "max(CASE WHEN dayofweek(ts) IN (1, 7)"
+            " AND event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("w"),
+        F.expr(
+            "max(CASE WHEN dayofweek(ts) NOT IN (1, 7)"
+            " AND event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("y"),
+    )
+    c = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(CASE WHEN w = 1 AND y = 0 THEN 1 ELSE 0 END)").alias(
+            "b"
+        ),
+        F.expr("sum(CASE WHEN w = 0 AND y = 1 THEN 1 ELSE 0 END)").alias(
+            "c"
+        ),
+        F.expr("sum(CASE WHEN w = 1 AND y = 1 THEN 1 ELSE 0 END)").alias(
+            "wy"
+        ),
+    )
+    return c.selectExpr(
+        "CAST(n AS DOUBLE) AS n_users_d",
+        "CAST(b AS DOUBLE) AS b_d",
+        "CAST(c AS DOUBLE) AS c_d",
+        "CAST(wy AS DOUBLE) AS both_d",
+        "CASE WHEN b + c > 0 THEN CAST((b - c) * (b - c) AS DOUBLE)"
+        " / CAST(b + c AS DOUBLE) ELSE NULL END AS chi2_mcnemar",
+    )

@@ -79,6 +79,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "gains_decile_lift",
                 "mann_whitney_weekend_value",
                 "streaming_mann_whitney_ingest",
+                "wilcoxon_signed_rank_user_value",
                 "kaplan_meier_conversion",
                 "logrank_conversion_cohorts",
             }

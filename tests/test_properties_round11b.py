@@ -306,3 +306,138 @@ def test_three_quarter_power_via_nested_sqrt(ns):
         assert w >= prev
         prev = w
         assert abs(w - n ** 0.75) <= 2 * math.ulp(max(w, n ** 0.75))
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: rank-sum formula == definition (wave 6)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # |d| cell
+            st.booleans(),                           # positive sign
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_wilcoxon_cell_ranksum_equals_definition(items):
+    """W2 from the cell-histogram formula must equal 2x the textbook
+    W+ = sum of average ranks of |d| over positive differences."""
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0])
+    for cell, pos in items:
+        cells[cell][0] += int(pos)
+        cells[cell][1] += 1
+    before = {}
+    run = 0
+    for cell in sorted(cells):
+        before[cell] = run
+        run += cells[cell][1]
+    w2_formula = sum(
+        pc * (2 * before[c] + tc + 1) for c, (pc, tc) in cells.items()
+    )
+    # definition with average ranks over the sorted |d| list
+    svals = sorted(c for c, _ in items)
+    # average rank per distinct value
+    avg_rank = {}
+    i = 0
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        avg_rank[svals[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_def = sum(avg_rank[c] for c, pos in items if pos)
+    assert w2_formula == 2 * w_def
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15), st.booleans()),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_wilcoxon_sign_flip_reflects_statistic(items):
+    """Flipping every sign must map W+ -> n(n+1)/2 - W+ (the positive
+    and negative rank sums partition the total rank sum)."""
+    from collections import defaultdict
+
+    def w2(items, flip):
+        cells = defaultdict(lambda: [0, 0])
+        for cell, pos in items:
+            cells[cell][0] += int(pos ^ flip)
+            cells[cell][1] += 1
+        before = {}
+        run = 0
+        for cell in sorted(cells):
+            before[cell] = run
+            run += cells[cell][1]
+        return sum(
+            pc * (2 * before[c] + tc + 1) for c, (pc, tc) in cells.items()
+        )
+
+    n = len(items)
+    assert w2(items, False) + w2(items, True) == 2 * n * (n + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# CMH collapses to the plain chi-square when there is ONE stratum
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=500),
+    )
+)
+def test_cmh_single_stratum_equals_pearson_chi2_times_correction(cell):
+    """With K=1 the CMH statistic equals (n-1)/n times the Pearson
+    chi-square of the 2x2 table — the standard small-sample relation;
+    a formula error in num/den breaks this identity."""
+    from fractions import Fraction
+
+    a, b, c, d = cell
+    n = a + b + c + d
+    num = Fraction(a) - Fraction((a + b) * (a + c), n)
+    den = Fraction((a + b) * (c + d) * (a + c) * (b + d), n * n * (n - 1))
+    cmh = num * num / den if den else None
+    # Pearson chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    pearson = Fraction(
+        n * (a * d - b * c) ** 2,
+        (a + b) * (c + d) * (a + c) * (b + d),
+    )
+    assert cmh == pearson * Fraction(n - 1, n)
+
+
+# ---------------------------------------------------------------------------
+# McNemar invariances
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_mcnemar_depends_only_on_discordant_cells(a, b, c, d):
+    """chi2_mcnemar must be invariant to the concordant cells (a, d)
+    and symmetric in (b, c)."""
+    if b + c == 0:
+        return
+    chi = (b - c) ** 2 / (b + c)
+    chi_swapped = (c - b) ** 2 / (c + b)
+    assert chi == chi_swapped
+    assert chi >= 0.0

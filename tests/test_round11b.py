@@ -26,6 +26,8 @@ ROUND11B = [
     "dedup_threshold_sweep",
     "streaming_mann_whitney_ingest",
     "streaming_welch_ingest",
+    "wilcoxon_signed_rank_user_value",
+    "mcnemar_purchase_weekend",
 ]
 
 
@@ -374,3 +376,88 @@ def test_dedup_threshold_sweep_python_replay(spark, sf_small):
         assert np_ <= prev_pairs and nr <= prev_rm
         prev_pairs, prev_rm = np_, nr
     assert got["pairs_5_d"] > 0, "degenerate sweep (no pairs at 0.5)"
+
+
+def test_wilcoxon_python_replay(spark, sf_small):
+    """Third vote: W+ and z recomputed with plain-Python average ranks
+    over the per-user dollar-cell differences — exact integer W2,
+    z within 1e-9 relative."""
+    import math
+    from collections import defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id",
+        "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS wk",
+        "CAST(floor(value * 100) AS BIGINT) AS v",
+    ).collect()
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # ws, wc, ys, yc
+    for r in raw:
+        a = acc[r.user_id]
+        if r.wk == 1:
+            a[0] += r.v
+            a[1] += 1
+        else:
+            a[2] += r.v
+            a[3] += 1
+    items = []
+    for ws, wc, ys, yc in acc.values():
+        if wc > 0 and yc > 0:
+            dppm = (ws * 1000000) // wc - (ys * 1000000) // yc
+            if dppm != 0:
+                items.append((abs(dppm) // 100000000, dppm > 0))
+    cells = defaultdict(lambda: [0, 0])
+    for cell, pos in items:
+        cells[cell][0] += int(pos)
+        cells[cell][1] += 1
+    before = {}
+    run = 0
+    tie3 = 0
+    for cell in sorted(cells):
+        before[cell] = run
+        t = cells[cell][1]
+        run += t
+        tie3 += t * t * t - t
+    n = len(items)
+    w2 = sum(
+        pc * (2 * before[cell] + tc + 1) for cell, (pc, tc) in cells.items()
+    )
+    num = w2 / 2.0 - n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    z = num / math.sqrt(var)
+    got = _REGISTRY["wilcoxon_signed_rank_user_value"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_pairs_d == float(n)
+    assert got.w2_d == float(w2)
+    assert abs(got.z_value - z) <= 1e-9 * max(1.0, abs(z))
+
+
+def test_mcnemar_python_replay(spark, sf_small):
+    """Third vote: the discordant cells and chi2 recomputed from raw
+    per-user indicators in plain Python — exact equality."""
+    from collections import defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = ev.selectExpr(
+        "user_id",
+        "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS wk",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur",
+    ).collect()
+    u = defaultdict(lambda: [0, 0])
+    for r in raw:
+        if r.pur:
+            u[r.user_id][0 if r.wk else 1] = 1
+        else:
+            u.setdefault(r.user_id, [0, 0])
+    b = sum(1 for w, y in u.values() if w and not y)
+    c = sum(1 for w, y in u.values() if y and not w)
+    got = _REGISTRY["mcnemar_purchase_weekend"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (got.b_d, got.c_d, got.n_users_d) == (
+        float(b), float(c), float(len(u))
+    )
+    if b + c > 0:
+        assert got.chi2_mcnemar == (b - c) ** 2 / (b + c)
+    assert got.b_d + got.c_d > 0, "degenerate: no discordant pairs"
