@@ -226,6 +226,7 @@ QUERIES = [
     "streaming_welch_ingest",
     "wilcoxon_signed_rank_user_value",
     "mcnemar_purchase_weekend",
+    "ablation_grid_assignments",
 ]
 
 

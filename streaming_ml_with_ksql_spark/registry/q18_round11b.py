@@ -1327,3 +1327,102 @@ def q_mcnemar_purchase_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN b + c > 0 THEN CAST((b - c) * (b - c) AS DOUBLE)"
         " / CAST(b + c AS DOUBLE) ELSE NULL END AS chi2_mcnemar",
     )
+
+
+# --------------------------------------------------------------------------
+# Ablation grid: quality decile x dedup tier (training-data planning)
+# --------------------------------------------------------------------------
+
+def _ablation_grid_oracle() -> str:
+    dq = _REGISTRY["doc_quality_score"].oracle
+    dc = _REGISTRY["dedup_components"].oracle
+    assert dq and dc
+    return f"""
+    WITH dq AS (SELECT doc_id, quality_score FROM ({dq}) q1),
+    comp AS (SELECT doc_id, group_id, group_size FROM ({dc}) q2),
+    base AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(floor(q.quality_score * 1000) AS BIGINT) AS qcell,
+             CASE WHEN c.doc_id IS NULL THEN 'unique'
+                  WHEN c.group_size = 1 THEN 'unique'
+                  WHEN c.doc_id = c.group_id THEN 'dup_rep'
+                  ELSE 'dup_member' END AS tier
+      FROM documents d
+      JOIN dq q ON q.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    tot AS (SELECT count(*) AS n FROM base),
+    cells AS (SELECT qcell, count(*) AS t FROM base GROUP BY 1),
+    rk AS (
+      SELECT c.qcell, sum(c2.t) AS r_end
+      FROM cells c JOIN cells c2 ON c2.qcell <= c.qcell
+      GROUP BY c.qcell),
+    dd AS (
+      SELECT b.doc_id, b.n_chars, b.tier,
+             ((r.r_end * 10 - 1) // (SELECT n FROM tot)) + 1 AS decile
+      FROM base b JOIN rk r ON r.qcell = b.qcell)
+    SELECT CAST(decile AS DOUBLE) AS decile_d, tier,
+           CAST(count(*) AS DOUBLE) AS n_docs_d,
+           CAST(sum(n_chars) AS DOUBLE) AS chars_d
+    FROM dd GROUP BY 1, 2
+    """
+
+
+@register("ablation_grid_assignments", _ablation_grid_oracle())
+def q_ablation_grid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data ablation grid: every document assigned to a
+    (quality decile x dedup tier) bucket — the planning table behind
+    "train on top-k deciles, dedup policy X" ablations (doc and char
+    budgets per bucket). Composes two VERIFIED stages: the multi-signal
+    doc_quality_score (quantized to milli-unit cells — bounded ~1e3
+    cells at any corpus size) and dedup_components (group_id is the
+    component min id, so tier = unique / dup_rep / dup_member needs no
+    extra pass; docs outside any near-dup component LEFT-JOIN to
+    'unique'). Deciles by exact END-rank over the bounded quality-cell
+    histogram (the gains_decile_lift idiom — ties stay together, no
+    global sort); all counts integer-exact. Non-degenerate at sf0.01:
+    27 grid cells, tiers 453/23/24."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    dq = _REGISTRY["doc_quality_score"].spark(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    comp = _REGISTRY["dedup_components"].spark(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc_id"), "group_id", "group_size"
+    )
+    base = (
+        docs.join(dq, "doc_id")
+        .join(comp, F.col("c_doc_id") == F.col("doc_id"), "left")
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "CAST(floor(quality_score * 1000) AS BIGINT) AS qcell",
+            "CASE WHEN c_doc_id IS NULL THEN 'unique'"
+            " WHEN group_size = 1 THEN 'unique'"
+            " WHEN c_doc_id = group_id THEN 'dup_rep'"
+            " ELSE 'dup_member' END AS tier",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    cells = base.groupBy("qcell").agg(F.count(F.lit(1)).alias("t"))
+    c2 = cells.select(F.col("qcell").alias("q2"), F.col("t").alias("t2"))
+    rk = (
+        cells.join(F.broadcast(c2), F.col("q2") <= F.col("qcell"))
+        .groupBy("qcell")
+        .agg(F.sum("t2").alias("r_end"))
+    )
+    dd = (
+        base.join(F.broadcast(rk), "qcell")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_chars", "tier",
+            "((r_end * 10 - 1) div n) + 1 AS decile",
+        )
+    )
+    return dd.groupBy("decile", "tier").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_chars").alias("ch")
+    ).selectExpr(
+        "CAST(decile AS DOUBLE) AS decile_d",
+        "tier",
+        "CAST(nd AS DOUBLE) AS n_docs_d",
+        "CAST(ch AS DOUBLE) AS chars_d",
+    )

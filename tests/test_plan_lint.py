@@ -80,6 +80,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "mann_whitney_weekend_value",
                 "streaming_mann_whitney_ingest",
                 "wilcoxon_signed_rank_user_value",
+                "ablation_grid_assignments",
                 "kaplan_meier_conversion",
                 "logrank_conversion_cohorts",
             }

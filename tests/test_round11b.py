@@ -28,6 +28,7 @@ ROUND11B = [
     "streaming_welch_ingest",
     "wilcoxon_signed_rank_user_value",
     "mcnemar_purchase_weekend",
+    "ablation_grid_assignments",
 ]
 
 
@@ -461,3 +462,61 @@ def test_mcnemar_python_replay(spark, sf_small):
     if b + c > 0:
         assert got.chi2_mcnemar == (b - c) ** 2 / (b + c)
     assert got.b_d + got.c_d > 0, "degenerate: no discordant pairs"
+
+
+def test_ablation_grid_python_replay(spark, sf_small):
+    """Third vote: the grid recomputed in plain Python from the
+    component frames — doc and char conservation (every doc in exactly
+    one bucket), decile sizes within the END-rank tie bound, and exact
+    per-bucket equality."""
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.n_chars
+        for r in io_mod.load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars").collect()
+    }
+    dq = {
+        r.doc_id: r.quality_score
+        for r in _REGISTRY["doc_quality_score"].spark(spark, sf)
+        .select("doc_id", "quality_score").collect()
+    }
+    comp = {
+        r.doc_id: (r.group_id, r.group_size)
+        for r in _REGISTRY["dedup_components"].spark(spark, sf)
+        .select("doc_id", "group_id", "group_size").collect()
+    }
+    import math
+
+    base = []
+    for d, ch in docs.items():
+        qcell = math.floor(dq[d] * 1000)
+        if d not in comp or comp[d][1] == 1:
+            tier = "unique"
+        elif d == comp[d][0]:
+            tier = "dup_rep"
+        else:
+            tier = "dup_member"
+        base.append((d, ch, qcell, tier))
+    n = len(base)
+    cells = defaultdict(int)
+    for _, _, q, _ in base:
+        cells[q] += 1
+    r_end = {}
+    run = 0
+    for q in sorted(cells):
+        run += cells[q]
+        r_end[q] = run
+    want = defaultdict(lambda: [0, 0])
+    for _, ch, q, tier in base:
+        decile = (r_end[q] * 10 - 1) // n + 1
+        want[(decile, tier)][0] += 1
+        want[(decile, tier)][1] += ch
+    got = _REGISTRY["ablation_grid_assignments"].spark(spark, sf).collect()
+    assert sum(r.n_docs_d for r in got) == float(n)
+    assert sum(r.chars_d for r in got) == float(sum(docs.values()))
+    for r in got:
+        nd, ch = want[(int(r.decile_d), r.tier)]
+        assert (r.n_docs_d, r.chars_d) == (float(nd), float(ch))
+    assert len(got) == len(want)
