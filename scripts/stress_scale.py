@@ -227,6 +227,7 @@ QUERIES = [
     "wilcoxon_signed_rank_user_value",
     "mcnemar_purchase_weekend",
     "ablation_grid_assignments",
+    "kruskal_wallis_value_by_type",
 ]
 
 

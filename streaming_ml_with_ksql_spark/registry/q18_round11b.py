@@ -1426,3 +1426,113 @@ def q_ablation_grid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(nd AS DOUBLE) AS n_docs_d",
         "CAST(ch AS DOUBLE) AS chars_d",
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (k-group rank test across the five literal event types)
+# --------------------------------------------------------------------------
+
+_KW_TYPES = ("click", "view", "purchase", "signup", "error")
+_KW_CELLCOLS = ", ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}c"
+    for t in _KW_TYPES
+)
+_KW_NJS = ", ".join(f"sum(n_{t}c) AS n_{t}" for t in _KW_TYPES)
+_KW_R2S = ", ".join(
+    f"sum(n_{t}c * (2 * before + tc + 1)) AS r2_{t}" for t in _KW_TYPES
+)
+_KW_SUMTERM = " + ".join(
+    f"(CAST(r2_{t} AS DOUBLE) / CAST(2 AS DOUBLE))"
+    f" * (CAST(r2_{t} AS DOUBLE) / CAST(2 AS DOUBLE))"
+    f" / CAST(n_{t} AS DOUBLE)"
+    for t in _KW_TYPES
+)
+_KW_H = (
+    "CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE)"
+    " * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))"
+    f" * ({_KW_SUMTERM})"
+    " - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))"
+)
+_KW_CORR = (
+    "CAST(1 AS DOUBLE) - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE))"
+)
+
+_KW_ORACLE = f"""
+    WITH t AS (
+      SELECT CAST(floor(value * 10) AS BIGINT) AS s, event_type
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT s, {_KW_CELLCOLS}, count(*) AS tc FROM t GROUP BY 1),
+    wb AS (
+      SELECT c.s, {", ".join(f"c.n_{t}c" for t in _KW_TYPES)}, c.tc,
+             coalesce(sum(c2.tc), 0) AS before
+      FROM cells c LEFT JOIN cells c2 ON c2.s < c.s
+      GROUP BY ALL),
+    agg AS (
+      SELECT sum(tc) AS n, {_KW_NJS}, {_KW_R2S},
+             sum(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie3
+      FROM wb),
+    h AS (SELECT n, tie3, {_KW_H} AS h_raw FROM agg WHERE n > 1),
+    c AS (SELECT n, h_raw, {_KW_CORR} AS corr FROM h)
+    SELECT CAST(n AS DOUBLE) AS n_d, h_raw,
+           CASE WHEN corr > CAST(0 AS DOUBLE) THEN h_raw / corr
+                ELSE NULL END AS h_tiecorr
+    FROM c
+"""
+
+
+@register("kruskal_wallis_value_by_type", _KW_ORACLE)
+def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of value across the five event types — the
+    k-group rank test completing the nonparametric family (Mann-Whitney
+    is its k=2 special case) and the distribution-free twin of
+    anova_value_by_type on the same literal grouping. Doubled per-group
+    rank-sums with average-rank ties over the bounded deci-quantized
+    value-cell histogram (ONE prefix pass shared by all five groups —
+    the cell row carries all five conditional counts); the H statistic
+    and the tie-correction divisor unroll over the LITERAL types in one
+    fixed-order verbatim chain (the anova lesson); tie term in
+    DECIMAL(38,0); n^3 in the all-double product form so nothing
+    overflows at any scale. Guarded for n <= 1 and corr <= 0 under
+    ANSI. Pinned against a plain-Python average-rank replay."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s"),
+        "event_type",
+    )
+    cells = t.groupBy("s").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+            ).alias(f"n_{ty}c")
+            for ty in _KW_TYPES
+        ],
+        F.count(F.lit(1)).alias("tc"),
+    )
+    c2 = cells.select(F.col("s").alias("s2"), F.col("tc").alias("tc2"))
+    wb = (
+        cells.join(F.broadcast(c2), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", *[f"n_{ty}c" for ty in _KW_TYPES], "tc")
+        .agg(F.coalesce(F.sum("tc2"), F.lit(0)).alias("before"))
+    )
+    agg = wb.agg(
+        F.sum("tc").alias("n"),
+        *[F.expr(f"sum(n_{ty}c) AS n_{ty}") for ty in _KW_TYPES],
+        *[
+            F.expr(f"sum(n_{ty}c * (2 * before + tc + 1)) AS r2_{ty}")
+            for ty in _KW_TYPES
+        ],
+        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+            "tie3"
+        ),
+    )
+    h = agg.filter("n > 1").selectExpr("n", "tie3", f"{_KW_H} AS h_raw")
+    c = h.selectExpr("n", "h_raw", f"{_KW_CORR} AS corr")
+    return c.selectExpr(
+        "CAST(n AS DOUBLE) AS n_d",
+        "h_raw",
+        "CASE WHEN corr > CAST(0 AS DOUBLE) THEN h_raw / corr"
+        " ELSE NULL END AS h_tiecorr",
+    )

@@ -81,6 +81,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "streaming_mann_whitney_ingest",
                 "wilcoxon_signed_rank_user_value",
                 "ablation_grid_assignments",
+                "kruskal_wallis_value_by_type",
                 "kaplan_meier_conversion",
                 "logrank_conversion_cohorts",
             }

