@@ -228,6 +228,7 @@ QUERIES = [
     "mcnemar_purchase_weekend",
     "ablation_grid_assignments",
     "kruskal_wallis_value_by_type",
+    "friedman_value_by_type",
 ]
 
 

@@ -1536,3 +1536,128 @@ def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         "CASE WHEN corr > CAST(0 AS DOUBLE) THEN h_raw / corr"
         " ELSE NULL END AS h_tiecorr",
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test (paired k-group: per-user ranks of the five type means)
+# --------------------------------------------------------------------------
+
+_FR_TYPES = ("click", "view", "purchase", "signup", "error")
+_FR_MEANS = ", ".join(
+    f"CASE WHEN sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) > 0"
+    f" THEN (sum(CASE WHEN event_type = '{t}'"
+    f" THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) * 1000000)"
+    f" {{div}} sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+    f" END AS v_{t}"
+    for t in _FR_TYPES
+)
+_FR_COMPLETE = " AND ".join(f"v_{t} IS NOT NULL" for t in _FR_TYPES)
+
+
+def _fr_r2(t: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v_{o} < v_{t} THEN 2 WHEN v_{o} = v_{t} THEN 1"
+        f" ELSE 0 END)"
+        for o in _FR_TYPES
+        if o != t
+    )
+    return f"2 + {terms} AS r2_{t}"
+
+
+def _fr_ej(t: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN v_{o} = v_{t} THEN 1 ELSE 0 END)"
+        for o in _FR_TYPES
+        if o != t
+    )
+
+
+_FR_TIE3 = " + ".join(
+    f"(({_fr_ej(t)}) * ({_fr_ej(t)}) + 2 * ({_fr_ej(t)}))" for t in _FR_TYPES
+)
+_FR_SUMR2 = " + ".join(
+    f"(CAST(sr2_{t} AS DOUBLE) / CAST(2 AS DOUBLE))"
+    f" * (CAST(sr2_{t} AS DOUBLE) / CAST(2 AS DOUBLE))"
+    for t in _FR_TYPES
+)
+_FR_CHI2 = (
+    f"CAST(12 AS DOUBLE) * ({_FR_SUMR2})"
+    " / (CAST(n AS DOUBLE) * CAST(5 AS DOUBLE) * CAST(6 AS DOUBLE))"
+    " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(6 AS DOUBLE)"
+)
+_FR_CORR = (
+    "CAST(1 AS DOUBLE) - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(5 AS DOUBLE) * CAST(24 AS DOUBLE))"
+)
+
+_FRIEDMAN_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id, {_FR_MEANS.format(div="//")}
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    cb AS (SELECT * FROM u WHERE {_FR_COMPLETE}),
+    rk AS (SELECT {", ".join(_fr_r2(t) for t in _FR_TYPES)},
+                  {_FR_TIE3} AS btie3
+           FROM cb),
+    agg AS (
+      SELECT count(*) AS n,
+             {", ".join(f"sum(r2_{t}) AS sr2_{t}" for t in _FR_TYPES)},
+             sum(btie3) AS tie3
+      FROM rk),
+    h AS (SELECT n, tie3, {_FR_CHI2} AS chi2_raw, {_FR_CORR} AS corr
+          FROM agg WHERE n > 0)
+    SELECT CAST(n AS DOUBLE) AS n_blocks_d, chi2_raw,
+           CASE WHEN corr > CAST(0 AS DOUBLE) THEN chi2_raw / corr
+                ELSE NULL END AS chi2_tiecorr
+    FROM h
+"""
+
+
+@register("friedman_value_by_type", _FRIEDMAN_ORACLE)
+def q_friedman_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the PAIRED k-group member completing the test
+    matrix (unpaired 2 = Mann-Whitney/Welch; paired 2 = Wilcoxon/
+    McNemar; unpaired k = Kruskal-Wallis/ANOVA; paired k = Friedman):
+    does a user's value level differ across event types once each user
+    is their own block? Per user the five type means are exact integers
+    in ppm-cents (positive numerators, div == floor both engines);
+    blocks missing a type are excluded (complete-block design). The
+    within-block ranks need NO window and NO sort: with five LITERAL
+    treatments the doubled average rank is 2 + Σ(2·[v_i<v_j] +
+    [v_i=v_j]) — a row-local unrolled comparison chain — and the
+    per-block tie term Σ(t³−t) = Σ_j(e_j² + 2e_j) over equal-value
+    counts, also row-local integers. Doubled rank-sums and the block
+    count aggregate exactly; the chi-square and tie-correction divisor
+    are verbatim double chains. One scan, one aggregation, zero
+    shuffles beyond the user rollup."""
+    ev = _t(spark, sf_dir, "events")
+    means = _FR_MEANS.format(div="div")
+    # entries all begin "CASE WHEN sum(" — split on that boundary (the
+    # generic _split_agg_exprs splits on ", sum(", which occurs INSIDE
+    # these CASE expressions)
+    parts = means.split(", CASE WHEN sum(")
+    mean_exprs = [parts[0]] + [
+        "CASE WHEN sum(" + p for p in parts[1:]
+    ]
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(*[F.expr(e) for e in mean_exprs])
+    )
+    cb = u.filter(_FR_COMPLETE)
+    rk = cb.selectExpr(
+        *[_fr_r2(t) for t in _FR_TYPES], f"{_FR_TIE3} AS btie3"
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(f"sum(r2_{t}) AS sr2_{t}") for t in _FR_TYPES],
+        F.sum("btie3").alias("tie3"),
+    )
+    h = agg.filter("n > 0").selectExpr(
+        "n", "tie3", f"{_FR_CHI2} AS chi2_raw", f"{_FR_CORR} AS corr"
+    )
+    return h.selectExpr(
+        "CAST(n AS DOUBLE) AS n_blocks_d",
+        "chi2_raw",
+        "CASE WHEN corr > CAST(0 AS DOUBLE) THEN chi2_raw / corr"
+        " ELSE NULL END AS chi2_tiecorr",
+    )

@@ -441,3 +441,38 @@ def test_mcnemar_depends_only_on_discordant_cells(a, b, c, d):
     chi_swapped = (c - b) ** 2 / (c + b)
     assert chi == chi_swapped
     assert chi >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Friedman row-local doubled ranks == sorted average ranks (wave 8)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=-5, max_value=5), min_size=5,
+                max_size=5))
+def test_friedman_rowlocal_rank_equals_average_rank(vals):
+    """The comparison-chain doubled rank 2 + sum(2*[v_i<v_j] +
+    [v_i=v_j], i != j) must equal 2x the textbook average rank of v_j
+    within the block — and the per-block tie term sum(e_j^2 + 2 e_j)
+    must equal sum over tie groups of t^3 - t."""
+    from collections import Counter
+
+    svals = sorted(vals)
+    for j, v in enumerate(vals):
+        r2 = 2 + sum(
+            (2 if x < v else (1 if x == v else 0))
+            for i, x in enumerate(vals)
+            if i != j
+        )
+        lo = svals.index(v)
+        hi = lo + svals.count(v)
+        avg_rank = (lo + 1 + hi) / 2.0
+        assert r2 == 2 * avg_rank
+    tie3_formula = sum(
+        (e := sum(1 for i, x in enumerate(vals) if x == v and i != j)) ** 2
+        + 2 * e
+        for j, v in enumerate(vals)
+    )
+    tie3_def = sum(c ** 3 - c for c in Counter(vals).values())
+    assert tie3_formula == tie3_def

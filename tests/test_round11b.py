@@ -30,6 +30,7 @@ ROUND11B = [
     "mcnemar_purchase_weekend",
     "ablation_grid_assignments",
     "kruskal_wallis_value_by_type",
+    "friedman_value_by_type",
 ]
 
 
@@ -559,3 +560,53 @@ def test_kruskal_wallis_python_replay(spark, sf_small):
     assert abs(got.h_raw - h) <= 1e-9 * max(1.0, abs(h))
     assert abs(got.h_tiecorr - h / corr) <= 1e-9 * max(1.0, abs(h / corr))
     assert got.h_tiecorr >= 0.0
+
+
+def test_friedman_python_replay(spark, sf_small):
+    """Third vote: Friedman chi2 recomputed with plain-Python per-block
+    average ranks over independently-derived per-user type means —
+    within 1e-9 relative, exact block count."""
+    from collections import Counter, defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id", "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS v",
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in raw:
+        acc[r.user_id][r.event_type][0] += r.v
+        acc[r.user_id][r.event_type][1] += 1
+    types = ["click", "view", "purchase", "signup", "error"]
+    blocks = []
+    for uid, per in acc.items():
+        if all(t in per and per[t][1] > 0 for t in types):
+            blocks.append(
+                [per[t][0] * 1000000 // per[t][1] for t in types]
+            )
+    n, k = len(blocks), 5
+    rsums = [0.0] * k
+    tie3 = 0
+    for vals in blocks:
+        for j, v in enumerate(vals):
+            rsums[j] += (
+                1
+                + sum(1 for x in vals if x < v)
+                + 0.5 * (sum(1 for x in vals if x == v) - 1)
+            )
+        for _, c in Counter(vals).items():
+            tie3 += c ** 3 - c
+    chi2 = 12 * sum(r * r for r in rsums) / (n * k * (k + 1)) - 3 * n * (
+        k + 1
+    )
+    corr = 1 - tie3 / (n * k * (k * k - 1))
+    got = _REGISTRY["friedman_value_by_type"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_blocks_d == float(n)
+    assert abs(got.chi2_raw - chi2) <= 1e-9 * max(1.0, abs(chi2))
+    want = chi2 / corr if corr > 0 else None
+    if want is None:
+        assert got.chi2_tiecorr is None
+    else:
+        assert abs(got.chi2_tiecorr - want) <= 1e-9 * max(1.0, abs(want))
