@@ -229,6 +229,7 @@ QUERIES = [
     "ablation_grid_assignments",
     "kruskal_wallis_value_by_type",
     "friedman_value_by_type",
+    "mase_seasonal_naive",
 ]
 
 

@@ -1661,3 +1661,77 @@ def q_friedman_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN corr > CAST(0 AS DOUBLE) THEN chi2_raw / corr"
         " ELSE NULL END AS chi2_tiecorr",
     )
+
+
+# --------------------------------------------------------------------------
+# MASE: seasonal-naive forecast error ratio over daily revenue
+# --------------------------------------------------------------------------
+
+_MASE_CHAIN = (
+    "CASE WHEN nae > 0 AND sn > 0 THEN"
+    " (CAST(sae AS DOUBLE) / CAST(sn AS DOUBLE))"
+    " / (CAST(nae AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " ELSE NULL END"
+)
+
+_MASE_ORACLE = f"""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT sum(abs(a.cents - b.cents)) AS sae, count(*) AS sn
+      FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY),
+    n AS (
+      SELECT sum(abs(a.cents - b.cents)) AS nae, count(*) AS nn
+      FROM d a JOIN d b ON b.day = a.day - INTERVAL 1 DAY)
+    SELECT CAST(sn AS DOUBLE) AS n_seasonal_d,
+           CAST(nn AS DOUBLE) AS n_naive_d,
+           CAST(sae AS DOUBLE) AS sae_cents_d,
+           CAST(nae AS DOUBLE) AS nae_cents_d,
+           {_MASE_CHAIN} AS mase
+    FROM s CROSS JOIN n
+"""
+
+
+@register("mase_seasonal_naive", _MASE_ORACLE)
+def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of the weekly seasonal-naive
+    forecast of daily revenue — the scale-free benchmark METRIC that
+    belongs next to the ses/holt/ar2 forecasters (mase < 1 means the
+    seasonal forecast beats the one-step naive): both MAEs are exact
+    BIGINT sums of |integer cent diffs|, lags resolved by calendar
+    EQUI-joins on day - INTERVAL k DAY (no global-sort window, gaps
+    excluded deterministically by the inner join), and the final ratio
+    is a three-op verbatim double chain — the integer-ppm form would
+    overflow BIGINT at ~100x, the double chain never does. Two 1-row
+    frames cross-joined; the daily rollup is the only shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=True)
+    d2 = d.select(F.col("day").alias("day2"), F.col("cents").alias("cents2"))
+
+    def mae(days: int):
+        return (
+            d.join(
+                d2,
+                F.expr(f"day2 = day - INTERVAL {days} DAY"),
+            )
+            .agg(
+                F.sum(F.expr("abs(cents - cents2)")).alias("ae"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+
+    s = mae(7).selectExpr("ae AS sae", "cnt AS sn")
+    n = mae(1).selectExpr("ae AS nae", "cnt AS nn")
+    return s.crossJoin(n).selectExpr(
+        "CAST(sn AS DOUBLE) AS n_seasonal_d",
+        "CAST(nn AS DOUBLE) AS n_naive_d",
+        "CAST(sae AS DOUBLE) AS sae_cents_d",
+        "CAST(nae AS DOUBLE) AS nae_cents_d",
+        f"{_MASE_CHAIN} AS mase",
+    )

@@ -31,6 +31,7 @@ ROUND11B = [
     "ablation_grid_assignments",
     "kruskal_wallis_value_by_type",
     "friedman_value_by_type",
+    "mase_seasonal_naive",
 ]
 
 
@@ -610,3 +611,42 @@ def test_friedman_python_replay(spark, sf_small):
         assert got.chi2_tiecorr is None
     else:
         assert abs(got.chi2_tiecorr - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_mase_python_replay(spark, sf_small):
+    """Third vote: both MAEs and the ratio recomputed from the
+    collected daily series in plain Python — exact integer sums,
+    ratio within 1e-12."""
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "orders")
+    daily = {
+        r.day: int(r.cents)
+        for r in ev.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            ).alias("cents")
+        )
+        .collect()
+    }
+    import datetime
+
+    def mae(k):
+        tot = cnt = 0
+        for day, c in daily.items():
+            prev = day - datetime.timedelta(days=k)
+            if prev in daily:
+                tot += abs(c - daily[prev])
+                cnt += 1
+        return tot, cnt
+
+    sae, sn = mae(7)
+    nae, nn = mae(1)
+    got = _REGISTRY["mase_seasonal_naive"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (got.sae_cents_d, got.n_seasonal_d) == (float(sae), float(sn))
+    assert (got.nae_cents_d, got.n_naive_d) == (float(nae), float(nn))
+    want = (sae / sn) / (nae / nn)
+    assert abs(got.mase - want) <= 1e-12 * want
