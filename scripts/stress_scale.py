@@ -230,6 +230,7 @@ QUERIES = [
     "kruskal_wallis_value_by_type",
     "friedman_value_by_type",
     "mase_seasonal_naive",
+    "brown_forsythe_value_by_type",
 ]
 
 

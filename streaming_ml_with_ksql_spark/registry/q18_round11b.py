@@ -1735,3 +1735,74 @@ def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(nae AS DOUBLE) AS nae_cents_d",
         f"{_MASE_CHAIN} AS mase",
     )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (Levene-median) variance-homogeneity test across types
+# --------------------------------------------------------------------------
+
+from .q17_round11 import (  # noqa: E402
+    _ANOVA_AGGS,
+    _ANOVA_N,
+    _ANOVA_S,
+    _ANOVA_SSB,
+    _ANOVA_SSW,
+    _split_top_level,
+)
+
+_BF_ORACLE = f"""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    base AS (
+      SELECT e.event_type,
+             CAST(floor(abs(e.value - m.med) * 100) AS BIGINT) AS y
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      WHERE e.value IS NOT NULL),
+    g AS (SELECT {_ANOVA_AGGS} FROM base),
+    m AS (SELECT *, ({_ANOVA_N}) AS nn,
+                 ({_ANOVA_S}) / ({_ANOVA_N}) AS gm FROM g),
+    s AS (SELECT nn, ({_ANOVA_SSB}) AS ssb, ({_ANOVA_SSW}) AS ssw FROM m)
+    SELECT CAST(nn AS DOUBLE) AS n_d, ssb AS ssb_d, ssw AS ssw_d,
+           CASE WHEN ssw <= 0 OR nn <= 5 THEN NULL
+                ELSE (ssb / 4.0) / (ssw / (nn - 5.0)) END AS f_d
+    FROM s
+"""
+
+
+@register("brown_forsythe_value_by_type", _BF_ORACLE)
+def q_brown_forsythe_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (the median variant of Levene's test) for
+    variance homogeneity of value across the five event types — the
+    DISPERSION companion to the location tests (ANOVA/Kruskal-Wallis
+    answer 'do the centers differ?'; this answers 'do the spreads?',
+    the assumption check before trusting the pooled-variance F). Per
+    type the 6-dp-rounded exact median (the mad_outliers boundary
+    discipline — both engines agree on the rounded percentile)
+    broadcasts onto one scan; the deviations |value - med| floor to
+    exact centi-unit integers; then the statistic IS the one-way ANOVA
+    F on the deviations, reusing the literal-unrolled verbatim chains
+    of anova_value_by_type (shared generated strings, no new float
+    paths). One aggregation after the median broadcast."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    base = ev.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type",
+        "CAST(floor(abs(value - med) * 100) AS BIGINT) AS y",
+    )
+    g = base.selectExpr(*[e.strip() for e in _split_top_level(_ANOVA_AGGS)])
+    m = g.selectExpr(
+        "*", f"({_ANOVA_N}) AS nn", f"({_ANOVA_S}) / ({_ANOVA_N}) AS gm"
+    )
+    s = m.selectExpr(
+        "nn", f"({_ANOVA_SSB}) AS ssb", f"({_ANOVA_SSW}) AS ssw"
+    )
+    return s.selectExpr(
+        "CAST(nn AS DOUBLE) AS n_d",
+        "ssb AS ssb_d",
+        "ssw AS ssw_d",
+        "CASE WHEN ssw <= 0 OR nn <= 5 THEN NULL"
+        " ELSE (ssb / 4.0) / (ssw / (nn - 5.0)) END AS f_d",
+    )

@@ -32,6 +32,7 @@ ROUND11B = [
     "kruskal_wallis_value_by_type",
     "friedman_value_by_type",
     "mase_seasonal_naive",
+    "brown_forsythe_value_by_type",
 ]
 
 
@@ -650,3 +651,53 @@ def test_mase_python_replay(spark, sf_small):
     assert (got.nae_cents_d, got.n_naive_d) == (float(nae), float(nn))
     want = (sae / sn) / (nae / nn)
     assert abs(got.mase - want) <= 1e-12 * want
+
+
+def test_brown_forsythe_python_replay(spark, sf_small):
+    """Third vote: the BF statistic recomputed in plain Python from
+    raw values with an independently computed interpolated median —
+    exact integer deviation sums, F within 1e-9 relative."""
+    from collections import defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.event_type].append(r.value)
+
+    def med6(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        h = (n - 1) / 2.0
+        lo = int(h)
+        frac = h - lo
+        m = xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
+        return round(m, 6)
+
+    groups = {}
+    for t, xs in per.items():
+        m = med6(xs)
+        import math
+
+        groups[t] = [math.floor(abs(x - m) * 100) for x in xs]
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    gm = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(
+        len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups.values()
+    )
+    ssw = sum(
+        sum(z * z for z in g) - sum(g) ** 2 / len(g)
+        for g in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = _REGISTRY["brown_forsythe_value_by_type"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_d == float(n)
+    assert abs(got.ssb_d - ssb) <= 1e-6 * max(1.0, ssb)
+    assert abs(got.ssw_d - ssw) <= 1e-6 * max(1.0, ssw)
+    assert abs(got.f_d - f) <= 1e-9 * max(1.0, f)
+    assert got.f_d >= 0.0
