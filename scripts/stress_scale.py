@@ -231,6 +231,7 @@ QUERIES = [
     "friedman_value_by_type",
     "mase_seasonal_naive",
     "brown_forsythe_value_by_type",
+    "cronbach_alpha_type_values",
 ]
 
 

@@ -1806,3 +1806,88 @@ def q_brown_forsythe_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         "CASE WHEN ssw <= 0 OR nn <= 5 THEN NULL"
         " ELSE (ssb / 4.0) / (ssw / (nn - 5.0)) END AS f_d",
     )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha (internal consistency across the five type means)
+# --------------------------------------------------------------------------
+
+_CA_MOMS = ", ".join(
+    f"sum(v_{t}) AS s_{t}, sum(CAST(v_{t} AS DECIMAL(38,0)) * v_{t})"
+    f" AS q_{t}"
+    for t in _FR_TYPES
+)
+_CA_SVARS = " + ".join(
+    f"((CAST(q_{t} AS DOUBLE) - CAST(s_{t} AS DOUBLE)"
+    f" * CAST(s_{t} AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+    for t in _FR_TYPES
+)
+_CA_TSUM = " + ".join(f"v_{t}" for t in _FR_TYPES)
+_CA_TOTVAR = (
+    "(CAST(q_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))"
+)
+_CA_ALPHA = (
+    "CASE WHEN total_var > CAST(0 AS DOUBLE)"
+    " THEN (CAST(5 AS DOUBLE) / CAST(4 AS DOUBLE))"
+    " * (CAST(1 AS DOUBLE) - sum_item_var / total_var)"
+    " ELSE NULL END"
+)
+
+_CRONBACH_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id, {_FR_MEANS.format(div="//")}
+      FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    cb AS (SELECT *, {_CA_TSUM} AS tt FROM u WHERE {_FR_COMPLETE}),
+    agg AS (
+      SELECT count(*) AS n, {_CA_MOMS}, sum(tt) AS s_t,
+             sum(CAST(tt AS DECIMAL(38,0)) * tt) AS q_t
+      FROM cb),
+    a AS (
+      SELECT n, ({_CA_SVARS}) AS sum_item_var, {_CA_TOTVAR} AS total_var
+      FROM agg WHERE n > 1)
+    SELECT CAST(n AS DOUBLE) AS n_blocks_d, sum_item_var, total_var,
+           {_CA_ALPHA} AS cronbach_alpha
+    FROM a
+"""
+
+
+@register("cronbach_alpha_type_values", _CRONBACH_ORACLE)
+def q_cronbach_alpha_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five per-user type-mean "items" — the
+    internal-consistency reliability coefficient (does one latent
+    engagement level drive a user's value across event types?), the
+    scale-reliability companion to cohens_kappa_raters. Reuses the
+    Friedman complete-block frame (exact ppm-cent means); item and
+    total-score moments are exact (squares in DECIMAL(38,0) — the
+    ppm-cent squares pass 1e21, far beyond BIGINT), and alpha =
+    k/(k-1) * (1 - sum item variances / total variance) unrolls over
+    the literal items in one verbatim chain. alpha = 0.138 at sf0.01 —
+    near-independent items, as synthetic uniform values should be.
+    One scan, one aggregation to a 13-column row."""
+    ev = _t(spark, sf_dir, "events")
+    means = _FR_MEANS.format(div="div")
+    parts = means.split(", CASE WHEN sum(")
+    mean_exprs = [parts[0]] + ["CASE WHEN sum(" + p for p in parts[1:]]
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(*[F.expr(e) for e in mean_exprs])
+    )
+    cb = u.filter(_FR_COMPLETE).selectExpr("*", f"{_CA_TSUM} AS tt")
+    agg = cb.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.expr(e) for e in _split_top_level(_CA_MOMS)],
+        F.sum("tt").alias("s_t"),
+        F.expr("sum(CAST(tt AS DECIMAL(38,0)) * tt)").alias("q_t"),
+    )
+    a = agg.filter("n > 1").selectExpr(
+        "n", f"({_CA_SVARS}) AS sum_item_var", f"{_CA_TOTVAR} AS total_var"
+    )
+    return a.selectExpr(
+        "CAST(n AS DOUBLE) AS n_blocks_d",
+        "sum_item_var",
+        "total_var",
+        f"{_CA_ALPHA} AS cronbach_alpha",
+    )

@@ -33,6 +33,7 @@ ROUND11B = [
     "friedman_value_by_type",
     "mase_seasonal_naive",
     "brown_forsythe_value_by_type",
+    "cronbach_alpha_type_values",
 ]
 
 
@@ -701,3 +702,41 @@ def test_brown_forsythe_python_replay(spark, sf_small):
     assert abs(got.ssw_d - ssw) <= 1e-6 * max(1.0, ssw)
     assert abs(got.f_d - f) <= 1e-9 * max(1.0, f)
     assert got.f_d >= 0.0
+
+
+def test_cronbach_python_replay(spark, sf_small):
+    """Third vote: alpha recomputed in plain Python from the same
+    complete-block means — within 1e-9 relative; and the split-half
+    sanity bound alpha <= 1."""
+    from collections import defaultdict
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = ev.filter(F.col("value").isNotNull()).selectExpr(
+        "user_id", "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS v",
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in raw:
+        acc[r.user_id][r.event_type][0] += r.v
+        acc[r.user_id][r.event_type][1] += 1
+    types = ["click", "view", "purchase", "signup", "error"]
+    blocks = []
+    for uid, per in acc.items():
+        if all(t in per and per[t][1] > 0 for t in types):
+            blocks.append(
+                [per[t][0] * 1000000 // per[t][1] for t in types]
+            )
+    n, k = len(blocks), 5
+
+    def var(xs):
+        return (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+
+    item_vars = sum(var([b[j] for b in blocks]) for j in range(k))
+    tot = var([sum(b) for b in blocks])
+    alpha = k / (k - 1) * (1 - item_vars / tot)
+    got = _REGISTRY["cronbach_alpha_type_values"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_blocks_d == float(n)
+    assert abs(got.cronbach_alpha - alpha) <= 1e-9 * max(1.0, abs(alpha))
+    assert got.cronbach_alpha <= 1.0
