@@ -232,6 +232,7 @@ QUERIES = [
     "mase_seasonal_naive",
     "brown_forsythe_value_by_type",
     "cronbach_alpha_type_values",
+    "streaming_kruskal_ingest",
 ]
 
 

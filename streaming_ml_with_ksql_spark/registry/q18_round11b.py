@@ -1891,3 +1891,64 @@ def q_cronbach_alpha_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_var",
         f"{_CA_ALPHA} AS cronbach_alpha",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Kruskal-Wallis ingest twin
+# --------------------------------------------------------------------------
+
+@register("streaming_kruskal_ingest", _KW_ORACLE)
+def q_streaming_kruskal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis maintained at ingest — completing the streaming
+    stats-test family (CUSUM, Mann-Whitney, Welch): the stateful stage
+    is ONE complete-mode aggregation keyed by value cell carrying the
+    five conditional type counts (state bounded by distinct cells at
+    any stream length); the rank algebra and the literal-unrolled H
+    chain finish in batch on the drained cell frame. Batch oracle
+    verbatim — complete-mode counts are append-order invariant."""
+    from .q04_streamksql import _STREAM_SEQ, _replay_events
+
+    stream = _replay_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    cells_s = stream.groupBy(
+        F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s")
+    ).agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)"
+            ).alias(f"n_{ty}c")
+            for ty in _KW_TYPES
+        ],
+        F.count(F.lit(1)).alias("tc"),
+    )
+    cells = stream_sinks.run_to_memory(
+        cells_s,
+        f"reg_stream_kw_{next(_STREAM_SEQ)}",
+        output_mode="complete",
+    ).localCheckpoint(eager=True)
+    c2 = cells.select(F.col("s").alias("s2"), F.col("tc").alias("tc2"))
+    wb = (
+        cells.join(F.broadcast(c2), F.col("s2") < F.col("s"), "left")
+        .groupBy("s", *[f"n_{ty}c" for ty in _KW_TYPES], "tc")
+        .agg(F.coalesce(F.sum("tc2"), F.lit(0)).alias("before"))
+    )
+    agg = wb.agg(
+        F.sum("tc").alias("n"),
+        *[F.expr(f"sum(n_{ty}c) AS n_{ty}") for ty in _KW_TYPES],
+        *[
+            F.expr(f"sum(n_{ty}c * (2 * before + tc + 1)) AS r2_{ty}")
+            for ty in _KW_TYPES
+        ],
+        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+            "tie3"
+        ),
+    )
+    h = agg.filter("n > 1").selectExpr("n", "tie3", f"{_KW_H} AS h_raw")
+    c = h.selectExpr("n", "h_raw", f"{_KW_CORR} AS corr")
+    return c.selectExpr(
+        "CAST(n AS DOUBLE) AS n_d",
+        "h_raw",
+        "CASE WHEN corr > CAST(0 AS DOUBLE) THEN h_raw / corr"
+        " ELSE NULL END AS h_tiecorr",
+    )

@@ -34,6 +34,7 @@ ROUND11B = [
     "mase_seasonal_naive",
     "brown_forsythe_value_by_type",
     "cronbach_alpha_type_values",
+    "streaming_kruskal_ingest",
 ]
 
 
