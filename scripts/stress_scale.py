@@ -233,6 +233,7 @@ QUERIES = [
     "brown_forsythe_value_by_type",
     "cronbach_alpha_type_values",
     "streaming_kruskal_ingest",
+    "cramers_v_type_weekday",
 ]
 
 

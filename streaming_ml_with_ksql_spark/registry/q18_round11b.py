@@ -1952,3 +1952,68 @@ def q_streaming_kruskal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN corr > CAST(0 AS DOUBLE) THEN h_raw / corr"
         " ELSE NULL END AS h_tiecorr",
     )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V effect size for the type x weekday contingency table
+# --------------------------------------------------------------------------
+
+def _cramers_v_oracle() -> str:
+    chi2 = _REGISTRY["chi2_type_weekday"].oracle
+    assert chi2
+    return f"""
+    WITH p AS (SELECT event_type, wk_d, o_d, chi2_term FROM ({chi2}) q),
+    ls AS (
+      SELECT list_sort(list(struct_pack(et := event_type, wk := wk_d,
+               term := chi2_term))) AS l,
+             sum(CAST(o_d AS BIGINT)) AS n
+      FROM p),
+    s AS (
+      SELECT n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l, x -> x.term)), (a, b) -> a + b) AS chi2
+      FROM ls)
+    SELECT CAST(n AS DOUBLE) AS n_d, chi2 AS chi2_d,
+           CASE WHEN n > 0 THEN sqrt(chi2 / CAST(n AS DOUBLE))
+                ELSE NULL END AS cramers_v
+    FROM s
+    """
+
+
+@register("cramers_v_type_weekday", _cramers_v_oracle())
+def q_cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event-type x weekend association
+    — the magnitude the raw chi-square can't convey (chi2 grows with n;
+    V in [0,1] doesn't). Composes the VERIFIED chi2_type_weekday cell
+    table; the 10 per-cell double terms sum in a DEFINED order (sorted-
+    struct fold — a groupBy double-sum would be partition-ordered and
+    drift in the last ulp), the observed counts sum exactly as
+    integers, and V = sqrt(chi2 / (n * min(r-1, c-1))) with
+    min(4, 1) = 1 for this 5x2 table. One bounded 10-row reduction
+    after the contingency rollup."""
+    p = _REGISTRY["chi2_type_weekday"].spark(spark, sf_dir).select(
+        "event_type", "wk_d", "o_d", "chi2_term"
+    )
+    ls = p.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type").alias("et"),
+                    F.col("wk_d").alias("wk"),
+                    F.col("chi2_term").alias("term"),
+                )
+            )
+        ).alias("l"),
+        F.sum(F.expr("CAST(o_d AS BIGINT)")).alias("n"),
+    )
+    s = ls.selectExpr(
+        "n",
+        "aggregate(transform(l, x -> x.term), CAST(0 AS DOUBLE),"
+        " (a, x) -> a + x) AS chi2",
+    )
+    return s.selectExpr(
+        "CAST(n AS DOUBLE) AS n_d",
+        "chi2 AS chi2_d",
+        "CASE WHEN n > 0 THEN sqrt(chi2 / CAST(n AS DOUBLE))"
+        " ELSE NULL END AS cramers_v",
+    )

@@ -35,6 +35,7 @@ ROUND11B = [
     "brown_forsythe_value_by_type",
     "cronbach_alpha_type_values",
     "streaming_kruskal_ingest",
+    "cramers_v_type_weekday",
 ]
 
 
@@ -741,3 +742,35 @@ def test_cronbach_python_replay(spark, sf_small):
     assert got.n_blocks_d == float(n)
     assert abs(got.cronbach_alpha - alpha) <= 1e-9 * max(1.0, abs(alpha))
     assert got.cronbach_alpha <= 1.0
+
+
+def test_cramers_v_python_replay(spark, sf_small):
+    """Third vote: V recomputed from raw contingency counts in plain
+    Python — within 1e-9 relative; bounds 0 <= V <= 1."""
+    from collections import Counter
+
+    ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.selectExpr(
+        "event_type",
+        "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END AS wk",
+    ).collect()
+    cells = Counter((r.event_type, r.wk) for r in rows)
+    n = len(rows)
+    rmarg = Counter()
+    cmarg = Counter()
+    for (t, w), o in cells.items():
+        rmarg[t] += o
+        cmarg[w] += o
+    chi2 = sum(
+        (o - rmarg[t] * cmarg[w] / n) ** 2 / (rmarg[t] * cmarg[w] / n)
+        for (t, w), o in cells.items()
+    )
+    import math
+
+    v = math.sqrt(chi2 / (n * min(len(rmarg) - 1, len(cmarg) - 1)))
+    got = _REGISTRY["cramers_v_type_weekday"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_d == float(n)
+    assert abs(got.cramers_v - v) <= 1e-9 * max(1.0, v)
+    assert 0.0 <= got.cramers_v <= 1.0
