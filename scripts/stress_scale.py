@@ -234,6 +234,7 @@ QUERIES = [
     "cronbach_alpha_type_values",
     "streaming_kruskal_ingest",
     "cramers_v_type_weekday",
+    "kaplan_meier_greenwood",
 ]
 
 

@@ -2017,3 +2017,152 @@ def q_cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN n > 0 THEN sqrt(chi2 / CAST(n AS DOUBLE))"
         " ELSE NULL END AS cramers_v",
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier with Greenwood standard errors and normal CIs
+# --------------------------------------------------------------------------
+
+_KMG_SE = (
+    "survival * sqrt(gw)"
+)
+_KMG_LO = (
+    "greatest(CAST(0 AS DOUBLE),"
+    " survival - CAST(1.96 AS DOUBLE) * (survival * sqrt(gw)))"
+)
+_KMG_HI = (
+    "least(CAST(1 AS DOUBLE),"
+    " survival + CAST(1.96 AS DOUBLE) * (survival * sqrt(gw)))"
+)
+
+_KM_GREENWOOD_ORACLE = f"""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+    first_buy AS (
+      SELECT user_id, min(ts) AS tb FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    lab AS (
+      SELECT f.user_id,
+             CASE WHEN b.tb IS NOT NULL AND
+                  (epoch_us(date_trunc('hour', b.tb))
+                   - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  <= 72
+                  THEN (epoch_us(date_trunc('hour', b.tb))
+                        - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  ELSE 72 END AS dur,
+             CASE WHEN b.tb IS NOT NULL AND
+                  (epoch_us(date_trunc('hour', b.tb))
+                   - epoch_us(date_trunc('hour', f.t0))) // 3600000000
+                  <= 72
+                  THEN 1 ELSE 0 END AS ev
+      FROM first_seen f LEFT JOIN first_buy b USING (user_id)),
+    g AS (SELECT dur, count(*) AS n_total, sum(ev) AS d FROM lab
+          GROUP BY dur),
+    r AS (
+      SELECT g.dur, g.d, sum(g2.n_total) AS n_risk
+      FROM g JOIN g g2 ON g2.dur >= g.dur
+      GROUP BY g.dur, g.d),
+    ls AS (
+      SELECT list_sort(list(struct_pack(dur := dur,
+               f := CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE),
+               gt := CASE WHEN n_risk > d THEN CAST(d AS DOUBLE)
+                          / (CAST(n_risk AS DOUBLE)
+                             * CAST(n_risk - d AS DOUBLE))
+                     ELSE CAST(0 AS DOUBLE) END))) AS l
+      FROM r),
+    curve AS (
+      SELECT r.dur, r.d, r.n_risk,
+             list_reduce(list_prepend(CAST(1 AS DOUBLE),
+               list_transform(list_filter((SELECT l FROM ls),
+                 x -> x.dur <= r.dur), x -> x.f)),
+               (a, b) -> a * b) AS survival,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_filter((SELECT l FROM ls),
+                 x -> x.dur <= r.dur), x -> x.gt)),
+               (a, b) -> a + b) AS gw
+      FROM r)
+    SELECT CAST(dur AS DOUBLE) AS dur_d,
+           CAST(n_risk AS DOUBLE) AS n_risk_d,
+           CAST(d AS DOUBLE) AS d_conv_d,
+           survival,
+           {_KMG_SE} AS se_greenwood,
+           {_KMG_LO} AS ci_lo,
+           {_KMG_HI} AS ci_hi
+    FROM curve
+"""
+
+
+@register("kaplan_meier_greenwood", _KM_GREENWOOD_ORACLE)
+def q_kaplan_meier_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KM conversion curve WITH uncertainty: Greenwood's variance
+    Var[S(t)] = S(t)^2 * sum_{dur<=t} d/(n(n-d)) rides a prefix SUM
+    fold over the same sorted bounded cell list as the survival
+    PRODUCT fold — both folds bit-identical cross-engine (each term is
+    a fixed chain of correctly-rounded ops; left-fold order shared),
+    so the standard errors and the clipped 95% normal CIs hash-match
+    exactly. The exhausted-risk-set edge (n == d at the last cell,
+    where S = 0) contributes a guarded zero term, the lifelines
+    convention. Same one-scan shape as kaplan_meier_conversion."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    hour_delta = (
+        "(unix_micros(date_trunc('hour', tb))"
+        " - unix_micros(date_trunc('hour', t0))) div 3600000000"
+    )
+    lab = first_seen.join(first_buy, "user_id", "left").selectExpr(
+        f"CASE WHEN tb IS NOT NULL AND {hour_delta} <= 72"
+        f" THEN {hour_delta} ELSE 72 END AS dur",
+        f"CASE WHEN tb IS NOT NULL AND {hour_delta} <= 72"
+        " THEN 1 ELSE 0 END AS ev",
+    )
+    g = lab.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("ev").alias("d")
+    )
+    g2 = g.select(F.col("dur").alias("dur2"), F.col("n_total").alias("nt2"))
+    r = (
+        g.join(F.broadcast(g2), F.col("dur2") >= F.col("dur"))
+        .groupBy("dur", "d")
+        .agg(F.sum("nt2").alias("n_risk"))
+    )
+    ls = r.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("dur"),
+                    (
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("f"),
+                    F.expr(
+                        "CASE WHEN n_risk > d THEN CAST(d AS DOUBLE)"
+                        " / (CAST(n_risk AS DOUBLE)"
+                        " * CAST(n_risk - d AS DOUBLE))"
+                        " ELSE CAST(0 AS DOUBLE) END"
+                    ).alias("gt"),
+                )
+            )
+        ).alias("l")
+    )
+    curve = r.crossJoin(F.broadcast(ls)).selectExpr(
+        "dur",
+        "d",
+        "n_risk",
+        "aggregate(filter(l, x -> x.dur <= dur),"
+        " CAST(1 AS DOUBLE), (a, x) -> a * x.f) AS survival",
+        "aggregate(filter(l, x -> x.dur <= dur),"
+        " CAST(0 AS DOUBLE), (a, x) -> a + x.gt) AS gw",
+    )
+    return curve.selectExpr(
+        "CAST(dur AS DOUBLE) AS dur_d",
+        "CAST(n_risk AS DOUBLE) AS n_risk_d",
+        "CAST(d AS DOUBLE) AS d_conv_d",
+        "survival",
+        f"{_KMG_SE} AS se_greenwood",
+        f"{_KMG_LO} AS ci_lo",
+        f"{_KMG_HI} AS ci_hi",
+    )

@@ -83,6 +83,7 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "ablation_grid_assignments",
                 "kruskal_wallis_value_by_type",
                 "kaplan_meier_conversion",
+                "kaplan_meier_greenwood",
                 "logrank_conversion_cohorts",
             }
         ),

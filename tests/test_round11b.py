@@ -36,6 +36,7 @@ ROUND11B = [
     "cronbach_alpha_type_values",
     "streaming_kruskal_ingest",
     "cramers_v_type_weekday",
+    "kaplan_meier_greenwood",
 ]
 
 
@@ -774,3 +775,31 @@ def test_cramers_v_python_replay(spark, sf_small):
     assert got.n_d == float(n)
     assert abs(got.cramers_v - v) <= 1e-9 * max(1.0, v)
     assert 0.0 <= got.cramers_v <= 1.0
+
+
+def test_km_greenwood_python_replay(spark, sf_small):
+    """Third vote: Greenwood SEs replayed sequentially in plain Python
+    (running product and running sum, exact float equality — same ops
+    in the same order), CI bounds clipped and ordered, SE zero before
+    the first event."""
+    import math
+
+    rows = sorted(
+        _REGISTRY["kaplan_meier_greenwood"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.dur_d,
+    )
+    assert len(rows) >= 5
+    s = 1.0
+    gw = 0.0
+    for r in rows:
+        s = s * ((r.n_risk_d - r.d_conv_d) / r.n_risk_d)
+        if r.n_risk_d > r.d_conv_d:
+            gw = gw + r.d_conv_d / (
+                r.n_risk_d * (r.n_risk_d - r.d_conv_d)
+            )
+        assert r.survival == s
+        assert r.se_greenwood == s * math.sqrt(gw)
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+    assert rows[-1].se_greenwood >= 0.0
