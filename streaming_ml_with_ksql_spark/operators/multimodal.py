@@ -155,7 +155,10 @@ def _decode_compressed(doc_id: int, media_type: str, payload: bytes) -> dict:
         import PIL.Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "compressed-codec decode not wired for this codec (e.g. H.264): "
+            "compressed-codec decode not wired for this codec (H.264 is "
+            "the only remaining gap — PNG inflate, GIF-LZW, baseline "
+            "JPEG, BMP, MJPG and MP4 walks are all real in-repo "
+            "decoders; see _png_parse/_jpeg_parse/_gif_parse): "
             "container lacks media libraries"
         ) from None
     raise NotImplementedError("wire PIL/cv2 decode here")  # pragma: no cover

@@ -85,91 +85,82 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation (the ninth): every round-10 holder banked a fresh
-    # r10 verdict (50/50 exact-oracle pass), so the block yields hard to
-    # the never-verdicted queue. FOUR keeps = the flagship + the bench
-    # anchors whose numbers were A/B-adjudicated this round. FIVE
-    # re-verdicts = queries whose definitions changed this round (the
-    # PRF broadcast fix changed both prf plans; the week-epoch ts guard
-    # changed retention/stump-CV/pivot on both sides). FORTY-ONE first
-    # verdicts: the five round-11 new operators, near_dup_kcore (first
-    # EXACT verdict on its new unrolled-peel oracle), the two post-sweep
-    # r10 ops (streaming_pivot_ingest, ridge_two_factor_revenue), the
-    # nine entrants deferred from r10, and twenty-four more drawn across
-    # the never-verdicted waves (stats/trainer/text/eval mass). Block
-    # stays 100% exact-oracled for the third consecutive round.
-    # Displaced queries remain fully supported and exactly oracled in
-    # verify_driver's full sweep + pytest sweeps.
+    # Round-12 rotation (the tenth): every round-11 holder banked a
+    # fresh r11 verdict (50/50 exact-oracle pass), so the block yields
+    # maximally to the never-verdicted queue (70 entries at r11 close):
+    # ONE keep (the flagship), ONE re-verdict (mann_whitney — its tie3
+    # accumulation changed in the r11-ADVICE overflow fix), and
+    # FORTY-EIGHT first verdicts: the full remaining round-11 stats
+    # cohort (whose tie3/literal-filter/median definitions this round
+    # also hardened), the nine twice-deferred r10 entrants plus the two
+    # judge-named stragglers, the three rows-only->exact conversions
+    # (bpe_train_merges, hll_partition_merge, embedding_pca_project —
+    # VERDICT r11 #4/#6), and nineteen more spanning the TPC-H shape
+    # tail, the wire-format roundtrips, embedding/corpus plumbing, and
+    # the image decoder. Block stays 100% exact-oracled for the fourth
+    # consecutive round; queue drops 70 -> 22 (of which 5 are rows-only
+    # by design). Displaced queries remain fully supported and exactly
+    # oracled in verify_driver's full sweep + pytest sweeps.
     #
-    # ---- keeps: flagship + A/B-adjudicated bench anchors ----
+    # ---- keep: flagship ----
     "hopping_window_agg",
-    "dbscan_embedding_clusters",
-    "image_dedup_groups",
-    "corpus_curation_pipeline",
-    # ---- re-verdicts: definitions changed this round ----
-    "prf_query_expansion",
-    "prf_expansion_terms",
-    "retention_cohort_matrix",
-    "stump_cv_events",
-    "event_type_week_pivot",
-    # ---- round-11 new operators (first verdicts) ----
-    "cusum_daily_revenue",
-    "cohens_kappa_raters",
-    "ngram_novelty_ppm",
-    "name_edit_near_dup_pairs",
-    "hll_user_days_estimate",
-    # ---- first exact verdict on the r11 redefinition ----
-    "near_dup_kcore",
-    # ---- post-sweep r10 ops ----
-    "streaming_pivot_ingest",
-    "ridge_two_factor_revenue",
-    # ---- deferred-from-r10 entrants ----
-    "snapshot_diff_customers",
-    "corpus_domain_mix",
-    "corpus_shuffle_shard",
-    "streaming_events_quality",
-    "rake_keyphrases",
-    "wilson_topk_parts",
-    "markov_absorption_purchase",
-    "value_rank_suite",
-    "late_shipment_priority",
-    # ---- fifteen more first-verdict queue entrants ----
-    # timeseries/stats battery
-    "frequent_triples",
-    "mann_kendall_revenue",
-    "seasonal_anomaly_days",
-    # causal/outlier/eval
-    "did_promo_effect",
-    "randomization_test_weekend_value",
-    "mahalanobis_order_outliers",
-    # in-engine trainers
-    "decision_stump_events",
-    # text/retrieval mass
-    "textrank_keywords",
-    "contrastive_triplets",
-    "binary_rerank_pipeline",
-    # corpus plumbing / audits
-    "group_aware_split",
-    "split_leakage_audit",
-    "canonical_representative_pick",
-    # wave-2 round-11 ops (ANOVA F, decile gains)
-    "anova_value_by_type",
-    "gains_decile_lift",
-    # ---- round-11 wave-3/4 operators (first verdicts; displaced nine
-    # queue entrants — revenue_autocorr, winsorized_value_stats,
-    # ses_forecast_revenue, haar_wavelet_energy, dtw_revenue_align,
-    # markov_next_event_accuracy, decision_stump_embedding,
-    # char_simpson_concentration, join_cardinality_estimate — return
-    # to the queue for r12 alongside lang_budget_temperature and
-    # postings_delta_varint) ----
-    "hll_merge_registers_exact",
+    # ---- re-verdict: definition changed this round (tie3 fix) ----
     "mann_whitney_weekend_value",
-    "welch_ttest_weekend_value",
-    "logrank_conversion_cohorts",
-    "kaplan_meier_conversion",
-    "skipgram_training_pairs",
-    "negative_sampling_table",
-    "event_type_user_jaccard",
-    "streaming_cusum_ingest",
+    # ---- round-11 stats cohort (first verdicts; tie3/filter/median
+    #      hardened this round) ----
+    "cmh_discount_return_by_weekday",
+    "dedup_threshold_sweep",
+    "wilcoxon_signed_rank_user_value",
+    "mcnemar_purchase_weekend",
+    "kruskal_wallis_value_by_type",
+    "friedman_value_by_type",
+    "mase_seasonal_naive",
+    "brown_forsythe_value_by_type",
+    "cronbach_alpha_type_values",
+    "cramers_v_type_weekday",
+    "kaplan_meier_greenwood",
+    "ablation_grid_assignments",
+    "streaming_mann_whitney_ingest",
+    "streaming_welch_ingest",
+    "streaming_kruskal_ingest",
+    # ---- twice-deferred r10 entrants ----
+    "revenue_autocorr",
+    "winsorized_value_stats",
+    "ses_forecast_revenue",
+    "haar_wavelet_energy",
+    "dtw_revenue_align",
+    "markov_next_event_accuracy",
+    "decision_stump_embedding",
+    "char_simpson_concentration",
+    "join_cardinality_estimate",
+    # ---- judge-named stragglers ----
+    "lang_budget_temperature",
+    "postings_delta_varint",
+    # ---- r12 rows-only -> exact conversions (first verdicts) ----
+    "bpe_train_merges",
+    "hll_partition_merge",
+    "embedding_pca_project",
+    # ---- TPC-H shape tail ----
+    "important_part_values",
+    "part_supplier_counts",
+    "large_volume_customers",
+    "churned_high_balance",
+    "product_profit",
+    "shipping_delay_priority",
+    "promo_revenue",
+    "order_count_histogram",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    # ---- wire-format roundtrips ----
+    "proto_wire_confluent_roundtrip",
+    "msgpack_source_roundtrip",
+    "thrift_source_roundtrip",
+    "arrow_ipc_source_roundtrip",
+    # ---- embedding / corpus plumbing / multimodal ----
+    "embedding_scale_features",
+    "jl_projection_embed",
+    "corpus_bpe_pack",
+    "corpus_chunk_sliding",
+    "multimodal_image_decode",
 )
 

@@ -280,28 +280,158 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_partition_merge", None)  # sketch estimates are engine-specific
+# alpha_256 * m^2 centi-literal — same value as q17_round11._HLL_ALPHA_M2_C
+# (restated: importing q17 here would reorder registration).
+_HLL_ALPHA_M2_C = 4707271
+
+
+def _hll_partition_merge_oracle() -> str:
+    """DuckDB twin of the two-level partial-sketch merge, built on the
+    register-exact HLL idiom proven by hll_user_days_estimate /
+    hll_merge_registers_exact (registry/q17_round11.py): md5 buckets,
+    rho from leading hex zeros, registers capped at 40, the harmonic
+    denominator rescaled into BIGINT shifts, alpha*m^2 as the shared
+    centi-literal. The per-day partial level takes max(rho) per
+    (type, day, bucket); the upward merge takes max over days —
+    max-of-capped-maxes == capped-max-of-all, which the oracle states
+    by computing BOTH paths from the same rho stream.
+
+    NOTE: the alpha*m^2 centi-literal is restated locally (same value as
+    q17_round11._HLL_ALPHA_M2_C) — importing q17 from here at module
+    load would reorder the registry tail (q17 registers on import)."""
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             md5(CAST(user_id AS VARCHAR) || '|'
+                 || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
+               AS hx
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT event_type, day,
+             CAST((strpos('0123456789abcdef', hx[1:1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[2:2]) - 1) AS INT)
+               AS bucket,
+             hx[3:32] AS rest
+      FROM h),
+    r AS (
+      SELECT event_type, day, bucket, ltrim(rest, '0') AS stripped,
+             len(rest) - len(ltrim(rest, '0')) AS nz
+      FROM b),
+    v AS MATERIALIZED (
+      SELECT event_type, day, bucket,
+             CASE WHEN stripped = '' THEN 121
+                  ELSE 4 * nz + (4 - CASE
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 8
+                      THEN 4
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 4
+                      THEN 3
+                    WHEN strpos('0123456789abcdef', stripped[1:1]) - 1 >= 2
+                      THEN 2
+                    ELSE 1 END) + 1
+             END AS rho
+      FROM r),
+    regs_day AS (
+      SELECT event_type, day, bucket,
+             least(CAST(max(rho) AS BIGINT), 40) AS reg
+      FROM v GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type, bucket, max(reg) AS reg
+      FROM regs_day GROUP BY 1, 2),
+    direct AS (
+      SELECT event_type, bucket,
+             least(CAST(max(rho) AS BIGINT), 40) AS reg
+      FROM v GROUP BY 1, 2),
+    sm AS (
+      SELECT event_type,
+             sum(1::BIGINT << (40 - reg))
+               + (256 - count(*)) * (1::BIGINT << 40) AS sdenom
+      FROM merged GROUP BY 1),
+    sd AS (
+      SELECT event_type,
+             sum(1::BIGINT << (40 - reg))
+               + (256 - count(*)) * (1::BIGINT << 40) AS sdenom
+      FROM direct GROUP BY 1),
+    ex AS (
+      SELECT event_type,
+             count(DISTINCT user_id || '|'
+                   || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
+               AS exact_ud
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT sm.event_type,
+           CAST(({_HLL_ALPHA_M2_C}::BIGINT * (1::BIGINT << 40)) // sm.sdenom
+                AS DOUBLE) AS merged_centi_user_days_d,
+           CAST(({_HLL_ALPHA_M2_C}::BIGINT * (1::BIGINT << 40)) // sd.sdenom
+                AS DOUBLE) AS direct_centi_user_days_d,
+           CAST(ex.exact_ud AS DOUBLE) AS exact_user_days_d
+    FROM sm
+    JOIN sd ON sd.event_type = sm.event_type
+    JOIN ex ON ex.event_type = sm.event_type
+    """
+
+
+@register("hll_partition_merge", _hll_partition_merge_oracle())
 def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB sketch pattern: per-day HLL sketches (DataSketches,
-    hll_sketch_agg) merged upward with hll_union_agg instead of
-    re-scanning raw data — distinct-user counts per event_type from
-    pre-aggregated daily partials. HLL registers are order-insensitive,
-    so merged ≡ direct single-pass exactly; that identity (and the error
-    bound vs exact) is pinned in tests/test_relational.py. Rows-only here:
-    sketch estimates don't exist in the DuckDB dialect."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    merged = daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    """The 100 TB sketch pattern: per-day HLL register partials merged
+    UPWARD (max per bucket) instead of re-scanning raw data — distinct
+    (user, day) counts per event_type from pre-aggregated daily
+    partials, emitted next to the single-pass estimate (they must be
+    IDENTICAL: register max is associative) and the exact count (the
+    accuracy self-check). Formerly rows-only on DataSketches
+    hll_sketch_agg/hll_union_agg (estimates engine-specific); ported to
+    the repo's register-exact BIGINT idiom (hll_user_days_estimate,
+    VERDICT r11 #4) so the whole two-level merge is exactly DuckDB-
+    oracled. Keyed by user-DAYS (~1.6k per type at sf0.01), outside the
+    2.5m small-range bias zone per the r11 lesson. The DataSketches
+    twin of this identity stays pinned in tests/test_relational.py.
+    Scale shape: one md5 scan, (type, day, bucket) then (type, bucket)
+    max-combines — partial state is |types| x |days| x 256 registers,
+    merge state |types| x 256, regardless of corpus size."""
+    from ..operators.topk import hll_hash_cols
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    key = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.date_trunc("day", "ts").cast("date").cast("string"),
     )
-    direct = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users")
+    bucket, rho = hll_hash_cols(key)
+    v = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
     )
-    return merged.join(direct, "event_type").select(
-        "event_type", "merged_users", "direct_users"
+    regs_day = v.groupBy("event_type", "day", "bucket").agg(
+        F.least(F.max("rho").cast("long"), F.lit(40)).alias("reg")
     )
+    merged = regs_day.groupBy("event_type", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    direct = v.groupBy("event_type", "bucket").agg(
+        F.least(F.max("rho").cast("long"), F.lit(40)).alias("reg")
+    )
+
+    def sdenom(regs: DataFrame) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            (
+                F.sum(F.expr("shiftleft(1L, CAST(40 - reg AS INT))"))
+                + (F.lit(256) - F.count(F.lit(1)))
+                * F.expr("shiftleft(1L, 40)")
+            ).alias("sdenom")
+        )
+
+    est = f"CAST(({_HLL_ALPHA_M2_C}L * shiftleft(1L, 40)) div sdenom AS DOUBLE)"
+    sm = sdenom(merged).selectExpr(
+        "event_type", f"{est} AS merged_centi_user_days_d"
+    )
+    sd = sdenom(direct).selectExpr(
+        "event_type", f"{est} AS direct_centi_user_days_d"
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct(key).cast("double").alias("exact_user_days_d")
+    )
+    return sm.join(sd, "event_type").join(ex, "event_type")
 
 
 # --------------------------------------------------------------------------
@@ -780,21 +910,70 @@ def q_corpus_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_train_merges", None)  # iterative argmax loop: rows-only
+def _bpe_train_oracle(n_merges: int = 16, min_count: int = 2) -> str:
+    """Unrolled-loop DuckDB twin of operators/bpe.py::train_bpe — the
+    pagerank/kcore discipline applied to an iterative ARGMAX: each merge
+    round is three CTEs (adjacent-pair counts over the delimited
+    distinct-word frame, the 1-row argmax with the same deterministic
+    (count DESC, a ASC, b ASC) tie-break, the replace() state rewrite),
+    MATERIALIZED so DuckDB's CTE inlining cannot re-evaluate the prefix
+    exponentially (the r7 mmr lesson). Early stop falls out for free:
+    an empty argmax row empties every later state via the cross join,
+    exactly like the Spark loop's break. Tokenization/char-delimiting
+    reuses the fragments proven exact by bpe_tokenize_fixed."""
+    sql = r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s,
+             count(*) AS cnt
+      FROM (
+        SELECT unnest(string_split_regex(
+                 replace(lower(text), chr(1), ''), '\s+')) AS w
+        FROM documents) q
+      WHERE len(w) > 0
+      GROUP BY 1)"""
+    for r in range(n_merges):
+        sql += f""",
+    pr{r} AS (
+      SELECT cnt, unnest(list_filter(
+        list_transform(syms, (x, i) -> struct_pack(a := x, b := syms[i + 1])),
+        p -> p.b IS NOT NULL)) AS p
+      FROM (SELECT cnt,
+                   list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+            FROM w{r}) q),
+    b{r} AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b FROM pr{r}
+      GROUP BY p.a, p.b HAVING sum(cnt) >= {min_count}
+      ORDER BY sum(cnt) DESC, p.a ASC, p.b ASC LIMIT 1),
+    w{r + 1} AS MATERIALIZED (
+      SELECT replace(w.s, chr(1) || b.a || chr(1) || chr(1) || b.b || chr(1),
+                     chr(1) || b.a || b.b || chr(1)) AS s, w.cnt
+      FROM w{r} w, b{r} b)"""
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, a || b AS merged FROM b{r}"
+        for r in range(n_merges)
+    )
+    return sql + "\n    " + sel
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary TRAINING (operators/bpe.py): the corpus
     is scanned once into the distinct-word frame; each of the 16 merge
     rounds is one pair-count aggregation + a 1-row argmax collect with a
-    deterministic (count DESC, a ASC, b ASC) tie-break. Not expressible
-    as one SQL query (iterative argmax), so rows-only here; the merge
-    SEQUENCE is pinned against an independently written pure-Python BPE
-    in tests/test_bpe.py."""
+    deterministic (count DESC, a ASC, b ASC) tie-break. Formerly
+    rows-only ("iterative argmax isn't one SQL query") — but the merge
+    sequence is a pure function of the distinct-word frame, so the
+    unrolled MATERIALIZED-CTE idiom that made pagerank and the k-core
+    peel exact applies verbatim: the oracle replays all 16 argmax
+    rounds in generated SQL (VERDICT r11 #4). The sequence is
+    additionally pinned against an independently written pure-Python
+    BPE in tests/test_bpe.py."""
     merges = bpe.train_bpe(
         _t(spark, sf_dir, "documents"), n_merges=16, min_count=2
     )
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        "rank int, a string, b string, merged string",
+        "merge_rank int, a string, b string, merged string",
     )
 
 

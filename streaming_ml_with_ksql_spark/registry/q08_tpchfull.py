@@ -1415,15 +1415,160 @@ def q_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_project")
+_PCA_SQUARINGS = 10  # effective matrix power 2^10 = 1024
+_PCA_MCAP = 68719476736  # 2^36 — fixed-point cap of the matrix entries
+_PCA_VSCALE = 1048576  # 2^20 — fixed-point scale of the direction vector
+
+
+def _pca_power_oracle(squarings: int = _PCA_SQUARINGS) -> str:
+    """Unrolled fixed-point power method over the EXACT integer
+    co-moment matrix (the pagerank discipline, VERDICT r11 #6), with
+    MATRIX SQUARING instead of plain matvec rounds: the embedding
+    spectrum is near-isotropic (lambda2/lambda1 ~ 0.987 at sf0.01), so
+    plain iteration needs ~550 rounds — 10 squarings reach C^1024 with
+    contamination 0.987^1024 ~ 2e-6. Embeddings quantize to micro-unit
+    BIGINTs, deviations center on the integer div mean, the 64x64
+    co-moment accumulates in DECIMAL(38,0); each squaring renormalizes
+    by the max |entry| to the 2^36 cap via HUGEINT // — DuckDB's int128
+    division truncates toward zero exactly like Python's sign-adjusted
+    // in the Spark query's driver loop, the keystone equivalence.
+    Bounds: capped entries 2^36, squared products 2^72, 64-term sums
+    2^78, renorm multiply 2^114 — all inside HUGEINT (2^127). Every CTE
+    referenced twice is MATERIALIZED."""
+    sql = f"""
+    WITH lng AS MATERIALIZED (
+      SELECT vec_id, CAST(p.j AS INT) AS j,
+             CAST(floor(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding,
+                     (x, i) -> struct_pack(x := x, j := i))) AS p
+            FROM embeddings)),
+    mu AS MATERIALIZED (
+      SELECT j, sum(q) // count(*) AS mu FROM lng GROUP BY 1),
+    dev AS MATERIALIZED (
+      SELECT l.vec_id, l.j, l.q - m.mu AS d
+      FROM lng l JOIN mu m ON m.j = l.j),
+    cov AS MATERIALIZED (
+      SELECT a.j AS i, b.j AS jj,
+             sum(CAST(a.d AS DECIMAL(38,0)) * b.d) AS c
+      FROM dev a JOIN dev b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    cx AS (SELECT max(abs(CAST(c AS HUGEINT))) AS mx FROM cov),
+    a0 AS MATERIALIZED (
+      SELECT i, jj, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(c AS HUGEINT) * {_PCA_MCAP}
+                          // mx AS BIGINT) END AS c
+      FROM cov, cx)"""
+    for s in range(1, squarings + 1):
+        sql += f""",
+    p{s} AS MATERIALIZED (
+      SELECT a.i AS i, b.jj AS jj,
+             sum(CAST(a.c AS HUGEINT) * b.c) AS c
+      FROM a{s - 1} a JOIN a{s - 1} b ON b.i = a.jj
+      GROUP BY 1, 2),
+    px{s} AS (SELECT max(abs(c)) AS mx FROM p{s}),
+    a{s} AS MATERIALIZED (
+      SELECT i, jj, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(c * {_PCA_MCAP} // mx AS BIGINT) END AS c
+      FROM p{s}, px{s})"""
+    sql += f""",
+    rv AS MATERIALIZED (
+      SELECT i AS j, sum(CAST(c AS HUGEINT)) AS m
+      FROM a{squarings} GROUP BY 1),
+    rx AS (SELECT max(abs(m)) AS mx FROM rv),
+    v AS MATERIALIZED (
+      SELECT j, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(m * {_PCA_VSCALE} // mx AS BIGINT) END AS x
+      FROM rv, rx)
+    SELECT d.vec_id,
+           CAST(sum(CAST(d.d AS DECIMAL(38,0)) * v.x) AS DOUBLE) AS proj1_d
+    FROM dev d JOIN v ON v.j = d.j
+    GROUP BY 1"""
+    return sql
+
+
+@register("embedding_pca_project", _pca_power_oracle())
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection onto the top-8 principal directions
-    (operators/similarity.py): covariance accumulates distributed (one
-    bounded sketch row per partition), eigh is a driver-side dim x dim
-    solve, and the projection runs pure-JVM from literal component
-    arrays. Model-backed by nature (rows-only check); orthonormality,
-    variance ordering, and reconstruction self-checks live in
-    tests/test_similarity.py."""
-    return similarity.pca_project(_t(spark, sf_dir, "embeddings"))
+    """Projection of every embedding onto its corpus's top principal
+    direction, EXACT in fixed point (formerly rows-only via eigh;
+    VERDICT r11 #6): micro-quantized coordinates center on the integer
+    mean, the 64x64 co-moment matrix is an exact DECIMAL(38,0)
+    aggregate (one shuffle, dim^2 cells — a model artifact, bounded by
+    dimension not rows), and the power method runs driver-side in
+    arbitrary-precision Python integers with truncating division —
+    bit-identical to the oracle's unrolled HUGEINT SQL rounds, the
+    same replication contract pagerank uses. MATRIX SQUARING (10
+    rounds = C^1024) instead of plain matvec because the embedding
+    spectrum is near-isotropic (lambda2/lambda1 ~ 0.987). The learned
+    direction re-enters the plan as a broadcast 64-row literal and the
+    projection is ONE exact integer dot product per row (emitted as
+    DOUBLE; values sit far below 2^53). Direction closeness to numpy's
+    true top eigenvector is pinned in tests/test_similarity.py; the
+    8-component eigh operator remains public as similarity.pca_project
+    with its own self-checks."""
+    lng = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .selectExpr(
+            "vec_id",
+            "CAST(pos + 1 AS INT) AS j",
+            "CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS q",
+        )
+    )
+    mu = lng.groupBy("j").agg(F.expr("sum(q) div count(*)").alias("mu"))
+    dev = (
+        lng.join(F.broadcast(mu), "j")
+        .selectExpr("vec_id", "j", "q - mu AS d")
+        .localCheckpoint(eager=True)
+    )
+    d2 = dev.selectExpr("vec_id", "j AS jj", "d AS d2")
+    cov_rows = (
+        dev.join(d2, "vec_id")
+        .groupBy("j", "jj")
+        .agg(F.expr("sum(CAST(d AS DECIMAL(38,0)) * d2)").alias("c"))
+        .collect()  # bounded: dim^2 = 4096 co-moment cells, a model artifact
+    )
+    dims = sorted({r["j"] for r in cov_rows})
+    idx = {j: k for k, j in enumerate(dims)}
+    n = len(dims)
+    a = [[0] * n for _ in range(n)]
+    for r in cov_rows:
+        a[idx[r["j"]]][idx[r["jj"]]] = int(r["c"])
+
+    def tdiv(x: int, y: int) -> int:
+        # truncate toward zero: DuckDB HUGEINT // semantics
+        s = -1 if (x < 0) != (y < 0) else 1
+        return s * (abs(x) // abs(y))
+
+    def renorm(m: list[list[int]], cap: int) -> list[list[int]]:
+        mx = max(abs(x) for row in m for x in row)
+        if mx == 0:
+            return [[0] * n for _ in range(n)]
+        return [[tdiv(x * cap, mx) for x in row] for row in m]
+
+    a = renorm(a, _PCA_MCAP)
+    for _ in range(_PCA_SQUARINGS):
+        b = [
+            [
+                sum(a[i][k] * a[k][j] for k in range(n))
+                for j in range(n)
+            ]
+            for i in range(n)
+        ]
+        a = renorm(b, _PCA_MCAP)
+    rv = [sum(row) for row in a]
+    mx = max(abs(m) for m in rv)
+    v = [tdiv(m * _PCA_VSCALE, mx) if mx else 0 for m in rv]
+    vlit = spark.createDataFrame(
+        [(j, v[idx[j]]) for j in dims], "j int, x long"
+    )
+    return (
+        dev.join(F.broadcast(vlit), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * x) AS DOUBLE)")
+            .alias("proj1_d")
+        )
+    )
 
 

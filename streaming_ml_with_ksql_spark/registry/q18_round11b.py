@@ -61,7 +61,7 @@ _MW_ORACLE = f"""
     agg AS (
       SELECT sum(n1c) AS n1, sum(tc - n1c) AS n0, sum(tc) AS n,
              sum(n1c * (2 * before + tc + 1)) AS ranksum2,
-             sum(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie3
+             sum(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie3
       FROM wb),
     u AS (
       SELECT n1, n0, n, tie3, ranksum2 - n1 * (n1 + 1) AS u2,
@@ -83,8 +83,10 @@ def q_mann_whitney_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KS / Wasserstein / randomization drift screens on the same
     split. Over the bounded deci-quantized value-cell histogram (the
     roc_auc rank-sum idiom): doubled rank-sum with average-rank ties,
-    tie-correction term Sum(t^3 - t) accumulated in DECIMAL(38,0) so a
-    pathological one-cell corpus cannot overflow under ANSI, U / the
+    tie-correction term Sum(t^3 - t) computed with the FIRST factor
+    cast to DECIMAL(38,0) — the whole product then stays in decimal, so
+    a pathological one-cell corpus (tc > 2.09M would overflow the old
+    BIGINT cube; ADVICE r11) cannot overflow under ANSI — U / the
     rank-biserial effect size / the tie-corrected z emitted from one
     shared verbatim expression chain. Prefix ranks via the O(C^2)
     broadcast self-join — no global sort, one corpus scan; weekend
@@ -111,7 +113,7 @@ def q_mann_whitney_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1c") * (2 * F.col("before") + F.col("tc") + 1)
         ).alias("ranksum2"),
         F.sum(
-            F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")
+            F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc")
         ).alias("tie3"),
     )
     u = agg.selectExpr(
@@ -1060,7 +1062,7 @@ def q_streaming_mann_whitney_ingest(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n1c") * (2 * F.col("before") + F.col("tc") + 1)
         ).alias("ranksum2"),
         F.sum(
-            F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")
+            F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc")
         ).alias("tie3"),
     )
     u = agg.selectExpr(
@@ -1171,7 +1173,7 @@ _WSR_ORACLE = f"""
     agg AS (
       SELECT sum(tc) AS n, sum(pc) AS npos,
              sum(pc * (2 * before + tc + 1)) AS w2,
-             sum(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie3
+             sum(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie3
       FROM wb),
     u AS (
       SELECT n, npos, w2, tie3, {_WSR_NUM} AS num, {_WSR_VAR} AS vard
@@ -1238,7 +1240,7 @@ def q_wilcoxon_signed_rank_user_value(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(F.col("pc") * (2 * F.col("before") + F.col("tc") + 1)).alias(
             "w2"
         ),
-        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc")).alias(
             "tie3"
         ),
     )
@@ -1459,10 +1461,13 @@ _KW_CORR = (
     " - CAST(n AS DOUBLE))"
 )
 
+_KW_IN = ", ".join(f"'{t}'" for t in _KW_TYPES)
+
 _KW_ORACLE = f"""
     WITH t AS (
       SELECT CAST(floor(value * 10) AS BIGINT) AS s, event_type
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ({_KW_IN})),
     cells AS (
       SELECT s, {_KW_CELLCOLS}, count(*) AS tc FROM t GROUP BY 1),
     wb AS (
@@ -1472,7 +1477,7 @@ _KW_ORACLE = f"""
       GROUP BY ALL),
     agg AS (
       SELECT sum(tc) AS n, {_KW_NJS}, {_KW_R2S},
-             sum(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie3
+             sum(CAST(tc AS DECIMAL(38,0)) * tc * tc - tc) AS tie3
       FROM wb),
     h AS (SELECT n, tie3, {_KW_H} AS h_raw FROM agg WHERE n > 1),
     c AS (SELECT n, h_raw, {_KW_CORR} AS corr FROM h)
@@ -1496,11 +1501,18 @@ def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     fixed-order verbatim chain (the anova lesson); tie term in
     DECIMAL(38,0); n^3 in the all-double product form so nothing
     overflows at any scale. Guarded for n <= 1 and corr <= 0 under
-    ANSI. Pinned against a plain-Python average-rank replay."""
+    ANSI. The base scan filters event_type IN (the five literals) on
+    BOTH engines so an unseen sixth type can never silently inflate n
+    and the rank prefix (ADVICE r11). Pinned against a plain-Python
+    average-rank replay."""
     ev = _t(spark, sf_dir, "events")
-    t = ev.filter(F.col("value").isNotNull()).select(
-        F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s"),
-        "event_type",
+    t = (
+        ev.filter(F.col("value").isNotNull())
+        .filter(F.col("event_type").isin(*_KW_TYPES))
+        .select(
+            F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s"),
+            "event_type",
+        )
     )
     cells = t.groupBy("s").agg(
         *[
@@ -1524,7 +1536,7 @@ def q_kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr(f"sum(n_{ty}c * (2 * before + tc + 1)) AS r2_{ty}")
             for ty in _KW_TYPES
         ],
-        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc")).alias(
             "tie3"
         ),
     )
@@ -1751,14 +1763,42 @@ from .q17_round11 import (  # noqa: E402
 )
 
 _BF_ORACLE = f"""
-    WITH med AS (
-      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
-      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    WITH t AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS c,
+             CAST(floor(value * 10) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL),
+    nt AS (SELECT event_type, count(*) AS n FROM t GROUP BY 1),
+    dcells AS (
+      SELECT event_type, d, count(*) AS tc FROM t GROUP BY 1, 2),
+    dwb AS (
+      SELECT dc.event_type, dc.d, dc.tc,
+             coalesce(sum(d2.tc), 0) AS before
+      FROM dcells dc LEFT JOIN dcells d2
+        ON d2.event_type = dc.event_type AND d2.d < dc.d
+      GROUP BY ALL),
+    dmed AS (
+      SELECT w.event_type, w.d AS dmed, w.before AS dbefore
+      FROM dwb w JOIN nt ON nt.event_type = w.event_type
+      WHERE 2 * w.before < nt.n AND 2 * (w.before + w.tc) >= nt.n),
+    ccells AS (
+      SELECT t.event_type, t.c, count(*) AS tc, min(m.dbefore) AS dbefore
+      FROM t JOIN dmed m ON m.event_type = t.event_type AND t.d = m.dmed
+      GROUP BY 1, 2),
+    cwb AS (
+      SELECT cc.event_type, cc.c, cc.tc, cc.dbefore,
+             coalesce(sum(c2.tc), 0) AS cb
+      FROM ccells cc LEFT JOIN ccells c2
+        ON c2.event_type = cc.event_type AND c2.c < cc.c
+      GROUP BY cc.event_type, cc.c, cc.tc, cc.dbefore),
+    cmed AS (
+      SELECT w.event_type, w.c AS medc
+      FROM cwb w JOIN nt ON nt.event_type = w.event_type
+      WHERE 2 * (w.dbefore + w.cb) < nt.n
+        AND 2 * (w.dbefore + w.cb + w.tc) >= nt.n),
     base AS (
-      SELECT e.event_type,
-             CAST(floor(abs(e.value - m.med) * 100) AS BIGINT) AS y
-      FROM events e JOIN med m ON m.event_type = e.event_type
-      WHERE e.value IS NOT NULL),
+      SELECT t.event_type, abs(t.c - m.medc) AS y
+      FROM t JOIN cmed m ON m.event_type = t.event_type),
     g AS (SELECT {_ANOVA_AGGS} FROM base),
     m AS (SELECT *, ({_ANOVA_N}) AS nn,
                  ({_ANOVA_S}) / ({_ANOVA_N}) AS gm FROM g),
@@ -1776,21 +1816,79 @@ def q_brown_forsythe_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     variance homogeneity of value across the five event types — the
     DISPERSION companion to the location tests (ANOVA/Kruskal-Wallis
     answer 'do the centers differ?'; this answers 'do the spreads?',
-    the assumption check before trusting the pooled-variance F). Per
-    type the 6-dp-rounded exact median (the mad_outliers boundary
-    discipline — both engines agree on the rounded percentile)
-    broadcasts onto one scan; the deviations |value - med| floor to
-    exact centi-unit integers; then the statistic IS the one-way ANOVA
-    F on the deviations, reusing the literal-unrolled verbatim chains
-    of anova_value_by_type (shared generated strings, no new float
-    paths). One aggregation after the median broadcast."""
+    the assumption check before trusting the pooled-variance F). The
+    center is the EXACT lower median of the centi-quantized values,
+    located by pure integer cell math — a deci-cell histogram prefix
+    (the O(C^2) broadcast self-join idiom, cells bounded by the value
+    range) narrows to the median deci-cell, a second <=10-cell prefix
+    inside it picks the exact centi median; the engine-neutral
+    membership test ``2*before < n AND 2*(before+tc) >= n`` selects
+    the lower-median cell with zero float ops, so the r11-ADVICE
+    percentile/round boundary-fragility class is gone by construction.
+    Deviations |c - medc| are exact centi-unit BIGINTs; the statistic
+    IS the one-way ANOVA F on them, reusing the literal-unrolled
+    verbatim chains of anova_value_by_type (shared generated strings,
+    no new float paths)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
-    )
-    base = ev.join(F.broadcast(med), "event_type").selectExpr(
+    t = ev.selectExpr(
         "event_type",
-        "CAST(floor(abs(value - med) * 100) AS BIGINT) AS y",
+        "CAST(floor(value * 100) AS BIGINT) AS c",
+        "CAST(floor(value * 10) AS BIGINT) AS d",
+    ).localCheckpoint(eager=True)
+    nt = t.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    dcells = t.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    d2 = dcells.selectExpr(
+        "event_type AS et2", "d AS dd2", "tc AS tc2"
+    )
+    dwb = (
+        dcells.join(
+            F.broadcast(d2),
+            (F.col("et2") == F.col("event_type")) & (F.col("dd2") < F.col("d")),
+            "left",
+        )
+        .groupBy("event_type", "d", "tc")
+        .agg(F.coalesce(F.sum("tc2"), F.lit(0)).alias("before"))
+    )
+    dmed = (
+        dwb.join(F.broadcast(nt), "event_type")
+        .filter("2 * before < n AND 2 * (before + tc) >= n")
+        .selectExpr("event_type", "d AS dmed", "before AS dbefore")
+    )
+    ccells = (
+        t.join(
+            F.broadcast(dmed),
+            (t["event_type"] == dmed["event_type"]) & (t["d"] == dmed["dmed"]),
+        )
+        .drop(dmed["event_type"])
+        .groupBy("event_type", "c")
+        .agg(
+            F.count(F.lit(1)).alias("tc"),
+            F.min("dbefore").alias("dbefore"),
+        )
+    )
+    c2 = ccells.selectExpr("event_type AS et2", "c AS cc2", "tc AS tc2")
+    cwb = (
+        ccells.join(
+            F.broadcast(c2),
+            (F.col("et2") == F.col("event_type")) & (F.col("cc2") < F.col("c")),
+            "left",
+        )
+        .groupBy("event_type", "c", "tc", "dbefore")
+        .agg(
+            (
+                F.col("dbefore") + F.coalesce(F.sum("tc2"), F.lit(0))
+            ).alias("before")
+        )
+    )
+    cmed = (
+        cwb.join(F.broadcast(nt), "event_type")
+        .filter("2 * before < n AND 2 * (before + tc) >= n")
+        .selectExpr("event_type", "c AS medc")
+    )
+    base = t.join(F.broadcast(cmed), "event_type").selectExpr(
+        "event_type", "abs(c - medc) AS y"
     )
     g = base.selectExpr(*[e.strip() for e in _split_top_level(_ANOVA_AGGS)])
     m = g.selectExpr(
@@ -1910,7 +2008,7 @@ def q_streaming_kruskal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replay_events(spark, sf_dir).filter(
         F.col("value").isNotNull()
-    )
+    ).filter(F.col("event_type").isin(*_KW_TYPES))
     cells_s = stream.groupBy(
         F.expr("CAST(floor(value * 10) AS BIGINT)").alias("s")
     ).agg(
@@ -1940,7 +2038,7 @@ def q_streaming_kruskal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sum(n_{ty}c * (2 * before + tc + 1)) AS r2_{ty}")
             for ty in _KW_TYPES
         ],
-        F.sum(F.expr("CAST(tc * tc * tc - tc AS DECIMAL(38,0))")).alias(
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0)) * tc * tc - tc")).alias(
             "tie3"
         ),
     )

@@ -35,7 +35,16 @@ def test_record_fits_capture_budget_at_worst_case():
     headroom so the headline can still grow a few entries."""
     timings = {n: 9999.99 for n in bench.HEADLINE}
     line = bench.build_line(timings, 0.1, 99.999, 99.999, 99.999)
-    assert len(line.encode()) <= bench.LINE_BUDGET_BYTES * 0.85
+    # hard cap includes the fixed-size "ab" adjudication block (r12)
+    assert len(line.encode()) <= bench.LINE_BUDGET_BYTES
+    # the 15% growth headroom is measured on the timing-dependent part:
+    # "ab" is bounded by adjudications-per-round, not a growth surface
+    slim = json.loads(line)
+    slim.pop("ab"), slim.pop("ab_ref")
+    assert (
+        len(json.dumps(slim, separators=(",", ":")).encode())
+        <= bench.LINE_BUDGET_BYTES * 0.85
+    )
     parsed = json.loads(line)
     assert parsed["queries"] and parsed["calib_protocol"] == bench.CALIB_PROTOCOL
     assert parsed["value_norm_jvm"] > 0 and parsed["value_norm_py"] > 0

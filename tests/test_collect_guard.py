@@ -38,6 +38,11 @@ COLLECT_WHITELIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "pca_project"): (
         "train_sample-row sample for the fit"
     ),
+    # exact fixed-point PCA: the dim^2 co-moment matrix is a model
+    # artifact (64x64 = 4096 cells, bounded by dimension, not rows)
+    ("registry/q08_tpchfull.py", "q_embedding_pca_project"): (
+        "dim^2 co-moment cells (4096) for the driver-side power iteration"
+    ),
     # wire codecs: schema/registry binds and capability probes (1 row);
     # decode reads a declared-bounded payload frame for cross-checks
     ("sources/avro.py", "avro_available"): "1-row capability probe",

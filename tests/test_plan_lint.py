@@ -78,10 +78,17 @@ BNLJ_BOUNDED_IDIOMS: dict[str, tuple[str, frozenset[str]]] = {
                 "ece_after_isotonic_recalibration",
                 "gains_decile_lift",
                 "mann_whitney_weekend_value",
-                "streaming_mann_whitney_ingest",
+                # streaming twins (streaming_mann_whitney_ingest,
+                # streaming_kruskal_ingest, streaming_cusum_ingest) are
+                # NOT listed: test_no_scale_killer_plans_anywhere skips
+                # every streaming_* name before consulting this table,
+                # so an entry here would be dead code (ADVICE r11).
                 "wilcoxon_signed_rank_user_value",
                 "ablation_grid_assignments",
                 "kruskal_wallis_value_by_type",
+                # r12: exact integer two-level median — deci-cell prefix
+                # (range-bounded ~4.9k cells) then <=10 centi cells
+                "brown_forsythe_value_by_type",
                 "kaplan_meier_conversion",
                 "kaplan_meier_greenwood",
                 "logrank_conversion_cohorts",

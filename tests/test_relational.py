@@ -111,15 +111,30 @@ def test_approx_sketches_error_bounds(spark, sf_medium):
 def test_hll_merge_equals_direct_and_bounds_error(spark, sf_medium):
     """HLL registers are order-insensitive: merging daily sketches must
     reproduce the single-pass estimate EXACTLY, and both must sit within
-    ~3% of the exact distinct count (default lgConfigK=12 accuracy)."""
+    ~3% of the exact distinct count (default lgConfigK=12 accuracy).
+    Pins the DataSketches (hll_sketch_agg/hll_union_agg) identity that
+    the registered hll_partition_merge query demonstrated before its r12
+    port to the register-exact oracled idiom."""
     from pyspark.sql import functions as F
 
-    from streaming_ml_with_ksql_spark import registry
     from streaming_ml_with_ksql_spark import io as io_mod
 
-    out = registry._REGISTRY["hll_partition_merge"].spark(spark, sf_medium)
-    rows = {r["event_type"]: r for r in out.collect()}
     ev = io_mod.load_table(spark, sf_medium, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_users"
+        )
+    )
+    rows = {
+        r["event_type"]: r
+        for r in merged.join(direct, "event_type").collect()
+    }
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type")
@@ -130,6 +145,24 @@ def test_hll_merge_equals_direct_and_bounds_error(spark, sf_medium):
     for et, r in rows.items():
         assert r["merged_users"] == r["direct_users"], et
         assert abs(r["direct_users"] - exact[et]) / exact[et] < 0.03, et
+
+
+def test_hll_partition_merge_registered_query(spark, sf_medium):
+    """The register-exact port (r12): merged-from-daily-partials must
+    equal the direct single-pass estimate EXACTLY (max is associative),
+    and both must sit within the 256-register HLL error (~3 sigma =
+    19.5%) of the exact user-day count it emits alongside."""
+    from streaming_ml_with_ksql_spark import registry
+
+    out = registry._REGISTRY["hll_partition_merge"].spark(spark, sf_medium)
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["merged_centi_user_days_d"] == r["direct_centi_user_days_d"]
+        est = r["merged_centi_user_days_d"] / 100.0
+        exact = r["exact_user_days_d"]
+        assert exact > 640, "keyed cardinality must clear the bias zone"
+        assert abs(est - exact) / exact < 0.195, (r["event_type"], est, exact)
 
 
 def test_heavy_hitters_pigeonhole_across_partitions(spark, sf_medium):

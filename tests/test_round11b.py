@@ -537,7 +537,11 @@ def test_kruskal_wallis_python_replay(spark, sf_small):
     the Mann-Whitney z (KW with k=2 is z^2 up to the same tie
     correction)."""
     ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
-    rows = ev.filter(F.col("value").isNotNull()).selectExpr(
+    rows = ev.filter(F.col("value").isNotNull()).filter(
+        F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        )
+    ).selectExpr(
         "CAST(floor(value * 10) AS BIGINT) AS s", "event_type"
     ).collect()
     vals = sorted(r.s for r in rows)
@@ -659,8 +663,11 @@ def test_mase_python_replay(spark, sf_small):
 
 def test_brown_forsythe_python_replay(spark, sf_small):
     """Third vote: the BF statistic recomputed in plain Python from
-    raw values with an independently computed interpolated median —
+    raw values with an independently computed exact LOWER MEDIAN of
+    the centi-quantized values (a plain sort — no histogram, no
+    prefix joins, so it cross-checks the two-level cell-math median) —
     exact integer deviation sums, F within 1e-9 relative."""
+    import math
     from collections import defaultdict
 
     ev = io_mod.load_table(spark, "/root/testdata/sf0.001", "events")
@@ -669,23 +676,12 @@ def test_brown_forsythe_python_replay(spark, sf_small):
     ).collect()
     per = defaultdict(list)
     for r in rows:
-        per[r.event_type].append(r.value)
-
-    def med6(xs):
-        xs = sorted(xs)
-        n = len(xs)
-        h = (n - 1) / 2.0
-        lo = int(h)
-        frac = h - lo
-        m = xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
-        return round(m, 6)
+        per[r.event_type].append(math.floor(r.value * 100))
 
     groups = {}
-    for t, xs in per.items():
-        m = med6(xs)
-        import math
-
-        groups[t] = [math.floor(abs(x - m) * 100) for x in xs]
+    for t, cs in per.items():
+        m = sorted(cs)[(len(cs) - 1) // 2]
+        groups[t] = [abs(c - m) for c in cs]
     n = sum(len(g) for g in groups.values())
     k = len(groups)
     gm = sum(sum(g) for g in groups.values()) / n
@@ -803,3 +799,50 @@ def test_km_greenwood_python_replay(spark, sf_small):
         assert r.se_greenwood == s * math.sqrt(gw)
         assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
     assert rows[-1].se_greenwood >= 0.0
+
+
+def test_tie3_decimal_cast_before_multiply_no_overflow(spark):
+    """ADVICE r11 regression: the tie-correction Sum(t^3 - t) must cast
+    the FIRST factor to DECIMAL(38,0) BEFORE multiplying — the old
+    form cubed in BIGINT and overflowed (both engines) at tc > ~2.09M.
+    Proves: (a) the new shared expression survives tc = 3M on BOTH
+    engines with the exact same value; (b) the old form really does
+    overflow in DuckDB, so the regression cannot silently return."""
+    import duckdb
+
+    expr = "CAST(tc AS DECIMAL(38,0)) * tc * tc - tc AS tie3"
+    got_s = (
+        spark.createDataFrame([(3_000_000,)], "tc long")
+        .selectExpr(expr)
+        .collect()[0][0]
+    )
+    want = 3_000_000 ** 3 - 3_000_000
+    assert int(got_s) == want
+    con = duckdb.connect()
+    got_d = con.execute(
+        f"SELECT {expr} FROM (VALUES (CAST(3000000 AS BIGINT))) t(tc)"
+    ).fetchone()[0]
+    assert int(got_d) == want
+    with pytest.raises(Exception, match="Overflow"):
+        con.execute(
+            "SELECT CAST(tc * tc * tc - tc AS DECIMAL(38,0))"
+            " FROM (VALUES (CAST(3000000 AS BIGINT))) t(tc)"
+        ).fetchone()
+
+
+def test_event_type_literal_set_covers_data(spark):
+    """ADVICE r11: the five-literal event-type set hard-coded into the
+    unrolled stats chains (KW/ANOVA/Friedman/Cronbach/BF) must cover
+    every distinct event_type in the testdata — a sixth type would
+    silently skew any unfiltered base scan. KW now filters its scan to
+    the literals on both engines; this pins the data assumption for
+    the rest of the family."""
+    from streaming_ml_with_ksql_spark.registry.q18_round11b import _KW_TYPES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = io_mod.load_table(spark, sf, "events")
+        distinct = {
+            r.event_type
+            for r in ev.select("event_type").distinct().collect()
+        }
+        assert distinct <= set(_KW_TYPES), distinct - set(_KW_TYPES)

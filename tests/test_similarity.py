@@ -511,3 +511,51 @@ def test_streaming_ivf_ingest_matches_batch_index(spark, sf_medium, tmp_path):
     a = sorted(tuple(r) for r in similarity.ivf_search(live, queries, k=3).collect())
     b = sorted(tuple(r) for r in similarity.ivf_search(index, queries, k=3).collect())
     assert a == b and len(a) == 18
+
+
+def test_pca_power_iteration_matches_numpy_top_direction(spark, sf_medium):
+    """The r12 exact fixed-point embedding_pca_project: the projection
+    onto the power-iterated direction must be (up to overall sign and
+    the fixed-point scale) the projection onto numpy's true top
+    eigenvector — |correlation| >= 0.999 — and its variance share must
+    equal the top eigenvalue's share of the quantized covariance within
+    0.5%. The cross-engine EXACTNESS is the driver oracle's job; this
+    pins that the integer iteration converges to the right direction."""
+    import math
+
+    import numpy as np
+
+    from streaming_ml_with_ksql_spark.registry import _REGISTRY
+
+    sf = sf_medium
+    out = (
+        _REGISTRY["embedding_pca_project"].spark(spark, sf).toPandas()
+    )
+    emb = io_mod.load_table(spark, sf, "embeddings")
+    x = np.array(
+        [
+            [math.floor(float(c) * 1_000_000) for c in r.e]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e"),
+                "vec_id",
+            )
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    mu = np.array([int(s) // len(x) if s >= 0 else -((-int(s)) // len(x))
+                   for s in x.sum(axis=0).astype(np.int64)])
+    xc = x - mu
+    cov = xc.T @ xc
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    want = xc @ top
+    got = out.sort_values("vec_id")["proj1_d"].to_numpy()
+    corr = np.corrcoef(got, want)[0, 1]
+    assert abs(corr) >= 0.999, corr
+    # variance share of the projection == top eigenvalue share
+    # compare Rayleigh quotient of the learned direction vs lambda_max
+    lam_top = w[-1]
+    lam_learned = (want @ got) ** 2 / ((want @ want) * (got @ got)) * lam_top
+    assert lam_learned >= 0.995 * lam_top, (lam_learned, lam_top)
