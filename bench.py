@@ -220,14 +220,17 @@ LINE_BUDGET_BYTES = 1800
 # line as "ab" (counted against LINE_BUDGET_BYTES).
 #
 # r12 adjudications of the three readings VERDICT r11 #1 flagged as
-# recorded-without-adjudication (values filled by this round's
-# measurements; see BENCH_r12 notes in SURVEY §8):
+# recorded-without-adjudication — same-host back-to-back median-of-3,
+# current code vs the r10-close worktree: ALL THREE r11 readings were
+# host drift; the current code is FASTER than r10-close code on the
+# same host on every one (spot medians 2.54/3.34/1.21 s vs r10-code
+# 3.46/3.84/1.41 s). The r11-carried dbscan 1.02x / jpeg 0.67x
+# adjudications (vs 2851a0d) stay recorded in BENCH_r11's notes.
 AB_REF = "5ace09f"  # r10-close commit (the judge-designated baseline)
 AB: dict[str, float] = {
-    # carried from r11 (vs 2851a0d): dbscan 1.02x, jpeg 0.67x — both
-    # host drift; restated here so the record is machine-checkable.
-    "dbscan_embedding_clusters": 1.02,
-    "multimodal_jpeg_decode": 0.67,
+    "multimodal_mixed_container_sample": 0.73,
+    "mmr_diverse_retrieval": 0.87,
+    "fifo_lot_allocation": 0.86,
 }
 
 

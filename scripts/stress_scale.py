@@ -235,6 +235,12 @@ QUERIES = [
     "streaming_kruskal_ingest",
     "cramers_v_type_weekday",
     "kaplan_meier_greenwood",
+    # round-12: the rows-only -> exact conversions + the BF redefinition
+    # (brown_forsythe already above; its r12 two-level integer median
+    # re-ran under this harness after the change)
+    "bpe_train_merges",
+    "hll_partition_merge",
+    "embedding_pca_project",
 ]
 
 

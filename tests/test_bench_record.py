@@ -68,3 +68,36 @@ def test_per_axis_normalization_uses_each_axis():
         for other in ("value_norm_jvm", "value_norm_py", "value_norm_codec"):
             if other != key:
                 assert slow[other] == base[other]
+
+
+def test_bench_compare_warns_on_unadjudicated_regression(tmp_path):
+    """VERDICT r11 #8: bench_compare must WARN on any >1.35x normalized
+    regression whose name lacks an 'ab' adjudication entry in the new
+    record, and stay silent for adjudicated ones."""
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"q_slow": 1.0, "q_adj": 1.0, "q_flat": 1.0},
+        "calib_sec": bench.CALIB_REF,
+        "calib_py_sec": bench.CALIB_PY_REF,
+        "calib_codec_sec": bench.CALIB_CODEC_REF,
+        "calib_protocol": bench.CALIB_PROTOCOL,
+    }
+    new = dict(old)
+    new["queries"] = {"q_slow": 2.0, "q_adj": 2.0, "q_flat": 1.0}
+    new["ab"] = {"q_adj": 1.01}
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_compare.py", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    warns = [ln for ln in r.stdout.splitlines() if ln.startswith("WARNING")]
+    assert len(warns) == 1 and "q_slow" in warns[0], r.stdout
+    assert "q_adj" not in "".join(warns)
+    assert "ab=1.01x" in r.stdout
