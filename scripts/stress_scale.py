@@ -241,6 +241,7 @@ QUERIES = [
     "bpe_train_merges",
     "hll_partition_merge",
     "embedding_pca_project",
+    "embedding_topk_lsh",
 ]
 
 

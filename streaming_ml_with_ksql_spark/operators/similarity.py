@@ -585,6 +585,143 @@ def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[float]]:
 
 
 
+def _lshx_signs(
+    n_tables: int = 8, n_planes: int = 8, dim: int = 64
+) -> list[list[list[int]]]:
+    """Deterministic Rademacher (+-1) sign-LSH hyperplanes, [t][p][i] from
+    the first md5 nibble of 'lshx:{t}:{p}:{i}' — the same content-free
+    md5-randomness idiom as the JL matrix. INTEGER planes (unlike
+    lsh_bucket_topk's float gaussians): the sign of an integer +-sum of
+    milli-quantized coordinates is EXACT on any engine and evaluation
+    order, which is what makes the bucketed candidate set — and hence
+    the whole ANN query — DuckDB-oracle-able."""
+    return [
+        [
+            [
+                1
+                if hashlib.md5(f"lshx:{t}:{p}:{i}".encode()).hexdigest()[0]
+                in "01234567"
+                else -1
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+LSHX_SIGNS = _lshx_signs()
+
+
+def lshx_sign_sum(t: int, p: int, elem_fmt: str, dim: int = 64) -> str:
+    """Engine-neutral generated expression for the (t, p) sign sum:
+    ``0 + q[1] - q[2] + ...`` — elem_fmt supplies the element accessor
+    (Spark ``element_at(qv, {i})`` / DuckDB ``qv[{i}]``). Shared by the
+    Spark plan and the oracle so both consume the identical literal
+    matrix in the identical textual order (the jl/anova discipline)."""
+    return "0" + "".join(
+        (" + " if LSHX_SIGNS[t][p][i] > 0 else " - ")
+        + elem_fmt.format(i=i + 1)
+        for i in range(dim)
+    )
+
+
+def lsh_bucket_topk_exact(
+    embeddings: DataFrame,
+    *,
+    n_queries: int = 20,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH ANN with an EXACTLY reproducible candidate set: buckets
+    come from integer +-sums of milli-quantized coordinates against the
+    LSHX_SIGNS Rademacher planes (whole-stage-codegen unrolled sums —
+    the jl_projection idiom), so bucket membership is deterministic on
+    any engine/partitioning; candidates then get the same rounded-exact
+    cosine and (cosine DESC, neighbor_id) ranking as brute_force_topk.
+    The approximation (which neighbors are candidates at all) is still
+    sign-LSH — but it is a DETERMINISTIC approximation, so the full
+    query is DuckDB-oracle-able end to end; recall vs the brute-force
+    baseline is pinned separately in tests/test_similarity.py.
+
+    Scale shape: candidate generation is one equi-join on
+    (table_id, bucket) — no CartesianProduct; per-query candidate count
+    ~ L · probes · corpus/2^P, tuned by (n_tables, n_planes)."""
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    # Exact integer buckets via ONE Arrow matmul, not unrolled SQL sums:
+    # integer addition is associative, so numpy's int64 (q @ signs.T) is
+    # bit-identical to the oracle's left-to-right +-term sums — unlike
+    # the float-plane kernel, where summation order could flip a
+    # near-zero sign. (A first attempt unrolled the 64x64 sums as
+    # selectExpr text, jl-style; 4k expression nodes fed a self-join and
+    # the inlined tree OOM'd the vanilla 1 GB driver at codegen — the
+    # vectorized exact kernel is both safer and faster.)
+    mat = (
+        np.array(LSHX_SIGNS, dtype=np.int64)
+        .reshape(n_tables * n_planes, dim)
+        .T
+    )  # (dim, T·P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(e.to_numpy())  # (n, dim) float64
+        q = np.floor(x * 1000.0).astype(np.int64)  # == SQL floor(x*1000)
+        bits = (q @ mat) > 0  # exact int64 sums, strict > 0
+        b = bits.reshape(len(q), n_tables, n_planes) @ weights
+        return pd.Series(list(b.astype(np.int64)))
+
+    base = _fan_out(emb).withColumn("buckets", _buckets(F.col("embedding")))
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("buckets").alias("table_id", "q_bucket"),
+    )
+    probe_cols = [F.col("q_bucket")]
+    if multiprobe:
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    probed = queries.select(
+        "query_id",
+        "q_emb",
+        "table_id",
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    cands = (
+        probed.join(corpus, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     *,

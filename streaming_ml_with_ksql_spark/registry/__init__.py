@@ -93,9 +93,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # FORTY-EIGHT first verdicts: the full remaining round-11 stats
     # cohort (whose tie3/literal-filter/median definitions this round
     # also hardened), the nine twice-deferred r10 entrants plus the two
-    # judge-named stragglers, the three rows-only->exact conversions
-    # (bpe_train_merges, hll_partition_merge, embedding_pca_project —
-    # VERDICT r11 #4/#6), and nineteen more spanning the TPC-H shape
+    # judge-named stragglers, the FOUR rows-only->exact conversions
+    # (bpe_train_merges, hll_partition_merge, embedding_pca_project,
+    # embedding_topk_lsh — VERDICT r11 #4/#6; disjunctive_revenue
+    # yields its slot to the lsh lift and returns to the r13 queue),
+    # and eighteen more spanning the TPC-H shape
     # tail, the wire-format roundtrips, embedding/corpus plumbing, and
     # the image decoder. Block stays 100% exact-oracled for the fourth
     # consecutive round; queue drops 70 -> 22 (of which 5 are rows-only
@@ -140,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "hll_partition_merge",
     "embedding_pca_project",
+    "embedding_topk_lsh",
     # ---- TPC-H shape tail ----
     "important_part_values",
     "part_supplier_counts",
@@ -150,7 +153,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue",
     "order_count_histogram",
     "small_qty_revenue",
-    "disjunctive_revenue",
     # ---- wire-format roundtrips ----
     "proto_wire_confluent_roundtrip",
     "msgpack_source_roundtrip",

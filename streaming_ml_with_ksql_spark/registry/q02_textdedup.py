@@ -633,10 +633,93 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_topk_lsh", None)  # approximate: rows-only check
+def _lshx_topk_oracle(
+    n_queries: int = 20,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 8,
+) -> str:
+    """DuckDB twin of lsh_bucket_topk_exact: the SAME generated +-sum
+    sign expressions over milli-quantized ints (shared literal matrix,
+    shared textual order — similarity.lshx_sign_sum), the same hamming-1
+    multiprobe via xor, then brute_force_topk's proven rounded-cosine
+    scoring restricted to the candidate set. The approximation is
+    deterministic, so the whole ANN query hash-checks end to end."""
+    s_cols = ",\n      ".join(
+        similarity.lshx_sign_sum(t, p, "qv[{i}]")
+        + f" AS s_{t}_{p}"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    b_cols = ",\n      ".join(
+        " + ".join(
+            f"CASE WHEN s_{t}_{p} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        + f" AS b_{t}"
+        for t in range(n_tables)
+    )
+    corpus = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, e AS c_e, {t} AS table_id,"
+        f" b_{t} AS bucket FROM b"
+        for t in range(n_tables)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS query_id, e AS q_e, {t} AS table_id,"
+        " unnest(["
+        + ", ".join(
+            [f"b_{t}"] + [f"xor(b_{t}, {1 << p})" for p in range(n_planes)]
+        )
+        + f"]) AS bucket FROM b WHERE vec_id < {n_queries}"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS MATERIALIZED (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM emb),
+    s AS MATERIALIZED (SELECT vec_id, e,
+      {s_cols}
+      FROM qv),
+    b AS MATERIALIZED (SELECT vec_id, e,
+      {b_cols}
+      FROM s),
+    corpus AS ({corpus}),
+    probes AS ({probes}),
+    cands AS (
+      SELECT DISTINCT p.query_id, p.q_e, c.neighbor_id, c.c_e
+      FROM probes p JOIN corpus c
+        ON c.table_id = p.table_id AND c.bucket = p.bucket
+      WHERE p.query_id != c.neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        round(list_dot_product(q_e, c_e)
+              / (sqrt(list_dot_product(q_e, q_e))
+                 * sqrt(list_dot_product(c_e, c_e))), 6) AS cosine
+      FROM cands),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register("embedding_topk_lsh", _lshx_topk_oracle())
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN (scale path). No SQL oracle — approximate by design;
-    recall vs brute force asserted in tests/test_similarity.py."""
-    return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
+    """Sign-LSH ANN (scale path), EXACT end to end since r12: bucket
+    membership comes from integer +-sums of milli-quantized coordinates
+    against a deterministic md5 Rademacher plane matrix (the float
+    hyperplanes of similarity.lsh_bucket_topk made last-ulp sign flips
+    possible, so the candidate SET itself wasn't cross-engine stable),
+    and candidates are scored/ranked exactly like the already-oracled
+    embedding_topk_bruteforce. Still approximate AS AN ANN (bucketing
+    decides which neighbors are considered) — but deterministically so,
+    which is what lets the driver hash-check it; recall vs brute force
+    stays pinned in tests/test_similarity.py. The float-plane operator
+    remains public as similarity.lsh_bucket_topk."""
+    return similarity.lsh_bucket_topk_exact(_t(spark, sf_dir, "embeddings"))
 
 

@@ -678,19 +678,20 @@ def q_jl_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("q"),
     )
-    signs_expr = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in _JL_SIGNS
+    # r12 perf: the former aggregate-lambda form inlined the 16x64 signs
+    # literal INSIDE the fold, so codegen rebuilt the nested array per
+    # element (~1024 array materializations per row — 12 s for 5k rows
+    # at sf0.1 in the block sweep). Unroll each projected coordinate as
+    # one +-element_at sum: pure whole-stage-codegen arithmetic, zero
+    # array construction, byte-identical output.
+    coord_exprs = [
+        "0L " + " ".join(
+            f"{'+' if v > 0 else '-'} element_at(q, {i + 1})"
+            for i, v in enumerate(row)
         )
-        + ")"
-    )
-    proj = F.expr(
-        f"""transform(sequence(1, 16), j ->
-              aggregate(sequence(1, 64), 0L,
-                (acc, i) -> acc + element_at(element_at({signs_expr}, j), i)
-                            * element_at(q, i)))"""
-    )
+        for row in _JL_SIGNS
+    ]
+    proj = F.array(*[F.expr(e) for e in coord_exprs])
     return q8.select(
         "vec_id",
         "label",

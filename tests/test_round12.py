@@ -17,6 +17,7 @@ ROUND12_LIFTED = [
     "bpe_train_merges",
     "hll_partition_merge",
     "embedding_pca_project",
+    "embedding_topk_lsh",
 ]
 
 
@@ -27,10 +28,10 @@ def test_round12_lifted_query_matches_oracle(spark, sf_medium, name):
 
 def test_lifted_queries_are_no_longer_rows_only():
     """The r12 conversions must actually carry oracles (rows-only count
-    12 -> 9), and no query regressed to rows-only."""
+    12 -> 8), and no query regressed to rows-only."""
     rows_only = {n for n, q in _REGISTRY.items() if q.oracle is None}
     assert not rows_only & set(ROUND12_LIFTED)
-    assert len(rows_only) == 9, sorted(rows_only)
+    assert len(rows_only) == 8, sorted(rows_only)
 
 
 def test_bpe_train_merges_full_16_rounds(spark, sf_medium):

@@ -559,3 +559,37 @@ def test_pca_power_iteration_matches_numpy_top_direction(spark, sf_medium):
     lam_top = w[-1]
     lam_learned = (want @ got) ** 2 / ((want @ want) * (got @ got)) * lam_top
     assert lam_learned >= 0.995 * lam_top, (lam_learned, lam_top)
+
+
+def test_lshx_exact_recall_and_determinism(spark, sf_medium):
+    """The r12 exact-oracled LSH top-k (integer Rademacher planes): its
+    recall vs brute force must clear the same floor as the float-plane
+    variant, its cosines must be true exact cosines, and a repeated run
+    must return the IDENTICAL result set (the determinism that makes it
+    oracle-able — the float-plane kernel only promises recall)."""
+    emb = io_mod.load_table(spark, sf_medium, "embeddings")
+    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    a1 = similarity.lsh_bucket_topk_exact(emb)
+    got1 = {(r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in a1.collect()}
+    got2 = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in similarity.lsh_bucket_topk_exact(emb).collect()
+    }
+    assert got1 == got2
+    n_exact = exact.count()
+    approx = a1.select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = hits / n_exact
+    assert recall >= 0.5, f"exact-LSH recall {recall:.2f} below floor"
+    # scores are true cosines (bucketing changes candidates, not scores)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    joined = (
+        a1.join(e.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("emb", "qe")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("emb", "ce")
+    )
+    recomputed = joined.withColumn(
+        "cos2", similarity.cosine_sim(F.col("qe"), F.col("ce"))
+    )
+    assert recomputed.filter(F.col("cosine") != F.col("cos2")).count() == 0
