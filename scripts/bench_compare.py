@@ -95,8 +95,13 @@ def main() -> None:
     # VERDICT r11 #8: a normalized regression past 1.35x in the NEW
     # record without a structured A/B entry is exactly the class that
     # shipped un-adjudicated in r11 — make it impossible to miss.
+    # Scanned over ALL shared queries, NOT the threshold-filtered
+    # `moved` list: a custom display threshold above 1.35 must not
+    # silence the adjudication guard (r12 review finding).
     unadj = [
-        (r, n) for r, n in moved if r > 1.35 and n not in ab
+        (b[n] / a[n], n)
+        for n in both
+        if a[n] > 0 and b[n] / a[n] > 1.35 and n not in ab
     ]
     for r, n in sorted(unadj, reverse=True):
         print(

@@ -614,11 +614,15 @@ LSHX_SIGNS = _lshx_signs()
 
 
 def lshx_sign_sum(t: int, p: int, elem_fmt: str, dim: int = 64) -> str:
-    """Engine-neutral generated expression for the (t, p) sign sum:
-    ``0 + q[1] - q[2] + ...`` — elem_fmt supplies the element accessor
-    (Spark ``element_at(qv, {i})`` / DuckDB ``qv[{i}]``). Shared by the
-    Spark plan and the oracle so both consume the identical literal
-    matrix in the identical textual order (the jl/anova discipline)."""
+    """Generated expression for the (t, p) sign sum:
+    ``0 + q[1] - q[2] + ...`` — elem_fmt supplies the element accessor.
+    Consumed by the DuckDB ORACLE only: the Spark plan computes the
+    same sums in lsh_bucket_topk_exact's vectorized int64 Arrow matmul
+    (an unrolled-SQL Spark path was abandoned — the self-joined 4k-node
+    tree OOM'd a vanilla 1 GB driver at codegen). The cross-engine
+    invariant is NOT shared text; it is that both sides consume the
+    same LSHX_SIGNS literal matrix and that int64 addition is
+    associative, so any summation order yields the identical sums."""
     return "0" + "".join(
         (" + " if LSHX_SIGNS[t][p][i] > 0 else " - ")
         + elem_fmt.format(i=i + 1)

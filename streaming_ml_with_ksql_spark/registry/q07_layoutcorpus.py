@@ -306,7 +306,7 @@ def _hll_partition_merge_oracle() -> str:
              md5(CAST(user_id AS VARCHAR) || '|'
                  || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
                AS hx
-      FROM events WHERE user_id IS NOT NULL),
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     b AS (
       SELECT event_type, day,
              CAST((strpos('0123456789abcdef', hx[1:1]) - 1) * 16
@@ -357,7 +357,8 @@ def _hll_partition_merge_oracle() -> str:
              count(DISTINCT user_id || '|'
                    || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR))
                AS exact_ud
-      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1)
     SELECT sm.event_type,
            CAST(({_HLL_ALPHA_M2_C}::BIGINT * (1::BIGINT << 40)) // sm.sdenom
                 AS DOUBLE) AS merged_centi_user_days_d,
@@ -389,19 +390,29 @@ def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge state |types| x 256, regardless of corpus size."""
     from ..operators.topk import hll_hash_cols
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # ts filtered alongside user_id on BOTH sides: Spark's concat_ws
+    # skips NULLs where the oracle's || propagates them — a NULL ts
+    # would otherwise hash on one engine and vanish on the other
+    # (r12 review finding; no NULL ts exists in current testdata).
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     key = F.concat_ws(
         "|",
         F.col("user_id").cast("string"),
         F.date_trunc("day", "ts").cast("date").cast("string"),
     )
     bucket, rho = hll_hash_cols(key)
+    # materialized: v feeds BOTH register paths (regs_day and direct) —
+    # without the checkpoint the md5/rho scan executes twice (the r7
+    # frames-read-twice discipline; at 100x the duplicated hash scan is
+    # this query's dominant cost).
     v = ev.select(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("day"),
         bucket.alias("bucket"),
         rho.alias("rho"),
-    )
+    ).localCheckpoint(eager=True)
     regs_day = v.groupBy("event_type", "day", "bucket").agg(
         F.least(F.max("rho").cast("long"), F.lit(40)).alias("reg")
     )

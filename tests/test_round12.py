@@ -70,3 +70,46 @@ def test_coverage_ledger_not_stale():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_hll_alpha_constant_pinned_across_modules():
+    """q07 restates q17's alpha*m^2 centi-literal (a module-level import
+    would reorder registration) — this pin is what keeps the two HLL
+    families on one estimator scale if either is ever recalibrated
+    (r12 review finding)."""
+    from streaming_ml_with_ksql_spark.registry import q07_layoutcorpus, q17_round11
+
+    assert (
+        q07_layoutcorpus._HLL_ALPHA_M2_C == q17_round11._HLL_ALPHA_M2_C
+    )
+
+
+def test_bench_compare_warning_ignores_display_threshold(tmp_path):
+    """The 1.35x adjudication guard must fire even when the caller
+    passes a LOOSER display threshold (r12 review finding: the guard
+    formerly scanned the threshold-filtered list)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import bench
+
+    old = {
+        "queries": {"q_slow": 1.0},
+        "calib_sec": bench.CALIB_REF,
+        "calib_py_sec": bench.CALIB_PY_REF,
+        "calib_codec_sec": bench.CALIB_CODEC_REF,
+        "calib_protocol": bench.CALIB_PROTOCOL,
+    }
+    new = dict(old, queries={"q_slow": 1.4})
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(_json.dumps(old))
+    b.write_text(_json.dumps(new))
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_compare.py", str(a), str(b), "2.0"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "WARNING" in r.stdout and "q_slow" in r.stdout, r.stdout
