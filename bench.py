@@ -206,6 +206,10 @@ CALIB_PY_REF = 0.528
 # host drift this axis now measures).
 CALIB_CODEC_REF = 0.827
 CALIB_PROTOCOL = "median3"
+# Per-QUERY timing protocol (r12): 'min2' = min of two timed runs after
+# one warm run. r4-r11 records are 'single' (one timed run) — equal on
+# quiet hosts, biased high under the documented transient stalls.
+QUERY_PROTOCOL = "min2"
 
 # The driver captures ~2 KB of stdout; leave headroom so the record can
 # never ship truncated/unparseable again (VERDICT r5 #8).
@@ -231,6 +235,10 @@ AB: dict[str, float] = {
     "multimodal_mixed_container_sample": 0.73,
     "mmr_diverse_retrieval": 0.87,
     "fifo_lot_allocation": 0.86,
+    # pre-adjudicated for BENCH_r12: gif read 2-4x its r11 record in
+    # every r12 preview while BOTH checkouts spot-measure ~1.2-1.4 s
+    # today (r11's host-day recorded 0.60) — host, not code.
+    "multimodal_gif_decode": 1.15,
 }
 
 
@@ -366,6 +374,7 @@ def build_line(
         "calib_py_sec": calib_py,
         "calib_codec_sec": calib_codec,
         "calib_protocol": CALIB_PROTOCOL,
+        "query_protocol": QUERY_PROTOCOL,
         "value_norm_jvm": round(norm_jvm, 2),
         "value_norm_py": round(norm_py, 2),
         "value_norm_codec": round(norm_codec, 2),
@@ -401,13 +410,23 @@ def main() -> None:
 
     # Steady-state measurement: run each query once un-timed (whole-stage
     # codegen JIT + parquet footer reads are one-time costs a long-running
-    # engine amortizes), then time the second run.
+    # engine amortizes), then take the MIN of two timed runs (r12,
+    # QUERY_PROTOCOL 'min2'): this host's documented transient stalls
+    # concentrate on the longest queries and poisoned one reading per
+    # record in r10-r12 previews — a stall now has to hit BOTH timed
+    # runs to ship. min (timeit's estimator) reads the repeatable cost;
+    # records carry the protocol so bench_compare can flag cross-
+    # protocol ratios (single-shot reads ~equal on quiet hosts, higher
+    # under stalls).
     timings: dict[str, float] = {}
     for name in names:
         _run(qs[name](spark, sf_dir))
-        t0 = time.perf_counter()
-        _run(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run(qs[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
 
     _print_ab_note()
     print(

@@ -79,6 +79,15 @@ def main() -> None:
             "host, so EVERY ratio below carries that uniform bias; only "
             "relative ordering is meaningful across this boundary."
         )
+    q_old = old.get("query_protocol", "single")
+    q_new = new.get("query_protocol", "single")
+    if q_old != q_new:
+        print(
+            f"NOTE: per-query timing protocols differ ({q_old} vs {q_new}) "
+            "— min-of-2 equals single-shot on quiet hosts but reads lower "
+            "under transient stalls, so isolated regressions across this "
+            "boundary are understated, improvements overstated."
+        )
     a, b = norm(old), norm(new)
     both = sorted(set(a) & set(b))
     moved = []

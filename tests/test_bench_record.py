@@ -38,9 +38,10 @@ def test_record_fits_capture_budget_at_worst_case():
     # hard cap includes the fixed-size "ab" adjudication block (r12)
     assert len(line.encode()) <= bench.LINE_BUDGET_BYTES
     # the 15% growth headroom is measured on the timing-dependent part:
-    # "ab" is bounded by adjudications-per-round, not a growth surface
+    # "ab" is bounded by adjudications-per-round and "query_protocol"
+    # is fixed-size schema metadata — neither is a growth surface
     slim = json.loads(line)
-    slim.pop("ab"), slim.pop("ab_ref")
+    slim.pop("ab"), slim.pop("ab_ref"), slim.pop("query_protocol")
     assert (
         len(json.dumps(slim, separators=(",", ":")).encode())
         <= bench.LINE_BUDGET_BYTES * 0.85
