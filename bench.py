@@ -107,12 +107,14 @@ HEADLINE = [
     "fifo_lot_allocation",
     "hits_customer_part",
     "multimodal_mulaw_transcode",
-    # round-8: the two archive-ingestion wires (codec axis) and the
-    # zone-map pruning audit; product_profit/keyword_bm25/zorder_layout/
+    # round-8: the archive-ingestion wire (codec axis) and the zone-map
+    # pruning audit; product_profit/keyword_bm25/zorder_layout/
     # dedup_components_star yielded bytes (TPC-H keeps two reps, rrf
-    # composes BM25, image/embedding dedup groups carry components)
+    # composes BM25, image/embedding dedup groups carry components).
+    # r13: zip_archive_roundtrip yielded its bytes too (0.58 s; the
+    # container-walk codec signal rides warc_gz + the mixed-container
+    # sample) to fund the shuffle calibration axis fields.
     "warc_gz_source_roundtrip",
-    "zip_archive_roundtrip",
     "zonemap_prune_stats",
     # round-9: the binary-quantized ANN serve stage (rides the flipped
     # probe-broadcast orientation; embedding_topk_bruteforce keeps the
@@ -120,8 +122,9 @@ HEADLINE = [
     # the same signal — line budget keeps it out of the headline).
     # ksql_generated_traffic yielded its bytes (cheapest entry, 0.42 s;
     # the md5-walk generator kernel signal rides synthetic oracles and
-    # corpus_curation's Python stages).
-    "binary_hamming_topk",
+    # corpus_curation's Python stages). r13: binary_hamming_topk yielded
+    # its bytes (0.69 s; the probe-broadcast ANN serve signal rides
+    # embedding_topk_bruteforce) to fund the shuffle axis fields.
     # round-10: the PRF retrieval round-trip (two BM25 passes + feedback
     # term mining over the shared checkpointed token scan) and ordered
     # sequential-pattern support (three user-keyed min-chains) — the
@@ -168,6 +171,28 @@ PY_AXIS = frozenset(
     }
 )
 
+# Fourth axis (VERDICT r12 #3): heavy MULTI-STAGE-SHUFFLE queries. r12
+# recorded both small-workload calibs dropping 1.36x while code-unchanged
+# heavy queries stayed flat — the scan-agg microbench no longer tracked
+# heavy-query host behavior, inverting the normalized totals (norm_jvm
+# 87 -> 117 on a round that got FASTER raw). These queries are dominated
+# by chains of exchanges + per-job scheduling overhead (streaming
+# micro-batch replays, banded-LSH joins, iterative fixpoints, composite
+# pipelines), so they normalize by a calibration workload with that
+# character (_calibrate_shuffle: two shuffles + a join over 1.5M rows).
+SHUFFLE_AXIS = frozenset(
+    {
+        "streaming_hopping_window",
+        "streaming_late_data_policy",
+        "image_dedup_groups",
+        "doc_quality_score",
+        "enriched_window_join",
+        "hits_customer_part",
+        "fifo_lot_allocation",
+        "kmeans_embedding_clusters",
+    }
+)
+
 # Third axis (VERDICT r7 #1): CODEC queries — pure-Python byte-walking
 # (struct parsing, zlib, marker scans) inside Arrow kernels. r7 measured
 # these drifting up to 4.1x while calib_py (md5-hashing kernel) moved
@@ -181,7 +206,6 @@ CODEC_AXIS = frozenset(
         "multimodal_jpeg_decode",
         "multimodal_mulaw_transcode",
         "warc_gz_source_roundtrip",
-        "zip_archive_roundtrip",
     }
 )
 
@@ -205,6 +229,12 @@ CALIB_PY_REF = 0.528
 # trio identically on this host, so r7's 2-4x codec 'regressions' were
 # host drift this axis now measures).
 CALIB_CODEC_REF = 0.827
+# CALIB_SHUFFLE_REF: the multi-stage-shuffle axis was introduced in r13
+# (VERDICT r12 #3), so the r13 build host is its first reference point
+# (measured median-of-3 at introduction, same ritual as the codec axis
+# at r8). Records before r13 carry no calib_shuffle_sec;
+# scripts/bench_compare.py falls back to the JVM axis for them.
+CALIB_SHUFFLE_REF = 1.035
 CALIB_PROTOCOL = "median3"
 # Per-QUERY timing protocol (r12): 'min2' = min of two timed runs after
 # one warm run. r4-r11 records are 'single' (one timed run) — equal on
@@ -342,12 +372,46 @@ def _calibrate_codec(spark) -> float:
     return _median3(_work)
 
 
+def _calibrate_shuffle(spark) -> float:
+    """Shuffle axis (VERDICT r12 #3): a fixed MULTI-STAGE workload — a
+    keyed aggregate, a join against it, and a re-keyed second aggregate
+    over 1.5M rows — i.e. chained exchanges plus several scheduled
+    stages, the character of the heavy SHUFFLE_AXIS queries that the
+    scan-agg microbench stopped tracking in r12 (both small calibs fell
+    1.36x while code-unchanged heavy queries stayed flat)."""
+    from pyspark.sql import functions as F
+
+    def _work() -> None:
+        a = spark.range(1_500_000).select(
+            (F.col("id") % 10007).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        b = a.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        (
+            a.join(b, "k")
+            .groupBy((F.col("v") % 97).alias("k2"))
+            .agg(
+                F.sum(F.col("v") + F.col("s")).alias("t"),
+                F.max("c").alias("m"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _median3(_work)
+
+
 def build_line(
     timings: dict[str, float],
     sf: float | None,
     calib: float,
     calib_py: float,
     calib_codec: float,
+    calib_shuffle: float,
+    spread: dict[str, list[float]] | None = None,
 ) -> str:
     """Assemble + self-check the one-line record. Raises if the line
     fails to round-trip or exceeds the driver's capture budget — a
@@ -355,14 +419,20 @@ def build_line(
     jvm_scale = CALIB_REF / calib if calib > 0 else 1.0
     py_scale = CALIB_PY_REF / calib_py if calib_py > 0 else 1.0
     codec_scale = CALIB_CODEC_REF / calib_codec if calib_codec > 0 else 1.0
+    shuf_scale = (
+        CALIB_SHUFFLE_REF / calib_shuffle if calib_shuffle > 0 else 1.0
+    )
     norm_jvm = sum(
         t * jvm_scale
         for n, t in timings.items()
-        if n not in PY_AXIS and n not in CODEC_AXIS
+        if n not in PY_AXIS and n not in CODEC_AXIS and n not in SHUFFLE_AXIS
     )
     norm_py = sum(t * py_scale for n, t in timings.items() if n in PY_AXIS)
     norm_codec = sum(
         t * codec_scale for n, t in timings.items() if n in CODEC_AXIS
+    )
+    norm_shuffle = sum(
+        t * shuf_scale for n, t in timings.items() if n in SHUFFLE_AXIS
     )
     payload = {
         "metric": "headline_queries_total",
@@ -373,14 +443,47 @@ def build_line(
         "calib_sec": calib,
         "calib_py_sec": calib_py,
         "calib_codec_sec": calib_codec,
+        "calib_shuffle_sec": calib_shuffle,
         "calib_protocol": CALIB_PROTOCOL,
         "query_protocol": QUERY_PROTOCOL,
         "value_norm_jvm": round(norm_jvm, 2),
         "value_norm_py": round(norm_py, 2),
         "value_norm_codec": round(norm_codec, 2),
+        "value_norm_shuffle": round(norm_shuffle, 2),
         "ab": AB,
         "ab_ref": AB_REF,
     }
+    # Intra-pair variance exposure (VERDICT r12 #2): both min2 samples,
+    # but ONLY for queries whose pair disagrees >1.25x (a stall
+    # signature) — worst 6. The block is diagnostics, so it is
+    # BUDGET-AWARE: entries are added worst-first only while the full
+    # line still fits the capture budget (a pathological host must
+    # never make the record itself unparseable).
+    if spread:
+        flagged = sorted(
+            (
+                (hi / lo, n, [round(lo, 2), round(hi, 2)])
+                for n, (lo, hi) in (
+                    (n, (min(s), max(s))) for n, s in spread.items()
+                )
+                if lo > 0 and hi / lo > 1.25
+            ),
+            reverse=True,
+        )[:6]
+        kept: dict[str, list[float]] = {}
+        for _, n, pair in flagged:
+            kept[n] = pair
+            payload["spread"] = kept
+            if (
+                len(
+                    json.dumps(payload, separators=(",", ":")).encode()
+                )
+                > LINE_BUDGET_BYTES
+            ):
+                del kept[n]
+                break
+        if not kept:
+            payload.pop("spread", None)
     line = json.dumps(payload, separators=(",", ":"))
     parsed = json.loads(line)
     # Explicit raises, not asserts: python -O strips asserts, and an
@@ -397,6 +500,18 @@ def build_line(
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _drop_memory_sinks(spark) -> None:
+    """Release completed streaming memory-sink tables between timed runs
+    (VERDICT r12 #2's min2 x memory-sink hypothesis): every
+    run_to_memory call registers a fresh accumulating ``reg_stream_*``
+    temp view, so without this the SECOND timed run of every streaming
+    query executes under strictly more driver-memory pressure than the
+    first and min() cannot cancel it."""
+    for t in spark.catalog.listTables():
+        if t.name.startswith("reg_stream_") and t.isTemporary:
+            spark.catalog.dropTempView(t.name)
 
 
 def main() -> None:
@@ -419,14 +534,18 @@ def main() -> None:
     # protocol ratios (single-shot reads ~equal on quiet hosts, higher
     # under stalls).
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
         _run(qs[name](spark, sf_dir))
+        _drop_memory_sinks(spark)
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            _drop_memory_sinks(spark)
         timings[name] = round(min(samples), 3)
+        spread[name] = samples
 
     _print_ab_note()
     print(
@@ -436,6 +555,8 @@ def main() -> None:
             _calibrate(spark),
             _calibrate_python(spark),
             _calibrate_codec(spark),
+            _calibrate_shuffle(spark),
+            spread=spread,
         )
     )
     spark.stop()

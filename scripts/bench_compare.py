@@ -26,8 +26,10 @@ from bench import (  # noqa: E402
     CALIB_CODEC_REF,
     CALIB_PY_REF,
     CALIB_REF,
+    CALIB_SHUFFLE_REF,
     CODEC_AXIS,
     PY_AXIS,
+    SHUFFLE_AXIS,
 )
 
 
@@ -45,6 +47,8 @@ def load(path: str) -> dict:
 def _axis(name: str) -> str:
     if name in CODEC_AXIS:
         return "cdc"
+    if name in SHUFFLE_AXIS:
+        return "shf"
     return "py " if name in PY_AXIS else "jvm"
 
 
@@ -53,8 +57,11 @@ def norm(rec: dict) -> dict[str, float]:
     calib_py = rec.get("calib_py_sec") or CALIB_PY_REF
     # records before r8 carry no codec calib: fall back to the Python
     # axis for codec queries (the pre-r8 normalization), keeping old
-    # records comparable to themselves.
+    # records comparable to themselves. Likewise records before r13
+    # carry no shuffle calib: SHUFFLE_AXIS queries fall back to the JVM
+    # axis there (their pre-r13 normalization).
     calib_codec = rec.get("calib_codec_sec")
+    calib_shuffle = rec.get("calib_shuffle_sec")
     scale = {
         "jvm": CALIB_REF / calib,
         "py ": CALIB_PY_REF / calib_py,
@@ -62,6 +69,11 @@ def norm(rec: dict) -> dict[str, float]:
             CALIB_CODEC_REF / calib_codec
             if calib_codec
             else CALIB_PY_REF / calib_py
+        ),
+        "shf": (
+            CALIB_SHUFFLE_REF / calib_shuffle
+            if calib_shuffle
+            else CALIB_REF / calib
         ),
     }
     return {n: t * scale[_axis(n)] for n, t in rec["queries"].items()}
@@ -117,6 +129,21 @@ def main() -> None:
             f"WARNING: {n} regressed {r:.2f}x normalized with NO 'ab' "
             f"adjudication in the new record — run the CLAUDE.md "
             f"median-of-3 / worktree A/B protocol before recording."
+        )
+    # ADVICE r12 #3: an 'ab' entry must not become a permanent shield —
+    # if the recorded normalized ratio exceeds the adjudicated code-ratio
+    # by the same 1.35x margin, something NEW regressed since that
+    # adjudication was measured; re-run the A/B.
+    stale = [
+        (b[n] / a[n], n, ab[n])
+        for n in both
+        if a[n] > 0 and n in ab and ab[n] > 0 and b[n] / a[n] > ab[n] * 1.35
+    ]
+    for r, n, adj in sorted(stale, reverse=True):
+        print(
+            f"WARNING: {n} reads {r:.2f}x normalized but its 'ab' entry "
+            f"adjudicated only {adj}x — the adjudication is STALE for "
+            f"this reading; re-run the A/B before trusting it."
         )
     if not moved:
         print(f"no per-axis normalized movement beyond {threshold}x "

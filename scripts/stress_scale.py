@@ -242,6 +242,10 @@ QUERIES = [
     "hll_partition_merge",
     "embedding_pca_project",
     "embedding_topk_lsh",
+    # round-13: the deterministic-integer IVF/PQ/IVF-PQ exact lifts
+    "embedding_topk_ivf",
+    "embedding_topk_pq",
+    "embedding_topk_ivfpq",
 ]
 
 

@@ -612,6 +612,19 @@ def _lshx_signs(
 
 LSHX_SIGNS = _lshx_signs()
 
+# Shared hyperparameters for the EXACT sign-LSH query: the Spark path
+# (lsh_bucket_topk_exact) and the DuckDB oracle generator
+# (registry/q02_textdedup._lshx_topk_oracle) both default from THIS dict
+# (ADVICE r12 #2 — a default changed on one side only surfaced as a
+# driver hash mismatch far from the cause; now it cannot drift).
+LSHX_PARAMS = {
+    "n_queries": 20,
+    "k": 5,
+    "n_tables": 8,
+    "n_planes": 8,
+    "dim": 64,
+}
+
 
 def lshx_sign_sum(t: int, p: int, elem_fmt: str, dim: int = 64) -> str:
     """Generated expression for the (t, p) sign sum:
@@ -633,12 +646,12 @@ def lshx_sign_sum(t: int, p: int, elem_fmt: str, dim: int = 64) -> str:
 def lsh_bucket_topk_exact(
     embeddings: DataFrame,
     *,
-    n_queries: int = 20,
-    k: int = 5,
-    n_tables: int = 8,
-    n_planes: int = 8,
+    n_queries: int = LSHX_PARAMS["n_queries"],
+    k: int = LSHX_PARAMS["k"],
+    n_tables: int = LSHX_PARAMS["n_tables"],
+    n_planes: int = LSHX_PARAMS["n_planes"],
     multiprobe: bool = True,
-    dim: int = 64,
+    dim: int = LSHX_PARAMS["dim"],
 ) -> DataFrame:
     """Sign-LSH ANN with an EXACTLY reproducible candidate set: buckets
     come from integer +-sums of milli-quantized coordinates against the
@@ -654,7 +667,15 @@ def lsh_bucket_topk_exact(
     Scale shape: candidate generation is one equi-join on
     (table_id, bucket) — no CartesianProduct; per-query candidate count
     ~ L · probes · corpus/2^P, tuned by (n_tables, n_planes)."""
-    emb = _as_double(embeddings).select("vec_id", "embedding")
+    # NULL/ragged hygiene (ADVICE r12 #1): np.vstack in _buckets crashes
+    # on a NULL or ragged row while the oracle's list lambdas silently
+    # NULL — filter identically on both sides (oracle twin: the emb CTE's
+    # IS NOT NULL / len() predicate in _lshx_topk_oracle).
+    emb = (
+        _as_double(embeddings)
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+    )
     # Exact integer buckets via ONE Arrow matmul, not unrolled SQL sums:
     # integer addition is associative, so numpy's int64 (q @ signs.T) is
     # bit-identical to the oracle's left-to-right +-term sums — unlike

@@ -32,6 +32,7 @@ from ..ml import features as ml_features
 from ..ml import predict as ml_predict
 from ..ksql import runbook
 from ..operators import (
+    annx,
     bloom,
     bpe,
     bucketing,

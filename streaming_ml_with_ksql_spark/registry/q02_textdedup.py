@@ -634,10 +634,11 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lshx_topk_oracle(
-    n_queries: int = 20,
-    k: int = 5,
-    n_tables: int = 8,
-    n_planes: int = 8,
+    n_queries: int = similarity.LSHX_PARAMS["n_queries"],
+    k: int = similarity.LSHX_PARAMS["k"],
+    n_tables: int = similarity.LSHX_PARAMS["n_tables"],
+    n_planes: int = similarity.LSHX_PARAMS["n_planes"],
+    dim: int = similarity.LSHX_PARAMS["dim"],
 ) -> str:
     """DuckDB twin of lsh_bucket_topk_exact: the SAME generated +-sum
     sign expressions over milli-quantized ints (shared literal matrix,
@@ -674,7 +675,8 @@ def _lshx_topk_oracle(
         for t in range(n_tables)
     )
     return f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
     qv AS MATERIALIZED (
       SELECT vec_id, e,
              list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv

@@ -92,14 +92,16 @@ def _append_stamped(df: DataFrame, d: str, stamp: float) -> None:
 
 def _replay_events_with_late(spark: SparkSession, sf_dir: str):
     """Replay events with the planted-late sliver arriving after everything
-    else. Delivery order (1 file per trigger): 3 time-range shards of the
-    on-time bulk, then two single-row "heartbeat" files carrying the two
-    newest on-time events, then the late file. The heartbeats matter:
-    Spark filters late input with the watermark as of the PREVIOUS batch's
+    else. Delivery order (2 files per trigger since r13 — see the batching
+    note below): [2 time-range shards of the on-time bulk], [two
+    single-row "heartbeat" files carrying the two newest on-time events],
+    [the late file, alone]. The trailing-batch spacing matters: Spark
+    filters late input with the watermark as of the PREVIOUS batch's
     start (SPARK-24634 two-watermark semantics — data through batch N−2),
-    so the late batch must arrive two batches after the watermark-raising
-    data for the drop policy to apply in full. Memoized per sf_dir like
-    _replay_events."""
+    so the late batch must arrive two batches after watermark-raising
+    data for the drop policy to apply in full — here the bulk batch
+    itself is that raiser (its max ts beats every late window end by the
+    1-day plant margin). Memoized per sf_dir like _replay_events."""
     d = _REPLAY_LATE_DIRS.get(sf_dir)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="sgraft_replay_late_")
@@ -115,20 +117,32 @@ def _replay_events_with_late(spark: SparkSession, sf_dir: str):
             .limit(2)
             .collect()
         ]
-        # Replay-batching pin (r11, VERDICT r10 #6): collapsing the
-        # three bulk shards to one (6 -> 4 micro-batches) keeps the
-        # oracle green at sf0.001/0.01 — the append-mode emission set
-        # depends only on the final watermark — but a same-host
-        # median-of-3 A/B at sf0.1 measured NO win (1-shard 11.65 s vs
-        # 3-shard 10.78 s, per-run spread 8.9-11.7 s in both configs):
-        # the bulk micro-batches are DATA-dominated at bench scale, so
-        # the per-trigger fixed overhead the merge removes is noise.
-        # The 3-shard shape is kept — the cost is the semantics
-        # (stateful replay of a genuinely multi-batch arrival).
+        # Replay batching (VERDICT r12 #6, superseding the r11 3-shard
+        # pin): 2 bulk shards + 2 files/trigger turns the 6-file/6-batch
+        # replay into 5 files / 3 micro-batches — [b1,b2], [h1,h2],
+        # [late] — HALVING the job count while provably preserving both
+        # halves of the oracle-checked semantics:
+        #   emission set — append mode emits exactly the windows whose
+        #   end the FINAL watermark (max on-time ts − delay, carried by
+        #   the heartbeats) passes, regardless of how earlier data was
+        #   batched (the same argument as _replay_events' 2-file
+        #   batching);
+        #   drop set — the odd file count pins the late file ALONE in
+        #   the last batch, whose filter watermark (SPARK-24634: state
+        #   as of the previous batch's start, i.e. data through the
+        #   bulk batch) is bulk-max-ts − 2 min, exceeding every planted
+        #   late window end by ≥ the 1-day plant margin − window −
+        #   delay. The heartbeats may now share a trigger: they are
+        #   on-time rows whose only job is raising the FINAL watermark,
+        #   which no batching changes.
+        # r11's A/B (bulk 3→1 shard at 1 file/trigger, 6→4 batches)
+        # measured no wall-time win — the change is kept for the job
+        # count (3 fewer stateful micro-batches, each a state-store
+        # commit at any scale), with the r13 A/B recorded in SURVEY §8.
         stream_source.shard_table_to_dir(
             on_time.filter(~F.col("event_id").isin(tail_ids)),
             d,
-            num_shards=3,
+            num_shards=2,
             order_col="ts",
         )
         stamp = time.time() + 3600  # strictly newer than every bulk shard
@@ -137,7 +151,7 @@ def _replay_events_with_late(spark: SparkSession, sf_dir: str):
         _append_stamped(ev.filter(late), d, stamp + len(tail_ids))
         _REPLAY_LATE_DIRS[sf_dir] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return stream_source.stream_parquet_dir(spark, d, max_files_per_trigger=1)
+    return stream_source.stream_parquet_dir(spark, d, max_files_per_trigger=2)
 
 
 # ADVICE r4: the oracle derives from _HOPPING_ORACLE by substituting its

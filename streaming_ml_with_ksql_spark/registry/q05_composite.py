@@ -557,32 +557,38 @@ def q_near_dup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("embedding_topk_ivf", None)  # approximate: rows-only check
+@register("embedding_topk_ivf", annx.ivfx_oracle())
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans cells + n_probe nearest-cell search). No SQL oracle
-    — approximate by design; recall vs brute force pinned in
-    tests/test_similarity.py."""
-    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+    """IVF ANN, EXACT end to end since r13 (VERDICT r12 #5 — the
+    sign-LSH recipe extended to the quantizer families): md5-seeded
+    centroids refined by ONE integer Lloyd round over milli-quantized
+    coordinates, int-L2 cell assignment and probing, exact-cosine
+    re-rank. Deterministic approximation -> the driver hash-checks the
+    whole query; recall vs brute force stays pinned in tests/test_annx.py.
+    The tunable float-KMeans build remains public as similarity.ivf_topk
+    (rows-only by nature, recall pinned in tests/test_similarity.py)."""
+    return annx.ivf_topk_exact(_t(spark, sf_dir, "embeddings"))
 
 
-@register("embedding_topk_ivfpq", None)  # approximate: rows-only check
+@register("embedding_topk_ivfpq", annx.ivfpqx_oracle())
 def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ, the classic billion-scale composition: coarse KMeans cells
-    restrict WHICH vectors each query scans, residual product-quantization
-    codes decide how cheaply each is scored (broadcast per-(query,cell)
-    ADC tables, partition-local prune, exact re-rank). Rows-only —
-    approximate by design; recall pinned in tests/test_similarity.py."""
-    return similarity.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+    """IVF-PQ, the classic billion-scale composition — EXACT end to end
+    since r13: IVFX integer cells restrict WHICH vectors each query
+    scans; md5-seeded one-integer-Lloyd-round RESIDUAL codebooks decide
+    how cheaply each is scored (per-(query,cell) integer ADC tables,
+    partition-local shortlists); exact cosine re-ranks. The float-KMeans
+    build remains public as similarity.ivfpq_topk."""
+    return annx.ivfpq_topk_exact(_t(spark, sf_dir, "embeddings"))
 
 
-@register("embedding_topk_pq", None)  # approximate: rows-only check
+@register("embedding_topk_pq", annx.pqx_oracle())
 def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the corpus-COMPRESSING index family:
-    8x16 codebooks shrink 64-double vectors to 8 small ints, queries scan
-    codes via broadcast ADC tables with partition-local pruning, exact
-    cosine re-ranks the shortlist). No SQL oracle — approximate by
-    design; recall vs brute force pinned in tests/test_similarity.py."""
-    return similarity.pq_topk(_t(spark, sf_dir, "embeddings"))
+    8x16 codebooks shrink 64-double vectors to 8 small ints) — EXACT end
+    to end since r13: deterministic integer codebooks, int-L2 encoding,
+    integer ADC scan with per-partition shortlists, exact-cosine re-rank.
+    The float-KMeans build remains public as similarity.pq_topk."""
+    return annx.pq_topk_exact(_t(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -121,13 +121,15 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketches", None)  # sketch values are engine-specific
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms: HyperLogLog distinct counts and quantile sketches
     (single pass, bounded memory, mergeable across partitions — what you
     actually run on a petabyte instead of exact distinct/percentile).
-    Rows-only check here; the error bound vs exact is pinned in
-    tests/test_relational.py."""
+    RETIRED from the registry in r13 (VERDICT r12 #7): it sat rows-only
+    and never-verdicted since r01, superseded by the exact-oracled sketch
+    family (hll_registers_exact / hll_merge / hll_partition_merge,
+    quantile_sketch_events). Kept public: the error bound vs exact is
+    still pinned in tests/test_relational.py."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

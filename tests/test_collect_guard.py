@@ -80,6 +80,22 @@ COLLECT_WHITELIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "embedding_near_dup_pairs_blocked"): (
         "tile-budget-bounded toPandas"
     ),
+    # exact-oracle ANN family (r13): deterministic index training —
+    # every collect is a model artifact bounded by hyperparameters,
+    # never by corpus rows
+    ("operators/annx.py", "_seed_vecs"): "limit(n<=16) md5-ranked seeds",
+    ("operators/annx.py", "_lloyd_round_cells"): (
+        "partitions x IVFX_CELLS Lloyd partial rows"
+    ),
+    ("operators/annx.py", "_pqx_codebooks"): (
+        "partitions x m x ksub Lloyd partial rows"
+    ),
+    ("operators/annx.py", "pq_topk_exact"): (
+        "n_queries(20)-row bounded query frame"
+    ),
+    ("operators/annx.py", "ivfpq_topk_exact"): (
+        "PQX_KSUB seed rows + n_queries(20)-row query frame"
+    ),
 }
 
 

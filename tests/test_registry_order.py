@@ -17,7 +17,10 @@ from streaming_ml_with_ksql_spark import registry
 # their r01/r02 error records (rows returned, CORRECTNESS_r08) and can
 # never produce a hash verdict — their slots went back to exact-oracled
 # queries, so the 50-slot block is fully oracled (VERDICT r8 #4).
-EXPECTED_ROWS_ONLY: set[str] = set()
+# r13: the two by-design rows-only entries are promoted into the block
+# for their first-ever rows verdicts (VERDICT r12 #4 — every registered
+# query must hold a driver verdict at least once).
+EXPECTED_ROWS_ONLY: set[str] = {"multimodal_features", "streaming_ivf_ingest"}
 
 
 def test_priority_block_is_first_50():

@@ -89,9 +89,12 @@ def test_approx_sketches_error_bounds(spark, sf_medium):
     from streaming_ml_with_ksql_spark import io as io_mod
 
     ev = io_mod.load_table(spark, sf_medium, "events")
+    from streaming_ml_with_ksql_spark.registry.q06_sketchseries import (
+        q_approx_sketches,
+    )
+
     approx = {
-        r.event_type: r
-        for r in registry._REGISTRY["approx_sketches"].spark(spark, sf_medium).collect()
+        r.event_type: r for r in q_approx_sketches(spark, sf_medium).collect()
     }
     exact = {
         r.event_type: r

@@ -26,12 +26,28 @@ def test_round12_lifted_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
+# The queries that remain rows-only BY DESIGN (each with a documented
+# reason and a self-check test). Asserted as a NAME set, not a count
+# (ADVICE r12 #4): a new legitimately rows-only registration belongs
+# here with its reason, and an accidental oracle regression names the
+# offending query at the failure site.
+ROWS_ONLY_BY_DESIGN = {
+    "multimodal_decode",  # binary codec outputs; per-codec twins oracled
+    "ksql_runbook_predictions",  # model scores; frozen-prediction self-check
+    "multimodal_features",  # Pandas-UDF feature extraction; rows-only
+    "streaming_ivf_ingest",  # float-KMeans index maintenance; recall test
+}
+
+
 def test_lifted_queries_are_no_longer_rows_only():
-    """The r12 conversions must actually carry oracles (rows-only count
-    12 -> 8), and no query regressed to rows-only."""
+    """Every rows-only registration is one of the documented-by-design
+    set (r12 lifted 4, r13 lifted the IVF/PQ/IVF-PQ trio and retired
+    approx_sketches), and no query regressed to rows-only."""
     rows_only = {n for n, q in _REGISTRY.items() if q.oracle is None}
     assert not rows_only & set(ROUND12_LIFTED)
-    assert len(rows_only) == 8, sorted(rows_only)
+    assert rows_only == ROWS_ONLY_BY_DESIGN, sorted(
+        rows_only ^ ROWS_ONLY_BY_DESIGN
+    )
 
 
 def test_bpe_train_merges_full_16_rounds(spark, sf_medium):
