@@ -231,10 +231,12 @@ CALIB_PY_REF = 0.528
 CALIB_CODEC_REF = 0.827
 # CALIB_SHUFFLE_REF: the multi-stage-shuffle axis was introduced in r13
 # (VERDICT r12 #3), so the r13 build host is its first reference point
-# (measured median-of-3 at introduction, same ritual as the codec axis
-# at r8). Records before r13 carry no calib_shuffle_sec;
+# (median of three median-of-3 measurements at introduction: 1.209 /
+# 1.333 / 1.537 on a session whose JVM axis read 0.754 — i.e. ~2x the
+# r12 record host, which is exactly the drift class this axis exists
+# to normalize). Records before r13 carry no calib_shuffle_sec;
 # scripts/bench_compare.py falls back to the JVM axis for them.
-CALIB_SHUFFLE_REF = 1.035
+CALIB_SHUFFLE_REF = 1.333
 CALIB_PROTOCOL = "median3"
 # Per-QUERY timing protocol (r12): 'min2' = min of two timed runs after
 # one warm run. r4-r11 records are 'single' (one timed run) — equal on
@@ -253,22 +255,29 @@ LINE_BUDGET_BYTES = 1800
 # >1.35x residual that LACKS an entry here. Shipped inside the JSON
 # line as "ab" (counted against LINE_BUDGET_BYTES).
 #
-# r12 adjudications of the three readings VERDICT r11 #1 flagged as
-# recorded-without-adjudication — same-host back-to-back median-of-3,
-# current code vs the r10-close worktree: ALL THREE r11 readings were
-# host drift; the current code is FASTER than r10-close code on the
-# same host on every one (spot medians 2.54/3.34/1.21 s vs r10-code
-# 3.46/3.84/1.41 s). The r11-carried dbscan 1.02x / jpeg 0.67x
-# adjudications (vs 2851a0d) stay recorded in BENCH_r11's notes.
-AB_REF = "5ace09f"  # r10-close commit (the judge-designated baseline)
+# r13 adjudications of the three readings VERDICT r12 #2 graded weak
+# (recorded r11->r12 regressions on code-unchanged queries) —
+# alternating-session pooled medians at sf0.1, current code vs the
+# r11-close (683c0e1) worktree on the same host: ALL THREE were host
+# drift. streaming_hopping_window 0.93x (cur ~5.5 s vs old ~6.0 s;
+# one old-checkout session read 19-22 s — a transient stall poisoning
+# a whole 3-run session, the documented pattern);
+# image_dedup_groups 0.81x (cur ~7.8 s vs old ~9.7 s pooled — today's
+# host reads this class ~1.5x above the r12 record on BOTH checkouts);
+# doc_quality_score 1.05x (cur ~5.6 s vs old ~5.3 s pooled).
+# The min2-x-memory-sink hypothesis (VERDICT r12 #2) tested NEGATIVE:
+# a keep-sinks 4-run session read [4.91, 4.83, 4.70, 4.34] — no
+# within-session growth at 4 accumulated memory tables; the drop
+# between timed runs is kept as bounded-memory hygiene, not as a fix.
+AB_REF = "683c0e1"  # r11-close commit (the judge-designated baseline)
 AB: dict[str, float] = {
-    "multimodal_mixed_container_sample": 0.73,
-    "mmr_diverse_retrieval": 0.87,
-    "fifo_lot_allocation": 0.86,
-    # pre-adjudicated for BENCH_r12: gif read 2-4x its r11 record in
-    # every r12 preview while BOTH checkouts spot-measure ~1.2-1.4 s
-    # today (r11's host-day recorded 0.60) — host, not code.
-    "multimodal_gif_decode": 1.15,
+    "streaming_hopping_window": 0.93,
+    "image_dedup_groups": 0.81,
+    "doc_quality_score": 1.05,
+    # the perennial codec drifter (r12: 2-4x preview readings vs ~equal
+    # both-checkout spots) did it again in the r13 preview: in-bench
+    # 3.68 s vs quiet-host spots cur 1.44 / old 1.54 (ab=0.94x).
+    "multimodal_gif_decode": 0.94,
 }
 
 
