@@ -175,11 +175,21 @@ def _probe_cells(q: np.ndarray, cent: np.ndarray, n_probe: int) -> np.ndarray:
 
 def _rerank_exact(cands: DataFrame, k: int) -> DataFrame:
     """brute_force_topk's scoring tail: rounded cosine over raw doubles,
-    (cosine DESC, neighbor_id ASC) row_number, keep k."""
+    (cosine DESC, neighbor_id ASC) row_number, keep k. When the caller
+    attached per-SIDE norms (``q_norm``/``c_norm`` — computed once per
+    corpus/query row BEFORE the candidate explosion, the
+    _cosine_prenormed discipline: same sqrt(dot(x,x)) expression, so
+    float-identical), the pair stage runs one array fold instead of
+    three."""
+    if "q_norm" in cands.columns and "c_norm" in cands.columns:
+        cosine = similarity._cosine_prenormed(
+            F.col("q_emb"), F.col("c_emb"),
+            F.col("q_norm"), F.col("c_norm"),
+        )
+    else:
+        cosine = cosine_sim(F.col("q_emb"), F.col("c_emb"))
     scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        "query_id", "neighbor_id", cosine.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -253,10 +263,18 @@ def ivf_topk_exact(
     probed = emb.filter(F.col("vec_id") < n_queries).mapInPandas(
         _probe, schema="query_id long, q_emb array<double>, cell int"
     )
+    # Per-side norms BEFORE the candidate explosion: each corpus row is a
+    # candidate for ~n_queries*probe/cells queries, so folding its norm
+    # once here (JVM sqrt(dot(e,e)) — float-identical to cosine_sim's
+    # inner expression) cuts the pair stage to one array fold.
+    corpus = similarity._with_norm(corpus, "c_emb", "c_norm")
+    probed = similarity._with_norm(probed, "q_emb", "q_norm")
     cands = (
         corpus.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select(
+            "query_id", "q_emb", "q_norm", "neighbor_id", "c_emb", "c_norm"
+        )
     )
     return _rerank_exact(cands, k)
 
@@ -355,14 +373,24 @@ def _shortlist_window(shortlist: DataFrame, keep: int) -> DataFrame:
 def _join_embs(
     shortlist: DataFrame, emb: DataFrame, n_queries: int
 ) -> DataFrame:
-    """Attach raw doubles for the exact re-rank: queries by broadcast
-    (bounded), neighbors by equi-join on the corpus."""
-    qe = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).filter(F.col("query_id") < n_queries)
-    ne = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+    """Attach raw doubles (plus per-side norms — the _cosine_prenormed
+    discipline) for the exact re-rank: queries by broadcast (bounded),
+    neighbors by equi-join on the corpus."""
+    qe = similarity._with_norm(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        ).filter(F.col("query_id") < n_queries),
+        "q_emb",
+        "q_norm",
+    )
+    ne = similarity._with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        "c_emb",
+        "c_norm",
     )
     return shortlist.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
 
