@@ -44,12 +44,27 @@ def load(path: str) -> dict:
     raise SystemExit(f"{path}: no usable queries record")
 
 
+# Queries RETIRED from the headline whose historical records were
+# recorded (and must stay comparable) on a non-JVM axis — bench.py's
+# live axis sets are headline subsets, so retirement would otherwise
+# silently reclassify every old record's entry to the JVM axis (r13
+# review: zip_archive_roundtrip is exactly the 2-4x-codec-drift class
+# the codec axis exists for).
+LEGACY_AXES: dict[str, str] = {
+    "zip_archive_roundtrip": "cdc",
+    # binary_hamming_topk (also retired r13) was always JVM-axis — no
+    # override needed.
+}
+
+
 def _axis(name: str) -> str:
     if name in CODEC_AXIS:
         return "cdc"
     if name in SHUFFLE_AXIS:
         return "shf"
-    return "py " if name in PY_AXIS else "jvm"
+    if name in PY_AXIS:
+        return "py "
+    return LEGACY_AXES.get(name, "jvm")
 
 
 def norm(rec: dict) -> dict[str, float]:

@@ -96,12 +96,21 @@ def _quant(x: np.ndarray) -> np.ndarray:
 
 
 def _emb_ok(embeddings: DataFrame) -> DataFrame:
-    """NULL/ragged hygiene on the Spark side, mirrored in the oracles'
-    emb CTE (ADVICE r12 #1: np.vstack crashes on NULL rows while the SQL
-    twin silently NULLs — make both sides filter identically)."""
+    """NULL/ragged/element-poison hygiene on the Spark side, mirrored in
+    the oracles' emb CTE (ADVICE r12 #1 + the r13 review finding: a
+    full-length row with one NULL/NaN ELEMENT passes the row-level
+    checks, then floor(NaN) int-casts to an undefined sentinel in the
+    numpy kernels while DuckDB's list_sum silently skips the NULL —
+    divergent candidate sets far from the cause; both sides drop such
+    rows identically instead)."""
     emb = similarity._as_double(embeddings).select("vec_id", "embedding")
+    poisoned = F.exists(
+        F.col("embedding"), lambda x: x.isNull() | F.isnan(x)
+    )
     return emb.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") == ANNX_DIM)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == ANNX_DIM)
+        & ~poisoned
     )
 
 
@@ -119,6 +128,14 @@ def _seed_vecs(emb: DataFrame, salt: str, n: int) -> np.ndarray:
         .select("embedding")
         .collect()
     )
+    if len(rows) < n:
+        # Fail loudly: with fewer valid rows than seeds the Spark
+        # reshape crashes obscurely while the oracle would degrade to a
+        # smaller codebook — crash-vs-answer divergence (r13 review).
+        raise ValueError(
+            f"annx: corpus has {len(rows)} valid embeddings, "
+            f"need >= {n} for the '{salt}' seed set"
+        )
     return _quant(np.array([r.embedding for r in rows], dtype=np.float64))
 
 
@@ -175,21 +192,23 @@ def _probe_cells(q: np.ndarray, cent: np.ndarray, n_probe: int) -> np.ndarray:
 
 def _rerank_exact(cands: DataFrame, k: int) -> DataFrame:
     """brute_force_topk's scoring tail: rounded cosine over raw doubles,
-    (cosine DESC, neighbor_id ASC) row_number, keep k. When the caller
-    attached per-SIDE norms (``q_norm``/``c_norm`` — computed once per
+    (cosine DESC, neighbor_id ASC) row_number, keep k. Callers MUST
+    attach per-SIDE norms (``q_norm``/``c_norm`` — computed once per
     corpus/query row BEFORE the candidate explosion, the
     _cosine_prenormed discipline: same sqrt(dot(x,x)) expression, so
-    float-identical), the pair stage runs one array fold instead of
-    three."""
-    if "q_norm" in cands.columns and "c_norm" in cands.columns:
-        cosine = similarity._cosine_prenormed(
+    float-identical) — required rather than optional, so a future
+    caller that forgets them fails fast instead of silently paying 3x
+    the array folds (r13 review)."""
+    missing = {"q_norm", "c_norm"} - set(cands.columns)
+    if missing:
+        raise ValueError(f"_rerank_exact: missing prenormed columns {missing}")
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        similarity._cosine_prenormed(
             F.col("q_emb"), F.col("c_emb"),
             F.col("q_norm"), F.col("c_norm"),
-        )
-    else:
-        cosine = cosine_sim(F.col("q_emb"), F.col("c_emb"))
-    scored = cands.select(
-        "query_id", "neighbor_id", cosine.alias("cosine")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -494,6 +513,11 @@ def ivfpq_topk_exact(
         .select("embedding")
         .collect()
     )  # bounded: PQX_KSUB rows
+    if len(seed_rows) < PQX_KSUB:
+        raise ValueError(
+            f"annx: corpus has {len(seed_rows)} valid embeddings, "
+            f"need >= {PQX_KSUB} for the 'ivfpqx' seed set"
+        )
     sq = _quant(np.array([r.embedding for r in seed_rows]))
     sd2 = ((sq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     seeds = sq - cent[sd2.argmin(axis=1)]
@@ -572,7 +596,8 @@ def ivfpq_topk_exact(
 _EMB_OK_CTE = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = {ANNX_DIM}),
+  WHERE embedding IS NOT NULL AND len(embedding) = {ANNX_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 qv AS MATERIALIZED (
   SELECT vec_id, e,
          list_transform(e, x -> CAST(floor(x * {ANNX_QUANT}) AS BIGINT)) AS q

@@ -667,14 +667,22 @@ def lsh_bucket_topk_exact(
     Scale shape: candidate generation is one equi-join on
     (table_id, bucket) — no CartesianProduct; per-query candidate count
     ~ L · probes · corpus/2^P, tuned by (n_tables, n_planes)."""
-    # NULL/ragged hygiene (ADVICE r12 #1): np.vstack in _buckets crashes
-    # on a NULL or ragged row while the oracle's list lambdas silently
-    # NULL — filter identically on both sides (oracle twin: the emb CTE's
-    # IS NOT NULL / len() predicate in _lshx_topk_oracle).
+    # NULL/ragged/element-poison hygiene (ADVICE r12 #1 + r13 review):
+    # np.vstack in _buckets crashes on a NULL or ragged row, and a
+    # full-length row with one NULL/NaN ELEMENT int-casts to an
+    # undefined sentinel in the kernel while the oracle's list lambdas
+    # silently skip it — filter identically on both sides (oracle twin:
+    # the emb CTE's predicates in _lshx_topk_oracle).
     emb = (
         _as_double(embeddings)
         .select("vec_id", "embedding")
-        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == dim)
+            & ~F.exists(
+                F.col("embedding"), lambda x: x.isNull() | F.isnan(x)
+            )
+        )
     )
     # Exact integer buckets via ONE Arrow matmul, not unrolled SQL sums:
     # integer addition is associative, so numpy's int64 (q @ signs.T) is

@@ -90,11 +90,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ENTIRE never-verdicted queue (22 entries after approx_sketches'
     # retirement — VERDICT r12 #7) and spends the remaining slots on
     # definition-changed re-verdicts and the STALEST green verdicts:
-    # ONE keep (the flagship), TWENTY-TWO first verdicts (6 oracled
-    # batch queries, 14 oracled streaming twins, and the 2 rows-only
-    # entries multimodal_features / streaming_ivf_ingest — promoted per
+    # ONE keep (the flagship), TWENTY-TWO first verdicts (the 2
+    # r13-lifted PQ/IVF-PQ exact conversions, 6 oracled batch queries,
+    # 12 oracled streaming twins, and the 2 rows-only entries
+    # multimodal_features / streaming_ivf_ingest — promoted per
     # VERDICT r12 #4 so every registered query has held a verdict at
-    # least once; the r13-lifted IVF/PQ/IVF-PQ trio now verifies EXACT),
+    # least once),
     # THREE changed-definition re-verdicts (embedding_topk_ivf lifted
     # from rows-only to the deterministic-integer exact oracle;
     # embedding_topk_lsh gained the NULL/ragged-row filter on both

@@ -45,21 +45,36 @@ def test_annx_recall_vs_brute_force(spark, sf_medium, fn, floor):
     assert recall >= floor, f"recall {recall:.2f} below {floor}"
 
 
-def test_annx_null_and_ragged_rows_are_filtered(spark, sf_medium):
+@pytest.mark.parametrize(
+    "fn",
+    [annx.ivf_topk_exact, annx.pq_topk_exact],
+    ids=["ivf", "pq"],
+)
+def test_annx_null_and_ragged_rows_are_filtered(spark, sf_medium, fn):
     """A NULL or ragged embedding row must change NOTHING: the Spark
     path filters them (instead of crashing np.vstack) exactly like the
-    oracle's emb CTE drops them (ADVICE r12 #1)."""
+    oracle's emb CTE drops them (ADVICE r12 #1). Covers both kernel
+    shapes: the cell-assign path (ivf; ivfpq shares it) and the
+    encode/ADC-scan path (pq)."""
     emb = io_mod.load_table(spark, sf_medium, "embeddings")
     max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    # row-level poison (NULL row, ragged row) AND element-level poison
+    # (full-length rows with one NULL / one NaN element — the r13
+    # review's silent-divergence class: floor(NaN) int-casts to an
+    # undefined sentinel in the kernels while DuckDB list_sum skips it)
+    nan_row = [0.1] * 63 + [float("nan")]
+    null_elem_row = [0.1] * 63 + [None]
     poison = spark.createDataFrame(
         [
             (max_id + 1, None, 0),
             (max_id + 2, [0.25, -0.125, 0.5], 0),
+            (max_id + 3, nan_row, 0),
+            (max_id + 4, null_elem_row, 0),
         ],
         schema="vec_id long, embedding array<float>, label int",
     )
-    clean = annx.ivf_topk_exact(emb).collect()
-    dirty = annx.ivf_topk_exact(emb.unionByName(poison)).collect()
+    clean = fn(emb).collect()
+    dirty = fn(emb.unionByName(poison)).collect()
     assert sorted(map(tuple, clean)) == sorted(map(tuple, dirty))
 
 
