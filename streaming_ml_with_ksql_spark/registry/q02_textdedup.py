@@ -72,12 +72,17 @@ def _lang_oracle() -> str:
     , scored AS (SELECT doc_id, lang, {cols} FROM toks)
     SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
       CASE
+        WHEN score_de IS NULL THEN NULL
         WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
         WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
         WHEN score_es >= score_fr THEN 'es'
         ELSE 'fr' END AS predicted_lang
     FROM scored
     """
+    # The score_de IS NULL guard: a NULL text row yields NULL scores on
+    # BOTH engines, but an all-NULL comparison chain falls through to
+    # the ELSE branch in SQL ('fr') while Spark's when-chain leaves the
+    # prediction NULL — found by the r13 documents-table poison sweep.
     )
 
 
@@ -107,11 +112,15 @@ sh AS (
     + """
     SELECT doc_id,
       CAST(len(list_distinct(shingles)) AS INT) AS n_distinct_shingles,
-      md5(array_to_string(
+      md5(coalesce(array_to_string(
         list_sort(list_distinct(list_transform(shingles, s -> md5(s))))[1:5],
-        '')) AS fingerprint
+        ''), '')) AS fingerprint
     FROM sh
     """,
+    # coalesce: DuckDB array_to_string([], '') is NULL where Spark's
+    # concat_ws is '' (the CLAUDE.md r9 trap) — a <3-token document
+    # must fingerprint as md5('') on both engines, not NULL vs md5('')
+    # (found by the r13 documents-table poison sweep).
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_t(spark, sf_dir, "documents"))

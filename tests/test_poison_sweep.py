@@ -66,3 +66,61 @@ def test_hardened_query_matches_oracle_on_poisoned_corpus(
     spark, poisoned_sf, name
 ):
     assert_query_matches(spark, name, poisoned_sf)
+
+
+# Text queries with a defined degenerate-input contract, swept against a
+# documents table poisoned with: empty text, whitespace-only text, NULL
+# text, a 1-char doc, mixed-unicode + tab tokens, and a single 5000-char
+# token. The first run of this sweep found two REAL latent divergences
+# (lang_id: an all-NULL score chain fell through SQL's ELSE to 'fr'
+# while Spark's when-chain stayed NULL; doc_fingerprint: DuckDB
+# array_to_string([],'') is NULL where Spark concat_ws is '' — md5
+# diverged NULL vs md5('')) — both fixed at the oracle boundary.
+TEXT_SWEPT = [
+    "text_stats",
+    "lang_id",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "token_budget",
+    "doc_quality_score",
+    "minhash_near_dup_pairs",
+    "dedup_components",
+    "corpus_clean_pipeline",
+    "corpus_chunk_sliding",
+]
+
+
+@pytest.fixture(scope="module")
+def poisoned_docs_sf(sf_medium, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("poison_docs_sf")
+    for t in TABLES:
+        shutil.copy(f"{sf_medium}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(d / "documents.parquet")
+    max_id = pa.compute.max(tbl["doc_id"]).as_py()
+    rows = [
+        (max_id + 1, "", "en", "poison", 0),
+        (max_id + 2, "    ", "en", "poison", 4),
+        (max_id + 3, None, "en", "poison", None),
+        (max_id + 4, "x", "en", "poison", 1),
+        (max_id + 5, "ünïcødé tåken " * 3 + " tab\ttabs", "de", "poison", 60),
+        (max_id + 6, "a" * 5000, "en", "poison", 5000),
+    ]
+    poison = pa.table(
+        {
+            name: pa.array([r[i] for r in rows], type=tbl.schema[i].type)
+            for i, name in enumerate(
+                ("doc_id", "text", "lang", "source", "n_chars")
+            )
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([tbl, poison]), d / "documents.parquet"
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TEXT_SWEPT)
+def test_text_query_matches_oracle_on_poisoned_documents(
+    spark, poisoned_docs_sf, name
+):
+    assert_query_matches(spark, name, poisoned_docs_sf)
