@@ -203,7 +203,15 @@ def zscore_outliers(
     z = 0/0 = NaN, and both Spark and DuckDB order NaN above every
     double, so without the ``__sd > 0`` guard a constant-valued key —
     the least anomalous data possible — would flag every row (ADVICE
-    r5). The guard is mirrored in the DuckDB oracle."""
+    r5). The guard is mirrored in the DuckDB oracle.
+
+    Input-domain contract (r13 events poison sweep): values must fit
+    DECIMAL(18,6) — |value| < 1e12. The width is NOT widenable for
+    free: (18,6)x(18,6) products land at (37,12), the largest square
+    that stays inside Spark's 38-digit cap without precision loss.
+    Out-of-range values RAISE on both engines (Spark ANSI decimal
+    overflow, DuckDB conversion error) — a loud, symmetric failure
+    rather than a silent cross-engine divergence."""
     v = F.col(value_col).cast(_DEC)
     stats = (
         events.groupBy(key_col)

@@ -276,7 +276,13 @@ def quantile_sketch_cells(
     """
     bucket = F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("long")
     return (
-        df.select(*group_cols, bucket.alias("bucket"))
+        # NULL values carry no quantile information and their bucket
+        # (NULL) ORDERS DIFFERENTLY across engines (Spark windows put
+        # NULL first ASC, DuckDB last) — shifting every cumulative count
+        # by the NULL-cell mass (r13 events poison sweep). Drop them at
+        # the sketch boundary, mirrored by the oracle's IS NOT NULL.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

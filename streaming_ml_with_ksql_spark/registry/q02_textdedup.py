@@ -404,11 +404,19 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_props",
+    # json_valid guard (r13 events poison sweep): Spark's
+    # from_json/get_json_object return NULL on malformed JSON, while
+    # DuckDB's json_extract_string RAISES — the guard makes the oracle
+    # degrade to NULL identically.
     """
     SELECT event_id, event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
-             AS k_val,
-           json_extract_string(props, '$.k') AS k_str
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          AS DOUBLE)
+                ELSE NULL END AS k_val,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN json_extract_string(props, '$.k')
+                ELSE NULL END AS k_str
     FROM events
     """,
 )
@@ -417,7 +425,8 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:27 topics are JSON/Avro): the events `props` JSON string
     parsed both ways — strictly typed `from_json` (schema'd struct field)
     and path-style `get_json_object`. k_val is DOUBLE (nullable-integer
-    bridge rule: malformed/missing keys surface as NULL)."""
+    bridge rule: malformed/missing keys surface as NULL — on BOTH
+    engines, see the oracle's json_valid guard)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -206,7 +206,7 @@ _QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
       SELECT event_type, CAST(floor(value / {_QSKETCH_WIDTH}) AS BIGINT)
                AS bucket,
              count(*) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     c AS (
       SELECT event_type, bucket, n,
              sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
@@ -250,10 +250,13 @@ def q_quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_quantile_sketch",
+    # value IS NOT NULL: family-uniform with quantile_sketch_cells
+    # (r13 — NULL values carry no quantile information; see the batch
+    # operator's ordering-divergence note).
     f"""
     SELECT CAST(floor(value / {_QSKETCH_WIDTH}) AS BIGINT) AS bucket,
            count(*) AS n
-    FROM events GROUP BY 1
+    FROM events WHERE value IS NOT NULL GROUP BY 1
     """,
 )
 def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +270,8 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator (quantile_estimates) reads the drained table."""
     stream = _replay_events(spark, sf_dir)
     cells = (
-        stream.select(
+        stream.filter(F.col("value").isNotNull())
+        .select(
             F.floor(F.col("value") / F.lit(_QSKETCH_WIDTH))
             .cast("long")
             .alias("bucket")

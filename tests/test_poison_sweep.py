@@ -124,3 +124,66 @@ def test_text_query_matches_oracle_on_poisoned_documents(
     spark, poisoned_docs_sf, name
 ):
     assert_query_matches(spark, name, poisoned_docs_sf)
+
+
+# Core event queries swept against an events table poisoned with NULL
+# user_id / event_type / value / props, a negative value, a zero value,
+# and a malformed-JSON props string. First run found three more real
+# divergences: quantile_sketch_events (a NULL value's NULL bucket orders
+# FIRST in Spark's cumulative window but LAST in DuckDB's, shifting
+# every cum count — fixed by dropping NULL values at the sketch
+# boundary on both sides), json_extract_props (Spark returns NULL on
+# malformed JSON, DuckDB json_extract_string raises — fixed with a
+# json_valid oracle guard), and value_outliers_zscore's DECIMAL(18,6)
+# input domain (documented: |value| >= 1e12 raises LOUDLY AND
+# SYMMETRICALLY on both engines — (18,6)^2 is the largest square inside
+# Spark's 38-digit cap, so the width is not widenable for free; such a
+# value is therefore NOT planted here).
+EVENTS_SWEPT = [
+    "hopping_window_agg",
+    "tumbling_window_agg",
+    "rolling_counts",
+    "distinct_users",
+    "latest_per_key",
+    "heavy_hitters_users",
+    "user_event_type_diversity",
+    "case_when_indicators",
+    "event_type_week_pivot",
+    "json_extract_props",
+    "quantile_sketch_events",
+    "value_outliers_zscore",
+]
+
+
+@pytest.fixture(scope="module")
+def poisoned_events_sf(sf_medium, tmp_path_factory) -> str:
+    import datetime
+
+    d = tmp_path_factory.mktemp("poison_events_sf")
+    for t in TABLES:
+        shutil.copy(f"{sf_medium}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(d / "events.parquet")
+    max_id = pa.compute.max(tbl["event_id"]).as_py()
+    ts0 = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    rows = [
+        (max_id + 1, ts0, None, "view", 1.5, '{"k":1}'),
+        (max_id + 2, ts0, 7, None, 2.5, '{"k":1}'),
+        (max_id + 3, ts0, 7, "view", None, '{"k":1}'),
+        (max_id + 4, ts0, 7, "view", -3.25, None),
+        (max_id + 5, ts0, 7, "view", 0.0, "not json"),
+    ]
+    poison = pa.table(
+        {
+            n: pa.array([r[i] for r in rows], type=tbl.schema[i].type)
+            for i, n in enumerate(tbl.schema.names)
+        }
+    )
+    pq.write_table(pa.concat_tables([tbl, poison]), d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENTS_SWEPT)
+def test_event_query_matches_oracle_on_poisoned_events(
+    spark, poisoned_events_sf, name
+):
+    assert_query_matches(spark, name, poisoned_events_sf)
