@@ -98,16 +98,13 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sorted(sdf.columns)
-        if name not in oracles:
-            print(f"  {name}: rows-only check, {len(srows)} rows  [no oracle]")
-            continue
-        ddf = con.execute(oracles[name]).fetchdf()
-        dcols = sorted(ddf.columns)
-        ok = True
         # The real driver canonicalizes via pandas sort_values over ALL
-        # columns, which raises "unhashable type: 'list'" on array cells
-        # (round-2: embedding_quantize_int8). Oracled queries must emit
-        # scalars only — stringify arrays on both sides.
+        # columns — INCLUDING rows-only queries — which raises
+        # "unhashable type: 'list'" on array cells (round-2:
+        # embedding_quantize_int8; round-13: multimodal_features banked
+        # an ERR because this guard used to run only on the oracled
+        # path, below the rows-only early-continue — ADVICE r13).
+        # Every registered query must emit scalars only.
         arr_cols = [
             f.name for f in sdf.schema.fields
             if f.dataType.typeName() in ("array", "map", "struct")
@@ -117,7 +114,14 @@ def main() -> int:
                 f"{name}: non-scalar columns {arr_cols} — the driver's "
                 "canonicalizer cannot sort these; stringify them"
             )
-            ok = False
+            print(f"  {name}: {len(srows)} rows  MISMATCH (non-scalar cols)")
+            continue
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(srows)} rows  [no oracle]")
+            continue
+        ddf = con.execute(oracles[name]).fetchdf()
+        dcols = sorted(ddf.columns)
+        ok = True
         if scols != dcols:
             failures.append(f"{name}: columns {scols} != {dcols}")
             ok = False

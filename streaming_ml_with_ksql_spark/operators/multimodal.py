@@ -47,6 +47,7 @@ __all__ = [
     "attach_binary_payload",
     "decode_media",
     "extract_features",
+    "extract_features_csv",
     "sample_frames",
     "resize_meta",
     "synthesize_wav_payload",
@@ -61,6 +62,7 @@ __all__ = [
     "resize_image",
     "DECODED_SCHEMA",
     "FEATURES_SCHEMA",
+    "FEATURES_CSV_SCHEMA",
     "AUDIO_DECODED_SCHEMA",
     "IMAGE_DECODED_SCHEMA",
     "VIDEO_DECODED_SCHEMA",
@@ -231,25 +233,44 @@ def decode_media(with_payload: DataFrame) -> DataFrame:
 
 FEATURES_SCHEMA = "doc_id long, media_type string, features array<double>"
 
+FEATURES_CSV_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, features_csv string"
+)
+
 FEATURE_DIM = 16
+
+_FEATURE_MICRO = 1_000_000
+
+
+def _feature_micros(payload: bytes) -> tuple[int, list[int]]:
+    """The byte-histogram feature in INTEGER MICRO-UNITS:
+    ``count(b % FEATURE_DIM == k) * 1e6 // n_bytes`` per bucket. Integer
+    floor-division is exactly reproducible on every engine (numpy int64
+    here, BIGINT ``//`` in the DuckDB oracle, ``div`` in Spark SQL) —
+    the r13 kernel's ``(hist / n).round(6)`` went through numpy's
+    round-half-EVEN, which matches neither Spark nor DuckDB ``round``
+    on exact halves (the CLAUDE.md round(x, 6) class)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return 0, [0] * FEATURE_DIM
+    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.int64)
+    return len(arr), (hist * _FEATURE_MICRO // len(arr)).tolist()
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Feature-extraction kernel: a real pipeline would run an image/audio
     encoder here; the stub derives a deterministic FEATURE_DIM-dim vector
     from byte histograms so the Arrow plumbing (array<double> output
-    column, batch shape) is real and testable."""
-    import numpy as np
-
+    column, batch shape) is real and testable. Each component is
+    micro-int / 1e6 — ONE correctly-rounded double division, so the
+    vector is bit-identical wherever it is recomputed."""
     for pdf in batches:
         feats = []
         for b in pdf["payload"]:
-            arr = np.frombuffer(bytes(b), dtype=np.uint8)
-            if len(arr) == 0:
-                feats.append([0.0] * FEATURE_DIM)
-                continue
-            hist, _ = np.histogram(arr % FEATURE_DIM, bins=FEATURE_DIM, range=(0, FEATURE_DIM))
-            feats.append((hist / len(arr)).round(6).tolist())
+            _, micros = _feature_micros(bytes(b))
+            feats.append([m / 1e6 for m in micros])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -264,6 +285,36 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     encoder is the stub kernel above). Narrow map — no shuffle; the
     output column is ``array<double>`` ready for the similarity operators."""
     return with_payload.mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
+
+
+def _feature_csv_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n_bytes, csvs = [], []
+        for b in pdf["payload"]:
+            n, micros = _feature_micros(bytes(b))
+            n_bytes.append(n)
+            csvs.append(",".join(str(m) for m in micros))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pd.array(n_bytes, dtype="int64"),
+                "features_csv": csvs,
+            }
+        )
+
+
+def extract_features_csv(with_payload: DataFrame) -> DataFrame:
+    """``extract_features`` with a SCALAR-ONLY output contract: the
+    micro-unit feature vector is serialized to one comma-joined string
+    of 16 integers INSIDE the Arrow kernel (no cross-engine double
+    formatting anywhere). This is the driver-verifiable face of the
+    operator — the grading driver canonicalizes every output (rows-only
+    included) via pandas sort_values, which cannot hash array cells
+    (CORRECTNESS_r13: multimodal_features ERR 'unhashable type: list');
+    CLAUDE.md's scalar-columns rule therefore binds ALL registered
+    queries, and tests/test_round14.py enforces it structurally."""
+    return with_payload.mapInPandas(_feature_csv_batches, schema=FEATURES_CSV_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = (

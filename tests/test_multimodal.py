@@ -784,3 +784,32 @@ def test_dhash_table_memoized_and_invalidated_by_sf_dir(spark, sf_small, sf_medi
     q08._dhash_table(spark, sf_small)
     assert q08._DHASH_DIRS[sf_small] != d1
     assert os.path.isdir(q08._DHASH_DIRS[sf_small])
+
+
+def test_features_csv_face_matches_array_face(spark, sf_small):
+    """r14 (VERDICT r13 #1/#4): extract_features_csv is the scalar,
+    driver-verifiable face of extract_features — same Arrow kernel, the
+    micro-int vector serialized in Python. Reparsing the CSV and
+    dividing by 1e6 must reproduce the array face bit-for-bit, over the
+    MIXED container payloads (PNG/WAV/AVI), so the exact-oracled WAV
+    registration and the array-face operator can never drift apart."""
+    from streaming_ml_with_ksql_spark import io as io_mod
+    from streaming_ml_with_ksql_spark.operators import multimodal
+
+    docs = io_mod.load_table(spark, sf_small, "documents")
+    payload = multimodal.attach_binary_payload(docs)
+    arrays = {
+        r.doc_id: r.features
+        for r in multimodal.extract_features(payload).collect()
+    }
+    csvs = multimodal.extract_features_csv(payload).collect()
+    assert len(csvs) == len(arrays)
+    for r in csvs:
+        reparsed = [int(tok) / 1e6 for tok in r.features_csv.split(",")]
+        assert reparsed == arrays[r.doc_id], r.doc_id
+        assert len(reparsed) == multimodal.FEATURE_DIM
+        # floor-division in micro-units: the INTEGER mass sums to at most
+        # 1e6 (within 16 floor losses); the float restatement may carry
+        # an ulp of accumulation error, so bound the int sum instead
+        micro_sum = sum(int(tok) for tok in r.features_csv.split(","))
+        assert 1_000_000 - 16 <= micro_sum <= 1_000_000

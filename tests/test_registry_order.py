@@ -20,7 +20,11 @@ from streaming_ml_with_ksql_spark import registry
 # r13: the two by-design rows-only entries are promoted into the block
 # for their first-ever rows verdicts (VERDICT r12 #4 — every registered
 # query must hold a driver verdict at least once).
-EXPECTED_ROWS_ONLY: set[str] = {"multimodal_features", "streaming_ivf_ingest"}
+# r14: multimodal_features lifted to an exact oracle (WAV-byte replay,
+# VERDICT r13 #4), and the rotation returned to a fully-oracled block —
+# the three by-design rows-only queries all hold banked rows verdicts
+# (r08/r13), so no slot needs to go to one.
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_priority_block_is_first_50():

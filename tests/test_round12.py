@@ -34,7 +34,6 @@ def test_round12_lifted_query_matches_oracle(spark, sf_medium, name):
 ROWS_ONLY_BY_DESIGN = {
     "multimodal_decode",  # binary codec outputs; per-codec twins oracled
     "ksql_runbook_predictions",  # model scores; frozen-prediction self-check
-    "multimodal_features",  # Pandas-UDF feature extraction; rows-only
     "streaming_ivf_ingest",  # float-KMeans index maintenance; recall test
 }
 
