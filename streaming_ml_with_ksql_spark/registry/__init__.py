@@ -85,85 +85,74 @@ def oracle_sql() -> dict[str, str]:
 # designated representative. tests/test_registry_order.py pins this list.
 # --------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (the eleventh): every round-12 holder banked a
-    # fresh r12 verdict (50/50 exact pass), so the block clears the
-    # ENTIRE never-verdicted queue (22 entries after approx_sketches'
-    # retirement — VERDICT r12 #7) and spends the remaining slots on
-    # definition-changed re-verdicts and the STALEST green verdicts:
-    # ONE keep (the flagship), TWENTY-TWO first verdicts (the 2
-    # r13-lifted PQ/IVF-PQ exact conversions, 6 oracled batch queries,
-    # 12 oracled streaming twins, and the 2 rows-only entries
-    # multimodal_features / streaming_ivf_ingest — promoted per
-    # VERDICT r12 #4 so every registered query has held a verdict at
-    # least once),
-    # THREE changed-definition re-verdicts (embedding_topk_ivf lifted
-    # from rows-only to the deterministic-integer exact oracle;
-    # embedding_topk_lsh gained the NULL/ragged-row filter on both
-    # sides — ADVICE r12 #1; streaming_late_data_policy's replay
-    # re-batched 6 -> 3 micro-batches — VERDICT r12 #6), and
-    # TWENTY-FOUR freshness re-verdicts: the r01-r03-verdict cohort
-    # minus dedup_near_minhash (r03; its family keeps
-    # minhash_signatures + the sweep), ten rounds stale.
-    # Predicted post-round never-verdicted queue: ZERO
-    # (printed mechanically by scripts/coverage_ledger.py — VERDICT
-    # r12 #8). Displaced queries remain fully supported and exactly
-    # oracled in verify_driver's full sweep + pytest sweeps.
+    # Round-14 rotation (the twelfth): r13 delivered 48 exact passes +
+    # streaming_ivf_ingest's by-design rows verdict, leaving ONE red row
+    # — multimodal_features' canonicalizer ERR — and a zero
+    # never-verdicted queue. With the queue empty, the block's marginal
+    # value is freshness (VERDICT r13 #5): ONE keep (the flagship), ONE
+    # changed-definition re-verdict (multimodal_features, lifted from
+    # rows-only to the exact WAV-byte-replay oracle with scalar-only
+    # output — VERDICT r13 #1/#4; its first-ever green verdict), and
+    # FORTY-EIGHT freshness re-verdicts: the ENTIRE r03-r05-verdict
+    # cohort (43 queries, 9-11 rounds stale) plus the 5 oldest r06
+    # entries — after r14 the maximum verdict age is 8 rounds (the
+    # remaining r06 cohort). Displaced queries remain fully supported
+    # and exactly oracled in verify_driver's full sweep + pytest sweeps.
     #
     # ---- keep: flagship ----
     "hopping_window_agg",
-    # ---- never-verdicted: r13 exact lifts (VERDICT r12 #5) ----
-    "embedding_topk_ivfpq",
-    "embedding_topk_pq",
-    # ---- never-verdicted: oracled batch queries ----
-    "multimodal_video_decode",
-    "disjunctive_revenue",
-    "user_trend_velocity",
-    "session_concurrency_profile",
-    "rapid_repeat_screen",
-    "incremental_near_dup_ingest",
-    # ---- never-verdicted: oracled streaming twins ----
-    "streaming_hll_registers",
-    "streaming_cms_cells",
-    "streaming_corpus_ingest",
-    "streaming_image_dedup",
-    "streaming_postings_ingest",
-    "streaming_transition_matrix",
-    "streaming_auc_ingest",
-    "streaming_seasonal_ingest",
-    "streaming_zonemap_ingest",
-    "streaming_incremental_dedup",
-    "streaming_column_profile",
-    "streaming_gopher_filter",
-    # ---- never-verdicted: rows-only by design (rows/err verdicts) ----
+    # ---- changed definition: exact lift + scalar output (r13 ERR fix) ----
     "multimodal_features",
-    "streaming_ivf_ingest",
-    # ---- changed definitions this round (re-verdict) ----
-    "embedding_topk_ivf",
-    "embedding_topk_lsh",
-    "streaming_late_data_policy",
-    # ---- freshness re-verdicts: the r01-r03 cohort ----
-    "order_priority_cube",
-    "word_count_topk",
-    "minhash_signatures",
-    "local_supplier_volume",
-    "lang_id",
-    "embedding_near_dup_pairs",
-    "scd2_customer_history",
-    "streaming_latest_per_key",
-    "ngram_jaccard_pairs_prefix",
-    "dedup_components",
-    "heavy_hitters_users",
-    "repetition_stats",
-    "benchmark_decontaminate",
-    "json_extract_props",
-    "streaming_cdc_upsert",
-    "tumbling_window_agg",
-    "timestamp_format",
-    "array_constructor",
-    "case_when_indicators",
-    "distinct_users",
-    "top_orders_per_customer",
-    "active_event_customers",
-    "doc_fingerprint",
-    "dedup_exact_events",
+    # ---- freshness: the r03-verdict cohort (11 rounds stale) ----
+    "cms_heavy_hitters",
+    "dedup_near_minhash",
+    "embedding_topk_bruteforce",
+    "multimodal_audio_decode",
+    "multimodal_frame_sample",
+    "streaming_hopping_window",
+    "user_event_type_diversity",
+    # ---- freshness: the r04-verdict cohort ----
+    "corpus_clean_pipeline",
+    "corpus_pack_sequences",
+    "corpus_sample_mix",
+    "customers_without_orders",
+    "event_type_pivot",
+    "hot_window_events",
+    "key_set_ops",
+    "lag_lead_features",
+    "latest_per_key",
+    "minhash_near_dup_pairs",
+    "ngram_lm_score",
+    "order_value_percentiles",
+    "orders_above_customer_avg",
+    "point_in_time_join",
+    "pricing_summary",
+    "projection_filter_cast",
+    "rolling_counts",
+    "simhash_near_dup_pairs",
+    "text_stats",
+    "token_budget",
+    # ---- freshness: the r05-verdict cohort ----
+    "bloom_pruned_join",
+    "dedup_components_star",
+    "events_profile",
+    "excess_part_suppliers",
+    "feature_drift",
+    "hll_registers_exact",
+    "hourly_gap_fill_locf",
+    "keyword_bm25",
+    "multi_resolution_rollup",
+    "pandas_udaf_median",
+    "python_udtf_ngrams",
+    "quantile_sketch_events",
+    "returnflag_rollup",
+    "scalar_function_suite",
+    "synthetic_clickstream",
+    "zorder_layout",
+    # ---- freshness: the 5 oldest r06 entries ----
+    "asof_view_attribution",
+    "bpe_tokenize_fixed",
+    "cdc_snapshot_customers",
+    "conversion_funnel",
+    "corpus_chunk_tokens",
 )
