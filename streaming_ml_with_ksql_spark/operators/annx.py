@@ -105,7 +105,10 @@ def _emb_ok(embeddings: DataFrame) -> DataFrame:
     rows identically instead)."""
     emb = similarity._as_double(embeddings).select("vec_id", "embedding")
     poisoned = F.exists(
-        F.col("embedding"), lambda x: x.isNull() | F.isnan(x)
+        F.col("embedding"),
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) > similarity.EMB_MAX_ABS),
     )
     return emb.filter(
         F.col("embedding").isNotNull()
@@ -597,7 +600,8 @@ _EMB_OK_CTE = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) = {ANNX_DIM}
-    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x)
+                                        OR abs(x) > 10000.0)) = 0),
 qv AS MATERIALIZED (
   SELECT vec_id, e,
          list_transform(e, x -> CAST(floor(x * {ANNX_QUANT}) AS BIGINT)) AS q

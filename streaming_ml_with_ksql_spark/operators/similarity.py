@@ -612,6 +612,16 @@ def _lshx_signs(
 
 LSHX_SIGNS = _lshx_signs()
 
+# Element-magnitude bound for the exact-twin hygiene filters (ADVICE r13
+# low): floor(inf * 1000).astype(int64) is undefined in numpy and int64
+# squared-distance/ADC sums wrap silently once |x| passes ~2e5, while
+# DuckDB raises on the BIGINT cast — a crash-vs-answer asymmetry. Rows
+# with any |element| above this shared bound (which also catches +-Inf)
+# are dropped IDENTICALLY on both engines; testdata embeddings are
+# unit-scale, so only poison rows ever trip it. The literal `10000.0`
+# in the oracle CTEs must equal this.
+EMB_MAX_ABS = 10000.0
+
 # Shared hyperparameters for the EXACT sign-LSH query: the Spark path
 # (lsh_bucket_topk_exact) and the DuckDB oracle generator
 # (registry/q02_textdedup._lshx_topk_oracle) both default from THIS dict
@@ -680,7 +690,8 @@ def lsh_bucket_topk_exact(
             F.col("embedding").isNotNull()
             & (F.size("embedding") == dim)
             & ~F.exists(
-                F.col("embedding"), lambda x: x.isNull() | F.isnan(x)
+                F.col("embedding"),
+                lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > EMB_MAX_ABS),
             )
         )
     )

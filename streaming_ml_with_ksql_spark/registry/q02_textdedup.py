@@ -696,7 +696,8 @@ def _lshx_topk_oracle(
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
                  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
                    AND len(list_filter(embedding,
-                           x -> x IS NULL OR isnan(x))) = 0),
+                           x -> x IS NULL OR isnan(x)
+                                OR abs(x) > 10000.0)) = 0),
     qv AS MATERIALIZED (
       SELECT vec_id, e,
              list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
