@@ -1056,8 +1056,16 @@ def q_streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     drained = stream_sinks.run_to_memory(
         pairs, f"reg_stream_transition_{next(_STREAM_SEQ)}"
     )
-    c = drained.groupBy("prev_type", "next_type").agg(
-        F.count(F.lit(1)).alias("n")
+    # Mirror the batch twin's `prev_type IS NOT NULL` filter (r14 poison
+    # sweep): the state machine knows a previous event EXISTS and emits
+    # its possibly-NULL type, but batch lag() cannot distinguish
+    # "no previous event" from "previous event with NULL type" — on a
+    # NULL-typed poison event the stream kept a (NULL, next) pair the
+    # oracle drops. Filter identically; (prev, NULL) pairs stay on both.
+    c = (
+        drained.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     # totals via a prev_type-partitioned window over the |types|^2
     # aggregate (a self-join on a memory-sink view trips Spark's

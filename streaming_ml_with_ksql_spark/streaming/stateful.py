@@ -409,7 +409,17 @@ def transition_pairs_stream(
         if pdf.empty:
             return
         pdf = pdf.sort_values([ts_col, order_col])
-        types = [str(t) for t in pdf[type_col]]
+        # Preserve NULL types (r14 poison sweep): str(None) would mint
+        # the literal string 'None', which the drained aggregation then
+        # groups as a REAL event type — two phantom groups vs the batch
+        # lag oracle on a NULL-typed poison event. A None prev (whether
+        # "no state yet" or "last event's type was NULL") is dropped at
+        # emission below, exactly matching the batch twin's
+        # lag + prev_type IS NOT NULL contract; (A, NULL) pairs emit.
+        types = [
+            None if t is None or (isinstance(t, float) and pd.isna(t)) else str(t)
+            for t in pdf[type_col]
+        ]
         if state.exists:
             _, _, last_type = state.get
             prevs = [last_type] + types[:-1]
@@ -420,7 +430,7 @@ def transition_pairs_stream(
             (
                 int(pd.Timestamp(tail[ts_col]).value // 1000),
                 int(tail[order_col]),
-                str(tail[type_col]),
+                types[-1],
             )
         )
         rows = [

@@ -41,7 +41,7 @@ def poisoned_sf(sf_medium, tmp_path_factory) -> str:
     poison = pa.table(
         {
             "vec_id": pa.array(
-                [max_id + i for i in range(1, 5)], type=tbl.schema[0].type
+                [max_id + i for i in range(1, 8)], type=tbl.schema[0].type
             ),
             "embedding": pa.array(
                 [
@@ -49,10 +49,18 @@ def poisoned_sf(sf_medium, tmp_path_factory) -> str:
                     [0.25, -0.125, 0.5],  # ragged row
                     base + [float("nan")],  # NaN element
                     base + [None],  # NULL element
+                    # ADVICE r13 low: +-Inf floor-casts to an undefined
+                    # int64 in numpy while DuckDB raises on the BIGINT
+                    # cast; huge finite magnitudes wrap int64
+                    # squared-distance sums silently. All three must be
+                    # dropped identically by the EMB_MAX_ABS bound.
+                    base + [float("inf")],  # +Inf element
+                    base + [float("-inf")],  # -Inf element
+                    base + [4.0e5],  # finite but beyond EMB_MAX_ABS
                 ],
                 type=tbl.schema[1].type,
             ),
-            "label": pa.array([0, 0, 0, 0], type=tbl.schema[2].type),
+            "label": pa.array([0] * 7, type=tbl.schema[2].type),
         }
     )
     pq.write_table(
@@ -187,3 +195,159 @@ def test_event_query_matches_oracle_on_poisoned_events(
     spark, poisoned_events_sf, name
 ):
     assert_query_matches(spark, name, poisoned_events_sf)
+
+
+# r14 (VERDICT r13 #6): the TPC-H star schema was unswept. The orders /
+# lineitem / customer copies are poisoned with NULL join keys (l_orderkey,
+# o_custkey, c_nationkey), an orphan FK (o_custkey -> no customer; the
+# poison lineitems' orderkey -> no order), NULL / negative / zero measures
+# (quantity, extendedprice, totalprice, acctbal), NULL group keys
+# (returnflag, linestatus, orderpriority, mktsegment) and NULL dates —
+# every class an ingest pipeline actually produces. Each swept query must
+# agree with its DuckDB oracle on the poisoned star, which exercises both
+# engines' NULL-key join semantics, NULL-group aggregation and NULL
+# ordering contracts.
+TPCH_SWEPT = [
+    "pricing_summary",
+    "returnflag_rollup",
+    "order_priority_cube",
+    "order_grouping_sets",
+    "top_orders_per_customer",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "local_supplier_volume",
+    "disjunctive_revenue",
+    "volume_shipping",
+    "top_revenue_supplier",
+    "order_value_percentiles",
+    "shipping_priority",
+    "excess_part_suppliers",
+    "waiting_suppliers",
+]
+
+# CDC semantics ride the customer table (envelope synthesis + SCD2 +
+# snapshot diff): NULL attribute columns and a NULL business key flow
+# through the changelog builders on both engines.
+CDC_SWEPT = [
+    "scd2_customer_history",
+    "cdc_snapshot_customers",
+    "streaming_cdc_upsert",
+]
+
+
+@pytest.fixture(scope="module")
+def poisoned_tpch_sf(sf_medium, tmp_path_factory) -> str:
+    import datetime
+
+    d = tmp_path_factory.mktemp("poison_tpch_sf")
+    for t in TABLES:
+        shutil.copy(f"{sf_medium}/{t}.parquet", d / f"{t}.parquet")
+    ts = datetime.datetime(1995, 6, 15, 0, 0, 0)
+
+    li = pq.read_table(d / "lineitem.parquet")
+    max_ok = pa.compute.max(li["l_orderkey"]).as_py()
+    li_rows = [
+        # (okey, pkey, skey, lineno, qty, price, disc, tax, rf, ls, ship)
+        (max_ok + 1, 1, 1, 1, None, 100.0, 0.05, 0.02, "N", "O", ts),
+        (max_ok + 2, 1, 1, 1, -5.0, 100.0, 0.05, 0.02, "N", "O", ts),
+        (max_ok + 3, 1, 1, 1, 5.0, 0.0, 0.0, 0.0, None, None, ts),
+        (max_ok + 4, None, None, 2, 5.0, 100.0, None, None, "A", "F", None),
+        (None, 1, 1, 1, 1.0, 50.0, 0.1, 0.0, "R", "F", ts),
+    ]
+    li_poison = pa.table(
+        {
+            n: pa.array([r[i] for r in li_rows], type=li.schema[i].type)
+            for i, n in enumerate(li.schema.names)
+        }
+    )
+    pq.write_table(pa.concat_tables([li, li_poison]), d / "lineitem.parquet")
+
+    orders = pq.read_table(d / "orders.parquet")
+    max_ok = pa.compute.max(orders["o_orderkey"]).as_py()
+    o_rows = [
+        # (okey, custkey, status, total, date, priority)
+        (max_ok + 1, None, "O", 100.0, ts, "1-URGENT"),
+        (max_ok + 2, 999999999, "O", 200.0, ts, "2-HIGH"),
+        (max_ok + 3, 1, None, None, None, None),
+        (max_ok + 4, 1, "F", -50.0, ts, "5-LOW"),
+    ]
+    o_poison = pa.table(
+        {
+            n: pa.array([r[i] for r in o_rows], type=orders.schema[i].type)
+            for i, n in enumerate(orders.schema.names)
+        }
+    )
+    pq.write_table(pa.concat_tables([orders, o_poison]), d / "orders.parquet")
+
+    cust = pq.read_table(d / "customer.parquet")
+    max_ck = pa.compute.max(cust["c_custkey"]).as_py()
+    c_rows = [
+        # (custkey, name, nationkey, acctbal, mktsegment)
+        (max_ck + 1, None, None, None, None),
+        (max_ck + 2, "Customer#poison", 0, -999.25, "BUILDING"),
+    ]
+    c_poison = pa.table(
+        {
+            n: pa.array([r[i] for r in c_rows], type=cust.schema[i].type)
+            for i, n in enumerate(cust.schema.names)
+        }
+    )
+    pq.write_table(pa.concat_tables([cust, c_poison]), d / "customer.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TPCH_SWEPT)
+def test_tpch_query_matches_oracle_on_poisoned_star(
+    spark, poisoned_tpch_sf, name
+):
+    assert_query_matches(spark, name, poisoned_tpch_sf)
+
+
+@pytest.mark.parametrize("name", CDC_SWEPT)
+def test_cdc_query_matches_oracle_on_poisoned_customers(
+    spark, poisoned_tpch_sf, name
+):
+    assert_query_matches(spark, name, poisoned_tpch_sf)
+
+
+# Streaming twins replay the SAME poisoned parquet through micro-batch
+# drains — state-commit boundaries must not change any contract the batch
+# oracle states (VERDICT r13 #6: "the streaming twins are unswept").
+STREAMING_EVENTS_SWEPT = [
+    "streaming_hopping_window",
+    "streaming_latest_per_key",
+    "streaming_incremental_dedup",
+    "streaming_hll_registers",
+    "streaming_cms_cells",
+    # first run found streaming_transition_matrix minting a literal
+    # 'None' event type (str(None) in the state kernel) — two phantom
+    # groups vs the batch lag oracle; fixed in stateful.py + the
+    # registered aggregation's prev_type IS NOT NULL mirror.
+    "streaming_transition_matrix",
+    "streaming_sessionize",
+    "streaming_threshold_alert",
+    "streaming_quantile_sketch",
+    "streaming_wallet_balance",
+    "streaming_kmv_ingest",
+    "streaming_dedup_exact",
+]
+
+STREAMING_DOCS_SWEPT = [
+    "streaming_gopher_filter",
+    "streaming_corpus_ingest",
+    "streaming_column_profile",
+]
+
+
+@pytest.mark.parametrize("name", STREAMING_EVENTS_SWEPT)
+def test_streaming_twin_matches_oracle_on_poisoned_events(
+    spark, poisoned_events_sf, name
+):
+    assert_query_matches(spark, name, poisoned_events_sf)
+
+
+@pytest.mark.parametrize("name", STREAMING_DOCS_SWEPT)
+def test_streaming_twin_matches_oracle_on_poisoned_documents(
+    spark, poisoned_docs_sf, name
+):
+    assert_query_matches(spark, name, poisoned_docs_sf)
