@@ -246,7 +246,59 @@ QUERIES = [
     "embedding_topk_ivf",
     "embedding_topk_pq",
     "embedding_topk_ivfpq",
+    # round-14: the PRODUCTION IVF path (VERDICT r13 #8) — sqrt(n)
+    # centroids, fixed n_probe
+    "production_ivf_topk",
 ]
+
+
+def _production_ivf(spark, sf_dir):
+    """The 100-TB IVF serve path (VERDICT r13 #8): the exact twin
+    `embedding_topk_ivf` pins 16 cells for oracle tractability and so
+    probes 25% of the corpus by design — its stress envelope (42.8 s at
+    100×) measures the twin's geometry, not the production path. This
+    entry stresses `similarity.ivf_topk`'s real scale shape: ~sqrt(n)
+    centroids from the float-KMeans build, a WRITE-ONCE index
+    (localCheckpoint stands in for the partitioned-by-cell parquet a
+    production pipeline persists), and a fixed n_probe — so the scanned
+    fraction is n_probe/sqrt(n), SUB-LINEAR in corpus size, and search
+    cost grows ~sqrt(n) per query. Build and search are timed
+    separately: the build is a once-per-corpus artifact, the search is
+    the recurring 100-TB cost."""
+    import math
+
+    from streaming_ml_with_ksql_spark.operators import similarity
+
+    emb = io_mod.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_centroids = max(16, min(512, math.isqrt(n)))
+    n_probe = 8
+    t0 = time.perf_counter()
+    index = similarity.build_ivf_index(emb, n_centroids=n_centroids)
+    index.corpus = index.corpus.localCheckpoint(eager=True)
+    build_s = time.perf_counter() - t0
+    print(
+        f"production_ivf_topk: build {build_s:.1f}s (n={n}, "
+        f"centroids={n_centroids}, probed_fraction="
+        f"{n_probe / n_centroids:.4f})"
+    )
+    queries = (
+        similarity._as_double(emb)
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    return similarity.ivf_search(
+        index, queries, k=5, n_probe=n_probe, exclude_self=True
+    )
+
+
+# Pseudo-queries the stress harness runs that are NOT registry entries
+# (production paths whose registered faces are streaming or exact-twin
+# variants).
+EXTRA_QUERIES = {"production_ivf_topk": _production_ivf}
 
 
 def build(spark, mult: int) -> None:
@@ -293,7 +345,7 @@ def main() -> None:
         # rewrite was skipped — 0.9 s pruned vs 42.7 s real at 100x), so
         # hash every output column into the aggregate.
         t0 = time.perf_counter()
-        df = qs[name](spark, OUT)
+        df = (EXTRA_QUERIES.get(name) or qs[name])(spark, OUT)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: a BIGINT sum of 64-bit hashes overflows under
