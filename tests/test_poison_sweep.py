@@ -95,6 +95,14 @@ TEXT_SWEPT = [
     "dedup_components",
     "corpus_clean_pipeline",
     "corpus_chunk_sliding",
+    # r14: the token-deriving composites — Heaps checkpoints, the
+    # dedup-aware split audit, the hash split, scrubbing and BPE all
+    # consume empty/NULL/whitespace text through their own tokenizers.
+    "heaps_vocab_growth",
+    "split_leakage_audit",
+    "corpus_hash_split",
+    "pii_scrub",
+    "bpe_tokenize_fixed",
 ]
 
 
