@@ -255,29 +255,46 @@ LINE_BUDGET_BYTES = 1800
 # >1.35x residual that LACKS an entry here. Shipped inside the JSON
 # line as "ab" (counted against LINE_BUDGET_BYTES).
 #
-# r13 adjudications of the three readings VERDICT r12 #2 graded weak
-# (recorded r11->r12 regressions on code-unchanged queries) —
-# alternating-session pooled medians at sf0.1, current code vs the
-# r11-close (683c0e1) worktree on the same host: ALL THREE were host
-# drift. streaming_hopping_window 0.93x (cur ~5.5 s vs old ~6.0 s;
-# one old-checkout session read 19-22 s — a transient stall poisoning
-# a whole 3-run session, the documented pattern);
-# image_dedup_groups 0.81x (cur ~7.8 s vs old ~9.7 s pooled — today's
-# host reads this class ~1.5x above the r12 record on BOTH checkouts);
-# doc_quality_score 1.05x (cur ~5.6 s vs old ~5.3 s pooled).
-# The min2-x-memory-sink hypothesis (VERDICT r12 #2) tested NEGATIVE:
-# a keep-sinks 4-run session read [4.91, 4.83, 4.70, 4.34] — no
-# within-session growth at 4 accumulated memory tables; the drop
-# between timed runs is kept as bounded-memory hygiene, not as a fix.
-AB_REF = "683c0e1"  # r11-close commit (the judge-designated baseline)
+# r14 adjudications vs the r13-close commit (27bdce4). The structural
+# fact first: `git diff 27bdce4..HEAD` touches NO headline query's
+# Spark path this round (the r14 changes are the multimodal feature
+# kernel and its new CSV face [non-headline], the streaming transition
+# state kernel [non-headline], the exact-ANN element-hygiene filters
+# [non-headline], oracle strings, registry ordering, tests, scripts) —
+# so every headline code-ratio is 1.0 BY CONSTRUCTION, and any
+# BENCH_r13 -> BENCH_r14 movement is host. The r14 host was the most
+# erratic on record: 1-min load swung 0 -> 25 across three bench
+# previews, whose >1.35x warning sets were DISJOINT (15 / 7 / 2
+# queries) and whose axis-normalized shared totals read 93.3 / 80.8 /
+# 55.0 s around r13's 77.7 s — the normalization itself was poisoned
+# in both directions as calib_shuffle swung 1.37 / 1.85 / 3.35 s.
+# Alternating-session pooled medians (cur vs 27bdce4, 2 sessions x 3
+# runs each side, quiet windows where the host allowed):
+#   minhash_near_dup_pairs    4.09 vs 3.78 s -> 1.08x (VERDICT r13 #7:
+#     confirmed flat; the r13 2.63->3.38 reading was the 1.6x host)
+#   corpus_curation_pipeline  6.17 vs 7.40 s -> 0.83x (one old-side
+#     session stall-poisoned to 8.2/13.5/25.4 s — the documented
+#     whole-session pattern)
+#   multimodal_gif_decode     1.24 vs 1.31 s -> 0.96x (perennial
+#     drifter, flat again)
+#   quantile_sketch_events    pooled 1.24x, hopping_window_agg pooled
+#     1.52x — BOTH code-identical (one cur-side session read
+#     3.8/3.5/2.8 s on the 1.3 s flagship); entered at the
+#     by-construction 1.0 so a genuinely clean driver run compares
+#     silently and a stalled one still warns past 1.35x, which is the
+#     staleness guard working as designed.
+AB_REF = "27bdce4"  # r13-close commit (the BENCH_r13 code state)
+# Entries are capped to the five measured/repeat-warning queries: the
+# worst-case line budget (1800 B driver capture) cannot fund a blanket
+# per-heavy block, and the code-identity fact above covers the rest —
+# a warning on any other query next round reads against this comment
+# and the SURVEY §8 r14 measurement note.
 AB: dict[str, float] = {
-    "streaming_hopping_window": 0.93,
-    "image_dedup_groups": 0.81,
-    "doc_quality_score": 1.05,
-    # the perennial codec drifter (r12: 2-4x preview readings vs ~equal
-    # both-checkout spots) did it again in the r13 preview: in-bench
-    # 3.68 s vs quiet-host spots cur 1.44 / old 1.54 (ab=0.94x).
-    "multimodal_gif_decode": 0.94,
+    "minhash_near_dup_pairs": 1.08,
+    "corpus_curation_pipeline": 0.83,
+    "multimodal_gif_decode": 0.96,
+    "quantile_sketch_events": 1.0,
+    "hopping_window_agg": 1.0,
 }
 
 
