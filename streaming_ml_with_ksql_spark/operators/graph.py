@@ -458,13 +458,20 @@ def pagerank(
     localCheckpointed each round to truncate the iterative lineage. A
     fixed iteration count (not convergence polling) keeps the plan
     deterministic and the oracle unrollable."""
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-    )
+    # Materialize the pair list ONCE before symmetrizing (the
+    # connected_components discipline): `pairs` is usually an expensive
+    # lazy plan (e.g. the exact-Jaccard inverted-index self-join), and
+    # without this it re-executes once per union branch and once more
+    # under each consumer of `edges` the planner cannot fuse (the degree
+    # aggregate vs the join side) — the r14 plan audit measured the full
+    # pair DAG running up to 4x per execution. The checkpointed frame is
+    # two longs per pair, O(|pairs|).
+    p0 = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = p0.unionByName(
+        p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     if loop_parts is None:
         default_parts = int(
             pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -551,13 +558,20 @@ def bfs_hops(
 
     Returns (node, d) with d NULL when unreached within ``iters``.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-    )
+    # Materialize the pair list ONCE before symmetrizing (the
+    # connected_components discipline): `pairs` is usually an expensive
+    # lazy plan (e.g. the exact-Jaccard inverted-index self-join), and
+    # without this it re-executes once per union branch and once more
+    # under each consumer of `edges` the planner cannot fuse (the degree
+    # aggregate vs the join side) — the r14 plan audit measured the full
+    # pair DAG running up to 4x per execution. The checkpointed frame is
+    # two longs per pair, O(|pairs|).
+    p0 = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = p0.unionByName(
+        p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     if loop_parts is None:
         default_parts = int(
             pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

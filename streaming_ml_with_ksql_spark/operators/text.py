@@ -374,13 +374,22 @@ def near_dup_pairs_minhash(
       shuffles candidate shingles only, never the corpus."""
     ds_raw = _doc_shingles(documents, n, distinct=False)
     dsh = ds_raw.select("doc_id", "shingle", _shingle_h(F.col("shingle")).alias("h"))
+    # persist: the signature aggregate is the expensive full-corpus pass
+    # (shingle explode + one md5 per shingle row), and it is consumed by
+    # THREE subtrees — the banding self-join's shuffle side, its broadcast
+    # build side (broadcast builds never reuse a sibling exchange, so the
+    # whole pipeline re-executed for it), and the per-doc `sizes` frame.
+    # r14 plan audit measured the corpus explode running 3x per execution;
+    # persisting the (doc_id, n_sh, mh0..mh11) frame — 13 longs per doc,
+    # O(|docs|) — makes it one pass (guide §2.4/§5: reuse > recompute when
+    # the cached frame is keys+metadata, never the corpus payload).
     sig = dsh.groupBy("doc_id").agg(
         F.count_distinct(F.col("shingle")).alias("n_sh"),
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ],
-    )
+    ).persist()
     sizes = sig.select("doc_id", "n_sh")
     cands = minhash_candidate_pairs(sig, bands=bands, rows=rows).persist()
     cand_docs = (

@@ -422,10 +422,17 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     clean = text.clean_corpus(train)
     contaminated = text.decontaminate(train, bench, n=4)
-    final_docs = docs.join(
-        clean.join(contaminated, "doc_id", "left_anti").select("doc_id"),
-        "doc_id",
+    # persist the survivor id SET (one long per doc): `final_docs` feeds
+    # BOTH the BPE token accounting and the packing join, and without
+    # this the whole clean+decontaminate DAG (itself several corpus
+    # passes) executes twice — once per consumer (guide §2.4: reuse the
+    # decision frame, recompute only the cheap scan that re-attaches it).
+    keep_ids = (
+        clean.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .persist()
     )
+    final_docs = docs.join(keep_ids, "doc_id")
     # carry the base table's footer row hint onto the derived frame: an
     # upper bound (survivors <= documents) that lets bpe_tokenize's
     # fan-out size itself without a count() that would re-execute the
