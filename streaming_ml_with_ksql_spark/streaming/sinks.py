@@ -34,6 +34,7 @@ def run_to_memory(
     *,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the streaming query to completion over currently-available data
     (``trigger(availableNow)``) into an in-memory table; return that table.
@@ -42,21 +43,46 @@ def run_to_memory(
     maxFilesPerTrigger) and then stops — the standard way to replay a
     recorded stream deterministically, including watermark finalization
     no-data batches.
-    """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        # A partially-drained memory table would surface as a subtle
-        # row-count mismatch downstream; fail loudly instead.
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name!r} did not drain within {timeout_sec}s"
+
+    ``state_partitions`` sizes the stateful operators' shuffle (and hence
+    the state-store instance count, fixed for the query's lifetime at
+    start): stateful streaming exchanges are exempt from AQE coalescing,
+    so without this every micro-batch pays task + state-commit overhead
+    across the full batch session width regardless of key volume (r14:
+    32 state partitions for a ~150-key replay cost ~1.6x wall time vs 8;
+    results are partitioning-invariant — guide §2.2, fewer/larger
+    partitions where a runtime coalescer cannot act). Defaults to
+    ``SPARK_GRAFT_STREAM_STATE_PARTS`` (env) or 8; a production deployment
+    sizes it to key cardinality x update rate, the same way it would pick
+    ``spark.sql.shuffle.partitions`` for any long-lived streaming job.
+    The session conf is restored after the drain (it only matters at
+    query start)."""
+    import os
+
+    spark = stream_df.sparkSession
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
         )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            # A partially-drained memory table would surface as a subtle
+            # row-count mismatch downstream; fail loudly instead.
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not drain within {timeout_sec}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark = SparkSession.getActiveSession()
     return spark.table(name)
 
