@@ -66,6 +66,27 @@ def _star_contract(
     (u, v) with u > v, no self-loops, distinct. Returns the converged star
     forest's (u, label) frame. Every intermediate is localCheckpointed —
     same lineage-truncation rationale as the propagation loop."""
+    # Partitioning helper: at loop_parts == 1 use coalesce(1) — its
+    # SinglePartition output satisfies every ClusteredDistribution, so
+    # EnsureRequirements inserts NO exchange for the round's groupBys and
+    # joins and the whole round pipelines as one narrow stage (r14: the
+    # per-round cost at small edge counts was 4 exchange-separated stages
+    # of pure scheduling overhead). At loop_parts > 1 (large graphs) the
+    # explicit hash repartition path is unchanged.
+    def _part(df: DataFrame, *cols: str) -> DataFrame:
+        if loop_parts == 1:
+            return df.coalesce(1)
+        return df.repartition(loop_parts, *cols)
+
+    # At loop scale the per-round min frames are bounded by the contracted
+    # vertex set; broadcast-hinting them turns the round's SortMergeJoins
+    # (each costing TWO exchanges — Spark 4 does not co-partition joins on
+    # SinglePartition outputs) into exchange-free BroadcastHashJoins, so a
+    # small-graph round is one narrow stage. Large graphs (loop_parts > 1)
+    # keep the hash-partitioned SMJ path untouched.
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if loop_parts == 1 else df
+
     rounds = 0
     prev_count = None
     for _ in range(max_iter):
@@ -74,34 +95,43 @@ def _star_contract(
         # onto m(u) = min(Γ(u) ∪ {u}). m ≤ u < v keeps the u > v invariant.
         # Not checkpointed: small-star consumes it within the same round,
         # so the lineage stays two operators deep — one materialization
-        # per round, not two.
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # per round, not two. sym is partitioned ONCE and both consumers
+        # (the neighborhood-min aggregate and the join's probe side)
+        # derive from it, so the join needs no further exchange on either
+        # side (r14 — formerly each consumer repartitioned separately).
+        sym = _part(
+            e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            "u",
+        )
         mins = (
-            sym.repartition(loop_parts, "u")
-            .groupBy("u")
+            sym.groupBy("u")
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
         large = (
             sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            .join(_bcast(mins), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .repartition(loop_parts, "u")
-            .distinct()
         )
+        large = _part(large, "u").distinct()
         # small-star: group by the larger endpoint u (all its targets are
         # smaller); u and every smaller neighbor hang onto min(Γ⁻(u)).
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        stepped = (
-            large.join(mins2, "u")
+        # LAZY localCheckpoint fused with the convergence count: the
+        # count is the first action over the checkpoint-marked RDD, so
+        # ONE job both materializes the round and measures it (r14 —
+        # eager-ckpt-then-count was two scheduled jobs per round, and at
+        # loop scale the per-job overhead, not the data, dominates).
+        stepped = _part(
+            large.join(_bcast(mins2), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .repartition(loop_parts, "u")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+            .filter(F.col("u") != F.col("v")),
+            "u",
+        ).distinct().localCheckpoint(eager=False)
         # Deterministic fixed-point test (not a probabilistic checksum):
         # same cardinality + empty one-way difference ⇔ identical sets.
         # The count compare is a free precheck — when cardinality moved,
@@ -159,12 +189,11 @@ def connected_components(
             canon.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
         loop_parts = max(1, min(default_parts, n_edges // 1_000_000 + 1))
-        stars = _star_contract(
-            canon.repartition(loop_parts, "u").localCheckpoint(eager=True),
-            loop_parts,
-            max_iter,
-            stats,
-        )
+        # Pass the checkpointed canon directly: the first round's `mins`
+        # repartitions by u anyway, so the former
+        # repartition+localCheckpoint here was a third materialization of
+        # the same edge set (one extra job + copy per call — r14).
+        stars = _star_contract(canon, loop_parts, max_iter, stats)
         resolved = stars.select(
             F.col("u").alias(id_col), F.col("label").alias("component")
         )
@@ -176,30 +205,55 @@ def connected_components(
                 F.coalesce("component", F.col(id_col)).alias("component"),
             )
         )
+    # Size the loop's partitioning to the MEASURED edge count. AQE cannot
+    # re-plan inside an iterative checkpointed loop, so without this
+    # every round shuffles a possibly tiny frame across the full
+    # spark.sql.shuffle.partitions, and fixed per-task scheduling
+    # overhead dominates wall time. ~1M edge rows per partition; large
+    # graphs keep the session's parallelism. The estimate is
+    # 2x |directed edges| (counted on the already-checkpointed e — a
+    # cached-RDD count) — an upper bound on |sym| that lets sym be
+    # built, partitioned AND checkpointed in ONE materialization instead
+    # of the former checkpoint → count → repartition → checkpoint pair
+    # (r14: two materializations + two jobs of pure setup overhead).
+    n_edges = 2 * e.count()
+    default_parts = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    loop_parts = max(1, min(default_parts, n_edges // 1_000_000 + 1))
+
+    # Same single-partition fast path as the star loop (see _star_contract):
+    # coalesce(1)'s SinglePartition output satisfies every clustered
+    # distribution, so small-graph rounds run as one narrow stage with no
+    # exchanges; large graphs keep the explicit hash partitioning.
+    def _part(df: DataFrame, *cols: str) -> DataFrame:
+        if loop_parts == 1:
+            return df.coalesce(1)
+        return df.repartition(loop_parts, *cols)
+
+    # Broadcast-hint the bounded label/min frames at loop scale — same
+    # rationale as _star_contract's _bcast (Spark 4 joins do not accept
+    # SinglePartition co-partitioning, so without the hint every round
+    # pays two exchanges per join even on one partition).
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if loop_parts == 1 else df
+
     sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        _part(
+            e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            "v",
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Size the loop's partitioning to the MEASURED edge count (free — sym
-    # is already materialized). AQE cannot re-plan inside an iterative
-    # checkpointed loop, so without this every round shuffles a possibly
-    # tiny frame across the full spark.sql.shuffle.partitions, and
-    # fixed per-task scheduling overhead dominates wall time. ~1M edge
-    # rows per partition; large graphs keep the session's parallelism.
-    n_edges = sym.count()
-    default_parts = int(
-        sym.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    loop_parts = max(1, min(default_parts, n_edges // 1_000_000 + 1))
-    sym = sym.repartition(loop_parts, "v").localCheckpoint(eager=True)
     # Iterate over edge-touched vertices only; edge-free vertices are
     # singleton components and join back once at the end.
     labels = (
-        sym.select("u")
+        _part(sym.select("u"), "u")
         .distinct()
         .withColumn("label", F.col("u"))
-        .repartition(loop_parts, "u")
         .localCheckpoint(eager=True)
     )
     # The loop's shuffle width is scoped with EXPLICIT per-frame
@@ -213,10 +267,15 @@ def connected_components(
     for _ in range(max_iter):
         rounds += 1
         nbr = (
-            sym.join(
-                labels.select(F.col("u").alias("v"), F.col("label")), "v"
+            _part(
+                sym.join(
+                    _bcast(
+                        labels.select(F.col("u").alias("v"), F.col("label"))
+                    ),
+                    "v",
+                ),
+                "u",
             )
-            .repartition(loop_parts, "u")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -224,9 +283,12 @@ def connected_components(
         # only decrease, so nbr < old ⇔ changed) — the convergence
         # check is then a filter-count over already-materialized
         # partitions instead of a new-vs-old join shuffle per round.
-        stepped = (
-            labels.join(nbr, "u", "left")
-            .select(
+        # LAZY checkpoint fused with that count: the filter-count is the
+        # first action over the checkpoint-marked RDD, so ONE job both
+        # materializes the round and measures it (r14 — the former
+        # eager-ckpt-then-count pair was two scheduled jobs per round).
+        stepped = _part(
+            labels.join(_bcast(nbr), "u", "left").select(
                 "u",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
@@ -234,10 +296,9 @@ def connected_components(
                 (F.coalesce("nbr_label", "label") < F.col("label")).alias(
                     "chg"
                 ),
-            )
-            .repartition(loop_parts, "u")
-            .localCheckpoint(eager=True)
-        )
+            ),
+            "u",
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.select("u", "label")
         if changed == 0:
