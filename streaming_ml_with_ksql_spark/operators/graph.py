@@ -48,6 +48,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,6 +154,54 @@ def _star_contract(
     return e.groupBy("u").agg(F.min("v").alias("label"))
 
 
+# Directed-edge count below which connected_components takes the
+# single-task Arrow union-find fast path instead of the iterative loops
+# (~16 MB of edge longs; one executor task). Overridable for tests and
+# deployments via SPARK_GRAFT_CC_SINGLE_TASK_EDGES.
+CC_SINGLE_TASK_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_SINGLE_TASK_EDGES", "1000000")
+)
+
+
+def _cc_single_task_kernel(batches):
+    """Exact min-label union-find over ONE bounded edge partition — the
+    single-task Arrow fast path of connected_components. Union-by-min +
+    path compression: find(x) returns the MINIMUM vertex id of x's
+    component (the larger root is always attached under the smaller), so
+    the output (vertex, label) is identical to the converged distributed
+    loops at any iteration order."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for u, v in zip(pdf["u"], pdf["v"]):
+            u, v = int(u), int(v)
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+    if parent:
+        verts = sorted(parent)
+        yield pd.DataFrame(
+            {"id": verts, "component": [find(x) for x in verts]}
+        ).astype({"id": "int64", "component": "int64"})
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -166,7 +216,17 @@ def connected_components(
     """(id, component) for every vertex; component = min vertex id reachable
     via undirected ``edges``. Vertices absent from ``edges`` are singleton
     components of themselves. ``algorithm`` picks the iteration shape (see
-    module docstring); ``stats``, if given, receives {"rounds": n}."""
+    module docstring); ``stats``, if given, receives {"rounds": n}.
+
+    Single-task fast path (r14, guide §4.2/§8): the edge list is already
+    materialized and counted for loop sizing; when it fits one loop
+    partition (< ~1M edges — the contracted near-dup graphs are orders of
+    magnitude smaller than the corpus) the iterative loop's fixed cost
+    (5+ materialize/convergence jobs of multi-stage shuffles) dwarfs the
+    work, so components are computed EXACTLY by one executor-side Arrow
+    union-find task over the bounded edge frame — no driver collect, no
+    loop, identical min-label output (pinned by test against both loops).
+    Larger graphs take the distributed loops unchanged."""
     # Materialize the edge list ONCE before symmetrizing: `edges` is
     # usually an expensive lazy plan (a near-dup pair join), and the
     # two-branch union would otherwise execute it twice.
@@ -175,6 +235,30 @@ def connected_components(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    n_directed = e.count()
+    if n_directed < CC_SINGLE_TASK_MAX_EDGES:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["single_task"] = True
+        resolved = e.coalesce(1).mapInPandas(
+            _cc_single_task_kernel, "id long, component long"
+        )
+        return (
+            vertices.select(F.col(id_col))
+            .join(
+                F.broadcast(
+                    resolved.select(
+                        F.col("id").alias(id_col), "component"
+                    )
+                ),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
     if algorithm == "star":
         canon = (
             e.select(
@@ -216,7 +300,7 @@ def connected_components(
     # built, partitioned AND checkpointed in ONE materialization instead
     # of the former checkpoint → count → repartition → checkpoint pair
     # (r14: two materializations + two jobs of pure setup overhead).
-    n_edges = 2 * e.count()
+    n_edges = 2 * n_directed
     default_parts = int(
         e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )

@@ -89,29 +89,53 @@ def test_star_contraction_logarithmic_rounds_and_parity(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    st: dict = {}
-    comp = graph.connected_components(
-        edges, vertices, max_iter=40, algorithm="star", stats=st
-    )
-    assert comp.filter(F.col("component") != 0).count() == 0
-    assert st["rounds"] <= 16, st  # ~2*log2(600); propagation needs 599
+    # Force the distributed loops (r14 added a single-task union-find
+    # fast path below CC_SINGLE_TASK_MAX_EDGES; this test pins the LOOP
+    # behavior, the fast path has its own parity test below).
+    orig = graph.CC_SINGLE_TASK_MAX_EDGES
+    graph.CC_SINGLE_TASK_MAX_EDGES = 0
+    try:
+        st: dict = {}
+        comp = graph.connected_components(
+            edges, vertices, max_iter=40, algorithm="star", stats=st
+        )
+        assert comp.filter(F.col("component") != 0).count() == 0
+        assert st["rounds"] <= 16, st  # ~2*log2(600); propagation needs 599
 
-    random.seed(7)
-    ee = [(random.randrange(80), random.randrange(80)) for _ in range(120)]
-    edges2 = spark.createDataFrame(ee + [(5, 5)], "src long, dst long")
-    verts2 = spark.createDataFrame([(i,) for i in range(100)], "id long")
-    a = sorted(
-        map(tuple, graph.connected_components(edges2, verts2, algorithm="star").collect())
-    )
-    b = sorted(
+        random.seed(7)
+        ee = [
+            (random.randrange(80), random.randrange(80)) for _ in range(120)
+        ]
+        edges2 = spark.createDataFrame(ee + [(5, 5)], "src long, dst long")
+        verts2 = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        a = sorted(
+            map(
+                tuple,
+                graph.connected_components(
+                    edges2, verts2, algorithm="star"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                graph.connected_components(
+                    edges2, verts2, algorithm="propagation"
+                ).collect(),
+            )
+        )
+        assert a == b
+    finally:
+        graph.CC_SINGLE_TASK_MAX_EDGES = orig
+    # Single-task Arrow union-find fast path: label-for-label identical
+    # to both distributed loops on the same graph (min-reachable-id).
+    c = sorted(
         map(
             tuple,
-            graph.connected_components(
-                edges2, verts2, algorithm="propagation"
-            ).collect(),
+            graph.connected_components(edges2, verts2).collect(),
         )
     )
-    assert a == b
+    assert c == a
 
 
 def test_minhash_finds_planted_near_dups(spark, sf_medium):
