@@ -169,7 +169,10 @@ def _cc_single_task_kernel(batches):
     path compression: find(x) returns the MINIMUM vertex id of x's
     component (the larger root is always attached under the smaller), so
     the output (vertex, label) is identical to the converged distributed
-    loops at any iteration order."""
+    loops at any iteration order. Id-type generic: ``.tolist()`` yields
+    Python ints for integer ids and str for string ids, and ``<``/``min``
+    on str is the same lexicographic order Spark's ``F.min`` and DuckDB's
+    ``min`` apply (the part_entity_groups string-vertex contract)."""
     import pandas as pd
 
     parent: dict = {}
@@ -183,8 +186,7 @@ def _cc_single_task_kernel(batches):
         return r
 
     for pdf in batches:
-        for u, v in zip(pdf["u"], pdf["v"]):
-            u, v = int(u), int(v)
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             if u not in parent:
                 parent[u] = u
             if v not in parent:
@@ -199,7 +201,7 @@ def _cc_single_task_kernel(batches):
         verts = sorted(parent)
         yield pd.DataFrame(
             {"id": verts, "component": [find(x) for x in verts]}
-        ).astype({"id": "int64", "component": "int64"})
+        )
 
 
 def connected_components(
@@ -240,8 +242,13 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = 0
             stats["single_task"] = True
+        # Schema follows the edge id type: integer graphs stay long,
+        # string-vertex graphs (part_entity_groups) stay string — the
+        # kernel's min/union order is the same in both (lexicographic
+        # for str == Spark F.min == DuckDB min).
+        id_t = e.schema["u"].dataType.simpleString()
         resolved = e.coalesce(1).mapInPandas(
-            _cc_single_task_kernel, "id long, component long"
+            _cc_single_task_kernel, f"id {id_t}, component {id_t}"
         )
         return (
             vertices.select(F.col(id_col))

@@ -138,6 +138,47 @@ def test_star_contraction_logarithmic_rounds_and_parity(spark):
     assert c == a
 
 
+def test_connected_components_string_ids_fast_path_parity(spark):
+    """String-vertex graphs (the part_entity_groups contract) must work on
+    the single-task fast path — r14's first kernel hard-coded int ids and
+    crashed the full driver sweep on 'large ring' — and agree label-for-
+    label with the distributed star loop (min label = lexicographic min,
+    the same order Spark F.min and DuckDB min apply)."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("large ring", "large rind"), ("large rind", "aqua ring"),
+         ("zinc plate", "zinc plait")],
+        "src string, dst string",
+    )
+    verts = spark.createDataFrame(
+        [("large ring",), ("large rind",), ("aqua ring",),
+         ("zinc plate",), ("zinc plait",), ("lone part",)],
+        "id string",
+    )
+    fast = sorted(
+        map(tuple, graph.connected_components(edges, verts).collect())
+    )
+    orig = graph.CC_SINGLE_TASK_MAX_EDGES
+    graph.CC_SINGLE_TASK_MAX_EDGES = 0
+    try:
+        loop = sorted(
+            map(
+                tuple,
+                graph.connected_components(
+                    edges, verts, algorithm="star"
+                ).collect(),
+            )
+        )
+    finally:
+        graph.CC_SINGLE_TASK_MAX_EDGES = orig
+    assert fast == loop
+    lab = dict(fast)
+    assert lab["large ring"] == "aqua ring"  # lexicographic min of the chain
+    assert lab["zinc plait"] == "zinc plait" and lab["zinc plate"] == "zinc plait"
+    assert lab["lone part"] == "lone part"
+
+
 def test_minhash_finds_planted_near_dups(spark, sf_medium):
     """The testdata plants ~0.99-jaccard pairs; LSH must surface them."""
     from streaming_ml_with_ksql_spark import registry
