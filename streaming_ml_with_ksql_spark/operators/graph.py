@@ -162,6 +162,13 @@ CC_SINGLE_TASK_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_CC_SINGLE_TASK_EDGES", "1000000")
 )
 
+# Edge count below which hits_bipartite broadcast-hints its (vertex-
+# bounded) score frames into the per-round joins; above it the shuffled
+# joins stand. Env-overridable for deployments (guide §3.1).
+HITS_BROADCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_HITS_BROADCAST_EDGES", "2000000")
+)
+
 
 def _cc_single_task_kernel(batches):
     """Exact min-label union-find over ONE bounded edge partition — the
@@ -851,6 +858,16 @@ def hits_bipartite(
     small constant. Returns (hubs, authorities) score frames.
     """
     c, p = hub_col, auth_col
+    # Scale-adaptive join strategy (guide §3.1): the score frames are
+    # bounded by the vertex sets, so when the edge list is small enough
+    # that its vertex sides certainly fit a broadcast, hint them — each
+    # round's join then streams the (checkpointed) edge list with ZERO
+    # edge shuffles instead of sort-merge-exchanging it twice per round.
+    # Large graphs (edge count >= the bound, the 100 TB path) keep the
+    # shuffled joins unchanged. Integer sums are partitioning-invariant,
+    # so the result is identical on both paths.
+    bounded = edges.count() < HITS_BROADCAST_MAX_EDGES
+    _bc = F.broadcast if bounded else (lambda df: df)
     hubs = edges.select(c).distinct().withColumn(
         "hs", F.lit(scale).cast("long")
     )
@@ -874,11 +891,11 @@ def hits_bipartite(
     auths = None
     for _ in range(rounds):
         auths = rescale(
-            edges.join(hubs, c).groupBy(p).agg(F.sum("hs").alias("as_")),
+            edges.join(_bc(hubs), c).groupBy(p).agg(F.sum("hs").alias("as_")),
             "as_",
         )
         hubs = rescale(
-            edges.join(auths, p).groupBy(c).agg(F.sum("as_").alias("hs")),
+            edges.join(_bc(auths), p).groupBy(c).agg(F.sum("as_").alias("hs")),
             "hs",
         )
     return hubs, auths

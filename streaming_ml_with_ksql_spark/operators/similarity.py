@@ -1845,12 +1845,58 @@ def cluster_quality(
     )
 
 
+def _mmr_single_task_kernel(k: int):
+    """Greedy MMR over ONE bounded candidate batch — the single-task
+    fast path of mmr_diverse_topk (r14, guide §4.2: the per-pick
+    distributed loop costs k-1 checkpoint jobs on a ``cand_n``-row
+    frame; the whole greedy selection is exact integer arithmetic, so
+    one Arrow task replays it bit-for-bit: Python ints ARE the BIGINTs
+    the Spark loop and the unrolled oracle compute)."""
+
+    def kern(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for vid, q, rel in zip(
+                pdf["vec_id"].tolist(), pdf["q"], pdf["rel"].tolist()
+            ):
+                rows.append((int(vid), [int(x) for x in q], int(rel)))
+        if not rows:
+            return
+        # pick 1: max relevance, ties to the smaller vec_id
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        picked = [rows[0]]
+        out = [(1, rows[0][0], rows[0][2], rows[0][2])]
+        remaining = rows[1:]
+        for t in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for vid, q, rel in remaining:
+                pen = max(
+                    sum(a * b for a, b in zip(q, pq)) for _, pq, _ in picked
+                )
+                score = rel - pen
+                if best is None or (-score, vid) < (-best[3], best[0]):
+                    best = (vid, q, rel, score)
+            picked.append((best[0], best[1], best[2]))
+            out.append((t, best[0], best[2], best[3]))
+            remaining = [r for r in remaining if r[0] != best[0]]
+        yield pd.DataFrame(
+            out, columns=["pick_order", "vec_id", "rel", "score"]
+        )
+
+    return kern
+
+
 def mmr_diverse_topk(
     embeddings: DataFrame,
     *,
     query_id: int = 0,
     cand_n: int = 20,
     k: int = 8,
+    single_task: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998) — the diversity stage between candidate retrieval and
@@ -1917,6 +1963,24 @@ def mmr_diverse_topk(
         .limit(cand_n)
         .localCheckpoint(eager=True)
     )
+    if single_task:
+        # The k-1 per-pick checkpoint jobs collapse into ONE Arrow task
+        # over the cand_n-row frame; the distributed loop below stays
+        # for parity testing (and would be the path if cand_n ever grew
+        # beyond a task's reach — it cannot: cand_n is a serving cutoff).
+        return (
+            cand.coalesce(1)
+            .mapInPandas(
+                _mmr_single_task_kernel(k),
+                "pick_order int, vec_id long, rel long, score long",
+            )
+            .select(
+                "pick_order",
+                "vec_id",
+                F.col("rel").cast("double").alias("rel_d"),
+                F.col("score").cast("double").alias("score_d"),
+            )
+        )
     sel = (
         cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(1)

@@ -1310,11 +1310,28 @@ def ngram_lm_score(
     big = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
-    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # TWO corpus passes instead of three (r14, guide §2.3/§2.4/§8): the
+    # model counts fold exactly from the per-doc counts (count == sum of
+    # m), so bg/ctx/voc all derive from ONE persisted model-scale
+    # aggregate instead of three independent explode+shuffle passes over
+    # the corpus. voc is exact: every token of a >=2-token doc is w1 of
+    # some bigram or w2 of the last one, so distinct(w1) ∪ distinct(w2)
+    # IS the distinct token set. Only bg is persisted — it is bounded by
+    # DISTINCT corpus bigrams (model-scale); doc_big is one row per
+    # (doc, bigram) — corpus-scale — and caching it costs more bytes than
+    # the corpus text itself (guide §8's decision-frame rule: persist
+    # keys+metadata, never corpus payload; an A/B at sf0.1 read the
+    # doc_big persist 1.4x SLOWER than recomputing the explode). Train
+    # (bg) and score (doc_big) are the two irreducible corpus passes.
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bg = doc_big.groupBy("w1", "w2").agg(F.sum("m").alias("c12")).persist()
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    voc = base.select(F.explode("t").alias("w")).agg(
-        F.count_distinct("w").alias("v")
+    voc = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
     )
     # Evaluation order mirrors the oracle SQL exactly (cross-engine float
     # identity): (c12 + k) / (c1 + k*v), summed weighted by multiplicity.

@@ -414,6 +414,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # Materialize the per-customer aggregate ONCE: the first
+        # parallel_ntile's repartitionByRange samples its input and then
+        # shuffles it — two executions of the orders scan+groupBy without
+        # this (guide §2.4; the decision-frame rule — 4 scalars/customer).
+        .localCheckpoint(eager=True)
     )
     scored = rfm
     for cols, out in (

@@ -183,10 +183,15 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
     base = docs.select(
         "doc_id", toks.alias("t"), F.size(toks).alias("dl")
     ).localCheckpoint(eager=True)
+    # Materialize the 1-row corpus stats: it is crossJoin-broadcast into
+    # every scoring stage, and broadcast builds cannot share a sibling
+    # subtree — each build would otherwise re-aggregate the full token
+    # RDD (an ExistingRDD scan cannot column-prune, so every pass pays
+    # full token-array deserialization; guide §2.4/§5).
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
-    )
+    ).localCheckpoint(eager=True)
     dftbl = (
         base.select(F.explode(F.array_distinct("t")).alias("term"))
         .groupBy("term")
@@ -320,7 +325,14 @@ def q_sequential_pattern_support(
     equi-joins and groupBys, intermediate width bounded by |types|^2
     (25 rows/user), no window, no broadcast growth."""
     ev = _t(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_type", "ts").distinct()
+    # Materialize the distinct event frame ONCE: it is read three times
+    # (the a-aggregate and the b/c joins), and without this the full
+    # events scan + distinct shuffle executes per consumer (guide §2.4).
+    e = (
+        ev.select("user_id", "event_type", "ts")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = e.groupBy(
         "user_id", F.col("event_type").alias("step_a")
     ).agg(F.min("ts").alias("t1"))

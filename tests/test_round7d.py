@@ -334,6 +334,34 @@ def test_mmr_matches_python_reference_greedy(spark):
     assert out == _py_mmr(q8, 0, 12, 5)
 
 
+def test_mmr_single_task_matches_distributed_loop(spark):
+    """r14 fast path: the one-Arrow-task greedy kernel must reproduce the
+    distributed per-pick loop row-for-row (both are exact BIGINT
+    arithmetic, so equality is bitwise, not approximate)."""
+    from streaming_ml_with_ksql_spark.operators.similarity import mmr_diverse_topk
+
+    vecs = {
+        v: [float(((v * 5 + i * 17) % 13) - 6) for i in range(8)]
+        for v in range(40)
+    }
+    emb = spark.createDataFrame(
+        [(v, vecs[v], 0) for v in sorted(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    fast = sorted(
+        map(tuple, mmr_diverse_topk(emb, cand_n=15, k=6).collect())
+    )
+    loop = sorted(
+        map(
+            tuple,
+            mmr_diverse_topk(
+                emb, cand_n=15, k=6, single_task=False
+            ).collect(),
+        )
+    )
+    assert fast == loop
+
+
 def test_mmr_first_pick_is_pure_relevance_and_picks_distinct(spark, sf_medium):
     from streaming_ml_with_ksql_spark.registry import _REGISTRY
 
