@@ -169,6 +169,189 @@ HITS_BROADCAST_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_HITS_BROADCAST_EDGES", "2000000")
 )
 
+# Directed-edge count below which the iterative integer score loops
+# (pagerank, bfs_hops, hits_bipartite) take their single-task Arrow
+# kernels instead of the distributed per-round join/aggregate loops —
+# the connected_components fast-path discipline (guide §4.2): every one
+# of these algorithms is EXACT int64 arithmetic whose result is
+# independent of summation order and partitioning, so one vectorized
+# numpy task replays the distributed loop bit-for-bit while saving
+# iters × (join + groupBy + checkpoint) jobs of fixed overhead.
+# Env-overridable for deployments; larger graphs keep the loops.
+ITER_SINGLE_TASK_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_ITER_SINGLE_TASK_EDGES", "1000000")
+)
+
+
+def _prep_sym_edges(batches):
+    """Consume (src, dst) Arrow batches; return the symmetrized,
+    deduplicated edge set as factorized index arrays plus dst-sorted
+    segment structures for exact ``reduceat`` aggregation:
+    (su_s, sv_starts, seg_ids, outdeg, uniq, nv) where ``su_s`` is the
+    src index of every directed edge sorted by dst, ``sv_starts`` the
+    segment starts of each dst run, ``seg_ids`` the dst index per
+    segment, ``outdeg`` the per-src directed degree, ``uniq`` the
+    original vertex ids (factorize order), ``nv`` the vertex count.
+    Returns None on an empty edge set. Id-type generic (factorize
+    handles int64 and str alike; only index arrays do arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    srcs, dsts = [], []
+    for pdf in batches:
+        srcs.append(pdf["src"].to_numpy())
+        dsts.append(pdf["dst"].to_numpy())
+    if not srcs:
+        return None
+    a = np.concatenate(srcs)
+    b = np.concatenate(dsts)
+    if a.size == 0:
+        return None
+    codes, uniq = pd.factorize(np.concatenate([a, b]))
+    nv = len(uniq)
+    u = codes[: a.size].astype(np.int64)
+    v = codes[a.size:].astype(np.int64)
+    # symmetrize + distinct == the loops' unionByName(...).distinct()
+    key = np.concatenate([u, v]) * np.int64(nv) + np.concatenate([v, u])
+    key = np.unique(key)
+    su = (key // nv).astype(np.int64)
+    sv = (key % nv).astype(np.int64)
+    outdeg = np.bincount(su, minlength=nv).astype(np.int64)
+    order = np.argsort(sv, kind="stable")
+    su_s = su[order]
+    sv_s = sv[order]
+    starts = np.flatnonzero(np.r_[True, sv_s[1:] != sv_s[:-1]])
+    seg_ids = sv_s[starts]
+    return su_s, starts, seg_ids, outdeg, uniq, nv
+
+
+def _pagerank_single_task_kernel(iters: int, scale: int):
+    """Exact integer-fixed-point PageRank over ONE bounded edge
+    partition — the single-task Arrow fast path of ``pagerank``. Every
+    operation mirrors the distributed loop verbatim: initial rank
+    ``scale div n``, per-edge contribution ``pr div outdeg`` (all values
+    non-negative, so numpy's floor ``//`` == Spark's truncating
+    ``div``), damped update ``(15*(scale div n)) div 100 +
+    (85*acc) div 100`` — int64 addition is associative, so
+    ``np.add.reduceat`` per dst segment equals the loop's groupBy-sum on
+    any engine or partitioning."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        prep = _prep_sym_edges(batches)
+        if prep is None:
+            return
+        su_s, starts, seg_ids, outdeg, uniq, nv = prep
+        base = np.int64((15 * (scale // nv)) // 100)
+        pr = np.full(nv, scale // nv, dtype=np.int64)
+        for _ in range(iters):
+            contrib = pr[su_s] // outdeg[su_s]
+            acc = np.zeros(nv, dtype=np.int64)
+            acc[seg_ids] = np.add.reduceat(contrib, starts)
+            pr = base + (85 * acc) // 100
+        yield pd.DataFrame({"node": uniq, "pr": pr})
+
+    return kern
+
+
+def _bfs_single_task_kernel(iters: int, seed_mod: int):
+    """Exact multi-source BFS over ONE bounded edge partition — the
+    single-task Arrow fast path of ``bfs_hops``. min over int64 is
+    commutative, so ``np.minimum.reduceat`` per dst segment equals the
+    loop's groupBy-min; unreached vertices carry a 2^62 sentinel
+    internally (propagating it never wins a min against a real
+    distance) and emit NULL, exactly the loop's contract."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        prep = _prep_sym_edges(batches)
+        if prep is None:
+            return
+        su_s, starts, seg_ids, _outdeg, uniq, nv = prep
+        unreached = np.int64(1) << 62
+        ids = np.asarray(uniq, dtype=np.int64)
+        d = np.where(ids % seed_mod == 0, np.int64(0), unreached)
+        for _ in range(iters):
+            nd = d[su_s] + 1
+            best = np.minimum.reduceat(nd, starts)
+            d[seg_ids] = np.minimum(d[seg_ids], best)
+        yield pd.DataFrame(
+            {
+                "node": uniq,
+                "d": pd.arrays.IntegerArray(d, d >= unreached),
+            }
+        )
+
+    return kern
+
+
+def _hits_single_task_kernel(
+    rounds: int, scale: int, side: str, hub_col: str, auth_col: str
+):
+    """Exact integer HITS over ONE bounded bipartite edge partition —
+    the single-task Arrow fast path of ``hits_bipartite``. Replays the
+    distributed rounds verbatim (sum per target vertex via int64
+    ``reduceat``, then the integer rescale ``score div greatest(1,
+    (max+scale-1) div scale)``); emits the hub or authority side per
+    ``side``. Edges are NOT deduplicated here — the distributed joins
+    sum duplicate edges twice, so the kernel must too (callers pass
+    distinct edge lists)."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        cs, ps = [], []
+        for pdf in batches:
+            cs.append(pdf[hub_col].to_numpy())
+            ps.append(pdf[auth_col].to_numpy())
+        if not cs:
+            return
+        c = np.concatenate(cs)
+        p = np.concatenate(ps)
+        if c.size == 0:
+            return
+        ccodes, cuniq = pd.factorize(c)
+        pcodes, puniq = pd.factorize(p)
+        nc, na = len(cuniq), len(puniq)
+        ccodes = ccodes.astype(np.int64)
+        pcodes = pcodes.astype(np.int64)
+        po = np.argsort(pcodes, kind="stable")
+        p_s = pcodes[po]
+        c_for_p = ccodes[po]
+        pstarts = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+        pseg = p_s[pstarts]
+        co = np.argsort(ccodes, kind="stable")
+        c_s = ccodes[co]
+        p_for_c = pcodes[co]
+        cstarts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        cseg = c_s[cstarts]
+
+        def rescale(raw):
+            m = int(raw.max())
+            dnm = max(1, (m + scale - 1) // scale)
+            return raw // np.int64(dnm)
+
+        hs = np.full(nc, scale, dtype=np.int64)
+        as_ = None
+        for _ in range(rounds):
+            raw = np.zeros(na, dtype=np.int64)
+            raw[pseg] = np.add.reduceat(hs[c_for_p], pstarts)
+            as_ = rescale(raw)
+            raw2 = np.zeros(nc, dtype=np.int64)
+            raw2[cseg] = np.add.reduceat(as_[p_for_c], cstarts)
+            hs = rescale(raw2)
+        if side == "hub":
+            yield pd.DataFrame({hub_col: cuniq, "hs": hs})
+        else:
+            yield pd.DataFrame({auth_col: puniq, "as_": as_})
+
+    return kern
+
 
 def _cc_single_task_kernel(batches):
     """Exact min-label union-find over ONE bounded edge partition — the
@@ -589,6 +772,7 @@ def pagerank(
     scale: int = 10**12,
     loop_parts: int | None = None,
     checkpoint_every: int = 2,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph in INTEGER
     fixed-point — centrality for the near-dup graph (which document is
@@ -628,6 +812,21 @@ def pagerank(
     p0 = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # Single-task Arrow fast path (r14, guide §4.2): the pair list is
+    # already materialized; when the symmetrized edge set fits one loop
+    # partition, the iters × (join + groupBy + checkpoint) fixed job
+    # cost dwarfs the data work, and the exact int64 arithmetic is
+    # partitioning-free — one vectorized kernel task replays the loop
+    # bit-for-bit (pinned by parity test). Larger graphs loop unchanged
+    # (the threshold is an edge-count bound, not a core-count constant).
+    if single_task is None:
+        single_task = 2 * p0.count() < ITER_SINGLE_TASK_MAX_EDGES
+    if single_task:
+        id_t = p0.schema["src"].dataType.simpleString()
+        return p0.coalesce(1).mapInPandas(
+            _pagerank_single_task_kernel(iters, scale),
+            f"node {id_t}, pr long",
+        )
     edges = p0.unionByName(
         p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -694,6 +893,7 @@ def bfs_hops(
     iters: int = 4,
     loop_parts: int | None = None,
     checkpoint_every: int = 2,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances over an undirected pair graph —
     landmark distance labeling (seeds = vertices with id % seed_mod == 0,
@@ -728,6 +928,17 @@ def bfs_hops(
     p0 = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # Single-task Arrow fast path — see pagerank (the min-propagation
+    # twin: int64 min is commutative, so the kernel's reduceat equals
+    # the loop's groupBy-min on any partitioning; parity-pinned).
+    if single_task is None:
+        single_task = 2 * p0.count() < ITER_SINGLE_TASK_MAX_EDGES
+    if single_task:
+        id_t = p0.schema["src"].dataType.simpleString()
+        return p0.coalesce(1).mapInPandas(
+            _bfs_single_task_kernel(iters, seed_mod),
+            f"node {id_t}, d long",
+        )
     edges = p0.unionByName(
         p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -837,6 +1048,7 @@ def hits_bipartite(
     scale: int = 1_000_000,
     hub_col: str = "c",
     auth_col: str = "p",
+    single_task: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS hubs-and-authorities (Kleinberg, JACM 1999) over a bipartite
     edge list — hubs on ``hub_col`` (e.g. customers), authorities on
@@ -858,6 +1070,29 @@ def hits_bipartite(
     small constant. Returns (hubs, authorities) score frames.
     """
     c, p = hub_col, auth_col
+    n_edges = edges.count()
+    # Single-task Arrow fast path (r14, guide §4.2) — see pagerank: the
+    # whole rounds×(sum, rescale, sum, rescale) recurrence is exact
+    # int64 arithmetic, so when the edge list fits one task, one
+    # vectorized kernel per returned side replays it bit-for-bit
+    # (parity-pinned) instead of 2×rounds eager join+groupBy+checkpoint
+    # jobs. Larger graphs keep the distributed rounds below.
+    if single_task is None:
+        single_task = n_edges < ITER_SINGLE_TASK_MAX_EDGES
+    if single_task:
+        ct = edges.schema[c].dataType.simpleString()
+        pt = edges.schema[p].dataType.simpleString()
+        e1 = edges.select(c, p)
+        return (
+            e1.coalesce(1).mapInPandas(
+                _hits_single_task_kernel(rounds, scale, "hub", c, p),
+                f"{c} {ct}, hs long",
+            ),
+            e1.coalesce(1).mapInPandas(
+                _hits_single_task_kernel(rounds, scale, "auth", c, p),
+                f"{p} {pt}, as_ long",
+            ),
+        )
     # Scale-adaptive join strategy (guide §3.1): the score frames are
     # bounded by the vertex sets, so when the edge list is small enough
     # that its vertex sides certainly fit a broadcast, hint them — each
@@ -866,7 +1101,7 @@ def hits_bipartite(
     # Large graphs (edge count >= the bound, the 100 TB path) keep the
     # shuffled joins unchanged. Integer sums are partitioning-invariant,
     # so the result is identical on both paths.
-    bounded = edges.count() < HITS_BROADCAST_MAX_EDGES
+    bounded = n_edges < HITS_BROADCAST_MAX_EDGES
     _bc = F.broadcast if bounded else (lambda df: df)
     hubs = edges.select(c).distinct().withColumn(
         "hs", F.lit(scale).cast("long")

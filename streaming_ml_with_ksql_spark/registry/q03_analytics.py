@@ -420,13 +420,28 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this (guide §2.4; the decision-frame rule — 4 scalars/customer).
         .localCheckpoint(eager=True)
     )
+    # Size the three ntile range-shuffles to the MEASURED customer count
+    # (~1M rows/partition, the connected_components loop discipline —
+    # guide §2.2 scale-adaptive partitioning): the checkpointed frame's
+    # count is a cached-RDD read, and at bench scale a 15k-row frame
+    # across the full session width paid 3× (range-sample + 32-task
+    # shuffle + offsets) of pure scheduling overhead. Global row number
+    # is partition-count-invariant (total order), so scores are
+    # identical at any width; 100 TB customer counts keep the session
+    # parallelism.
+    default_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ntile_parts = max(1, min(default_parts, rfm.count() // 1_000_000 + 1))
     scored = rfm
     for cols, out in (
         ([F.col("recency_days").asc(), F.col("c_custkey").asc()], "r_score"),
         ([F.col("frequency").desc(), F.col("c_custkey").asc()], "f_score"),
         ([F.col("monetary").desc(), F.col("c_custkey").asc()], "m_score"),
     ):
-        scored = rank_ops.parallel_ntile(scored, 5, cols, out)
+        scored = rank_ops.parallel_ntile(
+            scored, 5, cols, out, num_partitions=ntile_parts
+        )
     scored = scored.select(
         "c_custkey",
         "recency_days",

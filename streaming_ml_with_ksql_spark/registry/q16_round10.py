@@ -187,11 +187,18 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
     # every scoring stage, and broadcast builds cannot share a sibling
     # subtree — each build would otherwise re-aggregate the full token
     # RDD (an ExistingRDD scan cannot column-prune, so every pass pays
-    # full token-array deserialization; guide §2.4/§5).
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("double").alias("sum_dl"),
-    ).localCheckpoint(eager=True)
+    # full token-array deserialization; guide §2.4/§5). The limit(1) is
+    # a semantic no-op (a global aggregate is exactly one row) that
+    # restores the logical maxRows bound the checkpoint erases — the
+    # plan lint proves BNLJ build sides bounded through it.
+    stats = (
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("double").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+        .limit(1)
+    )
     dftbl = (
         base.select(F.explode(F.array_distinct("t")).alias("term"))
         .groupBy("term")

@@ -294,3 +294,85 @@ def test_shuffle_shard_is_a_total_order(spark, sf_medium):
     )
     assert per_shard.filter(F.col("n") != F.col("mx")).count() == 0
     out.unpersist()
+
+
+def test_pagerank_single_task_matches_distributed_loop(spark):
+    """r14 fast path: the one-Arrow-task integer PageRank kernel must
+    reproduce the distributed per-round loop rank-for-rank (both are
+    exact BIGINT arithmetic, so equality is bitwise). Graph: two rings
+    joined by a bridge plus a self-loop and a duplicate pair (the loop's
+    symmetrize+distinct must be replayed identically)."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    pairs = [(i, (i + 1) % 7) for i in range(7)]
+    pairs += [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    pairs += [(3, 12), (4, 4), (0, 1)]  # bridge, self-loop, duplicate
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = sorted(
+        map(tuple, graph.pagerank(df, iters=6, single_task=True).collect())
+    )
+    loop = sorted(
+        map(tuple, graph.pagerank(df, iters=6, single_task=False).collect())
+    )
+    assert fast == loop
+    assert len(fast) == 12
+
+
+def test_pagerank_single_task_string_ids(spark):
+    """The textrank word-graph contract: string vertices must ride the
+    fast path and agree with the distributed loop."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [("alpha", "beta"), ("beta", "gamma"), ("gamma", "alpha"),
+         ("delta", "beta")],
+        "w1 string, w2 string",
+    )
+    fast = sorted(map(tuple, graph.pagerank(
+        df, a_col="w1", b_col="w2", iters=6, single_task=True).collect()))
+    loop = sorted(map(tuple, graph.pagerank(
+        df, a_col="w1", b_col="w2", iters=6, single_task=False).collect()))
+    assert fast == loop
+
+
+def test_bfs_hops_single_task_matches_distributed_loop(spark):
+    """r14 fast path: the min-propagation kernel must reproduce the
+    distributed loop including NULLs for vertices unreached within
+    ``iters`` (chain longer than the horizon) and the seed set
+    (id % seed_mod == 0)."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    # seed 0; chain 0-1-2-...-8 (7,8 beyond 4 hops -> NULL); island 21-22
+    pairs = [(i, i + 1) for i in range(8)] + [(21, 22)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = sorted(
+        map(tuple, graph.bfs_hops(df, seed_mod=10, iters=4,
+                                  single_task=True).collect()),
+        key=lambda t: t[0],
+    )
+    loop = sorted(
+        map(tuple, graph.bfs_hops(df, seed_mod=10, iters=4,
+                                  single_task=False).collect()),
+        key=lambda t: t[0],
+    )
+    assert fast == loop
+    d = dict(fast)
+    assert d[0] == 0 and d[4] == 4
+    assert d[7] is None and d[8] is None and d[21] is None
+
+
+def test_hits_single_task_matches_distributed_loop(spark):
+    """r14 fast path: the HITS kernel (sum + integer rescale per round)
+    must reproduce both score frames of the distributed rounds exactly,
+    including the rescale divisor derived from the per-round max."""
+    from streaming_ml_with_ksql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 100), (1, 101), (1, 102), (2, 100), (2, 103), (3, 101),
+         (4, 104)],
+        "c long, p long",
+    ).localCheckpoint(eager=True)
+    fh, fa = graph.hits_bipartite(edges, rounds=3, single_task=True)
+    lh, la = graph.hits_bipartite(edges, rounds=3, single_task=False)
+    assert sorted(map(tuple, fh.collect())) == sorted(map(tuple, lh.collect()))
+    assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, la.collect()))
