@@ -27,10 +27,179 @@ Reference parity: the reference's ML surface is train-then-score
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["quantize_vectors", "kmeans_fixed_point", "dbscan_from_pairs"]
+
+# Quantized-cell count (rows x dims) below which kmeans_fixed_point runs
+# its Lloyd iterations in ONE vectorized Arrow task instead of the
+# distributed assign/update loop — the graph-kernel discipline (r14,
+# guide §4.2): every operation is exact int64 arithmetic, so the kernel
+# replays the loop bit-for-bit while saving iters x (broadcast-assign +
+# posexplode-update + centroid checkpoint) jobs. ~160 MB of int64 cells;
+# env-overridable. Larger inputs keep the distributed loop (the bound is
+# a data-size constant, not a core-count constant).
+KMEANS_SINGLE_TASK_MAX_CELLS = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_SINGLE_TASK_CELLS", "20000000")
+)
+
+# Rep-row + directed-edge count below which dbscan_from_weighted_pairs
+# resolves the rep-level roles/labels in ONE Arrow task (weighted
+# degrees, min-label union-find over core-core edges, min-label border
+# attach — all exact integer/min arithmetic, so the kernel replays the
+# relational cascade bit-for-bit) instead of ~10 join/aggregate jobs
+# whose decision frames are re-executed per consumer. Members (the
+# corpus-scale side) are NEVER collected — they attach by one broadcast
+# join. Env-overridable; larger graphs keep the relational path.
+DBSCAN_SINGLE_TASK_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DBSCAN_SINGLE_TASK_ROWS", "1000000")
+)
+
+
+def _dbscan_single_task_kernel(min_neighbors: int):
+    """Exact rep-level weighted DBSCAN over ONE bounded partition — the
+    single-task fast path of dbscan_from_weighted_pairs. Input rows are
+    a union: (u, m, NULL) weight rows (one per rep) and (u, NULL, v)
+    eps-pair rows. Replays the relational cascade verbatim: weighted
+    degree m-1 + Σ m over sym neighbors (duplicate edges count twice,
+    exactly like the non-distinct union), core threshold, min-label
+    union-find over core-core edges (== star contraction's min
+    component id), border = min core-neighbor label, noise -1."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ws, es = [], []
+        for pdf in batches:
+            isw = pdf["v"].isna().to_numpy()
+            if isw.any():
+                ws.append(pdf.loc[isw, ["u", "m"]])
+            if (~isw).any():
+                es.append(pdf.loc[~isw, ["u", "v"]])
+        if not ws:
+            return
+        w = pd.concat(ws)
+        ru = w["u"].to_numpy().astype(np.int64)
+        m = w["m"].to_numpy().astype(np.int64)
+        order = np.argsort(ru, kind="stable")
+        ru, m = ru[order], m[order]
+        n = len(ru)
+        if es:
+            epdf = pd.concat(es)
+            eu = epdf["u"].to_numpy().astype(np.int64)
+            ev = epdf["v"].to_numpy().astype(np.int64)
+        else:
+            eu = ev = np.empty(0, dtype=np.int64)
+        iu = np.searchsorted(ru, eu)
+        iv = np.searchsorted(ru, ev)
+        su = np.concatenate([iu, iv])
+        sv = np.concatenate([iv, iu])
+        w_out = np.zeros(n, dtype=np.int64)
+        np.add.at(w_out, su, m[sv])
+        deg = m - 1 + w_out
+        isc = deg >= min_neighbors
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(iu.tolist(), iv.tolist()):
+            if isc[a] and isc[b]:
+                pa, pb = int(ru[a]), int(ru[b])
+                if pa not in parent:
+                    parent[pa] = pa
+                if pb not in parent:
+                    parent[pb] = pb
+                ra, rb = find(pa), find(pb)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        lab = np.full(n, -1, dtype=np.int64)
+        for i in np.flatnonzero(isc).tolist():
+            pid = int(ru[i])
+            lab[i] = find(pid) if pid in parent else pid
+        big = np.int64(1) << 62
+        bl = np.full(n, big, dtype=np.int64)
+        mask = isc[sv] & ~isc[su]
+        np.minimum.at(bl, su[mask], lab[sv[mask]])
+        roles = np.where(
+            isc, "core", np.where(bl < big, "border", "noise")
+        )
+        cid = np.where(isc, lab, np.where(bl < big, bl, np.int64(-1)))
+        yield pd.DataFrame({"u": ru, "role": roles, "cluster_id": cid})
+
+    return kern
+
+
+def _kmeans_single_task_kernel(k: int, iters: int):
+    """Exact integer Lloyd over ONE bounded quantized-point partition —
+    the single-task Arrow fast path of kmeans_fixed_point. Replays the
+    distributed loop verbatim: seeds = the k smallest vec_ids (centroid
+    columns kept in ascending-cid order, so numpy's first-occurrence
+    argmin IS the min-struct(dist, cid) tie-break), centroid update
+    ``sum div count`` with the sign-adjusted truncation toward zero
+    (coordinate sums can be negative; numpy ``//`` floors where Spark
+    ``div`` truncates — the embedding_pca_project tdiv lesson), empty
+    clusters keep their previous centroid."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, vecs = [], []
+        for pdf in batches:
+            ids.append(pdf["vec_id"].to_numpy())
+            vecs.extend(pdf["qv"].tolist())
+        if not ids:
+            return
+        vid = np.concatenate(ids).astype(np.int64)
+        x = np.asarray(vecs, dtype=np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        x = x[order]
+        cent = x[:k].copy()  # seed rows, ascending vec_id == cid order
+        cids = vid[:k].copy()
+
+        def assign(c):
+            # exact int64 squared L2 per centroid column; argmin's
+            # first-occurrence rule == ties to the smallest cid
+            d = np.empty((len(vid), len(c)), dtype=np.int64)
+            for j in range(len(c)):
+                diff = x - c[j]
+                d[:, j] = np.einsum("ij,ij->i", diff, diff)
+            best = d.argmin(axis=1)
+            return best, d[np.arange(len(vid)), best]
+
+        for _ in range(iters):
+            best, _dist = assign(cent)
+            for j in range(k):
+                m = best == j
+                n = int(m.sum())
+                if n == 0:
+                    continue  # empty cluster keeps its centroid
+                sv = x[m].sum(axis=0)
+                q = sv // n
+                # floor -> truncation toward zero on negative sums
+                q = q + ((sv - q * n != 0) & (sv < 0))
+                cent[j] = q
+        best, dist = assign(cent)
+        yield pd.DataFrame(
+            {"vec_id": vid, "cid": cids[best], "dist": dist}
+        )
+
+    return kern
 
 
 def quantize_vectors(
@@ -76,6 +245,7 @@ def kmeans_fixed_point(
     scale: int = 10**6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; returns the final assignment
     (vec_id, cid, dist). Seeds = the quantized vectors of the k
@@ -85,6 +255,19 @@ def kmeans_fixed_point(
     pts = quantize_vectors(
         emb, id_col=id_col, vec_col=vec_col, scale=scale
     ).localCheckpoint(eager=True)
+    if single_task is None:
+        # rows x dims from the materialized frame (a cached-RDD count
+        # plus one first() — both driver-scale); ragged/empty frames
+        # fall through to the distributed loop
+        n = pts.count()
+        first = pts.select(F.size("qv").alias("d")).first()
+        dims = first["d"] if first is not None else 0
+        single_task = 0 < n * max(dims, 1) < KMEANS_SINGLE_TASK_MAX_CELLS
+    if single_task:
+        return pts.coalesce(1).mapInPandas(
+            _kmeans_single_task_kernel(k, iters),
+            "vec_id long, cid long, dist long",
+        )
     cent = (
         pts.orderBy("vec_id")
         .limit(k)
@@ -248,6 +431,7 @@ def dbscan_from_weighted_pairs(
     a_col: str = "vec_a",
     b_col: str = "vec_b",
     min_neighbors: int = 2,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """dbscan_from_pairs with EXACT-duplICATE points collapsed to
     weighted representatives — the scale fix for duplicate-heavy
@@ -277,11 +461,34 @@ def dbscan_from_weighted_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.col(rep_col).cast("long").alias("u"),
     ).localCheckpoint(eager=True)
-    mw = members.groupBy("u").agg(F.count(F.lit(1)).alias("m"))
+    # mw materialized: the gate below needs its count, and on the
+    # distributed path deg/nbr_w both consume it (guide §2.4)
+    mw = (
+        members.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
     e = rep_pairs.select(
         F.col(a_col).cast("long").alias("u"),
         F.col(b_col).cast("long").alias("v"),
     ).localCheckpoint(eager=True)
+    if single_task is None:
+        single_task = (
+            mw.count() + 2 * e.count() < DBSCAN_SINGLE_TASK_MAX_ROWS
+        )
+    if single_task:
+        inp = mw.select(
+            "u", "m", F.lit(None).cast("long").alias("v")
+        ).unionByName(
+            e.select("u", F.lit(None).cast("long").alias("m"), "v")
+        )
+        rep_lab = inp.coalesce(1).mapInPandas(
+            _dbscan_single_task_kernel(min_neighbors),
+            "u long, role string, cluster_id long",
+        )
+        return members.join(F.broadcast(rep_lab), "u").select(
+            F.col("id").alias(id_col), "role", "cluster_id"
+        )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nbr_w = (
         sym.join(mw.select(F.col("u").alias("v"), F.col("m").alias("mv")), "v")

@@ -36,10 +36,16 @@ future exact-quantile operator.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "parallel_ntile"]
+__all__ = [
+    "global_row_number",
+    "parallel_ntile",
+    "ntile_scores_single_task",
+]
 
 _LOW33 = (1 << 33) - 1
 
@@ -132,3 +138,67 @@ def parallel_ntile(
         r + _cdiv(grn - big, F.greatest(q, F.lit(1)))
     )
     return ranked.withColumn(out_col, tile.cast("int")).drop("__grn", "__tot")
+
+
+# Row count below which ntile_scores_single_task may be used instead of
+# repeated parallel_ntile passes (one Arrow task replaces per-score
+# range-shuffle + offsets jobs). Env-overridable; callers gate on a
+# MEASURED count of an already-materialized frame and keep the
+# distributed path above it.
+NTILE_SINGLE_TASK_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_NTILE_SINGLE_TASK_ROWS", "2000000")
+)
+
+
+def ntile_scores_single_task(
+    df: DataFrame,
+    n_tiles: int,
+    specs: list[tuple[str, list[tuple[str, str]]]],
+) -> DataFrame:
+    """ALL of ``specs``' NTILE scores in ONE Arrow task — the r14
+    single-task fast path for bounded decision frames (the RFM
+    customer aggregate): each spec is ``(out_col, [(key_col, "asc" |
+    "desc"), ...])`` over NUMERIC NON-NULL key columns forming a total
+    order. Replays parallel_ntile's exact integer bucket arithmetic
+    (``q = total div n``, first ``r`` buckets hold ``q+1`` rows) over a
+    numpy lexsort permutation — a total order has exactly one sorted
+    permutation, so the ranks (and therefore every score) are identical
+    to the distributed range-shuffle path at any partitioning (pinned
+    by parity test). The input frame should be materialized
+    (localCheckpoint) by the caller; one task sees all rows."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + ", ".join(f"{out} int" for out, _ in specs)
+    names = [f.name for f in df.schema.fields] + [out for out, _ in specs]
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        total = len(pdf)
+        q, r = divmod(total, n_tiles)
+        big = r * (q + 1)
+        for out, keys in specs:
+            arrs = []
+            for colname, direction in reversed(keys):  # last key = primary
+                a = pdf[colname].to_numpy()
+                arrs.append(-a if direction == "desc" else a)
+            order = np.lexsort(arrs)
+            grn = np.empty(total, dtype=np.int64)
+            grn[order] = np.arange(1, total + 1)
+            if q == 0:
+                tile = -(-grn // (q + 1))
+            else:
+                tile = np.where(
+                    grn <= big,
+                    -(-grn // (q + 1)),
+                    r + -(-(grn - big) // q),
+                )
+            pdf[out] = tile.astype(np.int32)
+        yield pdf[names]
+
+    return df.coalesce(1).mapInPandas(kern, out_schema)

@@ -420,28 +420,40 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this (guide §2.4; the decision-frame rule — 4 scalars/customer).
         .localCheckpoint(eager=True)
     )
-    # Size the three ntile range-shuffles to the MEASURED customer count
-    # (~1M rows/partition, the connected_components loop discipline —
-    # guide §2.2 scale-adaptive partitioning): the checkpointed frame's
-    # count is a cached-RDD read, and at bench scale a 15k-row frame
-    # across the full session width paid 3× (range-sample + 32-task
-    # shuffle + offsets) of pure scheduling overhead. Global row number
-    # is partition-count-invariant (total order), so scores are
-    # identical at any width; 100 TB customer counts keep the session
-    # parallelism.
-    default_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    ntile_parts = max(1, min(default_parts, rfm.count() // 1_000_000 + 1))
-    scored = rfm
-    for cols, out in (
-        ([F.col("recency_days").asc(), F.col("c_custkey").asc()], "r_score"),
-        ([F.col("frequency").desc(), F.col("c_custkey").asc()], "f_score"),
-        ([F.col("monetary").desc(), F.col("c_custkey").asc()], "m_score"),
-    ):
-        scored = rank_ops.parallel_ntile(
-            scored, 5, cols, out, num_partitions=ntile_parts
+    # Scale-adaptive quintile scoring (guide §2.2/§4.2): below a
+    # measured-count bound (the checkpointed frame's count is a
+    # cached-RDD read) ALL THREE ntile scores compute in ONE Arrow task
+    # (rank_ops.ntile_scores_single_task — the exact same integer
+    # bucket arithmetic over a total order, parity-pinned), replacing
+    # 3 x (range-sample + shuffle + offsets) jobs of scheduling
+    # overhead on a 4-scalars-per-customer frame. Above the bound the
+    # distributed parallel_ntile path runs with its range-shuffle width
+    # sized to the measured row count (~1M rows/partition).
+    n_cust = rfm.count()
+    if n_cust < rank_ops.NTILE_SINGLE_TASK_MAX_ROWS:
+        scored = rank_ops.ntile_scores_single_task(
+            rfm,
+            5,
+            [
+                ("r_score", [("recency_days", "asc"), ("c_custkey", "asc")]),
+                ("f_score", [("frequency", "desc"), ("c_custkey", "asc")]),
+                ("m_score", [("monetary", "desc"), ("c_custkey", "asc")]),
+            ],
         )
+    else:
+        default_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ntile_parts = max(1, min(default_parts, n_cust // 1_000_000 + 1))
+        scored = rfm
+        for cols, out in (
+            ([F.col("recency_days").asc(), F.col("c_custkey").asc()], "r_score"),
+            ([F.col("frequency").desc(), F.col("c_custkey").asc()], "f_score"),
+            ([F.col("monetary").desc(), F.col("c_custkey").asc()], "m_score"),
+        ):
+            scored = rank_ops.parallel_ntile(
+                scored, 5, cols, out, num_partitions=ntile_parts
+            )
     scored = scored.select(
         "c_custkey",
         "recency_days",

@@ -376,3 +376,34 @@ def test_hits_single_task_matches_distributed_loop(spark):
     lh, la = graph.hits_bipartite(edges, rounds=3, single_task=False)
     assert sorted(map(tuple, fh.collect())) == sorted(map(tuple, lh.collect()))
     assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, la.collect()))
+
+
+def test_lang_id_ngram_join_mode_matches_per_row_form(spark):
+    """r14 fast path: the broadcast-join trigram scorer must reproduce
+    the per-row filter(array_contains) form row-for-row, including NULL
+    text (scores 0.0, pred = first code — NOT NULL: the original's
+    filter drops the NULL-predicate element), empty/whitespace text and
+    sub-trigram-length strings."""
+    from streaming_ml_with_ksql_spark.operators import text as text_ops
+
+    rows = [
+        (1, "en", None),
+        (2, "en", ""),
+        (3, "en", "  "),
+        (4, "en", "ab"),
+        (5, "en", "the quick brown fox and the lazy dog ing tion"),
+        (6, "de", "der die und das ein sch ich nicht"),
+        (7, "fr", "le la les des une est dans pour"),
+        (8, "xx", "zzzz qqqq xxxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fast = sorted(
+        map(tuple, text_ops.lang_id_ngram(df, join_mode=True).collect())
+    )
+    slow = sorted(
+        map(tuple, text_ops.lang_id_ngram(df, join_mode=False).collect())
+    )
+    assert fast == slow
+    null_row = fast[0]
+    assert null_row[2:6] == (0.0, 0.0, 0.0, 0.0)
+    assert null_row[6] is not None

@@ -57,3 +57,35 @@ def test_rank_plans_have_no_partitionless_window(spark):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ntile_scores_single_task_matches_parallel_ntile(spark):
+    """r14 fast path: the one-Arrow-task multi-spec NTILE kernel must
+    reproduce the distributed parallel_ntile pass-for-pass (same exact
+    integer bucket arithmetic over the same total order), including
+    descending float keys and totals not divisible by the tile count."""
+    rows = [
+        (i, float(((i * 37) % 101) - 50) / 7.0, (i * 13) % 23)
+        for i in range(503)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v double, f long"
+    ).localCheckpoint(eager=True)
+    fast = rank.ntile_scores_single_task(
+        df,
+        5,
+        [
+            ("a_t", [("v", "desc"), ("id", "asc")]),
+            ("b_t", [("f", "asc"), ("id", "asc")]),
+        ],
+    )
+    slow = rank.parallel_ntile(
+        df, 5, [F.col("v").desc(), F.col("id").asc()], "a_t"
+    )
+    slow = rank.parallel_ntile(
+        slow, 5, [F.col("f").asc(), F.col("id").asc()], "b_t"
+    )
+    cols = ["id", "v", "f", "a_t", "b_t"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, slow.select(cols).collect())
+    )

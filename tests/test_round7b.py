@@ -410,3 +410,27 @@ def test_bootstrap_ci_brackets_point_and_matches_python(spark, sf_small):
     assert r["ci_lo_micro_d"] == float(ranked[5])
     assert r["ci_hi_micro_d"] == float(ranked[194])
     assert r["n_days_d"] == float(n)
+
+
+def test_kmeans_single_task_matches_distributed_loop(spark, sf_small):
+    """r14 fast path: the one-Arrow-task integer Lloyd kernel must
+    reproduce the distributed assign/update loop assignment-for-
+    assignment (exact BIGINT arithmetic on both paths, including the
+    truncate-toward-zero centroid division on negative coordinate
+    sums)."""
+    from streaming_ml_with_ksql_spark.operators import clustering
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings")
+    fast = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in clustering.kmeans_fixed_point(
+            emb, k=7, iters=3, single_task=True
+        ).collect()
+    )
+    loop = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in clustering.kmeans_fixed_point(
+            emb, k=7, iters=3, single_task=False
+        ).collect()
+    )
+    assert fast == loop

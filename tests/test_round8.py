@@ -591,3 +591,33 @@ def test_item_recommendations_exclude_owned_and_rank(spark, sf_medium):
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.score_ppm_d for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_weighted_dbscan_single_task_matches_relational_path(spark, sf_small):
+    """r14 fast path: the one-Arrow-task rep-level DBSCAN kernel must
+    reproduce the relational join cascade row-for-row (same weighted
+    degrees, min-label components, min-label borders, noise) on a
+    duplicate-bearing corpus."""
+    from pyspark.sql import functions as F
+
+    from streaming_ml_with_ksql_spark.operators import clustering, similarity
+
+    emb = io_mod.load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.where(F.col("vec_id") % 5 == 0)
+    planted = emb.unionByName(
+        dup.select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    ).localCheckpoint(eager=True)
+    reps = planted.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    members = planted.join(reps, "embedding").select("vec_id", "rep")
+    rep_pairs = similarity.embedding_near_dup_pairs_blocked(
+        reps.select(F.col("rep").alias("vec_id"), "embedding")
+    ).localCheckpoint(eager=True)
+    fast = sorted(map(tuple, clustering.dbscan_from_weighted_pairs(
+        members, rep_pairs, min_neighbors=2, single_task=True).collect()))
+    rel = sorted(map(tuple, clustering.dbscan_from_weighted_pairs(
+        members, rep_pairs, min_neighbors=2, single_task=False).collect()))
+    assert fast == rel
+    roles = {r for (_, r, _) in fast}
+    assert "core" in roles and "noise" in roles
