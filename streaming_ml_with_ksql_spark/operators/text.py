@@ -705,81 +705,55 @@ TRIGRAM_PROFILES = {
 
 
 def lang_id_ngram(
-    documents: DataFrame, *, join_mode: bool = True
+    documents: DataFrame, *, regex_mode: bool = True
 ) -> DataFrame:
     """Character-trigram language ID: score(lang) = fraction of the doc's
     char trigrams that appear in the language's profile; prediction =
     argmax with deterministic ties.
 
-    Two execution shapes with IDENTICAL results (parity-pinned):
+    Two execution shapes with IDENTICAL results (parity-pinned in
+    tests/test_northstar.py, including NULL/empty/short/astral-plane
+    text and dense overlapping grams):
 
-    - ``join_mode`` (default, r14 — guide §4.1): explode the trigram
-      positions once, probe the 32-row (trigram, lang) profile table
-      with a broadcast hash join (O(1) codegen probe per trigram), and
-      count hits per (doc, lang) in ONE map-side-combined aggregation.
-      The trigram EXPRESSION (trim/lower/substring) stays in the JVM on
-      both paths, so every string-semantics corner (unicode lowercase,
-      space-only trim, short-text edge substrings) is engine-identical
-      by construction. NULL text scores 0.0 on both paths: the per-row
-      form's filter drops the NULL-predicate element (hits=0, n=1); the
-      join form's NULL trigram never matches the profile key, and the
-      left-join miss coalesces to 0 over the same n=1.
+    - ``regex_mode`` (default, r14): ONE codegen'd
+      ``regexp_count(__t, '(?=(?:g1|g2|...))')`` per language. The
+      zero-width lookahead matches exactly the positions i whose
+      code-point trigram substring(__t, i, 3) is in the profile set
+      (each position matches at most once; Java regex advances one code
+      point past an empty match, so supplementary characters count like
+      the substring form), giving the same hit count with no trigram
+      array materialization, no per-element interpreted closures, and no
+      shuffle. NULL text: regexp_count is NULL -> coalesce 0 over n = 1,
+      matching the per-row form's dropped NULL-predicate element.
     - the original per-row form (4 interpreted higher-order
-      ``filter(array_contains)`` scans per trigram) — measured 3.4 s at
-      sf0.1 vs ~1 s for the join form; kept for the parity test and as
-      documentation of the per-element-closure cost.
+      ``filter(array_contains)`` scans over a materialized trigram
+      array) — kept for the parity test; measured 3.4 s standalone at
+      sf0.1 vs ~0.9 s for the regex form (an earlier broadcast-join
+      variant measured 4.85 s — the added shuffle lost to both).
     """
     codes = sorted(TRIGRAM_PROFILES)
-    if join_mode:
-        spark = documents.sparkSession
-        tri_expr = (
-            "transform(sequence(1, greatest(char_length(__t) - 2, 1)),"
-            " i -> substring(__t, i, 3))"
-        )
-        base = documents.select(
+    if regex_mode:
+        out = documents.select(
             "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("__t")
         )
-        # (doc, lang, n): n = max(len-2, 1) == size(__tri) without
-        # building the array; NULL text -> n=1 (greatest skips NULLs),
-        # matching the per-row form's size([NULL])=1.
-        meta = base.select(
-            "doc_id",
-            "lang",
-            F.greatest(
-                F.length("__t") - 2, F.lit(1)
-            ).alias("__n"),
-        )
-        prof = F.broadcast(
-            spark.createDataFrame(
-                [
-                    # sorted-set: membership semantics (a duplicate gram
-                    # in a profile list must not double-count a hit)
-                    (g, c)
-                    for c in codes
-                    for g in sorted(set(TRIGRAM_PROFILES[c]))
-                ],
-                "g string, code string",
+        # n == size of the per-row form's trigram array: sequence length
+        # greatest(len-2, 1); NULL text -> greatest skips NULL -> 1.
+        n = F.greatest(F.length("__t") - 2, F.lit(1))
+        for code in codes:
+            # sorted-set: membership semantics (a duplicate gram in a
+            # profile must not double-count a hit); \Q..\E literal-quotes.
+            pat = (
+                "(?=(?:"
+                + "|".join(
+                    "\\Q%s\\E" % g
+                    for g in sorted(set(TRIGRAM_PROFILES[code]))
+                )
+                + "))"
             )
-        )
-        cnts = (
-            base.select(
-                "doc_id", F.explode(F.expr(tri_expr)).alias("g")
+            hits = F.coalesce(
+                F.regexp_count(F.col("__t"), F.lit(pat)), F.lit(0)
             )
-            .join(prof, "g")
-            .groupBy("doc_id")
-            .agg(
-                *[
-                    F.sum(
-                        F.when(F.col("code") == c, 1).otherwise(0)
-                    ).alias(f"__h_{c}")
-                    for c in codes
-                ]
-            )
-        )
-        out = meta.join(cnts, "doc_id", "left")
-        for c in codes:
-            hits = F.coalesce(F.col(f"__h_{c}"), F.lit(0))
-            out = out.withColumn(f"score_{c}", F.round(hits / F.col("__n"), 6))
+            out = out.withColumn(f"score_{code}", F.round(hits / n, 6))
     else:
         out = documents.select(
             "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("__t")

@@ -378,12 +378,13 @@ def test_hits_single_task_matches_distributed_loop(spark):
     assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, la.collect()))
 
 
-def test_lang_id_ngram_join_mode_matches_per_row_form(spark):
-    """r14 fast path: the broadcast-join trigram scorer must reproduce
-    the per-row filter(array_contains) form row-for-row, including NULL
-    text (scores 0.0, pred = first code — NOT NULL: the original's
-    filter drops the NULL-predicate element), empty/whitespace text and
-    sub-trigram-length strings."""
+def test_lang_id_ngram_regex_mode_matches_per_row_form(spark):
+    """r14 fast path: the regexp_count trigram scorer must reproduce the
+    per-row filter(array_contains) form row-for-row, including NULL text
+    (scores 0.0, pred = first code — NOT NULL: the original's filter
+    drops the NULL-predicate element), empty/whitespace/sub-trigram
+    strings, dense overlapping grams, and astral-plane characters (regex
+    empty-match advance must count code points like substring)."""
     from streaming_ml_with_ksql_spark.operators import text as text_ops
 
     rows = [
@@ -395,13 +396,16 @@ def test_lang_id_ngram_join_mode_matches_per_row_form(spark):
         (6, "de", "der die und das ein sch ich nicht"),
         (7, "fr", "le la les des une est dans pour"),
         (8, "xx", "zzzz qqqq xxxx"),
+        (9, "en", "ththththe thee ingingings"),
+        (10, "en", "\U0001D11Ethe\U0001D11Eing and\U0001D11E"),
+        (11, "de", " de der dede THE The the"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     fast = sorted(
-        map(tuple, text_ops.lang_id_ngram(df, join_mode=True).collect())
+        map(tuple, text_ops.lang_id_ngram(df, regex_mode=True).collect())
     )
     slow = sorted(
-        map(tuple, text_ops.lang_id_ngram(df, join_mode=False).collect())
+        map(tuple, text_ops.lang_id_ngram(df, regex_mode=False).collect())
     )
     assert fast == slow
     null_row = fast[0]
