@@ -255,34 +255,33 @@ LINE_BUDGET_BYTES = 1800
 # >1.35x residual that LACKS an entry here. Shipped inside the JSON
 # line as "ab" (counted against LINE_BUDGET_BYTES).
 #
-# r14 adjudications vs the r13-close commit (27bdce4). The structural
-# fact first: `git diff 27bdce4..HEAD` touches NO headline query's
-# Spark path this round (the r14 changes are the multimodal feature
-# kernel and its new CSV face [non-headline], the streaming transition
-# state kernel [non-headline], the exact-ANN element-hygiene filters
-# [non-headline], oracle strings, registry ordering, tests, scripts) —
-# so every headline code-ratio is 1.0 BY CONSTRUCTION, and any
-# BENCH_r13 -> BENCH_r14 movement is host. The r14 host was the most
-# erratic on record: 1-min load swung 0 -> 25 across three bench
-# previews, whose >1.35x warning sets were DISJOINT (15 / 7 / 2
-# queries) and whose axis-normalized shared totals read 93.3 / 80.8 /
-# 55.0 s around r13's 77.7 s — the normalization itself was poisoned
-# in both directions as calib_shuffle swung 1.37 / 1.85 / 3.35 s.
-# Alternating-session pooled medians (cur vs 27bdce4, 2 sessions x 3
-# runs each side, quiet windows where the host allowed):
-#   minhash_near_dup_pairs    4.09 vs 3.78 s -> 1.08x (VERDICT r13 #7:
-#     confirmed flat; the r13 2.63->3.38 reading was the 1.6x host)
-#   corpus_curation_pipeline  6.17 vs 7.40 s -> 0.83x (one old-side
-#     session stall-poisoned to 8.2/13.5/25.4 s — the documented
-#     whole-session pattern)
-#   multimodal_gif_decode     1.24 vs 1.31 s -> 0.96x (perennial
-#     drifter, flat again)
-#   quantile_sketch_events    pooled 1.24x, hopping_window_agg pooled
-#     1.52x — BOTH code-identical (one cur-side session read
-#     3.8/3.5/2.8 s on the 1.3 s flagship); entered at the
-#     by-construction 1.0 so a genuinely clean driver run compares
-#     silently and a stalled one still warns past 1.35x, which is the
-#     staleness guard working as designed.
+# r14 adjudications, updated at the optimization round's close. The
+# EARLY r14 commits (through d39e68b) touched no headline Spark path;
+# the optimization commits after it (a513440..HEAD) deliberately
+# changed MANY headline paths — every one of those changes carries its
+# own same-session/worktree A/B evidence in OPTIMIZATION_r14.md (all
+# improvements: e.g. minhash 5.64->2.61 s, pagerank loop ~14x, dbscan
+# 5.27->2.02, kmeans 2.28->0.82, rfm 2.55->0.91, mmr 0.33x, lang_id
+# 3.8x), so a regression warning cannot fire against r13 for them and
+# they need no entries here. The five entries below are for queries
+# whose code is UNCHANGED since 27bdce4 — proven structurally at round
+# close by normalized plan diffs (plans/r14/<q>_close.txt vs the
+# r14-open _before captures: identical modulo expression-id churn) —
+# that read >1.35x on the erratic r14 host (1-min load swung 0-25 with
+# zero attributable processes; spot medians on the same host read
+# 1.3-2x uniformly across untouched queries while every calib axis
+# moved less). Ratios are the by-construction 1.0 (code-identical,
+# the quantile/hopping precedent below) except gif's measured 0.96
+# (alternating-session pooled median, earlier this round).
+#   quantile_sketch_events / hopping_window_agg: pooled 1.24x/1.52x
+#     readings on code-identical paths — entered at 1.0 so a clean
+#     driver run compares silently and a stalled one still warns,
+#     which is the staleness guard working as designed.
+#   multimodal_mixed_container_sample: perennial drifter (r12 3.99->
+#     r13 0.73 on identical code); read 2.67x normalized at r14 close,
+#     spot median 1.86 s vs the recorded 2.56 min2 on the same host.
+#   fifo_lot_allocation: read 1.85x at close with intra-pair spread
+#     1.92/3.17 s; spot median 1.68 s; plan-identical.
 AB_REF = "27bdce4"  # r13-close commit (the BENCH_r13 code state)
 # Entries are capped to the five measured/repeat-warning queries: the
 # worst-case line budget (1800 B driver capture) cannot fund a blanket
@@ -290,8 +289,8 @@ AB_REF = "27bdce4"  # r13-close commit (the BENCH_r13 code state)
 # a warning on any other query next round reads against this comment
 # and the SURVEY §8 r14 measurement note.
 AB: dict[str, float] = {
-    "minhash_near_dup_pairs": 1.08,
-    "corpus_curation_pipeline": 0.83,
+    "multimodal_mixed_container_sample": 1.0,
+    "fifo_lot_allocation": 1.0,
     "multimodal_gif_decode": 0.96,
     "quantile_sketch_events": 1.0,
     "hopping_window_agg": 1.0,
