@@ -539,6 +539,21 @@ def _drop_memory_sinks(spark) -> None:
             spark.catalog.dropTempView(t.name)
 
 
+def _reset_state(spark) -> None:
+    """Inter-run hygiene (VERDICT r14 #2): drop memory-sink tables AND
+    clear the SQL cache. Several operators legitimately .persist()
+    intra-query decision frames (minhash signatures, curation survivor
+    ids, the ngram bigram model); Spark's CacheManager matches cached
+    plans by analyzed-plan equality, so without clearing, the warm run
+    populates the cache, both timed runs re-hit it (the persisted
+    subtree's build cost silently leaves the timed region), and an
+    identical subplan in a LATER query can ride an EARLIER query's
+    cache, making totals order-dependent. Clearing between every run
+    makes each timed run the honest single-execution cost."""
+    _drop_memory_sinks(spark)
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -562,13 +577,13 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in names:
         _run(qs[name](spark, sf_dir))
-        _drop_memory_sinks(spark)
+        _reset_state(spark)
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-            _drop_memory_sinks(spark)
+            _reset_state(spark)
         timings[name] = round(min(samples), 3)
         spread[name] = samples
 

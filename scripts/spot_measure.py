@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _drop_memory_sinks, _run  # noqa: E402
+from bench import _reset_state, _run  # noqa: E402
 from streaming_ml_with_ksql_spark import registry  # noqa: E402
 from streaming_ml_with_ksql_spark.session import get_spark  # noqa: E402
 
@@ -35,14 +35,14 @@ def main() -> int:
             continue
         spark.sparkContext.setJobDescription(f"spot:{name}:warm")
         _run(qs[name](spark, sf_dir))
-        _drop_memory_sinks(spark)
+        _reset_state(spark)
         samples = []
         for i in range(runs):
             spark.sparkContext.setJobDescription(f"spot:{name}:{i}")
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-            _drop_memory_sinks(spark)
+            _reset_state(spark)
         med = statistics.median(samples)
         print(
             f"SPOT {name}: median {med:.2f}s  "

@@ -11,8 +11,9 @@ Exactness discipline: every metric is a ratio of small integers
 evaluated through ONE fixed expression shape both engines restate
 verbatim (the zscore/scale_features pattern), with zero-denominator
 guards emitting 0.0 — so reports hash-check exactly cross-engine.
-Shape: three map-side-combined aggregations over one scan, joined on
-the bounded class dimension — no shuffle touches the corpus twice.
+Shape: ONE map-side-combined aggregation to the bounded (label, pred)
+confusion cells, then every count derives from that tiny frame — the
+prediction scan runs exactly once.
 """
 
 from __future__ import annotations
@@ -33,21 +34,34 @@ def classification_report(
     pairs = df.select(
         F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
     )
+    # ONE corpus pass (r15, guide §2.4 + the CLAUDE.md cell-histogram
+    # idiom): aggregate to the (label, pred) confusion cells — bounded by
+    # |classes|² regardless of row count — and derive every report count
+    # from that tiny materialized frame. The previous shape ran the
+    # upstream prediction scan FOUR times (classes/n_true/n_pred/tp each
+    # re-executed it); counts are identical because each is a sum of the
+    # same cells. The eager checkpoint is scale-safe: the frame cannot
+    # outgrow the class dimension squared.
+    cells = (
+        pairs.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     classes = (
-        pairs.select(F.col("label").alias("class"))
-        .unionByName(pairs.select(F.col("pred").alias("class")))
+        cells.select(F.col("label").alias("class"))
+        .unionByName(cells.select(F.col("pred").alias("class")))
         .distinct()
     )
-    n_true = pairs.groupBy(F.col("label").alias("class")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_true_d")
+    n_true = cells.groupBy(F.col("label").alias("class")).agg(
+        F.sum("n").cast("double").alias("n_true_d")
     )
-    n_pred = pairs.groupBy(F.col("pred").alias("class")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_pred_d")
+    n_pred = cells.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").cast("double").alias("n_pred_d")
     )
     tp = (
-        pairs.filter(F.col("label") == F.col("pred"))
+        cells.filter(F.col("label") == F.col("pred"))
         .groupBy(F.col("label").alias("class"))
-        .agg(F.count(F.lit(1)).cast("double").alias("tp_d"))
+        .agg(F.sum("n").cast("double").alias("tp_d"))
     )
     base = (
         classes.join(n_true, "class", "left")

@@ -96,6 +96,19 @@ def _dbscan_single_task_kernel(min_neighbors: int):
             eu = ev = np.empty(0, dtype=np.int64)
         iu = np.searchsorted(ru, eu)
         iv = np.searchsorted(ru, ev)
+        # Mirror the relational path's inner join onto the weight frame
+        # (ADVICE r14): an edge endpoint absent from the rep set would
+        # otherwise alias the lexically-next rep (or index one past the
+        # array end). Registry callers always emit both endpoints as
+        # reps, so this mask is a no-op for them — it pins the kernel's
+        # semantics to the relational cascade for foreign edges too.
+        ok = (
+            (iu < n)
+            & (iv < n)
+            & (ru[np.minimum(iu, n - 1)] == eu)
+            & (ru[np.minimum(iv, n - 1)] == ev)
+        )
+        iu, iv = iu[ok], iv[ok]
         su = np.concatenate([iu, iv])
         sv = np.concatenate([iv, iu])
         w_out = np.zeros(n, dtype=np.int64)
@@ -256,13 +269,22 @@ def kmeans_fixed_point(
         emb, id_col=id_col, vec_col=vec_col, scale=scale
     ).localCheckpoint(eager=True)
     if single_task is None:
-        # rows x dims from the materialized frame (a cached-RDD count
-        # plus one first() — both driver-scale); ragged/empty frames
-        # fall through to the distributed loop
-        n = pts.count()
-        first = pts.select(F.size("qv").alias("d")).first()
-        dims = first["d"] if first is not None else 0
-        single_task = 0 < n * max(dims, 1) < KMEANS_SINGLE_TASK_MAX_CELLS
+        # ONE aggregate on the materialized frame sizes the gate
+        # (ADVICE r14): ragged frames (min dim != max dim) would crash
+        # np.asarray in the kernel, so they provably fall through to the
+        # distributed loop; the cell bound charges the n x k distance
+        # matrix as well as the n x dims point matrix.
+        row = pts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("qv")).alias("dmin"),
+            F.max(F.size("qv")).alias("dmax"),
+        ).first()
+        n, dmin, dmax = row["n"], row["dmin"], row["dmax"]
+        rect = dmin is not None and dmin == dmax
+        single_task = (
+            rect
+            and 0 < n * (max(dmax, 1) + k) < KMEANS_SINGLE_TASK_MAX_CELLS
+        )
     if single_task:
         return pts.coalesce(1).mapInPandas(
             _kmeans_single_task_kernel(k, iters),

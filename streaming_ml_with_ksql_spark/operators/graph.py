@@ -1070,6 +1070,12 @@ def hits_bipartite(
     small constant. Returns (hubs, authorities) score frames.
     """
     c, p = hub_col, auth_col
+    # Materialize the (projected) edge list before anything consumes it
+    # (ADVICE r14, the pagerank p0 discipline): the count below plus the
+    # two single-task kernel scans — or the 2×rounds distributed joins —
+    # would otherwise re-execute an expensive lazy edge plan per
+    # consumer. Both downstream paths read only (c, p).
+    edges = edges.select(c, p).localCheckpoint(eager=True)
     n_edges = edges.count()
     # Single-task Arrow fast path (r14, guide §4.2) — see pagerank: the
     # whole rounds×(sum, rescale, sum, rescale) recurrence is exact

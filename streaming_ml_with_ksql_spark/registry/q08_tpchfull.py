@@ -441,8 +441,16 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     setattr(final_docs, sizing.ROW_HINT_ATTR, sizing.row_hint(docs))
     counts = bpe.bpe_tokenize(final_docs, bpe.FIXED_MERGES)
+    # Pack straight off the token-count frame (r15, guide §2.4): the old
+    # `final_docs.join(counts)` re-scanned documents + re-attached
+    # keep_ids a third time only to restrict ids that bpe_tokenize
+    # already restricted — counts' doc_ids are a subset of final_docs'
+    # by construction (its input IS final_docs; the groupBy only drops
+    # zero-word docs, which the packing oracle's word-split drops too),
+    # so the inner join was a provable no-op on rows and pack_sequences
+    # reads nothing but (doc_id, token_count).
     return text.pack_sequences(
-        final_docs.join(counts.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        counts.select("doc_id", "n_bpe_tokens"),
         token_count=F.col("n_bpe_tokens"),
     )
 

@@ -313,9 +313,9 @@ def q_hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        # materialized once: every HITS round joins the edge list twice,
-        # and without this the orders-lineitem join re-executes per round
-        .localCheckpoint(eager=True)
+        # hits_bipartite materializes its (projected) edge input itself
+        # (ADVICE r14) before the sizing count and the per-round joins /
+        # kernel scans, so no caller-side checkpoint is needed here.
     )
     hubs, auths = graph_ops.hits_bipartite(edges, rounds=2)
 

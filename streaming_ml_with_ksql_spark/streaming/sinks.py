@@ -56,7 +56,15 @@ def run_to_memory(
     sizes it to key cardinality x update rate, the same way it would pick
     ``spark.sql.shuffle.partitions`` for any long-lived streaming job.
     The session conf is restored after the drain (it only matters at
-    query start)."""
+    query start).
+
+    NOT re-entrant (ADVICE r14): the width is applied by mutating the
+    session-global ``spark.sql.shuffle.partitions`` for the drain's
+    duration, so a batch query planned CONCURRENTLY in the same session
+    would silently pick up the reduced width. Safe under this repo's
+    single-threaded bench/test discipline; a multi-threaded caller must
+    serialize drains (Spark exposes no per-query streaming state-width
+    option to scope it otherwise)."""
     import os
 
     spark = stream_df.sparkSession
