@@ -1,7 +1,7 @@
-"""Capture .explain('formatted') for headline queries into plans/r14/.
+"""Capture .explain('formatted') for headline queries into plans/$SPARK_GRAFT_PLANS_ROUND/ (default r15).
 
 Usage: python scripts/capture_plans.py before|after [name ...]
-Writes plans/r14/<query>_<tag>.txt for each headline query (or the named
+Writes plans/<round>/<query>_<tag>.txt for each headline query (or the named
 subset). Plan capture is driver-side analysis only — no job runs — so it
 is safe to run alongside other Spark work without poisoning timings.
 """
@@ -22,7 +22,7 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
     qs = registry.queries()

@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -348,6 +350,122 @@ def minhash_candidate_pairs_between(
     return out.distinct() if distinct else out
 
 
+# Document count below which the whole MinHash-LSH candidate + exact-
+# verification cascade runs in ONE Arrow task (r15, guide §4.2 — the r14
+# kernel discipline extended to the dedup family): below the bound the
+# relational DAG's ~12 jobs (signature agg + persist build, banding
+# self-join with its broadcast re-execution, candidate distinct, the
+# semi-join + distinct + two-sided intersection join, two size joins)
+# are pure scheduling overhead. Env-overridable; larger corpora keep the
+# distributed cascade unchanged (the bound is a data bound from the
+# parquet footer hint, not a core-count constant).
+MINHASH_SINGLE_TASK_MAX_DOCS = int(
+    os.environ.get("SPARK_GRAFT_MINHASH_SINGLE_TASK_DOCS", "100000")
+)
+
+
+def _minhash_pairs_kernel(num_hashes: int, bands: int, rows: int):
+    """Single-task MinHash-LSH: replays the relational cascade exactly
+    over one bounded (doc_id, shingle, h) partition and emits candidate
+    pairs with their EXACT integer intersection/size counts — the
+    jaccard division + round + threshold stay in Spark expressions, so
+    the float semantics are bit-identical to the distributed path.
+
+    Exactness argument, step for step:
+    - signatures: min over instance rows of (a_i·h + b_i) mod P ==
+      the groupBy-min (duplicate-insensitive, order-free);
+    - banding: integer triple equality == concat_ws('|') equality
+      (decimal renderings of longs contain no '|');
+    - candidates: same-band equality with doc_a < doc_b, deduped —
+      identical pair set;
+    - verification: |distinct shingle-string intersection| and distinct
+      set sizes as exact ints (factorized codes, not the 28-bit h —
+      md5-truncation collisions hit both paths identically because the
+      relational path also intersects on the raw shingle string)."""
+    coeffs = minhash_coeffs(num_hashes)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        docs_l, sh_l, h_l = [], [], []
+        for pdf in batches:
+            docs_l.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            sh_l.append(pdf["shingle"].to_numpy(dtype=object))
+            h_l.append(pdf["h"].to_numpy(dtype=np.int64))
+        cols = ["doc_a", "doc_b", "n_inter", "n_a", "n_b"]
+        if not docs_l or not sum(len(x) for x in docs_l):
+            yield pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+            return
+        doc = np.concatenate(docs_l)
+        sh = np.concatenate(sh_l)
+        h = np.concatenate(h_l)
+        dcodes, dids = pd.factorize(doc)
+        dids = np.asarray(dids, dtype=np.int64)
+        nd = len(dids)
+        scodes, _ = pd.factorize(sh)
+        scodes = scodes.astype(np.int64)
+        n_sh_codes = np.int64(scodes.max()) + 1
+
+        # per-doc signature mins (every doc has >= 1 shingle row here)
+        sig = np.full((num_hashes, nd), MINHASH_P, dtype=np.int64)
+        for i, (a, b) in enumerate(coeffs):
+            np.minimum.at(sig[i], dcodes, (a * h + b) % MINHASH_P)
+
+        # per-doc DISTINCT shingle-code sets (sorted, for intersections)
+        key = dcodes.astype(np.int64) * n_sh_codes + scodes
+        uniq = np.unique(key)
+        ud = (uniq // n_sh_codes).astype(np.int64)
+        uc = (uniq % n_sh_codes).astype(np.int64)
+        n_sh = np.bincount(ud, minlength=nd).astype(np.int64)
+        starts = np.zeros(nd + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=starts[1:])
+
+        # banded candidates: same (band, 3-min tuple), doc_a < doc_b
+        cand: set = set()
+        for b in range(bands):
+            m = sig[b * rows:(b + 1) * rows]
+            order = np.lexsort(tuple(m[r] for r in reversed(range(rows))))
+            sm = m[:, order]
+            new = np.ones(nd, dtype=bool)
+            new[1:] = (sm[:, 1:] != sm[:, :-1]).any(axis=0)
+            bounds = np.flatnonzero(new)
+            ends = np.append(bounds[1:], nd)
+            for s, e in zip(bounds.tolist(), ends.tolist()):
+                if e - s < 2:
+                    continue
+                real = np.sort(dids[order[s:e]])
+                for x in range(len(real)):
+                    for y in range(x + 1, len(real)):
+                        cand.add((int(real[x]), int(real[y])))
+
+        id_to_idx = {int(v): i for i, v in enumerate(dids)}
+        out_a, out_b, out_i, out_na, out_nb = [], [], [], [], []
+        for da, db in cand:
+            ia, ib = id_to_idx[da], id_to_idx[db]
+            sa = uc[starts[ia]:starts[ia + 1]]
+            sb = uc[starts[ib]:starts[ib + 1]]
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            if ni == 0:
+                continue  # the relational inner intersection join emits no row
+            out_a.append(da)
+            out_b.append(db)
+            out_i.append(ni)
+            out_na.append(int(n_sh[ia]))
+            out_nb.append(int(n_sh[ib]))
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "n_inter": pd.Series(out_i, dtype="int64"),
+                "n_a": pd.Series(out_na, dtype="int64"),
+                "n_b": pd.Series(out_nb, dtype="int64"),
+            }
+        )
+
+    return kern
+
+
 def near_dup_pairs_minhash(
     documents: DataFrame,
     *,
@@ -356,10 +474,19 @@ def near_dup_pairs_minhash(
     bands: int = 4,
     rows: int = 3,
     threshold: float = 0.8,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard ≥ threshold.
     Output: (doc_a, doc_b, jaccard). The verify join touches only candidate
     pairs — never all pairs.
+
+    Below ``MINHASH_SINGLE_TASK_MAX_DOCS`` (footer row hint; r15) the
+    whole cascade — signatures, banding, candidates, exact intersection
+    counts — runs in ONE Arrow task emitting integer counts, and only
+    the jaccard division/round/threshold stay as Spark expressions
+    (bit-identical floats by construction); parity vs the distributed
+    cascade is pinned in tests/test_round15.py. Larger corpora (or a
+    hint-less input frame) take the distributed plan below unchanged.
 
     Plan shape (the 100 TB concerns):
     - NO global distinct over the shingle set: signatures use the raw
@@ -374,6 +501,27 @@ def near_dup_pairs_minhash(
       shuffles candidate shingles only, never the corpus."""
     ds_raw = _doc_shingles(documents, n, distinct=False)
     dsh = ds_raw.select("doc_id", "shingle", _shingle_h(F.col("shingle")).alias("h"))
+    if single_task is None:
+        est = sizing.row_hint(documents)
+        single_task = est is not None and 0 < est < MINHASH_SINGLE_TASK_MAX_DOCS
+    if single_task:
+        # repartition(1), NOT coalesce(1): coalesce would fuse the
+        # tokenize + shingle explode + md5 upstream into the single
+        # kernel task (measured 6.2 s vs 3.7 distributed at sf0.1);
+        # the round-robin exchange keeps the scan parallel and ships
+        # only the skinny (doc_id, shingle, h) rows to the one task.
+        pk = dsh.repartition(1).mapInPandas(
+            _minhash_pairs_kernel(num_hashes, bands, rows),
+            "doc_a long, doc_b long, n_inter long, n_a long, n_b long",
+        )
+        jac_k = F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        )
+        return pk.select("doc_a", "doc_b", jac_k.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     # persist: the signature aggregate is the expensive full-corpus pass
     # (shingle explode + one md5 per shingle row), and it is consumed by
     # THREE subtrees — the banding self-join's shuffle side, its broadcast
@@ -681,6 +829,11 @@ def clean_corpus(
             & (F.col("__punct") <= max_punct_ratio)
         )
     )
+    # carry the source row hint (an upper bound — filters only shrink)
+    # so the near-dup stage can size its single-task gate without a count
+    hint = sizing.row_hint(documents)
+    if hint is not None:
+        setattr(kept, sizing.ROW_HINT_ATTR, hint)
     losers = (
         near_dup_pairs_minhash(kept, n=n, threshold=jaccard_threshold)
         .select(F.col("doc_b").alias("doc_id"))
@@ -825,8 +978,113 @@ def stratified_sample(
 # Repetition quality metrics + benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def _rep_stats_kernel():
+    """Vectorized per-partition word/bigram repetition counts — the
+    row-local Arrow fast path of repetition_stats (r15, guide §4.2 +
+    §2.4: every statistic here depends only on its OWN row's token
+    array, so the explode → two double-shuffle aggregate chains of the
+    relational path are pure overhead at every scale; this kernel is
+    shuffle-free and embarrassingly parallel). Exactness: factorize +
+    lexsort run-length counting yields the identical integer
+    total/distinct/max-multiplicity per doc as groupBy(doc, term)
+    (``use_na_sentinel=False`` gives NULL elements one shared code,
+    matching Spark's NULL grouping); bigram identity via int64 pair
+    codes equals the space-joined shingle strings because whitespace-
+    split tokens make the join injective. Docs with NULL/empty token
+    arrays emit nothing — exactly the relational explode's behavior."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = [
+            "doc_id", "w_total", "w_distinct", "w_max",
+            "b_total", "b_distinct", "b_max",
+        ]
+        for pdf in batches:
+            ids_in = pdf["doc_id"]
+            toks_in = pdf["t"].tolist()
+            keep = [
+                i for i, t in enumerate(toks_in)
+                if t is not None and len(t) > 0
+            ]
+            if not keep:
+                yield pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in cols}
+                )
+                continue
+            ids = ids_in.iloc[keep].reset_index(drop=True)
+            toks = [np.asarray(toks_in[i], dtype=object) for i in keep]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=len(toks)
+            )
+            nd = len(toks)
+            doc_idx = np.repeat(np.arange(nd), lens)
+            flat = np.concatenate(toks)
+            codes, _ = pd.factorize(flat, use_na_sentinel=False)
+            codes = codes.astype(np.int64)
+
+            def runstats(d, c):
+                order = np.lexsort((c, d))
+                di, ci = d[order], c[order]
+                new = np.ones(len(di), dtype=bool)
+                new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+                run_ids = np.cumsum(new) - 1
+                run_len = np.bincount(run_ids)
+                run_doc = di[new]
+                distinct = np.bincount(run_doc, minlength=nd)
+                mx = np.zeros(nd, dtype=np.int64)
+                np.maximum.at(mx, run_doc, run_len)
+                total = np.bincount(d, minlength=nd)
+                return total, distinct, mx
+
+            w_total, w_distinct, w_max = runstats(doc_idx, codes)
+            if len(flat) > 1:
+                same = doc_idx[1:] == doc_idx[:-1]
+                has_null = any(x is None for x in flat)
+                if not has_null:
+                    # pair codes == the space-joined shingle strings
+                    # (whitespace-split tokens make the join injective)
+                    k_codes = np.int64(codes.max()) + 1
+                    bc = codes[:-1][same] * k_codes + codes[1:][same]
+                else:
+                    # concat_ws SKIPS NULL parts, so ('a', NULL) and
+                    # (NULL, 'a') both shingle to 'a' — build the
+                    # literal strings to reproduce that collapsing
+                    lhs, rhs = flat[:-1][same], flat[1:][same]
+                    bc, _ = pd.factorize(
+                        np.asarray(
+                            [
+                                " ".join(p for p in (x, y) if p is not None)
+                                for x, y in zip(lhs, rhs)
+                            ],
+                            dtype=object,
+                        )
+                    )
+                    bc = bc.astype(np.int64)
+                bd = doc_idx[:-1][same]
+                b_total, b_distinct, b_max = runstats(bd, bc)
+            else:
+                b_total = b_distinct = b_max = np.zeros(nd, dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "w_total": w_total,
+                    "w_distinct": w_distinct,
+                    "w_max": w_max,
+                    "b_total": b_total,
+                    "b_distinct": b_distinct,
+                    "b_max": b_max,
+                }
+            )
+            yield out
+
+    return kern
+
+
 def repetition_stats(
-    documents: DataFrame, *, tokens: str | None = None
+    documents: DataFrame, *, tokens: str | None = None,
+    row_local: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition metrics per document (Rae et al. 2021,
     "Scaling Language Models" §A1.1 use line/ngram repetition filters; the
@@ -839,10 +1097,13 @@ def repetition_stats(
       dup_bigram_frac    1 - |distinct bigrams| / n_bigrams
       top_bigram_frac    most-frequent bigram's share of n_bigrams
 
-    Shape: explode → ONE groupBy(doc, term) per granularity → per-doc agg;
-    the shuffles are keyed by (doc, term) partials, never raw text. The
-    per-doc frames join narrowly on doc_id. Ratios are exact integer
-    divisions rounded at 6 dp (cross-engine canonical).
+    Shape (``row_local=True``, the default): every metric depends only
+    on its own row's token array, so ONE vectorized Arrow pass computes
+    all counts with ZERO shuffles at any scale (guide §4.2); the
+    relational explode → groupBy(doc, term) → per-doc agg path is kept
+    under ``row_local=False`` for the parity test. Ratios are exact
+    integer divisions rounded at 6 dp (cross-engine canonical),
+    evaluated in the same Spark expressions on both paths.
 
     ``tokens``: name of a precomputed token-array column — lets a
     composite (doc_quality_score) tokenize the corpus ONCE and share the
@@ -851,22 +1112,40 @@ def repetition_stats(
     toks = F.col(tokens) if tokens else tokens_col(F.col("text"))
     base = documents.select("doc_id", toks.alias("t"))
 
-    def _gram_stats(col: Column, prefix: str) -> DataFrame:
-        exploded = base.select("doc_id", F.explode(col).alias("term"))
-        return (
-            exploded.groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("n").alias(f"{prefix}_total"),
-                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-                F.max("n").alias(f"{prefix}_max"),
-            )
+    if row_local:
+        # shuffle-free fast path (r15): every stat is row-local, so ONE
+        # vectorized pass replaces four exchanges. The kernel emits 0
+        # for the bigram counts of <2-token docs where the relational
+        # left join emits NULL — the final expressions below are
+        # provably equal on both encodings (coalesce(x, 0) and
+        # greatest(x, 1) send 0 and NULL to the same values), and the
+        # parity is pinned in tests/test_round14.py.
+        id_t = base.schema["doc_id"].dataType.simpleString()
+        joined = base.mapInPandas(
+            _rep_stats_kernel(),
+            schema=(
+                f"doc_id {id_t}, w_total long, w_distinct long, "
+                "w_max long, b_total long, b_distinct long, b_max long"
+            ),
         )
+    else:
 
-    words = _gram_stats(F.col("t"), "w")
-    bigrams = _gram_stats(shingles(F.col("t"), 2), "b")
-    joined = words.join(bigrams, "doc_id", "left")
+        def _gram_stats(col: Column, prefix: str) -> DataFrame:
+            exploded = base.select("doc_id", F.explode(col).alias("term"))
+            return (
+                exploded.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("n").alias(f"{prefix}_total"),
+                    F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+                    F.max("n").alias(f"{prefix}_max"),
+                )
+            )
+
+        words = _gram_stats(F.col("t"), "w")
+        bigrams = _gram_stats(shingles(F.col("t"), 2), "b")
+        joined = words.join(bigrams, "doc_id", "left")
     nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
     return joined.select(
         "doc_id",
@@ -1373,7 +1652,11 @@ def ngram_lm_score(
     doc_big = big.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
-    bg = doc_big.groupBy("w1", "w2").agg(F.sum("m").alias("c12")).persist()
+    # model counts straight off the instances (r15): count(*) per
+    # (w1, w2) == sum(m) over the per-doc counts, and the direct groupBy
+    # map-side-combines one shuffle instead of paying the (doc, w1, w2)
+    # exchange first — the model pass drops an Exchange.
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     voc = (
         bg.select(F.col("w1").alias("w"))

@@ -420,6 +420,11 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
+    # propagate the footer row hint (upper bound) so the near-dup stage
+    # inside clean_corpus can size its single-task gate without a count
+    from ..operators import sizing as _sizing
+
+    setattr(train, _sizing.ROW_HINT_ATTR, _sizing.row_hint(docs))
     clean = text.clean_corpus(train)
     contaminated = text.decontaminate(train, bench, n=4)
     # persist the survivor id SET (one long per doc): `final_docs` feeds
@@ -1295,6 +1300,11 @@ def q_corpus_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
+    # propagate the footer row hint (upper bound) so the near-dup stage
+    # inside clean_corpus can size its single-task gate without a count
+    from ..operators import sizing as _sizing
+
+    setattr(train, _sizing.ROW_HINT_ATTR, _sizing.row_hint(docs))
     clean = text.clean_corpus(train)
     contaminated = text.decontaminate(train, bench, n=4)
     final_docs = docs.join(

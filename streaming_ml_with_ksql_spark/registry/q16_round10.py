@@ -211,11 +211,17 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
     seeds = spark.createDataFrame(
         [(t, 1) for t in _PRF_SEEDS], "term string, w int"
     ).limit(len(_PRF_SEEDS))
-    s1 = (
-        _prf_bm25_micro(base, stats, dftbl, seeds)
-        .groupBy("doc_id")
-        .agg(F.sum("micro").alias("s0"))
+    # Score the seed terms ONCE and materialize the per-(doc, term)
+    # micro frame (r15, guide §2.4): it is bounded by |seed hits| (≤ 2
+    # rows per doc — keys+metadata, never corpus payload) and feeds both
+    # the stage-1 feedback ranking here and the stage-2 re-scoring
+    # (seeds carry weight 2 there: floor(raw·1e6)·2 == micro·2, so the
+    # stage-2 fan-out only scores the 5 expansion terms instead of
+    # re-scanning every token array for the seeds too).
+    seed_micro = _prf_bm25_micro(base, stats, dftbl, seeds).localCheckpoint(
+        eager=True
     )
+    s1 = seed_micro.groupBy("doc_id").agg(F.sum("micro").alias("s0"))
     fb = s1.orderBy(F.col("s0").desc(), F.col("doc_id").asc()).limit(
         _PRF_N_FB
     )
@@ -245,7 +251,7 @@ def _prf_frames(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("w_micro").desc(), F.col("term").asc())
         .limit(_PRF_N_EXP)
     )
-    return base, stats, dftbl, seeds, expterms
+    return base, stats, dftbl, seeds, expterms, seed_micro
 
 
 @register("prf_expansion_terms", _PRF_TERMS_ORACLE)
@@ -260,7 +266,7 @@ def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings). Scale shape: seed scoring is the verified BM25 kernel
     (tiny literal fan-out), the feedback-doc token pool is 3 docs, and
     df comes from one per-doc-distinct explode + groupBy."""
-    _, _, _, _, expterms = _prf_frames(spark, sf_dir)
+    _, _, _, _, expterms, _ = _prf_frames(spark, sf_dir)
     return expterms.select(
         "term",
         F.col("tf_fb").cast("double").alias("tf_fb_d"),
@@ -279,11 +285,22 @@ def q_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is unchanged for any realistic score gap. Scale shape: two
     bounded broadcast term fan-outs (2 and 7 rows) over the checkpointed
     token scan; the only shuffles are the df/doc-score groupBys."""
-    base, stats, dftbl, seeds, expterms = _prf_frames(spark, sf_dir)
-    terms2 = seeds.select("term", F.lit(_PRF_SEED_W).alias("w")).unionAll(
-        expterms.select("term", F.lit(_PRF_EXP_W).alias("w"))
+    base, stats, dftbl, seeds, expterms, seed_micro = _prf_frames(
+        spark, sf_dir
     )
-    sc2 = _prf_bm25_micro(base, stats, dftbl, terms2)
+    # Stage-2 scoring reuses the checkpointed seed micros (x the integer
+    # Rocchio seed weight — exactly floor(raw*1e6)*w, the oracle's
+    # per-term value) and fans out over the 5 expansion terms only;
+    # seed and expansion term sets are disjoint by construction (the
+    # candidate stage excludes seeds), so the union is the oracle's
+    # terms2 scoring row-for-row.
+    exp_micro = _prf_bm25_micro(
+        base, stats, dftbl,
+        expterms.select("term", F.lit(_PRF_EXP_W).alias("w")),
+    )
+    sc2 = seed_micro.select(
+        "doc_id", (F.col("micro") * F.lit(_PRF_SEED_W)).alias("micro")
+    ).unionByName(exp_micro.select("doc_id", "micro"))
     return (
         sc2.groupBy("doc_id")
         .agg(F.sum("micro").alias("s"))
