@@ -241,7 +241,13 @@ CALIB_PROTOCOL = "median3"
 # Per-QUERY timing protocol (r12): 'min2' = min of two timed runs after
 # one warm run. r4-r11 records are 'single' (one timed run) — equal on
 # quiet hosts, biased high under the documented transient stalls.
-QUERY_PROTOCOL = "min2"
+# r15: 'min2_clearcache' — the SQL cache is cleared between every run
+# (VERDICT r14 #2/#3), so each timed run pays the honest
+# single-execution cost of any intra-query persist instead of riding
+# the warm run's cache. r12-r14 'min2' records are FLATTERED for the
+# persist-carrying queries (minhash family, ngram, curation) relative
+# to this protocol; bench_compare NOTEs the cross-protocol comparison.
+QUERY_PROTOCOL = "min2_clearcache"
 
 # The driver captures ~2 KB of stdout; leave headroom so the record can
 # never ship truncated/unparseable again (VERDICT r5 #8).

@@ -363,6 +363,16 @@ MINHASH_SINGLE_TASK_MAX_DOCS = int(
     os.environ.get("SPARK_GRAFT_MINHASH_SINGLE_TASK_DOCS", "100000")
 )
 
+# Same gate for the exact inverted-index pair family (ngram_jaccard) —
+# its pair volume is Σ_s df(s)² on both paths, so the doc bound is the
+# shared safety envelope. Separately overridable.
+NGRAM_PAIRS_SINGLE_TASK_MAX_DOCS = int(
+    os.environ.get(
+        "SPARK_GRAFT_NGRAM_PAIRS_SINGLE_TASK_DOCS",
+        str(MINHASH_SINGLE_TASK_MAX_DOCS),
+    )
+)
+
 
 def _minhash_pairs_kernel(num_hashes: int, bands: int, rows: int):
     """Single-task MinHash-LSH: replays the relational cascade exactly
@@ -579,8 +589,79 @@ def near_dup_pairs_minhash(
     )
 
 
+def _ngram_pairs_kernel():
+    """Single-task inverted-shingle-index pair counting (r15, guide
+    §4.2): over one bounded (doc_id, shingle) partition, emit every
+    unordered doc pair sharing >= 1 distinct shingle with its EXACT
+    integer intersection and per-doc distinct set sizes. Equality with
+    the relational path is structural: the per-shingle doc lists ARE the
+    self-join's matches, pairs are enumerated with real doc_a < doc_b,
+    and n_inter counts distinct shared shingles exactly like the
+    join-then-count. Pair volume is Σ_s df(s)² on BOTH paths — the
+    single-task gate bounds it here, the df-cap note covers 100 TB."""
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        docs_l, sh_l = [], []
+        for pdf in batches:
+            docs_l.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            sh_l.append(pdf["shingle"].to_numpy(dtype=object))
+        cols = ["doc_a", "doc_b", "n_inter", "n_a", "n_b"]
+        if not docs_l or not sum(len(x) for x in docs_l):
+            yield pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+            return
+        doc = np.concatenate(docs_l)
+        sh = np.concatenate(sh_l)
+        dcodes, dids = pd.factorize(doc)
+        dids = np.asarray(dids, dtype=np.int64)
+        nd = np.int64(len(dids))
+        scodes, _ = pd.factorize(sh)
+        scodes = scodes.astype(np.int64)
+        # distinct (shingle, doc) pairs, grouped by shingle
+        key = scodes * nd + dcodes.astype(np.int64)
+        uniq = np.unique(key)
+        sc = uniq // nd
+        dc = (uniq % nd).astype(np.int64)
+        n_sh = np.bincount(dc, minlength=int(nd)).astype(np.int64)
+        new = np.ones(len(uniq), dtype=bool)
+        new[1:] = sc[1:] != sc[:-1]
+        bounds = np.flatnonzero(new)
+        ends = np.append(bounds[1:], len(uniq))
+        # order doc indices by REAL id so emitted pairs satisfy a < b
+        rank = np.empty(int(nd), dtype=np.int64)
+        rank[np.argsort(dids, kind="stable")] = np.arange(int(nd))
+        pair_chunks = []
+        for s, e in zip(bounds.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            g = dc[s:e]
+            g = g[np.argsort(rank[g], kind="stable")]
+            ia, ib = np.triu_indices(len(g), 1)
+            pair_chunks.append(g[ia] * nd + g[ib])
+        if not pair_chunks:
+            yield pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+            return
+        pairs, counts = np.unique(np.concatenate(pair_chunks), return_counts=True)
+        pa = (pairs // nd).astype(np.int64)
+        pb = (pairs % nd).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_a": dids[pa],
+                "doc_b": dids[pb],
+                "n_inter": counts.astype(np.int64),
+                "n_a": n_sh[pa],
+                "n_b": n_sh[pb],
+            }
+        )
+
+    return kern
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, *, n: int = 3, threshold: float = 0.5
+    documents: DataFrame, *, n: int = 3, threshold: float = 0.5,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index —
     the deterministic member of the dedup family (MinHash approximates the
@@ -591,12 +672,37 @@ def ngram_jaccard_pairs(
     counting common shingles per pair and joining per-doc set sizes yields
     the exact coefficient. The n² cross product never materializes.
 
+    Below ``NGRAM_PAIRS_SINGLE_TASK_MAX_DOCS`` (footer row hint; r15)
+    the whole index → pair-count → size-attach cascade runs in ONE
+    Arrow task emitting exact integer counts (jaccard stays a Spark
+    expression); parity pinned in tests/test_round15.py. Larger or
+    hint-less inputs take the distributed plan unchanged.
+
     Scale shape: one shuffle keyed by shingle; cost is Σ_s df(s)² over
     shingle document-frequencies, not |docs|². At 100 TB add a df cap in
     the `ds` stage (drop boilerplate shingles shared by thousands of docs —
     they cannot push a pair over any useful threshold alone and dominate
     the join cost); the testdata's unique texts need no cap.
     """
+    if single_task is None:
+        est = sizing.row_hint(documents)
+        single_task = (
+            est is not None and 0 < est < NGRAM_PAIRS_SINGLE_TASK_MAX_DOCS
+        )
+    if single_task:
+        raw = _doc_shingles(documents, n, distinct=False)
+        pk = raw.repartition(1).mapInPandas(
+            _ngram_pairs_kernel(),
+            "doc_a long, doc_b long, n_inter long, n_a long, n_b long",
+        )
+        jac_k = F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        )
+        return pk.select("doc_a", "doc_b", jac_k.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     ds = _doc_shingles(documents, n)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (

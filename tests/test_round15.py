@@ -150,6 +150,42 @@ def test_minhash_gate_uses_row_hint(spark):
     assert "MapInPandas" in auto2._jdf.queryExecution().executedPlan().toString()
 
 
+def test_ngram_pairs_single_task_matches_distributed_sf001(spark):
+    from streaming_ml_with_ksql_spark import io
+
+    docs = io.load_table(spark, "/root/testdata/sf0.01", "documents")
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    fast = {
+        key(r): r["jaccard"]
+        for r in text.ngram_jaccard_pairs(docs, single_task=True).collect()
+    }
+    slow = {
+        key(r): r["jaccard"]
+        for r in text.ngram_jaccard_pairs(docs, single_task=False).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_ngram_pairs_single_task_planted(spark):
+    rows = [
+        (7, "a b c d e f g h"),
+        (3, "a b c d e f g zz"),   # high overlap with 7 (and id 3 < 7)
+        (9, "a b c d e f g h"),    # exact dup of 7
+        (11, "q r s t u v w x"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    fast = {
+        key(r): r["jaccard"]
+        for r in text.ngram_jaccard_pairs(df, single_task=True).collect()
+    }
+    slow = {
+        key(r): r["jaccard"]
+        for r in text.ngram_jaccard_pairs(df, single_task=False).collect()
+    }
+    assert fast == slow and (7, 9) in fast and fast[(7, 9)] == 1.0
+
+
 def test_kmeans_ragged_frame_falls_through_to_distributed(spark):
     """ADVICE r14: a ragged vector frame must not enter the single-task
     kernel (np.asarray would raise); the auto gate must pick the
