@@ -18,6 +18,7 @@ ANNX_QUERIES = [
 
 
 @pytest.mark.parametrize("name", ANNX_QUERIES)
+@pytest.mark.sweep
 def test_annx_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

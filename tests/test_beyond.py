@@ -76,11 +76,13 @@ STREAMING = [
 
 
 @pytest.mark.parametrize("name", BEYOND)
+@pytest.mark.sweep
 def test_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
 @pytest.mark.parametrize("name", STREAMING)
+@pytest.mark.sweep
 def test_streaming_query_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)
 

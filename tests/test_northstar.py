@@ -53,6 +53,7 @@ NORTHSTAR_ORACLED = [
 
 
 @pytest.mark.parametrize("name", NORTHSTAR_ORACLED)
+@pytest.mark.sweep
 def test_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

@@ -58,10 +58,12 @@ ROUND7DE_STREAMING = [
 
 
 @pytest.mark.parametrize("name", ROUND7DE)
+@pytest.mark.sweep
 def test_round7de_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
 @pytest.mark.parametrize("name", ROUND7DE_STREAMING)
+@pytest.mark.sweep
 def test_round7de_streaming_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)

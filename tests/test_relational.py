@@ -72,6 +72,7 @@ PHASE2 = [
 
 
 @pytest.mark.parametrize("name", PHASE2)
+@pytest.mark.sweep
 def test_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

@@ -37,11 +37,13 @@ ROUND10_STREAMING = [
 
 
 @pytest.mark.parametrize("name", ROUND10)
+@pytest.mark.sweep
 def test_round10_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
 @pytest.mark.parametrize("name", ROUND10_STREAMING)
+@pytest.mark.sweep
 def test_round10_streaming_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)
 

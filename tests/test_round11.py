@@ -26,6 +26,7 @@ ROUND11 = [
 
 
 @pytest.mark.parametrize("name", ROUND11)
+@pytest.mark.sweep
 def test_round11_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

@@ -41,6 +41,7 @@ ROUND11B = [
 
 
 @pytest.mark.parametrize("name", ROUND11B)
+@pytest.mark.sweep
 def test_round11b_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

@@ -22,6 +22,7 @@ ROUND12_LIFTED = [
 
 
 @pytest.mark.parametrize("name", ROUND12_LIFTED)
+@pytest.mark.sweep
 def test_round12_lifted_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 

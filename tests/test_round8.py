@@ -29,11 +29,13 @@ ROUND8_STREAMING = ["streaming_zonemap_ingest"]
 
 
 @pytest.mark.parametrize("name", ROUND8)
+@pytest.mark.sweep
 def test_round8_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
 @pytest.mark.parametrize("name", ROUND8_STREAMING)
+@pytest.mark.sweep
 def test_round8_streaming_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)
 

@@ -49,11 +49,13 @@ ROUND9_STREAMING = [
 
 
 @pytest.mark.parametrize("name", ROUND9)
+@pytest.mark.sweep
 def test_round9_query_matches_oracle(spark, sf_medium, name):
     assert_query_matches(spark, name, sf_medium)
 
 
 @pytest.mark.parametrize("name", ROUND9_STREAMING)
+@pytest.mark.sweep
 def test_round9_streaming_matches_oracle(spark, sf_small, name):
     assert_query_matches(spark, name, sf_small)
 
