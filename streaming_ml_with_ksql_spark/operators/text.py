@@ -359,8 +359,16 @@ def minhash_candidate_pairs_between(
 # are pure scheduling overhead. Env-overridable; larger corpora keep the
 # distributed cascade unchanged (the bound is a data bound from the
 # parquet footer hint, not a core-count constant).
+# Default measured from the 10x replicated-corpus stress (r15): each
+# stress replica is an EXACT duplicate, so candidate cliques grow
+# quadratically with the multiplier — the kernel reads flat vs the
+# distributed cascade at 4x (20k docs: 14.5 vs 15.6 s) and LOSES at 10x
+# (50k docs: 24.2 vs 15.7 s), while winning 2.3x at 1x (5k real docs:
+# 1.6 vs 3.7 s). 20k bounds the kernel at the measured worst-case
+# break-even; real (less dup-heavy) corpora cross over far higher —
+# raise via env when the corpus is known clean.
 MINHASH_SINGLE_TASK_MAX_DOCS = int(
-    os.environ.get("SPARK_GRAFT_MINHASH_SINGLE_TASK_DOCS", "100000")
+    os.environ.get("SPARK_GRAFT_MINHASH_SINGLE_TASK_DOCS", "20000")
 )
 
 # Same gate for the exact inverted-index pair family (ngram_jaccard) —
